@@ -1,0 +1,5 @@
+"""Reusable DataFrame -> DataFrame operators."""
+
+from .validate import split_valid_invalid, reject_reason_column  # noqa: F401
+from .upsert import upsert_last_writer_wins  # noqa: F401
+from .asof import calendar_day_delta, with_prev_calendar_day  # noqa: F401

@@ -1,0 +1,97 @@
+"""Minimal lakehouse table: parquet partitioned by a key column with an
+idempotent last-writer-wins upsert (SURVEY.md §2.1 op-sink-upsert).
+
+Replaces the reference's Postgres ``INSERT ... ON CONFLICT (date,
+region_id) DO UPDATE`` (ingest_capacity.py:178-193). In a Delta/Iceberg
+environment this would be ``MERGE INTO``; the portable mechanism here:
+
+1. Partition the table by ``date`` — the analog of the reference's
+   unique B-tree on (date, region_id) (models.py:54-56): date-keyed
+   queries partition-prune, and an upsert touches only incoming dates.
+2. Merge = read ONLY the partitions for incoming dates (pruned scan),
+   union with incoming, window-dedup on the natural key (incoming
+   wins), then dynamic-partition-overwrite just those partitions.
+3. ``localCheckpoint`` materializes the merged slice before the write
+   so Spark's read/write-same-path check doesn't trip; the working set
+   is bounded by the batch's touched partitions, not table size — this
+   is what keeps a 100 TB table upsertable by a 1 GB micro-batch.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.upsert import dedup_last_writer, upsert_last_writer_wins
+
+
+class LakeTable:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: Sequence[str],
+        partition_col: str = "date",
+        version_col: str | None = "created_at",
+    ):
+        self.spark = spark
+        self.path = path
+        self.keys = list(keys)
+        self.partition_col = partition_col
+        self.version_col = version_col
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.path, "_SUCCESS")) or any(
+            n.startswith(f"{self.partition_col}=")
+            for n in (os.listdir(self.path) if os.path.isdir(self.path) else [])
+        )
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def overwrite(self, df: DataFrame) -> None:
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(self.partition_col)
+            .parquet(self.path)
+        )
+
+    def upsert(self, incoming: DataFrame) -> None:
+        """Idempotent natural-key upsert; incoming wins conflicts."""
+        # Within-batch dedup first (the reference's single multi-row
+        # INSERT can't carry duplicate natural keys either).
+        if self.version_col and self.version_col in incoming.columns:
+            incoming = dedup_last_writer(incoming, self.keys, self.version_col)
+        else:
+            incoming = incoming.dropDuplicates(self.keys)
+
+        if not self.exists():
+            self.overwrite(incoming)
+            return
+
+        # Partition-pruned read of only the touched partitions. The
+        # distinct partition values of a micro-batch are small by
+        # construction (dates), so collecting them for an isin-pushdown
+        # is driver-cheap and buys partition pruning on the big side.
+        touched = [
+            r[0]
+            for r in incoming.select(self.partition_col).distinct().collect()
+        ]
+        existing_slice = self.read().filter(F.col(self.partition_col).isin(touched))
+        merged = upsert_last_writer_wins(
+            existing_slice,
+            incoming,
+            self.keys,
+            version_col=(
+                self.version_col
+                if self.version_col and self.version_col in incoming.columns
+                else None
+            ),
+        )
+        # Materialize before overwriting partitions we just read.
+        merged = merged.localCheckpoint(eager=True)
+        self.overwrite(merged)

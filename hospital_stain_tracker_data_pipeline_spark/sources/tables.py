@@ -1,0 +1,27 @@
+"""Fixture/table loaders (SURVEY.md §2.1 op-scan-table).
+
+One parquet per table; ``spark.read.parquet`` gives columnar scan with
+predicate pushdown and column pruning — expressing queries on top of
+these loaders keeps filters/projections visible to Catalyst (check via
+``PushedFilters``/``ReadSchema`` in ``.explain("formatted")``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import FIXTURE_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_fixture_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_fixture_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = FIXTURE_TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_fixture_table(spark, sf_dir, n) for n in names}

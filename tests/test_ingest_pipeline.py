@@ -1,0 +1,196 @@
+"""End-to-end domain pipeline tests (FIXTURES.md §A6/§A8): reject rules
+with first-match-wins reasons, ingest idempotency, metrics derivation,
+and calendar-day delta semantics."""
+
+from __future__ import annotations
+
+import csv
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hospital_stain_tracker_data_pipeline_spark.pipeline import (
+    api_queries,
+    compute_metrics,
+    ingest_capacity_csv,
+)
+from hospital_stain_tracker_data_pipeline_spark.pipeline.lake import LakeTable
+
+HEADERS = [
+    "date",
+    "state",
+    "inpatient_beds",
+    "inpatient_beds_used",
+    "total_staffed_adult_icu_beds",
+    "staffed_adult_icu_bed_occupancy",
+]
+
+
+def _write_csv(path, rows):
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(HEADERS)
+        w.writerows(rows)
+    return path
+
+
+GOOD_ROWS = [
+    ["2026-01-01", "CA", 1000, 850, 100, 92],
+    ["2026-01-01", "NY", 800, 400, 50, 25],
+    ["2026-01-02", "CA", 1000, 900, 100, 95],
+    ["2026-01-02", "NY", 800, 500, 50, 30],
+    # gap: no 2026-01-03 for CA, then 2026-01-04 (delta must be NULL)
+    ["2026-01-04", "CA", 1000, 700, 100, 60],
+]
+
+# one row per validation rule, expected first-match-wins reason
+REJECT_CASES = [
+    (["", "CA", 100, 50, "", ""], "date is required"),
+    (["2026-01-01", "", 100, 50, "", ""], "region is required"),
+    (["2026-01-01", "CA", "", 50, "", ""], "total_beds is required"),
+    (["2026-01-01", "CA", 100, "", "", ""], "occupied_beds is required"),
+    (["2026-01-01", "CA", -1, 0, "", ""], "total_beds cannot be negative"),
+    (["2026-01-01", "CA", 100, -5, "", ""], "occupied_beds cannot be negative"),
+    (["2026-01-01", "CA", 100, 150, "", ""], "occupied_beds cannot exceed total_beds"),
+    (["2026-01-01", "CA", 100, 50, -2, ""], "icu_beds cannot be negative"),
+    (["2026-01-01", "CA", 100, 50, 10, -1], "icu_occupied cannot be negative"),
+    (["2026-01-01", "CA", 100, 50, 10, 20], "icu_occupied cannot exceed icu_beds"),
+    # first-match-wins: date NULL AND total_beds < 0 → date reason
+    (["", "CA", -1, 50, "", ""], "date is required"),
+]
+
+
+@pytest.fixture(scope="module")
+def lake(spark, tmp_path_factory):
+    """Ingest good + reject rows once; derive metrics; share the lake."""
+    base = tmp_path_factory.mktemp("lake")
+    csv_path = _write_csv(
+        str(base / "batch1.csv"), GOOD_ROWS + [c for c, _ in REJECT_CASES]
+    )
+    lake_dir = str(base / "tables")
+    res = ingest_capacity_csv(spark, csv_path, "test-batch", lake_dir)
+    compute_metrics(spark, lake_dir)
+    return {"dir": lake_dir, "ingest": res, "base": base}
+
+
+def _bronze(spark, lake):
+    return spark.read.parquet(os.path.join(lake["dir"], "capacity_daily"))
+
+
+def _silver(spark, lake):
+    return spark.read.parquet(os.path.join(lake["dir"], "metrics_daily"))
+
+
+def _regions(spark, lake):
+    return spark.read.parquet(os.path.join(lake["dir"], "regions"))
+
+
+def test_ingest_counts(spark, lake):
+    res = lake["ingest"]
+    assert res.rows_in == len(GOOD_ROWS) + len(REJECT_CASES)
+    assert res.rows_loaded == len(GOOD_ROWS)
+    assert res.rows_rejected == len(REJECT_CASES)
+    assert _bronze(spark, lake).count() == len(GOOD_ROWS)
+
+
+def test_reject_reasons_first_match_wins(spark, lake):
+    rejects = spark.read.option("header", True).csv(
+        lake["ingest"].rejects_path
+    )
+    reasons = {r["_reject_reason"] for r in rejects.collect()}
+    assert reasons == {reason for _, reason in REJECT_CASES}
+    assert rejects.count() == len(REJECT_CASES)
+
+
+def test_region_get_or_create(spark, lake):
+    names = {r.name for r in _regions(spark, lake).collect()}
+    assert names == {"CA", "NY"}
+
+
+def test_idempotent_reingest_updates(spark, lake):
+    """Same batch twice: row count unchanged; an updated row wins
+    (semantics of ON CONFLICT DO UPDATE, ingest_capacity.py:183-192)."""
+    updated = [r[:] for r in GOOD_ROWS]
+    updated[0][3] = 999  # CA 2026-01-01 occupied_beds 850 → 999
+    csv2 = _write_csv(str(lake["base"] / "batch2.csv"), updated)
+    ingest_capacity_csv(spark, csv2, "test-batch-2", lake["dir"])
+
+    bronze = _bronze(spark, lake)
+    assert bronze.count() == len(GOOD_ROWS)
+    [row] = bronze.filter(
+        (F.col("date") == "2026-01-01")
+        & (F.col("region_id").isin(
+            [r.region_id for r in _regions(spark, lake).filter("name='CA'").collect()]
+        ))
+    ).collect()
+    assert row.occupied_beds == 999
+    # dimension not duplicated either
+    assert _regions(spark, lake).count() == 2
+
+
+def test_metrics_golden_values(spark, lake):
+    silver = _silver(spark, lake)
+    regions = _regions(spark, lake)
+    ca = {r.name: r.region_id for r in regions.collect()}["CA"]
+    [m] = silver.filter(
+        (F.col("date") == "2026-01-02") & (F.col("region_id") == ca)
+    ).collect()
+    # 1000/900/100/95 → bed .9, icu .95, strain .4*90+.6*95 = 93.0
+    assert m.bed_occ_pct == 0.9
+    assert m.icu_occ_pct == 0.95
+    assert m.strain_index == 93.0
+
+
+def test_compare_calendar_day_delta(spark, lake):
+    """compare(d+1) numeric delta; date after a gap → NULL delta
+    (main.py:264-268) — where plain lag would wrongly bridge the gap."""
+    compute_metrics(spark, lake["dir"])  # refresh after re-ingest
+    silver = _silver(spark, lake)
+    regions = _regions(spark, lake)
+
+    out = {
+        r.region: r
+        for r in api_queries.metrics_compare(silver, regions, "2026-01-02").collect()
+    }
+    assert out["CA"].delta is not None
+    assert out["CA"].prev_strain_index is not None
+
+    out4 = {
+        r.region: r
+        for r in api_queries.metrics_compare(silver, regions, "2026-01-04").collect()
+    }
+    # 2026-01-03 absent → prev/delta NULL despite a 01-02 observation
+    assert out4["CA"].prev_strain_index is None
+    assert out4["CA"].delta is None
+
+
+def test_available_dates_and_coverage(spark, lake):
+    silver = _silver(spark, lake)
+    [r] = api_queries.available_dates(silver).collect()
+    assert str(r.min_date) == "2026-01-01"
+    assert str(r.max_date) == "2026-01-04"
+    assert r.n_dates == 3
+
+    cov = {str(r.date): r.rows for r in api_queries.coverage(silver, 2).collect()}
+    assert cov == {"2026-01-01": 2, "2026-01-02": 2}
+
+    [best] = api_queries.coverage_best_date(silver, 2).collect()
+    assert str(best.date) == "2026-01-02"
+
+
+def test_runs_log(spark, lake):
+    runs = spark.read.parquet(os.path.join(lake["dir"], "pipeline_runs"))
+    latest = api_queries.runs_latest(runs).collect()
+    assert all(r.status == "success" for r in latest)
+    assert len(latest) >= 3  # 2 ingests + >=1 metrics
+
+
+def test_dashboard_kpis(spark, lake):
+    silver = _silver(spark, lake)
+    regions = _regions(spark, lake)
+    day = api_queries.metrics_latest(silver, regions, "2026-01-02")
+    [k] = api_queries.dashboard_kpis(day).collect()
+    assert k.highest_strain_region == "CA"
+    assert k.highest_strain == 93.0
+    assert k.crisis_count == 1
