@@ -1,0 +1,82 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a full materialization (count of the result)
+so the wall time covers scan → shuffle → agg, not just plan building.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hospital_stain_tracker_data_pipeline_spark.session import get_spark
+from hospital_stain_tracker_data_pipeline_spark.plans import CATALOG
+
+# Headline set: the reference's flagship read paths (compare/lag, coverage,
+# upsert, dim join) + the heavy Phase-4 training-data operators. Streaming
+# and the O(n^2)-adjacent LSH candidate gen are excluded from the headline
+# wall-clock (they have their own rows-only checks).
+HEADLINE = [
+    "pricing_summary",
+    "top_unshipped",
+    "window_lag_delta",
+    "upsert_merge",
+    "coverage_having",
+    "dim_join",
+    "strain_formula",
+    "text_stats",
+    "text_quality",
+    "lang_id",
+    "fingerprint",
+    "dedup_exact",
+    "dedup_simhash",
+    "knn_cosine",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # crude sf label from the dir name (sf0.1 → 0.1)
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(base.replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    spark = get_spark(app_name="hospital_stain_tracker_bench")
+
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not first-touch session setup.
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = CATALOG[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

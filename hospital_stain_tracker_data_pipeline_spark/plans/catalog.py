@@ -1,0 +1,76 @@
+"""The query catalog: name → QuerySpec(fn, oracle_sql).
+
+Backs ``__spark_entry__.queries()`` / ``oracle_sql()``. ``oracle_sql``
+is None for genuinely non-SQL-expressible entries (approximate LSH
+candidate generation, streaming) — the driver records a rows-only check
+for those (SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import relational as R
+from . import text as X
+from . import vectors as V
+from .streaming_plan import q_stream_events_ingest
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle_sql: Optional[str]
+
+
+CATALOG: dict[str, QuerySpec] = {
+    # --- §2.2 projections / filters / validation ---
+    "filter_eq": QuerySpec(R.q_filter_eq, R.SQL_FILTER_EQ),
+    "project_rename": QuerySpec(R.q_project_rename, R.SQL_PROJECT_RENAME),
+    "validate_rejects": QuerySpec(R.q_validate_rejects, R.SQL_VALIDATE_REJECTS),
+    # --- §2.3 joins ---
+    "dim_join": QuerySpec(R.q_dim_join, R.SQL_DIM_JOIN),
+    "dim_get_or_create": QuerySpec(R.q_dim_get_or_create, R.SQL_DIM_GET_OR_CREATE),
+    "upsert_merge": QuerySpec(R.q_upsert_merge, R.SQL_UPSERT_MERGE),
+    # --- §2.4 aggregations ---
+    "agg_max_date": QuerySpec(R.q_agg_max_date, R.SQL_AGG_MAX_DATE),
+    "available_dates": QuerySpec(R.q_available_dates, R.SQL_AVAILABLE_DATES),
+    "distinct_sorted": QuerySpec(R.q_distinct_sorted, R.SQL_DISTINCT_SORTED),
+    "coverage_having": QuerySpec(R.q_coverage_having, R.SQL_COVERAGE_HAVING),
+    "argmax_date": QuerySpec(R.q_argmax_date, R.SQL_ARGMAX_DATE),
+    "agg_avg": QuerySpec(R.q_agg_avg, R.SQL_AGG_AVG),
+    "count_filtered": QuerySpec(R.q_count_filtered, R.SQL_COUNT_FILTERED),
+    # --- §2.5 windows ---
+    "window_lag_delta": QuerySpec(R.q_window_lag_delta, R.SQL_WINDOW_LAG_DELTA),
+    # --- §2.6 sorts / limits / top-k ---
+    "sort_limit": QuerySpec(R.q_sort_limit, R.SQL_SORT_LIMIT),
+    "topk": QuerySpec(R.q_topk, R.SQL_TOPK),
+    "argmax_measure": QuerySpec(R.q_argmax_measure, R.SQL_ARGMAX_MEASURE),
+    # --- §2.8 scalar functions ---
+    "strain_formula": QuerySpec(R.q_strain_formula, R.SQL_STRAIN_FORMULA),
+    "json_extract": QuerySpec(R.q_json_extract, R.SQL_JSON_EXTRACT),
+    "date_format_rollup": QuerySpec(R.q_date_format_rollup, R.SQL_DATE_FORMAT_ROLLUP),
+    # --- headline aggregations (bench) ---
+    "pricing_summary": QuerySpec(R.q_pricing_summary, R.SQL_PRICING_SUMMARY),
+    "top_unshipped": QuerySpec(R.q_top_unshipped, R.SQL_TOP_UNSHIPPED),
+    # --- text analysis (Phase 4) ---
+    "text_stats": QuerySpec(X.q_text_stats, X.SQL_TEXT_STATS),
+    "text_quality": QuerySpec(X.q_text_quality, X.SQL_TEXT_QUALITY),
+    "lang_id": QuerySpec(X.q_lang_id, X.SQL_LANG_ID),
+    "fingerprint": QuerySpec(X.q_fingerprint, X.SQL_FINGERPRINT),
+    # --- dedup family (Phase 4) ---
+    "dedup_exact": QuerySpec(X.q_dedup_exact, X.SQL_DEDUP_EXACT),
+    "dedup_jaccard_topk": QuerySpec(X.q_dedup_jaccard_topk, X.SQL_DEDUP_JACCARD_TOPK),
+    "dedup_simhash": QuerySpec(X.q_dedup_simhash, X.SQL_DEDUP_SIMHASH),
+    "dedup_minhash_lsh": QuerySpec(X.q_dedup_minhash_lsh, None),
+    # --- multimodal plumbing (Phase 4) ---
+    "multimodal_meta": QuerySpec(X.q_multimodal_meta, X.SQL_MULTIMODAL_META),
+    # --- similarity search (Phase 4) ---
+    "knn_cosine": QuerySpec(V.q_knn_cosine, V.SQL_KNN_COSINE),
+    "embedding_dup_pairs": QuerySpec(V.q_embedding_dup_pairs, V.SQL_EMBEDDING_DUP_PAIRS),
+    "ann_lsh_pairs": QuerySpec(V.q_ann_lsh_pairs, None),
+    # --- §2.9 streaming ---
+    "stream_events_ingest": QuerySpec(q_stream_events_ingest, None),
+}

@@ -1,0 +1,606 @@
+"""Core relational plans — the reference's operator inventory (SURVEY.md
+§2.1-§2.8, §2.11) re-expressed over the driver fixtures.
+
+Every function takes ``(spark, sf_dir)`` and returns a DataFrame; the
+matching DuckDB oracle SQL lives next to it. Cross-engine float parity
+strategy: money-like sums go through DECIMAL (order-independent, exact,
+identical in both engines) and are cast back to double; per-row double
+arithmetic uses the same operation order on both sides; every limit
+query has a total-order tiebreak.
+
+Scale notes are inline: dims broadcast, aggregations are partial+final
+(map-side combine) by construction, date filters reach the parquet scan
+as pushed filters, and the lag/delta plan shuffles once on the window
+key instead of self-joining (two scans) like the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_fixture_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_fixture_table(spark, sf_dir, name)
+
+
+def _dec_sum(col, scale: int = 2, precision: int = 18):
+    """Order-independent cross-engine-exact sum: cast to decimal, sum,
+    cast back to double. Float sums differ across engines/partitionings
+    in the last ulp; decimal sums do not."""
+    return F.sum(col.cast(f"decimal({precision},{scale})")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / filters
+# ---------------------------------------------------------------------------
+
+def q_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-filter-eq (main.py:158,269): equality filter on a date key,
+    pushed down to the parquet scan (PushedFilters)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.to_date("l_shipdate") == F.lit("1998-06-15"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_returnflag",
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+SQL_FILTER_EQ = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) = DATE '1998-06-15'
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def q_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-project-rename (ingest_capacity.py:106-123): select + rename a
+    column subset; Catalyst prunes the rest at the scan (ReadSchema)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("customer_id"),
+        F.to_date("o_orderdate").alias("order_date"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+
+
+SQL_PROJECT_RENAME = """
+SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+       CAST(o_orderdate AS DATE) AS order_date, o_totalprice AS total_price
+FROM orders
+"""
+
+
+def q_validate_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-validate-row (ingest_capacity.py:23-59): first-match-wins
+    chained-when reason column; returns the reject side-output."""
+    from ..operators.validate import reject_reason_column, split_valid_invalid
+
+    ev = _t(spark, sf_dir, "events")
+    rules = [
+        (F.col("event_type").isNull(), "event_type is required"),
+        (F.col("user_id").isNull(), "user_id is required"),
+        (F.col("value").isNull(), "value is required"),
+        (F.col("value") < 0, "value cannot be negative"),
+        (F.col("value") > 450, "value cannot exceed 450"),
+    ]
+    _, rejected = split_valid_invalid(ev, rules)
+    return rejected.select("event_id", "event_type", "value", "_reject_reason")
+
+
+SQL_VALIDATE_REJECTS = """
+WITH tagged AS (
+  SELECT event_id, event_type, value,
+         CASE WHEN event_type IS NULL THEN 'event_type is required'
+              WHEN user_id IS NULL THEN 'user_id is required'
+              WHEN value IS NULL THEN 'value is required'
+              WHEN value < 0 THEN 'value cannot be negative'
+              WHEN value > 450 THEN 'value cannot exceed 450'
+         END AS _reject_reason
+  FROM events
+)
+SELECT * FROM tagged WHERE _reject_reason IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+def q_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-join-capacity-region / op-join-metrics-region (main.py:154-160,
+    210-217): fact ⋈ small dims. Both dims broadcast — zero shuffle on
+    the fact side; the aggregation is partial+final."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count("*").alias("customers"),
+            _dec_sum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+        .orderBy("region_name")
+    )
+
+
+SQL_DIM_JOIN = """
+SELECT r_name AS region_name, COUNT(*) AS customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+def q_dim_get_or_create(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-join-lookup-dim (ingest_capacity.py:62-71,158-163): the
+    get-or-create probe as ONE left_anti join over distinct incoming
+    names — replaces the reference's N sequential SQL probes. (UUID
+    assignment is excluded here: nondeterministic exprs can't be
+    hash-compared.)"""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    incoming = nation.select(F.col("n_name").alias("name")).distinct()
+    existing = region.select(F.col("r_name").alias("name"))
+    return incoming.join(F.broadcast(existing), "name", "left_anti").orderBy("name")
+
+
+SQL_DIM_GET_OR_CREATE = """
+SELECT DISTINCT n_name AS name
+FROM nation
+WHERE n_name NOT IN (SELECT r_name FROM region)
+ORDER BY name
+"""
+
+
+def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-sink-upsert (ingest_capacity.py:178-193): last-writer-wins
+    natural-key merge — 'existing' rows vs an 'incoming' batch with
+    updated prices; incoming wins conflicts. Window dedup on the key is
+    the portable MERGE INTO (SURVEY.md §2.1)."""
+    from ..operators.upsert import upsert_last_writer_wins
+
+    orders = _t(spark, sf_dir, "orders")
+    existing = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("total_price"),
+        F.lit(0).alias("version"),
+    )
+    incoming = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 1000.0).alias("total_price"),
+        F.lit(1).alias("version"),
+    )
+    return upsert_last_writer_wins(existing, incoming, ["o_orderkey"], "version")
+
+
+SQL_UPSERT_MERGE = """
+WITH existing AS (
+  SELECT o_orderkey, o_totalprice AS total_price, 0 AS version
+  FROM orders WHERE o_orderkey % 3 <> 0
+), incoming AS (
+  SELECT o_orderkey, o_totalprice + 1000.0 AS total_price, 1 AS version
+  FROM orders WHERE o_orderkey % 2 = 0
+), unioned AS (
+  SELECT * FROM existing UNION ALL SELECT * FROM incoming
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+  FROM unioned
+)
+SELECT o_orderkey, total_price, version FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations / §2.6 sorts-limits
+# ---------------------------------------------------------------------------
+
+def q_agg_max_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-agg-max-date (main.py:148-152): global max — partial/final agg,
+    no full shuffle."""
+    return _t(spark, sf_dir, "orders").agg(
+        F.max(F.to_date("o_orderdate")).alias("max_date")
+    )
+
+
+SQL_AGG_MAX_DATE = "SELECT MAX(CAST(o_orderdate AS DATE)) AS max_date FROM orders"
+
+
+def q_available_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-agg-minmax-countd (main.py:298-310): min/max/count-distinct in
+    one pass."""
+    d = F.to_date("o_orderdate")
+    return _t(spark, sf_dir, "orders").agg(
+        F.min(d).alias("min_date"),
+        F.max(d).alias("max_date"),
+        F.countDistinct(d).alias("n_dates"),
+    )
+
+
+SQL_AVAILABLE_DATES = """
+SELECT MIN(CAST(o_orderdate AS DATE)) AS min_date,
+       MAX(CAST(o_orderdate AS DATE)) AS max_date,
+       COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n_dates
+FROM orders
+"""
+
+
+def q_distinct_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-distinct-sorted (main.py:319-328): distinct + order asc."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(F.to_date("o_orderdate").alias("order_date"))
+        .distinct()
+        .orderBy("order_date")
+    )
+
+
+SQL_DISTINCT_SORTED = """
+SELECT DISTINCT CAST(o_orderdate AS DATE) AS order_date
+FROM orders ORDER BY order_date
+"""
+
+
+def q_coverage_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-groupby-having (main.py:339-349): per-date counts with HAVING."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("order_date"))
+        .agg(F.count("*").alias("rows"))
+        .filter(F.col("rows") >= 5)
+        .orderBy("order_date")
+    )
+
+
+SQL_COVERAGE_HAVING = """
+SELECT CAST(o_orderdate AS DATE) AS order_date, COUNT(*) AS rows
+FROM orders GROUP BY 1 HAVING COUNT(*) >= 5 ORDER BY order_date
+"""
+
+
+def q_argmax_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-argmax-date (main.py:357-366): best_date = most recent
+    qualifying date, in-engine instead of client-side."""
+    return q_coverage_having(spark, sf_dir).orderBy(F.desc("order_date")).limit(1)
+
+
+SQL_ARGMAX_DATE = """
+SELECT CAST(o_orderdate AS DATE) AS order_date, COUNT(*) AS rows
+FROM orders GROUP BY 1 HAVING COUNT(*) >= 5
+ORDER BY order_date DESC LIMIT 1
+"""
+
+
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-sort-limit (main.py:113): newest 20 by timestamp —
+    TakeOrderedAndProject, no full sort. Total order via event_id
+    tiebreak."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_iso"),
+            "event_type",
+            "value",
+        )
+        .orderBy(F.desc("ts_iso"), F.asc("event_id"))
+        .limit(20)
+    )
+
+
+SQL_SORT_LIMIT = """
+SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_iso, event_type, value
+FROM events ORDER BY ts_iso DESC, event_id ASC LIMIT 20
+"""
+
+
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-topk / op-sort-desc (dashboard.html:369-372): top-k by measure
+    with a deterministic tiebreak."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+SQL_TOPK = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10
+"""
+
+
+def q_argmax_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-argmax-strain (dashboard.html:369-372): top-1 row by measure."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .limit(1)
+    )
+
+
+SQL_ARGMAX_MEASURE = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 1
+"""
+
+
+def q_agg_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-agg-avg (dashboard.html:373): mean per group. avg computed as
+    decimal-sum / count so both engines agree bit-for-bit."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            (_dec_sum(F.col("value")) / F.count("value")).alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_AGG_AVG = """
+SELECT event_type, COUNT(value) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS avg_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_count_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-agg-count-filtered (dashboard.html:374): conditional count
+    (crisis rows) per group."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.when(F.col("value") > 400, 1)).alias("crisis_count"))
+        .orderBy("event_type")
+    )
+
+
+SQL_COUNT_FILTERED = """
+SELECT event_type, COUNT(CASE WHEN value > 400 THEN 1 END) AS crisis_count
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.5 window: calendar-day lag / delta (the flagship compare query)
+# ---------------------------------------------------------------------------
+
+def q_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-window-lag / op-join-asof-prev (main.py:249-284): day-over-day
+    delta with previous-*calendar*-day semantics — a gap date yields
+    NULL, where a plain lag would wrongly bridge it.
+
+    One lag window over the pre-aggregated daily rollup (tiny) replaces
+    the reference's self-join: the big table is scanned once, the window
+    shuffles only the rollup."""
+    from ..operators.asof import calendar_day_delta
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("order_date"),
+    ).agg(F.count("*").alias("cnt"))
+    return (
+        calendar_day_delta(
+            daily, ["priority"], "order_date", "cnt",
+            delta_col="delta", prev_col="prev_cnt",
+        )
+        .select("priority", "order_date", "cnt", "prev_cnt", "delta")
+        .orderBy("priority", "order_date")
+    )
+
+
+SQL_WINDOW_LAG_DELTA = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS order_date,
+         COUNT(*) AS cnt
+  FROM orders GROUP BY 1, 2
+), lagged AS (
+  SELECT priority, order_date, cnt,
+         LAG(order_date) OVER (PARTITION BY priority ORDER BY order_date) AS pd,
+         LAG(cnt) OVER (PARTITION BY priority ORDER BY order_date) AS pc
+  FROM daily
+)
+SELECT priority, order_date, cnt,
+       CASE WHEN pd + 1 = order_date THEN pc END AS prev_cnt,
+       CASE WHEN pd + 1 = order_date THEN cnt - pc END AS delta
+FROM lagged ORDER BY priority, order_date
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar functions
+# ---------------------------------------------------------------------------
+
+def q_strain_formula(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-fn-strain + op-fn-div-guard + op-fn-coalesce + op-fn-clamp +
+    op-fn-round + op-fn-case-bucket (compute_metrics.py:11-21,56-61;
+    dashboard.html:328-338) over a fixture analog: quantity/50 plays
+    bed occupancy, discount*10 (only when linenumber > 1) plays ICU —
+    exercising the NULL-fallback path."""
+    from ..functions.metrics import case_bucket, strain_index
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1998-06-01"))
+        & (F.to_date("l_shipdate") < F.lit("1998-07-01"))
+    )
+    bed = F.col("l_quantity") / F.lit(50.0)
+    icu = F.when(F.col("l_linenumber") > 1, F.col("l_discount") * 10.0)
+    strain = strain_index(bed, icu)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(bed, 4).alias("bed_pct"),
+        F.round(icu, 4).alias("icu_pct"),
+        strain.alias("strain"),
+        case_bucket(strain).alias("status"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+SQL_STRAIN_FORMULA = """
+WITH base AS (
+  SELECT l_orderkey, l_linenumber,
+         l_quantity / 50.0 AS bed,
+         CASE WHEN l_linenumber > 1 THEN l_discount * 10.0 END AS icu
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1998-06-01'
+    AND CAST(l_shipdate AS DATE) < DATE '1998-07-01'
+), scored AS (
+  SELECT l_orderkey, l_linenumber, bed, icu,
+         ROUND(LEAST(100.0, GREATEST(0.0,
+             0.4 * (bed * 100.0) + 0.6 * COALESCE(icu * 100.0, bed * 100.0))), 2)
+           AS strain
+  FROM base
+)
+SELECT l_orderkey, l_linenumber,
+       ROUND(bed, 4) AS bed_pct, ROUND(icu, 4) AS icu_pct, strain,
+       CASE WHEN strain > 80 THEN 'CRISIS'
+            WHEN strain >= 70 THEN 'ELEVATED'
+            ELSE 'STABLE' END AS status
+FROM scored ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction over the events props column (beyond the
+    reference surface — it has no JSON functions; a training-data
+    pipeline needs them). get_json_object is JVM-side, no UDF."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select(k.alias("k"), F.col("value"))
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(F.count("*").alias("n"), _dec_sum(F.col("value")).alias("sum_value"))
+        .orderBy("k_bucket")
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1 ORDER BY k_bucket
+"""
+
+
+def q_date_format_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-fn-dateformat + op-fn-datesub family (main.py:119-120,183):
+    ISO month formatting driving a monthly rollup."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dec_sum(F.col("o_totalprice")).alias("revenue"),
+        )
+        .orderBy("month")
+    )
+
+
+SQL_DATE_FORMAT_ROLLUP = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders GROUP BY 1 ORDER BY month
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style headline aggregations (bench workhorses)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide scan + partial/final agg per tiny group set.
+    All sums decimal-exact; products computed per-row in double (same
+    order both engines) then cast."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") <= F.lit("1998-09-02")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+            _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dec_sum(disc_price, scale=4).alias("sum_disc_price"),
+            _dec_sum(charge, scale=6, precision=24).alias("sum_charge"),
+            (_dec_sum(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
+            (_dec_sum(F.col("l_extendedprice")) / F.count("*")).alias("avg_price"),
+            (_dec_sum(F.col("l_discount"), scale=2) / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → two joins → agg → top-k.
+    customer is the small side (broadcast); lineitem⋈orders shuffles on
+    the order key; top-k is TakeOrderedAndProject (no global sort)."""
+    cutoff = "1998-01-01"
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.to_date("o_orderdate") < F.lit(cutoff))
+    li = _t(spark, sf_dir, "lineitem").filter(F.to_date("l_shipdate") > F.lit(cutoff))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            "l_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(_dec_sum(revenue, scale=4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TOP_UNSHIPPED = """
+SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+  AND CAST(l_shipdate AS DATE) > DATE '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+"""

@@ -1,0 +1,29 @@
+"""Streaming plan entry: run the availableNow ingest over the events
+fixture and return the loaded clean table (rows-only driver check —
+streaming isn't SQL-expressible for the DuckDB oracle)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming.ingest_stream import stream_ingest_events
+
+
+def q_stream_events_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 op-stream-ingest/replay/obs: one availableNow pass over the
+    events parquet → validate → natural-key upsert → read back."""
+    work = tempfile.mkdtemp(prefix="stream_ingest_")
+    # the file source wants a directory; stage the fixture via symlink
+    input_dir = os.path.join(work, "incoming")
+    os.makedirs(input_dir)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(input_dir, "events.parquet"),
+    )
+    res = stream_ingest_events(spark, input_dir, work)
+    return spark.read.parquet(res.table_path).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props", "event_date"
+    )

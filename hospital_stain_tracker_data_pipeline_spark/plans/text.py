@@ -1,0 +1,250 @@
+"""Text-analysis and dedup plans over the ``documents`` fixture
+(training-data pipeline extensions; SURVEY.md Phase 4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    STOPWORDS,
+    fingerprint64_hex,
+    lang_id,
+    non_ws_chars,
+    quality_score,
+    stopword_count,
+    token_count,
+)
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from ..sources.tables import load_fixture_table
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + char stats per document (whitespace tokenizer):
+    the basic text-quality raw features."""
+    docs = load_fixture_table(spark, sf_dir, "documents")
+    n = token_count(F.col("text"))
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.round(
+            non_ws_chars(F.col("text")).cast("double") / n.cast("double"), 4
+        ).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+SQL_TEXT_STATS = r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       length(text) AS n_chars_actual,
+       ROUND(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+             / len(string_split_regex(trim(text), '\s+')), 4) AS avg_token_len
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: saturating length score blended with
+    non-stopword ratio (fixed wordlist)."""
+    docs = load_fixture_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        stopword_count(F.col("text")).alias("n_stopwords"),
+        quality_score(F.col("text")).alias("quality"),
+    ).orderBy("doc_id")
+
+
+SQL_TEXT_QUALITY = rf"""
+WITH feats AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         t -> t IN ({_STOP_SQL}))) AS n_stopwords
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_stopwords,
+       ROUND(0.5 * LEAST(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+           + 0.5 * (1.0 - CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 4)
+         AS quality
+FROM feats ORDER BY doc_id
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic + accuracy flag vs the labeled
+    ``lang`` column."""
+    docs = load_fixture_table(spark, sf_dir, "documents")
+    pred = lang_id(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("is_match"),
+    ).orderBy("doc_id")
+
+
+# mirrors functions.text.LANG_MARKERS and its tie-break priority order
+SQL_LANG_ID = r"""
+WITH counted AS (
+  SELECT doc_id, lang,
+    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t = 'the')) AS c_en,
+    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t = 'der')) AS c_de,
+    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t = 'el'))  AS c_es,
+    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t = 'le'))  AS c_fr,
+    len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t = 'de'))  AS c_zh
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+    CASE WHEN GREATEST(c_en, c_de, c_es, c_fr, c_zh) = 0 THEN 'unknown'
+         WHEN c_en = GREATEST(c_en, c_de, c_es, c_fr, c_zh) THEN 'en'
+         WHEN c_de = GREATEST(c_en, c_de, c_es, c_fr, c_zh) THEN 'de'
+         WHEN c_es = GREATEST(c_en, c_de, c_es, c_fr, c_zh) THEN 'es'
+         WHEN c_fr = GREATEST(c_en, c_de, c_es, c_fr, c_zh) THEN 'fr'
+         ELSE 'zh' END AS pred_lang
+  FROM counted
+)
+SELECT doc_id, lang, pred_lang, pred_lang = lang AS is_match
+FROM scored ORDER BY doc_id
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit md5-prefix document fingerprint over normalized text."""
+    docs = load_fixture_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", fingerprint64_hex(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+SQL_FINGERPRINT = r"""
+SELECT doc_id,
+       substr(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), 1, 16)
+         AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized-text fingerprint,
+    keep the lowest doc_id. Shuffles (fingerprint, id) only — never the
+    document payload."""
+    docs = load_fixture_table(spark, sf_dir, "documents")
+    return exact_dedup(docs).orderBy("fingerprint")
+
+
+SQL_DEDUP_EXACT = r"""
+SELECT substr(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), 1, 16)
+         AS fingerprint,
+       MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+FROM documents GROUP BY 1 ORDER BY fingerprint
+"""
+
+
+def q_dedup_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram (3-word-shingle) Jaccard near-dup: top 20 most similar
+    within-language pairs. Blocking on lang bounds the pair count; the
+    Jaccard itself is exact (|∩|/|∪| over distinct shingle sets)."""
+    docs = load_fixture_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "lang", k=3)
+    return (
+        pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
+        .limit(20)
+    )
+
+
+SQL_DEDUP_JACCARD_TOPK = r"""
+WITH sets AS (
+  SELECT doc_id, lang,
+         list_distinct([
+            array_to_string(toks[i:i+2], ' ')
+            FOR i IN range(1, GREATEST(len(toks) - 2, 1) + 1)
+         ]) AS shingles
+  FROM (
+    SELECT doc_id, lang,
+           string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+    FROM documents
+  )
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         / (CAST(len(a.shingles) + len(b.shingles) AS DOUBLE)
+            - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+FROM sets a JOIN sets b ON a.lang = b.lang AND a.doc_id < b.doc_id
+ORDER BY jaccard DESC, id_a ASC, id_b ASC LIMIT 20
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit simhash per doc; within-language pairs
+    with Hamming distance ≤ 12."""
+    docs = load_fixture_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "lang", nbits=32, max_hamming=12).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# Mirrors operators.dedup.simhash64: per token h = first 15 md5 hex
+# chars as int; bit j vote = +1 if bit set else -1; simhash bit j = 1
+# iff votes > 0. Token order/count semantics identical (split on \s+ of
+# normalized text, duplicates kept).
+SQL_DEDUP_SIMHASH = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS ts
+  FROM documents
+), hashes AS (
+  SELECT doc_id, lang,
+         list_transform(ts, t -> CAST(CONCAT('0x', substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+  FROM toks
+), sim AS (
+  SELECT doc_id, lang,
+    (SELECT SUM(CASE WHEN len(list_filter(hs, h -> (h >> j) & 1 = 1)) * 2 > len(hs)
+                     THEN 1 << j ELSE 0 END)
+     FROM range(0, 32) t(j)) AS simhash
+  FROM hashes
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sim a JOIN sim b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+ORDER BY id_a, id_b
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup (shingle → 32-hash signature → 8 bands →
+    bucket join → exact-Jaccard verify ≥ 0.3). Approximate candidate
+    generation → no SQL oracle (driver does the rows-only check); the
+    verify step bounds false positives to zero."""
+    docs = load_fixture_table(spark, sf_dir, "documents")
+    return minhash_lsh_dedup_pairs(
+        docs, threshold=0.3, num_hashes=32, bands=8, k=3
+    ).orderBy("id_a", "id_b")
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: payload byte length + MIME kind for
+    an opaque binary column (here: the text payload as bytes). The
+    decode path is the Pandas-UDF stub in operators.multimodal."""
+    docs = load_fixture_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.octet_length("text").alias("n_bytes"),
+        F.lit("text/plain").alias("mime"),
+    ).orderBy("doc_id")
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes, 'text/plain' AS mime
+FROM documents ORDER BY doc_id
+"""

@@ -1,0 +1,80 @@
+"""Similarity-search plans over the ``embeddings`` fixture
+(training-data pipeline extensions; SURVEY.md Phase 4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import ann_lsh_pairs, blocked_similar_pairs, knn_brute_force
+from ..sources.tables import load_fixture_table
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 neighbors of vec_id 0: broadcast
+    the query vector, single corpus scan, TakeOrdered top-k. The
+    exactness baseline every ANN variant is measured against."""
+    emb = load_fixture_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_brute_force(emb, query, k=10).orderBy(
+        F.desc("cosine_sim"), F.asc("vec_id")
+    )
+
+
+SQL_KNN_COSINE = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id = 0
+), sims AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(
+           list_dot_product(qv, CAST(e.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(qv, qv))
+              * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))), 6)
+           AS cosine_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cosine_sim FROM sims
+ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within label blocks (cosine ≥
+    0.9). The label plays the blocking key that an LSH bucket plays at
+    scale — the quadratic term is bounded per block."""
+    emb = load_fixture_table(spark, sf_dir, "embeddings")
+    return blocked_similar_pairs(emb, "label", threshold=0.9).orderBy(
+        "id_a", "id_b"
+    )
+
+
+SQL_EMBEDDING_DUP_PAIRS = """
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.ev, b.ev)
+             / (sqrt(list_dot_product(a.ev, a.ev))
+                * sqrt(list_dot_product(b.ev, b.ev))), 6) AS cosine_sim
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.ev, b.ev)
+      / (sqrt(list_dot_product(a.ev, a.ev))
+         * sqrt(list_dot_product(b.ev, b.ev))), 6) >= 0.9
+ORDER BY id_a, id_b
+"""
+
+
+def q_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: sign-random-projection LSH buckets (8 bits,
+    deterministic planes) then exact cosine within bucket (≥ 0.9).
+    Approximate recall → no SQL oracle (rows-only driver check); zero
+    false positives by construction (exact verify)."""
+    emb = load_fixture_table(spark, sf_dir, "embeddings")
+    return ann_lsh_pairs(emb, threshold=0.9, nbits=8, dim=64).orderBy(
+        "id_a", "id_b"
+    )
