@@ -27,6 +27,46 @@ def _hex_to_long(hex16: Column) -> Column:
     return F.conv(F.substring(hex16, 1, 15), 16, 10).cast("long")
 
 
+_MASK31 = 0x7FFFFFFF
+_PRIME31 = 2147483647  # 2^31 - 1 (Mersenne prime)
+
+
+def _lcg_ints(n: int, seed: int) -> list[int]:
+    """Deterministic pseudo-random ints in [1, 2^31-2] — permutation
+    coefficients reproducible across runs/engines without numpy."""
+    x, out = seed & _MASK31, []
+    for _ in range(n):
+        x = (1103515245 * x + 12345) & _MASK31
+        out.append(1 + x % (_PRIME31 - 2))
+    return out
+
+
+def fanout(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Round-robin repartition to cluster parallelism — compute-fanout
+    guard for expression-heavy stages (md5/shingle/pair compute).
+
+    A small scan (one parquet file, or an AQE-coalesced shuffle) can
+    leave the expensive per-row work on a single task even though the
+    cluster has hundreds of cores: task count follows *byte* size, not
+    compute cost. The explicit repartition shuffles only the compact
+    pre-pair rows and is honored by AQE."""
+    p = df.sparkSession.sparkContext.defaultParallelism * factor
+    return df.repartition(p)
+
+
+def hashed_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-shingles hashed to 31-bit longs (ONE md5 per shingle).
+
+    Downstream MinHash/Jaccard work on this array: signatures become
+    cheap integer permutations instead of per-hash-function md5 passes
+    (32× fewer digest calls), and self-join shuffles carry longs, not
+    shingle strings."""
+    return F.transform(
+        word_shingles(text, k),
+        lambda s: _hex_to_long(F.md5(s)).bitwiseAND(F.lit(_MASK31)),
+    )
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -62,10 +102,10 @@ def ngram_jaccard_pairs(
     The block join bounds the pair count (lang/source/LSH bucket at
     scale). Jaccard = |∩| / (|A|+|B|-|∩|), integer-derived → double,
     bit-identical across engines."""
-    sets = df.select(
+    sets = fanout(df).select(
         F.col(id_col),
         F.col(block_col).alias("_block"),
-        word_shingles(F.col(text_col), k).alias("shingles"),
+        hashed_shingles(F.col(text_col), k).alias("shingles"),
     )
     a = sets.select(
         F.col("_block"),
@@ -91,18 +131,20 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
-    """num_hashes-wide MinHash signature: per hash i, min over shingles
-    of md5(i || shingle) as a 60-bit int. md5-based so the signature is
-    engine-independent; transform/array_min keep it JVM-side."""
-    # Single-parameter lambdas only: PySpark binds a 2nd parameter to
-    # the array index, so default-arg capture would be silently wrong.
+def minhash_signature(shingle_hashes: Column, num_hashes: int = 32) -> Column:
+    """num_hashes-wide MinHash signature over pre-hashed shingles: per
+    hash i, min over the universal-hash permutation (aᵢ·h + bᵢ) mod p
+    (p = 2^31-1). One md5 per shingle TOTAL (in ``hashed_shingles``);
+    the permutations are pure long arithmetic inside codegen."""
+    a_coef = _lcg_ints(num_hashes, seed=42)
+    b_coef = _lcg_ints(num_hashes, seed=1337)
+
     def _min_hash(i: int):
-        prefix = f"{i}|"
+        a, b = a_coef[i], b_coef[i]
         return F.array_min(
             F.transform(
-                shingles,
-                lambda s: _hex_to_long(F.md5(F.concat(F.lit(prefix), s))),
+                shingle_hashes,
+                lambda h: (F.lit(a).cast("long") * h + F.lit(b)) % F.lit(_PRIME31),
             )
         )
 
@@ -124,9 +166,15 @@ def minhash_lsh_candidates(
     band w.h.p.; everything else never pairs up — this is what replaces
     the O(n²) similarity join at scale."""
     rows_per_band = num_hashes // bands
-    sigs = df.select(
+    # Two-step projection: the hashed-shingle array is referenced
+    # num_hashes times below; Catalyst's CollapseProject keeps the
+    # non-cheap md5 pass in its own project, so it runs once per row.
+    hashed = fanout(df).select(
+        F.col(id_col), hashed_shingles(F.col(text_col), k).alias("_hs")
+    )
+    sigs = hashed.select(
         F.col(id_col),
-        minhash_signature(word_shingles(F.col(text_col), k), num_hashes).alias("sig"),
+        minhash_signature(F.col("_hs"), num_hashes).alias("sig"),
     )
     banded = sigs.select(
         F.col(id_col),
@@ -176,7 +224,9 @@ def minhash_lsh_dedup_pairs(
     step makes the OUTPUT exact-above-threshold (only pairs LSH missed
     entirely can be absent)."""
     cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, k)
-    sets = shingle_sets(df, text_col, id_col, k)
+    sets = fanout(df).select(
+        F.col(id_col), hashed_shingles(F.col(text_col), k).alias("shingles")
+    )
     a = sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     joined = cands.join(a, "id_a").join(b, "id_b")
@@ -191,15 +241,23 @@ def minhash_lsh_dedup_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash64(text: Column, nbits: int = 32) -> Column:
-    """SimHash over word tokens: per token take nbits from md5, sum
-    ±1 votes per bit, sign → bit. Returns a bigint (nbits wide).
+def token_hashes(text: Column) -> Column:
+    """Word tokens of normalized text hashed to 60-bit longs — one md5
+    per token, shared by all SimHash bit votes (duplicates kept: each
+    occurrence votes, matching classic SimHash)."""
+    return F.transform(
+        F.split(normalized_text(text), " "), lambda t: _hex_to_long(F.md5(t))
+    )
 
-    Entirely higher-order functions (transform/aggregate/filter) — no
+
+def simhash_from_hashes(hashes: Column, nbits: int = 32) -> Column:
+    """SimHash from pre-hashed tokens: sum ±1 votes per bit, sign →
+    bit. Returns a bigint (nbits wide). Keep the hash array in its own
+    projection (see ``simhash_pairs``) so the md5 pass runs once, not
+    nbits times.
+
+    Entirely higher-order functions (aggregate over the array) — no
     UDF, so the fingerprint computes inside codegen next to the scan."""
-    toks = F.split(normalized_text(text), " ")
-    hashes = F.transform(toks, lambda t: _hex_to_long(F.md5(t)))
-
     # aggregate's merge lambda must take exactly (acc, x) — a third
     # parameter (even defaulted) breaks PySpark's binding.
     def _votes(j: int):
@@ -222,6 +280,13 @@ def simhash64(text: Column, nbits: int = 32) -> Column:
     return out
 
 
+def simhash64(text: Column, nbits: int = 32) -> Column:
+    """SimHash directly from text (convenience; prefer the two-step
+    ``token_hashes`` → ``simhash_from_hashes`` in plans so the md5 pass
+    isn't replicated per bit)."""
+    return simhash_from_hashes(token_hashes(text), nbits)
+
+
 def simhash_pairs(
     df: DataFrame,
     block_col: str,
@@ -233,10 +298,15 @@ def simhash_pairs(
     """Within-block pairs with SimHash Hamming distance ≤ max_hamming.
     (At scale, block by SimHash prefix bands instead of a data column —
     same mechanics, pigeonhole guarantees recall for small distances.)"""
-    h = df.select(
+    hashed = fanout(df).select(
         F.col(id_col),
         F.col(block_col).alias("_block"),
-        simhash64(F.col(text_col), nbits).alias("simhash"),
+        token_hashes(F.col(text_col)).alias("_th"),
+    )
+    h = hashed.select(
+        F.col(id_col),
+        F.col("_block"),
+        simhash_from_hashes(F.col("_th"), nbits).alias("simhash"),
     )
     a = h.select("_block", F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"))
     b = h.select("_block", F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"))

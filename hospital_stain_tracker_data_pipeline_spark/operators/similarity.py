@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import fanout
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ via zip_with + left-to-right aggregate — the same
@@ -54,7 +56,7 @@ def knn_brute_force(
     id tiebreak so the k-boundary is deterministic."""
     from pyspark.sql import Window
 
-    c = corpus.select(
+    c = fanout(corpus).select(
         F.col(id_col), as_double_array(F.col(vec_col)).alias("_v")
     )
     q = query.select(
@@ -85,7 +87,7 @@ def blocked_similar_pairs(
     """All within-block pairs with rounded cosine ≥ threshold
     (embedding-cosine near-dup detection). The block key bounds the
     quadratic term; at scale the block is an LSH bucket (below)."""
-    v = df.select(
+    v = fanout(df).select(
         F.col(block_col).alias("_block"),
         F.col(id_col),
         as_double_array(F.col(vec_col)).alias("_v"),
@@ -104,6 +106,16 @@ def blocked_similar_pairs(
     )
 
 
+def _lcg_vals(n: int, s: int) -> list[float]:
+    """Deterministic pseudo-random plane coefficients in [-1, 1] (no
+    numpy on executors; reproducible across runs)."""
+    x, out = s & 0x7FFFFFFF, []
+    for _ in range(n):
+        x = (1103515245 * x + 12345) & 0x7FFFFFFF
+        out.append(x / 0x3FFFFFFF - 1.0)
+    return out
+
+
 def random_hyperplane_buckets(
     df: DataFrame,
     nbits: int = 8,
@@ -111,53 +123,84 @@ def random_hyperplane_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    tables: int = 1,
 ) -> DataFrame:
-    """Sign-random-projection LSH bucket per vector (cosine-preserving):
-    nbits fixed pseudo-random hyperplanes (deterministic from seed via a
-    simple LCG — no numpy on executors), bucket = sign bit-pack.
+    """Sign-random-projection LSH (cosine-preserving): per hash table,
+    nbits fixed pseudo-random hyperplanes, bucket = sign bit-pack.
+    Output = (id, vec, table, bucket), one row per table (exploded).
 
-    This is the scale path for ANN: cluster candidates share buckets;
-    the subsequent pair/knn search runs per bucket instead of globally."""
-    # deterministic pseudo-random plane coefficients in [-1, 1]
-    def lcg_vals(n: int, s: int) -> list[float]:
-        x, out = s & 0x7FFFFFFF, []
-        for _ in range(n):
-            x = (1103515245 * x + 12345) & 0x7FFFFFFF
-            out.append(x / 0x3FFFFFFF - 1.0)
-        return out
-
+    Multiple tables are the recall lever — a close pair only needs to
+    agree on ALL bits of ONE table (recall = 1-(1-p^nbits)^tables).
+    This is the scale path for ANN: the pair/knn search runs per
+    (table, bucket) instead of globally."""
     v = as_double_array(F.col(vec_col))
-    bits = []
-    for b in range(nbits):
-        coeffs = lcg_vals(dim, seed + 1000 * b)
-        proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.array(*[F.lit(c) for c in coeffs]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+
+    def _bucket(t: int) -> Column:
+        bits = []
+        for b in range(nbits):
+            coeffs = _lcg_vals(dim, seed + 1000 * (t * nbits + b))
+            proj = F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(c) for c in coeffs]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
+        bucket = bits[0]
+        for e in bits[1:]:
+            bucket = bucket + e
+        return bucket
+
+    tb = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(t).alias("table"), _bucket(t).alias("bucket"))
+                for t in range(tables)
+            ]
         )
-        bits.append(F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
-    bucket = bits[0]
-    for e in bits[1:]:
-        bucket = bucket + e
-    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+    ).alias("_tb")
+    return fanout(df).select(F.col(id_col), F.col(vec_col), tb).select(
+        id_col, vec_col, F.col("_tb.table").alias("table"), F.col("_tb.bucket").alias("bucket")
+    )
 
 
 def ann_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.9,
-    nbits: int = 8,
+    nbits: int = 4,
+    tables: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate near-dup pairs: LSH-bucket then exact cosine within
-    bucket. High-cosine pairs land in the same bucket w.h.p.; recall
-    grows with fewer bits / multiple tables."""
-    bucketed = random_hyperplane_buckets(df, nbits, dim, id_col, vec_col)
-    return blocked_similar_pairs(
-        bucketed, "bucket", threshold, id_col, vec_col
+    """Approximate near-dup pairs: multi-table LSH candidate gen →
+    distinct candidate ids → exact cosine verify ≥ threshold. Zero
+    false positives (exact verify); recall = 1-(1-p^nbits)^tables where
+    p = 1 - θ/π."""
+    bucketed = random_hyperplane_buckets(
+        df, nbits, dim, id_col, vec_col, tables=tables
+    )
+    a = bucketed.select("table", "bucket", F.col(id_col).alias("id_a"))
+    b = bucketed.select("table", "bucket", F.col(id_col).alias("id_b"))
+    cands = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    v = df.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("_v"))
+    va = v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("v_a"))
+    vb = v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("v_b"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
     )

