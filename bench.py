@@ -28,17 +28,25 @@ HEADLINE = [
     "pricing_summary",
     "top_unshipped",
     "window_lag_delta",
+    "rolling_trend",
     "upsert_merge",
     "coverage_having",
+    "priority_rollup",
     "dim_join",
     "strain_formula",
     "text_stats",
     "text_quality",
     "lang_id",
     "fingerprint",
+    "token_bpe",
     "dedup_exact",
     "dedup_simhash",
+    "dedup_jaccard_topk",
+    "dedup_minhash_lsh",
+    "multimodal_features",
     "knn_cosine",
+    "embedding_dup_pairs",
+    "ann_lsh_pairs",
 ]
 
 

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import relational as R
 from . import text as X
 from . import vectors as V
-from .streaming_plan import q_stream_events_ingest
+from . import streaming_plan as S
 
 
 @dataclass(frozen=True)
@@ -44,12 +44,17 @@ CATALOG: dict[str, QuerySpec] = {
     "count_filtered": QuerySpec(R.q_count_filtered, R.SQL_COUNT_FILTERED),
     # --- §2.5 windows ---
     "window_lag_delta": QuerySpec(R.q_window_lag_delta, R.SQL_WINDOW_LAG_DELTA),
+    "rolling_trend": QuerySpec(R.q_rolling_trend, R.SQL_ROLLING_TREND),
     # --- §2.6 sorts / limits / top-k ---
     "sort_limit": QuerySpec(R.q_sort_limit, R.SQL_SORT_LIMIT),
     "topk": QuerySpec(R.q_topk, R.SQL_TOPK),
     "argmax_measure": QuerySpec(R.q_argmax_measure, R.SQL_ARGMAX_MEASURE),
+    # --- §2.7 set ops / grouping sets ---
+    "set_ops": QuerySpec(R.q_set_ops, R.SQL_SET_OPS),
+    "priority_rollup": QuerySpec(R.q_priority_rollup, R.SQL_PRIORITY_ROLLUP),
     # --- §2.8 scalar functions ---
     "strain_formula": QuerySpec(R.q_strain_formula, R.SQL_STRAIN_FORMULA),
+    "div_guard_variants": QuerySpec(R.q_div_guard_variants, R.SQL_DIV_GUARD_VARIANTS),
     "json_extract": QuerySpec(R.q_json_extract, R.SQL_JSON_EXTRACT),
     "date_format_rollup": QuerySpec(R.q_date_format_rollup, R.SQL_DATE_FORMAT_ROLLUP),
     # --- headline aggregations (bench) ---
@@ -60,6 +65,7 @@ CATALOG: dict[str, QuerySpec] = {
     "text_quality": QuerySpec(X.q_text_quality, X.SQL_TEXT_QUALITY),
     "lang_id": QuerySpec(X.q_lang_id, X.SQL_LANG_ID),
     "fingerprint": QuerySpec(X.q_fingerprint, X.SQL_FINGERPRINT),
+    "token_bpe": QuerySpec(X.q_token_bpe, X.SQL_TOKEN_BPE),
     # --- dedup family (Phase 4) ---
     "dedup_exact": QuerySpec(X.q_dedup_exact, X.SQL_DEDUP_EXACT),
     "dedup_jaccard_topk": QuerySpec(X.q_dedup_jaccard_topk, X.SQL_DEDUP_JACCARD_TOPK),
@@ -67,10 +73,14 @@ CATALOG: dict[str, QuerySpec] = {
     "dedup_minhash_lsh": QuerySpec(X.q_dedup_minhash_lsh, None),
     # --- multimodal plumbing (Phase 4) ---
     "multimodal_meta": QuerySpec(X.q_multimodal_meta, X.SQL_MULTIMODAL_META),
+    "multimodal_features": QuerySpec(X.q_multimodal_features, X.SQL_MULTIMODAL_FEATURES),
     # --- similarity search (Phase 4) ---
     "knn_cosine": QuerySpec(V.q_knn_cosine, V.SQL_KNN_COSINE),
     "embedding_dup_pairs": QuerySpec(V.q_embedding_dup_pairs, V.SQL_EMBEDDING_DUP_PAIRS),
     "ann_lsh_pairs": QuerySpec(V.q_ann_lsh_pairs, None),
     # --- §2.9 streaming ---
-    "stream_events_ingest": QuerySpec(q_stream_events_ingest, None),
+    "stream_events_ingest": QuerySpec(S.q_stream_events_ingest, None),
+    "stream_windowed_counts": QuerySpec(
+        S.q_stream_windowed_counts, S.SQL_STREAM_WINDOWED_COUNTS
+    ),
 }

@@ -604,3 +604,144 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY 1, 2, 3
 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
 """
+
+
+# ---------------------------------------------------------------------------
+# §2.5 op-window-trend + §2.7 set ops + grouping-set rollup + §2.8 variants
+# ---------------------------------------------------------------------------
+
+def q_rolling_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-window-trend (dashboard.html:288-290,506-520 — the reference
+    fakes this with hard-coded TREND_VALUES; here it's real): 7-day
+    trailing average over the daily order count, calendar-correct via a
+    RANGE window on day numbers (a gap day shrinks the frame, unlike a
+    rowsBetween window).
+
+    Scale: the window runs over the pre-aggregated daily rollup (one row
+    per date), not the fact table — the heavy input is reduced by a
+    partial+final agg first, so the unpartitioned window is a few
+    thousand rows regardless of fact size."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
+        F.count("*").alias("cnt")
+    )
+    day_num = F.datediff("order_date", F.lit("1970-01-01"))
+    w = Window.orderBy(day_num).rangeBetween(-6, 0)
+    return daily.select(
+        "order_date",
+        "cnt",
+        (
+            F.sum(F.col("cnt").cast("decimal(18,2)")).over(w).cast("double")
+            / F.count("*").over(w)
+        ).alias("avg7"),
+    ).orderBy("order_date")
+
+
+SQL_ROLLING_TREND = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS order_date, COUNT(*) AS cnt
+  FROM orders GROUP BY 1
+)
+SELECT order_date, cnt,
+       CAST(SUM(CAST(cnt AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         / COUNT(*) OVER w AS avg7
+FROM daily
+WINDOW w AS (ORDER BY order_date
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+ORDER BY order_date
+"""
+
+
+def q_div_guard_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-fn-div-guard, BOTH reference variants side by side: the API
+    yields NULL on a non-positive denominator (main.py:164), the metrics
+    ETL yields 0.0 (compute_metrics.py:56). p_size % 7 plays the
+    sometimes-zero denominator."""
+    from ..functions.metrics import bed_occ_pct_api, bed_occ_pct_etl
+
+    p = _t(spark, sf_dir, "part")
+    den = (F.col("p_size") % 7).cast("double")
+    num = F.col("p_retailprice")
+    return p.select(
+        "p_partkey",
+        F.round(bed_occ_pct_api(num, den), 4).alias("ratio_api"),
+        F.round(bed_occ_pct_etl(num, den), 4).alias("ratio_etl"),
+    ).orderBy("p_partkey")
+
+
+SQL_DIV_GUARD_VARIANTS = """
+SELECT p_partkey,
+       ROUND(CASE WHEN p_size % 7 > 0 THEN p_retailprice / (p_size % 7) END, 4)
+         AS ratio_api,
+       ROUND(COALESCE(CASE WHEN p_size % 7 > 0 THEN p_retailprice / (p_size % 7) END,
+                      0.0), 4) AS ratio_etl
+FROM part ORDER BY p_partkey
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set operations (beyond the reference surface, which has
+    none): UNION ALL / UNION DISTINCT / INTERSECT / EXCEPT over two
+    customer-key sets, reported as one count per operation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = o.filter(F.col("o_totalprice") > 250000).select(
+        F.col("o_custkey").alias("c_custkey")
+    ).distinct()
+
+    def one(op_name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n")).select(
+            F.lit(op_name).alias("op"), "n"
+        )
+
+    return (
+        one("union_all", a.unionAll(b))
+        .unionByName(one("union_distinct", a.union(b).distinct()))
+        .unionByName(one("intersect", a.intersect(b)))
+        .unionByName(one("except", a.exceptAll(b.distinct()).distinct()))
+        .orderBy("op")
+    )
+
+
+SQL_SET_OPS = """
+WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+     b AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+           WHERE o_totalprice > 250000)
+SELECT 'union_all' AS op, COUNT(*) AS n FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+UNION ALL
+SELECT 'union_distinct', COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b)
+UNION ALL
+SELECT 'intersect', COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+UNION ALL
+SELECT 'except', COUNT(*) FROM (SELECT DISTINCT c_custkey FROM a
+                                EXCEPT SELECT c_custkey FROM b)
+ORDER BY op
+"""
+
+
+def q_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-set ROLLUP (beyond the reference surface): order counts
+    and decimal-exact revenue at (priority, status), (priority), and
+    grand-total levels in ONE pass — partial aggregation handles all
+    grouping sets without re-scanning."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dec_sum(F.col("o_totalprice")).alias("revenue"),
+        )
+        .orderBy(
+            F.asc_nulls_first("o_orderpriority"),
+            F.asc_nulls_first("o_orderstatus"),
+        )
+    )
+
+
+SQL_PRIORITY_ROLLUP = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+"""

@@ -27,3 +27,30 @@ def q_stream_events_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(res.table_path).select(
         "event_id", "ts", "user_id", "event_type", "value", "props", "event_date"
     )
+
+
+def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window + watermark over the events stream
+    (availableNow). Complete-mode memory sink → every window emitted →
+    the result equals the batch per-day rollup, so it gets a full
+    DuckDB oracle despite being a streaming plan."""
+    from ..streaming.ingest_stream import stream_windowed_event_counts
+
+    work = tempfile.mkdtemp(prefix="stream_window_")
+    input_dir = os.path.join(work, "incoming")
+    os.makedirs(input_dir)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(input_dir, "events.parquet"),
+    )
+    return stream_windowed_event_counts(spark, input_dir).orderBy(
+        "window_day", "event_type"
+    )
+
+
+SQL_STREAM_WINDOWED_COUNTS = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_day, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY window_day, event_type
+"""

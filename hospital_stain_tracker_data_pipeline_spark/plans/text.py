@@ -248,3 +248,70 @@ SQL_MULTIMODAL_META = """
 SELECT doc_id, octet_length(encode(text)) AS n_bytes, 'text/plain' AS mime
 FROM documents ORDER BY doc_id
 """
+
+
+def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (training-data token accounting):
+    alpha runs, digit runs, and single punctuation marks each count as
+    one token — a closer proxy for subword tokenizer counts than
+    whitespace splitting. regexp_extract_all is JVM-side; the pattern is
+    RE2/Java-compatible so the DuckDB oracle matches."""
+    docs = load_fixture_table(spark, sf_dir, "documents")
+    pat = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(pat), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    ).orderBy("doc_id")
+
+
+SQL_TOKEN_BPE = r"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+       len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')))
+         AS n_unique_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing end-to-end: wrap the text payload as
+    an opaque binary media column, run the Arrow-batched ``mapInPandas``
+    feature extractor with the deterministic fake decode (real decode
+    needs PIL/cv2 — absent here; the Spark-side schema/batching/
+    partition shape is the real thing under test). The fake derives
+    width/height from the payload's sha256, so DuckDB can mirror it."""
+    from ..operators.multimodal import extract_image_features, to_media_table
+
+    docs = load_fixture_table(spark, sf_dir, "documents")
+    media = to_media_table(docs, "doc_id", "text", source="documents")
+    return (
+        extract_image_features(media, fake_decode=True)
+        .select(
+            "media_id",
+            "width",
+            "height",
+            "n_bytes",
+            "sha256",
+        )
+        .orderBy("media_id")
+    )
+
+
+SQL_MULTIMODAL_FEATURES = """
+WITH h AS (
+  -- sha256(VARCHAR) hashes the string's UTF-8 bytes — identical to
+  -- hashing the binary payload Spark-side.
+  SELECT doc_id AS media_id, sha256(text) AS digest,
+         octet_length(encode(text)) AS n_bytes,
+         CAST(CONCAT('0x', substr(sha256(text), 1, 8)) AS BIGINT) AS seed
+  FROM documents
+)
+SELECT media_id,
+       CAST(64 + seed % 1024 AS INTEGER) AS width,
+       CAST(64 + (seed >> 10) % 1024 AS INTEGER) AS height,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       digest AS sha256
+FROM h ORDER BY media_id
+"""

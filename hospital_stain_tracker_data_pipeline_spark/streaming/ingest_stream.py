@@ -129,3 +129,51 @@ def stream_ingest_events(
     )
     query.awaitTermination()
     return result
+
+
+def stream_windowed_event_counts(
+    spark: SparkSession,
+    source_path: str,
+    watermark: str = "1 hour",
+    window_len: str = "1 day",
+) -> DataFrame:
+    """Event-time tumbling-window aggregation with a watermark (beyond
+    the reference surface — it has no event-time windowing): per
+    (1-day window, event_type) row counts and an exact decimal sum.
+
+    The watermark bounds streaming state: windows older than
+    max(event_ts) - watermark are finalized and evicted, which is what
+    keeps an unbounded stream's agg state finite on a real cluster. Run
+    here with availableNow + an in-memory sink in *complete* mode, so
+    one call processes the fixture like a batch and returns every
+    window — making the result oracle-comparable."""
+    import uuid
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .parquet(source_path)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", watermark)
+    )
+    agg = (
+        stream.groupBy(F.window("ts", window_len).alias("win"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+    name = f"windowed_counts_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name).select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("window_day"),
+        "event_type",
+        "n",
+        "sum_value",
+    )

@@ -1,0 +1,185 @@
+"""Unit tests for the training-data operators (SURVEY.md Phase 4):
+dedup families, similarity search, text functions, multimodal plumbing.
+
+Small hand-built frames with known answers — the sf-fixture parity runs
+live in scripts/check_parity.py; these pin the operator semantics
+(duplicate detection, LSH recall on exact dups, hash determinism) at
+golden-value level."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hospital_stain_tracker_data_pipeline_spark.functions.text import (
+    fingerprint64_hex,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+    extract_image_features,
+    to_media_table,
+)
+from hospital_stain_tracker_data_pipeline_spark.operators.similarity import (
+    ann_lsh_pairs,
+    blocked_similar_pairs,
+    knn_brute_force,
+)
+
+DOCS = [
+    (1, "en", "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "en", "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 1
+    (3, "en", "the quick brown fox jumps over the lazy cat again and again"),  # near dup of 1
+    (4, "en", "completely different text about weather patterns in spring"),
+    (5, "de", "der schnelle braune fuchs springt wieder und wieder"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, lang string, text string")
+
+
+def test_exact_dedup_groups_identical_docs(spark):
+    out = {r.keep_id: r.dup_count for r in exact_dedup(_docs(spark)).collect()}
+    assert out[1] == 2  # docs 1+2 share a fingerprint; lowest id kept
+    assert out[3] == 1 and out[4] == 1 and out[5] == 1
+
+
+def test_fingerprint_ignores_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [("A  B\tc",), ("a b C",)], "text string"
+    ).select(fingerprint64_hex(F.col("text")).alias("fp"))
+    a, b = [r.fp for r in df.collect()]
+    assert a == b and len(a) == 16
+
+
+def test_jaccard_pairs_rank_near_dups_first(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(_docs(spark), "lang").collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # exact dup
+    assert 0.3 < pairs[(1, 3)] < 1.0  # near dup
+    assert pairs[(1, 4)] == 0.0  # unrelated
+    assert (1, 5) not in pairs  # cross-language blocked
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(spark):
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_dedup_pairs(_docs(spark), threshold=0.3).collect()
+    }
+    # identical docs share every band → always a candidate; near dup
+    # passes the verify threshold
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got
+    # verify step guarantees no below-threshold pair leaks through
+    assert all(j >= 0.3 for j in got.values())
+
+
+def test_simhash_distance_orders_by_similarity(spark):
+    d = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs(
+            _docs(spark), "lang", max_hamming=32
+        ).collect()
+    }
+    assert d[(1, 2)] == 0  # identical text → identical simhash
+    assert d[(1, 3)] < d[(1, 4)]  # near dup closer than unrelated
+
+
+VECS = [
+    (0, "a", [1.0, 0.0, 0.0, 0.0]),
+    (1, "a", [0.999, 0.04, 0.0, 0.0]),  # ~same direction as 0
+    (2, "a", [0.0, 1.0, 0.0, 0.0]),  # orthogonal
+    (3, "b", [1.0, 0.0, 0.0, 0.0]),  # same as 0, other block
+    (4, "a", [-1.0, 0.0, 0.0, 0.0]),  # opposite
+]
+
+
+def _vecs(spark):
+    return spark.createDataFrame(
+        VECS, "vec_id long, label string, embedding array<double>"
+    )
+
+
+def test_knn_brute_force_orders_by_cosine(spark):
+    q = _vecs(spark).filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = knn_brute_force(_vecs(spark), q, k=4).orderBy(
+        F.desc("cosine_sim")
+    ).collect()
+    order = [r.vec_id for r in rows]
+    assert order[0] in (1, 3) and order[1] in (1, 3)  # 3 is identical, 1 near
+    assert order[-1] == 4  # opposite direction last
+    assert rows[-1].cosine_sim == -1.0
+
+
+def test_blocked_pairs_respect_block_and_threshold(spark):
+    got = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in blocked_similar_pairs(_vecs(spark), "label", 0.9).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] > 0.99
+    assert (0, 3) not in got  # different block
+    assert (0, 2) not in got and (0, 4) not in got  # below threshold
+
+
+def test_ann_lsh_recall_on_identical_vectors(spark):
+    # identical/near-identical vectors always share every bucket →
+    # multi-table LSH must recover them; verify keeps only >= threshold
+    got = {
+        (r.id_a, r.id_b)
+        for r in ann_lsh_pairs(_vecs(spark), threshold=0.9, dim=4).collect()
+    }
+    assert (0, 3) in got and (0, 1) in got
+    assert all(a < b for a, b in got)
+
+
+def test_text_functions_golden(spark):
+    [r] = (
+        spark.createDataFrame(
+            [("the cat sat on the mat",)], "text string"
+        )
+        .select(
+            token_count(F.col("text")).alias("n"),
+            quality_score(F.col("text")).alias("q"),
+            lang_id(F.col("text")).alias("lang"),
+        )
+        .collect()
+    )
+    assert r.n == 6
+    # len_score = 6/100, stop_ratio = 2/6 → 0.5*0.06 + 0.5*(1-1/3)
+    assert r.q == round(0.5 * 0.06 + 0.5 * (2 / 3), 4)
+    assert r.lang == "en"
+
+
+def test_multimodal_features_deterministic_fake(spark):
+    import hashlib
+
+    media = to_media_table(_docs(spark), "doc_id", "text", source="t")
+    rows = {r.media_id: r for r in extract_image_features(media, fake_decode=True).collect()}
+    payload = DOCS[0][2].encode()
+    digest = hashlib.sha256(payload).hexdigest()
+    seed = int(digest[:8], 16)
+    assert rows[1].sha256 == digest
+    assert rows[1].width == 64 + seed % 1024
+    assert rows[1].height == 64 + (seed >> 10) % 1024
+    assert rows[1].n_bytes == len(payload)
+    # exact dup payloads hash identically
+    assert rows[2].sha256 == rows[1].sha256
+
+
+def test_multimodal_real_decode_is_explicitly_stubbed(spark):
+    import pytest
+
+    media = to_media_table(_docs(spark), "doc_id", "text", source="t")
+    with pytest.raises(Exception, match="NotImplementedError|PIL"):
+        extract_image_features(media, fake_decode=False).collect()
