@@ -73,10 +73,14 @@ ORDER BY id_a, id_b
 
 def q_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: multi-table sign-random-projection LSH (8 tables
-    × 4 bits, deterministic planes) → distinct candidates → exact
+    × 6 bits, deterministic planes) → distinct candidates → exact
     cosine verify (≥ 0.35). Approximate recall → no SQL oracle (driver
-    rows-only check); zero false positives by construction."""
+    rows-only check); zero false positives by construction.
+
+    nbits sizes the bucket fan-out: candidates/table ≈ n²/2^nbits, so
+    more bits = fewer candidates = cheaper verify but lower recall —
+    at larger corpus sizes raise nbits to keep candidate counts flat."""
     emb = load_fixture_table(spark, sf_dir, "embeddings")
     return ann_lsh_pairs(
-        emb, threshold=0.35, nbits=4, tables=8, dim=64
+        emb, threshold=0.35, nbits=6, tables=8, dim=64
     ).orderBy("id_a", "id_b")

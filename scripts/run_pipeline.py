@@ -1,0 +1,156 @@
+"""CLI mirroring the reference's entry points (SURVEY.md §2.11):
+
+    ingest_capacity --input --source   (reference ingest_capacity.py:229-253)
+    compute_metrics --source           (reference compute_metrics.py:116-126)
+    query <endpoint> [--date|--min-rows|--full]  (the 7 REST endpoints,
+                                        reference main.py:110-373)
+    stream_ingest --input-dir          (§2.9 availableNow file-source ingest,
+                                        the Spark stand-in for the S3→Lambda
+                                        trigger in aws/lambda_handler.py:7-47)
+
+A user of the reference pipeline can run the same workflows against a
+parquet lake directory instead of Postgres:
+
+    python scripts/run_pipeline.py ingest_capacity \
+        --input data/raw.csv --lake /tmp/lake --source manual-upload
+    python scripts/run_pipeline.py compute_metrics --lake /tmp/lake
+    python scripts/run_pipeline.py query metrics_compare --lake /tmp/lake
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hospital_stain_tracker_data_pipeline_spark import pipeline
+from hospital_stain_tracker_data_pipeline_spark.pipeline import api_queries as api
+from hospital_stain_tracker_data_pipeline_spark.session import get_spark
+
+
+def _read(spark, lake_dir: str, table: str):
+    return spark.read.parquet(os.path.join(lake_dir, table))
+
+
+def cmd_ingest(args) -> None:
+    spark = get_spark(app_name="ingest_capacity")
+    res = pipeline.ingest_capacity_csv(
+        spark, args.input, lake_dir=args.lake, source=args.source
+    )
+    print(
+        f"run={res.run_id} rows_in={res.rows_in} rows_loaded={res.rows_loaded} "
+        f"rows_rejected={res.rows_rejected} rejects={res.rejects_path}"
+    )
+
+
+def cmd_metrics(args) -> None:
+    spark = get_spark(app_name="compute_metrics")
+    res = pipeline.compute_metrics(spark, lake_dir=args.lake, source=args.source)
+    print(f"run={res.run_id} rows_loaded={res.rows_loaded}")
+
+
+def cmd_stream_ingest(args) -> None:
+    from hospital_stain_tracker_data_pipeline_spark.streaming.ingest_stream import (
+        stream_ingest_events,
+    )
+
+    spark = get_spark(app_name="stream_ingest")
+    res = stream_ingest_events(spark, args.input_dir, args.lake)
+    print(
+        f"batches={res.batches} rows_loaded={res.rows_loaded} "
+        f"rows_rejected={res.rows_rejected} table={res.table_path}"
+    )
+
+
+def cmd_query(args) -> None:
+    spark = get_spark(app_name="query")
+    lake = args.lake
+    name = args.endpoint
+    if name == "runs":
+        df = api.runs_latest(_read(spark, lake, "pipeline_runs"))
+    elif name == "capacity_latest":
+        df = api.capacity_latest(
+            _read(spark, lake, "capacity_daily"),
+            _read(spark, lake, "regions"),
+            date=args.date,
+        )
+    elif name == "metrics_latest":
+        df = api.metrics_latest(
+            _read(spark, lake, "metrics_daily"),
+            _read(spark, lake, "regions"),
+            date=args.date,
+        )
+    elif name == "metrics_compare":
+        df = api.metrics_compare(
+            _read(spark, lake, "metrics_daily"),
+            _read(spark, lake, "regions"),
+            date=args.date,
+        )
+    elif name == "available_dates":
+        df = api.available_dates(_read(spark, lake, "metrics_daily"), full=args.full)
+    elif name == "coverage":
+        df = api.coverage(_read(spark, lake, "metrics_daily"), min_rows=args.min_rows)
+    elif name == "coverage_best_date":
+        df = api.coverage_best_date(
+            _read(spark, lake, "metrics_daily"), min_rows=args.min_rows
+        )
+    else:
+        raise SystemExit(f"unknown endpoint: {name}")
+    if args.csv_out:
+        # op-sink-csv-export: quoting/header handled by the writer
+        df.coalesce(1).write.mode("overwrite").option("header", True).csv(args.csv_out)
+        print(f"wrote {args.csv_out}")
+    else:
+        # op-sink-json: one JSON object per row
+        for line in df.toJSON().collect():
+            print(line)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(prog="run_pipeline")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("ingest_capacity")
+    pi.add_argument("--input", required=True)
+    pi.add_argument("--lake", required=True)
+    pi.add_argument("--source", default="manual-upload")
+    pi.set_defaults(fn=cmd_ingest)
+
+    pm = sub.add_parser("compute_metrics")
+    pm.add_argument("--lake", required=True)
+    pm.add_argument("--source", default="metrics-job")
+    pm.set_defaults(fn=cmd_metrics)
+
+    ps = sub.add_parser("stream_ingest")
+    ps.add_argument("--input-dir", required=True)
+    ps.add_argument("--lake", required=True)
+    ps.set_defaults(fn=cmd_stream_ingest)
+
+    pq = sub.add_parser("query")
+    pq.add_argument(
+        "endpoint",
+        choices=[
+            "runs",
+            "capacity_latest",
+            "metrics_latest",
+            "metrics_compare",
+            "available_dates",
+            "coverage",
+            "coverage_best_date",
+        ],
+    )
+    pq.add_argument("--lake", required=True)
+    pq.add_argument("--date", default=None)
+    pq.add_argument("--min-rows", type=int, default=1)
+    pq.add_argument("--full", action="store_true")
+    pq.add_argument("--csv-out", default=None)
+    pq.set_defaults(fn=cmd_query)
+
+    args = p.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

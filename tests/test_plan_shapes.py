@@ -1,0 +1,82 @@
+"""Physical-plan shape assertions: the scale properties SURVEY.md §4
+claims (filter pushdown to parquet, column pruning, broadcast dim
+joins, partial aggregation, top-k without a global sort, whole-stage
+codegen) must be visible in `explain`, not just intended.
+
+These guard regressions like a filter silently becoming post-scan, a
+dim join falling back to sort-merge, or a limit becoming a full sort."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from hospital_stain_tracker_data_pipeline_spark.plans import CATALOG
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = CATALOG[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_eq_pushes_predicate_to_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "filter_eq")
+    assert "PushedFilters" in plan
+    # the date-equality predicate reaches the parquet reader
+    assert "l_shipdate" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_project_rename_prunes_columns(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "project_rename")
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "o_orderkey" in read_schema
+    # untouched wide columns must NOT be read
+    assert "o_comment" not in read_schema and "o_clerk" not in read_schema
+
+
+def test_dim_join_broadcasts_small_side(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "dim_join")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pricing_summary_partial_final_agg(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "pricing_summary")
+    # map-side combine: partial_sum on the scan side, final after the
+    # exchange — formatted explain names the partial functions
+    assert "partial_sum" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "topk")
+    assert "TakeOrderedAndProject" in plan
+    # a full Sort + CollectLimit would indicate the top-k fell back
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_window_lag_shuffles_rollup_not_fact(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "window_lag_delta")
+    # exactly one aggregation pair before the window; the window runs
+    # over the rollup output (Window after HashAggregate in the plan)
+    assert "Window" in plan
+    assert plan.index("HashAggregate") < plan.index("Window") or plan.index(
+        "Window"
+    ) > plan.index("Exchange")
+
+
+def test_dedup_exact_shuffles_fingerprint_not_payload(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "dedup_exact")
+    # the exchange carries (fingerprint, doc_id); the text payload is
+    # projected away before the shuffle
+    assert "hashpartitioning(fingerprint" in plan
+
+
+def test_upsert_merge_single_window_dedup(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "upsert_merge")
+    assert "Window" in plan or "row_number" in plan
