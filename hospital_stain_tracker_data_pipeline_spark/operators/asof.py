@@ -48,3 +48,68 @@ def calendar_day_delta(
     """prev-day value + NULL-propagating delta (main.py:273-284)."""
     out = with_prev_calendar_day(df, key_cols, date_col, value_col, prev_col)
     return out.withColumn(delta_col, F.col(value_col) - F.col(prev_col))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    left_time: str,
+    right_time: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Generic scalable as-of join: for each left row, attach the most
+    recent right row with ``right_time <= left_time`` within the same
+    ``by`` key (the operator Spark lacks natively; DuckDB/Pandas call it
+    ASOF JOIN / merge_asof).
+
+    Implementation is union + one window pass, NOT a range self-join:
+    tag right rows 0 and left rows 1, union on (key, time, tag), and
+    carry the latest right values forward with last_value(ignoreNulls)
+    over (key ORDER BY time, tag). One shuffle on the key, state per
+    row is O(#value_cols), no quadratic candidate blowup — at 100 TB a
+    range-join would explode on hot keys; this stays linear and skew
+    is handled by AQE on the single exchange.
+
+    Right rows must be unique per (by, right_time) for deterministic
+    output (pre-aggregate if not). Left rows at equal timestamps see
+    the right row (tag order puts right first).
+    """
+    by = list(by)
+    vals = list(value_cols)
+    lcols = [c for c in left.columns]
+    l = left.select(
+        *by,
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in lcols if c not in by and c != left_time],
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"_r_{v}") for v in vals],
+    )
+    r = right.select(
+        *by,
+        F.col(right_time).cast(l.schema["_t"].dataType).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in lcols if c not in by and c != left_time],
+        *[F.col(v).alias(f"_r_{v}") for v in vals],
+    )
+    unioned = l.unionByName(r)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("_t"), F.col("_is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(f"_r_{v}", ignorenulls=True).over(w).alias(f"asof_{v}")
+            for v in vals
+        ],
+    )
+    keep = [c for c in lcols if c not in by and c != left_time]
+    return filled.filter(F.col("_is_left") == 1).select(
+        *by,
+        F.col("_t").alias(left_time),
+        *keep,
+        *[F.col(f"asof_{v}") for v in vals],
+    )

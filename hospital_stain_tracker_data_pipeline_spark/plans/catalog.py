@@ -34,6 +34,7 @@ CATALOG: dict[str, QuerySpec] = {
     "dim_join": QuerySpec(R.q_dim_join, R.SQL_DIM_JOIN),
     "dim_get_or_create": QuerySpec(R.q_dim_get_or_create, R.SQL_DIM_GET_OR_CREATE),
     "upsert_merge": QuerySpec(R.q_upsert_merge, R.SQL_UPSERT_MERGE),
+    "asof_join": QuerySpec(R.q_asof_join, R.SQL_ASOF_JOIN),
     # --- §2.4 aggregations ---
     "agg_max_date": QuerySpec(R.q_agg_max_date, R.SQL_AGG_MAX_DATE),
     "available_dates": QuerySpec(R.q_available_dates, R.SQL_AVAILABLE_DATES),
@@ -42,6 +43,8 @@ CATALOG: dict[str, QuerySpec] = {
     "argmax_date": QuerySpec(R.q_argmax_date, R.SQL_ARGMAX_DATE),
     "agg_avg": QuerySpec(R.q_agg_avg, R.SQL_AGG_AVG),
     "count_filtered": QuerySpec(R.q_count_filtered, R.SQL_COUNT_FILTERED),
+    "skew_salted_agg": QuerySpec(R.q_skew_salted_agg, R.SQL_SKEW_SALTED_AGG),
+    "value_percentiles": QuerySpec(R.q_value_percentiles, R.SQL_VALUE_PERCENTILES),
     # --- §2.5 windows ---
     "window_lag_delta": QuerySpec(R.q_window_lag_delta, R.SQL_WINDOW_LAG_DELTA),
     "rolling_trend": QuerySpec(R.q_rolling_trend, R.SQL_ROLLING_TREND),

@@ -745,3 +745,115 @@ SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
 FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
 """
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic as-of join (custom operator — Spark has no native ASOF):
+    each event picks up the user's most recent order at-or-before the
+    event time. Union + single window pass, not a range join — linear
+    in rows, one shuffle on the key (operators.asof.asof_join)."""
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    ord_daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.to_date("o_orderdate").alias("order_date"),
+        )
+        .agg(F.max("o_totalprice").alias("order_price"))
+    )
+    right = ord_daily.select(
+        "user_id",
+        F.col("order_date").cast("timestamp").alias("order_ts"),
+        "order_date",
+        "order_price",
+    )
+    out = asof_join(
+        ev,
+        right,
+        by=["user_id"],
+        left_time="ts",
+        right_time="order_ts",
+        value_cols=["order_date", "order_price"],
+    )
+    return out.select(
+        "event_id", "user_id", "asof_order_date", "asof_order_price"
+    ).orderBy("event_id")
+
+
+SQL_ASOF_JOIN = """
+WITH ord AS (
+  SELECT o_custkey AS user_id,
+         CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_ts,
+         CAST(o_orderdate AS DATE) AS order_date,
+         MAX(o_totalprice) AS order_price
+  FROM orders GROUP BY 1, 2, 3
+)
+SELECT e.event_id, e.user_id,
+       o.order_date AS asof_order_date, o.order_price AS asof_order_price
+FROM events e ASOF LEFT JOIN ord o
+  ON e.user_id = o.user_id AND e.ts >= o.order_ts
+ORDER BY e.event_id
+"""
+
+
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase aggregation: a hot grouping key (few
+    event types over many rows) is salted into 16 sub-keys for the
+    partial agg, then the salt is folded out in a second tiny agg. At
+    100 TB this caps any single reducer's input at ~1/16 of the hot key
+    instead of the whole key. Result is identical to a plain groupBy
+    (decimal partials commute); the oracle IS the plain groupBy."""
+    ev = _t(spark, sf_dir, "events")
+    partial = (
+        ev.groupBy(
+            "event_type",
+            F.pmod(F.hash("event_id"), F.lit(16)).alias("_salt"),
+        )
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_sum"),
+        )
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("_n").alias("n"),
+            F.sum("_sum").cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_SKEW_SALTED_AGG = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (linear interpolation — identical
+    definition to DuckDB's quantile_cont). Beyond the reference surface;
+    at very large scale swap in approx_percentile (t-digest) — kept
+    exact here so the oracle can hash-match."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_VALUE_PERCENTILES = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.9), 4) AS p90,
+       ROUND(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
