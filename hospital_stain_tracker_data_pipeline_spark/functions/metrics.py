@@ -67,6 +67,19 @@ def strain_index(bed_occ: Column, icu_occ: Column) -> Column:
     return F.round(clamp(raw, 0.0, 100.0), 2)
 
 
+def round_half_even(col: Column, scale: int) -> Column:
+    """Banker's rounding — the reference's exact rounding behavior
+    (Python ``round`` is HALF_EVEN, while Spark's ``F.round`` and
+    DuckDB's ``ROUND`` are HALF_UP; SURVEY.md §7 'what's hard').
+
+    ``rint`` rounds half-to-even, so ``rint(x·10^s)/10^s`` reproduces
+    the reference bit-for-bit on .xx5 boundaries. The engine's default
+    queries use ``F.round`` (consistent with the DuckDB oracle); use
+    this variant when strict reference parity matters more."""
+    factor = float(10**scale)
+    return F.call_function("rint", col * factor) / factor
+
+
 def case_bucket(strain: Column) -> Column:
     """Dashboard status bucketing (dashboard.html:328-338; App.tsx:76-80):
     strain > 80 → CRISIS; >= 70 → ELEVATED; else STABLE."""

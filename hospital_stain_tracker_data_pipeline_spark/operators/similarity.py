@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import fanout
+from .dedup import fanout, materialize
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -89,10 +89,12 @@ def blocked_similar_pairs(
     """All within-block pairs with rounded cosine ≥ threshold
     (embedding-cosine near-dup detection). The block key bounds the
     quadratic term; at scale the block is an LSH bucket (below)."""
-    v = fanout(df).select(
-        F.col(block_col).alias("_block"),
-        F.col(id_col),
-        as_double_array(F.col(vec_col)).alias("_v"),
+    v = materialize(
+        fanout(df).select(
+            F.col(block_col).alias("_block"),
+            F.col(id_col),
+            as_double_array(F.col(vec_col)).alias("_v"),
+        )
     )
     a = v.select("_block", F.col(id_col).alias("id_a"), F.col("_v").alias("v_a"))
     b = v.select("_block", F.col(id_col).alias("id_b"), F.col("_v").alias("v_b"))
@@ -204,8 +206,10 @@ def ann_lsh_pairs(
     and the pair dot runs as an Arrow-batched numpy einsum — the pair
     set is orders of magnitude larger than the vector set, so per-pair
     cost dominates everything."""
-    bucketed = random_hyperplane_buckets(
-        df, nbits, dim, id_col, vec_col, tables=tables
+    bucketed = materialize(
+        random_hyperplane_buckets(
+            df, nbits, dim, id_col, vec_col, tables=tables
+        ).select(id_col, "table", "bucket")
     )
     a = bucketed.select("table", "bucket", F.col(id_col).alias("id_a"))
     b = bucketed.select("table", "bucket", F.col(id_col).alias("id_b"))
@@ -216,9 +220,11 @@ def ann_lsh_pairs(
         .distinct()
     )
     v = df.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("_v"))
-    nv = v.select(
-        F.col(id_col),
-        F.transform("_v", lambda x: x / norm(F.col("_v"))).alias("_nv"),
+    nv = materialize(
+        v.select(
+            F.col(id_col),
+            F.transform("_v", lambda x: x / norm(F.col("_v"))).alias("_nv"),
+        )
     )
     va = nv.select(F.col(id_col).alias("id_a"), F.col("_nv").alias("v_a"))
     vb = nv.select(F.col(id_col).alias("id_b"), F.col("_nv").alias("v_b"))

@@ -102,3 +102,31 @@ def test_clamp(spark):
         [clamp(F.col("x"), 0.0, 100.0).alias("c")],
     )
     assert [r.c for r in out] == [0.0, 50.0, 100.0]
+
+
+def test_round_half_even_matches_python_round(spark):
+    from hospital_stain_tracker_data_pipeline_spark.functions.metrics import round_half_even
+
+    # .5-boundary cases where HALF_UP (F.round) and HALF_EVEN (Python
+    # round, the reference) disagree: 0.125 → 0.12 vs 0.13
+    vals = [0.125, 0.135, 2.5, 3.5, 89.225, 0.845]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [
+        (r.he, r.hu)
+        for r in df.select(
+            round_half_even(F.col("x"), 2).alias("he"),
+            F.round(F.col("x"), 2).alias("hu"),
+        ).collect()
+    ]
+    for v, (he, _hu) in zip(vals, got):
+        assert he == round(v, 2), (v, he, round(v, 2))
+    # and they genuinely differ on an exactly-representable half case
+    [r] = (
+        spark.createDataFrame([(2.5,)], "x double")
+        .select(
+            round_half_even(F.col("x"), 0).alias("he"),
+            F.round(F.col("x"), 0).alias("hu"),
+        )
+        .collect()
+    )
+    assert r.he == 2.0 and r.hu == 3.0

@@ -80,3 +80,32 @@ def test_dedup_exact_shuffles_fingerprint_not_payload(spark, sf_dir):
 def test_upsert_merge_single_window_dedup(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "upsert_merge")
     assert "Window" in plan or "row_number" in plan
+
+
+def test_lake_table_partition_pruning(spark, tmp_path):
+    """Date-partitioned lake tables must partition-prune date-equality
+    queries — the scan's PartitionFilters carries the predicate and
+    only one partition directory is read (the analog of the
+    reference's (date, region_id) index; SCALE.md storage layout)."""
+    import pyspark.sql.functions as F
+
+    from hospital_stain_tracker_data_pipeline_spark.pipeline.lake import LakeTable
+
+    path = str(tmp_path / "cap")
+    df = spark.createDataFrame(
+        [("2026-01-0%d" % (i % 3 + 1), i, float(i)) for i in range(30)],
+        "date string, region_id int, v double",
+    ).withColumn("date", F.to_date("date")).withColumn(
+        "created_at", F.current_timestamp()
+    )
+    t = LakeTable(spark, path, keys=["date", "region_id"])
+    t.upsert(df)
+
+    q = t.read().filter(F.col("date") == "2026-01-02")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    pf_line = plan.split("PartitionFilters")[1].splitlines()[0]
+    assert "date" in pf_line and "2026-01-02" in pf_line
