@@ -20,11 +20,16 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_fixture_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) — an illegal type for
+        # Spark's reader unless read as long. The conf is runtime-
+        # settable; set it here (not only in our session factory) so
+        # the queries also work on a CALLER-provided vanilla session
+        # (the driver passes its own SparkSession).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is parquet TIMESTAMP(NANOS): read as long (see
-    # session.py nanosAsLong) and floor-truncate to microseconds —
-    # exactly what DuckDB yields for the same column, keeping oracle
-    # parity.
+    # floor-truncate nanos → microsecond timestamp — exactly what DuckDB
+    # yields for the same column, keeping oracle parity.
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df

@@ -116,6 +116,9 @@ def stream_ingest_events(
         result.rows_rejected += n_rej
         result.run_ids.append(run_id)
 
+    # runtime-set so caller-provided vanilla sessions can read the
+    # TIMESTAMP(NANOS) fixture (see sources.tables.load_fixture_table)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -149,6 +152,7 @@ def stream_windowed_event_counts(
     window — making the result oracle-comparable."""
     import uuid
 
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .parquet(source_path)
