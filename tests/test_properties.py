@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis): invariants that must hold for ANY
+input, run as one Spark batch per generated example set to keep the
+round-trip count low.
+
+- validation split partitions the input: accepted ∪ rejected = input,
+  accepted ∩ rejected = ∅, and every reject reason is the FIRST failing
+  rule's string
+- last-writer-wins upsert: idempotent (f(f(x)) = f(x)), keys unique
+  after merge, incoming always beats existing on conflicts
+- strain index is always within [0, 100] and NULL ICU falls back to the
+  bed score
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hospital_stain_tracker_data_pipeline_spark.functions.metrics import strain_index
+from hospital_stain_tracker_data_pipeline_spark.operators.upsert import (
+    upsert_last_writer_wins,
+)
+from hospital_stain_tracker_data_pipeline_spark.operators.validate import (
+    split_valid_invalid,
+)
+
+_slow = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+row_st = st.tuples(
+    st.integers(0, 10**6),
+    st.one_of(st.none(), st.integers(-5, 500)),
+    st.one_of(st.none(), st.sampled_from(["click", "view", ""])),
+)
+
+
+@_slow
+@given(st.lists(row_st, min_size=1, max_size=40))
+def test_validation_split_partitions_input(spark, rows):
+    df = spark.createDataFrame(
+        [(i, v, t) for i, (i2, v, t) in enumerate(rows)],
+        "id long, value int, event_type string",
+    )
+    rules = [
+        (F.col("event_type").isNull(), "event_type is required"),
+        (F.col("value").isNull(), "value is required"),
+        (F.col("value") < 0, "value cannot be negative"),
+        (F.col("value") > 450, "value cannot exceed 450"),
+    ]
+    accepted, rejected = split_valid_invalid(df, rules)
+    acc = {r.id for r in accepted.collect()}
+    rej = {r.id: r._reject_reason for r in rejected.collect()}
+    assert acc | set(rej) == {r.id for r in df.collect()}
+    assert acc & set(rej) == set()
+    # first-match-wins: recompute expected reason in plain Python
+    for i, (_, v, t) in enumerate(rows):
+        if t is None:
+            expect = "event_type is required"
+        elif v is None:
+            expect = "value is required"
+        elif v < 0:
+            expect = "value cannot be negative"
+        elif v > 450:
+            expect = "value cannot exceed 450"
+        else:
+            expect = None
+        if expect is None:
+            assert i in acc
+        else:
+            assert rej.get(i) == expect, (i, rej.get(i), expect)
+
+
+kv_st = st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 1000)), min_size=1, max_size=30
+)
+
+
+@_slow
+@given(existing=kv_st, incoming=kv_st)
+def test_upsert_last_writer_wins_properties(spark, existing, incoming):
+    ex = spark.createDataFrame(
+        [(k, v, 0) for k, v in existing], "k int, v int, version int"
+    ).dropDuplicates(["k"])
+    inc = spark.createDataFrame(
+        [(k, v, 1) for k, v in incoming], "k int, v int, version int"
+    ).dropDuplicates(["k"])
+    merged = upsert_last_writer_wins(ex, inc, ["k"], "version")
+    rows = {r.k: (r.v, r.version) for r in merged.collect()}
+    # keys unique and complete
+    ex_keys = {r.k for r in ex.collect()}
+    inc_rows = {r.k: r.v for r in inc.collect()}
+    assert set(rows) == ex_keys | set(inc_rows)
+    # incoming wins every conflict
+    for k, v in inc_rows.items():
+        assert rows[k] == (v, 1)
+    # idempotent: merging incoming again changes nothing
+    again = upsert_last_writer_wins(merged, inc, ["k"], "version")
+    assert {r.k: (r.v, r.version) for r in again.collect()} == rows
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(0, 2, allow_nan=False),
+            st.one_of(st.none(), st.floats(0, 2, allow_nan=False)),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_strain_index_bounded_and_null_fallback(spark, pairs):
+    df = spark.createDataFrame(pairs, "bed double, icu double")
+    out = df.select(
+        "bed", "icu", strain_index(F.col("bed"), F.col("icu")).alias("s")
+    ).collect()
+    for r in out:
+        assert 0.0 <= r.s <= 100.0
+        if r.icu is None:
+            # coalesce fallback: icu score = bed score
+            expect = min(100.0, max(0.0, r.bed * 100.0))
+            assert abs(r.s - round(expect, 2)) <= 0.01
