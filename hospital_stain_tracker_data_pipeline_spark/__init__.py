@@ -18,9 +18,12 @@ Layout
 - ``streaming``  — Structured Streaming ingest (file source, availableNow,
                    foreachBatch merge)
 
-Everything here is DataFrame/Column-level (Catalyst-visible). Python UDFs
-are deliberately absent from the hot paths; the only Pandas-UDF surfaces
-are the multimodal stubs, which Spark cannot express natively.
+Everything here is DataFrame/Column-level (Catalyst-visible). Row-at-a-time
+Python UDFs are absent entirely; the deliberate Arrow-batched Pandas-UDF
+surfaces are (a) the multimodal decode plumbing and (b) the vectorized
+numpy kernels for LSH projections and MinHash/SimHash signatures, where
+per-element higher-order-function evaluation (outside whole-stage codegen)
+is the slow path (see SCALE.md).
 """
 
 __version__ = "0.1.0"

@@ -74,16 +74,25 @@ def asof_join(
     Right rows must be unique per (by, right_time) for deterministic
     output (pre-aggregate if not). Left rows at equal timestamps see
     the right row (tag order puts right first).
+
+    The right-side values travel as ONE struct and the window carries
+    the latest non-null STRUCT forward — so a right row whose value
+    column is genuinely NULL is still "the match" (its NULL is
+    returned, exactly like DuckDB ASOF / pandas merge_asof), and
+    multiple value_cols always come from the same right row, never
+    stitched across rows.
     """
     by = list(by)
     vals = list(value_cols)
     lcols = [c for c in left.columns]
+    row_struct = F.struct(*[F.col(v).alias(v) for v in vals])
+    null_struct_type = right.select(row_struct.alias("_r")).schema["_r"].dataType
     l = left.select(
         *by,
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_is_left"),
         *[F.col(c) for c in lcols if c not in by and c != left_time],
-        *[F.lit(None).cast(right.schema[v].dataType).alias(f"_r_{v}") for v in vals],
+        F.lit(None).cast(null_struct_type).alias("_r"),
     )
     r = right.select(
         *by,
@@ -91,7 +100,7 @@ def asof_join(
         F.lit(0).alias("_is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in lcols if c not in by and c != left_time],
-        *[F.col(v).alias(f"_r_{v}") for v in vals],
+        row_struct.alias("_r"),
     )
     unioned = l.unionByName(r)
     w = (
@@ -100,16 +109,12 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
-        "*",
-        *[
-            F.last(f"_r_{v}", ignorenulls=True).over(w).alias(f"asof_{v}")
-            for v in vals
-        ],
+        "*", F.last("_r", ignorenulls=True).over(w).alias("_asof")
     )
     keep = [c for c in lcols if c not in by and c != left_time]
     return filled.filter(F.col("_is_left") == 1).select(
         *by,
         F.col("_t").alias(left_time),
         *keep,
-        *[F.col(f"asof_{v}") for v in vals],
+        *[F.col(f"_asof.{v}").alias(f"asof_{v}") for v in vals],
     )

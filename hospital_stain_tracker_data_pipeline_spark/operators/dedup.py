@@ -24,9 +24,11 @@ from ..functions.text import fingerprint64_hex, normalized_text, word_shingles
 
 
 def _segment_starts(arrs) -> tuple:
-    """Concatenate a Series of int arrays; return (flat, start_offsets).
-    Empty input arrays are padded with one sentinel so reduceat stays
-    well-defined (callers never produce empties — word_shingles pads)."""
+    """Concatenate a sequence of NON-NULL int arrays; return
+    (flat, start_offsets). Empty input arrays are padded with one
+    sentinel so reduceat stays well-defined (callers never produce
+    empties — word_shingles pads). NULL rows must be masked out by the
+    caller BEFORE this (see the UDFs below)."""
     lens = np.fromiter((max(len(a), 1) for a in arrs), dtype=np.int64, count=len(arrs))
     flat = np.concatenate(
         [np.asarray(a, dtype=np.int64) if len(a) else np.zeros(1, dtype=np.int64) for a in arrs]
@@ -78,20 +80,43 @@ def materialize(df: DataFrame) -> DataFrame:
     for an expression-heavy producer (md5 passes, signatures) that
     doubles or quadruples the work. ``localCheckpoint`` computes it
     once and truncates lineage; only apply to frames that are orders
-    of magnitude smaller than the input (ids + hashes, never payloads)."""
+    of magnitude smaller than the input (ids + hashes, never payloads).
+
+    Known tradeoffs: (a) plan construction becomes eager — building
+    one of these operators runs its upstream jobs immediately;
+    (b) checkpoint blocks live until the RDD is GC'd, so a long
+    session accumulates small block residue; (c) localCheckpoint ties
+    the blocks to executor liveness — on a cluster with aggressive
+    decommissioning, prefer ``.persist()`` + explicit unpersist or a
+    reliable checkpoint dir. For these bounded id+hash frames the
+    single-pass win dominates all three."""
     return df.localCheckpoint(eager=True)
 
 
 def hashed_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-shingles hashed to 31-bit longs (ONE md5 per shingle).
+    """Distinct k-shingles hashed to 31-bit longs (ONE md5 per shingle)
+    — MinHash SIGNATURE input only: the (a·h+b) mod p permutation needs
+    h < 2^31 to stay inside int64, and signature quality tolerates the
+    occasional 31-bit collision (MinHash is approximate anyway).
+    array_distinct AFTER hashing keeps set semantics consistent even
+    under a collision."""
+    return F.array_distinct(
+        F.transform(
+            word_shingles(text, k),
+            lambda s: _hex_to_long(F.md5(s)).bitwiseAND(F.lit(_MASK31)),
+        )
+    )
 
-    Downstream MinHash/Jaccard work on this array: signatures become
-    cheap integer permutations instead of per-hash-function md5 passes
-    (32× fewer digest calls), and self-join shuffles carry longs, not
-    shingle strings."""
-    return F.transform(
-        word_shingles(text, k),
-        lambda s: _hex_to_long(F.md5(s)).bitwiseAND(F.lit(_MASK31)),
+
+def hashed_shingles64(text: Column, k: int = 3) -> Column:
+    """Distinct k-shingles hashed to 60-bit longs — the JACCARD set
+    representation: |A|, |B|, |∩| are all computed over the same
+    post-hash distinct set (internally consistent by construction), and
+    a 60-bit collision perturbing Jaccard needs ~2^30 distinct shingles
+    in one corpus (birthday bound n²/2^61) vs ~10^5 for 31 bits.
+    Self-join shuffles carry longs, not shingle strings."""
+    return F.array_distinct(
+        F.transform(word_shingles(text, k), lambda s: _hex_to_long(F.md5(s)))
     )
 
 
@@ -134,7 +159,7 @@ def ngram_jaccard_pairs(
         fanout(df).select(
             F.col(id_col),
             F.col(block_col).alias("_block"),
-            hashed_shingles(F.col(text_col), k).alias("shingles"),
+            hashed_shingles64(F.col(text_col), k).alias("shingles"),
         )
     )
     a = sets.select(
@@ -199,13 +224,22 @@ def minhash_signature_udf(num_hashes: int = 32):
         arrs = hs.to_numpy()
         if not len(arrs):
             return pd.Series([], dtype=object)
-        flat, starts = _segment_starts(arrs)
-        mins = np.empty((len(arrs), num_hashes), dtype=np.int64)
-        for i in range(num_hashes):
-            # a*h < 2^31 * 2^31 = 2^62 — no int64 overflow
-            vals = (a_coef[i] * flat + b_coef[i]) % _PRIME31
-            mins[:, i] = np.minimum.reduceat(vals, starts)
-        return pd.Series(list(mins))
+        # NULL input array → NULL signature (matches the expression
+        # form, which propagates NULL instead of crashing the worker)
+        mask = np.array([a is not None for a in arrs])
+        out = np.empty(len(arrs), dtype=object)
+        out[~mask] = None
+        present = arrs[mask]
+        if len(present):
+            flat, starts = _segment_starts(present)
+            mins = np.empty((len(present), num_hashes), dtype=np.int64)
+            for i in range(num_hashes):
+                # a*h < 2^31 * 2^31 = 2^62 — no int64 overflow
+                vals = (a_coef[i] * flat + b_coef[i]) % _PRIME31
+                mins[:, i] = np.minimum.reduceat(vals, starts)
+            for j, i in enumerate(np.nonzero(mask)[0]):
+                out[i] = mins[j]
+        return pd.Series(out)
 
     return _sig
 
@@ -287,7 +321,7 @@ def minhash_lsh_dedup_pairs(
     )
     sets = materialize(
         fanout(df).select(
-            F.col(id_col), hashed_shingles(F.col(text_col), k).alias("shingles")
+            F.col(id_col), hashed_shingles64(F.col(text_col), k).alias("shingles")
         )
     )
     a = sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
@@ -362,13 +396,21 @@ def simhash_udf(nbits: int = 32):
     def _simhash(th: pd.Series) -> pd.Series:
         arrs = th.to_numpy()
         if not len(arrs):
-            return pd.Series([], dtype="int64")
-        flat, starts = _segment_starts(arrs)
-        out = np.zeros(len(arrs), dtype=np.int64)
-        for j in range(nbits):
-            votes = (((flat >> j) & 1) * 2 - 1).astype(np.int64)
-            sums = np.add.reduceat(votes, starts)
-            out |= (sums > 0).astype(np.int64) << j
+            return pd.Series([], dtype=object)
+        # NULL token array → NULL simhash (the pair filter then drops
+        # the row, matching the expression form's NULL propagation)
+        mask = np.array([a is not None for a in arrs])
+        out = np.empty(len(arrs), dtype=object)
+        out[~mask] = None
+        present = arrs[mask]
+        if len(present):
+            flat, starts = _segment_starts(present)
+            acc = np.zeros(len(present), dtype=np.int64)
+            for j in range(nbits):
+                votes = (((flat >> j) & 1) * 2 - 1).astype(np.int64)
+                sums = np.add.reduceat(votes, starts)
+                acc |= (sums > 0).astype(np.int64) << j
+            out[mask] = list(acc)
         return pd.Series(out)
 
     return _simhash

@@ -154,11 +154,21 @@ def random_hyperplane_buckets(
 
     @pandas_udf("array<int>")
     def buckets_udf(emb: pd.Series) -> pd.Series:
-        x = np.stack(emb.to_numpy())  # (batch, dim)
-        bits = (x @ planes.T) >= 0  # (batch, n_planes)
-        per_table = bits.reshape(len(x), tables, nbits)  # (batch, T, nbits)
-        packed = (per_table * weights).sum(axis=2)  # (batch, T)
-        return pd.Series(list(packed.astype("int32")))
+        arrs = emb.to_numpy()
+        if not len(arrs):
+            return pd.Series([], dtype=object)
+        # NULL embedding → NULL buckets (row drops out of every table)
+        mask = np.array([a is not None for a in arrs])
+        out = np.empty(len(arrs), dtype=object)
+        out[~mask] = None
+        if mask.any():
+            x = np.stack(arrs[mask])  # (present, dim)
+            bits = (x @ planes.T) >= 0  # (present, n_planes)
+            per_table = bits.reshape(len(x), tables, nbits)
+            packed = (per_table * weights).sum(axis=2).astype("int32")
+            for j, i in enumerate(np.nonzero(mask)[0]):
+                out[i] = packed[j]
+        return pd.Series(out)
 
     bucketed = fanout(df).select(
         F.col(id_col),
@@ -180,9 +190,20 @@ def dot_batch_udf():
 
     @pandas_udf("double")
     def _dot(a: pd.Series, b: pd.Series) -> pd.Series:
-        x = np.stack(a.to_numpy())
-        y = np.stack(b.to_numpy())
-        return pd.Series(np.einsum("ij,ij->i", x, y))
+        aa, bb = a.to_numpy(), b.to_numpy()
+        if not len(aa):
+            return pd.Series([], dtype="float64")
+        # NULL on either side → NULL dot (then filtered by threshold)
+        mask = np.array(
+            [x is not None and y is not None for x, y in zip(aa, bb)]
+        )
+        out = np.full(len(aa), np.nan)
+        if mask.any():
+            x = np.stack(aa[mask])
+            y = np.stack(bb[mask])
+            out[mask] = np.einsum("ij,ij->i", x, y)
+        res = pd.Series(out)
+        return res.where(mask, None)
 
     return _dot
 
@@ -220,11 +241,17 @@ def ann_lsh_pairs(
         .distinct()
     )
     v = df.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("_v"))
-    nv = materialize(
-        v.select(
-            F.col(id_col),
-            F.transform("_v", lambda x: x / norm(F.col("_v"))).alias("_nv"),
-        )
+    # compute the norm ONCE into its own column — a lambda referencing
+    # norm(_v) would re-evaluate the whole aggregate per element
+    # (O(dim²)/row; no CSE inside higher-order functions). The
+    # materialize boundary sits BETWEEN norm and the transform so
+    # CollapseProject cannot re-inline it into the lambda.
+    with_norm = materialize(
+        v.select(F.col(id_col), "_v", norm(F.col("_v")).alias("_n"))
+    )
+    nv = with_norm.select(
+        F.col(id_col),
+        F.transform("_v", lambda x: x / F.col("_n")).alias("_nv"),
     )
     va = nv.select(F.col(id_col).alias("id_a"), F.col("_nv").alias("v_a"))
     vb = nv.select(F.col(id_col).alias("id_b"), F.col("_nv").alias("v_b"))

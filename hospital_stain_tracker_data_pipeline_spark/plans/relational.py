@@ -699,7 +699,7 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         one("union_all", a.unionAll(b))
         .unionByName(one("union_distinct", a.union(b).distinct()))
         .unionByName(one("intersect", a.intersect(b)))
-        .unionByName(one("except", a.exceptAll(b.distinct()).distinct()))
+        .unionByName(one("except", a.subtract(b)))
         .orderBy("op")
     )
 

@@ -25,7 +25,11 @@ def load_fixture_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
         # Spark's reader unless read as long. The conf is runtime-
         # settable; set it here (not only in our session factory) so
         # the queries also work on a CALLER-provided vanilla session
-        # (the driver passes its own SparkSession).
+        # (the driver passes its own SparkSession). Deliberately NOT
+        # restored afterwards: execution is lazy, so resetting after
+        # read() could flip the conf back before the scan actually
+        # runs. Side effect: the caller's own TIMESTAMP(NANOS) parquet
+        # reads in this session will also come back as bigint.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # floor-truncate nanos → microsecond timestamp — exactly what DuckDB

@@ -48,6 +48,29 @@ def test_asof_join_semantics(spark):
     assert out[5] is None  # key absent from right side
 
 
+def test_asof_null_right_value_is_the_match_not_skipped(spark):
+    # DuckDB-ASOF/merge_asof semantics: the most recent right ROW wins
+    # even when its value column is NULL — NULL must not fall back to
+    # an older row, and multi-column values must come from one row
+    left = spark.createDataFrame(
+        [(1, "u1", _ts("2026-01-05 00:00:00"))],
+        "event_id long, user string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2026-01-01 00:00:00"), 10.0, "a"),
+            ("u1", _ts("2026-01-02 00:00:00"), None, "b"),
+        ],
+        "user string, qts timestamp, price double, tag string",
+    )
+    [r] = asof_join(
+        left, right, by=["user"], left_time="ts",
+        right_time="qts", value_cols=["price", "tag"],
+    ).collect()
+    assert r.asof_price is None  # NOT 10.0 carried forward
+    assert r.asof_tag == "b"  # both columns from the t=2 row
+
+
 def test_asof_join_keeps_left_payload_columns(spark):
     left = spark.createDataFrame(
         [(1, "u1", _ts("2026-01-05 00:00:00"), "click")],

@@ -183,3 +183,29 @@ def test_multimodal_real_decode_is_explicitly_stubbed(spark):
     media = to_media_table(_docs(spark), "doc_id", "text", source="t")
     with pytest.raises(Exception, match="NotImplementedError|PIL"):
         extract_image_features(media, fake_decode=False).collect()
+
+
+def test_null_text_and_embedding_rows_survive(spark):
+    """NULL payload rows must NULL-propagate (drop out of pair results),
+    never crash an Arrow worker — regression for the vectorized UDFs."""
+    docs = spark.createDataFrame(
+        DOCS + [(99, "en", None)], "doc_id long, lang string, text string"
+    )
+    sim = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(docs, "lang", max_hamming=32).collect()
+    }
+    assert all(99 not in p for p in sim) and (1, 2) in sim
+
+    mh = minhash_lsh_dedup_pairs(docs, threshold=0.3).collect()
+    assert all(r.id_a != 99 and r.id_b != 99 for r in mh)
+
+    vecs = spark.createDataFrame(
+        VECS + [(99, "a", None)],
+        "vec_id long, label string, embedding array<double>",
+    )
+    ann = {
+        (r.id_a, r.id_b)
+        for r in ann_lsh_pairs(vecs, threshold=0.9, dim=4).collect()
+    }
+    assert all(99 not in p for p in ann) and (0, 3) in ann
