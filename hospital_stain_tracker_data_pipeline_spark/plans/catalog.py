@@ -35,6 +35,8 @@ CATALOG: dict[str, QuerySpec] = {
     "dim_get_or_create": QuerySpec(R.q_dim_get_or_create, R.SQL_DIM_GET_OR_CREATE),
     "upsert_merge": QuerySpec(R.q_upsert_merge, R.SQL_UPSERT_MERGE),
     "asof_join": QuerySpec(R.q_asof_join, R.SQL_ASOF_JOIN),
+    "semi_anti_join": QuerySpec(R.q_semi_anti_join, R.SQL_SEMI_ANTI_JOIN),
+    "pivot_status": QuerySpec(R.q_pivot_status, R.SQL_PIVOT_STATUS),
     # --- §2.4 aggregations ---
     "agg_max_date": QuerySpec(R.q_agg_max_date, R.SQL_AGG_MAX_DATE),
     "available_dates": QuerySpec(R.q_available_dates, R.SQL_AVAILABLE_DATES),

@@ -857,3 +857,62 @@ SELECT event_type,
        ROUND(quantile_cont(value, 0.99), 4) AS p99
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi / left-anti joins (EXISTS / NOT EXISTS): customers with
+    vs without any urgent order. Semi/anti never materialize the right
+    payload — the build side carries only the key, so at scale this is
+    the cheapest existence check (no row multiplication)."""
+    c = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    with_urgent = c.join(urgent, "c_custkey", "left_semi")
+    without_urgent = c.join(urgent, "c_custkey", "left_anti")
+    return (
+        with_urgent.agg(F.count("*").alias("n"))
+        .select(F.lit("has_urgent").alias("kind"), "n")
+        .unionByName(
+            without_urgent.agg(F.count("*").alias("n")).select(
+                F.lit("no_urgent").alias("kind"), "n"
+            )
+        )
+        .orderBy("kind")
+    )
+
+
+SQL_SEMI_ANTI_JOIN = """
+SELECT 'has_urgent' AS kind, COUNT(*) AS n FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+UNION ALL
+SELECT 'no_urgent', COUNT(*) FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+ORDER BY kind
+"""
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts as a priority × status matrix. Spark's
+    ``pivot`` with an explicit value list compiles to conditional
+    aggregation (one pass, partial+final) — same as the SQL FILTER
+    form, so no extra shuffle versus a plain groupBy."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .withColumnsRenamed({"F": "n_f", "O": "n_o", "P": "n_p"})
+        .orderBy("priority")
+    )
+
+
+SQL_PIVOT_STATUS = """
+SELECT o_orderpriority AS priority,
+       COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+       COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+       COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY 1 ORDER BY priority
+"""

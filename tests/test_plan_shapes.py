@@ -109,3 +109,43 @@ def test_lake_table_partition_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan
     pf_line = plan.split("PartitionFilters")[1].splitlines()[0]
     assert "date" in pf_line and "2026-01-02" in pf_line
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketed tables co-locate equi-join keys at WRITE time, so a
+    fact⋈fact join needs no Exchange at read time — the mechanism
+    SCALE.md prescribes for repeated big-key joins at 100 TB."""
+    import pyspark.sql.functions as F
+
+    spark.sql(
+        f"CREATE TABLE bkt_a (k BIGINT, v DOUBLE) USING parquet "
+        f"CLUSTERED BY (k) INTO 8 BUCKETS LOCATION '{tmp_path}/bkt_a'"
+    )
+    spark.sql(
+        f"CREATE TABLE bkt_b (k BIGINT, w DOUBLE) USING parquet "
+        f"CLUSTERED BY (k) INTO 8 BUCKETS LOCATION '{tmp_path}/bkt_b'"
+    )
+    try:
+        spark.range(10000).select(
+            F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+        ).write.insertInto("bkt_a")
+        spark.range(10000).select(
+            F.col("id").alias("k"), (F.col("id") * 3.0).alias("w")
+        ).write.insertInto("bkt_b")
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                joined.explain("formatted")
+            plan = buf.getvalue()
+            assert "SortMergeJoin" in plan
+            assert "Exchange hashpartitioning" not in plan
+            assert joined.count() == 10000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
