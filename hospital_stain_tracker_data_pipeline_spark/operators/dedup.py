@@ -451,3 +451,57 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components_min_label(
+    edges: DataFrame,
+    nodes: DataFrame,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation: every
+    node ends with cluster_id = min node id in its component. The
+    standard way to turn pairwise near-dup EDGES into dedup GROUPS
+    (keep cluster_id, drop the rest).
+
+    Each iteration is one join + one min-agg over (node, label) pairs —
+    all distributed; the driver only checks the converged flag. Label
+    state is truncated with localCheckpoint per iteration so lineage
+    doesn't grow linearly with iterations. Iterations needed = graph
+    diameter (near-dup clusters are shallow; ``max_iter`` is a guard).
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .distinct()
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("label")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        neighbor = (
+            labels.join(sym, labels["node"] == sym["a"])
+            .select(F.col("b").alias("node"), F.col("label"))
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))

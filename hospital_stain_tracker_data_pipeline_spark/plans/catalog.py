@@ -76,6 +76,11 @@ CATALOG: dict[str, QuerySpec] = {
     "dedup_jaccard_topk": QuerySpec(X.q_dedup_jaccard_topk, X.SQL_DEDUP_JACCARD_TOPK),
     "dedup_simhash": QuerySpec(X.q_dedup_simhash, X.SQL_DEDUP_SIMHASH),
     "dedup_minhash_lsh": QuerySpec(X.q_dedup_minhash_lsh, None),
+    "dup_clusters": QuerySpec(X.q_dup_clusters, X.SQL_DUP_CLUSTERS),
+    # --- training-data pipeline ops (Phase 4) ---
+    "doc_chunks": QuerySpec(X.q_doc_chunks, X.SQL_DOC_CHUNKS),
+    "train_test_split": QuerySpec(X.q_train_test_split, X.SQL_TRAIN_TEST_SPLIT),
+    "vocab_topk": QuerySpec(X.q_vocab_topk, X.SQL_VOCAB_TOPK),
     # --- multimodal plumbing (Phase 4) ---
     "multimodal_meta": QuerySpec(X.q_multimodal_meta, X.SQL_MULTIMODAL_META),
     "multimodal_features": QuerySpec(X.q_multimodal_features, X.SQL_MULTIMODAL_FEATURES),

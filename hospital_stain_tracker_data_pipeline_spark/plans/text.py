@@ -3,7 +3,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -314,4 +314,182 @@ SELECT media_id,
        CAST(n_bytes AS BIGINT) AS n_bytes,
        digest AS sha256
 FROM h ORDER BY media_id
+"""
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for training pipelines: fixed-size token
+    windows with overlap (stride < size), exploded to one row per
+    chunk. Pure array ops (slice over a token sequence) — the chunker
+    runs inside the scan stage, no shuffle until a downstream agg."""
+    docs = load_fixture_table(spark, sf_dir, "documents")
+    size, stride = 64, 48
+    toks = F.split(F.trim("text"), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(size)) / F.lit(stride)).cast("int") + 1
+    )
+    chunk_idx = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(
+        chunk_idx,
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, (i * stride + 1).cast("int"), size)
+        ),
+    )
+    return (
+        docs.select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size(F.split("chunk", " ")).alias("chunk_tokens"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+SQL_DOC_CHUNKS = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+  FROM documents
+), chunked AS (
+  SELECT doc_id,
+         GREATEST(1, CAST(CEIL((len(ts) - 64) / 48.0) AS INTEGER) + 1) AS nc,
+         ts
+  FROM toks
+), exploded AS (
+  SELECT doc_id,
+         UNNEST([{'cid': i - 1,
+                  'ct': len(ts[(i - 1) * 48 + 1
+                               : LEAST((i - 1) * 48 + 64, len(ts))])}
+                 FOR i IN range(1, nc + 1)]) AS s
+  FROM chunked
+)
+SELECT doc_id, s.cid AS chunk_id, s.ct AS chunk_tokens
+FROM exploded ORDER BY doc_id, chunk_id
+"""
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (the reproducible
+    alternative to rand()-sampling): md5(doc_id) mod 100 buckets →
+    80/10/10. Engine-independent, stable under re-runs and re-partitioning
+    — essential so a 100 TB corpus splits identically everywhere."""
+    docs = load_fixture_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"))
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("split")
+    )
+
+
+SQL_TRAIN_TEST_SPLIT = """
+WITH b AS (
+  SELECT CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM b GROUP BY 1 ORDER BY split
+"""
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build: explode tokens → global counts → top-200 by
+    frequency with rank ids. The explode+count is the canonical
+    partial-agg pattern (map-side combine collapses within-partition
+    repeats before the shuffle); the final top-k is TakeOrdered."""
+    docs = load_fixture_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    counts = (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return (
+        counts.orderBy(F.desc("freq"), F.asc("token"))
+        .limit(200)
+        .withColumn("token_id", F.row_number().over(w) - 1)
+    )
+
+
+SQL_VOCAB_TOPK = r"""
+WITH counts AS (
+  SELECT t.token, COUNT(*) AS freq
+  FROM documents, UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS t(token)
+  GROUP BY 1
+)
+SELECT token, freq,
+       ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) - 1 AS token_id
+FROM counts ORDER BY freq DESC, token ASC LIMIT 200
+"""
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: pairwise Jaccard edges (≥ 0.3, within
+    language) → iterative min-label connected components → one row per
+    doc with its cluster id (keep min-id doc per cluster to dedup).
+    The oracle is a recursive CTE computing the same transitive
+    closure — a strong cross-check that the distributed iteration
+    reaches the exact fixpoint."""
+    from ..operators.dedup import connected_components_min_label
+
+    docs = load_fixture_table(spark, sf_dir, "documents")
+    edges = (
+        ngram_jaccard_pairs(docs, "lang", k=3)
+        .filter(F.col("jaccard") >= 0.3)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    out = connected_components_min_label(edges, nodes)
+    return (
+        out.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .filter(F.col("cluster_size") > 1)
+        .orderBy("cluster_id")
+    )
+
+
+SQL_DUP_CLUSTERS = r"""
+WITH sets AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(
+           [array_to_string(toks[i:i+2], ' ')
+            FOR i IN range(1, GREATEST(len(toks) - 2, 1) + 1)],
+           s -> CAST(CONCAT('0x', substr(md5(s), 1, 15)) AS BIGINT)
+         )) AS sh
+  FROM (
+    SELECT doc_id, lang,
+           string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+    FROM documents
+  )
+), pairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM sets a JOIN sets b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.3
+), sym AS (
+  SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+), reach AS (
+  WITH RECURSIVE r(node, lbl) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.dst, r.lbl FROM r JOIN sym e ON e.src = r.node
+  )
+  SELECT node, MIN(lbl) AS cluster_id FROM r GROUP BY node
+)
+SELECT cluster_id, COUNT(*) AS cluster_size
+FROM reach GROUP BY cluster_id HAVING COUNT(*) > 1
+ORDER BY cluster_id
 """

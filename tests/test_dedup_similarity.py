@@ -209,3 +209,20 @@ def test_null_text_and_embedding_rows_survive(spark):
         for r in ann_lsh_pairs(vecs, threshold=0.9, dim=4).collect()
     }
     assert all(99 not in p for p in ann) and (0, 3) in ann
+
+
+def test_connected_components_min_label(spark):
+    from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+        connected_components_min_label,
+    )
+
+    # components: {1,2,3,4} (chain), {5,6}, {7} isolated
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "node long")
+    out = {
+        r.node: r.cluster_id
+        for r in connected_components_min_label(edges, nodes).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
