@@ -50,6 +50,7 @@ CATALOG: dict[str, QuerySpec] = {
     # --- §2.5 windows ---
     "window_lag_delta": QuerySpec(R.q_window_lag_delta, R.SQL_WINDOW_LAG_DELTA),
     "rolling_trend": QuerySpec(R.q_rolling_trend, R.SQL_ROLLING_TREND),
+    "sessionize": QuerySpec(R.q_sessionize, R.SQL_SESSIONIZE),
     # --- §2.6 sorts / limits / top-k ---
     "sort_limit": QuerySpec(R.q_sort_limit, R.SQL_SORT_LIMIT),
     "topk": QuerySpec(R.q_topk, R.SQL_TOPK),
@@ -71,6 +72,7 @@ CATALOG: dict[str, QuerySpec] = {
     "lang_id": QuerySpec(X.q_lang_id, X.SQL_LANG_ID),
     "fingerprint": QuerySpec(X.q_fingerprint, X.SQL_FINGERPRINT),
     "token_bpe": QuerySpec(X.q_token_bpe, X.SQL_TOKEN_BPE),
+    "redact_text": QuerySpec(R.q_redact_text, R.SQL_REDACT_TEXT),
     # --- dedup family (Phase 4) ---
     "dedup_exact": QuerySpec(X.q_dedup_exact, X.SQL_DEDUP_EXACT),
     "dedup_jaccard_topk": QuerySpec(X.q_dedup_jaccard_topk, X.SQL_DEDUP_JACCARD_TOPK),
@@ -93,4 +95,5 @@ CATALOG: dict[str, QuerySpec] = {
     "stream_windowed_counts": QuerySpec(
         S.q_stream_windowed_counts, S.SQL_STREAM_WINDOWED_COUNTS
     ),
+    "stream_sessionize": QuerySpec(S.q_stream_sessionize, None),
 }

@@ -916,3 +916,95 @@ SELECT o_orderpriority AS priority,
        COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
 FROM orders GROUP BY 1 ORDER BY priority
 """
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: a session breaks after a 30-minute gap per
+    user. lag → gap flag → running sum = session id (two window passes
+    over one shuffle on user_id), then per-session stats. The canonical
+    composition for clickstream/training-log data at scale: no
+    self-join, state bounded by the window frame."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("session_id"),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+                "duration_s"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.max("duration_s").alias("max_session_duration_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_SESSIONIZE = """
+WITH base AS (
+  -- floored epoch seconds = Spark's CAST(timestamp AS LONG)
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec, ts
+  FROM events
+), gaps AS (
+  SELECT user_id, ts, event_id, tsec,
+         CASE WHEN tsec - LAG(tsec) OVER w > 1800
+                OR LAG(tsec) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, tsec,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+), per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events,
+         MAX(tsec) - MIN(tsec) AS duration_s
+  FROM sess GROUP BY 1, 2
+)
+SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events,
+       MAX(duration_s) AS max_session_duration_s
+FROM per_session GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_redact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction: mask digit runs and long hex tokens via
+    regexp_replace (JVM-side, scan-stage). Counts how many documents
+    changed and total masked spans — the audit shape a redaction job
+    reports at scale."""
+    docs = _t(spark, sf_dir, "documents")
+    masked = F.regexp_replace(F.col("text"), r"[0-9]{3,}", "<NUM>")
+    n_spans = (
+        F.size(F.split(F.col("text"), r"[0-9]{3,}", -1)) - 1
+    )
+    return (
+        docs.select(
+            (masked != F.col("text")).alias("changed"),
+            n_spans.alias("n_spans"),
+        )
+        .agg(
+            F.count(F.when(F.col("changed"), 1)).alias("docs_changed"),
+            F.sum("n_spans").alias("spans_masked"),
+        )
+    )
+
+
+SQL_REDACT_TEXT = """
+SELECT COUNT(CASE WHEN regexp_replace(text, '[0-9]{3,}', '<NUM>', 'g') <> text
+                  THEN 1 END) AS docs_changed,
+       SUM(len(string_split_regex(text, '[0-9]{3,}')) - 1) AS spans_masked
+FROM documents
+"""

@@ -54,3 +54,22 @@ SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_day, event_type,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY window_day, event_type
 """
+
+
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user gap sessionization. Cross-batch state semantics → rows-only
+    driver check; the batch-equivalence test lives in
+    tests/test_streaming.py."""
+    work = tempfile.mkdtemp(prefix="stream_sess_")
+    input_dir = os.path.join(work, "incoming")
+    os.makedirs(input_dir)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(input_dir, "events.parquet"),
+    )
+    from ..streaming.ingest_stream import stream_sessionize_events
+
+    return stream_sessionize_events(spark, input_dir).orderBy(
+        "user_id", "session_id"
+    )

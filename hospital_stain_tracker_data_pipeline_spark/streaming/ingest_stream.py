@@ -181,3 +181,105 @@ def stream_windowed_event_counts(
         "n",
         "sum_value",
     )
+
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("duration_s", T.LongType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_tsec", T.LongType()),
+        T.StructField("next_session_id", T.LongType()),
+        T.StructField("sess_start", T.LongType()),
+        T.StructField("sess_n", T.LongType()),
+    ]
+)
+
+
+def stream_sessionize_events(
+    spark: SparkSession, source_path: str, gap_s: int = 1800
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (the extension point for operators Spark's built-in streaming aggs
+    can't express): per-user sessionization with a gap timeout, state =
+    (last event time, next session id) per user — O(1) state per key
+    regardless of stream length, the property that matters on an
+    unbounded 100 TB/day stream.
+
+    Run with availableNow + memory sink; sessions are emitted per batch
+    (the fixture arrives as one batch, so every session including the
+    open tail is emitted — making the output comparable to the batch
+    sessionizer in tests)."""
+    import uuid
+
+    import pandas as pd
+
+    def sessionize(key, pdfs, state):
+        (user_id,) = key
+        if state.exists:
+            last_tsec, next_sid, sess_start, sess_n = state.get
+            cur = [next_sid - 1, sess_start, last_tsec, sess_n]
+        else:
+            last_tsec, next_sid, cur = None, 0, None
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            tsecs = (
+                pdf["ts"].astype("datetime64[ns]").astype("int64") // 10**9
+            )
+            for t in (int(x) for x in tsecs):
+                if last_tsec is None or t - last_tsec > gap_s:
+                    if cur is not None:
+                        rows.append(cur)
+                    cur = [next_sid, t, t, 1]
+                    next_sid += 1
+                else:
+                    cur[2] = t
+                    cur[3] += 1
+                last_tsec = t
+        if cur is not None:
+            # emit the open tail too; a later batch extending it will
+            # re-emit the same (user, session_id) — dedup downstream by
+            # natural key, last-writer-wins (same as the ingest merge)
+            rows.append(cur)
+            state.update((last_tsec, next_sid, cur[1], cur[3]))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(rows),
+                "session_id": [r[0] for r in rows],
+                "n_events": [r[3] for r in rows],
+                "duration_s": [r[2] - r[1] for r in rows],
+            }
+        )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .parquet(source_path)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -78,3 +78,49 @@ def test_windowed_counts_match_batch_rollup(spark, staged, sf_dir):
     s = {(r.window_day, r.event_type): r.n for r in streamed.collect()}
     b = {(r.window_day, r.event_type): r.n for r in batch.collect()}
     assert s == b
+
+
+def test_stream_sessionize_matches_batch(spark, staged, sf_dir):
+    """availableNow = one batch, so the stateful streaming sessionizer
+    must produce exactly the batch sessionization result."""
+    from hospital_stain_tracker_data_pipeline_spark.streaming.ingest_stream import (
+        stream_sessionize_events,
+    )
+    from pyspark.sql import Window
+
+    _, input_dir = staged
+    streamed = stream_sessionize_events(spark, input_dir, gap_s=1800)
+    s = {
+        (r.user_id, r.session_id): (r.n_events, r.duration_s)
+        for r in streamed.collect()
+    }
+
+    ev = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    batch = (
+        ev.select(
+            "user_id",
+            F.col("ts").cast("long").alias("tsec"),
+            (
+                F.sum(new_sess).over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+                - 1
+            ).alias("session_id"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max("tsec") - F.min("tsec")).alias("duration_s"),
+        )
+    )
+    b = {
+        (r.user_id, r.session_id): (r.n_events, r.duration_s)
+        for r in batch.collect()
+    }
+    assert s == b
