@@ -29,9 +29,16 @@ HEADLINE = [
     "top_unshipped",
     "window_lag_delta",
     "rolling_trend",
+    "sessionize",
+    "asof_join",
     "upsert_merge",
     "coverage_having",
     "priority_rollup",
+    "pivot_status",
+    "semi_anti_join",
+    "set_ops",
+    "value_percentiles",
+    "skew_salted_agg",
     "dim_join",
     "strain_formula",
     "text_stats",
@@ -39,10 +46,15 @@ HEADLINE = [
     "lang_id",
     "fingerprint",
     "token_bpe",
+    "redact_text",
+    "doc_chunks",
+    "train_test_split",
+    "vocab_topk",
     "dedup_exact",
     "dedup_simhash",
     "dedup_jaccard_topk",
     "dedup_minhash_lsh",
+    "dup_clusters",
     "multimodal_features",
     "knn_cosine",
     "embedding_dup_pairs",

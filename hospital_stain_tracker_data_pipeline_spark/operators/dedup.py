@@ -472,36 +472,38 @@ def connected_components_min_label(
     doesn't grow linearly with iterations. Iterations needed = graph
     diameter (near-dup clusters are shallow; ``max_iter`` is a guard).
     """
+    # materialize the symmetric edge list ONCE — it is referenced by
+    # every iteration's join, and a lazy producer (e.g. a full Jaccard
+    # pair computation) would otherwise re-execute per iteration
     sym = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .unionByName(
             edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("label")
     ).localCheckpoint(eager=True)
 
+    # convergence check: labels only ever decrease, so the label sum
+    # strictly decreases until the fixpoint — one cheap agg per
+    # iteration instead of a join-and-compare
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
         neighbor = (
             labels.join(sym, labels["node"] == sym["a"])
             .select(F.col("b").alias("node"), F.col("label"))
         )
-        new_labels = (
+        labels = (
             labels.unionByName(neighbor)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select("node", F.col("label").alias("cluster_id"))
