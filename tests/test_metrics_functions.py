@@ -130,3 +130,16 @@ def test_round_half_even_matches_python_round(spark):
         .collect()
     )
     assert r.he == 2.0 and r.hu == 3.0
+
+
+def test_jdbc_upsert_statement_shape():
+    from hospital_stain_tracker_data_pipeline_spark.sources.jdbc import upsert_statement
+
+    sql = upsert_statement(
+        "hospital_capacity_daily",
+        ["date", "region_id", "total_beds", "occupied_beds"],
+        ["date", "region_id"],
+    )
+    assert "ON CONFLICT (date, region_id) DO UPDATE SET" in sql
+    assert "total_beds = EXCLUDED.total_beds" in sql
+    assert "date = EXCLUDED.date" not in sql  # keys never updated
