@@ -150,11 +150,17 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
 ) -> DataFrame:
-    """All within-block pairs with their exact shingle-set Jaccard.
+    """Within-block pairs that share ≥ 1 shingle, with their exact
+    shingle-set Jaccard. Pairs with an empty intersection (Jaccard 0)
+    are excluded BY CONSTRUCTION — they never materialize.
 
-    The block join bounds the pair count (lang/source/LSH bucket at
-    scale). Jaccard = |∩| / (|A|+|B|-|∩|), integer-derived → double,
-    bit-identical across engines."""
+    Scalable shape: explode (id, shingle-hash) → self-join on
+    (block, hash) → count per pair gives |∩| directly; |A| and |B| come
+    from the per-doc set sizes. Work is proportional to the number of
+    SHARED shingle occurrences, not to C(n,2) per block — the naive
+    all-pairs array_intersect compares every pair including the
+    overwhelmingly-zero-overlap majority. Jaccard = |∩|/(|A|+|B|-|∩|),
+    integer-derived → double, bit-identical across engines."""
     sets = materialize(
         fanout(df).select(
             F.col(id_col),
@@ -162,24 +168,30 @@ def ngram_jaccard_pairs(
             hashed_shingles64(F.col(text_col), k).alias("shingles"),
         )
     )
-    a = sets.select(
-        F.col("_block"),
-        F.col(id_col).alias("id_a"),
-        F.col("shingles").alias("sh_a"),
+    sizes = sets.select(
+        F.col(id_col), F.col("_block"), F.size("shingles").alias("n_sh")
     )
-    b = sets.select(
-        F.col("_block"),
-        F.col(id_col).alias("id_b"),
-        F.col("shingles").alias("sh_b"),
+    tokens = sets.select(
+        F.col(id_col), F.col("_block"), F.explode("shingles").alias("h")
     )
-    pairs = a.join(b, "_block").filter(F.col("id_a") < F.col("id_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
-    return pairs.select(
-        "id_a",
-        "id_b",
-        (inter / union).alias("jaccard"),
+    ta = tokens.select("_block", "h", F.col(id_col).alias("id_a"))
+    tb = tokens.select("_block", "h", F.col(id_col).alias("id_b"))
+    inter = (
+        ta.join(tb, ["_block", "h"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("_block", "id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
     )
+    sa = sizes.select(
+        "_block", F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        "_block", F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")
+    )
+    joined = inter.join(sa, ["_block", "id_a"]).join(sb, ["_block", "id_b"])
+    i = F.col("n_inter").cast("double")
+    union = (F.col("n_a") + F.col("n_b")).cast("double") - i
+    return joined.select("id_a", "id_b", (i / union).alias("jaccard"))
 
 
 # ---------------------------------------------------------------------------

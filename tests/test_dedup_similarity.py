@@ -66,7 +66,7 @@ def test_jaccard_pairs_rank_near_dups_first(spark):
     }
     assert pairs[(1, 2)] == 1.0  # exact dup
     assert 0.3 < pairs[(1, 3)] < 1.0  # near dup
-    assert pairs[(1, 4)] == 0.0  # unrelated
+    assert (1, 4) not in pairs  # zero-overlap pairs never materialize
     assert (1, 5) not in pairs  # cross-language blocked
 
 
