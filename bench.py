@@ -15,6 +15,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from hospital_stain_tracker_data_pipeline_spark.session import get_spark
@@ -73,9 +75,20 @@ def main() -> None:
 
     spark = get_spark(app_name="hospital_stain_tracker_bench")
 
-    # Warm the JVM + parquet footers once so per-query numbers measure the
-    # query, not first-touch session setup.
-    spark.range(1).count()
+    # Warm the JVM + parquet footers + Python UDF workers once so
+    # per-query numbers measure the query, not first-touch session setup
+    # (spawning 32 Arrow workers costs seconds and would land on
+    # whichever pandas-UDF query runs first).
+    from pyspark.sql import functions as _F
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    @_pudf("double")
+    def _warm(x: pd.Series) -> pd.Series:
+        return x
+
+    spark.range(100_000).repartition(32).select(
+        _warm(_F.col("id").cast("double"))
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
