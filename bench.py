@@ -39,6 +39,9 @@ HEADLINE = [
     "pivot_status",
     "semi_anti_join",
     "set_ops",
+    "cube_agg",
+    "range_join_binned",
+    "running_total",
     "value_percentiles",
     "skew_salted_agg",
     "dim_join",

@@ -58,6 +58,9 @@ CATALOG: dict[str, QuerySpec] = {
     # --- §2.7 set ops / grouping sets ---
     "set_ops": QuerySpec(R.q_set_ops, R.SQL_SET_OPS),
     "priority_rollup": QuerySpec(R.q_priority_rollup, R.SQL_PRIORITY_ROLLUP),
+    "cube_agg": QuerySpec(R.q_cube_agg, R.SQL_CUBE_AGG),
+    "range_join_binned": QuerySpec(R.q_range_join_binned, R.SQL_RANGE_JOIN_BINNED),
+    "running_total": QuerySpec(R.q_running_total, R.SQL_RUNNING_TOTAL),
     # --- §2.8 scalar functions ---
     "strain_formula": QuerySpec(R.q_strain_formula, R.SQL_STRAIN_FORMULA),
     "div_guard_variants": QuerySpec(R.q_div_guard_variants, R.SQL_DIV_GUARD_VARIANTS),

@@ -1008,3 +1008,158 @@ SELECT COUNT(CASE WHEN regexp_replace(text, '[0-9]{3,}', '<NUM>', 'g') <> text
        SUM(len(string_split_regex(text, '[0-9]{3,}')) - 1) AS spans_masked
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference relational coverage: CUBE, binned range join, running total
+# ---------------------------------------------------------------------------
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): every grouping-set combination in
+    one pass (§2.4 extension — the reference has plain GROUP BY only).
+
+    Scale: CUBE expands each input row into 2^k grouping-set copies
+    BEFORE the shuffle, but partial aggregation collapses them map-side,
+    so the shuffle carries |distinct groups| x 2^k rows, not |input| x
+    2^k. Rolled-up cells are labeled 'ALL' (both dims verified NULL-free
+    so COALESCE is unambiguous without grouping_id)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dec_sum(F.col("o_totalprice")).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+SQL_CUBE_AGG = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
+_RANGE_JOIN_WINDOW_S = 86400
+
+
+def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join, binned: views within the 1-day (86 400 s)
+    window before each purchase by the same user (attribution shape).
+
+    Spark has no native inequality-join strategy that scales — a raw
+    `ON user AND v_ts BETWEEN p_ts - 300 AND p_ts` plans as a
+    broadcast-nested-loop or cartesian refinement. The scalable pattern
+    (used by every range-join implementation, cf. Databricks' range-join
+    binning) is: quantize time into fixed bins of the window width,
+    explode the interval side into the <=2 bins its window overlaps,
+    equi-join on (user, bin) — a plain shuffled hash join — then refine
+    with the exact predicate. Work is proportional to true matches per
+    bin, never |A| x |B|. Second-floored epoch on BOTH engines (DuckDB
+    epoch() keeps fractional seconds; Spark's long cast floors)."""
+    ev = _t(spark, sf_dir, "events")
+    w = _RANGE_JOIN_WINDOW_S
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").cast("long").alias("p_sec"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").cast("long").alias("v_sec"),
+    )
+    # the [p_sec - w, p_sec] window spans at most 2 w-wide bins
+    pb = purchases.withColumn(
+        "bin",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor((F.col("p_sec") - w) / w),
+                    F.floor(F.col("p_sec") / w),
+                )
+            )
+        ),
+    )
+    vb = views.withColumn("bin", F.floor(F.col("v_sec") / w))
+    return (
+        pb.join(vb, ["user_id", "bin"])
+        .filter(
+            (F.col("v_sec") >= F.col("p_sec") - w) & (F.col("v_sec") <= F.col("p_sec"))
+        )
+        .groupBy("purchase_id")
+        .agg(F.count("*").alias("n_views"))
+        .orderBy("purchase_id")
+    )
+
+
+SQL_RANGE_JOIN_BINNED = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS p_sec
+  FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT event_id AS view_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS v_sec
+  FROM events WHERE event_type = 'view'
+)
+SELECT p.purchase_id, COUNT(*) AS n_views
+FROM p JOIN v ON p.user_id = v.user_id
+  AND v.v_sec >= p.p_sec - 86400 AND v.v_sec <= p.p_sec
+GROUP BY p.purchase_id
+ORDER BY p.purchase_id
+"""
+
+
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per priority over the daily rollup (§2.5
+    extension: unbounded-preceding running window).
+
+    Scale: the window runs over the PRE-AGGREGATED one-row-per-
+    (priority, date) rollup — the fact table is collapsed by a
+    partial+final agg first, so the per-partition sequential window
+    scan is a few thousand rows regardless of fact size. The running
+    sum stays DECIMAL until the final cast, so the result is exact and
+    independent of accumulation order (a double running sum would be
+    engine/order-sensitive in the last ulp)."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("order_date"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("day_rev"))
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("order_date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "priority",
+        "order_date",
+        F.col("day_rev").cast("double").alias("day_revenue"),
+        F.sum("day_rev").over(w).cast("double").alias("cum_revenue"),
+    ).orderBy("priority", "order_date")
+
+
+SQL_RUNNING_TOTAL = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS order_date,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_rev
+  FROM orders GROUP BY 1, 2
+)
+SELECT priority, order_date,
+       CAST(day_rev AS DOUBLE) AS day_revenue,
+       CAST(SUM(day_rev) OVER (
+         PARTITION BY priority ORDER BY order_date
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue
+FROM daily
+ORDER BY priority, order_date
+"""

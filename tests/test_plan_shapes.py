@@ -149,3 +149,33 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_range_join_binned_is_equi_join(spark, sf_dir):
+    """The binned range join must plan as a hash/sort-merge EQUI-join on
+    (user_id, bin) — never a broadcast-nested-loop or cartesian
+    refinement, which is what a raw inequality join degenerates to."""
+    plan = plan_of(spark, sf_dir, "range_join_binned")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_cube_agg_expands_before_partial_agg(spark, sf_dir):
+    """CUBE plans as Expand (2^k grouping-set copies) feeding a
+    partial+final HashAggregate — the shuffle carries collapsed partial
+    rows, not input x 2^k."""
+    plan = plan_of(spark, sf_dir, "cube_agg")
+    assert "Expand" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_running_total_windows_over_rollup(spark, sf_dir):
+    """The running window must consume the pre-aggregated daily rollup
+    (agg below the Window in the plan), so the sequential window scan is
+    bounded by |dates x priorities|, not the fact row count."""
+    plan = plan_of(spark, sf_dir, "running_total")
+    assert "Window" in plan
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1
