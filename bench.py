@@ -42,6 +42,7 @@ HEADLINE = [
     "cube_agg",
     "range_join_binned",
     "running_total",
+    "rank_topn_per_group",
     "value_percentiles",
     "skew_salted_agg",
     "dim_join",

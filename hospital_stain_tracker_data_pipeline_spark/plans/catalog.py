@@ -51,6 +51,9 @@ CATALOG: dict[str, QuerySpec] = {
     "window_lag_delta": QuerySpec(R.q_window_lag_delta, R.SQL_WINDOW_LAG_DELTA),
     "rolling_trend": QuerySpec(R.q_rolling_trend, R.SQL_ROLLING_TREND),
     "sessionize": QuerySpec(R.q_sessionize, R.SQL_SESSIONIZE),
+    "rank_topn_per_group": QuerySpec(
+        R.q_rank_topn_per_group, R.SQL_RANK_TOPN_PER_GROUP
+    ),
     # --- §2.6 sorts / limits / top-k ---
     "sort_limit": QuerySpec(R.q_sort_limit, R.SQL_SORT_LIMIT),
     "topk": QuerySpec(R.q_topk, R.SQL_TOPK),

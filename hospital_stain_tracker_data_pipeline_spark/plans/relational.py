@@ -1163,3 +1163,56 @@ SELECT priority, order_date,
 FROM daily
 ORDER BY priority, order_date
 """
+
+
+def q_rank_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window family (rank / dense_rank / ntile) in one pass:
+    top-3 orders per priority by price, with a global price quartile.
+
+    Determinism: every window ordering carries the unique o_orderkey
+    tiebreak, so rank and ntile are total-order stable across engines
+    and partitionings. Scale: the per-priority rank shuffles once on
+    priority; the global ntile is computed AFTER the top-3 filter
+    (<= 3 x |priorities| rows), so the single-partition global window
+    never sees the full fact table."""
+    orders = _t(spark, sf_dir, "orders")
+    w_rank = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    top3 = (
+        orders.select(
+            F.col("o_orderpriority").alias("priority"),
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w_rank).alias("price_rank"),
+            F.dense_rank().over(w_rank).alias("price_dense_rank"),
+        )
+        .filter(F.col("price_rank") <= 3)
+    )
+    w_global = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return top3.select(
+        "priority",
+        "o_orderkey",
+        "o_totalprice",
+        "price_rank",
+        "price_dense_rank",
+        F.ntile(4).over(w_global).alias("global_quartile"),
+    ).orderBy("priority", "price_rank", "o_orderkey")
+
+
+SQL_RANK_TOPN_PER_GROUP = """
+WITH ranked AS (
+  SELECT o_orderpriority AS priority, o_orderkey, o_totalprice,
+         RANK() OVER (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS price_rank,
+         DENSE_RANK() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS price_dense_rank
+  FROM orders
+), top3 AS (
+  SELECT * FROM ranked WHERE price_rank <= 3
+)
+SELECT priority, o_orderkey, o_totalprice, price_rank, price_dense_rank,
+       NTILE(4) OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS global_quartile
+FROM top3
+ORDER BY priority, price_rank, o_orderkey
+"""
