@@ -55,6 +55,7 @@ HEADLINE = [
     "redact_text",
     "doc_chunks",
     "train_test_split",
+    "mixture_sample",
     "vocab_topk",
     "dedup_exact",
     "dedup_simhash",

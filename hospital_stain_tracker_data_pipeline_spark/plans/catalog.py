@@ -89,6 +89,7 @@ CATALOG: dict[str, QuerySpec] = {
     "doc_chunks": QuerySpec(X.q_doc_chunks, X.SQL_DOC_CHUNKS),
     "train_test_split": QuerySpec(X.q_train_test_split, X.SQL_TRAIN_TEST_SPLIT),
     "vocab_topk": QuerySpec(X.q_vocab_topk, X.SQL_VOCAB_TOPK),
+    "mixture_sample": QuerySpec(X.q_mixture_sample, X.SQL_MIXTURE_SAMPLE),
     # --- multimodal plumbing (Phase 4) ---
     "multimodal_meta": QuerySpec(X.q_multimodal_meta, X.SQL_MULTIMODAL_META),
     "multimodal_features": QuerySpec(X.q_multimodal_features, X.SQL_MULTIMODAL_FEATURES),

@@ -493,3 +493,57 @@ SELECT cluster_id, COUNT(*) AS cluster_size
 FROM reach GROUP BY cluster_id HAVING COUNT(*) > 1
 ORDER BY cluster_id
 """
+
+
+# Per-language target mixture for the deterministic sampler: weights are
+# the data-mixing knob a pretraining pipeline tunes (e.g. upsample
+# low-resource languages); quotas = round(weight x total).
+_MIXTURE_WEIGHTS = {"en": 0.4, "zh": 0.2, "es": 0.2, "de": 0.1, "fr": 0.1}
+_MIXTURE_TOTAL = 200
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mixture sampling (training-data mixing): take a fixed
+    per-language quota of documents, chosen by hash order so the sample
+    is uniform-ish, deterministic, and identical across engines/runs —
+    no RNG, so it is reproducible and oracle-checkable, unlike
+    `df.sample`. A stratum smaller than its quota contributes all rows.
+
+    Scale: one shuffle on the stratum key for the per-language ranking
+    window. A hot stratum (`en` is most of a web corpus) serializes its
+    rank into one task; at 100 TB replace the exact row_number with a
+    per-partition pre-rank + global threshold refinement (two-phase
+    top-N per group) or sample by hash-range predicate
+    (md5(id) < quota/|stratum| x 2^128), which needs no shuffle at all.
+    The hash-order trick is the same one `train_test_split` uses for
+    leakage-free determinism."""
+    docs = load_fixture_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    quota = F.lit(0)
+    for lang, wt in _MIXTURE_WEIGHTS.items():
+        quota = F.when(F.col("lang") == lang, int(round(wt * _MIXTURE_TOTAL))).otherwise(
+            quota
+        )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= quota)
+        .orderBy("lang", "rn")
+    )
+
+
+SQL_MIXTURE_SAMPLE = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id ASC) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, rn
+FROM ranked
+WHERE rn <= CASE lang WHEN 'en' THEN 80 WHEN 'zh' THEN 40 WHEN 'es' THEN 40
+                      WHEN 'de' THEN 20 WHEN 'fr' THEN 20 ELSE 0 END
+ORDER BY lang, rn
+"""
