@@ -54,6 +54,10 @@ CATALOG: dict[str, QuerySpec] = {
     "rank_topn_per_group": QuerySpec(
         R.q_rank_topn_per_group, R.SQL_RANK_TOPN_PER_GROUP
     ),
+    "gap_fill": QuerySpec(R.q_gap_fill, R.SQL_GAP_FILL),
+    "window_value_family": QuerySpec(
+        R.q_window_value_family, R.SQL_WINDOW_VALUE_FAMILY
+    ),
     # --- §2.6 sorts / limits / top-k ---
     "sort_limit": QuerySpec(R.q_sort_limit, R.SQL_SORT_LIMIT),
     "topk": QuerySpec(R.q_topk, R.SQL_TOPK),
@@ -68,6 +72,7 @@ CATALOG: dict[str, QuerySpec] = {
     "strain_formula": QuerySpec(R.q_strain_formula, R.SQL_STRAIN_FORMULA),
     "div_guard_variants": QuerySpec(R.q_div_guard_variants, R.SQL_DIV_GUARD_VARIANTS),
     "json_extract": QuerySpec(R.q_json_extract, R.SQL_JSON_EXTRACT),
+    "scalar_subquery": QuerySpec(R.q_scalar_subquery, R.SQL_SCALAR_SUBQUERY),
     "date_format_rollup": QuerySpec(R.q_date_format_rollup, R.SQL_DATE_FORMAT_ROLLUP),
     # --- headline aggregations (bench) ---
     "pricing_summary": QuerySpec(R.q_pricing_summary, R.SQL_PRICING_SUMMARY),
@@ -78,6 +83,7 @@ CATALOG: dict[str, QuerySpec] = {
     "lang_id": QuerySpec(X.q_lang_id, X.SQL_LANG_ID),
     "fingerprint": QuerySpec(X.q_fingerprint, X.SQL_FINGERPRINT),
     "token_bpe": QuerySpec(X.q_token_bpe, X.SQL_TOKEN_BPE),
+    "tfidf_topterms": QuerySpec(X.q_tfidf_topterms, X.SQL_TFIDF_TOPTERMS),
     "redact_text": QuerySpec(R.q_redact_text, R.SQL_REDACT_TEXT),
     # --- dedup family (Phase 4) ---
     "dedup_exact": QuerySpec(X.q_dedup_exact, X.SQL_DEDUP_EXACT),
@@ -97,6 +103,9 @@ CATALOG: dict[str, QuerySpec] = {
     "knn_cosine": QuerySpec(V.q_knn_cosine, V.SQL_KNN_COSINE),
     "embedding_dup_pairs": QuerySpec(V.q_embedding_dup_pairs, V.SQL_EMBEDDING_DUP_PAIRS),
     "ann_lsh_pairs": QuerySpec(V.q_ann_lsh_pairs, None),
+    "embedding_centroids": QuerySpec(
+        V.q_embedding_centroids, V.SQL_EMBEDDING_CENTROIDS
+    ),
     # --- §2.9 streaming ---
     "stream_events_ingest": QuerySpec(S.q_stream_events_ingest, None),
     "stream_windowed_counts": QuerySpec(

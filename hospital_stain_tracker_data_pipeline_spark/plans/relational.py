@@ -1216,3 +1216,150 @@ SELECT priority, o_orderkey, o_totalprice, price_rank, price_dense_rank,
 FROM top3
 ORDER BY priority, price_rank, o_orderkey
 """
+
+
+# ---------------------------------------------------------------------------
+# time-series gap fill / resample (beyond the reference)
+# ---------------------------------------------------------------------------
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward fill: per-user daily event rollup,
+    densified onto a per-user calendar spine (``sequence`` + explode), a
+    missing day contributes cnt=0 and carries the last observed daily
+    value forward (``last(..., ignorenulls=True)``).
+
+    The reference has no gap handling at all — its compare endpoint just
+    yields NULL deltas on gap days (main.py:264-268); this is the general
+    densification operator a training pipeline needs for calendar joins.
+
+    Scale: the spine explodes to O(users × span_days) rows — tiny next to
+    the event fact, and generated AFTER the partial+final daily rollup
+    reduces the fact. One shuffle on user_id serves the rollup, the
+    spine join, and the forward-fill window (same key, Catalyst reuses
+    the partitioning)."""
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.count("*").alias("cnt"),
+        _dec_sum(F.col("value"), 2).alias("day_value"),
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            F.last("day_value", ignorenulls=True).over(w).alias("carried_value"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+SQL_GAP_FILL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS cnt,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+  FROM events GROUP BY 1, 2
+), spine AS (
+  SELECT user_id,
+         CAST(UNNEST(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY)) AS DATE) AS day
+  FROM daily GROUP BY user_id
+)
+SELECT s.user_id, s.day,
+       COALESCE(d.cnt, 0) AS cnt,
+       LAST_VALUE(d.day_value IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day) AS carried_value
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+ORDER BY s.user_id, s.day
+"""
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (orders priced above their priority
+    group's average), decorrelated the way Catalyst would: one tiny
+    grouped aggregate broadcast-joined back to the fact — the fact
+    side never shuffles.
+
+    Averages go through a decimal sum / count division so both engines
+    produce the identical double."""
+    orders = _t(spark, sf_dir, "orders")
+    prio_avg = orders.groupBy("o_orderpriority").agg(
+        (_dec_sum(F.col("o_totalprice"), 2) / F.count("*")).alias("prio_avg")
+    )
+    return (
+        orders.join(F.broadcast(prio_avg), "o_orderpriority")
+        .filter(F.col("o_totalprice") > F.col("prio_avg"))
+        .select(
+            "o_orderkey",
+            F.col("o_orderpriority").alias("priority"),
+            "o_totalprice",
+            F.round("prio_avg", 2).alias("prio_avg"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+SQL_SCALAR_SUBQUERY = """
+WITH pa AS (
+  SELECT o_orderpriority,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+           AS prio_avg
+  FROM orders GROUP BY 1
+)
+SELECT o.o_orderkey, o.o_orderpriority AS priority, o.o_totalprice,
+       ROUND(pa.prio_avg, 2) AS prio_avg
+FROM orders o JOIN pa USING (o_orderpriority)
+WHERE o.o_totalprice > pa.prio_avg
+ORDER BY o_orderkey
+"""
+
+
+def q_window_value_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The value-window family (first_value / nth_value / lead /
+    percent_rank / cume_dist) in one pass: per-priority order history
+    ordered by (date, key) with a total-order tiebreak so every
+    function is deterministic cross-engine.
+
+    Scale: one shuffle on the partition key; all five functions share a
+    single sort within the window — Spark evaluates them in one
+    WindowExec over the same frame."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderdate", "o_orderkey")
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        orders.select(
+            F.col("o_orderpriority").alias("priority"),
+            "o_orderkey",
+            "o_orderdate",
+            F.first("o_totalprice").over(w_all).alias("first_price"),
+            F.nth_value("o_totalprice", 3).over(w_all).alias("third_price"),
+            F.lead("o_orderkey", 1).over(w).alias("next_orderkey"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("priority", "o_orderdate", "o_orderkey")
+    )
+
+
+SQL_WINDOW_VALUE_FAMILY = """
+SELECT o_orderpriority AS priority, o_orderkey, o_orderdate,
+       FIRST_VALUE(o_totalprice) OVER w_all AS first_price,
+       NTH_VALUE(o_totalprice, 3) OVER w_all AS third_price,
+       LEAD(o_orderkey, 1) OVER w AS next_orderkey,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume
+FROM orders
+WINDOW
+  w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey),
+  w_all AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY priority, o_orderdate, o_orderkey
+"""

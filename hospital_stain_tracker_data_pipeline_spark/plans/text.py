@@ -547,3 +547,64 @@ WHERE rn <= CASE lang WHEN 'en' THEN 80 WHEN 'zh' THEN 40 WHEN 'es' THEN 40
                       WHEN 'de' THEN 20 WHEN 'fr' THEN 20 ELSE 0 END
 ORDER BY lang, rn
 """
+
+
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 characteristic terms per document: explode tokens →
+    per-doc term counts (tf) → document frequency (df) → idf = ln(N/df)
+    → top-3 per doc by tf·idf with a token tiebreak.
+
+    Scale: two shuffles total — (doc_id, token) counts then token df;
+    the df side is a token-keyed aggregate (vocabulary-sized, tiny) and
+    is broadcast back onto the tf rows, so the corpus-sized side
+    shuffles once. The per-doc top-3 is a bounded window over rows
+    already grouped by doc. ln() applied to the same integer ratio on
+    both engines is bit-identical; the score is rounded to 6 anyway."""
+    docs = load_fixture_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar, driver-side (aggregated result)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df), "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= 3)
+        .orderBy("doc_id", "term_rank")
+    )
+
+
+SQL_TFIDF_TOPTERMS = r"""
+WITH toks AS (
+  SELECT doc_id, t.token
+  FROM documents,
+       UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS t(token)
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), df AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (token) CROSS JOIN n
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS term_rank
+  FROM scored
+)
+SELECT doc_id, token, tf, df, tfidf, term_rank
+FROM ranked WHERE term_rank <= 3
+ORDER BY doc_id, term_rank
+"""

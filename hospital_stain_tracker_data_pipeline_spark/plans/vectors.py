@@ -84,3 +84,47 @@ def q_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_pairs(
         emb, threshold=0.35, nbits=6, tables=8, dim=64
     ).orderBy("id_a", "id_b")
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, computed as a fully distributed
+    array aggregate: posexplode the vector to (label, pos, x) → grouped
+    decimal-exact mean per dimension. Output is the exploded form
+    (label, pos, centroid_val) — stable to hash cross-engine.
+
+    Scale: this is the update step of distributed k-means. The explode
+    multiplies rows by dim, but the partial+final agg collapses them to
+    labels × dim rows before the shuffle — the shuffle payload is the
+    centroid matrix, not the corpus."""
+    emb = load_fixture_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    return (
+        ex.groupBy("label", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("centroid_val")
+        )
+        .orderBy("label", "pos")
+    )
+
+
+SQL_EMBEDDING_CENTROIDS = """
+WITH v AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+), ex AS (
+  SELECT label, u.pos, u.x
+  FROM v,
+       UNNEST([{'pos': i - 1, 'x': ev[i]} FOR i IN range(1, len(ev) + 1)]) AS t(u)
+)
+SELECT label, pos,
+       ROUND(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+         AS centroid_val
+FROM ex GROUP BY label, pos
+ORDER BY label, pos
+"""
