@@ -106,6 +106,7 @@ CATALOG: dict[str, QuerySpec] = {
     "embedding_centroids": QuerySpec(
         V.q_embedding_centroids, V.SQL_EMBEDDING_CENTROIDS
     ),
+    "knn_ivf": QuerySpec(V.q_knn_ivf, None),
     # --- §2.9 streaming ---
     "stream_events_ingest": QuerySpec(S.q_stream_events_ingest, None),
     "stream_windowed_counts": QuerySpec(

@@ -6,7 +6,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.similarity import ann_lsh_pairs, blocked_similar_pairs, knn_brute_force
+from ..operators.similarity import (
+    ann_lsh_pairs,
+    blocked_similar_pairs,
+    knn_brute_force,
+    knn_ivf,
+)
 from ..sources.tables import load_fixture_table
 
 
@@ -128,3 +133,23 @@ SELECT label, pos,
 FROM ex GROUP BY label, pos
 ORDER BY label, pos
 """
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 for the same query as ``knn_cosine``: spherical
+    k-means coarse quantizer (16 cells, 3 Lloyd iterations,
+    deterministic hash-order init) → probe the query's 4 nearest cells
+    → exact cosine inside the probed quarter of the corpus.
+
+    Approximate (recall < 1 by design) → no SQL oracle; the driver
+    records rows-only and ``tests/test_ann_recall.py`` pins recall
+    against the brute-force baseline. Scale: search cost is
+    ~nprobe/n_clusters of brute force; n_clusters grows ~√corpus to
+    keep both the assign gemm and the per-cell scan balanced."""
+    emb = load_fixture_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_ivf(
+        emb, query, k=10, n_clusters=16, nprobe=4, iters=3
+    ).orderBy(F.desc("cosine_sim"), F.asc("vec_id"))

@@ -49,3 +49,38 @@ def test_ann_zero_false_positives_and_reasonable_recall(spark, sf_dir):
     # bits at cosine ~0.3 gives p=1-θ/π≈0.60, 1-(1-p^4)^8 ≈ 0.67 —
     # assert a conservative floor
     assert recall >= 0.3, recall
+
+
+def test_ivf_recall_scales_with_nprobe(spark, sf_dir):
+    """IVF probed search: recall@10 must rise with nprobe, overlap
+    values must be bit-identical to brute force (same cosine
+    expression), and the fit must be deterministic (hash-order init,
+    no RNG) so these are regression numbers, not statistics."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.similarity import (
+        knn_brute_force,
+        knn_ivf,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        r.vec_id: r.cosine_sim
+        for r in knn_brute_force(emb, query, k=10).collect()
+    }
+
+    def recall(nprobe):
+        rows = knn_ivf(
+            emb, query, k=10, n_clusters=16, nprobe=nprobe, iters=3
+        ).collect()
+        assert len(rows) == 10
+        for r in rows:  # overlap values bit-identical to brute force
+            if r.vec_id in exact:
+                assert r.cosine_sim == exact[r.vec_id]
+        return len({r.vec_id for r in rows} & set(exact)) / 10
+
+    r4, r8 = recall(4), recall(8)
+    assert r4 >= 0.4, r4
+    assert r8 >= 0.7, r8
+    assert r8 >= r4
