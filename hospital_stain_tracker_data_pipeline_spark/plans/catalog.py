@@ -66,6 +66,7 @@ CATALOG: dict[str, QuerySpec] = {
     "set_ops": QuerySpec(R.q_set_ops, R.SQL_SET_OPS),
     "priority_rollup": QuerySpec(R.q_priority_rollup, R.SQL_PRIORITY_ROLLUP),
     "cube_agg": QuerySpec(R.q_cube_agg, R.SQL_CUBE_AGG),
+    "grouping_sets": QuerySpec(R.q_grouping_sets, R.SQL_GROUPING_SETS),
     "range_join_binned": QuerySpec(R.q_range_join_binned, R.SQL_RANGE_JOIN_BINNED),
     "running_total": QuerySpec(R.q_running_total, R.SQL_RUNNING_TOTAL),
     # --- §2.8 scalar functions ---

@@ -1363,3 +1363,50 @@ WINDOW
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ORDER BY priority, o_orderdate, o_orderkey
 """
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form behind ROLLUP/CUBE
+    (§2.4 extension): exactly three chosen aggregation grains
+    ((status, priority), (month), ()) in ONE pass over the fact, where
+    separate GROUP BYs would scan it three times.
+
+    Scale: same Expand→partial-agg shape as CUBE, but the expansion
+    factor is len(sets) (here 3), chosen, not 2^k — the cheapest way to
+    serve several dashboard grains from one scan. Grains are labeled
+    via coalesce sentinels (all three key columns verified NULL-free)."""
+    orders = _t(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    return (
+        orders.select("o_orderstatus", "o_orderpriority", month, "o_totalprice")
+        .groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["month"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+            "month",
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dec_sum(F.col("o_totalprice")).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("month", F.lit("ALL")).alias("month"),
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("status", "priority", "month")
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(strftime(o_orderdate, '%Y-%m'), 'ALL') AS month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (strftime(o_orderdate, '%Y-%m')), ())
+ORDER BY status, priority, month
+"""

@@ -179,3 +179,38 @@ def test_running_total_windows_over_rollup(spark, sf_dir):
     agg_pos = plan.find("HashAggregate")
     win_pos = plan.find("Window")
     assert agg_pos != -1 and win_pos != -1
+
+
+def test_scalar_subquery_broadcasts_group_avg(spark, sf_dir):
+    """The decorrelated scalar subquery must broadcast the tiny grouped
+    average back onto the fact — the fact side never shuffles for the
+    join."""
+    plan = plan_of(spark, sf_dir, "scalar_subquery")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_grouping_sets_expands_before_partial_agg(spark, sf_dir):
+    """GROUPING SETS plans as Expand (len(sets) copies) feeding a
+    partial+final HashAggregate, same shape as CUBE but with a chosen
+    expansion factor."""
+    plan = plan_of(spark, sf_dir, "grouping_sets")
+    assert "Expand" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_gap_fill_windows_over_rollup(spark, sf_dir):
+    """Gap fill generates the calendar spine AFTER the daily rollup (the
+    Generate/explode sits above the aggregate in the plan), so spine
+    size is users x days, never event-fact-sized."""
+    plan = plan_of(spark, sf_dir, "gap_fill")
+    assert "Generate" in plan  # explode(sequence(...))
+    assert "Window" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_tfidf_broadcasts_df_side(spark, sf_dir):
+    """TF-IDF joins the vocabulary-sized document-frequency aggregate
+    back to the corpus-sized tf rows via broadcast — the corpus side
+    shuffles only once, for the (doc, token) aggregation."""
+    plan = plan_of(spark, sf_dir, "tfidf_topterms")
+    assert "BroadcastHashJoin" in plan
