@@ -40,8 +40,12 @@ HEADLINE = [
     "semi_anti_join",
     "set_ops",
     "cube_agg",
+    "grouping_sets",
     "range_join_binned",
     "running_total",
+    "gap_fill",
+    "scalar_subquery",
+    "window_value_family",
     "rank_topn_per_group",
     "value_percentiles",
     "skew_salted_agg",
@@ -57,6 +61,7 @@ HEADLINE = [
     "train_test_split",
     "mixture_sample",
     "vocab_topk",
+    "tfidf_topterms",
     "dedup_exact",
     "dedup_simhash",
     "dedup_jaccard_topk",
@@ -65,6 +70,7 @@ HEADLINE = [
     "multimodal_features",
     "knn_cosine",
     "embedding_dup_pairs",
+    "embedding_centroids",
     "ann_lsh_pairs",
 ]
 
