@@ -114,4 +114,5 @@ CATALOG: dict[str, QuerySpec] = {
         S.q_stream_windowed_counts, S.SQL_STREAM_WINDOWED_COUNTS
     ),
     "stream_sessionize": QuerySpec(S.q_stream_sessionize, None),
+    "stream_dedup": QuerySpec(S.q_stream_dedup, S.SQL_STREAM_DEDUP),
 }

@@ -73,3 +73,28 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_sessionize_events(spark, input_dir).orderBy(
         "user_id", "session_id"
     )
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: the fixture is staged TWICE (every
+    event redelivered), ``dropDuplicatesWithinWatermark`` on event_id
+    collapses the redelivery in-stream. Deliveries are byte-identical,
+    so the surviving row is value-deterministic and the result gets a
+    full DuckDB oracle: each event exactly once."""
+    from ..streaming.ingest_stream import stream_dedup_events
+
+    work = tempfile.mkdtemp(prefix="stream_dedup_")
+    input_dir = os.path.join(work, "incoming")
+    os.makedirs(input_dir)
+    for copy in ("a", "b"):
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(input_dir, f"events_{copy}.parquet"),
+        )
+    return stream_dedup_events(spark, input_dir).orderBy("event_id")
+
+
+SQL_STREAM_DEDUP = """
+SELECT event_id, user_id, event_type, value
+FROM events ORDER BY event_id
+"""

@@ -283,3 +283,44 @@ def stream_sessionize_events(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_dedup_events(
+    spark: SparkSession,
+    source_path: str,
+    watermark: str = "30 days",
+) -> DataFrame:
+    """Streaming exactly-once deduplication:
+    ``dropDuplicatesWithinWatermark`` on the event natural key, state
+    bounded by the event-time watermark (beyond the reference surface —
+    its replay safety comes from the sink-side upsert, §2.9
+    op-stream-replay; this dedups IN the stream, before any sink).
+
+    Scale: per-key state lives only until the watermark passes the
+    event's timestamp, so state size is keys-per-watermark-window, not
+    keys-ever-seen — the difference between a bounded and an unbounded
+    state store on an infinite stream. The run here uses availableNow +
+    a generous watermark so a redelivered fixture dedups exactly,
+    making the result oracle-comparable (each event once, first
+    delivery wins; deliveries are byte-identical so 'first' is
+    value-deterministic)."""
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    deduped = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .parquet(source_path)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    name = f"dedup_events_{uuid.uuid4().hex[:8]}"
+    query = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name).select("event_id", "user_id", "event_type", "value")

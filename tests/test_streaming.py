@@ -124,3 +124,24 @@ def test_stream_sessionize_matches_batch(spark, staged, sf_dir):
         for r in batch.collect()
     }
     assert s == b
+
+
+def test_stream_dedup_collapses_redelivery(spark, sf_dir):
+    """dropDuplicatesWithinWatermark must collapse a full redelivery of
+    the fixture (staged twice) back to exactly the distinct event set."""
+    from hospital_stain_tracker_data_pipeline_spark.streaming.ingest_stream import (
+        stream_dedup_events,
+    )
+
+    work = tempfile.mkdtemp(prefix="test_stream_dedup_")
+    input_dir = os.path.join(work, "incoming")
+    os.makedirs(input_dir)
+    for copy in ("a", "b"):
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(input_dir, f"events_{copy}.parquet"),
+        )
+    out = stream_dedup_events(spark, input_dir)
+    n_src = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+    assert out.count() == n_src
+    assert out.select("event_id").distinct().count() == n_src
