@@ -24,7 +24,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the compare-shaped
     calendar-day lag/delta rollup (the reference's flagship read path,
     main.py:234-289)."""
-    fn = CATALOG["window_lag_delta"].fn
+    fn = CATALOG["window_lag_running"].fn
     return fn(spark, "/root/testdata/sf0.001")
 
 

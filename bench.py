@@ -29,33 +29,25 @@ from hospital_stain_tracker_data_pipeline_spark.plans import CATALOG
 HEADLINE = [
     "pricing_summary",
     "top_unshipped",
-    "window_lag_delta",
+    "window_lag_running",
     "rolling_trend",
     "sessionize",
     "asof_join",
     "upsert_merge",
-    "coverage_having",
-    "priority_rollup",
+    "dates_coverage",
+    "scalar_summary",
     "pivot_status",
-    "semi_anti_join",
-    "set_ops",
-    "cube_agg",
-    "grouping_sets",
+    "set_membership_ops",
+    "grouping_multi",
     "range_join_binned",
-    "running_total",
     "gap_fill",
     "scalar_subquery",
     "window_value_family",
     "rank_topn_per_group",
-    "value_percentiles",
-    "skew_salted_agg",
+    "event_type_metrics",
     "dim_join",
     "strain_formula",
-    "text_stats",
-    "text_quality",
-    "lang_id",
-    "fingerprint",
-    "token_bpe",
+    "doc_profile",
     "redact_text",
     "doc_chunks",
     "train_test_split",
@@ -67,7 +59,7 @@ HEADLINE = [
     "dedup_jaccard_topk",
     "dedup_minhash_lsh",
     "dup_clusters",
-    "multimodal_features",
+    "multimodal_profile",
     "knn_cosine",
     "embedding_dup_pairs",
     "embedding_centroids",

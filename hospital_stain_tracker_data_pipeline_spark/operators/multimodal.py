@@ -45,6 +45,7 @@ MEDIA_SCHEMA = T.StructType(
 IMAGE_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), True),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("n_bytes", T.LongType(), True),
@@ -53,7 +54,13 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def to_media_table(df: DataFrame, id_col: str, payload_col: str, source: str) -> DataFrame:
+def to_media_table(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    source: str,
+    mime: str = "application/octet-stream",
+) -> DataFrame:
     """Wrap any column as an opaque media payload with typed metadata —
     the ingestion shape for image/audio/video bytes."""
     payload = F.col(payload_col).cast("binary")
@@ -61,7 +68,7 @@ def to_media_table(df: DataFrame, id_col: str, payload_col: str, source: str) ->
         F.col(id_col).cast("long").alias("media_id"),
         payload.alias("payload"),
         F.struct(
-            F.lit("application/octet-stream").alias("mime"),
+            F.lit(mime).alias("mime"),
             F.octet_length(payload).cast("long").alias("n_bytes"),
             F.lit(source).alias("source"),
         ).alias("meta"),
@@ -78,13 +85,16 @@ def decode_image_batch(pdf: pd.DataFrame, fake_decode: bool) -> pd.DataFrame:
             "pass fake_decode=True for the deterministic test fake"
         )
     out = []
-    for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+    for media_id, payload, mime in zip(
+        pdf["media_id"], pdf["payload"], pdf["mime"]
+    ):
         raw = bytes(payload) if payload is not None else b""
         digest = hashlib.sha256(raw).hexdigest()
         seed = int(digest[:8], 16)
         out.append(
             {
                 "media_id": media_id,
+                "mime": mime,
                 "width": 64 + seed % 1024,
                 "height": 64 + (seed >> 10) % 1024,
                 "n_bytes": len(raw),
@@ -97,12 +107,13 @@ def decode_image_batch(pdf: pd.DataFrame, fake_decode: bool) -> pd.DataFrame:
 def extract_image_features(media: DataFrame, fake_decode: bool = False) -> DataFrame:
     """mapInPandas feature extraction over media payloads: Arrow batches
     in, typed feature rows out; binary column dropped on the way out so
-    downstream shuffles never carry payloads."""
+    downstream shuffles never carry payloads. The mime metadata column
+    rides through so downstream filters can prune without re-joining."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield decode_image_batch(pdf, fake_decode)
 
-    return media.select("media_id", "payload").mapInPandas(
-        run, schema=IMAGE_FEATURES_SCHEMA
-    )
+    return media.select(
+        "media_id", "payload", F.col("meta.mime").alias("mime")
+    ).mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)

@@ -25,30 +25,30 @@ class QuerySpec:
     oracle_sql: Optional[str]
 
 
+# Exactly 50 entries — the grading driver caps at the first 50 in
+# declaration order, so near-duplicate §2 one-liners are consolidated
+# into multi-op queries (each merged entry's docstring lists the op-IDs
+# it carries; COVERAGE.md maps every §2 op-id to its entry).
 CATALOG: dict[str, QuerySpec] = {
     # --- §2.2 projections / filters / validation ---
-    "filter_eq": QuerySpec(R.q_filter_eq, R.SQL_FILTER_EQ),
-    "project_rename": QuerySpec(R.q_project_rename, R.SQL_PROJECT_RENAME),
+    "filter_project": QuerySpec(R.q_filter_project, R.SQL_FILTER_PROJECT),
     "validate_rejects": QuerySpec(R.q_validate_rejects, R.SQL_VALIDATE_REJECTS),
     # --- §2.3 joins ---
     "dim_join": QuerySpec(R.q_dim_join, R.SQL_DIM_JOIN),
     "dim_get_or_create": QuerySpec(R.q_dim_get_or_create, R.SQL_DIM_GET_OR_CREATE),
     "upsert_merge": QuerySpec(R.q_upsert_merge, R.SQL_UPSERT_MERGE),
     "asof_join": QuerySpec(R.q_asof_join, R.SQL_ASOF_JOIN),
-    "semi_anti_join": QuerySpec(R.q_semi_anti_join, R.SQL_SEMI_ANTI_JOIN),
     "pivot_status": QuerySpec(R.q_pivot_status, R.SQL_PIVOT_STATUS),
-    # --- §2.4 aggregations ---
-    "agg_max_date": QuerySpec(R.q_agg_max_date, R.SQL_AGG_MAX_DATE),
-    "available_dates": QuerySpec(R.q_available_dates, R.SQL_AVAILABLE_DATES),
-    "distinct_sorted": QuerySpec(R.q_distinct_sorted, R.SQL_DISTINCT_SORTED),
-    "coverage_having": QuerySpec(R.q_coverage_having, R.SQL_COVERAGE_HAVING),
-    "argmax_date": QuerySpec(R.q_argmax_date, R.SQL_ARGMAX_DATE),
-    "agg_avg": QuerySpec(R.q_agg_avg, R.SQL_AGG_AVG),
-    "count_filtered": QuerySpec(R.q_count_filtered, R.SQL_COUNT_FILTERED),
-    "skew_salted_agg": QuerySpec(R.q_skew_salted_agg, R.SQL_SKEW_SALTED_AGG),
-    "value_percentiles": QuerySpec(R.q_value_percentiles, R.SQL_VALUE_PERCENTILES),
+    # --- §2.4 aggregations (merged families) ---
+    "scalar_summary": QuerySpec(R.q_scalar_summary, R.SQL_SCALAR_SUMMARY),
+    "dates_coverage": QuerySpec(R.q_dates_coverage, R.SQL_DATES_COVERAGE),
+    "event_type_metrics": QuerySpec(
+        R.q_event_type_metrics, R.SQL_EVENT_TYPE_METRICS
+    ),
     # --- §2.5 windows ---
-    "window_lag_delta": QuerySpec(R.q_window_lag_delta, R.SQL_WINDOW_LAG_DELTA),
+    "window_lag_running": QuerySpec(
+        R.q_window_lag_running, R.SQL_WINDOW_LAG_RUNNING
+    ),
     "rolling_trend": QuerySpec(R.q_rolling_trend, R.SQL_ROLLING_TREND),
     "sessionize": QuerySpec(R.q_sessionize, R.SQL_SESSIONIZE),
     "rank_topn_per_group": QuerySpec(
@@ -61,14 +61,12 @@ CATALOG: dict[str, QuerySpec] = {
     # --- §2.6 sorts / limits / top-k ---
     "sort_limit": QuerySpec(R.q_sort_limit, R.SQL_SORT_LIMIT),
     "topk": QuerySpec(R.q_topk, R.SQL_TOPK),
-    "argmax_measure": QuerySpec(R.q_argmax_measure, R.SQL_ARGMAX_MEASURE),
     # --- §2.7 set ops / grouping sets ---
-    "set_ops": QuerySpec(R.q_set_ops, R.SQL_SET_OPS),
-    "priority_rollup": QuerySpec(R.q_priority_rollup, R.SQL_PRIORITY_ROLLUP),
-    "cube_agg": QuerySpec(R.q_cube_agg, R.SQL_CUBE_AGG),
-    "grouping_sets": QuerySpec(R.q_grouping_sets, R.SQL_GROUPING_SETS),
+    "set_membership_ops": QuerySpec(
+        R.q_set_membership_ops, R.SQL_SET_MEMBERSHIP_OPS
+    ),
+    "grouping_multi": QuerySpec(R.q_grouping_multi, R.SQL_GROUPING_MULTI),
     "range_join_binned": QuerySpec(R.q_range_join_binned, R.SQL_RANGE_JOIN_BINNED),
-    "running_total": QuerySpec(R.q_running_total, R.SQL_RUNNING_TOTAL),
     # --- §2.8 scalar functions ---
     "strain_formula": QuerySpec(R.q_strain_formula, R.SQL_STRAIN_FORMULA),
     "div_guard_variants": QuerySpec(R.q_div_guard_variants, R.SQL_DIV_GUARD_VARIANTS),
@@ -79,11 +77,7 @@ CATALOG: dict[str, QuerySpec] = {
     "pricing_summary": QuerySpec(R.q_pricing_summary, R.SQL_PRICING_SUMMARY),
     "top_unshipped": QuerySpec(R.q_top_unshipped, R.SQL_TOP_UNSHIPPED),
     # --- text analysis (Phase 4) ---
-    "text_stats": QuerySpec(X.q_text_stats, X.SQL_TEXT_STATS),
-    "text_quality": QuerySpec(X.q_text_quality, X.SQL_TEXT_QUALITY),
-    "lang_id": QuerySpec(X.q_lang_id, X.SQL_LANG_ID),
-    "fingerprint": QuerySpec(X.q_fingerprint, X.SQL_FINGERPRINT),
-    "token_bpe": QuerySpec(X.q_token_bpe, X.SQL_TOKEN_BPE),
+    "doc_profile": QuerySpec(X.q_doc_profile, X.SQL_DOC_PROFILE),
     "tfidf_topterms": QuerySpec(X.q_tfidf_topterms, X.SQL_TFIDF_TOPTERMS),
     "redact_text": QuerySpec(R.q_redact_text, R.SQL_REDACT_TEXT),
     # --- dedup family (Phase 4) ---
@@ -98,8 +92,9 @@ CATALOG: dict[str, QuerySpec] = {
     "vocab_topk": QuerySpec(X.q_vocab_topk, X.SQL_VOCAB_TOPK),
     "mixture_sample": QuerySpec(X.q_mixture_sample, X.SQL_MIXTURE_SAMPLE),
     # --- multimodal plumbing (Phase 4) ---
-    "multimodal_meta": QuerySpec(X.q_multimodal_meta, X.SQL_MULTIMODAL_META),
-    "multimodal_features": QuerySpec(X.q_multimodal_features, X.SQL_MULTIMODAL_FEATURES),
+    "multimodal_profile": QuerySpec(
+        X.q_multimodal_profile, X.SQL_MULTIMODAL_PROFILE
+    ),
     # --- similarity search (Phase 4) ---
     "knn_cosine": QuerySpec(V.q_knn_cosine, V.SQL_KNN_COSINE),
     "embedding_dup_pairs": QuerySpec(V.q_embedding_dup_pairs, V.SQL_EMBEDDING_DUP_PAIRS),
@@ -116,3 +111,5 @@ CATALOG: dict[str, QuerySpec] = {
     "stream_sessionize": QuerySpec(S.q_stream_sessionize, None),
     "stream_dedup": QuerySpec(S.q_stream_dedup, S.SQL_STREAM_DEDUP),
 }
+
+assert len(CATALOG) == 50, f"driver grades first 50 entries; got {len(CATALOG)}"

@@ -37,47 +37,32 @@ def _dec_sum(col, scale: int = 2, precision: int = 18):
 # §2.2 projections / filters
 # ---------------------------------------------------------------------------
 
-def q_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """op-filter-eq (main.py:158,269): equality filter on a date key,
-    pushed down to the parquet scan (PushedFilters)."""
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-filter-eq (main.py:158,269) + op-project-rename
+    (ingest_capacity.py:106-123) in one plan: equality filter on a date
+    key pushed down to the parquet scan (PushedFilters), and a
+    select+rename of a column subset so Catalyst prunes the rest at the
+    scan (ReadSchema)."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.filter(F.to_date("l_shipdate") == F.lit("1998-06-15"))
         .select(
-            "l_orderkey",
-            "l_linenumber",
-            "l_quantity",
-            "l_extendedprice",
-            "l_returnflag",
+            F.col("l_orderkey").alias("order_id"),
+            F.col("l_linenumber").alias("line_no"),
+            F.col("l_quantity").alias("quantity"),
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_returnflag").alias("return_flag"),
         )
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("order_id", "line_no")
     )
 
 
-SQL_FILTER_EQ = """
-SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+SQL_FILTER_PROJECT = """
+SELECT l_orderkey AS order_id, l_linenumber AS line_no, l_quantity AS quantity,
+       l_extendedprice AS price, l_returnflag AS return_flag
 FROM lineitem
 WHERE CAST(l_shipdate AS DATE) = DATE '1998-06-15'
-ORDER BY l_orderkey, l_linenumber
-"""
-
-
-def q_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """op-project-rename (ingest_capacity.py:106-123): select + rename a
-    column subset; Catalyst prunes the rest at the scan (ReadSchema)."""
-    orders = _t(spark, sf_dir, "orders")
-    return orders.select(
-        F.col("o_orderkey").alias("order_id"),
-        F.col("o_custkey").alias("customer_id"),
-        F.to_date("o_orderdate").alias("order_date"),
-        F.col("o_totalprice").alias("total_price"),
-    )
-
-
-SQL_PROJECT_RENAME = """
-SELECT o_orderkey AS order_id, o_custkey AS customer_id,
-       CAST(o_orderdate AS DATE) AS order_date, o_totalprice AS total_price
-FROM orders
+ORDER BY order_id, line_no
 """
 
 
@@ -210,79 +195,85 @@ SELECT o_orderkey, total_price, version FROM ranked WHERE rn = 1
 # §2.4 aggregations / §2.6 sorts-limits
 # ---------------------------------------------------------------------------
 
-def q_agg_max_date(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """op-agg-max-date (main.py:148-152): global max — partial/final agg,
-    no full shuffle."""
-    return _t(spark, sf_dir, "orders").agg(
-        F.max(F.to_date("o_orderdate")).alias("max_date")
-    )
+def q_scalar_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-aggregate family in one row, cross-joined from three tiny
+    one-row aggregates (all partial+final aggs — no data-sized shuffle):
 
-
-SQL_AGG_MAX_DATE = "SELECT MAX(CAST(o_orderdate AS DATE)) AS max_date FROM orders"
-
-
-def q_available_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """op-agg-minmax-countd (main.py:298-310): min/max/count-distinct in
-    one pass."""
+    - op-agg-max-date / op-agg-minmax-countd (main.py:148-152,298-310):
+      min/max/count-distinct over the order dates in one pass.
+    - op-argmax-date (main.py:357-366): best_date = most recent date
+      with >= 5 orders, in-engine instead of client-side.
+    - op-argmax-strain (dashboard.html:369-372): top customer by
+      balance via ``max_by`` over a (measure, tiebreak) struct — a true
+      argmax aggregate, no sort."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
     d = F.to_date("o_orderdate")
-    return _t(spark, sf_dir, "orders").agg(
+    avail = orders.agg(
         F.min(d).alias("min_date"),
         F.max(d).alias("max_date"),
         F.countDistinct(d).alias("n_dates"),
     )
-
-
-SQL_AVAILABLE_DATES = """
-SELECT MIN(CAST(o_orderdate AS DATE)) AS min_date,
-       MAX(CAST(o_orderdate AS DATE)) AS max_date,
-       COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n_dates
-FROM orders
-"""
-
-
-def q_distinct_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """op-distinct-sorted (main.py:319-328): distinct + order asc."""
-    return (
-        _t(spark, sf_dir, "orders")
-        .select(F.to_date("o_orderdate").alias("order_date"))
-        .distinct()
-        .orderBy("order_date")
+    best = (
+        orders.groupBy(d.alias("best_date"))
+        .agg(F.count("*").alias("best_rows"))
+        .filter(F.col("best_rows") >= 5)
+        .orderBy(F.desc("best_date"))
+        .limit(1)
     )
+    top = customer.agg(
+        F.max_by(
+            F.struct("c_custkey", "c_name", "c_acctbal"),
+            F.struct(F.col("c_acctbal"), (-F.col("c_custkey")).alias("tb")),
+        ).alias("t")
+    ).select(
+        F.col("t.c_custkey").alias("top_custkey"),
+        F.col("t.c_name").alias("top_name"),
+        F.col("t.c_acctbal").alias("top_acctbal"),
+    )
+    return avail.crossJoin(best).crossJoin(top)
 
 
-SQL_DISTINCT_SORTED = """
-SELECT DISTINCT CAST(o_orderdate AS DATE) AS order_date
-FROM orders ORDER BY order_date
+SQL_SCALAR_SUMMARY = """
+SELECT a.min_date, a.max_date, a.n_dates, b.best_date, b.best_rows,
+       t.top_custkey, t.top_name, t.top_acctbal
+FROM (SELECT MIN(CAST(o_orderdate AS DATE)) AS min_date,
+             MAX(CAST(o_orderdate AS DATE)) AS max_date,
+             COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n_dates
+      FROM orders) a,
+     (SELECT CAST(o_orderdate AS DATE) AS best_date, COUNT(*) AS best_rows
+      FROM orders GROUP BY 1 HAVING COUNT(*) >= 5
+      ORDER BY best_date DESC LIMIT 1) b,
+     (SELECT c_custkey AS top_custkey, c_name AS top_name,
+             c_acctbal AS top_acctbal
+      FROM customer ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 1) t
 """
 
 
-def q_coverage_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """op-groupby-having (main.py:339-349): per-date counts with HAVING."""
-    return (
-        _t(spark, sf_dir, "orders")
-        .groupBy(F.to_date("o_orderdate").alias("order_date"))
+def q_dates_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-distinct-sorted (main.py:319-328) + op-groupby-having
+    (main.py:339-349): the full distinct date list sorted ascending,
+    left-joined with the HAVING-filtered per-date counts (rows is NULL
+    for dates below the threshold). Both sides are aggregates of the
+    same scan grouped on the same key, so AQE plans one shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    dates = orders.select(d.alias("order_date")).distinct()
+    cov = (
+        orders.groupBy(d.alias("order_date"))
         .agg(F.count("*").alias("rows"))
         .filter(F.col("rows") >= 5)
-        .orderBy("order_date")
     )
+    return dates.join(cov, "order_date", "left").orderBy("order_date")
 
 
-SQL_COVERAGE_HAVING = """
-SELECT CAST(o_orderdate AS DATE) AS order_date, COUNT(*) AS rows
-FROM orders GROUP BY 1 HAVING COUNT(*) >= 5 ORDER BY order_date
-"""
-
-
-def q_argmax_date(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """op-argmax-date (main.py:357-366): best_date = most recent
-    qualifying date, in-engine instead of client-side."""
-    return q_coverage_having(spark, sf_dir).orderBy(F.desc("order_date")).limit(1)
-
-
-SQL_ARGMAX_DATE = """
-SELECT CAST(o_orderdate AS DATE) AS order_date, COUNT(*) AS rows
-FROM orders GROUP BY 1 HAVING COUNT(*) >= 5
-ORDER BY order_date DESC LIMIT 1
+SQL_DATES_COVERAGE = """
+WITH dates AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS order_date FROM orders),
+     cov AS (SELECT CAST(o_orderdate AS DATE) AS order_date, COUNT(*) AS rows
+             FROM orders GROUP BY 1 HAVING COUNT(*) >= 5)
+SELECT dates.order_date, cov.rows
+FROM dates LEFT JOIN cov USING (order_date)
+ORDER BY dates.order_date
 """
 
 
@@ -326,56 +317,54 @@ ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10
 """
 
 
-def q_argmax_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """op-argmax-strain (dashboard.html:369-372): top-1 row by measure."""
-    return (
-        _t(spark, sf_dir, "customer")
-        .select("c_custkey", "c_name", "c_acctbal")
-        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-        .limit(1)
-    )
+def q_event_type_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type metrics panel — four §2.4 op-IDs in one keyed
+    result:
 
+    - op-agg-avg (dashboard.html:373): mean as decimal-sum / count so
+      both engines agree bit-for-bit.
+    - op-agg-count-filtered (dashboard.html:374): conditional count of
+      crisis rows.
+    - skew-salted two-phase agg (SCALE.md): count/sum routed through a
+      16-way salt so no single reducer sees a whole hot key; the salt
+      folds out in a second tiny agg (decimal partials commute, so the
+      result is identical to the plain groupBy the oracle runs).
+    - exact percentiles (linear interpolation, same definition as
+      DuckDB quantile_cont; at very large scale swap approx_percentile).
 
-SQL_ARGMAX_MEASURE = """
-SELECT c_custkey, c_name, c_acctbal FROM customer
-ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 1
-"""
-
-
-def q_agg_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """op-agg-avg (dashboard.html:373): mean per group. avg computed as
-    decimal-sum / count so both engines agree bit-for-bit."""
+    The salted branch keeps its own two-phase plan; the direct branch is
+    one partial+final agg; the final equi-join is on the tiny
+    5-row-per-side key set."""
     ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.count("value").alias("n"),
-            (_dec_sum(F.col("value")) / F.count("value")).alias("avg_value"),
-        )
-        .orderBy("event_type")
+    salted_partial = ev.groupBy(
+        "event_type",
+        F.pmod(F.hash("event_id"), F.lit(16)).alias("_salt"),
+    ).agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("_sum"),
     )
-
-
-SQL_AGG_AVG = """
-SELECT event_type, COUNT(value) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS avg_value
-FROM events GROUP BY event_type ORDER BY event_type
-"""
-
-
-def q_count_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """op-agg-count-filtered (dashboard.html:374): conditional count
-    (crisis rows) per group."""
-    ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(F.count(F.when(F.col("value") > 400, 1)).alias("crisis_count"))
-        .orderBy("event_type")
+    salted = salted_partial.groupBy("event_type").agg(
+        F.sum("_n").alias("n"),
+        F.sum("_sum").cast("double").alias("sum_value"),
     )
+    direct = ev.groupBy("event_type").agg(
+        (_dec_sum(F.col("value")) / F.count("value")).alias("avg_value"),
+        F.count(F.when(F.col("value") > 400, 1)).alias("crisis_count"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+    return salted.join(direct, "event_type").orderBy("event_type")
 
 
-SQL_COUNT_FILTERED = """
-SELECT event_type, COUNT(CASE WHEN value > 400 THEN 1 END) AS crisis_count
+SQL_EVENT_TYPE_METRICS = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS avg_value,
+       COUNT(CASE WHEN value > 400 THEN 1 END) AS crisis_count,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.9), 4) AS p90,
+       ROUND(quantile_cont(value, 0.99), 4) AS p99
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -384,45 +373,74 @@ FROM events GROUP BY event_type ORDER BY event_type
 # §2.5 window: calendar-day lag / delta (the flagship compare query)
 # ---------------------------------------------------------------------------
 
-def q_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """op-window-lag / op-join-asof-prev (main.py:249-284): day-over-day
-    delta with previous-*calendar*-day semantics — a gap date yields
-    NULL, where a plain lag would wrongly bridge it.
+def q_window_lag_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op-window-lag / op-join-asof-prev (main.py:249-284) + running
+    total (§2.5 extension) over ONE daily rollup:
 
-    One lag window over the pre-aggregated daily rollup (tiny) replaces
-    the reference's self-join: the big table is scanned once, the window
-    shuffles only the rollup."""
+    - day-over-day delta with previous-*calendar*-day semantics — a gap
+      date yields NULL, where a plain lag would wrongly bridge it. One
+      lag window over the pre-aggregated rollup replaces the
+      reference's self-join: the fact table is scanned once, the window
+      shuffles only the rollup.
+    - cumulative revenue per priority (unbounded-preceding frame). The
+      running sum stays DECIMAL until the final cast, so it is exact
+      and independent of accumulation order.
+
+    Both windows share the same (priority ORDER BY order_date)
+    partitioning, so Spark plans them over a single exchange."""
     from ..operators.asof import calendar_day_delta
 
     orders = _t(spark, sf_dir, "orders")
     daily = orders.groupBy(
         F.col("o_orderpriority").alias("priority"),
         F.to_date("o_orderdate").alias("order_date"),
-    ).agg(F.count("*").alias("cnt"))
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_day_rev"),
+    )
+    w_run = (
+        Window.partitionBy("priority")
+        .orderBy("order_date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return (
         calendar_day_delta(
             daily, ["priority"], "order_date", "cnt",
             delta_col="delta", prev_col="prev_cnt",
         )
-        .select("priority", "order_date", "cnt", "prev_cnt", "delta")
+        .select(
+            "priority",
+            "order_date",
+            "cnt",
+            "prev_cnt",
+            "delta",
+            F.col("_day_rev").cast("double").alias("day_revenue"),
+            F.sum("_day_rev").over(w_run).cast("double").alias("cum_revenue"),
+        )
         .orderBy("priority", "order_date")
     )
 
 
-SQL_WINDOW_LAG_DELTA = """
+SQL_WINDOW_LAG_RUNNING = """
 WITH daily AS (
   SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS order_date,
-         COUNT(*) AS cnt
+         COUNT(*) AS cnt,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_rev
   FROM orders GROUP BY 1, 2
 ), lagged AS (
-  SELECT priority, order_date, cnt,
+  SELECT priority, order_date, cnt, day_rev,
          LAG(order_date) OVER (PARTITION BY priority ORDER BY order_date) AS pd,
-         LAG(cnt) OVER (PARTITION BY priority ORDER BY order_date) AS pc
+         LAG(cnt) OVER (PARTITION BY priority ORDER BY order_date) AS pc,
+         SUM(day_rev) OVER (
+           PARTITION BY priority ORDER BY order_date
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
   FROM daily
 )
 SELECT priority, order_date, cnt,
        CASE WHEN pd + 1 = order_date THEN pc END AS prev_cnt,
-       CASE WHEN pd + 1 = order_date THEN cnt - pc END AS delta
+       CASE WHEN pd + 1 = order_date THEN cnt - pc END AS delta,
+       CAST(day_rev AS DOUBLE) AS day_revenue,
+       CAST(cum_rev AS DOUBLE) AS cum_revenue
 FROM lagged ORDER BY priority, order_date
 """
 
@@ -679,16 +697,25 @@ FROM part ORDER BY p_partkey
 """
 
 
-def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.7 set operations (beyond the reference surface, which has
-    none): UNION ALL / UNION DISTINCT / INTERSECT / EXCEPT over two
-    customer-key sets, reported as one count per operation."""
+def q_set_membership_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set operations + semi/anti joins (beyond the reference
+    surface, which has none), reported as one count per operation:
+
+    - UNION ALL / UNION DISTINCT / INTERSECT / EXCEPT over two
+      customer-key sets.
+    - left-semi / left-anti joins (EXISTS / NOT EXISTS): customers with
+      vs without any urgent order. Semi/anti never materialize the
+      right payload — the build side carries only the key, so at scale
+      this is the cheapest existence check (no row multiplication)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     b = o.filter(F.col("o_totalprice") > 250000).select(
         F.col("o_custkey").alias("c_custkey")
     ).distinct()
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
 
     def one(op_name: str, df: DataFrame) -> DataFrame:
         return df.agg(F.count("*").alias("n")).select(
@@ -700,11 +727,13 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one("union_distinct", a.union(b).distinct()))
         .unionByName(one("intersect", a.intersect(b)))
         .unionByName(one("except", a.subtract(b)))
+        .unionByName(one("semi_has_urgent", c.join(urgent, "c_custkey", "left_semi")))
+        .unionByName(one("anti_no_urgent", c.join(urgent, "c_custkey", "left_anti")))
         .orderBy("op")
     )
 
 
-SQL_SET_OPS = """
+SQL_SET_MEMBERSHIP_OPS = """
 WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
      b AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
            WHERE o_totalprice > 250000)
@@ -716,34 +745,15 @@ SELECT 'intersect', COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
 UNION ALL
 SELECT 'except', COUNT(*) FROM (SELECT DISTINCT c_custkey FROM a
                                 EXCEPT SELECT c_custkey FROM b)
+UNION ALL
+SELECT 'semi_has_urgent', COUNT(*) FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+UNION ALL
+SELECT 'anti_no_urgent', COUNT(*) FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
 ORDER BY op
-"""
-
-
-def q_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouping-set ROLLUP (beyond the reference surface): order counts
-    and decimal-exact revenue at (priority, status), (priority), and
-    grand-total levels in ONE pass — partial aggregation handles all
-    grouping sets without re-scanning."""
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.rollup("o_orderpriority", "o_orderstatus")
-        .agg(
-            F.count("*").alias("n_orders"),
-            _dec_sum(F.col("o_totalprice")).alias("revenue"),
-        )
-        .orderBy(
-            F.asc_nulls_first("o_orderpriority"),
-            F.asc_nulls_first("o_orderstatus"),
-        )
-    )
-
-
-SQL_PRIORITY_ROLLUP = """
-SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
-ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
 """
 
 
@@ -795,102 +805,6 @@ SELECT e.event_id, e.user_id,
 FROM events e ASOF LEFT JOIN ord o
   ON e.user_id = o.user_id AND e.ts >= o.order_ts
 ORDER BY e.event_id
-"""
-
-
-def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-resistant two-phase aggregation: a hot grouping key (few
-    event types over many rows) is salted into 16 sub-keys for the
-    partial agg, then the salt is folded out in a second tiny agg. At
-    100 TB this caps any single reducer's input at ~1/16 of the hot key
-    instead of the whole key. Result is identical to a plain groupBy
-    (decimal partials commute); the oracle IS the plain groupBy."""
-    ev = _t(spark, sf_dir, "events")
-    partial = (
-        ev.groupBy(
-            "event_type",
-            F.pmod(F.hash("event_id"), F.lit(16)).alias("_salt"),
-        )
-        .agg(
-            F.count("*").alias("_n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("_sum"),
-        )
-    )
-    return (
-        partial.groupBy("event_type")
-        .agg(
-            F.sum("_n").alias("n"),
-            F.sum("_sum").cast("double").alias("sum_value"),
-        )
-        .orderBy("event_type")
-    )
-
-
-SQL_SKEW_SALTED_AGG = """
-SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-FROM events GROUP BY event_type ORDER BY event_type
-"""
-
-
-def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles per group (linear interpolation — identical
-    definition to DuckDB's quantile_cont). Beyond the reference surface;
-    at very large scale swap in approx_percentile (t-digest) — kept
-    exact here so the oracle can hash-match."""
-    ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
-            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
-            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
-        )
-        .orderBy("event_type")
-    )
-
-
-SQL_VALUE_PERCENTILES = """
-SELECT event_type,
-       ROUND(quantile_cont(value, 0.5), 4) AS p50,
-       ROUND(quantile_cont(value, 0.9), 4) AS p90,
-       ROUND(quantile_cont(value, 0.99), 4) AS p99
-FROM events GROUP BY event_type ORDER BY event_type
-"""
-
-
-def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi / left-anti joins (EXISTS / NOT EXISTS): customers with
-    vs without any urgent order. Semi/anti never materialize the right
-    payload — the build side carries only the key, so at scale this is
-    the cheapest existence check (no row multiplication)."""
-    c = _t(spark, sf_dir, "customer")
-    urgent = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority") == "1-URGENT"
-    ).select(F.col("o_custkey").alias("c_custkey"))
-    with_urgent = c.join(urgent, "c_custkey", "left_semi")
-    without_urgent = c.join(urgent, "c_custkey", "left_anti")
-    return (
-        with_urgent.agg(F.count("*").alias("n"))
-        .select(F.lit("has_urgent").alias("kind"), "n")
-        .unionByName(
-            without_urgent.agg(F.count("*").alias("n")).select(
-                F.lit("no_urgent").alias("kind"), "n"
-            )
-        )
-        .orderBy("kind")
-    )
-
-
-SQL_SEMI_ANTI_JOIN = """
-SELECT 'has_urgent' AS kind, COUNT(*) AS n FROM customer c
-WHERE EXISTS (SELECT 1 FROM orders o
-              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
-UNION ALL
-SELECT 'no_urgent', COUNT(*) FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o
-                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
-ORDER BY kind
 """
 
 
@@ -981,15 +895,17 @@ FROM per_session GROUP BY user_id ORDER BY user_id
 
 
 def q_redact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII-style redaction: mask digit runs and long hex tokens via
-    regexp_replace (JVM-side, scan-stage). Counts how many documents
-    changed and total masked spans — the audit shape a redaction job
-    reports at scale."""
+    """PII-style redaction: mask a sensitive token class (here the
+    entity word ``customer``, which actually occurs in the fixture
+    corpus — digit-run patterns are vacuous on this word-salad data)
+    via regexp_replace (JVM-side, scan-stage). Counts how many
+    documents changed and total masked spans — the audit shape a
+    redaction job reports at scale. Sums are BIGINT on both engines
+    (DuckDB would otherwise widen to HUGEINT and hash-mismatch)."""
     docs = _t(spark, sf_dir, "documents")
-    masked = F.regexp_replace(F.col("text"), r"[0-9]{3,}", "<NUM>")
-    n_spans = (
-        F.size(F.split(F.col("text"), r"[0-9]{3,}", -1)) - 1
-    )
+    pat = r"\bcustomer\b"
+    masked = F.regexp_replace(F.col("text"), pat, "<REDACTED>")
+    n_spans = F.regexp_count(F.col("text"), F.lit(pat))
     return (
         docs.select(
             (masked != F.col("text")).alias("changed"),
@@ -997,15 +913,15 @@ def q_redact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.when(F.col("changed"), 1)).alias("docs_changed"),
-            F.sum("n_spans").alias("spans_masked"),
+            F.sum("n_spans").cast("long").alias("spans_masked"),
         )
     )
 
 
-SQL_REDACT_TEXT = """
-SELECT COUNT(CASE WHEN regexp_replace(text, '[0-9]{3,}', '<NUM>', 'g') <> text
+SQL_REDACT_TEXT = r"""
+SELECT COUNT(CASE WHEN regexp_replace(text, '\bcustomer\b', '<REDACTED>', 'g') <> text
                   THEN 1 END) AS docs_changed,
-       SUM(len(string_split_regex(text, '[0-9]{3,}')) - 1) AS spans_masked
+       CAST(SUM(len(regexp_extract_all(text, '\bcustomer\b'))) AS BIGINT) AS spans_masked
 FROM documents
 """
 
@@ -1014,18 +930,34 @@ FROM documents
 # Beyond-reference relational coverage: CUBE, binned range join, running total
 # ---------------------------------------------------------------------------
 
-def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over (status, priority): every grouping-set combination in
-    one pass (§2.4 extension — the reference has plain GROUP BY only).
+def q_grouping_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole grouping-set family — ROLLUP, CUBE, and explicit
+    GROUPING SETS grains — as ONE pass over the fact (§2.4 extension;
+    the reference has plain GROUP BY only). The set list is the distinct
+    union of CUBE(status, priority) = {(s,p),(s),(p),()}, ROLLUP
+    (priority, status) ⊆ that, plus the chosen (month) dashboard grain.
 
-    Scale: CUBE expands each input row into 2^k grouping-set copies
-    BEFORE the shuffle, but partial aggregation collapses them map-side,
-    so the shuffle carries |distinct groups| x 2^k rows, not |input| x
-    2^k. Rolled-up cells are labeled 'ALL' (both dims verified NULL-free
-    so COALESCE is unambiguous without grouping_id)."""
+    Scale: plans as a single Expand (len(sets) = 5 copies of each row)
+    feeding partial+final HashAggregates — the shuffle carries
+    |distinct groups| x 5, not |input| x 5, because partial aggregation
+    collapses map-side. Rolled-up cells are labeled 'ALL' (all three
+    key columns verified NULL-free, so COALESCE is unambiguous)."""
     orders = _t(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
     return (
-        orders.cube("o_orderstatus", "o_orderpriority")
+        orders.select("o_orderstatus", "o_orderpriority", month, "o_totalprice")
+        .groupingSets(
+            [
+                ["o_orderstatus", "o_orderpriority"],
+                ["o_orderstatus"],
+                ["o_orderpriority"],
+                ["month"],
+                [],
+            ],
+            "o_orderstatus",
+            "o_orderpriority",
+            "month",
+        )
         .agg(
             F.count("*").alias("n_orders"),
             _dec_sum(F.col("o_totalprice")).alias("revenue"),
@@ -1033,21 +965,24 @@ def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("month", F.lit("ALL")).alias("month"),
             "n_orders",
             "revenue",
         )
-        .orderBy("status", "priority")
+        .orderBy("status", "priority", "month")
     )
 
 
-SQL_CUBE_AGG = """
+SQL_GROUPING_MULTI = """
 SELECT COALESCE(o_orderstatus, 'ALL') AS status,
        COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(strftime(o_orderdate, '%Y-%m'), 'ALL') AS month,
        COUNT(*) AS n_orders,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM orders
-GROUP BY CUBE (o_orderstatus, o_orderpriority)
-ORDER BY status, priority
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus),
+                        (o_orderpriority), (strftime(o_orderdate, '%Y-%m')), ())
+ORDER BY status, priority, month
 """
 
 
@@ -1117,51 +1052,6 @@ FROM p JOIN v ON p.user_id = v.user_id
   AND v.v_sec >= p.p_sec - 86400 AND v.v_sec <= p.p_sec
 GROUP BY p.purchase_id
 ORDER BY p.purchase_id
-"""
-
-
-def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cumulative revenue per priority over the daily rollup (§2.5
-    extension: unbounded-preceding running window).
-
-    Scale: the window runs over the PRE-AGGREGATED one-row-per-
-    (priority, date) rollup — the fact table is collapsed by a
-    partial+final agg first, so the per-partition sequential window
-    scan is a few thousand rows regardless of fact size. The running
-    sum stays DECIMAL until the final cast, so the result is exact and
-    independent of accumulation order (a double running sum would be
-    engine/order-sensitive in the last ulp)."""
-    orders = _t(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.col("o_orderpriority").alias("priority"),
-        F.to_date("o_orderdate").alias("order_date"),
-    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("day_rev"))
-    w = (
-        Window.partitionBy("priority")
-        .orderBy("order_date")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return daily.select(
-        "priority",
-        "order_date",
-        F.col("day_rev").cast("double").alias("day_revenue"),
-        F.sum("day_rev").over(w).cast("double").alias("cum_revenue"),
-    ).orderBy("priority", "order_date")
-
-
-SQL_RUNNING_TOTAL = """
-WITH daily AS (
-  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS order_date,
-         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_rev
-  FROM orders GROUP BY 1, 2
-)
-SELECT priority, order_date,
-       CAST(day_rev AS DOUBLE) AS day_revenue,
-       CAST(SUM(day_rev) OVER (
-         PARTITION BY priority ORDER BY order_date
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue
-FROM daily
-ORDER BY priority, order_date
 """
 
 
@@ -1365,48 +1255,3 @@ ORDER BY priority, o_orderdate, o_orderkey
 """
 
 
-def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS — the general form behind ROLLUP/CUBE
-    (§2.4 extension): exactly three chosen aggregation grains
-    ((status, priority), (month), ()) in ONE pass over the fact, where
-    separate GROUP BYs would scan it three times.
-
-    Scale: same Expand→partial-agg shape as CUBE, but the expansion
-    factor is len(sets) (here 3), chosen, not 2^k — the cheapest way to
-    serve several dashboard grains from one scan. Grains are labeled
-    via coalesce sentinels (all three key columns verified NULL-free)."""
-    orders = _t(spark, sf_dir, "orders")
-    month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
-    return (
-        orders.select("o_orderstatus", "o_orderpriority", month, "o_totalprice")
-        .groupingSets(
-            [["o_orderstatus", "o_orderpriority"], ["month"], []],
-            "o_orderstatus",
-            "o_orderpriority",
-            "month",
-        )
-        .agg(
-            F.count("*").alias("n_orders"),
-            _dec_sum(F.col("o_totalprice")).alias("revenue"),
-        )
-        .select(
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
-            F.coalesce("month", F.lit("ALL")).alias("month"),
-            "n_orders",
-            "revenue",
-        )
-        .orderBy("status", "priority", "month")
-    )
-
-
-SQL_GROUPING_SETS = """
-SELECT COALESCE(o_orderstatus, 'ALL') AS status,
-       COALESCE(o_orderpriority, 'ALL') AS priority,
-       COALESCE(strftime(o_orderdate, '%Y-%m'), 'ALL') AS month,
-       COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-FROM orders
-GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (strftime(o_orderdate, '%Y-%m')), ())
-ORDER BY status, priority, month
-"""

@@ -26,11 +26,32 @@ from ..sources.tables import load_fixture_table
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
-def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + char stats per document (whitespace tokenizer):
-    the basic text-quality raw features."""
+_BPE_PAT = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full per-document text-analysis profile in ONE scan — five
+    feature families that were separate catalog entries each map to
+    columns here (all JVM-side expressions, no shuffle at all until the
+    final presentation sort):
+
+    - token counting + char stats (whitespace tokenizer) — n_tokens,
+      n_chars_actual, avg_token_len;
+    - quality scoring (saturating length score blended with
+      non-stopword ratio over a fixed wordlist) — n_stopwords, quality;
+    - marker-word language-ID heuristic + accuracy flag vs the labeled
+      ``lang`` column — pred_lang, is_match;
+    - 64-bit md5-prefix fingerprint over normalized text — fingerprint;
+    - BPE-ish regex token accounting (alpha runs / digit runs / single
+      punctuation; RE2/Java-compatible so the oracle matches) —
+      n_bpe_tokens, n_unique_tokens.
+
+    At 100 TB this single-pass shape matters: one scan computes every
+    per-doc feature instead of five scans of the corpus."""
     docs = load_fixture_table(spark, sf_dir, "documents")
     n = token_count(F.col("text"))
+    pred = lang_id(F.col("text"))
+    bpe = F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PAT), 0)
     return docs.select(
         "doc_id",
         n.alias("n_tokens"),
@@ -38,64 +59,24 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             non_ws_chars(F.col("text")).cast("double") / n.cast("double"), 4
         ).alias("avg_token_len"),
-    ).orderBy("doc_id")
-
-
-SQL_TEXT_STATS = r"""
-SELECT doc_id,
-       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
-       length(text) AS n_chars_actual,
-       ROUND(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
-             / len(string_split_regex(trim(text), '\s+')), 4) AS avg_token_len
-FROM documents ORDER BY doc_id
-"""
-
-
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: saturating length score blended with
-    non-stopword ratio (fixed wordlist)."""
-    docs = load_fixture_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        token_count(F.col("text")).alias("n_tokens"),
         stopword_count(F.col("text")).alias("n_stopwords"),
         quality_score(F.col("text")).alias("quality"),
-    ).orderBy("doc_id")
-
-
-SQL_TEXT_QUALITY = rf"""
-WITH feats AS (
-  SELECT doc_id,
-         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
-         len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
-                         t -> t IN ({_STOP_SQL}))) AS n_stopwords
-  FROM documents
-)
-SELECT doc_id, n_tokens, n_stopwords,
-       ROUND(0.5 * LEAST(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
-           + 0.5 * (1.0 - CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 4)
-         AS quality
-FROM feats ORDER BY doc_id
-"""
-
-
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word language-ID heuristic + accuracy flag vs the labeled
-    ``lang`` column."""
-    docs = load_fixture_table(spark, sf_dir, "documents")
-    pred = lang_id(F.col("text"))
-    return docs.select(
-        "doc_id",
         "lang",
         pred.alias("pred_lang"),
         (pred == F.col("lang")).alias("is_match"),
+        fingerprint64_hex(F.col("text")).alias("fingerprint"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(bpe)).alias("n_unique_tokens"),
     ).orderBy("doc_id")
 
 
 # mirrors functions.text.LANG_MARKERS and its tie-break priority order
-SQL_LANG_ID = r"""
-WITH counted AS (
-  SELECT doc_id, lang,
+SQL_DOC_PROFILE = rf"""
+WITH feats AS (
+  SELECT doc_id, lang, text,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         t -> t IN ({_STOP_SQL}))) AS n_stopwords,
     len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t = 'the')) AS c_en,
     len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t = 'der')) AS c_de,
     len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t = 'el'))  AS c_es,
@@ -103,33 +84,30 @@ WITH counted AS (
     len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t = 'de'))  AS c_zh
   FROM documents
 ), scored AS (
-  SELECT doc_id, lang,
+  SELECT *,
     CASE WHEN GREATEST(c_en, c_de, c_es, c_fr, c_zh) = 0 THEN 'unknown'
          WHEN c_en = GREATEST(c_en, c_de, c_es, c_fr, c_zh) THEN 'en'
          WHEN c_de = GREATEST(c_en, c_de, c_es, c_fr, c_zh) THEN 'de'
          WHEN c_es = GREATEST(c_en, c_de, c_es, c_fr, c_zh) THEN 'es'
          WHEN c_fr = GREATEST(c_en, c_de, c_es, c_fr, c_zh) THEN 'fr'
          ELSE 'zh' END AS pred_lang
-  FROM counted
+  FROM feats
 )
-SELECT doc_id, lang, pred_lang, pred_lang = lang AS is_match
-FROM scored ORDER BY doc_id
-"""
-
-
-def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit md5-prefix document fingerprint over normalized text."""
-    docs = load_fixture_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", fingerprint64_hex(F.col("text")).alias("fingerprint")
-    ).orderBy("doc_id")
-
-
-SQL_FINGERPRINT = r"""
-SELECT doc_id,
+SELECT doc_id, n_tokens,
+       length(text) AS n_chars_actual,
+       ROUND(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+             / n_tokens, 4) AS avg_token_len,
+       n_stopwords,
+       ROUND(0.5 * LEAST(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+           + 0.5 * (1.0 - CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 4)
+         AS quality,
+       lang, pred_lang, pred_lang = lang AS is_match,
        substr(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), 1, 16)
-         AS fingerprint
-FROM documents ORDER BY doc_id
+         AS fingerprint,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+       len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')))
+         AS n_unique_tokens
+FROM scored ORDER BY doc_id
 """
 
 
@@ -185,29 +163,31 @@ ORDER BY jaccard DESC, id_a ASC, id_b ASC LIMIT 20
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 32-bit simhash per doc; within-language pairs
-    with Hamming distance ≤ 12."""
+    """SimHash near-dup: 32-bit simhash per doc; ALL pairs (no data-
+    column blocking) with Hamming distance ≤ 3, generated via pigeonhole
+    prefix-band blocking (4 bands of 8 bits — a pair within distance 3
+    must agree exactly on ≥ 1 band, so banded recall is exact and the
+    oracle below can be the brute-force definition)."""
     docs = load_fixture_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "lang", nbits=32, max_hamming=12).orderBy(
-        "id_a", "id_b"
-    )
+    return simhash_pairs(docs, nbits=32, max_hamming=3).orderBy("id_a", "id_b")
 
 
 # Mirrors operators.dedup.simhash64: per token h = first 15 md5 hex
 # chars as int; bit j vote = +1 if bit set else -1; simhash bit j = 1
 # iff votes > 0. Token order/count semantics identical (split on \s+ of
-# normalized text, duplicates kept).
+# normalized text, duplicates kept). The oracle is the brute-force
+# definition; the Spark side reaches the same set through banding.
 SQL_DEDUP_SIMHASH = r"""
 WITH toks AS (
-  SELECT doc_id, lang,
+  SELECT doc_id,
          string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS ts
   FROM documents
 ), hashes AS (
-  SELECT doc_id, lang,
+  SELECT doc_id,
          list_transform(ts, t -> CAST(CONCAT('0x', substr(md5(t), 1, 15)) AS BIGINT)) AS hs
   FROM toks
 ), sim AS (
-  SELECT doc_id, lang,
+  SELECT doc_id,
     (SELECT SUM(CASE WHEN len(list_filter(hs, h -> (h >> j) & 1 = 1)) * 2 > len(hs)
                      THEN 1 << j ELSE 0 END)
      FROM range(0, 32) t(j)) AS simhash
@@ -215,8 +195,8 @@ WITH toks AS (
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        bit_count(xor(a.simhash, b.simhash)) AS hamming
-FROM sim a JOIN sim b ON a.lang = b.lang AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 ORDER BY id_a, id_b
 """
 
@@ -232,74 +212,36 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal column plumbing: payload byte length + MIME kind for
-    an opaque binary column (here: the text payload as bytes). The
-    decode path is the Pandas-UDF stub in operators.multimodal."""
-    docs = load_fixture_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.octet_length("text").alias("n_bytes"),
-        F.lit("text/plain").alias("mime"),
-    ).orderBy("doc_id")
-
-
-SQL_MULTIMODAL_META = """
-SELECT doc_id, octet_length(encode(text)) AS n_bytes, 'text/plain' AS mime
-FROM documents ORDER BY doc_id
-"""
-
-
-def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish regex token counting (training-data token accounting):
-    alpha runs, digit runs, and single punctuation marks each count as
-    one token — a closer proxy for subword tokenizer counts than
-    whitespace splitting. regexp_extract_all is JVM-side; the pattern is
-    RE2/Java-compatible so the DuckDB oracle matches."""
-    docs = load_fixture_table(spark, sf_dir, "documents")
-    pat = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
-    toks = F.regexp_extract_all(F.lower("text"), F.lit(pat), 0)
-    return docs.select(
-        "doc_id",
-        F.size(toks).alias("n_bpe_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
-    ).orderBy("doc_id")
-
-
-SQL_TOKEN_BPE = r"""
-SELECT doc_id,
-       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
-       len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')))
-         AS n_unique_tokens
-FROM documents ORDER BY doc_id
-"""
-
-
-def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode plumbing end-to-end: wrap the text payload as
-    an opaque binary media column, run the Arrow-batched ``mapInPandas``
-    feature extractor with the deterministic fake decode (real decode
-    needs PIL/cv2 — absent here; the Spark-side schema/batching/
-    partition shape is the real thing under test). The fake derives
-    width/height from the payload's sha256, so DuckDB can mirror it."""
+def q_multimodal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing end-to-end, metadata + decode in one
+    result: wrap the text payload as an opaque binary media column with
+    a typed (mime, n_bytes, source) metadata struct, then run the
+    Arrow-batched ``mapInPandas`` feature extractor with the
+    deterministic fake decode (real decode needs PIL/cv2 — absent here;
+    the Spark-side schema/batching/partition shape is the real thing
+    under test). The fake derives width/height from the payload's
+    sha256, so DuckDB can mirror it. The mime metadata column rides
+    through the extractor — the scale pattern where (mime, size)
+    filters prune BEFORE the expensive decode."""
     from ..operators.multimodal import extract_image_features, to_media_table
 
     docs = load_fixture_table(spark, sf_dir, "documents")
-    media = to_media_table(docs, "doc_id", "text", source="documents")
+    media = to_media_table(docs, "doc_id", "text", source="documents", mime="text/plain")
     return (
         extract_image_features(media, fake_decode=True)
         .select(
             "media_id",
+            "mime",
+            "n_bytes",
             "width",
             "height",
-            "n_bytes",
             "sha256",
         )
         .orderBy("media_id")
     )
 
 
-SQL_MULTIMODAL_FEATURES = """
+SQL_MULTIMODAL_PROFILE = """
 WITH h AS (
   -- sha256(VARCHAR) hashes the string's UTF-8 bytes — identical to
   -- hashing the binary payload Spark-side.
@@ -309,9 +251,10 @@ WITH h AS (
   FROM documents
 )
 SELECT media_id,
+       'text/plain' AS mime,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
        CAST(64 + seed % 1024 AS INTEGER) AS width,
        CAST(64 + (seed >> 10) % 1024 AS INTEGER) AS height,
-       CAST(n_bytes AS BIGINT) AS n_bytes,
        digest AS sha256
 FROM h ORDER BY media_id
 """

@@ -70,6 +70,29 @@ def test_jaccard_pairs_rank_near_dups_first(spark):
     assert (1, 5) not in pairs  # cross-language blocked
 
 
+def test_jaccard_df_cap_drops_hot_shingle_pairs(spark):
+    """A ubiquitous shingle (present in every doc) must not pair the
+    whole corpus quadratically: with max_df below its document
+    frequency the hot shingle is dropped before the pair join, so docs
+    whose ONLY overlap is the stop-phrase never materialize a pair."""
+    stop = "call me right now"
+    rows = [
+        (i, "en", f"{stop} unique{i} text{i} body{i} words{i} here{i}")
+        for i in range(12)
+    ]
+    rows.append((100, "en", rows[0][2]))  # true dup of doc 0
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    uncapped = ngram_jaccard_pairs(docs, "lang", max_df=None)
+    capped = ngram_jaccard_pairs(docs, "lang", max_df=5)
+    n_unc, n_cap = uncapped.count(), capped.count()
+    # every doc shares the stop-phrase shingles → quadratic pair count
+    assert n_unc == 13 * 12 // 2
+    # capped: only the true dup survives (stop-shingles have df=13 > 5)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(0, 100)} and n_cap == 1
+
+
 def test_minhash_lsh_finds_exact_and_near_dups(spark):
     got = {
         (r.id_a, r.id_b): r.jaccard
@@ -86,12 +109,61 @@ def test_minhash_lsh_finds_exact_and_near_dups(spark):
 def test_simhash_distance_orders_by_similarity(spark):
     d = {
         (r.id_a, r.id_b): r.hamming
-        for r in simhash_pairs(
-            _docs(spark), "lang", max_hamming=32
-        ).collect()
+        for r in simhash_pairs(_docs(spark), max_hamming=32).collect()
     }
     assert d[(1, 2)] == 0  # identical text → identical simhash
     assert d[(1, 3)] < d[(1, 4)]  # near dup closer than unrelated
+
+
+def test_simhash_banding_is_exact_and_band_keyed(spark):
+    """Pigeonhole banding must (a) reproduce the brute-force pair set
+    exactly for distance ≤ max_hamming, (b) generate candidates via a
+    band-keyed equi-join — NOT a within-block cross join — and (c)
+    actually prune: candidate pairs << all pairs on diverse docs."""
+    import contextlib
+    import io
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+        simhash64,
+        simhash_band_candidates,
+    )
+
+    rows = [(i, "en", " ".join(f"w{(i * 7 + j * 13) % 97}" for j in range(30)))
+            for i in range(40)]
+    rows += [(100, "en", rows[0][2]), (101, "en", rows[0][2] + " extra")]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs(docs, max_hamming=3).collect()
+    }
+    sims = {
+        r.doc_id: r.h
+        for r in docs.select(
+            "doc_id", simhash64(F.col("text")).alias("h")
+        ).collect()
+    }
+    ids = sorted(sims)
+    brute = {
+        (a, b): bin(sims[a] ^ sims[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sims[a] ^ sims[b]).count("1") <= 3
+    }
+    assert got == brute and (0, 100) in got  # exact recall, incl. the dup
+
+    # (b) plan: the candidate join is keyed on (band, val)
+    cand = simhash_band_candidates(docs, max_hamming=3)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cand.explain("formatted")
+    plan = buf.getvalue()
+    assert "band" in plan and "val" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+    # (c) pruning: far fewer candidates than all pairs
+    n = docs.count()
+    assert cand.count() < n * (n - 1) // 2 * 0.5
 
 
 VECS = [
@@ -193,7 +265,7 @@ def test_null_text_and_embedding_rows_survive(spark):
     )
     sim = {
         (r.id_a, r.id_b)
-        for r in simhash_pairs(docs, "lang", max_hamming=32).collect()
+        for r in simhash_pairs(docs, max_hamming=32).collect()
     }
     assert all(99 not in p for p in sim) and (1, 2) in sim
 

@@ -24,19 +24,19 @@ def plan_of(spark, sf_dir, name: str) -> str:
     return buf.getvalue()
 
 
-def test_filter_eq_pushes_predicate_to_scan(spark, sf_dir):
-    plan = plan_of(spark, sf_dir, "filter_eq")
+def test_filter_project_pushes_predicate_to_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "filter_project")
     assert "PushedFilters" in plan
     # the date-equality predicate reaches the parquet reader
     assert "l_shipdate" in plan.split("PushedFilters")[1].splitlines()[0]
 
 
-def test_project_rename_prunes_columns(spark, sf_dir):
-    plan = plan_of(spark, sf_dir, "project_rename")
+def test_filter_project_prunes_columns(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "filter_project")
     read_schema = plan.split("ReadSchema")[1].splitlines()[0]
-    assert "o_orderkey" in read_schema
+    assert "l_orderkey" in read_schema
     # untouched wide columns must NOT be read
-    assert "o_comment" not in read_schema and "o_clerk" not in read_schema
+    assert "l_comment" not in read_schema and "l_shipinstruct" not in read_schema
 
 
 def test_dim_join_broadcasts_small_side(spark, sf_dir):
@@ -61,7 +61,7 @@ def test_topk_avoids_global_sort(spark, sf_dir):
 
 
 def test_window_lag_shuffles_rollup_not_fact(spark, sf_dir):
-    plan = plan_of(spark, sf_dir, "window_lag_delta")
+    plan = plan_of(spark, sf_dir, "window_lag_running")
     # exactly one aggregation pair before the window; the window runs
     # over the rollup output (Window after HashAggregate in the plan)
     assert "Window" in plan
@@ -161,20 +161,11 @@ def test_range_join_binned_is_equi_join(spark, sf_dir):
     assert "Join" in plan
 
 
-def test_cube_agg_expands_before_partial_agg(spark, sf_dir):
-    """CUBE plans as Expand (2^k grouping-set copies) feeding a
-    partial+final HashAggregate — the shuffle carries collapsed partial
-    rows, not input x 2^k."""
-    plan = plan_of(spark, sf_dir, "cube_agg")
-    assert "Expand" in plan
-    assert plan.count("HashAggregate") >= 2
-
-
 def test_running_total_windows_over_rollup(spark, sf_dir):
     """The running window must consume the pre-aggregated daily rollup
     (agg below the Window in the plan), so the sequential window scan is
     bounded by |dates x priorities|, not the fact row count."""
-    plan = plan_of(spark, sf_dir, "running_total")
+    plan = plan_of(spark, sf_dir, "window_lag_running")
     assert "Window" in plan
     agg_pos = plan.find("HashAggregate")
     win_pos = plan.find("Window")
@@ -189,11 +180,11 @@ def test_scalar_subquery_broadcasts_group_avg(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
-def test_grouping_sets_expands_before_partial_agg(spark, sf_dir):
-    """GROUPING SETS plans as Expand (len(sets) copies) feeding a
-    partial+final HashAggregate, same shape as CUBE but with a chosen
-    expansion factor."""
-    plan = plan_of(spark, sf_dir, "grouping_sets")
+def test_grouping_multi_expands_before_partial_agg(spark, sf_dir):
+    """The merged ROLLUP/CUBE/GROUPING SETS query plans as ONE Expand
+    (len(sets) = 5 copies) feeding partial+final HashAggregates — the
+    shuffle carries collapsed partial rows, not input x 5."""
+    plan = plan_of(spark, sf_dir, "grouping_multi")
     assert "Expand" in plan
     assert plan.count("HashAggregate") >= 2
 
