@@ -93,12 +93,21 @@ def main() -> None:
         _warm(_F.col("id").cast("double"))
     ).count()
 
+    # Each query runs twice in-process: the COLD number carries
+    # first-touch overhead (codegen compile, parquet footers — ~60% of
+    # a sub-second query at sf0.1), the WARM number is the steady-state
+    # cost a long-lived cluster session pays. Reporting both keeps
+    # round-over-round regression detection meaningful.
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
         fn = CATALOG[name].fn
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        t1 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        warm[name] = round(time.perf_counter() - t1, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -108,6 +117,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
+                "warm_total": round(sum(warm.values()), 3),
                 "sf": sf,
             }
         )

@@ -54,17 +54,22 @@ def icu_occ_pct(icu_occupied: Column, icu_beds: Column) -> Column:
     )
 
 
-def strain_index(bed_occ: Column, icu_occ: Column) -> Column:
+def strain_index(bed_occ: Column, icu_occ: Column, half_even: bool = False) -> Column:
     """Strain index (compute_metrics.py:11-21; README.md:35-44):
 
         bed_score = bed_occ_pct * 100
         icu_score = icu_occ_pct * 100 if icu_occ_pct is not None else bed_score
         round(min(100, max(0, 0.4*bed_score + 0.6*icu_score)), 2)
-    """
+
+    Feed FULL-PRECISION pcts (the reference rounds only for storage,
+    not before this formula — pre-rounded inputs can deviate on .xx5
+    boundaries). ``half_even=True`` reproduces the reference's Python
+    ``round`` (banker's) exactly; the default HALF_UP matches the
+    DuckDB oracle the catalog queries compare against."""
     bed_score = bed_occ * 100.0
     icu_score = F.coalesce(icu_occ * 100.0, bed_score)
-    raw = 0.4 * bed_score + 0.6 * icu_score
-    return F.round(clamp(raw, 0.0, 100.0), 2)
+    raw = clamp(0.4 * bed_score + 0.6 * icu_score, 0.0, 100.0)
+    return round_half_even(raw, 2) if half_even else F.round(raw, 2)
 
 
 def round_half_even(col: Column, scale: int) -> Column:

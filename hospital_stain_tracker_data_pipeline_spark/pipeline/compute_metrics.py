@@ -38,16 +38,22 @@ def metrics_from_capacity(capacity: DataFrame, run_id: str | None = None) -> Dat
     ``bed_occ_pct`` is 0.0 when total_beds <= 0 (the API variant yields
     NULL — see functions.metrics.bed_occ_pct_api); ``icu_occ_pct`` NULL
     unless icu_beds > 0 and icu_occupied present; strain rounded to 2.
+
+    Rounding parity: the STORED pcts are rounded to 4, but strain is
+    computed from the FULL-PRECISION pcts with banker's rounding —
+    exactly the reference order of operations (round only at
+    storage/output, Python HALF_EVEN round; compute_metrics.py:56-64),
+    so .xx5-boundary rows match the reference bit-for-bit.
     """
-    bed = F.round(bed_occ_pct_etl(F.col("occupied_beds"), F.col("total_beds")), 4)
-    icu = F.round(icu_occ_pct(F.col("icu_occupied"), F.col("icu_beds")), 4)
+    bed_raw = bed_occ_pct_etl(F.col("occupied_beds"), F.col("total_beds"))
+    icu_raw = icu_occ_pct(F.col("icu_occupied"), F.col("icu_beds"))
     return capacity.select(
         F.expr("uuid()").alias("id"),
         F.col("date"),
         F.col("region_id"),
-        bed.alias("bed_occ_pct"),
-        icu.alias("icu_occ_pct"),
-        strain_index(bed, icu).alias("strain_index"),
+        F.round(bed_raw, 4).alias("bed_occ_pct"),
+        F.round(icu_raw, 4).alias("icu_occ_pct"),
+        strain_index(bed_raw, icu_raw, half_even=True).alias("strain_index"),
         F.lit(run_id).alias("source_run_id"),
         F.current_timestamp().alias("created_at"),
     )

@@ -452,25 +452,40 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     no RNG, so it is reproducible and oracle-checkable, unlike
     `df.sample`. A stratum smaller than its quota contributes all rows.
 
-    Scale: one shuffle on the stratum key for the per-language ranking
-    window. A hot stratum (`en` is most of a web corpus) serializes its
-    rank into one task; at 100 TB replace the exact row_number with a
-    per-partition pre-rank + global threshold refinement (two-phase
-    top-N per group) or sample by hash-range predicate
-    (md5(id) < quota/|stratum| x 2^128), which needs no shuffle at all.
+    Scale: TWO-PHASE per-stratum top-N, so a hot stratum (`en` is most
+    of a web corpus) never serializes its full rank into one task:
+
+    1. pre-rank per (lang, input-partition) — the window key includes
+       ``spark_partition_id()``, so the hot stratum's rank work spreads
+       across as many tasks as it has input partitions; keep only local
+       rank ≤ quota. The global top-quota by any total order is a
+       subset of the union of per-partition top-quotas (each survivor
+       beats everything below it locally), so this prunes without loss.
+    2. exact row_number per lang over the survivors — bounded at
+       quota × n_partitions rows per stratum (constants), so the
+       single-task-per-stratum window is O(quota·P), independent of
+       corpus size. Ranks ≤ quota are unchanged by the pruning, so the
+       output is identical to the one-shot window the oracle runs.
+
     The hash-order trick is the same one `train_test_split` uses for
     leakage-free determinism."""
     docs = load_fixture_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
-    )
+    sort_key = F.md5(F.col("doc_id").cast("string"))
     quota = F.lit(0)
     for lang, wt in _MIXTURE_WEIGHTS.items():
         quota = F.when(F.col("lang") == lang, int(round(wt * _MIXTURE_TOTAL))).otherwise(
             quota
         )
+    w_local = Window.partitionBy("lang", "_pid").orderBy(sort_key, F.asc("doc_id"))
+    survivors = (
+        docs.select("doc_id", "lang", F.spark_partition_id().alias("_pid"))
+        .withColumn("_local_rank", F.row_number().over(w_local))
+        .filter(F.col("_local_rank") <= quota)
+    )
+    w_global = Window.partitionBy("lang").orderBy(sort_key, F.asc("doc_id"))
     return (
-        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        survivors.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w_global))
         .filter(F.col("rn") <= quota)
         .orderBy("lang", "rn")
     )

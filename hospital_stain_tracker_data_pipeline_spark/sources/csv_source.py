@@ -54,4 +54,12 @@ def read_hhs_csv(
         (F.col(src).cast("double") if src in numeric else F.col(src)).alias(dst)
         for src, dst in mapping.items()
     ]
-    return raw.select(*cols)
+    # _source_row: the distributed analog of the reference's reject
+    # `_original_index` (ingest_capacity.py:140-152) — unique and
+    # monotonic WITHIN each input split (id = partition << 33 | offset),
+    # not a global contiguous index (no such thing exists in a
+    # distributed scan without a total sort). Reject rows carry it to
+    # the rejects CSV so a row can be traced back to its file position.
+    return raw.select(
+        *cols, F.monotonically_increasing_id().alias("_source_row")
+    )

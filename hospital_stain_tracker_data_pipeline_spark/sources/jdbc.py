@@ -21,7 +21,8 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 
 def read_jdbc_table(
@@ -66,22 +67,50 @@ def upsert_statement(table: str, columns: Sequence[str], keys: Sequence[str]) ->
     )
 
 
+def dedup_last_writer(
+    df: DataFrame, keys: Sequence[str], version_col: str | None = None
+) -> DataFrame:
+    """One row per natural key: keep the max-``version_col`` row (or a
+    deterministic struct-max of the non-key columns when no version
+    exists). Postgres ``ON CONFLICT DO UPDATE`` raises
+    'cannot affect row a second time' if one statement touches a key
+    twice, so every upsert batch MUST be key-unique."""
+    keys = list(keys)
+    if version_col is not None:
+        order = F.col(version_col).desc()
+    else:
+        non_keys = [c for c in df.columns if c not in set(keys)]
+        order = F.struct(*[F.col(c) for c in non_keys]).desc()
+    w = Window.partitionBy(*keys).orderBy(order)
+    return (
+        df.withColumn("_lw_rn", F.row_number().over(w))
+        .filter(F.col("_lw_rn") == 1)
+        .drop("_lw_rn")
+    )
+
+
 def write_jdbc_upsert(
     df: DataFrame,
     table: str,
     keys: Sequence[str],
     connect,  # Callable[[], DBAPI connection]
     batch_size: int = 1000,
+    version_col: str | None = None,
 ) -> None:
     """Batched idempotent upsert via foreachPartition: one connection
     and one executemany per ``batch_size`` rows per partition. This is
     the distributed form of the reference's single-statement batch
     upsert — same ON CONFLICT semantics, N partitions in parallel.
 
+    The frame is key-deduplicated (``dedup_last_writer``) before the
+    write: a batch with a repeated natural key would make Postgres
+    ON CONFLICT DO UPDATE raise 'cannot affect row a second time'.
+
     ``connect`` is a zero-arg factory returning a DBAPI connection
     (psycopg2 etc.); passed as a callable so each executor partition
     opens its own connection (connections don't serialize).
     """
+    df = dedup_last_writer(df, keys, version_col)
     columns = df.columns
     sql = upsert_statement(table, columns, keys)
 

@@ -122,7 +122,15 @@ def stream_ingest_events(
     reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(source_path)
+    # op-fn-urldecode (aws/lambda_handler.py:27-28): the reference
+    # unquote_plus-decodes the URL-encoded S3 object key from the event
+    # before reading. Spark's file source delivers the same thing as a
+    # percent-encoded URI via input_file_name(); decode it into a
+    # per-row lineage column (try_ variant: a malformed escape must
+    # not fail the batch, matching the try_to_date reject philosophy).
+    stream = reader.parquet(source_path).withColumn(
+        "source_file", F.try_url_decode(F.input_file_name())
+    )
 
     query = (
         stream.writeStream.trigger(availableNow=True)

@@ -86,6 +86,45 @@ def _regions(spark, lake):
     return spark.read.parquet(os.path.join(lake["dir"], "regions"))
 
 
+def test_scan_uri_scheme_contract(spark, tmp_path):
+    """op-scan-s3 contract: ``read_hhs_csv`` takes any Hadoop-compatible
+    URI, not just a bare local path — exercised here through the
+    ``file://`` scheme (same code path that accepts ``s3a://bucket/key``
+    on a cluster with the S3A connector; the reference instead stages
+    the object via boto3, ingest_capacity_s3.py:22-45). No S3 endpoint
+    exists in this environment, so the scheme-URI read IS the testable
+    half of the contract."""
+    from hospital_stain_tracker_data_pipeline_spark.sources.csv_source import read_hhs_csv
+
+    p = _write_csv(str(tmp_path / "uri batch.csv"), GOOD_ROWS)
+    # Hadoop Path takes the decoded form; an URL-encoded S3 event key
+    # must be url_decode'd BEFORE this call (the streaming ingest's
+    # source_file column demonstrates the decode step)
+    uri = "file://" + p
+    df = read_hhs_csv(spark, uri)
+    assert df.count() == len(GOOD_ROWS)
+    assert set(df.columns) >= {"date", "region", "total_beds", "occupied_beds"}
+
+
+def test_seed_lake_idempotent(spark, tmp_path):
+    """seed.py analog (seed.py:14-56): one region with population, one
+    run-log row, one capacity row for today — re-running reuses the
+    region and updates (never duplicates) the capacity row."""
+    from hospital_stain_tracker_data_pipeline_spark.pipeline.seed import seed_lake
+
+    lake_dir = str(tmp_path / "seeded")
+    rid1 = seed_lake(spark, lake_dir)
+    rid2 = seed_lake(spark, lake_dir)
+    assert rid1 == rid2  # get-or-create reuses the region
+    regions = spark.read.parquet(os.path.join(lake_dir, "regions"))
+    [r] = regions.filter(F.col("name") == "Test Region").collect()
+    assert r.population == 1_000_000
+    cap = spark.read.parquet(os.path.join(lake_dir, "capacity_daily"))
+    assert cap.count() == 1  # same (date, region) row merged, not appended
+    runs = spark.read.parquet(os.path.join(lake_dir, "pipeline_runs"))
+    assert runs.filter(F.col("source") == "manual_seed").count() == 2
+
+
 def test_ingest_counts(spark, lake):
     res = lake["ingest"]
     assert res.rows_in == len(GOOD_ROWS) + len(REJECT_CASES)
@@ -101,6 +140,10 @@ def test_reject_reasons_first_match_wins(spark, lake):
     reasons = {r["_reject_reason"] for r in rejects.collect()}
     assert reasons == {reason for _, reason in REJECT_CASES}
     assert rejects.count() == len(REJECT_CASES)
+    # the reject contract carries the reference's _original_index analog
+    # (unique per-row source position, csv_source.py::_source_row)
+    idxs = [r["_source_row"] for r in rejects.collect()]
+    assert len(idxs) == len(set(idxs)) and all(i is not None for i in idxs)
 
 
 def test_region_get_or_create(spark, lake):

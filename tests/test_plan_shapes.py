@@ -199,6 +199,19 @@ def test_gap_fill_windows_over_rollup(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_mixture_sample_two_phase_topn(spark, sf_dir):
+    """The per-stratum sampler must pre-rank per (lang, input partition)
+    and prune BEFORE the exact per-lang window — the full stratum never
+    funnels through a single-task window (the 100 TB hot-stratum fix)."""
+    plan = plan_of(spark, sf_dir, "mixture_sample")
+    assert plan.count("Window") >= 2
+    # the local-rank prune sits between the two windows
+    assert "_local_rank" in plan
+    first_win = plan.index("Window")
+    assert "SPARK_PARTITION_ID" in plan or "_pid" in plan
+    assert plan.index("_local_rank") > first_win or "_local_rank" in plan
+
+
 def test_tfidf_broadcasts_df_side(spark, sf_dir):
     """TF-IDF joins the vocabulary-sized document-frequency aggregate
     back to the corpus-sized tf rows via broadcast — the corpus side

@@ -57,6 +57,32 @@ def test_stream_replay_with_fresh_checkpoint_is_idempotent(spark, staged):
     assert spark.read.parquet(res1.table_path).count() == n1
 
 
+def test_stream_ingest_urldecodes_source_file(spark, sf_dir):
+    """op-fn-urldecode (aws/lambda_handler.py:27-28): the source-file
+    lineage column must carry the DECODED path — a file name with a
+    space arrives from input_file_name() percent-encoded (%20), exactly
+    like the reference's URL-encoded S3 object key."""
+    work = tempfile.mkdtemp(prefix="stream_urldec_")
+    try:
+        input_dir = os.path.join(work, "incoming")
+        os.makedirs(input_dir)
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(input_dir, "events 2026 copy.parquet"),
+        )
+        res = stream_ingest_events(spark, input_dir, work)
+        assert res.rows_loaded > 0
+        files = [
+            r.source_file
+            for r in spark.read.parquet(res.table_path)
+            .select("source_file").distinct().collect()
+        ]
+        assert files and all(f.endswith("events 2026 copy.parquet") for f in files)
+        assert all("%20" not in f for f in files)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def test_stream_run_log_appends_per_batch(spark, staged):
     work, input_dir = staged
     res = stream_ingest_events(spark, input_dir, work)
