@@ -353,14 +353,57 @@ def minhash_lsh_dedup_pairs(
     """Candidates verified with exact Jaccard ≥ threshold (classic
     candidate-gen + verify): LSH recall is probabilistic, the verify
     step makes the OUTPUT exact-above-threshold (only pairs LSH missed
-    entirely can be absent)."""
-    cands = materialize(
-        minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, k)
-    )
+    entirely can be absent).
+
+    ONE shingle+md5 pass over the corpus serves both stages: the
+    60-bit verify sets are materialized once, and the 31-bit signature
+    input is derived by masking (``hashed_shingles`` ≡
+    ``array_distinct(hashed_shingles64 & MASK31)`` — same md5 prefix,
+    so the signatures are bit-identical to the two-pass form). The md5
+    expression work is the dominant scan-stage cost, so this halves it.
+    """
+    rows_per_band = num_hashes // bands
     sets = materialize(
         fanout(df).select(
             F.col(id_col), hashed_shingles64(F.col(text_col), k).alias("shingles")
         )
+    )
+    sig_input = F.array_distinct(
+        F.transform(F.col("shingles"), lambda h: h.bitwiseAND(F.lit(_MASK31)))
+    )
+    sigs = materialize(
+        sets.select(
+            F.col(id_col),
+            minhash_signature_udf(num_hashes)(sig_input).alias("sig"),
+        )
+    )
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ca = banded.select("band", "bucket", F.col(id_col).alias("id_a"))
+    cb = banded.select("band", "bucket", F.col(id_col).alias("id_b"))
+    cands = (
+        ca.join(cb, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
     a = sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
