@@ -124,3 +124,62 @@ def test_strain_index_bounded_and_null_fallback(spark, pairs):
             # coalesce fallback: icu score = bed score
             expect = min(100.0, max(0.0, r.bed * 100.0))
             assert abs(r.s - round(expect, 2)) <= 0.01
+
+
+# --- SimHash pigeonhole banding: pure-Python invariants (no Spark) ---
+
+@settings(max_examples=200, deadline=None)
+@given(
+    nbits=st.integers(1, 64),
+    max_hamming=st.integers(0, 64),
+)
+def test_band_bounds_tile_the_fingerprint(nbits, max_hamming):
+    """_band_bounds must partition [0, nbits) exactly: contiguous,
+    non-overlapping, every bit covered once, widths differ by ≤ 1."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.dedup import _band_bounds
+
+    bands = min(max_hamming + 1, nbits)
+    bounds = _band_bounds(nbits, bands)
+    assert len(bounds) == bands
+    pos = 0
+    widths = []
+    for off, w in bounds:
+        assert off == pos and w >= 1
+        pos += w
+        widths.append(w)
+    assert pos == nbits
+    assert max(widths) - min(widths) <= 1
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    data=st.data(),
+    nbits=st.integers(4, 32),
+    max_hamming=st.integers(0, 6),
+)
+def test_pigeonhole_guarantees_shared_band(data, nbits, max_hamming):
+    """The recall guarantee behind simhash_pairs: ANY two fingerprints
+    within Hamming distance ≤ max_hamming (< nbits) agree exactly on at
+    least one of the max_hamming+1 bands."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.dedup import _band_bounds
+
+    if max_hamming >= nbits:
+        return
+    a = data.draw(st.integers(0, 2**nbits - 1))
+    # flip at most max_hamming distinct bits
+    n_flips = data.draw(st.integers(0, max_hamming))
+    bits = data.draw(
+        st.lists(
+            st.integers(0, nbits - 1), min_size=n_flips, max_size=n_flips,
+            unique=True,
+        )
+    )
+    b = a
+    for j in bits:
+        b ^= 1 << j
+    bands = min(max_hamming + 1, nbits)
+    shared = any(
+        (a >> off) & ((1 << w) - 1) == (b >> off) & ((1 << w) - 1)
+        for off, w in _band_bounds(nbits, bands)
+    )
+    assert shared
