@@ -199,6 +199,26 @@ def test_gap_fill_windows_over_rollup(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_set_membership_ops_uses_semi_anti_joins(spark, sf_dir):
+    """The EXISTS / NOT EXISTS halves must plan as left-semi / left-anti
+    joins (build side carries only the key — no row multiplication),
+    never as an inner join + dedup."""
+    plan = plan_of(spark, sf_dir, "set_membership_ops")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_event_type_metrics_salted_branch_is_two_phase(spark, sf_dir):
+    """The salted branch must aggregate on (event_type, salt) BEFORE
+    folding to event_type — the salt key appears in an exchange or
+    aggregate, capping any single reducer at ~1/16 of a hot key."""
+    plan = plan_of(spark, sf_dir, "event_type_metrics")
+    # the salt expression (pmod(hash(event_id), 16)) survives into the
+    # grouping keys of the first aggregation phase
+    assert "pmod" in plan
+    assert plan.count("HashAggregate") >= 4  # salted partial+final ×2 phases
+
+
 def test_mixture_sample_two_phase_topn(spark, sf_dir):
     """The per-stratum sampler must pre-rank per (lang, input partition)
     and prune BEFORE the exact per-lang window — the full stratum never
