@@ -2,11 +2,15 @@
 as opaque ``binary`` payloads + typed metadata structs, processed with
 Arrow-batched ``mapInPandas`` UDFs.
 
-The decode step is STUBBED (the container has no image/audio libs) —
-``decode_image_batch`` raises NotImplementedError unless
-``fake_decode=True``, which produces a deterministic fake (payload-hash
-seeded dimensions) so the Spark-side plumbing — schema, batch shape,
-partitioning — is real and tested end-to-end.
+The decode path is REAL for image container headers: ``sniff_image``
+parses PNG / GIF / BMP / JPEG magic + dimension fields with the stdlib
+only (the same identify step Pillow runs first), so genuine image bytes
+yield their true mime/width/height. Full PIXEL decode needs PIL/cv2 —
+absent in this container — so unrecognized payloads raise
+NotImplementedError unless ``fake_decode=True``, which produces a
+deterministic fake (payload-hash seeded dimensions) so the Spark-side
+plumbing — schema, batch shape, partitioning — stays testable on
+non-image fixtures.
 
 Scale notes: payloads travel Arrow-batched (no per-row pickling); the
 metadata columns let filters (mime, size) prune BEFORE the expensive
@@ -17,12 +21,45 @@ early and dropping the binary.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def sniff_image(raw: bytes) -> tuple[str, int, int] | None:
+    """(mime, width, height) from the container header, stdlib-only —
+    PNG (IHDR), GIF (logical screen), BMP (BITMAPINFOHEADER), JPEG
+    (first SOF0-SOF15 frame marker). None when the payload is not a
+    recognized image."""
+    if len(raw) >= 24 and raw[:8] == b"\x89PNG\r\n\x1a\n" and raw[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", raw[16:24])
+        return ("image/png", w, h)
+    if len(raw) >= 10 and raw[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", raw[6:10])
+        return ("image/gif", w, h)
+    if len(raw) >= 26 and raw[:2] == b"BM":
+        w, h = struct.unpack("<ii", raw[18:26])
+        return ("image/bmp", w, abs(h))  # negative height = top-down rows
+    if len(raw) >= 4 and raw[:2] == b"\xff\xd8":
+        # walk JPEG segments to the first frame header (SOFn)
+        i = 2
+        sof = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+               0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+        while i + 4 <= len(raw) and raw[i] == 0xFF:
+            marker, seglen = raw[i + 1], struct.unpack(">H", raw[i + 2:i + 4])[0]
+            if marker in sof:
+                if i + 9 <= len(raw):
+                    h, w = struct.unpack(">HH", raw[i + 5:i + 9])
+                    return ("image/jpeg", w, h)
+                return None
+            if marker == 0xD9 or seglen < 2:  # EOI / corrupt
+                return None
+            i += 2 + seglen
+    return None
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -76,27 +113,41 @@ def to_media_table(
 
 
 def decode_image_batch(pdf: pd.DataFrame, fake_decode: bool) -> pd.DataFrame:
-    """Per-Arrow-batch image decode. Real decode needs PIL/cv2 — absent
-    in this environment, hence the deterministic fake (dimensions seeded
-    from the payload hash) behind the flag."""
-    if not fake_decode:
-        raise NotImplementedError(
-            "image decode requires PIL/cv2, not available in this environment; "
-            "pass fake_decode=True for the deterministic test fake"
-        )
+    """Per-Arrow-batch image decode.
+
+    Real path (``fake_decode=False``): ``sniff_image`` header decode —
+    genuine PNG/GIF/BMP/JPEG bytes yield their true mime and
+    dimensions. A payload that is not a recognized image raises
+    NotImplementedError (full pixel decode would need PIL/cv2, absent
+    in this environment). Fake path: deterministic payload-hash-seeded
+    dimensions, so non-image fixtures exercise the same plumbing."""
     out = []
     for media_id, payload, mime in zip(
         pdf["media_id"], pdf["payload"], pdf["mime"]
     ):
         raw = bytes(payload) if payload is not None else b""
         digest = hashlib.sha256(raw).hexdigest()
-        seed = int(digest[:8], 16)
+        if fake_decode:
+            seed = int(digest[:8], 16)
+            row_mime = mime
+            width, height = 64 + seed % 1024, 64 + (seed >> 10) % 1024
+        else:
+            sniffed = sniff_image(raw)
+            if sniffed is None:
+                raise NotImplementedError(
+                    "payload is not a recognized image container "
+                    "(PNG/GIF/BMP/JPEG header decode is built in); full "
+                    "pixel decode requires PIL/cv2, not available in this "
+                    "environment — pass fake_decode=True for the "
+                    "deterministic test fake"
+                )
+            row_mime, width, height = sniffed
         out.append(
             {
                 "media_id": media_id,
-                "mime": mime,
-                "width": 64 + seed % 1024,
-                "height": 64 + (seed >> 10) % 1024,
+                "mime": row_mime,
+                "width": width,
+                "height": height,
                 "n_bytes": len(raw),
                 "sha256": digest,
             }

@@ -249,6 +249,59 @@ def test_multimodal_features_deterministic_fake(spark):
     assert rows[2].sha256 == rows[1].sha256
 
 
+def _make_png(w, h):
+    import struct as _s
+    import zlib
+
+    def chunk(typ, data):
+        c = _s.pack(">I", len(data)) + typ + data
+        return c + _s.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x80" * (3 * w) for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_multimodal_real_header_decode(spark):
+    """Genuine image bytes decode for real — stdlib header parsing, no
+    PIL: true mime + dimensions come back through the full Arrow
+    mapInPandas path (fake_decode=False)."""
+    import struct as _s
+
+    png = _make_png(320, 200)
+    gif = b"GIF89a" + _s.pack("<HH", 17, 23) + b"\x00" * 20
+    bmp = (
+        b"BM" + b"\x00" * 16 + _s.pack("<ii", 64, -48) + b"\x00" * 20
+    )  # negative height = top-down
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + _s.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + _s.pack(">H", 17) + b"\x08" + _s.pack(">HH", 240, 360)
+        + b"\x00" * 10
+        + b"\xff\xd9"
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(gif)), (3, bytearray(bmp)),
+         (4, bytearray(jpeg))],
+        "doc_id long, payload binary",
+    )
+    media = to_media_table(df, "doc_id", "payload", source="t")
+    rows = {
+        r.media_id: r
+        for r in extract_image_features(media, fake_decode=False).collect()
+    }
+    assert (rows[1].mime, rows[1].width, rows[1].height) == ("image/png", 320, 200)
+    assert (rows[2].mime, rows[2].width, rows[2].height) == ("image/gif", 17, 23)
+    assert (rows[3].mime, rows[3].width, rows[3].height) == ("image/bmp", 64, 48)
+    assert (rows[4].mime, rows[4].width, rows[4].height) == ("image/jpeg", 360, 240)
+    assert rows[1].n_bytes == len(png)
+
+
 def test_multimodal_real_decode_is_explicitly_stubbed(spark):
     import pytest
 
