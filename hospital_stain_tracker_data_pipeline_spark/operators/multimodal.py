@@ -155,6 +155,105 @@ def decode_image_batch(pdf: pd.DataFrame, fake_decode: bool) -> pd.DataFrame:
     return pd.DataFrame(out, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("bits_per_sample", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("sha256", T.StringType(), True),
+    ]
+)
+
+
+def sniff_wav(raw: bytes) -> dict | None:
+    """WAV (RIFF) header decode, stdlib-only: walk the chunk list for
+    ``fmt `` (channels / sample rate / bit depth) and ``data`` (frame
+    count → duration). None when the payload is not RIFF/WAVE."""
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        return None
+    i, fmt, data_size = 12, None, None
+    while i + 8 <= len(raw):
+        cid, size = raw[i:i + 4], struct.unpack("<I", raw[i + 4:i + 8])[0]
+        if cid == b"fmt " and i + 8 + 16 <= len(raw):
+            _, channels, rate, _, block_align, bits = struct.unpack(
+                "<HHIIHH", raw[i + 8:i + 24]
+            )
+            fmt = (channels, rate, bits, block_align)
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data_size is None:
+        return None
+    channels, rate, bits, block_align = fmt
+    frame_size = block_align or max(1, channels * bits // 8)
+    n_frames = data_size // frame_size if frame_size else 0
+    return {
+        "mime": "audio/wav",
+        "sample_rate": rate,
+        "channels": channels,
+        "bits_per_sample": bits,
+        "n_frames": n_frames,
+        "duration_s": (n_frames / rate) if rate else None,
+    }
+
+
+def extract_audio_features(media: DataFrame, fake_decode: bool = False) -> DataFrame:
+    """Audio feature extraction over opaque payloads, same Arrow
+    ``mapInPandas`` shape as the image path: WAV headers decode for
+    REAL (stdlib RIFF walk); other codecs (mp3/flac/ogg) would need an
+    audio lib — absent here — so unrecognized payloads raise unless
+    ``fake_decode=True`` (payload-hash-seeded fake features)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload, mime in zip(
+                pdf["media_id"], pdf["payload"], pdf["mime"]
+            ):
+                raw = bytes(payload) if payload is not None else b""
+                digest = hashlib.sha256(raw).hexdigest()
+                sniffed = sniff_wav(raw)
+                if sniffed is None:
+                    if not fake_decode:
+                        raise NotImplementedError(
+                            "payload is not a RIFF/WAVE container (WAV header "
+                            "decode is built in); other codecs require an "
+                            "audio library, not available in this environment "
+                            "— pass fake_decode=True for the deterministic fake"
+                        )
+                    seed = int(digest[:8], 16)
+                    rate = 8000 + (seed % 5) * 8000
+                    n_frames = 1 + seed % 480_000
+                    sniffed = {
+                        "mime": mime,
+                        "sample_rate": rate,
+                        "channels": 1 + (seed >> 4) % 2,
+                        "bits_per_sample": 16,
+                        "n_frames": n_frames,
+                        "duration_s": n_frames / rate,
+                    }
+                out.append(
+                    {
+                        "media_id": media_id,
+                        **sniffed,
+                        "n_bytes": len(raw),
+                        "sha256": digest,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    return media.select(
+        "media_id", "payload", F.col("meta.mime").alias("mime")
+    ).mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def extract_image_features(media: DataFrame, fake_decode: bool = False) -> DataFrame:
     """mapInPandas feature extraction over media payloads: Arrow batches
     in, typed feature rows out; binary column dropped on the way out so

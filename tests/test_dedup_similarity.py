@@ -302,6 +302,43 @@ def test_multimodal_real_header_decode(spark):
     assert rows[1].n_bytes == len(png)
 
 
+def test_multimodal_audio_wav_real_decode(spark):
+    """A genuine WAV payload (synthesized RIFF container) yields its
+    true sample rate / channels / bit depth / duration through the
+    Arrow audio extractor with fake_decode=False."""
+    import struct as _s
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    rate, channels, bits, n_frames = 16000, 2, 16, 16000 * 3  # 3 s stereo
+    frame = channels * bits // 8
+    data = b"\x00" * (n_frames * frame)
+    fmt = _s.pack("<HHIIHH", 1, channels, rate, rate * frame, frame, bits)
+    wav = (
+        b"RIFF" + _s.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+        + b"data" + _s.pack("<I", len(data)) + data
+    )
+    df = spark.createDataFrame([(7, bytearray(wav))], "doc_id long, payload binary")
+    media = to_media_table(df, "doc_id", "payload", source="t")
+    [r] = extract_audio_features(media, fake_decode=False).collect()
+    assert (r.mime, r.sample_rate, r.channels, r.bits_per_sample) == (
+        "audio/wav", rate, channels, bits,
+    )
+    assert r.n_frames == n_frames and abs(r.duration_s - 3.0) < 1e-9
+
+    # non-audio payloads: explicit stub unless the fake is requested
+    txt = to_media_table(_docs(spark), "doc_id", "text", source="t")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="RIFF/WAVE|NotImplementedError"):
+        extract_audio_features(txt, fake_decode=False).collect()
+    fake = extract_audio_features(txt, fake_decode=True).collect()
+    assert len(fake) == len(DOCS) and all(f.duration_s > 0 for f in fake)
+
+
 def test_multimodal_real_decode_is_explicitly_stubbed(spark):
     import pytest
 
