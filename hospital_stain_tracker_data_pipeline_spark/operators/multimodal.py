@@ -254,6 +254,105 @@ def extract_audio_features(media: DataFrame, fake_decode: bool = False) -> DataF
     ).mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
 
+VIDEO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("frame_ts_s", T.DoubleType(), True),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def sniff_mp4(raw: bytes) -> dict | None:
+    """MP4/ISO-BMFF sniff, stdlib-only: ``ftyp`` brand → mime, and the
+    ``moov``→``mvhd`` box (version 0 or 1) → timescale/duration. None
+    when the payload is not an ISO media file."""
+    if len(raw) < 12 or raw[4:8] != b"ftyp":
+        return None
+    out = {"mime": "video/mp4", "duration_s": None}
+
+    def walk(lo: int, hi: int):
+        i = lo
+        while i + 8 <= hi:
+            size = struct.unpack(">I", raw[i:i + 4])[0]
+            typ = raw[i + 4:i + 8]
+            if size < 8:
+                return
+            if typ == b"moov":
+                walk(i + 8, min(i + size, hi))
+            elif typ == b"mvhd" and i + 8 + 4 <= hi:
+                ver = raw[i + 8]
+                if ver == 0 and i + 8 + 20 <= hi:
+                    ts, dur = struct.unpack(">II", raw[i + 20:i + 28])
+                elif ver == 1 and i + 8 + 32 <= hi:
+                    ts = struct.unpack(">I", raw[i + 28:i + 32])[0]
+                    dur = struct.unpack(">Q", raw[i + 32:i + 40])[0]
+                else:
+                    ts, dur = 0, 0
+                if ts:
+                    out["duration_s"] = dur / ts
+            i += size
+    walk(0, len(raw))
+    return out
+
+
+def sample_video_frames(
+    media: DataFrame, stride_s: float = 1.0, fake_decode: bool = False
+) -> DataFrame:
+    """Frame sampling over video payloads — the 1→N ``mapInPandas``
+    shape (one input row explodes into one row per sampled timestamp).
+    The container header decodes for REAL (``sniff_mp4`` → duration,
+    which fixes the sample count); actual FRAME extraction needs a
+    video lib (PyAV/ffmpeg) — absent here — so the frame bytes are a
+    deterministic payload-hash fake behind ``fake_decode=True``, and
+    NULL (timestamps only) otherwise. A non-MP4 payload raises unless
+    ``fake_decode=True`` (2-second fake duration)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                sniffed = sniff_mp4(raw)
+                if sniffed is None:
+                    if not fake_decode:
+                        raise NotImplementedError(
+                            "payload is not an ISO-BMFF (MP4) container; "
+                            "frame decode requires PyAV/ffmpeg, not available "
+                            "in this environment — pass fake_decode=True"
+                        )
+                    sniffed = {"mime": "video/unknown", "duration_s": 2.0}
+                dur = sniffed["duration_s"] or 0.0
+                n = max(1, int(dur / stride_s) + (1 if dur % stride_s else 0))
+                for idx in range(n):
+                    ts = idx * stride_s
+                    frame = None
+                    if fake_decode:
+                        frame = hashlib.sha256(
+                            raw + str(idx).encode()
+                        ).digest()[:16]
+                    out.append(
+                        {
+                            "media_id": media_id,
+                            "mime": sniffed["mime"],
+                            "duration_s": sniffed["duration_s"],
+                            "frame_idx": idx,
+                            "frame_ts_s": ts,
+                            "frame": frame,
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in VIDEO_FRAMES_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=VIDEO_FRAMES_SCHEMA
+    )
+
+
 def extract_image_features(media: DataFrame, fake_decode: bool = False) -> DataFrame:
     """mapInPandas feature extraction over media payloads: Arrow batches
     in, typed feature rows out; binary column dropped on the way out so

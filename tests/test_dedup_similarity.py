@@ -339,6 +339,36 @@ def test_multimodal_audio_wav_real_decode(spark):
     assert len(fake) == len(DOCS) and all(f.duration_s > 0 for f in fake)
 
 
+def test_multimodal_video_mp4_sniff_and_frame_sampling(spark):
+    """A synthesized MP4 (ftyp + moov/mvhd v0) decodes its real
+    duration; frame sampling explodes one row per stride with correct
+    timestamps (1→N mapInPandas shape)."""
+    import struct as _s
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    def box(typ, payload):
+        return _s.pack(">I", 8 + len(payload)) + typ + payload
+
+    # mvhd v0: ver/flags + ctime + mtime + timescale(1000) + duration(3500ms)
+    mvhd = box(b"mvhd", b"\x00\x00\x00\x00" + b"\x00" * 8 + _s.pack(">II", 1000, 3500) + b"\x00" * 80)
+    mp4 = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + box(b"moov", mvhd)
+    df = spark.createDataFrame([(9, bytearray(mp4))], "doc_id long, payload binary")
+    media = to_media_table(df, "doc_id", "payload", source="t")
+
+    rows = sample_video_frames(media, stride_s=1.0, fake_decode=False).collect()
+    assert all(r.mime == "video/mp4" and abs(r.duration_s - 3.5) < 1e-9 for r in rows)
+    assert [r.frame_idx for r in rows] == [0, 1, 2, 3]  # ceil(3.5 / 1.0)
+    assert [r.frame_ts_s for r in rows] == [0.0, 1.0, 2.0, 3.0]
+    assert all(r.frame is None for r in rows)  # real frame decode stubbed
+
+    # fake path carries deterministic frame bytes
+    fake = sample_video_frames(media, stride_s=1.0, fake_decode=True).collect()
+    assert all(f.frame is not None and len(f.frame) == 16 for f in fake)
+
+
 def test_multimodal_real_decode_is_explicitly_stubbed(spark):
     import pytest
 
