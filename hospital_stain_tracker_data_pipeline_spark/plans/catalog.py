@@ -84,7 +84,7 @@ CATALOG: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(X.q_dedup_exact, X.SQL_DEDUP_EXACT),
     "dedup_jaccard_topk": QuerySpec(X.q_dedup_jaccard_topk, X.SQL_DEDUP_JACCARD_TOPK),
     "dedup_simhash": QuerySpec(X.q_dedup_simhash, X.SQL_DEDUP_SIMHASH),
-    "dedup_minhash_lsh": QuerySpec(X.q_dedup_minhash_lsh, None),
+    "dedup_minhash_lsh": QuerySpec(X.q_dedup_minhash_lsh, X.SQL_DEDUP_MINHASH_LSH),
     "dup_clusters": QuerySpec(X.q_dup_clusters, X.SQL_DUP_CLUSTERS),
     # --- training-data pipeline ops (Phase 4) ---
     "doc_chunks": QuerySpec(X.q_doc_chunks, X.SQL_DOC_CHUNKS),

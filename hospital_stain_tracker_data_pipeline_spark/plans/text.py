@@ -203,13 +203,78 @@ ORDER BY id_a, id_b
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup (shingle → 32-hash signature → 8 bands →
-    bucket join → exact-Jaccard verify ≥ 0.3). Approximate candidate
-    generation → no SQL oracle (driver does the rows-only check); the
-    verify step bounds false positives to zero."""
+    bucket join → exact-Jaccard verify ≥ 0.3). The whole pipeline is
+    deterministic integer arithmetic (md5-derived shingle hashes, LCG
+    permutation coefficients, min over exact int64 products), so the
+    DuckDB oracle below replays candidate generation AND verify
+    bit-for-bit — this entry is fully value-compared, not rows-only."""
     docs = load_fixture_table(spark, sf_dir, "documents")
     return minhash_lsh_dedup_pairs(
         docs, threshold=0.3, num_hashes=32, bands=8, k=3
     ).orderBy("id_a", "id_b")
+
+
+# operators.dedup._lcg_ints(32, seed=42) / (32, seed=1337) — baked as
+# literals so the oracle is self-contained.
+_MINHASH_A = "[1250496028, 1116302265, 1000676754, 1668674807, 908095736, 71666533, 896336334, 1736731267, 1314989460, 1535244753, 391441866, 1108520143, 1206814704, 534045437, 1974836614, 238077915, 1413854220, 705377001, 397905154, 1440974759, 1972995560, 282367381, 881784894, 1823504435, 879663492, 70219521, 1215814458, 1726604671, 318196448, 1939145517, 1030877686, 968547211]"
+_MINHASH_B = "[78628735, 1460962528, 934458669, 1985133558, 721214859, 1004965884, 1479276569, 1793073778, 542328919, 1812213976, 569671109, 2097378478, 1926468579, 502334324, 211661361, 1821355690, 1772591, 1657693136, 895730013, 160140390, 1347403067, 309816812, 1863948105, 1672317410, 367817479, 1566375368, 1691672565, 1972888350, 1582086547, 539078500, 995755873, 1205113882]"
+
+# Mirrors operators.dedup end to end: 60-bit md5 shingle hashes (verify
+# sets), 31-bit masked copies (signature input), sig[i] = min (a_i*h +
+# b_i) mod (2^31 - 1), 8 bands of 4 signature rows joined on equality,
+# exact Jaccard >= 0.3 on the 60-bit sets.
+SQL_DEDUP_MINHASH_LSH = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS ts
+  FROM documents
+), shingled AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(ts[i:i+2], ' ')
+                        FOR i IN range(1, GREATEST(len(ts) - 2, 1) + 1)]) AS sstr
+  FROM toks
+), sets AS (
+  SELECT doc_id,
+         list_distinct(list_transform(sstr,
+           s -> CAST(CONCAT('0x', substr(md5(s), 1, 15)) AS BIGINT))) AS sh
+  FROM shingled
+), sets31 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(sh, h -> h & 2147483647)) AS hs
+  FROM sets
+), hrows AS (
+  -- vectorized signature computation: unnest to rows and cross join the
+  -- 32 coefficient rows (columnar modmul + GROUP BY MIN is ~40x faster
+  -- than per-list interpreted lambdas at this width)
+  SELECT doc_id, UNNEST(hs) AS h FROM sets31
+), coef AS (
+  SELECT i, ({_MINHASH_A})[i] AS a, ({_MINHASH_B})[i] AS b
+  FROM range(1, 33) t(i)
+), minvals AS (
+  SELECT doc_id, i, MIN((a * h + b) % 2147483647) AS mv
+  FROM hrows CROSS JOIN coef
+  GROUP BY doc_id, i
+), banded AS (
+  SELECT doc_id, (i - 1) // 4 AS band,
+         string_agg(CAST(mv AS VARCHAR), '_' ORDER BY i) AS bucket
+  FROM minvals
+  GROUP BY doc_id, (i - 1) // 4
+), cands AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket
+  WHERE x.doc_id < y.doc_id
+), verified AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+  FROM cands c
+  JOIN sets a ON a.doc_id = c.id_a
+  JOIN sets b ON b.doc_id = c.id_b
+)
+SELECT id_a, id_b, jaccard FROM verified
+WHERE jaccard >= 0.3
+ORDER BY id_a, id_b
+"""
 
 
 def q_multimodal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
