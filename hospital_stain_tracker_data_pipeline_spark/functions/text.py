@@ -93,9 +93,13 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     toks = F.split(normalized_text(text), " ")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    # try_element_at: NULL past the end (concat_ws skips NULLs), so a
+    # short doc (< k tokens) yields one partial shingle instead of an
+    # ANSI out-of-bounds error — element_at THROWS under ANSI mode.
     shingle = F.transform(
         idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]),
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+        ),
     )
-    # Short docs (< k tokens): one (padded) shingle of whatever exists.
     return F.array_distinct(shingle)

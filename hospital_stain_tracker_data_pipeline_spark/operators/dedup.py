@@ -622,6 +622,40 @@ def simhash_band_candidates(
     )
 
 
+def ngram_contamination(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_id_col: str = "eval_id",
+    n: int = 13,
+) -> DataFrame:
+    """Train/eval decontamination: corpus documents sharing any
+    ``n``-token contiguous span with an eval document (the GPT-3
+    appendix-C 13-gram overlap check — public methodology). Returns one
+    row per (contaminated corpus doc, eval doc) with the shared-span
+    count, ready to anti-join against the corpus.
+
+    Scale shape: the eval set is small by construction, so its n-gram
+    hash set builds map-side (broadcast) — the 100 TB corpus explodes
+    its n-grams ONCE and hash-joins without shuffling; only the
+    (tiny) contaminated-pair aggregate shuffles. No all-pairs term
+    anywhere: cost is corpus-ngrams × broadcast-probe."""
+    c = fanout(corpus).select(
+        F.col(id_col),
+        F.explode(hashed_shingles64(F.col(text_col), n)).alias("h"),
+    )
+    e = eval_set.select(
+        F.col(eval_id_col),
+        F.explode(hashed_shingles64(F.col(text_col), n)).alias("h"),
+    )
+    return (
+        c.join(F.broadcast(e), "h")
+        .groupBy(id_col, eval_id_col)
+        .agg(F.count("*").alias("shared_ngrams"))
+    )
+
+
 def connected_components_min_label(
     edges: DataFrame,
     nodes: DataFrame,

@@ -403,6 +403,34 @@ def test_null_text_and_embedding_rows_survive(spark):
     assert all(99 not in p for p in ann) and (0, 3) in ann
 
 
+def test_ngram_contamination_flags_eval_overlap(spark):
+    """A corpus doc embedding a 13-token span of an eval doc is flagged
+    (with the right shared-span count); clean docs are not."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+        ngram_contamination,
+    )
+
+    span = " ".join(f"s{i}" for i in range(14))  # 14 tokens → two 13-grams
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro words {span} trailing text here"),
+            (2, "totally unrelated content about other things entirely"),
+            (3, " ".join(f"s{i}" for i in range(13))),  # exactly one 13-gram
+        ],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(100, f"prefix {span} suffix")], "eval_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.eval_id): r.shared_ngrams
+        for r in ngram_contamination(corpus, eval_set, n=13).collect()
+    }
+    assert got[(1, 100)] == 2  # both 13-grams of the 14-token span
+    assert got[(3, 100)] == 1
+    assert all(doc != 2 for doc, _ in got)
+
+
 def test_connected_components_min_label(spark):
     from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
         connected_components_min_label,
