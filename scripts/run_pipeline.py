@@ -64,6 +64,14 @@ def cmd_stream_ingest(args) -> None:
     )
 
 
+def cmd_seed(args) -> None:
+    from hospital_stain_tracker_data_pipeline_spark.pipeline.seed import seed_lake
+
+    spark = get_spark(app_name="seed")
+    region_id = seed_lake(spark, args.lake)
+    print(f"seeded region_id={region_id}")
+
+
 def cmd_query(args) -> None:
     spark = get_spark(app_name="query")
     lake = args.lake
@@ -127,6 +135,11 @@ def main() -> None:
     ps.add_argument("--input-dir", required=True)
     ps.add_argument("--lake", required=True)
     ps.set_defaults(fn=cmd_stream_ingest)
+
+    # reference seed.py: idempotent Test Region + run-log + capacity row
+    pe = sub.add_parser("seed")
+    pe.add_argument("--lake", required=True)
+    pe.set_defaults(fn=cmd_seed)
 
     pq = sub.add_parser("query")
     pq.add_argument(
