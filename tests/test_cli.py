@@ -1,0 +1,59 @@
+"""CLI integration (SURVEY.md §2.11 entry points + §2.1 presentation
+sinks): one subprocess pipeline run covering ingest_capacity,
+compute_metrics, query with JSON output (op-sink-json) and --csv-out
+(op-sink-csv-export, writer-handled quoting/header).
+
+One test function = two JVM boots (~40 s); kept to a single flow on
+purpose — the endpoint semantics themselves are pinned by the cheaper
+api_queries tests.
+"""
+
+from __future__ import annotations
+
+import csv
+import glob
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CLI = os.path.join(REPO, "scripts", "run_pipeline.py")
+
+
+def _run(*args: str) -> str:
+    out = subprocess.run(
+        [sys.executable, CLI, *args],
+        capture_output=True, text=True, timeout=240, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return out.stdout
+
+
+def test_cli_ingest_metrics_query_json_and_csv(tmp_path):
+    lake = str(tmp_path / "lake")
+    batch = tmp_path / "batch.csv"
+    batch.write_text(
+        "date,state,inpatient_beds,inpatient_beds_used,"
+        "total_staffed_adult_icu_beds,staffed_adult_icu_bed_occupancy\n"
+        '2026-03-01,"R, quoted",200,150,20,10\n'
+        "2026-03-01,PLAIN,100,50,10,5\n"
+    )
+    out = _run("ingest_capacity", "--input", str(batch), "--lake", lake)
+    assert "rows_loaded=2" in out and "rows_rejected=0" in out
+    out = _run("compute_metrics", "--lake", lake)
+    assert "rows_loaded=2" in out
+
+    # op-sink-json: one JSON object per row + op-sink-csv-export: the
+    # writer must round-trip a comma-carrying region name via quoting
+    csv_dir = str(tmp_path / "csv_out")
+    json_out = _run("query", "metrics_latest", "--lake", lake)
+    rows = [json.loads(line) for line in json_out.strip().splitlines() if line.startswith("{")]
+    assert {r["region"] for r in rows} == {"R, quoted", "PLAIN"}
+
+    _run("query", "metrics_latest", "--lake", lake, "--csv-out", csv_dir)
+    [part] = glob.glob(os.path.join(csv_dir, "part*.csv"))
+    with open(part, newline="") as f:
+        recs = list(csv.DictReader(f))
+    assert {r["region"] for r in recs} == {"R, quoted", "PLAIN"}
+    assert all(r["strain_index"] for r in recs)
