@@ -191,6 +191,67 @@ def stream_windowed_event_counts(
     )
 
 
+def stream_stream_attribution_join(
+    spark: SparkSession,
+    source_path: str,
+    window_s: int = 86400,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval join (§2.9 extension; the
+    streaming analog of the batch ``range_join_binned``): purchases ⋈
+    views by the same user within the preceding ``window_s`` seconds.
+
+    Both sides carry event-time watermarks AND the join condition is
+    time-interval-bounded — the two requirements Spark imposes so it
+    can evict buffered rows: a view older than
+    purchase-watermark − window can never match again and is dropped
+    from state, which is what keeps an unbounded two-stream join's
+    memory finite at production scale. Run with availableNow + a memory
+    sink in append mode; returns the joined (purchase_id, view_id)
+    pairs for the caller to aggregate (aggregation after the join is
+    presentation — keeping the streaming stage join-only keeps its
+    output append-mode incremental)."""
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def _side(event_type: str, id_alias: str, user_alias: str, ts_alias: str):
+        return (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .parquet(source_path)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(id_alias),
+                F.col("user_id").alias(user_alias),
+                F.col("ts").alias(ts_alias),
+            )
+            .withWatermark(ts_alias, watermark)
+        )
+
+    purchases = _side("purchase", "purchase_id", "p_user", "p_ts")
+    views = _side("view", "view_id", "v_user", "v_ts")
+    joined = purchases.join(
+        views,
+        F.expr(
+            f"p_user = v_user AND v_ts >= p_ts - INTERVAL {window_s} SECONDS "
+            f"AND v_ts <= p_ts"
+        ),
+        "inner",
+    ).select("purchase_id", "view_id")
+
+    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    query = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
 SESSION_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

@@ -152,6 +152,31 @@ def test_stream_sessionize_matches_batch(spark, staged, sf_dir):
     assert s == b
 
 
+def test_stream_stream_join_matches_batch_range_join(spark, staged, sf_dir):
+    """The watermarked stream-stream interval join must produce exactly
+    the batch binned-range-join result (same per-purchase view counts)
+    — one availableNow batch contains all data, so no eviction hides
+    matches and the equivalence is exact."""
+    from hospital_stain_tracker_data_pipeline_spark.plans import CATALOG
+    from hospital_stain_tracker_data_pipeline_spark.streaming.ingest_stream import (
+        stream_stream_attribution_join,
+    )
+
+    _, input_dir = staged
+    pairs = stream_stream_attribution_join(spark, input_dir)
+    got = {
+        r.purchase_id: r.n_views
+        for r in pairs.groupBy("purchase_id")
+        .agg(F.count("*").alias("n_views"))
+        .collect()
+    }
+    expect = {
+        r.purchase_id: r.n_views
+        for r in CATALOG["range_join_binned"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
 def test_stream_dedup_collapses_redelivery(spark, sf_dir):
     """dropDuplicatesWithinWatermark must collapse a full redelivery of
     the fixture (staged twice) back to exactly the distinct event set."""
