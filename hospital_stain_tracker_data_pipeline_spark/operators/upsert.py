@@ -58,12 +58,18 @@ def upsert_last_writer_wins(
 
 
 def dedup_last_writer(
-    df: DataFrame, keys: Sequence[str], version_col: str
+    df: DataFrame, keys: Sequence[str], version_col: str | None = None
 ) -> DataFrame:
-    """Within one batch: keep the newest row per natural key."""
-    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
-        F.desc_nulls_last(version_col)
-    )
+    """Within one batch: keep the newest row per natural key (or, with
+    no version column, a deterministic struct-max of the non-key
+    columns — stable under repartitioning, unlike dropDuplicates)."""
+    keys = list(keys)
+    if version_col is not None:
+        order = F.desc_nulls_last(version_col)
+    else:
+        non_keys = [c for c in df.columns if c not in set(keys)]
+        order = F.struct(*[F.col(c) for c in non_keys]).desc()
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(order)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

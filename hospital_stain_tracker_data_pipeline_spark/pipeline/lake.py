@@ -95,3 +95,49 @@ class LakeTable:
         # Materialize before overwriting partitions we just read.
         merged = merged.localCheckpoint(eager=True)
         self.overwrite(merged)
+
+    def partition_file_counts(self) -> dict[str, int]:
+        """data-file count per partition directory (local-FS listing;
+        on a cluster this walks the Hadoop FileSystem the same way)."""
+        out: dict[str, int] = {}
+        if not os.path.isdir(self.path):
+            return out
+        prefix = f"{self.partition_col}="
+        for name in os.listdir(self.path):
+            pdir = os.path.join(self.path, name)
+            if name.startswith(prefix) and os.path.isdir(pdir):
+                out[name[len(prefix):]] = sum(
+                    1
+                    for f in os.listdir(pdir)
+                    if f.endswith(".parquet") and not f.startswith(".")
+                )
+        return out
+
+    def compact(self, min_files: int = 2) -> dict[str, int]:
+        """Small-file maintenance (the OPTIMIZE/rewrite_data_files analog
+        of Delta/Iceberg): rewrite every partition holding >= ``min_files``
+        part files down to ONE file per partition.
+
+        Micro-batch upserts fragment partitions — each merge write emits
+        one file per shuffle task that holds rows of the partition — and
+        at 100 TB the resulting tiny-file sea dominates scan overhead
+        (footer reads, task scheduling). The rewrite reads ONLY the
+        fragmented partitions (pruned scan), hash-repartitions on the
+        partition column so each partition's rows land in exactly one
+        task (= one output file), and dynamic-overwrites just those
+        directories. Row content is untouched — compaction is a pure
+        layout operation. Returns {partition: files_before} for the
+        partitions rewritten."""
+        fragmented = {
+            p: n for p, n in self.partition_file_counts().items() if n >= min_files
+        }
+        if not fragmented:
+            return {}
+        touched = list(fragmented)
+        part = F.col(self.partition_col).cast("string")
+        slice_df = self.read().filter(part.isin(touched))
+        compacted = slice_df.repartition(
+            len(touched), F.col(self.partition_col)
+        ).localCheckpoint(eager=True)
+        self.overwrite(compacted)
+        return fragmented

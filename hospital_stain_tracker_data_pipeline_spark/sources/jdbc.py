@@ -21,8 +21,12 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+# Re-exported for sink callers: Postgres ON CONFLICT DO UPDATE raises
+# 'cannot affect row a second time' if one statement touches a key
+# twice, so every upsert batch MUST be key-unique first.
+from ..operators.upsert import dedup_last_writer  # noqa: F401
 
 
 def read_jdbc_table(
@@ -64,28 +68,6 @@ def upsert_statement(table: str, columns: Sequence[str], keys: Sequence[str]) ->
     return (
         f"INSERT INTO {table} ({cols}) VALUES ({params}) "
         f"ON CONFLICT ({conflict}) DO UPDATE SET {updates}"
-    )
-
-
-def dedup_last_writer(
-    df: DataFrame, keys: Sequence[str], version_col: str | None = None
-) -> DataFrame:
-    """One row per natural key: keep the max-``version_col`` row (or a
-    deterministic struct-max of the non-key columns when no version
-    exists). Postgres ``ON CONFLICT DO UPDATE`` raises
-    'cannot affect row a second time' if one statement touches a key
-    twice, so every upsert batch MUST be key-unique."""
-    keys = list(keys)
-    if version_col is not None:
-        order = F.col(version_col).desc()
-    else:
-        non_keys = [c for c in df.columns if c not in set(keys)]
-        order = F.struct(*[F.col(c) for c in non_keys]).desc()
-    w = Window.partitionBy(*keys).orderBy(order)
-    return (
-        df.withColumn("_lw_rn", F.row_number().over(w))
-        .filter(F.col("_lw_rn") == 1)
-        .drop("_lw_rn")
     )
 
 

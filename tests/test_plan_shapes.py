@@ -111,6 +111,41 @@ def test_lake_table_partition_pruning(spark, tmp_path):
     assert "date" in pf_line and "2026-01-02" in pf_line
 
 
+def test_lake_compaction_rewrites_fragmented_partitions(spark, tmp_path):
+    """Micro-batch upserts fragment a partition into one file per
+    shuffle task; compact() must rewrite fragmented partitions to ONE
+    file each with row content (values, counts) bit-identical."""
+    import pyspark.sql.functions as F
+
+    from hospital_stain_tracker_data_pipeline_spark.pipeline.lake import LakeTable
+
+    t = LakeTable(
+        spark, str(tmp_path / "frag"), keys=["date", "k"],
+        partition_col="date", version_col="v",
+    )
+    df = spark.range(2000).select(
+        F.lit("2026-01-01").alias("date"),
+        F.col("id").alias("k"),
+        (F.col("id") * 1.5).alias("x"),
+        F.lit(0).alias("v"),
+    )
+    # An explicit 8-way repartition write stands in for accumulated
+    # micro-batch fragmentation (AQE coalesces the tiny test merge
+    # into one task, so the real upsert path can't fragment at this
+    # scale; explicit repartition counts are AQE-exempt).
+    t.overwrite(df.repartition(8))
+    before = t.partition_file_counts()
+    assert before.get("2026-01-01", 0) >= 2
+
+    rows_before = sorted(tuple(r) for r in t.read().collect())
+    rewritten = t.compact()
+    assert "2026-01-01" in rewritten
+    after = t.partition_file_counts()
+    assert after["2026-01-01"] == 1
+    assert sorted(tuple(r) for r in t.read().collect()) == rows_before
+    assert t.compact() == {}  # already compact → no-op
+
+
 def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     """Bucketed tables co-locate equi-join keys at WRITE time, so a
     fact⋈fact join needs no Exchange at read time — the mechanism
