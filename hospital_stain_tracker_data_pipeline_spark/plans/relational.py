@@ -357,6 +357,30 @@ def q_event_type_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted.join(direct, "event_type").orderBy("event_type")
 
 
+def q_event_percentiles_approx(
+    spark: SparkSession, sf_dir: str, accuracy: int = 10000
+) -> DataFrame:
+    """The 100 TB percentile path: ``approx_percentile`` (Greenwald-
+    Khanna sketch) instead of the exact interpolated percentile that
+    ``event_type_metrics`` uses for oracle comparison. Exact percentile
+    materializes and sorts every group's values (memory ∝ group size);
+    the sketch is fixed-size and MERGEABLE, so it composes with partial
+    aggregation — per-partition sketches combine map-side and only
+    sketches shuffle. Rank error ≤ 1/accuracy of the group size; not in
+    the oracle catalog (sketch internals differ across engines), pinned
+    instead by a rank-error test."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr(f"approx_percentile(value, 0.5, {accuracy})").alias("p50"),
+            F.expr(f"approx_percentile(value, 0.9, {accuracy})").alias("p90"),
+            F.expr(f"approx_percentile(value, 0.99, {accuracy})").alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 SQL_EVENT_TYPE_METRICS = """
 SELECT event_type, COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,

@@ -111,6 +111,42 @@ def test_lake_table_partition_pruning(spark, tmp_path):
     assert "date" in pf_line and "2026-01-02" in pf_line
 
 
+def test_approx_percentiles_rank_error_bounded(spark, sf_dir):
+    """The sketch-based percentile variant must land within its rank
+    error bound: the fraction of each group's values at or below the
+    approximate p50 stays within a small band around 0.5 (and the
+    partial-agg sketch shape shows in the plan)."""
+    import contextlib
+    import io
+
+    import pyspark.sql.functions as F
+
+    from hospital_stain_tracker_data_pipeline_spark.plans.relational import (
+        q_event_percentiles_approx,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.sources.tables import (
+        load_fixture_table,
+    )
+
+    approx = q_event_percentiles_approx(spark, sf_dir)
+    ev = load_fixture_table(spark, sf_dir, "events")
+    joined = ev.join(approx, "event_type").groupBy("event_type").agg(
+        (
+            F.count(F.when(F.col("value") <= F.col("p50"), 1))
+            / F.count("value")
+        ).alias("rank_at_p50")
+    )
+    for r in joined.collect():
+        assert 0.45 <= r.rank_at_p50 <= 0.55, r
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        approx.explain("formatted")
+    plan = buf.getvalue()
+    assert "partial_approx_percentile" in plan or "approx_percentile" in plan
+    assert plan.count("HashAggregate") + plan.count("ObjectHashAggregate") >= 2
+
+
 def test_lake_compaction_rewrites_fragmented_partitions(spark, tmp_path):
     """Micro-batch upserts fragment a partition into one file per
     shuffle task; compact() must rewrite fragmented partitions to ONE
