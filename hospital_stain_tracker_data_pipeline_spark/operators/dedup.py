@@ -169,21 +169,21 @@ def ngram_jaccard_pairs(
     Shingles with document frequency > max_df are dropped BEFORE the
     pair join (the hot set is tiny — only ubiquitous shingles — so it
     broadcasts as a left_anti probe; the corpus-sized token stream
-    never shuffles for the df filter). Ubiquitous shingles carry no
-    near-dup signal, so recall is unaffected; |∩| counts only kept
-    shingles, which slightly DISCOUNTS pairs whose sole overlap is
-    stop-phrases — the standard SpotSigs/df-pruning tradeoff. The
-    default (64) is far above this fixture's max df (14 at sf0.1), so
-    graded results are bit-identical to the uncapped definition."""
+    never shuffles for the df filter). With the cap active, Jaccard is
+    computed CONSISTENTLY over the kept-shingle universe — |∩|, |A|,
+    |B| all exclude dropped shingles — so similarity is exact on the
+    df-pruned sets (the SpotSigs formulation), not a mixed-denominator
+    underestimate; the only loss is a pair whose ENTIRE overlap is
+    ubiquitous boilerplate, which by definition carries no near-dup
+    signal. The default (64) is far above this fixture's max df (14 at
+    sf0.1), so graded results are bit-identical to the uncapped
+    definition."""
     sets = materialize(
         fanout(df).select(
             F.col(id_col),
             F.col(block_col).alias("_block"),
             hashed_shingles64(F.col(text_col), k).alias("shingles"),
         )
-    )
-    sizes = sets.select(
-        F.col(id_col), F.col("_block"), F.size("shingles").alias("n_sh")
     )
     tokens = sets.select(
         F.col(id_col), F.col("_block"), F.explode("shingles").alias("h")
@@ -200,6 +200,8 @@ def ngram_jaccard_pairs(
         tokens = materialize(
             tokens.join(F.broadcast(hot), ["_block", "h"], "left_anti")
         )
+    # set sizes over the SAME (post-cap) shingle universe as |∩|
+    sizes = tokens.groupBy(id_col, "_block").agg(F.count("*").alias("n_sh"))
     ta = tokens.select("_block", "h", F.col(id_col).alias("id_a"))
     tb = tokens.select("_block", "h", F.col(id_col).alias("id_b"))
     inter = (
@@ -282,32 +284,15 @@ def minhash_signature_udf(num_hashes: int = 32):
     return _sig
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 32,
-    bands: int = 8,
-    k: int = 3,
+def _minhash_banded(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
-    """LSH candidate pairs: equal band-slices of the MinHash signature
-    → same bucket → pair. rows = (id_a, id_b, n_bands_matched).
-
-    Shuffle is keyed by (band, bucket-hash): near-dups collide in ≥1
-    band w.h.p.; everything else never pairs up — this is what replaces
-    the O(n²) similarity join at scale."""
+    """(id, band, bucket) rows from a materialized signature frame —
+    the ONE banding implementation every MinHash caller shares, so a
+    banding change (bucket hashing, salting) cannot diverge between
+    the candidate hook and the production pair path."""
     rows_per_band = num_hashes // bands
-    # Two-step projection: the hashed-shingle array is referenced
-    # num_hashes times below; Catalyst's CollapseProject keeps the
-    # non-cheap md5 pass in its own project, so it runs once per row.
-    hashed = fanout(df).select(
-        F.col(id_col), hashed_shingles(F.col(text_col), k).alias("_hs")
-    )
-    sigs = hashed.select(
-        F.col(id_col),
-        minhash_signature_udf(num_hashes)(F.col("_hs")).alias("sig"),
-    )
-    banded = materialize(sigs).select(
+    return sigs.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -327,6 +312,35 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: equal band-slices of the MinHash signature
+    → same bucket → pair. rows = (id_a, id_b, n_bands_matched).
+
+    Shuffle is keyed by (band, bucket-hash): near-dups collide in ≥1
+    band w.h.p.; everything else never pairs up — this is what replaces
+    the O(n²) similarity join at scale."""
+    # Two-step projection: the hashed-shingle array is referenced
+    # num_hashes times below; Catalyst's CollapseProject keeps the
+    # non-cheap md5 pass in its own project, so it runs once per row.
+    hashed = fanout(df).select(
+        F.col(id_col), hashed_shingles(F.col(text_col), k).alias("_hs")
+    )
+    sigs = materialize(
+        hashed.select(
+            F.col(id_col),
+            minhash_signature_udf(num_hashes)(F.col("_hs")).alias("sig"),
+        )
+    )
+    banded = _minhash_banded(sigs, id_col, num_hashes, bands)
     a = banded.select(
         F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a")
     )
@@ -362,7 +376,6 @@ def minhash_lsh_dedup_pairs(
     so the signatures are bit-identical to the two-pass form). The md5
     expression work is the dominant scan-stage cost, so this halves it.
     """
-    rows_per_band = num_hashes // bands
     sets = materialize(
         fanout(df).select(
             F.col(id_col), hashed_shingles64(F.col(text_col), k).alias("shingles")
@@ -377,26 +390,7 @@ def minhash_lsh_dedup_pairs(
             minhash_signature_udf(num_hashes)(sig_input).alias("sig"),
         )
     )
-    banded = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "_",
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _minhash_banded(sigs, id_col, num_hashes, bands)
     ca = banded.select("band", "bucket", F.col(id_col).alias("id_a"))
     cb = banded.select("band", "bucket", F.col(id_col).alias("id_b"))
     cands = (
@@ -552,6 +546,20 @@ def simhash_pairs(
     cap at nbits 1-bit bands and a pair differing in EVERY bit would be
     missed — only exact-complement fingerprints, vanishing probability.
     """
+    cand = _simhash_band_candidate_pairs(df, text_col, id_col, nbits, max_hamming)
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def _simhash_band_candidate_pairs(
+    df: DataFrame, text_col: str, id_col: str, nbits: int, max_hamming: int
+) -> DataFrame:
+    """(id_a, id_b, h_a, h_b) candidates sharing ≥ 1 band — the ONE
+    simhash banding implementation, shared by the production pair path
+    and the test/introspection hook so they cannot diverge."""
     hashed = fanout(df).select(
         F.col(id_col), token_hashes(F.col(text_col)).alias("_th")
     )
@@ -576,18 +584,13 @@ def simhash_pairs(
     b = banded.select(
         "band", "val", F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b")
     )
-    cand = (
+    return (
         a.join(b, ["band", "val"])
         .filter(F.col("id_a") < F.col("id_b"))
         # a pair agreeing on several bands appears once per band
         .select("id_a", "id_b", "h_a", "h_b")
         .distinct()
     )
-    return cand.select(
-        "id_a",
-        "id_b",
-        F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"),
-    ).filter(F.col("hamming") <= max_hamming)
 
 
 def simhash_band_candidates(
@@ -599,27 +602,10 @@ def simhash_band_candidates(
 ) -> DataFrame:
     """Candidate pairs BEFORE the Hamming verify (test/introspection
     hook): everything that shares ≥ 1 band. |candidates| << C(n,2) is
-    the whole point of banding."""
-    hashed = fanout(df).select(
-        F.col(id_col), token_hashes(F.col(text_col)).alias("_th")
-    )
-    h = materialize(
-        hashed.select(
-            F.col(id_col), simhash_udf(nbits)(F.col("_th")).alias("simhash")
-        )
-    )
-    banded = h.select(
-        F.col(id_col),
-        F.explode(simhash_banded(F.col("simhash"), nbits, max_hamming)).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.val").alias("val"))
-    a = banded.select("band", "val", F.col(id_col).alias("id_a"))
-    b = banded.select("band", "val", F.col(id_col).alias("id_b"))
-    return (
-        a.join(b, ["band", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    the whole point of banding. Same generator as ``simhash_pairs``."""
+    return _simhash_band_candidate_pairs(
+        df, text_col, id_col, nbits, max_hamming
+    ).select("id_a", "id_b")
 
 
 def ngram_contamination(

@@ -45,20 +45,37 @@ def sniff_image(raw: bytes) -> tuple[str, int, int] | None:
         w, h = struct.unpack("<ii", raw[18:26])
         return ("image/bmp", w, abs(h))  # negative height = top-down rows
     if len(raw) >= 4 and raw[:2] == b"\xff\xd8":
-        # walk JPEG segments to the first frame header (SOFn)
+        # walk JPEG segments to the first frame header (SOFn). Legal
+        # streams may pad with extra 0xFF fill bytes before a marker,
+        # and TEM/RSTn markers are standalone (no length field).
         i = 2
         sof = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
-        while i + 4 <= len(raw) and raw[i] == 0xFF:
-            marker, seglen = raw[i + 1], struct.unpack(">H", raw[i + 2:i + 4])[0]
+        standalone = {0x01} | set(range(0xD0, 0xD8))  # TEM, RST0-7
+        while i < len(raw):
+            if raw[i] != 0xFF:  # desynchronized
+                return None
+            while i < len(raw) and raw[i] == 0xFF:  # skip fill bytes
+                i += 1
+            if i >= len(raw):
+                return None
+            marker = raw[i]
+            i += 1
+            if marker in standalone:
+                continue
+            if marker == 0xD9 or marker == 0xDA:  # EOI / scan start
+                return None
+            if i + 2 > len(raw):
+                return None
+            seglen = struct.unpack(">H", raw[i:i + 2])[0]
+            if seglen < 2:
+                return None
             if marker in sof:
-                if i + 9 <= len(raw):
-                    h, w = struct.unpack(">HH", raw[i + 5:i + 9])
+                if i + 7 <= len(raw):
+                    h, w = struct.unpack(">HH", raw[i + 3:i + 7])
                     return ("image/jpeg", w, h)
                 return None
-            if marker == 0xD9 or seglen < 2:  # EOI / corrupt
-                return None
-            i += 2 + seglen
+            i += seglen
     return None
 
 MEDIA_SCHEMA = T.StructType(

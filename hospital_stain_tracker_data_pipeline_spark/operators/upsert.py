@@ -60,14 +60,23 @@ def upsert_last_writer_wins(
 def dedup_last_writer(
     df: DataFrame, keys: Sequence[str], version_col: str | None = None
 ) -> DataFrame:
-    """Within one batch: keep the newest row per natural key (or, with
-    no version column, a deterministic struct-max of the non-key
-    columns — stable under repartitioning, unlike dropDuplicates)."""
+    """Within one batch: keep the newest row per natural key.
+
+    WITHOUT ``version_col`` there is no notion of "newest": the winner
+    is a deterministic struct-max over the non-key columns (stable
+    under repartitioning, unlike ``dropDuplicates``) but ARBITRARY with
+    respect to write order — a frame that carries a version/timestamp
+    column must pass it, or a stale row can win silently. A keys-only
+    frame degenerates to plain key-distinct (all duplicate rows are
+    identical)."""
     keys = list(keys)
     if version_col is not None:
         order = F.desc_nulls_last(version_col)
     else:
         non_keys = [c for c in df.columns if c not in set(keys)]
+        if not non_keys:
+            # every column is a key → duplicates are identical rows
+            return df.dropDuplicates(keys)
         order = F.struct(*[F.col(c) for c in non_keys]).desc()
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(order)
     return (

@@ -96,9 +96,18 @@ class LakeTable:
         merged = merged.localCheckpoint(eager=True)
         self.overwrite(merged)
 
+    # Hive's sentinel directory for a NULL partition value — compaction
+    # skips it (its rows cannot be selected back by an isin filter).
+    _NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
     def partition_file_counts(self) -> dict[str, int]:
-        """data-file count per partition directory (local-FS listing;
-        on a cluster this walks the Hadoop FileSystem the same way)."""
+        """data-file count per partition VALUE (local-FS listing; on a
+        cluster this walks the Hadoop FileSystem the same way). Keys
+        are the unescaped values — Hadoop %-escapes special chars
+        (':' → '%3A', etc.) in directory names, and matching raw column
+        values against escaped names would silently select nothing."""
+        from urllib.parse import unquote
+
         out: dict[str, int] = {}
         if not os.path.isdir(self.path):
             return out
@@ -106,7 +115,7 @@ class LakeTable:
         for name in os.listdir(self.path):
             pdir = os.path.join(self.path, name)
             if name.startswith(prefix) and os.path.isdir(pdir):
-                out[name[len(prefix):]] = sum(
+                out[unquote(name[len(prefix):])] = sum(
                     1
                     for f in os.listdir(pdir)
                     if f.endswith(".parquet") and not f.startswith(".")
@@ -129,7 +138,9 @@ class LakeTable:
         layout operation. Returns {partition: files_before} for the
         partitions rewritten."""
         fragmented = {
-            p: n for p, n in self.partition_file_counts().items() if n >= min_files
+            p: n
+            for p, n in self.partition_file_counts().items()
+            if n >= min_files and p != self._NULL_PARTITION
         }
         if not fragmented:
             return {}

@@ -112,4 +112,8 @@ CATALOG: dict[str, QuerySpec] = {
     "stream_dedup": QuerySpec(S.q_stream_dedup, S.SQL_STREAM_DEDUP),
 }
 
-assert len(CATALOG) == 50, f"driver grades first 50 entries; got {len(CATALOG)}"
+# explicit raise (not assert — stripped under python -O): the grading
+# driver truncates to the first 50 entries, so a 51st would silently
+# get no correctness row.
+if len(CATALOG) != 50:
+    raise RuntimeError(f"driver grades first 50 entries; got {len(CATALOG)}")

@@ -354,7 +354,21 @@ def q_event_type_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
         F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
     )
-    return salted.join(direct, "event_type").orderBy("event_type")
+    # NULL-SAFE join key: GROUP BY keeps a NULL event_type group on
+    # both branches (and in the SQL oracle) — a plain equi-join would
+    # silently drop it.
+    return (
+        salted.alias("s")
+        .join(
+            direct.alias("d"),
+            F.col("s.event_type").eqNullSafe(F.col("d.event_type")),
+        )
+        .select(
+            F.col("s.event_type").alias("event_type"),
+            "n", "sum_value", "avg_value", "crisis_count", "p50", "p90", "p99",
+        )
+        .orderBy("event_type")
+    )
 
 
 def q_event_percentiles_approx(

@@ -87,6 +87,10 @@ def write_jdbc_upsert(
     The frame is key-deduplicated (``dedup_last_writer``) before the
     write: a batch with a repeated natural key would make Postgres
     ON CONFLICT DO UPDATE raise 'cannot affect row a second time'.
+    PASS ``version_col`` whenever the frame carries one — without it
+    the surviving row per key is deterministic but arbitrary with
+    respect to write order (struct-max of the value columns), which
+    can send a stale version to the database.
 
     ``connect`` is a zero-arg factory returning a DBAPI connection
     (psycopg2 etc.); passed as a callable so each executor partition

@@ -142,6 +142,17 @@ def stream_ingest_events(
     return result
 
 
+def _drain_memory_sink(spark: SparkSession, name: str) -> DataFrame:
+    """Materialize a memory-sink table and drop its temp view: the
+    memory sink buffers results on the driver for the LIFETIME of the
+    view, so a long-lived session calling these helpers repeatedly
+    would accumulate every past result set. localCheckpoint pins the
+    data to executor blocks instead and the view is released."""
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
+
+
 def stream_windowed_event_counts(
     spark: SparkSession,
     source_path: str,
@@ -183,7 +194,7 @@ def stream_windowed_event_counts(
         .start()
     )
     query.awaitTermination()
-    return spark.table(name).select(
+    return _drain_memory_sink(spark, name).select(
         F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("window_day"),
         "event_type",
         "n",
@@ -249,7 +260,7 @@ def stream_stream_attribution_join(
         .start()
     )
     query.awaitTermination()
-    return spark.table(name)
+    return _drain_memory_sink(spark, name)
 
 
 SESSION_OUTPUT_SCHEMA = T.StructType(
@@ -392,4 +403,4 @@ def stream_dedup_events(
         .start()
     )
     query.awaitTermination()
-    return spark.table(name).select("event_id", "user_id", "event_type", "value")
+    return _drain_memory_sink(spark, name).select("event_id", "user_id", "event_type", "value")

@@ -285,9 +285,16 @@ def test_multimodal_real_header_decode(spark):
         + b"\x00" * 10
         + b"\xff\xd9"
     )
+    # legal JPEG variations: 0xFF fill bytes before a marker, and a
+    # standalone TEM marker (no length field) before the frame header
+    jpeg_fill = (
+        b"\xff\xd8" + b"\xff\xff\xff\x01"
+        + b"\xff\xff\xc0" + _s.pack(">H", 17) + b"\x08" + _s.pack(">HH", 10, 20)
+        + b"\x00" * 10 + b"\xff\xd9"
+    )
     df = spark.createDataFrame(
         [(1, bytearray(png)), (2, bytearray(gif)), (3, bytearray(bmp)),
-         (4, bytearray(jpeg))],
+         (4, bytearray(jpeg)), (5, bytearray(jpeg_fill))],
         "doc_id long, payload binary",
     )
     media = to_media_table(df, "doc_id", "payload", source="t")
@@ -299,6 +306,7 @@ def test_multimodal_real_header_decode(spark):
     assert (rows[2].mime, rows[2].width, rows[2].height) == ("image/gif", 17, 23)
     assert (rows[3].mime, rows[3].width, rows[3].height) == ("image/bmp", 64, 48)
     assert (rows[4].mime, rows[4].width, rows[4].height) == ("image/jpeg", 360, 240)
+    assert (rows[5].mime, rows[5].width, rows[5].height) == ("image/jpeg", 20, 10)
     assert rows[1].n_bytes == len(png)
 
 

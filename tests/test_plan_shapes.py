@@ -295,12 +295,17 @@ def test_mixture_sample_two_phase_topn(spark, sf_dir):
     and prune BEFORE the exact per-lang window — the full stratum never
     funnels through a single-task window (the 100 TB hot-stratum fix)."""
     plan = plan_of(spark, sf_dir, "mixture_sample")
-    assert plan.count("Window") >= 2
-    # the local-rank prune sits between the two windows
-    assert "_local_rank" in plan
-    first_win = plan.index("Window")
-    assert "SPARK_PARTITION_ID" in plan or "_pid" in plan
-    assert plan.index("_local_rank") > first_win or "_local_rank" in plan
+    tree = plan.split("\n\n")[0].splitlines()  # root-first operator tree
+    win_lines = [i for i, l in enumerate(tree) if "Window" in l]
+    filt_lines = [i for i, l in enumerate(tree) if "Filter" in l]
+    assert len(win_lines) >= 2, tree
+    # a Filter sits strictly BETWEEN the two Window operators in the
+    # root-first tree: the global (downstream) window consumes the
+    # pruned survivors, never the raw stratum
+    assert any(win_lines[0] < f < win_lines[-1] for f in filt_lines), tree
+    # and the pruning filter is the local-rank one over the
+    # per-input-partition pre-rank
+    assert "_local_rank" in plan and ("SPARK_PARTITION_ID" in plan or "_pid" in plan)
 
 
 def test_tfidf_broadcasts_df_side(spark, sf_dir):
