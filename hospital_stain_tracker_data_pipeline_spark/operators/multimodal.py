@@ -271,6 +271,68 @@ def extract_audio_features(media: DataFrame, fake_decode: bool = False) -> DataF
     ).mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("src_width", T.IntegerType(), True),
+        T.StructField("src_height", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, fake_decode: bool = False
+) -> DataFrame:
+    """Image resize plumbing, same Arrow ``mapInPandas`` shape as the
+    extractors: source dimensions come from the REAL header sniff; the
+    resampled payload itself needs a pixel decoder (PIL/cv2 — absent),
+    so with ``fake_decode=True`` the output payload is a deterministic
+    payload-hash-derived stand-in of plausible size (3 bytes/px RGB),
+    and without it an unrecognized/undecodable payload raises the
+    explicit stub. The Spark-side contract — binary in, binary out,
+    payload never entering a shuffle before the resize — is the real
+    thing under test."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                sniffed = sniff_image(raw)
+                if not fake_decode:
+                    raise NotImplementedError(
+                        "pixel resampling requires PIL/cv2, not available in "
+                        "this environment — pass fake_decode=True for the "
+                        "deterministic stand-in payload"
+                    )
+                mime, sw, sh = sniffed if sniffed else (None, None, None)
+                seed = hashlib.sha256(raw).digest()
+                n = width * height * 3
+                body = (seed * (n // len(seed) + 1))[:n]
+                out.append(
+                    {
+                        "media_id": media_id,
+                        "mime": mime,
+                        "src_width": sw,
+                        "src_height": sh,
+                        "width": width,
+                        "height": height,
+                        "payload": body,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in RESIZED_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
 VIDEO_FRAMES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

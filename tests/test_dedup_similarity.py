@@ -347,6 +347,27 @@ def test_multimodal_audio_wav_real_decode(spark):
     assert len(fake) == len(DOCS) and all(f.duration_s > 0 for f in fake)
 
 
+def test_multimodal_resize_plumbing(spark):
+    """Resize: real source dims from the header sniff; deterministic
+    fixed-size fake payload out (pixel resampling stubbed — no PIL);
+    explicit stub raise without the fake flag."""
+    import pytest as _pytest
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    png = _make_png(320, 200)
+    df = spark.createDataFrame([(1, bytearray(png))], "doc_id long, payload binary")
+    media = to_media_table(df, "doc_id", "payload", source="t")
+    [r] = resize_images(media, 64, 48, fake_decode=True).collect()
+    assert (r.src_width, r.src_height) == (320, 200)
+    assert (r.width, r.height) == (64, 48)
+    assert r.mime == "image/png" and len(r.payload) == 64 * 48 * 3
+    with _pytest.raises(Exception, match="PIL|NotImplementedError"):
+        resize_images(media, 64, 48, fake_decode=False).collect()
+
+
 def test_multimodal_video_mp4_sniff_and_frame_sampling(spark):
     """A synthesized MP4 (ftyp + moov/mvhd v0) decodes its real
     duration; frame sampling explodes one row per stride with correct
