@@ -110,14 +110,45 @@ def blocked_similar_pairs(
     )
 
 
-def _lcg_vals(n: int, s: int) -> list[float]:
-    """Deterministic pseudo-random plane coefficients in [-1, 1] (no
-    numpy on executors; reproducible across runs)."""
+# Embedding quantization step for the LSH path: 1e-6 resolution, far
+# below any meaningful cosine difference. Quantized components stay
+# small integers, so every projection / dot / norm below is a sum of
+# exactly-representable float64 integers (all |partial sums| << 2^53)
+# — bit-identical in ANY summation order on ANY engine, which is what
+# lets the DuckDB oracle replay bucket assignment and verify exactly.
+QUANT_SCALE = 1_000_000.0
+
+
+def quantize_vec(col: Column) -> Column:
+    """floor(x·1e6) per element, kept as array<double>. floor is an
+    exact IEEE op — Spark, DuckDB and numpy agree bit-for-bit (no
+    rounding-mode parity concerns, unlike round())."""
+    return F.transform(
+        as_double_array(col),
+        lambda x: F.floor(x * F.lit(QUANT_SCALE)).cast("double"),
+    )
+
+
+def _lattice_coefs(n: int, s: int) -> list[int]:
+    """Deterministic integer-lattice plane coefficients in [-8, 8]
+    (LCG — no numpy on the driver path, reproducible across runs, and
+    replayable as SQL literals by the DuckDB oracle)."""
     x, out = s & 0x7FFFFFFF, []
     for _ in range(n):
         x = (1103515245 * x + 12345) & 0x7FFFFFFF
-        out.append(x / 0x3FFFFFFF - 1.0)
+        out.append((x >> 16) % 17 - 8)
     return out
+
+
+def lattice_planes(
+    tables: int, nbits: int, dim: int, seed: int = 42
+) -> np.ndarray:
+    """The (tables·nbits, dim) integer projection matrix shared by the
+    Spark UDF and the DuckDB oracle literal (plans/vectors.py)."""
+    return np.array(
+        [_lattice_coefs(dim, seed + 1000 * i) for i in range(tables * nbits)],
+        dtype="float64",
+    )
 
 
 def random_hyperplane_buckets(
@@ -129,9 +160,10 @@ def random_hyperplane_buckets(
     seed: int = 42,
     tables: int = 1,
 ) -> DataFrame:
-    """Sign-random-projection LSH (cosine-preserving): per hash table,
-    nbits fixed pseudo-random hyperplanes, bucket = sign bit-pack.
-    Output = (id, vec, table, bucket), one row per table (exploded).
+    """Sign-projection LSH (cosine-preserving): per hash table, nbits
+    fixed integer-lattice hyperplanes over the 1e-6-quantized vector,
+    bucket = sign bit-pack. Output = (id, vec, table, bucket), one row
+    per table (exploded).
 
     Multiple tables are the recall lever — a close pair only needs to
     agree on ALL bits of ONE table (recall = 1-(1-p^nbits)^tables).
@@ -142,14 +174,13 @@ def random_hyperplane_buckets(
     a numpy matrix multiply per batch — the deliberate exception to the
     no-UDF rule: 48+ hyperplane dot products per row as Catalyst
     expressions blow up the codegen method past JIT limits, while BLAS
-    does the whole batch in one gemm. Plane coefficients come from the
-    deterministic LCG, so buckets are reproducible run-to-run."""
+    does the whole batch in one gemm. Planes are integer-lattice and
+    inputs quantized integers, so every projection is a sum of exact
+    float64 integers — bucket assignment is bit-reproducible across
+    runs, partitionings, AND engines (the DuckDB oracle replays it)."""
     from pyspark.sql.functions import pandas_udf
 
-    n_planes = tables * nbits
-    planes = np.array(
-        [_lcg_vals(dim, seed + 1000 * i) for i in range(n_planes)]
-    )  # (n_planes, dim)
+    planes = lattice_planes(tables, nbits, dim, seed)  # (n_planes, dim)
     weights = np.array([1 << b for b in range(nbits)])
 
     @pandas_udf("array<int>")
@@ -162,8 +193,8 @@ def random_hyperplane_buckets(
         out = np.empty(len(arrs), dtype=object)
         out[~mask] = None
         if mask.any():
-            x = np.stack(arrs[mask])  # (present, dim)
-            bits = (x @ planes.T) >= 0  # (present, n_planes)
+            x = np.stack(arrs[mask])  # (present, dim) int-valued f64
+            bits = (x @ planes.T) >= 0  # exact: integer sums << 2^53
             per_table = bits.reshape(len(x), tables, nbits)
             packed = (per_table * weights).sum(axis=2).astype("int32")
             for j, i in enumerate(np.nonzero(mask)[0]):
@@ -173,7 +204,7 @@ def random_hyperplane_buckets(
     bucketed = fanout(df).select(
         F.col(id_col),
         F.col(vec_col),
-        F.posexplode(buckets_udf(as_double_array(F.col(vec_col)))).alias(
+        F.posexplode(buckets_udf(quantize_vec(F.col(vec_col)))).alias(
             "table", "bucket"
         ),
     )
@@ -183,9 +214,10 @@ def random_hyperplane_buckets(
 def dot_batch_udf():
     """Arrow-batched pairwise dot product (numpy einsum per batch) —
     the vectorized verify for candidate pairs. ~100× a per-element
-    higher-order-function evaluation on large pair sets; used only in
-    NON-oracle-compared paths (einsum's summation order differs from a
-    sequential loop in the last ulp)."""
+    higher-order-function evaluation on large pair sets. einsum's
+    summation order differs from a sequential loop in the last ulp, so
+    oracle-compared paths must feed it integer-valued (quantized)
+    inputs, where every order gives the same exact sum."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -222,11 +254,19 @@ def ann_lsh_pairs(
     false positives (exact verify); recall = 1-(1-p^nbits)^tables where
     p = 1 - θ/π.
 
-    Verify-side scale design: vectors are L2-normalized ONCE per row
-    (so the per-pair work is a single dot product, not dot + 2 norms)
-    and the pair dot runs as an Arrow-batched numpy einsum — the pair
-    set is orders of magnitude larger than the vector set, so per-pair
-    cost dominates everything."""
+    The similarity measure is the cosine of the 1e-6-QUANTIZED vectors
+    (indistinguishable from true cosine at 6-decimal output, and the
+    standard quantized-inference trade) — chosen because quantized dots
+    and norms are sums of exact float64 integers: bit-identical across
+    engines and summation orders, so the DuckDB oracle replays the
+    whole pipeline (buckets, candidates, verify) hash-exactly.
+
+    Verify-side scale design: the squared norm is computed ONCE per
+    vector (so per-pair work is a single dot, not dot + 2 norms) and
+    the pair dot runs as an Arrow-batched numpy einsum — the pair set
+    is orders of magnitude larger than the vector set, so per-pair cost
+    dominates everything. cosine = dot / (√n²ₐ · √n²ᵦ): sqrt/mul/div
+    are single correctly-rounded IEEE ops, same order on both engines."""
     bucketed = materialize(
         random_hyperplane_buckets(
             df, nbits, dim, id_col, vec_col, tables=tables
@@ -240,21 +280,24 @@ def ann_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    v = df.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("_v"))
-    # compute the norm ONCE into its own column — a lambda referencing
-    # norm(_v) would re-evaluate the whole aggregate per element
-    # (O(dim²)/row; no CSE inside higher-order functions). The
-    # materialize boundary sits BETWEEN norm and the transform so
-    # CollapseProject cannot re-inline it into the lambda.
-    with_norm = materialize(
-        v.select(F.col(id_col), "_v", norm(F.col("_v")).alias("_n"))
+    # squared norm ONCE into its own column behind a materialize
+    # boundary, so CollapseProject cannot re-inline the aggregate into
+    # downstream expressions (no CSE inside higher-order functions).
+    qv = materialize(
+        df.select(F.col(id_col), quantize_vec(F.col(vec_col)).alias("_q"))
+        .filter(F.col("_q").isNotNull())
+        .select(F.col(id_col), "_q", dot(F.col("_q"), F.col("_q")).alias("_n2"))
     )
-    nv = with_norm.select(
-        F.col(id_col),
-        F.transform("_v", lambda x: x / F.col("_n")).alias("_nv"),
+    va = qv.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_q").alias("q_a"),
+        F.col("_n2").alias("n2_a"),
     )
-    va = nv.select(F.col(id_col).alias("id_a"), F.col("_nv").alias("v_a"))
-    vb = nv.select(F.col(id_col).alias("id_b"), F.col("_nv").alias("v_b"))
+    vb = qv.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_q").alias("q_b"),
+        F.col("_n2").alias("n2_b"),
+    )
     dot_udf = dot_batch_udf()
     return (
         cands.join(va, "id_a")
@@ -262,7 +305,11 @@ def ann_lsh_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(dot_udf(F.col("v_a"), F.col("v_b")), 6).alias("cosine_sim"),
+            F.round(
+                dot_udf(F.col("q_a"), F.col("q_b"))
+                / (F.sqrt(F.col("n2_a")) * F.sqrt(F.col("n2_b"))),
+                6,
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )

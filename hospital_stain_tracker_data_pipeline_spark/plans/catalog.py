@@ -1,9 +1,11 @@
 """The query catalog: name → QuerySpec(fn, oracle_sql).
 
 Backs ``__spark_entry__.queries()`` / ``oracle_sql()``. ``oracle_sql``
-is None for genuinely non-SQL-expressible entries (approximate LSH
-candidate generation, streaming) — the driver records a rows-only check
-for those (SURVEY.md §5.2).
+is None only for ``knn_ivf`` — distributed float k-means (argmax over
+float32-accumulated gemm results) is the one pipeline whose exact
+replay DuckDB cannot express; its stability is pinned by recall and
+determinism tests instead (SURVEY.md §5.2). Everything else, including
+the LSH ANN and all four streaming entries, carries a full oracle.
 """
 
 from __future__ import annotations
@@ -98,17 +100,21 @@ CATALOG: dict[str, QuerySpec] = {
     # --- similarity search (Phase 4) ---
     "knn_cosine": QuerySpec(V.q_knn_cosine, V.SQL_KNN_COSINE),
     "embedding_dup_pairs": QuerySpec(V.q_embedding_dup_pairs, V.SQL_EMBEDDING_DUP_PAIRS),
-    "ann_lsh_pairs": QuerySpec(V.q_ann_lsh_pairs, None),
+    "ann_lsh_pairs": QuerySpec(V.q_ann_lsh_pairs, V.SQL_ANN_LSH_PAIRS),
     "embedding_centroids": QuerySpec(
         V.q_embedding_centroids, V.SQL_EMBEDDING_CENTROIDS
     ),
     "knn_ivf": QuerySpec(V.q_knn_ivf, None),
     # --- §2.9 streaming ---
-    "stream_events_ingest": QuerySpec(S.q_stream_events_ingest, None),
+    "stream_events_ingest": QuerySpec(
+        S.q_stream_events_ingest, S.SQL_STREAM_EVENTS_INGEST
+    ),
     "stream_windowed_counts": QuerySpec(
         S.q_stream_windowed_counts, S.SQL_STREAM_WINDOWED_COUNTS
     ),
-    "stream_sessionize": QuerySpec(S.q_stream_sessionize, None),
+    "stream_sessionize": QuerySpec(
+        S.q_stream_sessionize, S.SQL_STREAM_SESSIONIZE
+    ),
     "stream_dedup": QuerySpec(S.q_stream_dedup, S.SQL_STREAM_DEDUP),
 }
 

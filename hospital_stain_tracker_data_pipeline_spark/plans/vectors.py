@@ -77,10 +77,14 @@ ORDER BY id_a, id_b
 
 
 def q_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path: multi-table sign-random-projection LSH (8 tables
-    × 6 bits, deterministic planes) → distinct candidates → exact
-    cosine verify (≥ 0.35). Approximate recall → no SQL oracle (driver
-    rows-only check); zero false positives by construction.
+    """ANN scale path: multi-table sign-projection LSH (8 tables ×
+    6 bits, deterministic integer-lattice planes over 1e-6-quantized
+    vectors) → distinct candidates → exact cosine verify (≥ 0.35).
+    Zero false positives by construction; recall is a property of the
+    banding, and the DuckDB oracle replays the ENTIRE pipeline —
+    bucket assignment, candidate join, verify — hash-exactly, because
+    every projection/dot/norm is a sum of exact float64 integers
+    (see operators.similarity.QUANT_SCALE).
 
     nbits sizes the bucket fan-out: candidates/table ≈ n²/2^nbits, so
     more bits = fewer candidates = cheaper verify but lower recall —
@@ -89,6 +93,65 @@ def q_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_pairs(
         emb, threshold=0.35, nbits=6, tables=8, dim=64
     ).orderBy("id_a", "id_b")
+
+
+def _ann_lsh_oracle_sql(
+    threshold: float, nbits: int, tables: int, dim: int, seed: int = 42
+) -> str:
+    """Generate the DuckDB replay of ``ann_lsh_pairs``: the same
+    integer-lattice planes (same LCG stream) inlined as literals, the
+    same floor(x·1e6) quantization, sign → bit-pack → bucket self-join
+    → exact quantized-cosine verify. All arithmetic is sums of exact
+    float64 integers, so buckets and cosines match Spark bit-for-bit."""
+    from ..operators.similarity import lattice_planes
+
+    planes = lattice_planes(tables, nbits, dim, seed)
+    rows = []
+    for i in range(tables * nbits):
+        t, b = divmod(i, nbits)
+        coefs = ", ".join(f"{c:.1f}" for c in planes[i])
+        rows.append(f"({t}, {1 << b}, [{coefs}])")
+    values = ",\n    ".join(rows)
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> floor(x * 1000000.0)) AS qv
+  FROM embeddings WHERE embedding IS NOT NULL
+), planes(tbl, wt, coefs) AS (
+  SELECT * FROM (VALUES
+    {values}
+  ) v(tbl, wt, coefs)
+), bits AS (
+  SELECT q.vec_id, p.tbl,
+         CASE WHEN list_inner_product(q.qv, p.coefs) >= 0
+              THEN p.wt ELSE 0 END AS bitval
+  FROM q CROSS JOIN planes p
+), buckets AS (
+  SELECT vec_id, tbl, CAST(SUM(bitval) AS BIGINT) AS bucket
+  FROM bits GROUP BY 1, 2
+), cands AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+), n2 AS (
+  SELECT vec_id, qv, list_inner_product(qv, qv) AS nn FROM q
+)
+SELECT c.id_a, c.id_b,
+       ROUND(list_inner_product(a.qv, b.qv) / (sqrt(a.nn) * sqrt(b.nn)), 6)
+         AS cosine_sim
+FROM cands c
+JOIN n2 a ON c.id_a = a.vec_id
+JOIN n2 b ON c.id_b = b.vec_id
+WHERE ROUND(list_inner_product(a.qv, b.qv) / (sqrt(a.nn) * sqrt(b.nn)), 6)
+      >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+SQL_ANN_LSH_PAIRS = _ann_lsh_oracle_sql(
+    threshold=0.35, nbits=6, tables=8, dim=64
+)
 
 
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -141,9 +204,11 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic hash-order init) → probe the query's 4 nearest cells
     → exact cosine inside the probed quarter of the corpus.
 
-    Approximate (recall < 1 by design) → no SQL oracle; the driver
-    records rows-only and ``tests/test_ann_recall.py`` pins recall
-    against the brute-force baseline. Scale: search cost is
+    The ONE legitimately rows-only catalog entry: the Lloyd iterations
+    accumulate float sums whose order DuckDB cannot replay bit-for-bit,
+    so no SQL oracle; the driver records rows-only and
+    ``tests/test_ann_recall.py`` pins recall against the brute-force
+    baseline (plus a partitioning-determinism test). Scale: search cost is
     ~nprobe/n_clusters of brute force; n_clusters grows ~√corpus to
     keep both the assign gemm and the per-cell scan balanced."""
     emb = load_fixture_table(spark, sf_dir, "embeddings")

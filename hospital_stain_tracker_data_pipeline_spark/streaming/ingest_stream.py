@@ -362,7 +362,7 @@ def stream_sessionize_events(
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    return _drain_memory_sink(spark, name)
 
 
 def stream_dedup_events(

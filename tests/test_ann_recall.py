@@ -10,13 +10,16 @@ from pyspark.sql import functions as F
 
 from hospital_stain_tracker_data_pipeline_spark.operators.similarity import (
     ann_lsh_pairs,
-    as_double_array,
     cosine,
+    quantize_vec,
 )
 
 
 def _exact_pairs(emb, threshold):
-    v = emb.select("vec_id", as_double_array(F.col("embedding")).alias("_v"))
+    # ground truth in the operator's own similarity measure (quantized
+    # cosine, see ann_lsh_pairs docstring) so the zero-false-positive
+    # assertion is exact, not subject to 1e-6 boundary flips
+    v = emb.select("vec_id", quantize_vec(F.col("embedding")).alias("_v"))
     a = v.select(F.col("vec_id").alias("id_a"), F.col("_v").alias("v_a"))
     b = v.select(F.col("vec_id").alias("id_b"), F.col("_v").alias("v_b"))
     return (
