@@ -19,7 +19,6 @@ environment this would be ``MERGE INTO``; the portable mechanism here:
 
 from __future__ import annotations
 
-import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -43,10 +42,27 @@ class LakeTable:
         self.partition_col = partition_col
         self.version_col = version_col
 
+    def _hadoop_fs(self):
+        """Resolve ``self.path`` through the Hadoop ``FileSystem`` API so
+        every maintenance op works on whatever scheme the path carries
+        (file:, hdfs:, s3a:, ...) — the same resolution Spark's own
+        readers/writers use. Returns ``(FileSystem, Path)``."""
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs, jpath
+
     def exists(self) -> bool:
-        return os.path.exists(os.path.join(self.path, "_SUCCESS")) or any(
-            n.startswith(f"{self.partition_col}=")
-            for n in (os.listdir(self.path) if os.path.isdir(self.path) else [])
+        fs, root = self._hadoop_fs()
+        if not fs.exists(root):
+            return False
+        jvm_path = self.spark._jvm.org.apache.hadoop.fs.Path
+        if fs.exists(jvm_path(root, "_SUCCESS")):
+            return True
+        prefix = f"{self.partition_col}="
+        return any(
+            st.isDirectory() and st.getPath().getName().startswith(prefix)
+            for st in fs.listStatus(root)
         )
 
     def read(self) -> DataFrame:
@@ -101,24 +117,28 @@ class LakeTable:
     _NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
     def partition_file_counts(self) -> dict[str, int]:
-        """data-file count per partition VALUE (local-FS listing; on a
-        cluster this walks the Hadoop FileSystem the same way). Keys
-        are the unescaped values — Hadoop %-escapes special chars
-        (':' → '%3A', etc.) in directory names, and matching raw column
-        values against escaped names would silently select nothing."""
+        """data-file count per partition VALUE, via the Hadoop
+        ``FileSystem`` API so the walk works on any scheme (file:,
+        hdfs:, s3a:, ...). Keys are the unescaped values — Hadoop
+        %-escapes special chars (':' → '%3A', etc.) in directory names,
+        and matching raw column values against escaped names would
+        silently select nothing."""
         from urllib.parse import unquote
 
         out: dict[str, int] = {}
-        if not os.path.isdir(self.path):
+        fs, root = self._hadoop_fs()
+        if not fs.exists(root):
             return out
         prefix = f"{self.partition_col}="
-        for name in os.listdir(self.path):
-            pdir = os.path.join(self.path, name)
-            if name.startswith(prefix) and os.path.isdir(pdir):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith(prefix):
                 out[unquote(name[len(prefix):])] = sum(
                     1
-                    for f in os.listdir(pdir)
-                    if f.endswith(".parquet") and not f.startswith(".")
+                    for f in fs.listStatus(st.getPath())
+                    if f.isFile()
+                    and f.getPath().getName().endswith(".parquet")
+                    and not f.getPath().getName().startswith(".")
                 )
         return out
 
