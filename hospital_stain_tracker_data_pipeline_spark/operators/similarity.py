@@ -342,9 +342,15 @@ def ivf_fit_centroids(
       cosine against the broadcast centroid matrix) — same rationale
       as the LSH projection UDF: k×dim dot products per row exceed
       what whole-stage codegen handles gracefully.
-    - update step: posexplode → groupBy(cluster, pos) avg — the
+    - update step: posexplode → groupBy(cluster, pos) sum — the
       shuffle payload is the k×dim centroid matrix, not the corpus.
-      Empty clusters keep their previous centroid.
+      Components are quantized to 1e-6 and summed as LONGs (the same
+      exact-integer trick as ``ann_lsh_pairs``), so the aggregation is
+      order-invariant: the fitted centroids — and therefore the whole
+      IVF search — are bit-identical under any input partitioning
+      (pinned by ``tests/test_ann_recall.py::
+      test_ivf_partitioning_determinism``). Empty clusters keep their
+      previous centroid.
 
     Iteration gotcha handled: the source is localCheckpoint'd once so
     the per-iteration jobs re-scan a materialized compact frame, not
@@ -369,7 +375,15 @@ def ivf_fit_centroids(
         sums = (
             assigned.select("cluster", F.posexplode("_v").alias("pos", "x"))
             .groupBy("cluster", "pos")
-            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            # exact-integer sum: quantized components are ≤1e6-scaled
+            # LONGs, so the shuffle-order of the partial aggregates
+            # cannot perturb the result (float += is not associative;
+            # integer += is) — this is what makes the fit
+            # partitioning-deterministic
+            .agg(
+                F.sum(F.round(F.col("x") * 1e6).cast("long")).alias("s"),
+                F.count("*").alias("n"),
+            )
             .collect()
         )
         new_c = centroids.copy()
@@ -379,7 +393,7 @@ def ivf_fit_centroids(
         for c, rows in by_cluster.items():
             vec = np.zeros(centroids.shape[1])
             for r in rows:
-                vec[r["pos"]] = r["s"] / r["n"]
+                vec[r["pos"]] = (r["s"] / 1e6) / r["n"]
             if np.linalg.norm(vec) > 0:
                 new_c[c] = vec
         centroids = _normalize_rows(new_c)

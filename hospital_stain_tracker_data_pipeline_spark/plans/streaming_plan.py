@@ -13,6 +13,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming.ingest_stream import stream_ingest_events
 
+# Exact integer epoch-seconds for the oracles. epoch() returns DOUBLE
+# (~2.4e-7 s ulp at epoch ~1.7e9), so floor(epoch(ts)) is only safe for
+# microsecond-aligned pre-2112 fixtures; epoch_us is exact BIGINT
+# microseconds. DuckDB's // truncates toward zero while Spark's
+# CAST(ts AS LONG) is floorDiv, so a sign correction makes the floor
+# semantics explicit (pre-1970 fractional seconds would otherwise be
+# off by one).
+_TSEC = (
+    "(epoch_us({c}) // 1000000"
+    " - CASE WHEN epoch_us({c}) % 1000000 < 0 THEN 1 ELSE 0 END)"
+)
+
 
 def q_stream_events_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 op-stream-ingest/replay/obs: one availableNow pass over the
@@ -47,14 +59,19 @@ def q_stream_events_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_STREAM_EVENTS_INGEST = """
+# The QUALIFY encodes the natural-key merge itself (last-writer-wins on
+# version_col=ts, per LakeTable.upsert) instead of assuming event_ids
+# are unique in the fixture — a redelivered/updated event_id must
+# resolve to the newest write on both engines.
+SQL_STREAM_EVENTS_INGEST = f"""
 SELECT event_id,
-       CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+       {_TSEC.format(c="ts")} AS tsec,
        user_id, event_type, value, props,
        strftime(date_trunc('day', ts), '%Y-%m-%d') AS event_date
 FROM events
 WHERE event_id IS NOT NULL AND event_type IS NOT NULL
   AND value IS NOT NULL AND value >= 0
+QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY ts DESC) = 1
 ORDER BY event_id
 """
 
@@ -111,10 +128,13 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-session granularity. The streaming sessionizer numbers sessions
 # from 0 per user; the running-sum form numbers from 1 → the -1 below.
 # CASTs guard DuckDB's HUGEINT widening of SUM (typed-hash parity).
-SQL_STREAM_SESSIONIZE = """
+# ts IS NOT NULL mirrors the operator's explicit null-ts drop — a null
+# event time carries no position in a gap sessionization.
+SQL_STREAM_SESSIONIZE = f"""
 WITH base AS (
-  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec, ts
+  SELECT user_id, event_id, {_TSEC.format(c="ts")} AS tsec, ts
   FROM events
+  WHERE ts IS NOT NULL
 ), gaps AS (
   SELECT user_id, ts, event_id, tsec,
          CASE WHEN tsec - LAG(tsec) OVER w > 1800

@@ -204,11 +204,17 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic hash-order init) → probe the query's 4 nearest cells
     → exact cosine inside the probed quarter of the corpus.
 
-    The ONE legitimately rows-only catalog entry: the Lloyd iterations
-    accumulate float sums whose order DuckDB cannot replay bit-for-bit,
-    so no SQL oracle; the driver records rows-only and
-    ``tests/test_ann_recall.py`` pins recall against the brute-force
-    baseline (plus a partitioning-determinism test). Scale: search cost is
+    The ONE legitimately rows-only catalog entry: the fit interleaves
+    driver-side numpy normalization with per-iteration Spark jobs — an
+    iterative algorithm DuckDB has no way to replay as one SQL query;
+    the driver records rows-only while ``tests/test_ann_recall.py``
+    pins recall floors + overlap bit-identity
+    (``test_ivf_recall_scales_with_nprobe``), bit-identical output
+    under corpus repartitioning
+    (``test_ivf_partitioning_determinism`` — the Lloyd update sums
+    1e-6-quantized components as LONGs, so aggregation order cannot
+    perturb centroids), and the exact sf0.001 top-10
+    (``test_ivf_golden_neighbors``). Scale: search cost is
     ~nprobe/n_clusters of brute force; n_clusters grows ~√corpus to
     keep both the assign gemm and the per-cell scan balanced."""
     emb = load_fixture_table(spark, sf_dir, "embeddings")

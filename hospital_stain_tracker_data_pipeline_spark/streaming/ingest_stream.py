@@ -309,7 +309,10 @@ def stream_sessionize_events(
             last_tsec, next_sid, cur = None, 0, None
         rows = []
         for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+            # a null event time has no position in a gap sessionization;
+            # NaT would otherwise cast to INT64_MIN and fabricate a
+            # garbage session (the SQL oracle drops null ts the same way)
+            pdf = pdf.dropna(subset=["ts"]).sort_values(["ts", "event_id"])
             tsecs = (
                 pdf["ts"].astype("datetime64[ns]").astype("int64") // 10**9
             )

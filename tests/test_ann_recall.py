@@ -87,3 +87,59 @@ def test_ivf_recall_scales_with_nprobe(spark, sf_dir):
     assert r4 >= 0.4, r4
     assert r8 >= 0.7, r8
     assert r8 >= r4
+
+
+def test_ivf_partitioning_determinism(spark, sf_dir):
+    """The IVF fit must be bit-identical under any input partitioning:
+    init is hash-ordered (no RNG) and the Lloyd update sums 1e-6
+    quantized components as LONGs (integer += is associative, float +=
+    is not), so repartitioning the corpus cannot perturb centroids,
+    cell assignment, or the final neighbor list."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.similarity import knn_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def run(corpus):
+        return [
+            (r.vec_id, r.cosine_sim)
+            for r in knn_ivf(
+                corpus, query, k=10, n_clusters=16, nprobe=4, iters=3
+            )
+            .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+            .collect()
+        ]
+
+    assert run(emb) == run(emb.repartition(7))
+
+
+def test_ivf_golden_neighbors(spark, sf_dir):
+    """Pin the exact top-10 ids+similarities at sf0.001 — any change to
+    init order, quantization step, or probe logic must show up as a
+    conscious golden update, not silent drift."""
+    import pytest
+
+    if not sf_dir.rstrip("/").endswith("sf0.001"):
+        pytest.skip("golden list is pinned to the sf0.001 fixture")
+    from hospital_stain_tracker_data_pipeline_spark.operators.similarity import knn_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = [
+        (r.vec_id, r.cosine_sim)
+        for r in knn_ivf(
+            emb, query, k=10, n_clusters=16, nprobe=4, iters=3
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .collect()
+    ]
+    assert got == [
+        (17, 0.334456), (260, 0.298669), (73, 0.297238),
+        (212, 0.281399), (232, 0.267338), (497, 0.252082),
+        (82, 0.2494), (394, 0.248665), (71, 0.245227),
+        (248, 0.239341),
+    ]
