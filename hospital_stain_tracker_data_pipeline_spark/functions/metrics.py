@@ -61,11 +61,12 @@ def strain_index(bed_occ: Column, icu_occ: Column, half_even: bool = False) -> C
         icu_score = icu_occ_pct * 100 if icu_occ_pct is not None else bed_score
         round(min(100, max(0, 0.4*bed_score + 0.6*icu_score)), 2)
 
-    Feed FULL-PRECISION pcts (the reference rounds only for storage,
-    not before this formula — pre-rounded inputs can deviate on .xx5
-    boundaries). ``half_even=True`` reproduces the reference's Python
-    ``round`` (banker's) exactly; the default HALF_UP matches the
-    DuckDB oracle the catalog queries compare against."""
+    Feed FULL-PRECISION pcts (the reference rounds only strain, never
+    the pct inputs — pre-rounded inputs can deviate on .xx5
+    boundaries). ``half_even=True`` matches the reference's Python
+    ``round`` (banker's) on this formula's value range; the default
+    HALF_UP matches the DuckDB oracle the catalog queries compare
+    against."""
     bed_score = bed_occ * 100.0
     icu_score = F.coalesce(icu_occ * 100.0, bed_score)
     raw = clamp(0.4 * bed_score + 0.6 * icu_score, 0.0, 100.0)
@@ -77,10 +78,16 @@ def round_half_even(col: Column, scale: int) -> Column:
     (Python ``round`` is HALF_EVEN, while Spark's ``F.round`` and
     DuckDB's ``ROUND`` are HALF_UP; SURVEY.md §7 'what's hard').
 
-    ``rint`` rounds half-to-even, so ``rint(x·10^s)/10^s`` reproduces
-    the reference bit-for-bit on .xx5 boundaries. The engine's default
-    queries use ``F.round`` (consistent with the DuckDB oracle); use
-    this variant when strict reference parity matters more."""
+    ``rint`` rounds half-to-even, so ``rint(x·10^s)/10^s`` matches the
+    reference on .xx5 boundaries for this domain's values (scores in
+    [0, 100] at scale 2, where x·10^s stays exactly representable
+    whenever x is a representable .xx5 boundary). It is NOT bit-for-bit
+    Python ``round`` in general: CPython rounds via correctly-rounded
+    decimal repr (``_Py_dg_dtoa``), while multiplying first can land a
+    pathological double on the other side of the half — use a decimal
+    type if such inputs ever matter. The engine's default queries use
+    ``F.round`` (consistent with the DuckDB oracle); use this variant
+    when reference parity matters more."""
     factor = float(10**scale)
     return F.call_function("rint", col * factor) / factor
 

@@ -167,9 +167,17 @@ def ngram_jaccard_pairs(
     in m documents contributes C(m,2) join rows, so one ubiquitous
     k-gram ("in the of") makes the pair join quadratic in the corpus.
     Shingles with document frequency > max_df are dropped BEFORE the
-    pair join (the hot set is tiny — only ubiquitous shingles — so it
-    broadcasts as a left_anti probe; the corpus-sized token stream
-    never shuffles for the df filter). With the cap active, Jaccard is
+    pair join. Cost of the detection, honestly: the df count is a full
+    ``groupBy(block, shingle)`` aggregation — map-side combine helps
+    only for repeated (block, shingle) pairs, so for mostly-unique
+    shingles its shuffle carries close to the whole distinct-shingle
+    stream once. What the cap buys is downstream: only the tiny hot
+    RESULT (ubiquitous shingles alone) materializes and broadcasts as
+    a left_anti probe, and the C(m,2) blowup in the pair join — the
+    part that is quadratic rather than linear — is gone. A sampled or
+    count-min-sketch probe could cheapen the detection to sublinear if
+    the one extra linear shuffle ever dominates. With the cap active,
+    Jaccard is
     computed CONSISTENTLY over the kept-shingle universe — |∩|, |A|,
     |B| all exclude dropped shingles — so similarity is exact on the
     df-pruned sets (the SpotSigs formulation), not a mixed-denominator

@@ -24,6 +24,7 @@ import hashlib
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -284,18 +285,84 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
+def decode_bmp_pixels(raw: bytes) -> np.ndarray | None:
+    """Uncompressed 24-bit BMP → ``(height, width, 3)`` uint8 RGB
+    ndarray in top-down row order, stdlib + numpy only. Handles both
+    bottom-up (positive biHeight, the common case) and top-down
+    (negative biHeight) row layouts and the 4-byte row padding the
+    format mandates. Returns None for anything else — other bit depths,
+    palettes, RLE compression, or a non-BMP payload — so callers can
+    distinguish "decodable natively" from "needs a real codec"."""
+    if len(raw) < 54 or raw[:2] != b"BM":
+        return None
+    data_off = struct.unpack("<I", raw[10:14])[0]
+    hdr_size = struct.unpack("<I", raw[14:18])[0]
+    if hdr_size < 40:  # BITMAPCOREHEADER etc. — different field layout
+        return None
+    w, h = struct.unpack("<ii", raw[18:26])
+    bpp = struct.unpack("<H", raw[28:30])[0]
+    comp = struct.unpack("<I", raw[30:34])[0]
+    if w <= 0 or h == 0 or bpp != 24 or comp != 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    if data_off + stride * h > len(raw) or data_off < 14 + hdr_size:
+        return None
+    px = (
+        np.frombuffer(raw, dtype=np.uint8, count=stride * h, offset=data_off)
+        .reshape(h, stride)[:, : w * 3]
+        .reshape(h, w, 3)
+    )
+    if not top_down:
+        px = px[::-1]
+    return px[:, :, ::-1].copy()  # stored BGR → RGB
+
+
+def resize_rgb_nearest(px: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample of an ``(h, w, 3)`` array via integer
+    index maps — ``src_idx = floor(dst_idx * src / dst)``, exact integer
+    arithmetic so the result is bit-deterministic everywhere."""
+    sh, sw = px.shape[:2]
+    ys = (np.arange(height, dtype=np.int64) * sh) // height
+    xs = (np.arange(width, dtype=np.int64) * sw) // width
+    return px[ys][:, xs]
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """``(h, w, 3)`` uint8 RGB (top-down) → uncompressed 24-bit
+    bottom-up BMP bytes (BITMAPFILEHEADER + BITMAPINFOHEADER), the
+    inverse of ``decode_bmp_pixels``."""
+    h, w = px.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # RGB→BGR, flip
+    data = body.tobytes()
+    return (
+        struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                      2835, 2835, 0, 0)
+        + data
+    )
+
+
 def resize_images(
     media: DataFrame, width: int, height: int, fake_decode: bool = False
 ) -> DataFrame:
-    """Image resize plumbing, same Arrow ``mapInPandas`` shape as the
-    extractors: source dimensions come from the REAL header sniff; the
-    resampled payload itself needs a pixel decoder (PIL/cv2 — absent),
-    so with ``fake_decode=True`` the output payload is a deterministic
-    payload-hash-derived stand-in of plausible size (3 bytes/px RGB),
-    and without it an unrecognized/undecodable payload raises the
-    explicit stub. The Spark-side contract — binary in, binary out,
-    payload never entering a shuffle before the resize — is the real
-    thing under test."""
+    """Image resize, same Arrow ``mapInPandas`` shape as the extractors.
+
+    One format is real END-TO-END: an uncompressed 24-bit BMP payload
+    is pixel-decoded (``decode_bmp_pixels``), nearest-neighbor
+    resampled (``resize_rgb_nearest``), and re-encoded as a valid
+    24-bit BMP — no image library involved, and the path runs
+    regardless of ``fake_decode``. Every other format needs an entropy
+    decoder (PNG inflate / JPEG DCT — PIL/cv2, absent here): source
+    dimensions still come from the real header sniff, but the output
+    payload is a deterministic payload-hash-derived stand-in
+    (3 bytes/px RGB) when ``fake_decode=True`` and an explicit
+    NotImplementedError otherwise. The Spark-side contract — binary
+    in, binary out, payload never entering a shuffle before the
+    resize — is identical on both paths."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -303,16 +370,21 @@ def resize_images(
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(payload) if payload is not None else b""
                 sniffed = sniff_image(raw)
-                if not fake_decode:
-                    raise NotImplementedError(
-                        "pixel resampling requires PIL/cv2, not available in "
-                        "this environment — pass fake_decode=True for the "
-                        "deterministic stand-in payload"
-                    )
                 mime, sw, sh = sniffed if sniffed else (None, None, None)
-                seed = hashlib.sha256(raw).digest()
-                n = width * height * 3
-                body = (seed * (n // len(seed) + 1))[:n]
+                px = decode_bmp_pixels(raw)
+                if px is not None:
+                    body = encode_bmp(resize_rgb_nearest(px, width, height))
+                elif fake_decode:
+                    seed = hashlib.sha256(raw).digest()
+                    n = width * height * 3
+                    body = (seed * (n // len(seed) + 1))[:n]
+                else:
+                    raise NotImplementedError(
+                        "native pixel decode covers uncompressed 24-bit BMP "
+                        "only; resampling this payload requires PIL/cv2, not "
+                        "available in this environment — pass fake_decode="
+                        "True for the deterministic stand-in payload"
+                    )
                 out.append(
                     {
                         "media_id": media_id,
@@ -348,7 +420,14 @@ VIDEO_FRAMES_SCHEMA = T.StructType(
 def sniff_mp4(raw: bytes) -> dict | None:
     """MP4/ISO-BMFF sniff, stdlib-only: ``ftyp`` brand → mime, and the
     ``moov``→``mvhd`` box (version 0 or 1) → timescale/duration. None
-    when the payload is not an ISO media file."""
+    when the payload is not an ISO media file.
+
+    Box sizes follow ISO/IEC 14496-12 §4.2 in full: the common
+    32-bit compact size, ``size==1`` (actual size is the following
+    64-bit ``largesize`` — how >4 GiB ``mdat`` boxes are written, so a
+    sniffer that aborts on it never reaches the ``moov`` of a large
+    real-world file), and ``size==0`` (box extends to the end of the
+    enclosing container — legal only for the last top-level box)."""
     if len(raw) < 12 or raw[4:8] != b"ftyp":
         return None
     out = {"mime": "video/mp4", "duration_s": None}
@@ -358,17 +437,28 @@ def sniff_mp4(raw: bytes) -> dict | None:
         while i + 8 <= hi:
             size = struct.unpack(">I", raw[i:i + 4])[0]
             typ = raw[i + 4:i + 8]
-            if size < 8:
+            header = 8
+            if size == 1:  # 64-bit largesize follows the type
+                if i + 16 > hi:
+                    return
+                size = struct.unpack(">Q", raw[i + 8:i + 16])[0]
+                header = 16
+                if size < 16:
+                    return
+            elif size == 0:  # box runs to the end of the container
+                size = hi - i
+            elif size < 8:  # malformed — stop rather than loop
                 return
+            base = i + header
             if typ == b"moov":
-                walk(i + 8, min(i + size, hi))
-            elif typ == b"mvhd" and i + 8 + 4 <= hi:
-                ver = raw[i + 8]
-                if ver == 0 and i + 8 + 20 <= hi:
-                    ts, dur = struct.unpack(">II", raw[i + 20:i + 28])
-                elif ver == 1 and i + 8 + 32 <= hi:
-                    ts = struct.unpack(">I", raw[i + 28:i + 32])[0]
-                    dur = struct.unpack(">Q", raw[i + 32:i + 40])[0]
+                walk(base, min(i + size, hi))
+            elif typ == b"mvhd" and base + 4 <= hi:
+                ver = raw[base]
+                if ver == 0 and base + 20 <= hi:
+                    ts, dur = struct.unpack(">II", raw[base + 12:base + 20])
+                elif ver == 1 and base + 32 <= hi:
+                    ts = struct.unpack(">I", raw[base + 20:base + 24])[0]
+                    dur = struct.unpack(">Q", raw[base + 24:base + 32])[0]
                 else:
                     ts, dur = 0, 0
                 if ts:

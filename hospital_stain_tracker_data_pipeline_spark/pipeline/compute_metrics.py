@@ -39,11 +39,13 @@ def metrics_from_capacity(capacity: DataFrame, run_id: str | None = None) -> Dat
     NULL — see functions.metrics.bed_occ_pct_api); ``icu_occ_pct`` NULL
     unless icu_beds > 0 and icu_occupied present; strain rounded to 2.
 
-    Rounding parity: the STORED pcts are rounded to 4, but strain is
-    computed from the FULL-PRECISION pcts with banker's rounding —
-    exactly the reference order of operations (round only at
-    storage/output, Python HALF_EVEN round; compute_metrics.py:56-64),
-    so .xx5-boundary rows match the reference bit-for-bit.
+    Rounding parity: strain is computed from the FULL-PRECISION pcts
+    with banker's rounding — the reference's order of operations
+    (compute_metrics.py:55-64: raw ratios feed compute_strain_index,
+    which applies Python HALF_EVEN round), so .xx5-boundary rows
+    match. The 4-dp rounding of the stored pcts below is THIS repo's
+    choice (stable display + hashable oracle comparisons); the
+    reference stores the unrounded floats.
     """
     bed_raw = bed_occ_pct_etl(F.col("occupied_beds"), F.col("total_beds"))
     icu_raw = icu_occ_pct(F.col("icu_occupied"), F.col("icu_beds"))
