@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -66,6 +67,19 @@ HEADLINE = [
     "ann_lsh_pairs",
 ]
 
+# The Arrow/pandas-UDF-backed family shows 3-4x run-to-run variance
+# (Python worker reuse, GC, batch boundaries); a single warm sample
+# can't distinguish a regression from noise, so these get
+# median-of-N warm reps reported separately as queries_median.
+NOISY_UDF_FAMILY = {
+    "dedup_simhash",
+    "dedup_jaccard_topk",
+    "dedup_minhash_lsh",
+    "dup_clusters",
+    "ann_lsh_pairs",
+}
+NOISY_REPS = 3
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -100,14 +114,21 @@ def main() -> None:
     # round-over-round regression detection meaningful.
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
         fn = CATALOG[name].fn
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
-        t1 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        warm[name] = round(time.perf_counter() - t1, 3)
+        reps = NOISY_REPS if name in NOISY_UDF_FAMILY else 1
+        rep_times = []
+        for _ in range(reps):
+            t1 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            rep_times.append(time.perf_counter() - t1)
+        warm[name] = round(rep_times[0], 3)
+        if reps > 1:
+            medians[name] = round(statistics.median(rep_times), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -118,6 +139,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_warm": warm,
+                "queries_median": medians,
                 "warm_total": round(sum(warm.values()), 3),
                 "sf": sf,
             }

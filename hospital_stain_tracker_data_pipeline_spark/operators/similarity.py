@@ -85,10 +85,18 @@ def blocked_similar_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_block_rows: int | None = 100_000,
 ) -> DataFrame:
     """All within-block pairs with rounded cosine ≥ threshold
-    (embedding-cosine near-dup detection). The block key bounds the
-    quadratic term; at scale the block is an LSH bucket (below)."""
+    (embedding-cosine near-dup detection). This is the EXACTNESS
+    BASELINE: work is quadratic in the largest block, so it only scales
+    when the blocking key genuinely bounds block size. ``max_block_rows``
+    is the guardrail — if any block exceeds it, the call fails fast
+    with a pointer at the sub-quadratic paths (``ann_lsh_pairs`` /
+    ``knn_ivf``) instead of launching an all-pairs join that would run
+    for days at 100 TB. The check is a 1-row aggregate over the
+    already-materialized slim (block, id) frame — O(rows), not O(rows²).
+    Pass ``max_block_rows=None`` to opt out explicitly."""
     v = materialize(
         fanout(df).select(
             F.col(block_col).alias("_block"),
@@ -96,6 +104,23 @@ def blocked_similar_pairs(
             as_double_array(F.col(vec_col)).alias("_v"),
         )
     )
+    if max_block_rows is not None:
+        top = (
+            v.groupBy("_block")
+            .count()
+            .orderBy(F.desc("count"))
+            .limit(1)
+            .collect()
+        )
+        if top and top[0]["count"] > max_block_rows:
+            raise ValueError(
+                f"blocked_similar_pairs: block {top[0]['_block']!r} has "
+                f"{top[0]['count']} rows (> max_block_rows="
+                f"{max_block_rows}); the within-block all-pairs join is "
+                "quadratic in block size. Use ann_lsh_pairs (LSH-bucketed)"
+                " or knn_ivf for this scale, or pass a larger "
+                "max_block_rows / None to force."
+            )
     a = v.select("_block", F.col(id_col).alias("id_a"), F.col("_v").alias("v_a"))
     b = v.select("_block", F.col(id_col).alias("id_b"), F.col("_v").alias("v_b"))
     return (

@@ -906,10 +906,23 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_SESSIONIZE = """
+# Exact integer epoch-seconds for every ts-arithmetic oracle. DuckDB's
+# epoch() returns DOUBLE (~2.4e-7 s ulp at epoch ~1.7e9), so
+# floor(epoch(ts)) is only ulp-safe for microsecond-aligned pre-2112
+# fixtures; epoch_us is exact BIGINT microseconds. DuckDB's // truncates
+# toward zero while Spark's CAST(ts AS LONG) is floorDiv, so the CASE
+# makes the floor semantics explicit (pre-1970 fractional seconds would
+# otherwise be off by one).
+TSEC_EXPR = (
+    "(epoch_us({c}) // 1000000"
+    " - CASE WHEN epoch_us({c}) % 1000000 < 0 THEN 1 ELSE 0 END)"
+)
+
+
+SQL_SESSIONIZE = f"""
 WITH base AS (
   -- floored epoch seconds = Spark's CAST(timestamp AS LONG)
-  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tsec, ts
+  SELECT user_id, event_id, {TSEC_EXPR.format(c="ts")} AS tsec, ts
   FROM events
 ), gaps AS (
   SELECT user_id, ts, event_id, tsec,
@@ -1077,12 +1090,12 @@ def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_RANGE_JOIN_BINNED = """
+SQL_RANGE_JOIN_BINNED = f"""
 WITH p AS (
-  SELECT event_id AS purchase_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS p_sec
+  SELECT event_id AS purchase_id, user_id, {TSEC_EXPR.format(c="ts")} AS p_sec
   FROM events WHERE event_type = 'purchase'
 ), v AS (
-  SELECT event_id AS view_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS v_sec
+  SELECT event_id AS view_id, user_id, {TSEC_EXPR.format(c="ts")} AS v_sec
   FROM events WHERE event_type = 'view'
 )
 SELECT p.purchase_id, COUNT(*) AS n_views

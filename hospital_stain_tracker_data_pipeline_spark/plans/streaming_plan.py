@@ -13,17 +13,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming.ingest_stream import stream_ingest_events
 
-# Exact integer epoch-seconds for the oracles. epoch() returns DOUBLE
-# (~2.4e-7 s ulp at epoch ~1.7e9), so floor(epoch(ts)) is only safe for
-# microsecond-aligned pre-2112 fixtures; epoch_us is exact BIGINT
-# microseconds. DuckDB's // truncates toward zero while Spark's
-# CAST(ts AS LONG) is floorDiv, so a sign correction makes the floor
-# semantics explicit (pre-1970 fractional seconds would otherwise be
-# off by one).
-_TSEC = (
-    "(epoch_us({c}) // 1000000"
-    " - CASE WHEN epoch_us({c}) % 1000000 < 0 THEN 1 ELSE 0 END)"
-)
+# Exact integer epoch-seconds — shared with the relational oracles
+# (see the rationale at relational.TSEC_EXPR).
+from .relational import TSEC_EXPR as _TSEC
 
 
 def q_stream_events_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -44,9 +44,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        # parquet TIMESTAMP(NANOS) (events fixture) is otherwise an
-        # illegal type for Spark's vectorized reader; read as long and
-        # convert at the loader (sources.tables)
+        # lets a parquet TIMESTAMP(NANOS) producer be read at all (as
+        # long — otherwise an illegal type for Spark's reader); the
+        # loader then normalizes ts TYPE-DRIVEN, branching on what the
+        # read actually produced (long-nanos / TIMESTAMP_NTZ /
+        # TIMESTAMP), so micro- and nano-encoded lakes both work
+        # (sources.tables.normalize_event_ts). Harmless when no nano
+        # columns exist.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

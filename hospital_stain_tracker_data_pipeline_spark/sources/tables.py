@@ -19,23 +19,49 @@ from ..schemas import FIXTURE_TABLES
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize an events frame's ``ts`` column to a canonical
+    ``TimestampType`` (UTC — the session timezone is pinned), branching
+    on the type the reader actually produced rather than assuming one
+    physical encoding. A real lake mixes parquet timestamp encodings
+    (micro/nano, with/without timezone); hard-coding any single one is
+    exactly the brittleness that breaks when a producer upgrades.
+
+    - ``LongType``: a parquet TIMESTAMP(NANOS) column read under
+      ``spark.sql.legacy.parquet.nanosAsLong`` — floor-truncate nanos
+      to a microsecond timestamp, matching DuckDB's read of the same
+      column (oracle parity).
+    - ``TimestampNTZType``: parquet ``timestamp[us]`` without a
+      timezone — reinterpret the wall-clock as UTC via cast; with the
+      session timezone pinned to UTC this preserves the stored instant
+      and matches DuckDB's naive ``epoch()``.
+    - ``TimestampType``: already canonical; pass through.
+
+    Works identically on batch and streaming DataFrames.
+    """
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_fixture_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) — an illegal type for
-        # Spark's reader unless read as long. The conf is runtime-
-        # settable; set it here (not only in our session factory) so
-        # the queries also work on a CALLER-provided vanilla session
-        # (the driver passes its own SparkSession). Deliberately NOT
-        # restored afterwards: execution is lazy, so resetting after
-        # read() could flip the conf back before the scan actually
-        # runs. Side effect: the caller's own TIMESTAMP(NANOS) parquet
-        # reads in this session will also come back as bigint.
+        # If events.ts is parquet TIMESTAMP(NANOS) — an illegal type
+        # for Spark's reader — this conf makes it readable as long;
+        # normalize_event_ts then converts by inspecting the actual
+        # type. Harmless for micro-encoded fixtures. Set here (not only
+        # in our session factory) so the queries also work on a CALLER-
+        # provided vanilla session (the driver passes its own
+        # SparkSession). Deliberately NOT restored afterwards:
+        # execution is lazy, so resetting after read() could flip the
+        # conf back before the scan actually runs.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # floor-truncate nanos → microsecond timestamp — exactly what DuckDB
-    # yields for the same column, keeping oracle parity.
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_event_ts(df)
     return df
 
 

@@ -27,20 +27,50 @@ from pyspark.sql import types as T
 from ..operators.validate import split_valid_invalid
 from ..pipeline.lake import LakeTable
 from ..sources.sinks import append_run_log, new_run_id, run_log_row, utcnow
+from ..sources.tables import normalize_event_ts
 
-# ts is declared long: the fixture carries parquet TIMESTAMP(NANOS),
-# which Spark only reads via nanosAsLong (see session.py); the batch
-# converts to a microsecond timestamp before the merge.
+# Fallback declaration only — used when the parquet footer can't be
+# sniffed (e.g. the source dir is empty at start time). ts matches the
+# current fixture encoding (timestamp[us] → TIMESTAMP_NTZ); when files
+# ARE present the schema is read from the footer instead, so a
+# nano-encoded producer works too (see _events_stream).
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
+        T.StructField("ts", T.TimestampNTZType(), True),
         T.StructField("user_id", T.LongType(), True),
         T.StructField("event_type", T.StringType(), True),
         T.StructField("value", T.DoubleType(), True),
         T.StructField("props", T.StringType(), True),
     ]
 )
+
+
+def _events_stream(
+    spark: SparkSession,
+    source_path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Build the events file-source stream with TYPE-DRIVEN ``ts``
+    handling: a streaming file source requires a declared schema, so
+    sniff the parquet footer via a batch-read of ``source_path`` (footer
+    metadata only — no data scan is triggered) and declare exactly what
+    the files carry, then normalize ``ts`` to canonical TimestampType
+    with the same helper the batch loader uses. This makes every
+    streaming operator agnostic to whether the producer wrote
+    micro-, nano-, NTZ- or UTC-encoded event time — assuming one fixed
+    physical encoding is how silent 1000× time-scale bugs happen."""
+    # lets a TIMESTAMP(NANOS) producer be read at all (as long);
+    # harmless for micro encodings
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        schema = spark.read.parquet(source_path).schema
+    except Exception:
+        schema = EVENTS_STREAM_SCHEMA
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return normalize_event_ts(reader.parquet(source_path))
 
 
 def event_validation_rules():
@@ -89,9 +119,6 @@ def stream_ingest_events(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         run_id = new_run_id()
         started = utcnow()
-        batch_df = batch_df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
         accepted, rejected = split_valid_invalid(batch_df, event_validation_rules())
         accepted = accepted.withColumn("event_date", F.to_date("ts"))
         n_rej = rejected.count()
@@ -116,19 +143,13 @@ def stream_ingest_events(
         result.rows_rejected += n_rej
         result.run_ids.append(run_id)
 
-    # runtime-set so caller-provided vanilla sessions can read the
-    # TIMESTAMP(NANOS) fixture (see sources.tables.load_fixture_table)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     # op-fn-urldecode (aws/lambda_handler.py:27-28): the reference
     # unquote_plus-decodes the URL-encoded S3 object key from the event
     # before reading. Spark's file source delivers the same thing as a
     # percent-encoded URI via input_file_name(); decode it into a
     # per-row lineage column (try_ variant: a malformed escape must
     # not fail the batch, matching the try_to_date reject philosophy).
-    stream = reader.parquet(source_path).withColumn(
+    stream = _events_stream(spark, source_path, max_files_per_trigger).withColumn(
         "source_file", F.try_url_decode(F.input_file_name())
     )
 
@@ -171,13 +192,7 @@ def stream_windowed_event_counts(
     window — making the result oracle-comparable."""
     import uuid
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .parquet(source_path)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withWatermark("ts", watermark)
-    )
+    stream = _events_stream(spark, source_path).withWatermark("ts", watermark)
     agg = (
         stream.groupBy(F.window("ts", window_len).alias("win"), F.col("event_type"))
         .agg(
@@ -224,13 +239,9 @@ def stream_stream_attribution_join(
     output append-mode incremental)."""
     import uuid
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
     def _side(event_type: str, id_alias: str, user_alias: str, ts_alias: str):
         return (
-            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-            .parquet(source_path)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            _events_stream(spark, source_path)
             .filter(F.col("event_type") == event_type)
             .select(
                 F.col("event_id").alias(id_alias),
@@ -341,12 +352,7 @@ def stream_sessionize_events(
             }
         )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .parquet(source_path)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _events_stream(spark, source_path)
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     sessions = stream.groupBy("user_id").applyInPandasWithState(
@@ -389,11 +395,8 @@ def stream_dedup_events(
     value-deterministic)."""
     import uuid
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     deduped = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .parquet(source_path)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        _events_stream(spark, source_path)
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["event_id"])
     )

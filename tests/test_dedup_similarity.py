@@ -204,6 +204,23 @@ def test_blocked_pairs_respect_block_and_threshold(spark):
     assert (0, 2) not in got and (0, 4) not in got  # below threshold
 
 
+def test_blocked_pairs_refuses_oversized_block(spark):
+    # the all-pairs block is the labeled exactness baseline; at scale an
+    # unbounded block is a quadratic blow-up, so the cap must fail fast
+    # and point at the sub-quadratic alternatives
+    import pytest
+
+    with pytest.raises(ValueError, match="ann_lsh_pairs"):
+        blocked_similar_pairs(
+            _vecs(spark), "label", 0.9, max_block_rows=1
+        ).collect()
+    # explicit opt-out still runs
+    n = blocked_similar_pairs(
+        _vecs(spark), "label", 0.9, max_block_rows=None
+    ).count()
+    assert n >= 1
+
+
 def test_ann_lsh_recall_on_identical_vectors(spark):
     # identical/near-identical vectors always share every bucket →
     # multi-table LSH must recover them; verify keeps only >= threshold

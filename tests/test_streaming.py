@@ -11,6 +11,9 @@ import tempfile
 import pytest
 from pyspark.sql import functions as F
 
+from hospital_stain_tracker_data_pipeline_spark.sources.tables import (
+    load_fixture_table,
+)
 from hospital_stain_tracker_data_pipeline_spark.streaming.ingest_stream import (
     stream_ingest_events,
     stream_windowed_event_counts,
@@ -96,8 +99,7 @@ def test_windowed_counts_match_batch_rollup(spark, staged, sf_dir):
     _, input_dir = staged
     streamed = stream_windowed_event_counts(spark, input_dir)
     batch = (
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        load_fixture_table(spark, sf_dir, "events")
         .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("window_day"), "event_type")
         .agg(F.count("*").alias("n"))
     )
@@ -121,10 +123,7 @@ def test_stream_sessionize_matches_batch(spark, staged, sf_dir):
         for r in streamed.collect()
     }
 
-    ev = (
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    ev = load_fixture_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
     new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)

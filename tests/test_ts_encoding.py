@@ -1,0 +1,110 @@
+"""Regression guard for fixture-encoding drift (round-4 postmortem):
+the events ``ts`` column must load as canonical TimestampType with the
+SAME instants regardless of the parquet physical encoding the producer
+chose. Round 4 lost six correctness rows and the bench to a silent
+micros-read-as-nanos assumption; this pins the loader and the streaming
+source as type-driven so the next fixture regeneration costs nothing.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import shutil
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import types as T
+
+from hospital_stain_tracker_data_pipeline_spark.sources.tables import (
+    load_fixture_table,
+    normalize_event_ts,
+)
+
+# one instant per row, expressed as epoch-microseconds (UTC)
+_EPOCH_US = [1_700_000_000_000_000, 1_700_000_123_456_789, 1_700_086_400_000_000]
+
+
+def _write_events_parquet(path: str, ts_type: pa.DataType) -> None:
+    n = len(_EPOCH_US)
+    unit = ts_type.unit
+    scale = {"s": 10**6, "ms": 10**3, "us": 1, "ns": 1}[unit]
+    if unit == "ns":
+        ts = pa.array([us * 1000 for us in _EPOCH_US], pa.int64()).cast(ts_type)
+    else:
+        ts = pa.array([us // scale for us in _EPOCH_US], pa.int64()).cast(ts_type)
+    table = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": ts,
+            "user_id": pa.array([1] * n, pa.int64()),
+            "event_type": pa.array(["view"] * n, pa.string()),
+            "value": pa.array([1.0] * n, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    pq.write_table(table, path)
+
+
+_ENCODINGS = {
+    "micros_ntz": pa.timestamp("us"),
+    "micros_utc": pa.timestamp("us", tz="UTC"),
+    "nanos_ntz": pa.timestamp("ns"),
+}
+
+
+@pytest.fixture(params=sorted(_ENCODINGS))
+def encoded_dir(request):
+    work = tempfile.mkdtemp(prefix=f"ts_enc_{request.param}_")
+    _write_events_parquet(
+        os.path.join(work, "events.parquet"), _ENCODINGS[request.param]
+    )
+    yield work
+    shutil.rmtree(work, ignore_errors=True)
+
+
+def test_loader_canonicalizes_any_encoding(spark, encoded_dir):
+    df = load_fixture_table(spark, encoded_dir, "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+    got = [
+        r.ts.replace(tzinfo=datetime.timezone.utc)
+        for r in df.orderBy("event_id").collect()
+    ]
+    want = [
+        datetime.datetime.fromtimestamp(us / 10**6, tz=datetime.timezone.utc)
+        for us in _EPOCH_US
+    ]
+    # compare at microsecond precision (nanos floor-truncate to micros)
+    assert [t.timestamp() for t in got] == pytest.approx(
+        [t.timestamp() for t in want], abs=0
+    )
+
+
+def test_normalize_passthrough_is_noop(spark, encoded_dir):
+    once = load_fixture_table(spark, encoded_dir, "events")
+    twice = normalize_event_ts(once)
+    assert twice.schema == once.schema
+    assert sorted(twice.collect()) == sorted(once.collect())
+
+
+def test_stream_source_canonicalizes_nano_encoding(spark):
+    """The streaming footer-sniff path must survive a nano-encoded
+    producer too — this is the exact shape of the round-4 silent
+    1000x time-compression bug."""
+    from hospital_stain_tracker_data_pipeline_spark.streaming.ingest_stream import (
+        stream_dedup_events,
+    )
+
+    work = tempfile.mkdtemp(prefix="ts_enc_stream_")
+    try:
+        input_dir = os.path.join(work, "incoming")
+        os.makedirs(input_dir)
+        _write_events_parquet(
+            os.path.join(input_dir, "events.parquet"), pa.timestamp("ns")
+        )
+        out = stream_dedup_events(spark, input_dir)
+        assert out.count() == len(_EPOCH_US)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
