@@ -415,6 +415,134 @@ def test_multimodal_video_mp4_sniff_and_frame_sampling(spark):
     assert all(f.frame is not None and len(f.frame) == 16 for f in fake)
 
 
+def _rgb_gradient(h, w):
+    """Deterministic (h, w, 3) uint8 test image with distinct pixels."""
+    import numpy as _np
+
+    px = _np.zeros((h, w, 3), dtype=_np.uint8)
+    px[:, :, 0] = (_np.arange(h)[:, None] * 7) % 256
+    px[:, :, 1] = (_np.arange(w)[None, :] * 11) % 256
+    px[:, :, 2] = (_np.arange(h)[:, None] + _np.arange(w)[None, :]) % 256
+    return px
+
+
+def test_bmp_codec_roundtrip_with_stride_padding():
+    """encode_bmp → decode_bmp_pixels must be the identity, including
+    widths whose 3-byte rows don't land on the mandatory 4-byte row
+    boundary (w=3 → 9-byte row pads to 12; w=5 → 15 pads to 16)."""
+    import numpy as _np
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp,
+    )
+
+    for h, w in [(4, 3), (7, 5), (2, 4), (1, 1)]:
+        px = _rgb_gradient(h, w)
+        raw = encode_bmp(px)
+        stride = (w * 3 + 3) & ~3
+        assert len(raw) == 54 + stride * h
+        back = decode_bmp_pixels(raw)
+        assert back is not None and _np.array_equal(back, px)
+
+
+def test_bmp_decode_topdown_negative_height():
+    """A negative biHeight means top-down row order; the decoder must
+    return the same array the bottom-up encoding of the same pixels
+    yields (rows NOT flipped twice)."""
+    import struct as _s
+
+    import numpy as _np
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp,
+    )
+
+    px = _rgb_gradient(3, 3)
+    h, w = px.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = _np.zeros((h, stride), dtype=_np.uint8)
+    body[:, : w * 3] = px[:, :, ::-1].reshape(h, w * 3)  # top-down: no flip
+    raw = (
+        _s.pack("<2sIHHI", b"BM", 54 + stride * h, 0, 0, 54)
+        + _s.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0, stride * h,
+                  2835, 2835, 0, 0)
+        + body.tobytes()
+    )
+    got = decode_bmp_pixels(raw)
+    assert got is not None and _np.array_equal(got, px)
+    assert _np.array_equal(got, decode_bmp_pixels(encode_bmp(px)))
+
+
+def test_resize_images_real_bmp_end_to_end(spark):
+    """The BMP path is real under BOTH fake_decode flags: the output
+    payload is itself a valid decodable 24-bit BMP of the target
+    dimensions (not the width*height*3 stand-in other formats get),
+    and nearest-neighbor resampling picks exact source pixels."""
+    import numpy as _np
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp,
+        resize_images,
+        resize_rgb_nearest,
+    )
+
+    src = _rgb_gradient(48, 64)
+    bmp = encode_bmp(src)
+    df = spark.createDataFrame([(1, bytearray(bmp))], "doc_id long, payload binary")
+    media = to_media_table(df, "doc_id", "payload", source="t")
+    for flag in (False, True):
+        [r] = resize_images(media, 16, 12, fake_decode=flag).collect()
+        assert (r.mime, r.src_width, r.src_height) == ("image/bmp", 64, 48)
+        out = decode_bmp_pixels(bytes(r.payload))
+        assert out is not None and out.shape == (12, 16, 3)
+        assert _np.array_equal(out, resize_rgb_nearest(src, 16, 12))
+        # documented size difference vs the stand-in: 54-byte header +
+        # padded stride, not width*height*3
+        assert len(r.payload) == 54 + ((16 * 3 + 3) & ~3) * 12
+
+
+def test_sniff_mp4_largesize_and_size0_boxes():
+    """ISO-BMFF size encodings beyond the 32-bit compact form: a
+    size==1 box carries its real 64-bit largesize (so a sniffer must
+    skip it correctly to reach moov), and a size==0 final box extends
+    to the end of the container."""
+    import struct as _s
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+        sniff_mp4,
+    )
+
+    def box(typ, payload):
+        return _s.pack(">I", 8 + len(payload)) + typ + payload
+
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + b"\x00" * 8 + _s.pack(">II", 1000, 2500) + b"\x00" * 80,
+    )
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+
+    # size==1: mdat with 64-bit largesize BEFORE moov — must be skipped
+    mdat_payload = b"\x00" * 24
+    mdat_large = (
+        _s.pack(">I", 1) + b"mdat" + _s.pack(">Q", 16 + len(mdat_payload))
+        + mdat_payload
+    )
+    out = sniff_mp4(ftyp + mdat_large + box(b"moov", mvhd))
+    assert out is not None and abs(out["duration_s"] - 2.5) < 1e-9
+
+    # size==0: the LAST top-level box (here moov itself) runs to EOF
+    moov_size0 = _s.pack(">I", 0) + b"moov" + mvhd
+    out0 = sniff_mp4(ftyp + moov_size0)
+    assert out0 is not None and abs(out0["duration_s"] - 2.5) < 1e-9
+
+    # malformed largesize (< header length) must stop cleanly, not loop
+    bad = ftyp + _s.pack(">I", 1) + b"mdat" + _s.pack(">Q", 8)
+    assert sniff_mp4(bad) == {"mime": "video/mp4", "duration_s": None}
+
+
 def test_multimodal_real_decode_is_explicitly_stubbed(spark):
     import pytest
 
