@@ -1,0 +1,134 @@
+"""Sequence packing for pretraining batches (beyond the reference
+surface — a core LLM-training-data operation): concatenate documents in
+a deterministic order and chunk the token stream at a fixed
+sequence-length budget, the "concat-and-chunk" packing every
+GPT/LLaMA-style data pipeline performs before batching.
+
+Spark-first shape: one window cumsum per shard gives each document its
+[start, end) token span in the shard's virtual concatenated stream;
+each doc then explodes into exactly the chunks its span overlaps
+(⌈n_tok/budget⌉+1 rows at most). No stateful scan, no driver loop —
+the "greedy reset" formulation that needs per-row state is deliberately
+avoided because floor(offset/budget) chunking is both the standard
+semantics AND embarrassingly parallel.
+
+At 100 TB: the stream is sharded (`shard = doc_id % n_shards`), so the
+cumsum window parallelizes across shards instead of serializing the
+corpus through one partition — n_shards should be ≥ cluster cores;
+chunk boundaries are deterministic functions of (shard, doc order,
+token counts), so a re-run (or a re-partitioned run) produces
+bit-identical packing — the property that lets a training job resume
+mid-corpus without re-reading packed shards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count
+
+
+def pack_token_chunks(
+    docs: DataFrame,
+    budget: int,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: Column | None = None,
+) -> DataFrame:
+    """Assign each document the training-sequence chunks it occupies.
+
+    Returns one row per (document × overlapped chunk):
+    ``shard, chunk_id, doc_id, n_tok, chunk_start, chunk_tokens`` where
+    ``chunk_tokens`` is how many of the doc's tokens land in that chunk
+    and ``chunk_start`` is the doc's offset within the chunk. Every
+    chunk except the last of each shard holds exactly ``budget`` tokens
+    (conservation is pinned by tests); docs longer than ``budget`` span
+    multiple chunks — truncation/splitting mid-doc is precisely what
+    concat-and-chunk packing does.
+
+    ``tokens_col`` overrides the default whitespace token count with a
+    caller-supplied per-doc token count column (e.g. a real BPE count).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    if tokens_col is None:
+        # token_count counts split(trim(x)) elements, which is 1 for a
+        # blank string (split yields [""]); a blank doc contributes no
+        # tokens to a training stream, so zero it explicitly
+        tokens_col = F.when(
+            F.trim(F.col(text_col)) == "", F.lit(0)
+        ).otherwise(token_count(F.col(text_col)))
+    n_tok = tokens_col.cast("long")
+    base = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
+            n_tok.alias("n_tok"),
+        )
+        # empty/null docs carry no tokens and would only inflate the
+        # explode; dropping them cannot shift any other doc's span
+        # boundaries (their span is empty)
+        .filter(F.col("n_tok") > 0)
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    spans = base.select(
+        "shard",
+        "doc_id",
+        "n_tok",
+        (F.sum("n_tok").over(w) - F.col("n_tok")).alias("tok_start"),
+        F.sum("n_tok").over(w).alias("tok_end"),
+    )
+    b = F.lit(budget).cast("long")
+    # integer `div`, not floor(double-divide): token offsets in a 100 TB
+    # shard can approach 2^53, where double division rounds and floor()
+    # lands on the wrong chunk; offsets are non-negative so div == floor
+    first_chunk = F.expr(f"tok_start div {int(budget)}")
+    last_chunk = F.expr(f"(tok_end - 1) div {int(budget)}")
+    return (
+        spans.select(
+            "shard",
+            "doc_id",
+            "n_tok",
+            "tok_start",
+            F.explode(F.sequence(first_chunk, last_chunk)).alias("chunk_id"),
+        )
+        .select(
+            "shard",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            "doc_id",
+            "n_tok",
+            F.greatest(F.lit(0).cast("long"), F.col("tok_start") - F.col("chunk_id") * b)
+            .alias("chunk_start"),
+            (
+                F.least(F.col("tok_start") + F.col("n_tok"), (F.col("chunk_id") + 1) * b)
+                - F.greatest(F.col("tok_start"), F.col("chunk_id") * b)
+            ).cast("long").alias("chunk_tokens"),
+        )
+    )
+
+
+def filter_funnel(
+    docs: DataFrame, stages: list[tuple[str, Column]]
+) -> DataFrame:
+    """Corpus-cleaning funnel observability (C4/RefinedWeb-style):
+    given ordered filter stages, report how many documents survive each
+    cumulative prefix of the funnel — the per-stage attrition numbers a
+    data-curation run publishes. ONE pass, conditional aggregation
+    only: the alternative (filter → count per stage) scans the corpus
+    len(stages) times; this scans once regardless of stage count,
+    which at 100 TB is the difference between one job and N.
+
+    Returns one row: ``total`` plus one ``after_<name>`` column per
+    stage (cumulative — a doc counts for stage k only if it passed
+    stages 1..k).
+    """
+    aggs = [F.count(F.lit(1)).alias("total")]
+    cum = None
+    for name, cond in stages:
+        cum = cond if cum is None else (cum & cond)
+        aggs.append(F.sum(F.when(cum, 1).otherwise(0)).cast("long").alias(f"after_{name}"))
+    return docs.agg(*aggs)

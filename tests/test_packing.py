@@ -1,0 +1,122 @@
+"""Sequence-packing and filter-funnel operator semantics (the
+concat-and-chunk packing a pretraining pipeline runs before batching):
+token conservation, full-chunk invariants, partitioning determinism,
+and one-pass funnel counts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hospital_stain_tracker_data_pipeline_spark.operators.packing import (
+    filter_funnel,
+    pack_token_chunks,
+)
+from hospital_stain_tracker_data_pipeline_spark.sources.tables import (
+    load_fixture_table,
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, "a b c"),          # 3 tok, shard 0
+        (1, "d e"),            # 2 tok, shard 1
+        (2, "f g h i j k l"),  # 7 tok, shard 0 — crosses a chunk boundary
+        (3, ""),               # empty — dropped
+        (4, "m n o p"),        # 4 tok, shard 0
+        (5, None),             # null — dropped
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pack_golden_chunk_layout(spark):
+    # shard 0 stream (budget 4): doc0[a b c] doc2[f g h i j k l] doc4[m n o p]
+    # offsets: doc0 [0,3) doc2 [3,10) doc4 [10,14)
+    # chunks:  0:[0,4) 1:[4,8) 2:[8,12) 3:[12,14)
+    out = pack_token_chunks(_docs(spark), budget=4, n_shards=2)
+    rows = {
+        (r.shard, r.chunk_id, r.doc_id): (r.chunk_start, r.chunk_tokens)
+        for r in out.collect()
+    }
+    assert rows[(0, 0, 0)] == (0, 3)   # doc0 fills chunk0[0:3]
+    assert rows[(0, 0, 2)] == (3, 1)   # doc2 starts at chunk0[3]
+    assert rows[(0, 1, 2)] == (0, 4)   # ... fills chunk1
+    assert rows[(0, 2, 2)] == (0, 2)   # ... ends in chunk2
+    assert rows[(0, 2, 4)] == (2, 2)   # doc4 follows in chunk2
+    assert rows[(0, 3, 4)] == (0, 2)   # ... tail chunk
+    assert rows[(1, 0, 1)] == (0, 2)   # shard 1: doc1 alone
+    assert all(k[0] != 0 or k[2] in (0, 2, 4) for k in rows)
+    assert not any(k[2] in (3, 5) for k in rows)  # empty/null dropped
+
+
+def test_pack_conserves_tokens_and_fills_chunks(spark):
+    docs = load_fixture_table(spark, "/root/testdata/sf0.001", "documents")
+    budget = 256
+    out = pack_token_chunks(docs, budget=budget, n_shards=8).cache()
+
+    # conservation: each doc's chunk_tokens sum to its token count
+    bad_docs = (
+        out.groupBy("doc_id", "n_tok")
+        .agg(F.sum("chunk_tokens").alias("packed"))
+        .filter(F.col("packed") != F.col("n_tok"))
+        .count()
+    )
+    assert bad_docs == 0
+
+    # fullness: every chunk except each shard's last holds exactly budget
+    per_chunk = out.groupBy("shard", "chunk_id").agg(
+        F.sum("chunk_tokens").alias("tok")
+    )
+    last = per_chunk.groupBy("shard").agg(F.max("chunk_id").alias("last_chunk"))
+    partial = (
+        per_chunk.join(last, "shard")
+        .filter(
+            (F.col("chunk_id") != F.col("last_chunk"))
+            & (F.col("tok") != budget)
+        )
+        .count()
+    )
+    assert partial == 0
+    out.unpersist()
+
+
+def test_pack_is_partitioning_invariant(spark):
+    docs = load_fixture_table(spark, "/root/testdata/sf0.001", "documents")
+    a = pack_token_chunks(docs, budget=128, n_shards=4)
+    b = pack_token_chunks(docs.repartition(17), budget=128, n_shards=4)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pack_rejects_bad_params(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="budget"):
+        pack_token_chunks(_docs(spark), budget=0)
+    with pytest.raises(ValueError, match="n_shards"):
+        pack_token_chunks(_docs(spark), budget=4, n_shards=0)
+
+
+def test_filter_funnel_cumulative_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "en", 50),
+            (2, "en", 5),
+            (3, "de", 50),
+            (4, "en", 80),
+            (5, None, 80),
+        ],
+        "doc_id long, lang string, n_tok long",
+    )
+    [r] = filter_funnel(
+        docs,
+        [
+            ("lang_en", F.col("lang") == "en"),
+            ("min_len", F.col("n_tok") >= 10),
+            ("max_len", F.col("n_tok") <= 60),
+        ],
+    ).collect()
+    assert r.total == 5
+    assert r.after_lang_en == 3      # 1, 2, 4
+    assert r.after_min_len == 2      # 1, 4
+    assert r.after_max_len == 1      # 1
+    # single-job shape: one row out, monotone non-increasing
+    assert r.total >= r.after_lang_en >= r.after_min_len >= r.after_max_len
