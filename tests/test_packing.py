@@ -95,6 +95,56 @@ def test_pack_rejects_bad_params(spark):
         pack_token_chunks(_docs(spark), budget=4, n_shards=0)
 
 
+def test_pack_matches_duckdb_oracle(spark):
+    """Full cross-engine oracle for the packing semantics (the catalog
+    is capped at 50 driver entries, so the parity check lives here):
+    DuckDB replays shard assignment, the per-shard cumsum spans, and
+    the chunk overlap arithmetic; every output cell must match."""
+    import duckdb
+
+    sf_dir = "/root/testdata/sf0.001"
+    budget, n_shards = 256, 8
+    got = sorted(
+        tuple(r)
+        for r in pack_token_chunks(
+            load_fixture_table(spark, sf_dir, "documents"),
+            budget=budget,
+            n_shards=n_shards,
+        ).collect()
+    )
+    sql = rf"""
+    WITH base AS (
+      SELECT doc_id, doc_id % {n_shards} AS shard,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+      FROM read_parquet('{sf_dir}/documents.parquet')
+    ), nonempty AS (
+      SELECT * FROM base WHERE n_tok > 0
+    ), spans AS (
+      SELECT shard, doc_id, n_tok,
+             SUM(n_tok) OVER w - n_tok AS tok_start,
+             SUM(n_tok) OVER w AS tok_end
+      FROM nonempty WINDOW w AS (PARTITION BY shard ORDER BY doc_id)
+    ), chunks AS (
+      SELECT shard, doc_id, n_tok, tok_start,
+             unnest(generate_series(CAST(tok_start // {budget} AS BIGINT),
+                                    CAST((tok_end - 1) // {budget} AS BIGINT)))
+               AS chunk_id
+      FROM spans
+    )
+    SELECT CAST(shard AS INT) AS shard, CAST(chunk_id AS BIGINT) AS chunk_id,
+           doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(GREATEST(0, tok_start - chunk_id * {budget}) AS BIGINT)
+             AS chunk_start,
+           CAST(LEAST(tok_start + n_tok, (chunk_id + 1) * {budget})
+                - GREATEST(tok_start, chunk_id * {budget}) AS BIGINT)
+             AS chunk_tokens
+    FROM chunks
+    """
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want and len(got) > 0
+
+
 def test_filter_funnel_cumulative_counts(spark):
     docs = spark.createDataFrame(
         [
