@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint64_hex, normalized_text, word_shingles
@@ -704,3 +704,76 @@ def connected_components_min_label(
             break
         prev_sum = new_sum
     return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def dedup_spans(
+    df: DataFrame,
+    delim: str = "\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 0,
+) -> DataFrame:
+    """Corpus-global span-level deduplication, the C4-style cleaning
+    step: split every document into spans (lines/paragraphs/sentences
+    by ``delim``), keep only the globally FIRST occurrence of each
+    distinct span (lowest ``(doc_id, position)`` — deterministic under
+    any partitioning), and reassemble the surviving spans in original
+    order. Spans shorter than ``min_chars`` are never treated as
+    duplicates (a one-word line repeating across documents is not
+    boilerplate evidence).
+
+    Returns ``(doc_id, text_deduped, n_spans, n_spans_kept)`` — a doc
+    whose every span was seen earlier comes back with an empty string
+    (downstream length filters drop it).
+
+    Scale shape: explode → one shuffle keyed by the span fingerprint
+    (first-occurrence window over md5, cross-engine stable) → one
+    shuffle back on doc_id to reassemble. The span TEXT rides both
+    shuffles — unavoidable for reassembly and exactly what the C4
+    pipeline shuffles at corpus scale; the fingerprint window itself
+    only compares 16-byte digests. Reassembly is array_sort over
+    collected (pos, span) structs: bounded per doc by the doc's own
+    span count, no single-partition global window anywhere."""
+    spans = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), F.lit(delim), -1)).alias(
+            "pos", "span"
+        ),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id", "pos")
+    kept = (
+        spans.withColumn(
+            "fp",
+            # short spans get a per-occurrence-unique key so the window
+            # never groups them — they always survive
+            F.when(
+                F.length(F.trim("span")) < min_chars,
+                F.concat_ws("#", F.lit("u"), "doc_id", "pos"),
+            ).otherwise(F.md5(F.trim(F.col("span")))),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    assembled = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "span"))),
+                lambda s: s["span"],
+            ),
+            delim,
+        ).alias("text_deduped"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), F.lit(delim), -1)).alias("n_spans"),
+    )
+    return (
+        totals.join(assembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+            "n_spans",
+            F.coalesce("n_spans_kept", F.lit(0)).cast("long").alias("n_spans_kept"),
+        )
+    )

@@ -170,3 +170,95 @@ def test_filter_funnel_cumulative_counts(spark):
     assert r.after_max_len == 1      # 1
     # single-job shape: one row out, monotone non-increasing
     assert r.total >= r.after_lang_en >= r.after_min_len >= r.after_max_len
+
+
+def _span_docs(spark):
+    rows = [
+        (1, "alpha beta\ncommon line here\ngamma"),
+        (2, "common line here\ndelta epsilon"),      # line 0 dup of doc1:1
+        (3, "zeta\ncommon line here\nalpha beta"),   # both lines seen before
+        (4, "common line here"),                     # entire doc is a dup
+        (5, "x\ny"),                                 # short lines
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_spans_first_occurrence_wins(spark):
+    from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+        dedup_spans,
+    )
+
+    out = {
+        r.doc_id: (r.text_deduped, r.n_spans, r.n_spans_kept)
+        for r in dedup_spans(_span_docs(spark)).collect()
+    }
+    assert out[1] == ("alpha beta\ncommon line here\ngamma", 3, 3)
+    assert out[2] == ("delta epsilon", 2, 1)
+    assert out[3] == ("zeta", 3, 1)
+    assert out[4] == ("", 1, 0)   # fully-duplicate doc -> empty, not missing
+    assert out[5] == ("x\ny", 2, 2)
+
+
+def test_dedup_spans_min_chars_protects_short_lines(spark):
+    from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+        dedup_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ok\nlong enough line"), (2, "ok\nlong enough line")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.text_deduped
+        for r in dedup_spans(docs, min_chars=5).collect()
+    }
+    # "ok" (<5 chars) survives in BOTH docs; the long line dedups
+    assert out[1] == "ok\nlong enough line"
+    assert out[2] == "ok"
+
+
+def test_dedup_spans_matches_duckdb_oracle(spark):
+    """Cross-engine oracle: DuckDB replays split, global
+    first-occurrence-wins on the trimmed span, and ordered reassembly."""
+    import duckdb
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+        dedup_spans,
+    )
+
+    got = sorted(tuple(r) for r in dedup_spans(_span_docs(spark)).collect())
+    con = duckdb.connect()
+    con.execute("""
+        CREATE TABLE docs(doc_id BIGINT, text VARCHAR);
+        INSERT INTO docs VALUES
+          (1, 'alpha beta' || chr(10) || 'common line here' || chr(10) || 'gamma'),
+          (2, 'common line here' || chr(10) || 'delta epsilon'),
+          (3, 'zeta' || chr(10) || 'common line here' || chr(10) || 'alpha beta'),
+          (4, 'common line here'),
+          (5, 'x' || chr(10) || 'y');
+    """)
+    want = sorted(
+        tuple(r)
+        for r in con.execute("""
+            WITH spans AS (
+              SELECT doc_id, unnest(string_split(text, chr(10))) AS span,
+                     generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos
+              FROM docs
+            ), kept AS (
+              SELECT doc_id, pos, span,
+                     row_number() OVER (PARTITION BY trim(span)
+                                        ORDER BY doc_id, pos) AS rk
+              FROM spans
+            ), assembled AS (
+              SELECT doc_id, COUNT(*) AS n_spans_kept,
+                     string_agg(span, chr(10) ORDER BY pos) AS text_deduped
+              FROM kept WHERE rk = 1 GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(a.text_deduped, '') AS text_deduped,
+                   len(string_split(d.text, chr(10))) AS n_spans,
+                   CAST(COALESCE(a.n_spans_kept, 0) AS BIGINT) AS n_spans_kept
+            FROM docs d LEFT JOIN assembled a USING (doc_id)
+        """).fetchall()
+    )
+    assert got == want

@@ -355,3 +355,82 @@ def test_tfidf_broadcasts_df_side(spark, sf_dir):
     shuffles only once, for the (doc, token) aggregation."""
     plan = plan_of(spark, sf_dir, "tfidf_topterms")
     assert "BroadcastHashJoin" in plan
+
+
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_pack_token_chunks_single_shard_exchange(spark, sf_dir):
+    """Packing must cost exactly one exchange (on the shard key) before
+    the cumsum window — a global-ordering window would show a second
+    exchange / singlePartition and serialize the corpus."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.packing import (
+        pack_token_chunks,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.sources.tables import (
+        load_fixture_table,
+    )
+
+    import re
+
+    docs = load_fixture_table(spark, sf_dir, "documents")
+    plan = _explain(pack_token_chunks(docs, budget=256, n_shards=8))
+    # count detail headers "(N) Exchange" — formatted explain prints
+    # each node in the tree AND the detail section
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning(shard" in plan
+    assert "SinglePartition" not in plan
+    # chunk ids via integer div, not floor(double /)
+    assert "/ 256.0" not in plan
+    # the blank-doc filter runs at the scan stage (before the shuffle)
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "text" in read_schema and "lang" not in read_schema
+
+
+def test_filter_funnel_is_one_scan_one_agg(spark, sf_dir):
+    """The funnel is a single partial+final aggregation pass — N
+    filter+count jobs would show as N scans."""
+    from pyspark.sql import functions as F
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.packing import (
+        filter_funnel,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.sources.tables import (
+        load_fixture_table,
+    )
+
+    docs = load_fixture_table(spark, sf_dir, "documents")
+    plan = _explain(
+        filter_funnel(
+            docs,
+            [
+                ("nonempty", F.trim(F.col("text")) != ""),
+                ("min_len", F.length("text") >= 100),
+            ],
+        )
+    )
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_dedup_spans_window_keys_on_fingerprint(spark):
+    """The first-occurrence window shuffles on the md5 fingerprint (16
+    bytes/span), and reassembly groups on doc_id — two exchanges total,
+    no single-partition stage."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+        dedup_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb"), (2, "b\nc")], "doc_id long, text string"
+    )
+    plan = _explain(dedup_spans(docs))
+    assert "hashpartitioning(fp" in plan
+    assert "hashpartitioning(doc_id" in plan
+    assert "SinglePartition" not in plan
