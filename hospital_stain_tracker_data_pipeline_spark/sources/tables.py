@@ -59,6 +59,12 @@ def load_fixture_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
         # execution is lazy, so resetting after read() could flip the
         # conf back before the scan actually runs.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The NTZ→TIMESTAMP normalization interprets the stored
+        # wall-clock in the SESSION timezone; this engine's semantics
+        # are UTC everywhere (session.py), so pin it here too for
+        # caller-provided sessions — otherwise a non-UTC caller would
+        # silently shift every absolute epoch by its UTC offset.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = normalize_event_ts(df)

@@ -63,6 +63,10 @@ def _events_stream(
     # lets a TIMESTAMP(NANOS) producer be read at all (as long);
     # harmless for micro encodings
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # NTZ→TIMESTAMP normalization is session-timezone-sensitive; pin
+    # UTC for caller-provided sessions (same rationale as the batch
+    # loader, sources.tables.load_fixture_table)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         schema = spark.read.parquet(source_path).schema
     except Exception:

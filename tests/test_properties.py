@@ -183,3 +183,43 @@ def test_pigeonhole_guarantees_shared_band(data, nbits, max_hamming):
         for off, w in _band_bounds(nbits, bands)
     )
     assert shared
+
+
+@_slow
+@given(
+    st.lists(st.integers(0, 30), min_size=1, max_size=25),
+    st.integers(1, 16),
+    st.integers(1, 4),
+)
+def test_pack_token_chunks_invariants(spark, tok_counts, budget, n_shards):
+    """Packing invariants for ANY corpus/budget/shard count, checked
+    against a plain-Python replay: token conservation per doc, exactly
+    `budget` tokens in every non-final chunk per shard, and span
+    arithmetic (chunk_start/chunk_tokens) matching the reference."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.packing import (
+        pack_token_chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n) if n else "") for i, n in enumerate(tok_counts)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.shard, r.chunk_id, r.doc_id): (r.n_tok, r.chunk_start, r.chunk_tokens)
+        for r in pack_token_chunks(docs, budget=budget, n_shards=n_shards).collect()
+    }
+
+    # plain-Python reference replay
+    want = {}
+    offsets = {}
+    for doc_id, n in enumerate(tok_counts):
+        if n == 0:
+            continue
+        shard = doc_id % n_shards
+        start = offsets.get(shard, 0)
+        end = start + n
+        offsets[shard] = end
+        for chunk in range(start // budget, (end - 1) // budget + 1):
+            lo, hi = max(start, chunk * budget), min(end, (chunk + 1) * budget)
+            want[(shard, chunk, doc_id)] = (n, max(0, start - chunk * budget), hi - lo)
+    assert got == want

@@ -89,6 +89,32 @@ def test_normalize_passthrough_is_noop(spark, encoded_dir):
     assert sorted(twice.collect()) == sorted(once.collect())
 
 
+def test_loader_pins_utc_for_non_utc_caller_sessions(spark):
+    """A caller session running in a non-UTC timezone must still get
+    the same absolute instants (the driver passes its OWN session; the
+    loader pins UTC rather than inheriting whatever tz it finds —
+    otherwise every NTZ-encoded epoch silently shifts by the offset)."""
+    work = tempfile.mkdtemp(prefix="ts_tz_")
+    try:
+        _write_events_parquet(
+            os.path.join(work, "events.parquet"), pa.timestamp("us")
+        )
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        try:
+            df = load_fixture_table(spark, work, "events")
+            secs = [
+                r.s
+                for r in df.selectExpr("CAST(ts AS LONG) AS s")
+                .orderBy("s")
+                .collect()
+            ]
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        assert secs == sorted(us // 10**6 for us in _EPOCH_US)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def test_stream_source_canonicalizes_nano_encoding(spark):
     """The streaming footer-sniff path must survive a nano-encoded
     producer too — this is the exact shape of the round-4 silent
