@@ -395,6 +395,29 @@ def q_event_percentiles_approx(
     )
 
 
+def q_event_cardinality_approx(
+    spark: SparkSession, sf_dir: str, rsd: float = 0.023
+) -> DataFrame:
+    """The 100 TB distinct-count path: ``approx_count_distinct``
+    (HyperLogLog++) beside the exact count. Exact COUNT(DISTINCT x)
+    shuffles every distinct value to its group's reducer (memory and
+    network ∝ cardinality); the HLL sketch is fixed-size (~1.5 KB at
+    the default 2.3% rsd) and MERGEABLE, so per-partition sketches
+    combine map-side and only sketches shuffle — the same partial-agg
+    composition as the percentile sketch. Not in the oracle catalog
+    (sketch estimates differ across engines); pinned by the
+    relative-error test instead."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
 SQL_EVENT_TYPE_METRICS = """
 SELECT event_type, COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,

@@ -414,3 +414,44 @@ def stream_dedup_events(
     )
     query.awaitTermination()
     return _drain_memory_sink(spark, name).select("event_id", "user_id", "event_type", "value")
+
+
+def stream_static_enrich(
+    spark: SparkSession,
+    source_path: str,
+    dim: DataFrame,
+    stream_key: str = "user_id",
+    dim_key: str = "c_custkey",
+    dim_cols: tuple[str, ...] = ("c_name", "c_nationkey"),
+) -> DataFrame:
+    """Stream-static enrichment join (§2.9 extension; the streaming
+    analog of the batch broadcast dim join, reference shape
+    backend/app/main.py:155-170's region-name enrichment): each
+    micro-batch of the events stream joins a STATIC dimension frame.
+
+    Scale: Spark re-plans the static side per micro-batch, so a small
+    dim becomes a broadcast hash join inside every batch — no shuffle
+    of the stream, no state store at all (unlike stream-stream joins,
+    a stream-static inner join needs no watermark: the static side
+    never grows, so nothing is buffered). The dim is projected to the
+    join key + needed columns BEFORE the join, keeping the broadcast
+    payload minimal. Left-semi/anti against a static blocklist is the
+    same shape — the streaming form of `set_membership_ops`."""
+    import uuid
+
+    slim = dim.select(F.col(dim_key).alias(stream_key), *dim_cols)
+    enriched = (
+        _events_stream(spark, source_path)
+        .join(F.broadcast(slim), stream_key, "inner")
+        .select("event_id", stream_key, "event_type", "value", *dim_cols)
+    )
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _drain_memory_sink(spark, name)

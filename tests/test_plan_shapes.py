@@ -434,3 +434,20 @@ def test_dedup_spans_window_keys_on_fingerprint(spark):
     assert "hashpartitioning(fp" in plan
     assert "hashpartitioning(doc_id" in plan
     assert "SinglePartition" not in plan
+
+
+def test_event_cardinality_sketch_error_bound_and_partial_agg(spark, sf_dir):
+    """HLL++ distinct-count sketch: estimate within ~3 rsd of the exact
+    count per group, and the plan shows the mergeable partial+final
+    aggregation (only sketches shuffle)."""
+    from hospital_stain_tracker_data_pipeline_spark.plans.relational import (
+        q_event_cardinality_approx,
+    )
+
+    df = q_event_cardinality_approx(spark, sf_dir, rsd=0.023)
+    plan = _explain(df)
+    assert "partial_" in plan and plan.count("HashAggregate") >= 2
+    for r in df.collect():
+        assert r.exact_users > 0
+        rel_err = abs(r.approx_users - r.exact_users) / r.exact_users
+        assert rel_err <= 3 * 0.023, (r, rel_err)

@@ -195,3 +195,33 @@ def test_stream_dedup_collapses_redelivery(spark, sf_dir):
     n_src = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
     assert out.count() == n_src
     assert out.select("event_id").distinct().count() == n_src
+
+
+def test_stream_static_enrich_matches_batch_join(spark, staged, sf_dir):
+    """The stream-static broadcast enrichment must equal the batch
+    inner join over the same inputs (one availableNow batch = all
+    rows), carrying the dim attributes through the sink."""
+    import os as _os
+
+    from hospital_stain_tracker_data_pipeline_spark.streaming.ingest_stream import (
+        stream_static_enrich,
+    )
+
+    _, input_dir = staged
+    customers = spark.read.parquet(_os.path.join(sf_dir, "customer.parquet"))
+    streamed = stream_static_enrich(spark, input_dir, customers)
+    got = {
+        (r.event_id, r.c_name, r.c_nationkey) for r in streamed.collect()
+    }
+
+    ev = load_fixture_table(spark, sf_dir, "events")
+    batch = ev.join(
+        customers.select(
+            F.col("c_custkey").alias("user_id"), "c_name", "c_nationkey"
+        ),
+        "user_id",
+    )
+    want = {
+        (r.event_id, r.c_name, r.c_nationkey) for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
