@@ -451,3 +451,45 @@ def test_event_cardinality_sketch_error_bound_and_partial_agg(spark, sf_dir):
         assert r.exact_users > 0
         rel_err = abs(r.approx_users - r.exact_users) / r.exact_users
         assert rel_err <= 3 * 0.023, (r, rel_err)
+
+
+def test_runtime_bloom_filter_prunes_selective_join(spark, sf_dir):
+    """The session must support Spark's runtime bloom-filter join
+    pruning: a selective filter on the dim side of a non-broadcast join
+    injects a bloom-filter aggregate on the dim and a might_contain
+    probe into the fact scan — at cluster scale this skips fact rows
+    (and parquet row groups) whose keys can't match, BEFORE the shuffle.
+    The injection thresholds are sized for real tables (10 MB build
+    side / 10 GB probe-side scan), so the test scales them down to the
+    fixture; everything else is the engine's default session config."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(_os.path.join(sf_dir, "lineitem.parquet"))
+        orders = spark.read.parquet(
+            _os.path.join(sf_dir, "orders.parquet")
+        ).filter(F.col("o_orderpriority") == "1-URGENT")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _explain(j)
+        assert "bloom_filter_agg" in plan          # built on the dim side
+        assert "might_contain" in plan             # probed on the fact side
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
