@@ -493,3 +493,41 @@ def test_runtime_bloom_filter_prunes_selective_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_lake_sorted_write_clusters_files(spark, tmp_path):
+    """sort_cols clustering: rows inside each written parquet file must
+    be ordered by the sort column (what makes row-group min/max stats
+    disjoint and footer-level skipping effective), and the clustering
+    must survive upsert + compact — both route through overwrite()."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    import pyspark.sql.functions as F
+
+    from hospital_stain_tracker_data_pipeline_spark.pipeline.lake import LakeTable
+
+    t = LakeTable(
+        spark, str(tmp_path / "sorted"), keys=["date", "k"],
+        partition_col="date", version_col="v", sort_cols=["k"],
+    )
+    df = (
+        spark.range(5000)
+        .select(
+            F.lit("2026-01-01").alias("date"),
+            # write order deliberately scrambled
+            F.shiftright(F.hash("id"), 1).alias("k"),
+            F.col("id").cast("double").alias("x"),
+            F.lit(0).alias("v"),
+        )
+        .repartition(4)
+    )
+    t.overwrite(df)
+    t.upsert(df.limit(100).withColumn("v", F.lit(1)))
+    t.compact()
+
+    files = _glob.glob(str(tmp_path / "sorted" / "date=*" / "*.parquet"))
+    assert files
+    for f in files:
+        ks = _pq.read_table(f, columns=["k"]).column("k").to_pylist()
+        assert ks == sorted(ks), f"file {f} not clustered on k"
