@@ -1,0 +1,78 @@
+"""Distributed batch model inference over embedding columns (beyond the
+reference surface — the scoring step of an LLM data-curation pipeline:
+quality probes, domain classifiers, reward-model filters all reduce to
+"apply a model to every row, at corpus scale").
+
+Spark-first shape: a vectorized Arrow ``pandas_udf`` — the model runs
+once per Arrow batch (one numpy gemm for a linear probe), not once per
+row, and the scored column joins the plan inside the scan stage, so
+downstream filters on the score compose with pushdown/pruning like any
+other column. The model parameters ride the UDF closure, which Spark
+serializes once per task: right for probe-sized models (k×dim floats).
+For models too big to ship per-task, the same call site takes a scorer
+built around a ``SparkContext.broadcast`` handle or an
+executor-local lazy loader — the plumbing (batching, null handling,
+column contract) is identical, which is the point of this module.
+
+At 100 TB: inference is embarrassingly parallel — no shuffle at all;
+cost is one corpus scan × model FLOPs. Keep the scored output narrow
+(id + score) if the next stage is a filter-join, so the wide payload
+is re-read only for survivors via the pruned join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def linear_probe_scorer(weights, bias: float = 0.0, logistic: bool = True):
+    """Build a batch scorer for a linear probe: score = w·x + b, with
+    an optional logistic squash — the classic quality/domain classifier
+    head over frozen embeddings. Returns
+    ``Callable[[np.ndarray (n, d)], np.ndarray (n,)]``; vectors of the
+    wrong dimension raise (a silent wrong-dim dot is a wrong answer,
+    not an error, and would poison every downstream filter)."""
+    w = np.asarray(weights, dtype=np.float64)
+
+    def score(mat: np.ndarray) -> np.ndarray:
+        if mat.shape[1] != w.shape[0]:
+            raise ValueError(
+                f"embedding dim {mat.shape[1]} != probe dim {w.shape[0]}"
+            )
+        z = mat @ w + bias
+        return 1.0 / (1.0 + np.exp(-z)) if logistic else z
+
+    return score
+
+
+def batch_score(
+    df: DataFrame,
+    scorer,
+    vec_col: str = "embedding",
+    out_col: str = "score",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Append a model score per row via one vectorized UDF: rows with a
+    NULL (or empty) vector get a NULL score — they carry no signal and
+    must not crash the Arrow worker or fabricate a number. ``round_to``
+    stabilizes the output for cross-engine comparison (float gemm order
+    differs between BLAS implementations at ~1e-15; 6 dp is far above
+    that noise and far below any decision threshold)."""
+
+    @pandas_udf("double")
+    def _score(vs: pd.Series) -> pd.Series:
+        mask = vs.map(lambda v: v is not None and len(v) > 0)
+        out = pd.Series(np.nan, index=vs.index, dtype="float64")
+        if mask.any():
+            mat = np.stack(vs[mask].map(np.asarray).to_numpy())
+            out[mask] = scorer(mat.astype(np.float64))
+        return out
+
+    scored = df.withColumn(out_col, _score(F.col(vec_col)))
+    if round_to is not None:
+        scored = scored.withColumn(out_col, F.round(F.col(out_col), round_to))
+    return scored
