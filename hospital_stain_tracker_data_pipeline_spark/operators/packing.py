@@ -132,3 +132,24 @@ def filter_funnel(
         cum = cond if cum is None else (cum & cond)
         aggs.append(F.sum(F.when(cum, 1).otherwise(0)).cast("long").alias(f"after_{name}"))
     return docs.agg(*aggs)
+
+
+def epoch_shuffle(
+    df: DataFrame, seed: int, id_col: str = "doc_id", key_col: str = "_order"
+) -> DataFrame:
+    """Deterministic training-epoch shuffle: impose a reproducible
+    pseudo-random global order on the corpus by sorting on
+    ``xxhash64(seed, id)`` — a keyed permutation. The same seed yields
+    the same order on any cluster, any partitioning, any rerun (what
+    makes a mid-epoch training resume possible); a different seed gives
+    a statistically independent order per epoch. The hash key is kept
+    as ``key_col`` so a writer can range-partition on it explicitly.
+
+    Scale: ``orderBy`` plans as a distributed range sort (sampled range
+    boundaries → one exchange → per-partition sort) — no single-task
+    stage; writing the result immediately preserves the order within
+    and across output files (lexicographic file order = global order).
+    The id tiebreak makes the permutation total even on hash collisions.
+    """
+    key = F.xxhash64(F.lit(seed).cast("long"), F.col(id_col))
+    return df.withColumn(key_col, key).orderBy(key_col, id_col)

@@ -262,3 +262,40 @@ def test_dedup_spans_matches_duckdb_oracle(spark):
         """).fetchall()
     )
     assert got == want
+
+
+def test_epoch_shuffle_deterministic_and_seed_sensitive(spark):
+    from hospital_stain_tracker_data_pipeline_spark.operators.packing import (
+        epoch_shuffle,
+    )
+
+    docs = load_fixture_table(spark, "/root/testdata/sf0.001", "documents")
+    a1 = [r.doc_id for r in epoch_shuffle(docs, seed=7).select("doc_id").collect()]
+    a2 = [
+        r.doc_id
+        for r in epoch_shuffle(docs.repartition(13), seed=7)
+        .select("doc_id")
+        .collect()
+    ]
+    b = [r.doc_id for r in epoch_shuffle(docs, seed=8).select("doc_id").collect()]
+    assert a1 == a2                      # same seed: same order, any partitioning
+    assert a1 != b                       # different seed: different order
+    assert sorted(a1) == sorted(b)       # a permutation, not a filter
+    assert a1 != sorted(a1)              # actually shuffled
+
+
+def test_epoch_shuffle_plans_distributed_sort(spark):
+    import contextlib
+    import io
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.packing import (
+        epoch_shuffle,
+    )
+
+    docs = load_fixture_table(spark, "/root/testdata/sf0.001", "documents")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        epoch_shuffle(docs, seed=7).explain("formatted")
+    plan = buf.getvalue()
+    assert "rangepartitioning" in plan   # distributed range sort
+    assert "SinglePartition" not in plan
