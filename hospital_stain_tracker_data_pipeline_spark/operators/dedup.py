@@ -734,9 +734,15 @@ def dedup_spans(
     only compares 16-byte digests. Reassembly is array_sort over
     collected (pos, span) structs: bounded per doc by the doc's own
     span count, no single-partition global window anywhere."""
+    # F.split takes a Java REGEX; the delim parameter is a LITERAL
+    # separator (".", "|", "\n\n" are all plausible span delimiters),
+    # so quote it — \Q...\E with the standard splice for embedded \E.
+    # Without this, delim="." would split on every character and
+    # reassemble garbage.
+    delim_re = "\\Q" + delim.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     spans = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), F.lit(delim), -1)).alias(
+        F.posexplode(F.split(F.col(text_col), F.lit(delim_re), -1)).alias(
             "pos", "span"
         ),
     )
@@ -766,7 +772,7 @@ def dedup_spans(
     )
     totals = df.select(
         F.col(id_col).alias("doc_id"),
-        F.size(F.split(F.col(text_col), F.lit(delim), -1)).alias("n_spans"),
+        F.size(F.split(F.col(text_col), F.lit(delim_re), -1)).alias("n_spans"),
     )
     return (
         totals.join(assembled, "doc_id", "left")

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -56,9 +56,17 @@ def batch_score(
     out_col: str = "score",
     round_to: int | None = 6,
 ) -> DataFrame:
-    """Append a model score per row via one vectorized UDF: rows with a
-    NULL (or empty) vector get a NULL score — they carry no signal and
-    must not crash the Arrow worker or fabricate a number. ``round_to``
+    """Append a model score per row via one vectorized UDF.
+
+    NULL-score policy (explicit, because Arrow's pandas→Spark transfer
+    cannot distinguish NaN from missing in a double column): a NULL
+    score means "no usable signal" — a NULL vector, an empty vector, OR
+    a vector whose score came out non-finite (e.g. a NaN component from
+    an upstream normalization bug). Callers who must tell corruption
+    apart from absence should pre-filter with a finiteness check on the
+    vector itself. Ragged vector lengths within a batch raise with the
+    offending dimensions (a silent wrong-dim dot would be a wrong
+    answer, and np.stack's own error names no rows). ``round_to``
     stabilizes the output for cross-engine comparison (float gemm order
     differs between BLAS implementations at ~1e-15; 6 dp is far above
     that noise and far below any decision threshold)."""
@@ -68,6 +76,12 @@ def batch_score(
         mask = vs.map(lambda v: v is not None and len(v) > 0)
         out = pd.Series(np.nan, index=vs.index, dtype="float64")
         if mask.any():
+            lens = vs[mask].map(len)
+            if lens.nunique() > 1:
+                raise ValueError(
+                    "ragged embedding lengths in batch: "
+                    f"{sorted(set(lens))[:5]} — vectors must share one dim"
+                )
             mat = np.stack(vs[mask].map(np.asarray).to_numpy())
             out[mask] = scorer(mat.astype(np.float64))
         return out

@@ -74,7 +74,18 @@ def pack_token_chunks(
         # boundaries (their span is empty)
         .filter(F.col("n_tok") > 0)
     )
-    w = Window.partitionBy("shard").orderBy("doc_id")
+    # ROWS frame, not the default RANGE: with RANGE, two rows carrying
+    # the SAME doc_id (a re-ingested batch, unioned shards) are peers
+    # and both receive a tok_end that includes BOTH rows' tokens —
+    # overlapping spans and silently overfilled chunks. Under ROWS each
+    # row gets its own disjoint span; duplicate ids still pack both
+    # copies, with their relative order unspecified (dedup upstream if
+    # one-copy semantics are wanted).
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     spans = base.select(
         "shard",
         "doc_id",
@@ -126,6 +137,13 @@ def filter_funnel(
     stage (cumulative — a doc counts for stage k only if it passed
     stages 1..k).
     """
+    names = [name for name, _ in stages]
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes or "total" in names:
+        raise ValueError(
+            f"stage names must be unique and not 'total': {sorted(dupes) or names}"
+            " — duplicate output columns would make row access ambiguous"
+        )
     aggs = [F.count(F.lit(1)).alias("total")]
     cum = None
     for name, cond in stages:

@@ -98,7 +98,12 @@ def blocked_similar_pairs(
     already-materialized slim (block, id) frame — O(rows), not O(rows²).
     Pass ``max_block_rows=None`` to opt out explicitly."""
     v = materialize(
-        fanout(df).select(
+        fanout(df)
+        # NULL block keys can never equi-join into a pair; dropping
+        # them up front removes dead shuffle weight AND keeps the
+        # guard below from counting a huge NULL group as a "block"
+        .filter(F.col(block_col).isNotNull())
+        .select(
             F.col(block_col).alias("_block"),
             F.col(id_col),
             as_double_array(F.col(vec_col)).alias("_v"),

@@ -43,7 +43,10 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     if isinstance(dt, T.LongType):
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if isinstance(dt, T.TimestampNTZType):
-        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        # to_utc_timestamp pins the interpretation to UTC at the
+        # EXPRESSION level — unlike cast("timestamp"), the resulting
+        # instant does not depend on the session timezone
+        return df.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
     return df
 
 
@@ -59,11 +62,15 @@ def load_fixture_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
         # execution is lazy, so resetting after read() could flip the
         # conf back before the scan actually runs.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # The NTZ→TIMESTAMP normalization interprets the stored
-        # wall-clock in the SESSION timezone; this engine's semantics
-        # are UTC everywhere (session.py), so pin it here too for
-        # caller-provided sessions — otherwise a non-UTC caller would
-        # silently shift every absolute epoch by its UTC offset.
+        # The NTZ conversion itself is tz-pinned (to_utc_timestamp
+        # above), but RENDERING the resulting instants — date_format,
+        # to_date, CAST(ts AS LONG) vs DuckDB's naive epoch — still
+        # follows the session timezone, and this engine's oracle
+        # contract is UTC everywhere (session.py). Pin it for
+        # caller-provided sessions too. Side effect: the caller's own
+        # subsequent timestamp/date rendering in this session also
+        # switches to UTC — intentional; a mixed-timezone session
+        # cannot satisfy the UTC oracle contract anyway.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":

@@ -67,9 +67,17 @@ def _events_stream(
     # UTC for caller-provided sessions (same rationale as the batch
     # loader, sources.tables.load_fixture_table)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     try:
         schema = spark.read.parquet(source_path).schema
-    except Exception:
+    except AnalysisException:
+        # only the cannot-infer case (empty/not-yet-populated dir) gets
+        # the declared fallback — a nano-encoded producer that starts
+        # delivering later will then conflict with the declared NTZ and
+        # fail loudly rather than misread. Auth/permission/IO errors
+        # are NOT caught: failing at construction beats streaming with
+        # a guessed schema.
         schema = EVENTS_STREAM_SCHEMA
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

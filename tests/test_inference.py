@@ -97,3 +97,26 @@ def test_batch_score_matches_duckdb_oracle(spark):
         if got[k] is None or abs(got[k] - want[k]) > 1e-9
     }
     assert not mism, list(mism.items())[:5]
+
+
+def test_nan_component_scores_null_and_ragged_raises(spark):
+    """Documented NULL policy: a NaN vector component yields a NULL
+    score (Arrow can't carry NaN-vs-missing separately); ragged vector
+    lengths fail with a clear error naming the dims."""
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [nan, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: r.score
+        for r in batch_score(df, linear_probe_scorer([1.0, 1.0])).collect()
+    }
+    assert out[1] is not None and out[2] is None
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="ragged"):
+        batch_score(ragged.coalesce(1), linear_probe_scorer([1.0, 1.0])).collect()

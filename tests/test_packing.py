@@ -299,3 +299,60 @@ def test_epoch_shuffle_plans_distributed_sort(spark):
     plan = buf.getvalue()
     assert "rangepartitioning" in plan   # distributed range sort
     assert "SinglePartition" not in plan
+
+
+def test_dedup_spans_literal_metachar_delimiter(spark):
+    """delim is a LITERAL separator, not a regex: '.' must split on
+    periods (sentences), not on every character."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+        dedup_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "first sentence. shared sentence"), (2, "shared sentence. tail")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.text_deduped, r.n_spans, r.n_spans_kept)
+        for r in dedup_spans(docs, delim=". ").collect()
+    }
+    assert out[1] == ("first sentence. shared sentence", 2, 2)
+    assert out[2] == ("tail", 2, 1)  # 'shared sentence' first seen in doc 1
+
+
+def test_pack_duplicate_doc_ids_get_disjoint_spans(spark):
+    """Two rows with the SAME doc_id (re-ingested batch) must pack as
+    two separate documents — disjoint spans, conservation intact. The
+    RANGE-frame formulation would have merged them into overlapping
+    spans and overfilled chunks."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.packing import (
+        pack_token_chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (1, "d e f"), (2, "g h")],
+        "doc_id long, text string",
+    )
+    out = pack_token_chunks(docs, budget=4, n_shards=1).collect()
+    # conservation: 3 + 3 + 2 = 8 tokens total across all chunk rows
+    assert sum(r.chunk_tokens for r in out) == 8
+    # fullness: chunks 0 (4 tok) full, chunk 1 holds the remaining 4
+    per_chunk = {}
+    for r in out:
+        per_chunk[r.chunk_id] = per_chunk.get(r.chunk_id, 0) + r.chunk_tokens
+    assert per_chunk == {0: 4, 1: 4}
+
+
+def test_filter_funnel_rejects_duplicate_stage_names(spark):
+    import pytest
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.packing import (
+        filter_funnel,
+    )
+
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="unique"):
+        filter_funnel(
+            docs,
+            [("a", F.col("doc_id") > 0), ("a", F.col("doc_id") > 1)],
+        )
