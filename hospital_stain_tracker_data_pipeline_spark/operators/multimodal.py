@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -319,6 +320,104 @@ def decode_bmp_pixels(raw: bytes) -> np.ndarray | None:
     return px[:, :, ::-1].copy()  # stored BGR → RGB
 
 
+def decode_png_pixels(raw: bytes) -> np.ndarray | None:
+    """8-bit non-interlaced truecolor PNG → ``(height, width, 3)``
+    uint8 RGB ndarray, stdlib ``zlib`` + numpy only — PNG's entropy
+    layer is just DEFLATE, so unlike JPEG no external codec is needed.
+    Supports color types 2 (RGB) and 6 (RGBA — alpha dropped) and all
+    five scanline filters (None/Sub/Up/Average/Paeth, the per-row
+    prediction PNG applies before compression). Returns None for
+    anything else — palette/grayscale/16-bit/interlaced payloads or a
+    non-PNG — so callers can tell "decodable natively" from "needs a
+    real codec"."""
+    if len(raw) < 8 or raw[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(raw):
+        ln = int.from_bytes(raw[pos:pos + 4], "big")
+        typ = raw[pos + 4:pos + 8]
+        if pos + 8 + ln > len(raw):
+            return None
+        if typ == b"IHDR":
+            ihdr = raw[pos + 8:pos + 8 + ln]
+        elif typ == b"IDAT":
+            idat.append(raw[pos + 8:pos + 8 + ln])
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w, h = struct.unpack(">II", ihdr[:8])
+    bit_depth, color_type, comp, filt, interlace = ihdr[8:13]
+    if (
+        w == 0 or h == 0 or bit_depth != 8
+        or color_type not in (2, 6) or comp or filt or interlace
+    ):
+        return None
+    ch = 3 if color_type == 2 else 4
+    try:
+        dec = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(dec) != (stride + 1) * h:
+        return None
+    arr = np.frombuffer(dec, dtype=np.uint8).reshape(h, stride + 1)
+    ftype, rows = arr[:, 0], arr[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        cur = rows[y].astype(np.int32)
+        up = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        f = ftype[y]
+        if f == 0:  # None
+            rec = cur
+        elif f == 1:  # Sub: left-neighbor prefix sum, per channel
+            rec = cur.reshape(w, ch).cumsum(axis=0).reshape(stride)
+        elif f == 2:  # Up
+            rec = cur + up
+        elif f in (3, 4):  # Average / Paeth: left-recursive per pixel
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - ch] & 0xFF if x >= ch else 0
+                b = up[x]
+                if f == 3:
+                    rec[x] = cur[x] + ((a + b) >> 1)
+                else:
+                    c = (out[y - 1, x - ch] if (y and x >= ch) else 0)
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[x] = cur[x] + pred
+        else:
+            return None
+        out[y] = rec & 0xFF
+    px = out.reshape(h, w, ch)
+    return np.ascontiguousarray(px[:, :, :3])
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    """``(h, w, 3)`` uint8 RGB → 8-bit truecolor non-interlaced PNG
+    (filter 0 scanlines, one zlib stream) — the inverse of
+    ``decode_png_pixels``; stdlib + numpy only."""
+    h, w = px.shape[:2]
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload)) + typ + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    scanlines = np.zeros((h, w * 3 + 1), dtype=np.uint8)
+    scanlines[:, 1:] = px.reshape(h, w * 3)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines.tobytes(), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def resize_rgb_nearest(px: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbor resample of an ``(h, w, 3)`` array via integer
     index maps — ``src_idx = floor(dst_idx * src / dst)``, exact integer
@@ -351,18 +450,19 @@ def resize_images(
 ) -> DataFrame:
     """Image resize, same Arrow ``mapInPandas`` shape as the extractors.
 
-    One format is real END-TO-END: an uncompressed 24-bit BMP payload
-    is pixel-decoded (``decode_bmp_pixels``), nearest-neighbor
-    resampled (``resize_rgb_nearest``), and re-encoded as a valid
-    24-bit BMP — no image library involved, and the path runs
-    regardless of ``fake_decode``. Every other format needs an entropy
-    decoder (PNG inflate / JPEG DCT — PIL/cv2, absent here): source
-    dimensions still come from the real header sniff, but the output
-    payload is a deterministic payload-hash-derived stand-in
-    (3 bytes/px RGB) when ``fake_decode=True`` and an explicit
-    NotImplementedError otherwise. The Spark-side contract — binary
-    in, binary out, payload never entering a shuffle before the
-    resize — is identical on both paths."""
+    Two formats are real END-TO-END, no image library involved, running
+    regardless of ``fake_decode``: an uncompressed 24-bit BMP
+    (``decode_bmp_pixels`` → ``resize_rgb_nearest`` → ``encode_bmp``)
+    and an 8-bit truecolor PNG (``decode_png_pixels`` — stdlib zlib
+    inflate + all five scanline filters — re-encoded via
+    ``encode_png``). JPEG still needs a DCT codec (PIL/cv2, absent
+    here), and exotic PNG variants (palette/16-bit/interlaced) fall
+    through with it: source dimensions still come from the real header
+    sniff, but the output payload is a deterministic
+    payload-hash-derived stand-in (3 bytes/px RGB) when
+    ``fake_decode=True`` and an explicit NotImplementedError otherwise.
+    The Spark-side contract — binary in, binary out, payload never
+    entering a shuffle before the resize — is identical on all paths."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -374,6 +474,8 @@ def resize_images(
                 px = decode_bmp_pixels(raw)
                 if px is not None:
                     body = encode_bmp(resize_rgb_nearest(px, width, height))
+                elif (png := decode_png_pixels(raw)) is not None:
+                    body = encode_png(resize_rgb_nearest(png, width, height))
                 elif fake_decode:
                     seed = hashlib.sha256(raw).digest()
                     n = width * height * 3
@@ -381,9 +483,11 @@ def resize_images(
                 else:
                     raise NotImplementedError(
                         "native pixel decode covers uncompressed 24-bit BMP "
-                        "only; resampling this payload requires PIL/cv2, not "
-                        "available in this environment — pass fake_decode="
-                        "True for the deterministic stand-in payload"
+                        "and 8-bit truecolor PNG; resampling this payload "
+                        "(JPEG, palette/16-bit/interlaced PNG, ...) requires "
+                        "PIL/cv2, not available in this environment — pass "
+                        "fake_decode=True for the deterministic stand-in "
+                        "payload"
                     )
                 out.append(
                     {

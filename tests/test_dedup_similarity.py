@@ -365,22 +365,32 @@ def test_multimodal_audio_wav_real_decode(spark):
 
 
 def test_multimodal_resize_plumbing(spark):
-    """Resize: real source dims from the header sniff; deterministic
-    fixed-size fake payload out (pixel resampling stubbed — no PIL);
-    explicit stub raise without the fake flag."""
+    """Resize stub path (JPEG — its DCT entropy layer genuinely needs
+    PIL/cv2): real source dims from the header sniff; deterministic
+    fixed-size fake payload out; explicit stub raise without the fake
+    flag. (PNG and BMP no longer hit this path — both have real native
+    decoders, tested separately.)"""
+    import struct as _s
+
     import pytest as _pytest
 
     from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
         resize_images,
     )
 
-    png = _make_png(320, 200)
-    df = spark.createDataFrame([(1, bytearray(png))], "doc_id long, payload binary")
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + _s.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + _s.pack(">H", 17) + b"\x08" + _s.pack(">HH", 200, 320)
+        + b"\x00" * 10
+        + b"\xff\xd9"
+    )
+    df = spark.createDataFrame([(1, bytearray(jpeg))], "doc_id long, payload binary")
     media = to_media_table(df, "doc_id", "payload", source="t")
     [r] = resize_images(media, 64, 48, fake_decode=True).collect()
     assert (r.src_width, r.src_height) == (320, 200)
     assert (r.width, r.height) == (64, 48)
-    assert r.mime == "image/png" and len(r.payload) == 64 * 48 * 3
+    assert r.mime == "image/jpeg" and len(r.payload) == 64 * 48 * 3
     with _pytest.raises(Exception, match="PIL|NotImplementedError"):
         resize_images(media, 64, 48, fake_decode=False).collect()
 
@@ -620,3 +630,133 @@ def test_connected_components_min_label(spark):
         for r in connected_components_min_label(edges, nodes).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_png_codec_roundtrip_and_all_filters():
+    """decode_png_pixels must invert encode_png AND handle scanlines
+    filtered with every PNG filter type (Sub/Up/Average/Paeth are the
+    per-row predictions real encoders emit adaptively); the test
+    applies each filter with an independent reference implementation
+    and checks the decoder recovers the original pixels."""
+    import struct as _s
+    import zlib as _z
+
+    import numpy as _np
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    px = _rgb_gradient(6, 5)
+    back = decode_png_pixels(encode_png(px))
+    assert back is not None and _np.array_equal(back, px)
+
+    # reference filterer (independent of the decoder) — filter each row
+    # with its row-index % 5 filter type
+    h, w, ch = px.shape
+    raw = px.reshape(h, w * ch).astype(_np.int32)
+    lines = []
+    for y in range(h):
+        f = y % 5
+        cur = raw[y]
+        up = raw[y - 1] if y else _np.zeros(w * ch, _np.int32)
+        filtered = _np.empty(w * ch, _np.int32)
+        for x in range(w * ch):
+            a = cur[x - ch] if x >= ch else 0
+            b = up[x]
+            c = up[x - ch] if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filtered[x] = (cur[x] - pred) & 0xFF
+        lines.append(bytes([f]) + bytes(filtered.astype(_np.uint8)))
+
+    def chunk(typ, payload):
+        return (
+            _s.pack(">I", len(payload)) + typ + payload
+            + _s.pack(">I", _z.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", _z.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    got = decode_png_pixels(png)
+    assert got is not None and _np.array_equal(got, px)
+
+
+def test_png_decode_rgba_drops_alpha_and_rejects_exotics():
+    import struct as _s
+    import zlib as _z
+
+    import numpy as _np
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+        decode_png_pixels,
+    )
+
+    def chunk(typ, payload):
+        return (
+            _s.pack(">I", len(payload)) + typ + payload
+            + _s.pack(">I", _z.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    def png(w, h, color_type, body, bit_depth=8, interlace=0):
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", _s.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, interlace))
+            + chunk(b"IDAT", _z.compress(body))
+            + chunk(b"IEND", b"")
+        )
+
+    rgb = _rgb_gradient(2, 3)
+    rgba = _np.dstack([rgb, _np.full((2, 3), 200, _np.uint8)])
+    body = b"".join(
+        b"\x00" + bytes(rgba[y].reshape(-1)) for y in range(2)
+    )
+    got = decode_png_pixels(png(3, 2, 6, body))
+    assert got is not None and _np.array_equal(got, rgb)  # alpha dropped
+
+    rgb_body = b"".join(b"\x00" + bytes(rgb[y].reshape(-1)) for y in range(2))
+    assert decode_png_pixels(png(3, 2, 3, rgb_body)) is None      # palette
+    assert decode_png_pixels(png(3, 2, 2, rgb_body, bit_depth=16)) is None
+    assert decode_png_pixels(png(3, 2, 2, rgb_body, interlace=1)) is None
+    assert decode_png_pixels(b"\x89PNG\r\n\x1a\njunk") is None
+
+
+def test_resize_images_real_png_end_to_end(spark):
+    """PNG joins BMP as a real pixel path: the resized payload is a
+    valid decodable PNG of the target dimensions under BOTH
+    fake_decode flags, with exact nearest-neighbor pixels."""
+    import numpy as _np
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+        resize_images,
+        resize_rgb_nearest,
+    )
+
+    src = _rgb_gradient(40, 60)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(src)))], "doc_id long, payload binary"
+    )
+    media = to_media_table(df, "doc_id", "payload", source="t")
+    for flag in (False, True):
+        [r] = resize_images(media, 15, 10, fake_decode=flag).collect()
+        assert (r.mime, r.src_width, r.src_height) == ("image/png", 60, 40)
+        out = decode_png_pixels(bytes(r.payload))
+        assert out is not None and out.shape == (10, 15, 3)
+        assert _np.array_equal(out, resize_rgb_nearest(src, 15, 10))
