@@ -221,6 +221,112 @@ def sniff_wav(raw: bytes) -> dict | None:
     }
 
 
+def decode_wav_samples(raw: bytes) -> tuple[int, np.ndarray] | None:
+    """16-bit PCM WAV → ``(sample_rate, (n_frames, channels) int16
+    ndarray)`` — PCM is raw samples, so no codec is involved at all,
+    just the RIFF chunk walk + a numpy view. Returns None for
+    non-PCM/non-16-bit payloads (µ-law, float32, compressed) so callers
+    can tell "decodable natively" from "needs an audio library"."""
+    meta = sniff_wav(raw)
+    if meta is None or meta["bits_per_sample"] != 16:
+        return None
+    # find the data chunk's byte range (sniff_wav only kept its size)
+    i = 12
+    while i + 8 <= len(raw):
+        cid, size = raw[i:i + 4], struct.unpack("<I", raw[i + 4:i + 8])[0]
+        if cid == b"data":
+            ch = meta["channels"]
+            n = min(size, len(raw) - i - 8) // (2 * ch)
+            if n == 0:
+                return None
+            samples = (
+                np.frombuffer(raw, dtype="<i2", count=n * ch, offset=i + 8)
+                .reshape(n, ch)
+                .copy()
+            )
+            return meta["sample_rate"], samples
+        i += 8 + size + (size & 1)
+    return None
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """``(n_frames, channels)`` int16 → 16-bit PCM WAV bytes — the
+    inverse of ``decode_wav_samples``."""
+    n, ch = samples.shape
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+RESAMPLED_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("src_rate", T.IntegerType(), True),
+        T.StructField("rate", T.IntegerType(), False),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def resample_audio(
+    media: DataFrame, target_rate: int, fake_decode: bool = False
+) -> DataFrame:
+    """Audio resampling, REAL end-to-end for 16-bit PCM WAV (the
+    training-pipeline normalization step before feature extraction —
+    e.g. everything to 16 kHz): decode raw PCM, nearest-neighbor
+    resample the time axis with the same exact integer index map the
+    image resize uses, re-encode a valid WAV. Non-PCM payloads fall to
+    the deterministic stand-in under ``fake_decode=True`` or raise the
+    documented stub otherwise. Same mapInPandas contract as every media
+    op: binary in, binary out, payload never shuffled beforehand."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                dec = decode_wav_samples(raw)
+                if dec is not None:
+                    src_rate, samples = dec
+                    n_src = samples.shape[0]
+                    n_out = max(1, (n_src * target_rate) // src_rate)
+                    idx = (np.arange(n_out, dtype=np.int64) * n_src) // n_out
+                    body = encode_wav(samples[idx], target_rate)
+                elif fake_decode:
+                    seed = hashlib.sha256(raw).digest()
+                    src_rate, n_out = None, 1 + seed[0]
+                    body = (seed * (n_out * 2 // len(seed) + 1))[: n_out * 2]
+                else:
+                    raise NotImplementedError(
+                        "native sample decode covers 16-bit PCM WAV; "
+                        "resampling this payload (mp3/flac/float WAV/...) "
+                        "requires an audio library, not available in this "
+                        "environment — pass fake_decode=True for the "
+                        "deterministic stand-in payload"
+                    )
+                out.append(
+                    {
+                        "media_id": media_id,
+                        "src_rate": src_rate,
+                        "rate": target_rate,
+                        "n_frames": n_out,
+                        "payload": body,
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in RESAMPLED_AUDIO_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=RESAMPLED_AUDIO_SCHEMA
+    )
+
+
 def extract_audio_features(media: DataFrame, fake_decode: bool = False) -> DataFrame:
     """Audio feature extraction over opaque payloads, same Arrow
     ``mapInPandas`` shape as the image path: WAV headers decode for

@@ -760,3 +760,42 @@ def test_resize_images_real_png_end_to_end(spark):
         out = decode_png_pixels(bytes(r.payload))
         assert out is not None and out.shape == (10, 15, 3)
         assert _np.array_equal(out, resize_rgb_nearest(src, 15, 10))
+
+
+def test_wav_resample_real_end_to_end(spark):
+    """16-bit PCM WAV resampling is real: a 16 kHz sine decimated to
+    8 kHz keeps exactly every other frame (the integer index map), the
+    output is itself a valid decodable WAV, and non-PCM payloads raise
+    the documented stub without the fake flag."""
+    import numpy as _np
+    import pytest as _pytest
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+        decode_wav_samples,
+        encode_wav,
+        resample_audio,
+    )
+
+    n, rate = 1600, 16000
+    t = _np.arange(n)
+    wave = (_np.sin(2 * _np.pi * 440 * t / rate) * 20000).astype(_np.int16)
+    stereo = _np.stack([wave, -wave], axis=1)
+    src = encode_wav(stereo, rate)
+    # codec round-trip first
+    dec = decode_wav_samples(src)
+    assert dec is not None and dec[0] == rate
+    assert _np.array_equal(dec[1], stereo)
+
+    df = spark.createDataFrame([(1, bytearray(src))], "doc_id long, payload binary")
+    media = to_media_table(df, "doc_id", "payload", source="t")
+    [r] = resample_audio(media, 8000).collect()
+    assert (r.src_rate, r.rate, r.n_frames) == (16000, 8000, 800)
+    out_rate, out = decode_wav_samples(bytes(r.payload))
+    assert out_rate == 8000 and out.shape == (800, 2)
+    assert _np.array_equal(out, stereo[::2])  # exact decimation
+
+    txt = to_media_table(_docs(spark), "doc_id", "text", source="t")
+    with _pytest.raises(Exception, match="PCM|NotImplementedError"):
+        resample_audio(txt, 8000).collect()
+    fake = resample_audio(txt, 8000, fake_decode=True).collect()
+    assert len(fake) == len(DOCS) and all(f.n_frames > 0 for f in fake)
