@@ -83,7 +83,11 @@ def batch_score(
                     f"{sorted(set(lens))[:5]} — vectors must share one dim"
                 )
             mat = np.stack(vs[mask].map(np.asarray).to_numpy())
-            out[mask] = scorer(mat.astype(np.float64))
+            res = scorer(mat.astype(np.float64))
+            # the documented policy is NULL for ANY non-finite score;
+            # NaN already crosses Arrow as NULL but ±Infinity would
+            # survive as a real double — normalize both to NaN here
+            out[mask] = np.where(np.isfinite(res), res, np.nan)
         return out
 
     scored = df.withColumn(out_col, _score(F.col(vec_col)))

@@ -189,27 +189,46 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def _wav_layout(raw: bytes) -> tuple[dict, int, int] | None:
+    """Single RIFF/WAVE chunk walk shared by the sniffer and the sample
+    decoder (one parser, no sniff-vs-decode divergence): returns
+    ``(fmt_fields, data_offset, data_size)`` for the FIRST ``fmt `` and
+    ``data`` chunks — the canonical ones per the RIFF spec — or None
+    when the payload is not RIFF/WAVE or lacks either chunk."""
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        return None
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(raw):
+        cid, size = raw[i:i + 4], struct.unpack("<I", raw[i + 4:i + 8])[0]
+        if cid == b"fmt " and fmt is None and i + 24 <= len(raw):
+            tag, channels, rate, _, block_align, bits = struct.unpack(
+                "<HHIIHH", raw[i + 8:i + 24]
+            )
+            fmt = {
+                "format_tag": tag,
+                "channels": channels,
+                "rate": rate,
+                "block_align": block_align,
+                "bits": bits,
+            }
+        elif cid == b"data" and data is None:
+            data = (i + 8, size)
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    return fmt, data[0], data[1]
+
+
 def sniff_wav(raw: bytes) -> dict | None:
     """WAV (RIFF) header decode, stdlib-only: walk the chunk list for
     ``fmt `` (channels / sample rate / bit depth) and ``data`` (frame
     count → duration). None when the payload is not RIFF/WAVE."""
-    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+    layout = _wav_layout(raw)
+    if layout is None:
         return None
-    i, fmt, data_size = 12, None, None
-    while i + 8 <= len(raw):
-        cid, size = raw[i:i + 4], struct.unpack("<I", raw[i + 4:i + 8])[0]
-        if cid == b"fmt " and i + 8 + 16 <= len(raw):
-            _, channels, rate, _, block_align, bits = struct.unpack(
-                "<HHIIHH", raw[i + 8:i + 24]
-            )
-            fmt = (channels, rate, bits, block_align)
-        elif cid == b"data":
-            data_size = size
-        i += 8 + size + (size & 1)  # chunks are word-aligned
-    if fmt is None or data_size is None:
-        return None
-    channels, rate, bits, block_align = fmt
-    frame_size = block_align or max(1, channels * bits // 8)
+    fmt, _, data_size = layout
+    channels, rate, bits = fmt["channels"], fmt["rate"], fmt["bits"]
+    frame_size = fmt["block_align"] or max(1, channels * bits // 8)
     n_frames = data_size // frame_size if frame_size else 0
     return {
         "mime": "audio/wav",
@@ -222,31 +241,31 @@ def sniff_wav(raw: bytes) -> dict | None:
 
 
 def decode_wav_samples(raw: bytes) -> tuple[int, np.ndarray] | None:
-    """16-bit PCM WAV → ``(sample_rate, (n_frames, channels) int16
-    ndarray)`` — PCM is raw samples, so no codec is involved at all,
-    just the RIFF chunk walk + a numpy view. Returns None for
-    non-PCM/non-16-bit payloads (µ-law, float32, compressed) so callers
-    can tell "decodable natively" from "needs an audio library"."""
-    meta = sniff_wav(raw)
-    if meta is None or meta["bits_per_sample"] != 16:
+    """16-bit integer-PCM WAV → ``(sample_rate, (n_frames, channels)
+    int16 ndarray)`` — PCM is raw samples, so no codec is involved at
+    all, just the RIFF chunk walk + a numpy view. Requires
+    wFormatTag == 1 (plain PCM): compressed codecs often declare
+    wBitsPerSample = 16 too, and reinterpreting their bitstream as
+    samples would be silent garbage, not an error. Returns None for
+    everything non-decodable (wrong tag, wrong bit depth, zero
+    channels, empty data) so callers can tell "decodable natively"
+    from "needs an audio library"."""
+    layout = _wav_layout(raw)
+    if layout is None:
         return None
-    # find the data chunk's byte range (sniff_wav only kept its size)
-    i = 12
-    while i + 8 <= len(raw):
-        cid, size = raw[i:i + 4], struct.unpack("<I", raw[i + 4:i + 8])[0]
-        if cid == b"data":
-            ch = meta["channels"]
-            n = min(size, len(raw) - i - 8) // (2 * ch)
-            if n == 0:
-                return None
-            samples = (
-                np.frombuffer(raw, dtype="<i2", count=n * ch, offset=i + 8)
-                .reshape(n, ch)
-                .copy()
-            )
-            return meta["sample_rate"], samples
-        i += 8 + size + (size & 1)
-    return None
+    fmt, data_off, data_size = layout
+    if fmt["format_tag"] != 1 or fmt["bits"] != 16 or fmt["channels"] < 1:
+        return None
+    ch = fmt["channels"]
+    n = min(data_size, len(raw) - data_off) // (2 * ch)
+    if n <= 0:
+        return None
+    samples = (
+        np.frombuffer(raw, dtype="<i2", count=n * ch, offset=data_off)
+        .reshape(n, ch)
+        .copy()
+    )
+    return fmt["rate"], samples
 
 
 def encode_wav(samples: np.ndarray, rate: int) -> bytes:
@@ -481,19 +500,34 @@ def decode_png_pixels(raw: bytes) -> np.ndarray | None:
             rec = cur.reshape(w, ch).cumsum(axis=0).reshape(stride)
         elif f == 2:  # Up
             rec = cur + up
-        elif f in (3, 4):  # Average / Paeth: left-recursive per pixel
-            rec = np.empty(stride, dtype=np.int32)
-            for x in range(stride):
-                a = rec[x - ch] & 0xFF if x >= ch else 0
-                b = up[x]
-                if f == 3:
-                    rec[x] = cur[x] + ((a + b) >> 1)
-                else:
-                    c = (out[y - 1, x - ch] if (y and x >= ch) else 0)
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    rec[x] = cur[x] + pred
+        elif f in (3, 4):  # Average / Paeth: left-recursive PER PIXEL,
+            # so the loop runs w times with vectorized ch-wide numpy
+            # ops inside — real encoders emit these filters on most
+            # rows, making this the common path; per-byte Python
+            # iteration here would be 3-4x slower
+            curp = cur.reshape(w, ch)
+            upp = up.reshape(w, ch)
+            upl = np.vstack([np.zeros((1, ch), np.int32), upp[:-1]])
+            recp = np.empty((w, ch), dtype=np.int32)
+            left = np.zeros(ch, dtype=np.int32)
+            if f == 3:
+                for x in range(w):
+                    left = (curp[x] + ((left + upp[x]) >> 1)) & 0xFF
+                    recp[x] = left
+            else:
+                for x in range(w):
+                    p = left + upp[x] - upl[x]
+                    pa = np.abs(p - left)
+                    pb = np.abs(p - upp[x])
+                    pc = np.abs(p - upl[x])
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc),
+                        left,
+                        np.where(pb <= pc, upp[x], upl[x]),
+                    )
+                    left = (curp[x] + pred) & 0xFF
+                    recp[x] = left
+            rec = recp.reshape(stride)
         else:
             return None
         out[y] = rec & 0xFF

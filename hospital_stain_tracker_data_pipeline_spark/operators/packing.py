@@ -78,12 +78,14 @@ def pack_token_chunks(
     # the SAME doc_id (a re-ingested batch, unioned shards) are peers
     # and both receive a tok_end that includes BOTH rows' tokens —
     # overlapping spans and silently overfilled chunks. Under ROWS each
-    # row gets its own disjoint span; duplicate ids still pack both
-    # copies, with their relative order unspecified (dedup upstream if
-    # one-copy semantics are wanted).
+    # row gets its own disjoint span. The n_tok tiebreak makes the
+    # OUTPUT deterministic even with duplicate ids: rows tied on
+    # (doc_id, n_tok) are interchangeable — identical spans either way
+    # — so task retries/speculation cannot produce a different packing
+    # (dedup upstream if one-copy semantics are wanted).
     w = (
         Window.partitionBy("shard")
-        .orderBy("doc_id")
+        .orderBy("doc_id", "n_tok")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     spans = base.select(

@@ -43,10 +43,15 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     if isinstance(dt, T.LongType):
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if isinstance(dt, T.TimestampNTZType):
-        # to_utc_timestamp pins the interpretation to UTC at the
-        # EXPRESSION level — unlike cast("timestamp"), the resulting
-        # instant does not depend on the session timezone
-        return df.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
+        # NOTE: the NTZ→TIMESTAMP cast interprets the wall-clock in the
+        # SESSION timezone — no Spark expression reinterprets NTZ under
+        # an explicit zone (to_utc_timestamp(ntz, 'UTC') just inserts
+        # the same session-tz cast first; verified on the plan). The
+        # UTC guarantee therefore comes from the session-timeZone pin
+        # that every caller of this helper performs BEFORE execution
+        # (load_fixture_table / _events_stream); call sites outside
+        # those entry points must pin the session timezone themselves.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -62,15 +67,16 @@ def load_fixture_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
         # execution is lazy, so resetting after read() could flip the
         # conf back before the scan actually runs.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # The NTZ conversion itself is tz-pinned (to_utc_timestamp
-        # above), but RENDERING the resulting instants — date_format,
-        # to_date, CAST(ts AS LONG) vs DuckDB's naive epoch — still
-        # follows the session timezone, and this engine's oracle
-        # contract is UTC everywhere (session.py). Pin it for
-        # caller-provided sessions too. Side effect: the caller's own
-        # subsequent timestamp/date rendering in this session also
-        # switches to UTC — intentional; a mixed-timezone session
-        # cannot satisfy the UTC oracle contract anyway.
+        # THE mechanism that makes NTZ handling UTC-correct: both the
+        # NTZ→TIMESTAMP cast in normalize_event_ts AND the rendering of
+        # the resulting instants (date_format, CAST AS LONG vs DuckDB's
+        # naive epoch) follow the session timezone, and this engine's
+        # oracle contract is UTC everywhere (session.py). Pin it for
+        # caller-provided sessions, BEFORE the lazy read executes.
+        # Side effect: the caller's own subsequent timestamp/date
+        # rendering in this session also switches to UTC —
+        # intentional; a mixed-timezone session cannot satisfy the UTC
+        # oracle contract anyway.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":

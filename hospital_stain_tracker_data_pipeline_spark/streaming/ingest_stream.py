@@ -67,7 +67,9 @@ def _events_stream(
     # UTC for caller-provided sessions (same rationale as the batch
     # loader, sources.tables.load_fixture_table)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    from pyspark.errors.exceptions.captured import AnalysisException
+    # the PUBLIC base class — covers both the classic (captured) and
+    # Spark Connect exception hierarchies
+    from pyspark.errors import AnalysisException
 
     try:
         schema = spark.read.parquet(source_path).schema

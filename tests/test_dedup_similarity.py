@@ -799,3 +799,27 @@ def test_wav_resample_real_end_to_end(spark):
         resample_audio(txt, 8000).collect()
     fake = resample_audio(txt, 8000, fake_decode=True).collect()
     assert len(fake) == len(DOCS) and all(f.n_frames > 0 for f in fake)
+
+
+def test_wav_decode_rejects_non_pcm_and_zero_channels():
+    """wFormatTag != 1 (compressed codecs often declare 16 bits too)
+    and channels=0 must both return None — not silently decode garbage,
+    not ZeroDivisionError."""
+    import struct as _s
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+        decode_wav_samples,
+    )
+
+    def wav(tag, channels, bits=16):
+        fmt = _s.pack("<HHIIHH", tag, channels, 8000, 16000, 2, bits)
+        data = b"\x00" * 64
+        return (
+            b"RIFF" + _s.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+            + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+            + b"data" + _s.pack("<I", len(data)) + data
+        )
+
+    assert decode_wav_samples(wav(85, 2)) is None   # MPEG-in-WAV tag
+    assert decode_wav_samples(wav(1, 0)) is None    # zero channels
+    assert decode_wav_samples(wav(1, 2)) is not None

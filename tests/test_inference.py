@@ -120,3 +120,19 @@ def test_nan_component_scores_null_and_ragged_raises(spark):
     )
     with pytest.raises(Exception, match="ragged"):
         batch_score(ragged.coalesce(1), linear_probe_scorer([1.0, 1.0])).collect()
+
+
+def test_infinite_scores_surface_as_null(spark):
+    """The NULL policy covers ALL non-finite scores: an overflow to
+    +Infinity must come back NULL, not propagate into thresholds."""
+    df = spark.createDataFrame(
+        [(1, [1.0e308, 1.0e308]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: r.score
+        for r in batch_score(
+            df, linear_probe_scorer([1.0, 1.0], logistic=False)
+        ).collect()
+    }
+    assert out[1] is None and out[2] == 0.0
