@@ -1,0 +1,84 @@
+"""End-to-end curation recipe: funnel → exact dedup → near-dup drop →
+epoch shuffle → packing, with attrition accounting and packing
+invariants verified on a golden corpus and on the documents fixture."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hospital_stain_tracker_data_pipeline_spark.pipeline.curate import (
+    curate_documents,
+    curation_funnel_report,
+    default_quality_stages,
+)
+from hospital_stain_tracker_data_pipeline_spark.sources.tables import (
+    load_fixture_table,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the rain keeps "
+    "falling on the quiet town and nobody seems to mind the weather at all"
+)
+
+
+def _corpus(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),                       # exact dup of 1 → dropped
+        (3, BASE.replace("dog", "cat")), # near dup of 1 → dropped
+        (4, "completely different content about astronomy telescopes "
+            "galaxies nebulae and the slow drift of planets across skies"),
+        (5, "tiny"),                     # fails min_tokens
+        (6, ""),                         # fails nonblank
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_curate_golden_attrition_and_packing(spark):
+    chunks, rep = curate_documents(
+        _corpus(spark), budget=16, n_shards=2, seed=1, near_dup_threshold=0.5
+    )
+    assert rep.total == 6
+    assert rep.after_quality == 4          # 5, 6 fail the funnel
+    assert rep.after_exact_dedup == 3      # 2 dropped (dup of 1)
+    assert rep.after_near_dedup == 2       # 3 dropped (near dup of 1)
+    survivors = {r.doc_id for r in chunks.select("doc_id").distinct().collect()}
+    assert survivors == {1, 4}
+    # conservation: packed tokens == total tokens of survivors
+    n_tok = (
+        _corpus(spark)
+        .filter(F.col("doc_id").isin(1, 4))
+        .select(F.size(F.split(F.trim("text"), r"\s+")).alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert rep.packed_tokens == n_tok
+    assert rep.chunks >= 2
+
+
+def test_curate_is_deterministic(spark):
+    a, ra = curate_documents(_corpus(spark), budget=16, n_shards=2, seed=9)
+    b, rb = curate_documents(_corpus(spark), budget=16, n_shards=2, seed=9)
+    assert ra == rb
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_curate_fixture_smoke_and_funnel_report(spark):
+    docs = load_fixture_table(spark, "/root/testdata/sf0.001", "documents")
+    [fr] = curation_funnel_report(docs).collect()
+    assert fr.total >= fr.after_nonblank >= fr.after_min_tokens >= fr.after_quality
+
+    chunks, rep = curate_documents(docs, budget=512, n_shards=4, seed=3)
+    assert 0 < rep.after_near_dedup <= rep.total
+    assert rep.packed_tokens > 0 and rep.chunks > 0
+    # every non-final chunk per shard holds exactly the budget
+    per_chunk = chunks.groupBy("shard", "chunk_id").agg(
+        F.sum("chunk_tokens").alias("tok")
+    )
+    last = per_chunk.groupBy("shard").agg(F.max("chunk_id").alias("last"))
+    bad = (
+        per_chunk.join(last, "shard")
+        .filter((F.col("chunk_id") != F.col("last")) & (F.col("tok") != 512))
+        .count()
+    )
+    assert bad == 0
