@@ -223,3 +223,42 @@ def test_pack_token_chunks_invariants(spark, tok_counts, budget, n_shards):
             lo, hi = max(start, chunk * budget), min(end, (chunk + 1) * budget)
             want[(shard, chunk, doc_id)] = (n, max(0, start - chunk * budget), hi - lo)
     assert got == want
+
+
+@_slow
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd", ""]), min_size=1, max_size=5),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_dedup_spans_matches_python_reference(spark, doc_lines):
+    """Span dedup invariant for ANY corpus: globally-first occurrence
+    of each distinct (trimmed, len >= min_chars) span survives, order
+    within docs is preserved — replayed in plain Python."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+        dedup_spans,
+    )
+
+    docs = [(i, "\n".join(lines)) for i, lines in enumerate(doc_lines)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text_deduped, r.n_spans, r.n_spans_kept)
+        for r in dedup_spans(df, min_chars=1).collect()
+    }
+
+    seen = set()
+    want = {}
+    for doc_id, text in docs:
+        spans = text.split("\n")
+        kept = []
+        for s in spans:
+            key = s.strip()
+            if len(key) < 1:          # below min_chars: always survives
+                kept.append(s)
+            elif key not in seen:
+                seen.add(key)
+                kept.append(s)
+        want[doc_id] = ("\n".join(kept), len(spans), len(kept))
+    assert got == want
