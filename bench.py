@@ -70,7 +70,9 @@ HEADLINE = [
 # The Arrow/pandas-UDF-backed family shows 3-4x run-to-run variance
 # (Python worker reuse, GC, batch boundaries); a single warm sample
 # can't distinguish a regression from noise, so these get
-# median-of-N warm reps reported separately as queries_median.
+# median-of-N warm reps reported separately as queries_median. The two
+# slowest (dup_clusters, dedup_jaccard_topk) swung >1.3x between
+# same-day runs even at n=3, so they get n=5.
 NOISY_UDF_FAMILY = {
     "dedup_simhash",
     "dedup_jaccard_topk",
@@ -78,7 +80,8 @@ NOISY_UDF_FAMILY = {
     "dup_clusters",
     "ann_lsh_pairs",
 }
-NOISY_REPS = 3
+NOISY_REPS_DEFAULT = 3
+NOISY_REPS = {"dup_clusters": 5, "dedup_jaccard_topk": 5}
 
 
 def main() -> None:
@@ -120,7 +123,11 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
-        reps = NOISY_REPS if name in NOISY_UDF_FAMILY else 1
+        reps = (
+            NOISY_REPS.get(name, NOISY_REPS_DEFAULT)
+            if name in NOISY_UDF_FAMILY
+            else 1
+        )
         rep_times = []
         for _ in range(reps):
             t1 = time.perf_counter()
@@ -131,20 +138,45 @@ def main() -> None:
             medians[name] = round(statistics.median(rep_times), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_warm": warm,
-                "queries_median": medians,
-                "warm_total": round(sum(warm.values()), 3),
-                "sf": sf,
-            }
-        )
+    warm_total = round(sum(warm.values()), 3)
+    # Full record (cold + warm + median maps) goes to BENCH_LOCAL.json;
+    # stdout carries ONE shorter JSON line (one per-query map, not
+    # three) — the round-5 stdout line was long enough that the
+    # driver's capture truncated it from the front and parsed null.
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries_cold": timings,
+        "queries_warm": warm,
+        "queries_median": medians,
+        "warm_total": warm_total,
+        "cold_total": total,
+        "sf": sf,
+    }
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
+    with open(local_path, "w") as f:
+        json.dump(full, f, indent=2)
+        f.write("\n")
+    # stdout "queries" = the WARM per-query map (the steady-state
+    # numbers round-over-round comparisons actually use; cold numbers
+    # carry first-touch codegen/footer noise and live in the file)
+    line = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": warm,
+        "queries_kind": "warm",
+        "queries_median": medians,
+        "warm_total": warm_total,
+        "cold_total": total,
+        "sf": sf,
+        "detail": "BENCH_LOCAL.json",
+    }
+    spark.stop()  # nothing else may write between here and the JSON line
+    print(json.dumps(line), flush=True)
 
 
 if __name__ == "__main__":

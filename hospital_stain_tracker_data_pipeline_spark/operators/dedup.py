@@ -720,7 +720,11 @@ def dedup_spans(
     any partitioning), and reassemble the surviving spans in original
     order. Spans shorter than ``min_chars`` are never treated as
     duplicates (a one-word line repeating across documents is not
-    boilerplate evidence).
+    boilerplate evidence); zero-length trimmed spans are ALWAYS exempt
+    regardless of ``min_chars`` — they are structure (paragraph
+    separators under ``delim='\\n'``), not content, and globally
+    deduping them would strip every blank line after the corpus-first
+    one.
 
     Returns ``(doc_id, text_deduped, n_spans, n_spans_kept)`` — a doc
     whose every span was seen earlier comes back with an empty string
@@ -751,9 +755,10 @@ def dedup_spans(
         spans.withColumn(
             "fp",
             # short spans get a per-occurrence-unique key so the window
-            # never groups them — they always survive
+            # never groups them — they always survive; the max(·,1)
+            # floor makes blank spans unconditionally exempt
             F.when(
-                F.length(F.trim("span")) < min_chars,
+                F.length(F.trim("span")) < F.lit(max(min_chars, 1)),
                 F.concat_ws("#", F.lit("u"), "doc_id", "pos"),
             ).otherwise(F.md5(F.trim(F.col("span")))),
         )

@@ -36,6 +36,7 @@ def pack_token_chunks(
     id_col: str = "doc_id",
     text_col: str = "text",
     tokens_col: Column | None = None,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Assign each document the training-sequence chunks it occupies.
 
@@ -50,6 +51,22 @@ def pack_token_chunks(
 
     ``tokens_col`` overrides the default whitespace token count with a
     caller-supplied per-doc token count column (e.g. a real BPE count).
+
+    ``order_col`` names a LONG column that dictates the concatenation
+    order — the hook that makes an epoch shuffle real. When given, the
+    document stream is sharded by ``pmod(order_col, n_shards)`` and
+    concatenated within each shard in ``(order_col, doc_id)`` order, so
+    a keyed-permutation column (``epoch_shuffle``'s ``_order``) yields a
+    genuinely different chunk composition AND shard assignment per
+    seed, while staying a pure function of (corpus, key) — rerunnable
+    bit-identically under any partitioning. The key column is carried
+    through to the output (same name) so a writer can materialize
+    stream order without re-deriving it. The key should be
+    hash-uniform (it drives shard balance); a raw skewed column
+    (e.g. a timestamp) still packs correctly but shards unevenly.
+    When ``order_col`` is None the order is plain ``(doc_id, n_tok)``
+    and sharding is ``pmod(doc_id, n_shards)`` — the DuckDB-replayable
+    default.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
@@ -63,11 +80,25 @@ def pack_token_chunks(
             F.trim(F.col(text_col)) == "", F.lit(0)
         ).otherwise(token_count(F.col(text_col)))
     n_tok = tokens_col.cast("long")
+    if order_col is None:
+        shard_expr = F.pmod(F.col(id_col), F.lit(n_shards)).cast("int")
+        key_cols: list[Column] = []
+        order_by = ["doc_id", "n_tok"]
+    else:
+        # pmod of the (hash-uniform) shuffle key reshards the corpus
+        # per key — a new seed reshuffles shard membership too, not
+        # just intra-shard order
+        shard_expr = (
+            F.pmod(F.col(order_col).cast("long"), F.lit(n_shards)).cast("int")
+        )
+        key_cols = [F.col(order_col).cast("long").alias(order_col)]
+        order_by = [order_col, "doc_id", "n_tok"]
     base = (
         docs.select(
             F.col(id_col).alias("doc_id"),
-            F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
+            shard_expr.alias("shard"),
             n_tok.alias("n_tok"),
+            *key_cols,
         )
         # empty/null docs carry no tokens and would only inflate the
         # explode; dropping them cannot shift any other doc's span
@@ -85,13 +116,14 @@ def pack_token_chunks(
     # (dedup upstream if one-copy semantics are wanted).
     w = (
         Window.partitionBy("shard")
-        .orderBy("doc_id", "n_tok")
+        .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     spans = base.select(
         "shard",
         "doc_id",
         "n_tok",
+        *([order_col] if order_col is not None else []),
         (F.sum("n_tok").over(w) - F.col("n_tok")).alias("tok_start"),
         F.sum("n_tok").over(w).alias("tok_end"),
     )
@@ -101,12 +133,14 @@ def pack_token_chunks(
     # lands on the wrong chunk; offsets are non-negative so div == floor
     first_chunk = F.expr(f"tok_start div {int(budget)}")
     last_chunk = F.expr(f"(tok_end - 1) div {int(budget)}")
+    passthrough = [order_col] if order_col is not None else []
     return (
         spans.select(
             "shard",
             "doc_id",
             "n_tok",
             "tok_start",
+            *passthrough,
             F.explode(F.sequence(first_chunk, last_chunk)).alias("chunk_id"),
         )
         .select(
@@ -120,6 +154,7 @@ def pack_token_chunks(
                 F.least(F.col("tok_start") + F.col("n_tok"), (F.col("chunk_id") + 1) * b)
                 - F.greatest(F.col("tok_start"), F.col("chunk_id") * b)
             ).cast("long").alias("chunk_tokens"),
+            *passthrough,
         )
     )
 
@@ -150,12 +185,22 @@ def filter_funnel(
     cum = None
     for name, cond in stages:
         cum = cond if cum is None else (cum & cond)
-        aggs.append(F.sum(F.when(cum, 1).otherwise(0)).cast("long").alias(f"after_{name}"))
+        # coalesce: SUM over zero rows is NULL; an empty corpus must
+        # report an all-zero funnel row, not total=0 with NULL stages
+        aggs.append(
+            F.coalesce(F.sum(F.when(cum, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias(f"after_{name}")
+        )
     return docs.agg(*aggs)
 
 
 def epoch_shuffle(
-    df: DataFrame, seed: int, id_col: str = "doc_id", key_col: str = "_order"
+    df: DataFrame,
+    seed: int,
+    id_col: str = "doc_id",
+    key_col: str = "_order",
+    sort: bool = True,
 ) -> DataFrame:
     """Deterministic training-epoch shuffle: impose a reproducible
     pseudo-random global order on the corpus by sorting on
@@ -170,6 +215,12 @@ def epoch_shuffle(
     stage; writing the result immediately preserves the order within
     and across output files (lexicographic file order = global order).
     The id tiebreak makes the permutation total even on hash collisions.
+
+    ``sort=False`` only attaches ``key_col`` without the global sort —
+    use it when the consumer imposes its own order FROM the key (e.g.
+    ``pack_token_chunks(order_col=key_col)`` re-orders inside its shard
+    window anyway), saving a dead range-sort exchange.
     """
     key = F.xxhash64(F.lit(seed).cast("long"), F.col(id_col))
-    return df.withColumn(key_col, key).orderBy(key_col, id_col)
+    out = df.withColumn(key_col, key)
+    return out.orderBy(key_col, id_col) if sort else out

@@ -9,9 +9,17 @@ Each stage is one of the library's standalone operators; this module
 only wires them, so the scale properties are the stages' own (funnel:
 one conditional-agg scan; exact dedup: fingerprint groupBy, payload
 never shuffles; near-dup: banded MinHash-LSH candidates, no all-pairs;
-shuffle: distributed range sort; packing: per-shard cumsum window).
-The wiring adds exactly one extra scan for the funnel report and
-nothing else.
+shuffle: keyed permutation consumed by packing's shard window; packing:
+per-shard cumsum window).
+
+Action discipline (the 100 TB property): the recipe fires multiple
+actions (attrition counts + the final chunk aggregate) but each
+pipeline stage EXECUTES once — the quality-funnel counts come from one
+conditional-agg scan (``filter_funnel``), and the two expensive
+products (post-exact-dedup, post-near-dedup corpora) are persisted
+before anything counts them, so the MinHash-LSH candidate join runs
+exactly once per call. Pinned by ``test_curate_executes_lineage_once``
+with a source-scan counter.
 """
 
 from __future__ import annotations
@@ -20,6 +28,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import quality_score, token_count
 from ..operators.dedup import exact_dedup, minhash_lsh_dedup_pairs
@@ -66,22 +75,44 @@ def curate_documents(
     operator, so the drop set is exactly "every doc that appears as
     the higher id in a ≥threshold pair" — transitive chains collapse
     to their minimum without a connected-components pass because each
-    pair independently names a smaller survivor. The final chunk set is
-    a pure function of (corpus, stages, threshold, seed, budget,
-    n_shards) — rerunnable bit-identically, which is what a training
-    job resuming mid-corpus needs."""
+    pair independently names a smaller survivor. The chunk composition
+    is SEED-DEPENDENT by construction: the ``_order`` keyed-permutation
+    column drives both packing's shard assignment and its
+    concatenation order, so each seed packs a statistically
+    independent mixture of documents — while staying a pure function
+    of (corpus, stages, threshold, seed, budget, n_shards), rerunnable
+    bit-identically, which is what a training job resuming mid-corpus
+    needs (pinned by ``test_curate_seed_changes_chunk_composition``).
+
+    The returned chunk frame reads from the persisted post-dedup
+    corpus; call ``unpersist_curated(chunks)`` (or
+    ``spark.catalog.clearCache()``) when done with it to release
+    executor storage."""
     stages = stages if stages is not None else default_quality_stages()
-    total = docs.count()
+
+    # one conditional-agg scan yields total + every cumulative stage
+    # count — NOT len(stages)+1 separate count() actions
+    if stages:
+        [funnel] = filter_funnel(docs, stages).collect()
+        total = int(funnel["total"])
+        n_clean = int(funnel[f"after_{stages[-1][0]}"])
+    else:
+        total = docs.count()
+        n_clean = total
 
     cond = None
     for _, c in stages:
         cond = c if cond is None else (cond & c)
     clean = docs.filter(cond) if cond is not None else docs
-    n_clean = clean.count()
 
-    # exact dedup: keep each fingerprint's lowest doc_id
+    # exact dedup: keep each fingerprint's lowest doc_id. Persist
+    # BEFORE counting: the count materializes the cache, so the
+    # downstream LSH join and packing re-read the materialized corpus
+    # instead of re-running the funnel + dedup lineage per action.
     keep = exact_dedup(clean).select(F.col("keep_id").alias("doc_id"))
-    exact = clean.join(keep, "doc_id", "left_semi")
+    exact = clean.join(keep, "doc_id", "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     n_exact = exact.count()
 
     # near-dup drop: every higher id of a >= threshold pair goes
@@ -90,17 +121,26 @@ def curate_documents(
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    deduped = exact.join(drop, "doc_id", "left_anti")
+    deduped = exact.join(drop, "doc_id", "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # this count is where the LSH candidate join executes — once; the
+    # final chunk aggregate below hits the materialized cache
     n_near = deduped.count()
 
-    shuffled = epoch_shuffle(deduped, seed=seed)
+    # sort=False: packing's shard window consumes the _order KEY, so a
+    # global range sort here would be a dead exchange
+    shuffled = epoch_shuffle(deduped, seed=seed, sort=False)
     chunks = pack_token_chunks(
-        shuffled.drop("_order"), budget=budget, n_shards=n_shards
+        shuffled, budget=budget, n_shards=n_shards, order_col="_order"
     )
     agg = chunks.agg(
         F.count_distinct("shard", "chunk_id").alias("n_chunks"),
         F.sum("chunk_tokens").alias("tok"),
     ).collect()[0]
+    # deduped (what chunks reads) stays persisted for the caller;
+    # exact is only an intermediate of the now-materialized deduped
+    exact.unpersist()
 
     report = CurationReport(
         total=total,
@@ -110,7 +150,21 @@ def curate_documents(
         chunks=int(agg.n_chunks or 0),
         packed_tokens=int(agg.tok or 0),
     )
+    # handle for unpersist_curated — the chunks frame's lineage reads
+    # from this persisted corpus
+    chunks._curate_persisted = deduped  # type: ignore[attr-defined]
     return chunks, report
+
+
+def unpersist_curated(chunks: DataFrame) -> None:
+    """Release the persisted post-dedup corpus backing a
+    ``curate_documents`` result. Safe on any DataFrame (no-op when the
+    frame didn't come from ``curate_documents``). After this, actions
+    on the chunk frame recompute the full lineage — unpersist only
+    once the chunks are materialized (written/collected)."""
+    backing = getattr(chunks, "_curate_persisted", None)
+    if backing is not None:
+        backing.unpersist()
 
 
 def curation_funnel_report(

@@ -28,9 +28,10 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     exactly the brittleness that breaks when a producer upgrades.
 
     - ``LongType``: a parquet TIMESTAMP(NANOS) column read under
-      ``spark.sql.legacy.parquet.nanosAsLong`` — floor-truncate nanos
-      to a microsecond timestamp, matching DuckDB's read of the same
-      column (oracle parity).
+      ``spark.sql.legacy.parquet.nanosAsLong`` — truncate nanos toward
+      zero to a microsecond timestamp, matching DuckDB's read of the
+      same column (oracle parity; both engines use C-style division,
+      which differs from floor only for pre-1970 non-aligned nanos).
     - ``TimestampNTZType``: parquet ``timestamp[us]`` without a
       timezone — reinterpret the wall-clock as UTC via cast; with the
       session timezone pinned to UTC this preserves the stored instant
@@ -41,6 +42,12 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     """
     dt = df.schema["ts"].dataType
     if isinstance(dt, T.LongType):
+        # `div` truncates toward ZERO — and so does DuckDB's ns→µs
+        # parquet conversion (C-style integer division, verified
+        # empirically: -1500ns reads as -1µs in BOTH engines, pinned
+        # cross-engine by test_nano_floor_truncation_pre_1970). A
+        # floor formulation here would be the one that BREAKS oracle
+        # parity for non-µs-aligned pre-1970 nanos.
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if isinstance(dt, T.TimestampNTZType):
         # NOTE: the NTZ→TIMESTAMP cast interprets the wall-clock in the

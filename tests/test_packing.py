@@ -356,3 +356,187 @@ def test_filter_funnel_rejects_duplicate_stage_names(spark):
             docs,
             [("a", F.col("doc_id") > 0), ("a", F.col("doc_id") > 1)],
         )
+
+
+def test_pack_order_col_golden_layout(spark):
+    """An explicit key column dictates BOTH shard assignment
+    (pmod(key, n_shards)) and concatenation order within the shard,
+    and rides through to the output."""
+    docs = spark.createDataFrame(
+        [(0, "a b c", 5), (1, "d e", 2), (2, "f g h i", 9), (3, "j", 4)],
+        "doc_id long, text string, k long",
+    )
+    out = pack_token_chunks(docs, budget=4, n_shards=2, order_col="k")
+    rows = {
+        (r.shard, r.chunk_id, r.doc_id): (r.chunk_start, r.chunk_tokens, r.k)
+        for r in out.collect()
+    }
+    # shard 0 (even k): doc1(k=2, 2 tok)[0,2) doc3(k=4, 1 tok)[2,3)
+    # shard 1 (odd k):  doc0(k=5, 3 tok)[0,3) doc2(k=9, 4 tok)[3,7)
+    assert rows[(0, 0, 1)] == (0, 2, 2)
+    assert rows[(0, 0, 3)] == (2, 1, 4)
+    assert rows[(1, 0, 0)] == (0, 3, 5)
+    assert rows[(1, 0, 2)] == (3, 1, 9)   # doc2 tail of chunk 0
+    assert rows[(1, 1, 2)] == (0, 3, 9)   # ... spills into chunk 1
+    assert len(rows) == 5
+
+
+def test_pack_order_col_matches_duckdb_oracle(spark):
+    """Cross-engine oracle for the ORDERED packing path: a signed
+    Lehmer-style key computed identically in both engines drives shard
+    (pmod) and order; every output cell must match."""
+    import duckdb
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    sf_dir = "/root/testdata/sf0.001"
+    budget, n_shards = 256, 8
+    docs = load_fixture_table(spark, sf_dir, "documents").withColumn(
+        "k", F.expr("(doc_id * 48271) % 100003 - 50000")
+    )
+    got = sorted(
+        tuple(r)
+        for r in pack_token_chunks(
+            docs, budget=budget, n_shards=n_shards, order_col="k"
+        ).collect()
+    )
+    sql = rf"""
+    WITH base AS (
+      SELECT doc_id, (doc_id * 48271) % 100003 - 50000 AS k,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+      FROM read_parquet('{sf_dir}/documents.parquet')
+    ), nonempty AS (
+      SELECT *, ((k % {n_shards}) + {n_shards}) % {n_shards} AS shard
+      FROM base WHERE n_tok > 0
+    ), spans AS (
+      SELECT shard, doc_id, n_tok, k,
+             SUM(n_tok) OVER w - n_tok AS tok_start,
+             SUM(n_tok) OVER w AS tok_end
+      FROM nonempty WINDOW w AS (PARTITION BY shard ORDER BY k, doc_id)
+    ), chunks AS (
+      SELECT shard, doc_id, n_tok, k, tok_start,
+             unnest(generate_series(CAST(tok_start // {budget} AS BIGINT),
+                                    CAST((tok_end - 1) // {budget} AS BIGINT)))
+               AS chunk_id
+      FROM spans
+    )
+    SELECT CAST(shard AS INT) AS shard, CAST(chunk_id AS BIGINT) AS chunk_id,
+           doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(GREATEST(0, tok_start - chunk_id * {budget}) AS BIGINT)
+             AS chunk_start,
+           CAST(LEAST(tok_start + n_tok, (chunk_id + 1) * {budget})
+                - GREATEST(tok_start, chunk_id * {budget}) AS BIGINT)
+             AS chunk_tokens,
+           CAST(k AS BIGINT) AS k
+    FROM chunks
+    """
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want and len(got) > 0
+
+
+def test_pack_order_col_seed_changes_composition(spark):
+    """The epoch_shuffle → pack composition: different seeds must
+    produce different chunk compositions (the round-5 gap: packing
+    ignored input order, making the seed a no-op)."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.packing import (
+        epoch_shuffle,
+    )
+
+    docs = load_fixture_table(spark, "/root/testdata/sf0.001", "documents")
+
+    def layout(seed):
+        shuffled = epoch_shuffle(docs, seed=seed, sort=False)
+        out = pack_token_chunks(
+            shuffled, budget=256, n_shards=8, order_col="_order"
+        )
+        return sorted(
+            (r.shard, r.chunk_id, r.doc_id) for r in out.collect()
+        )
+
+    a0, a0_again, a1 = layout(0), layout(0), layout(1)
+    assert a0 == a0_again                       # same seed: bit-identical
+    assert a0 != a1                             # different seed: different packing
+    # same survivors either way — the seed permutes, never filters
+    assert sorted({d for _, _, d in a0}) == sorted({d for _, _, d in a1})
+
+
+def test_packed_write_preserves_stream_order(spark, tmp_path):
+    """The writer recipe (SCALE.md): repartitionByRange +
+    sortWithinPartitions on (shard, chunk_id, chunk_start) materializes
+    the shuffled stream order to files — lexicographic file order IS
+    stream order, no re-sort needed at read time."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.packing import (
+        epoch_shuffle,
+    )
+
+    docs = load_fixture_table(spark, "/root/testdata/sf0.001", "documents")
+    chunks = pack_token_chunks(
+        epoch_shuffle(docs, seed=5, sort=False),
+        budget=128,
+        n_shards=4,
+        order_col="_order",
+    )
+    path = str(tmp_path / "packed")
+    (
+        chunks.repartitionByRange(4, "shard", "chunk_id", "chunk_start")
+        .sortWithinPartitions("shard", "chunk_id", "chunk_start")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    files = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
+    assert len(files) > 1
+    prev_last = None
+    n_rows = 0
+    for f in files:
+        tbl = pq.read_table(f, columns=["shard", "chunk_id", "chunk_start"])
+        keys = list(
+            zip(
+                tbl["shard"].to_pylist(),
+                tbl["chunk_id"].to_pylist(),
+                tbl["chunk_start"].to_pylist(),
+            )
+        )
+        n_rows += len(keys)
+        assert keys == sorted(keys)              # in-file order = stream order
+        if keys:
+            if prev_last is not None:
+                assert prev_last <= keys[0]      # cross-file boundaries monotone
+            prev_last = keys[-1]
+    assert n_rows == chunks.count()
+
+
+def test_filter_funnel_empty_input_is_all_zero(spark):
+    """SUM over zero rows is NULL; the funnel must report an all-zero
+    row on an empty corpus, not total=0 with NULL stages."""
+    docs = spark.createDataFrame([], "doc_id long, n_tok long")
+    [r] = filter_funnel(docs, [("pos", F.col("n_tok") > 0)]).collect()
+    assert r.total == 0
+    assert r.after_pos == 0 and r.after_pos is not None
+
+
+def test_dedup_spans_blank_lines_always_survive(spark):
+    """Zero-length trimmed spans are structure (paragraph separators),
+    not content: they must survive global dedup even at the default
+    min_chars=0 — otherwise every blank line after the corpus-first
+    one is silently stripped."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+        dedup_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "para one\n\npara two"),
+            (2, "para three\n\npara four\n\npara one"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text_deduped for r in dedup_spans(docs).collect()}
+    assert out[1] == "para one\n\npara two"
+    # 'para one' dedups (seen in doc 1); BOTH blank separators survive
+    assert out[2] == "para three\n\npara four\n"

@@ -156,3 +156,52 @@ def test_queries_survive_vanilla_caller_session(spark, sf_dir):
     finally:
         # newSession state is isolated, but reset anyway for hygiene
         s2.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_nano_floor_truncation_pre_1970(spark):
+    """Nanos→micros truncates toward ZERO in BOTH engines — DuckDB's
+    parquet ns→µs conversion is C-style division (empirically: -1500ns
+    reads as -1µs, not -2µs), and Spark's `div` matches it exactly.
+    This pins the cross-engine agreement for pre-1970 non-µs-aligned
+    nanos, the only range where toward-zero and floor diverge (a
+    'floor fix' here would be the thing that breaks oracle parity)."""
+    import duckdb
+
+    nanos = [-1_500, -1_000, -999, -1_000_000_001_500, 0, 1_500]
+    # toward-zero truncation (what C-style integer division does)
+    want_us = [ns_ // 1000 if ns_ >= 0 else -((-ns_) // 1000) for ns_ in nanos]
+    work = tempfile.mkdtemp(prefix="ts_neg_")
+    try:
+        n = len(nanos)
+        table = pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(nanos, pa.int64()).cast(pa.timestamp("ns")),
+                "user_id": pa.array([1] * n, pa.int64()),
+                "event_type": pa.array(["view"] * n, pa.string()),
+                "value": pa.array([1.0] * n, pa.float64()),
+                "props": pa.array(["{}"] * n, pa.string()),
+            }
+        )
+        path = os.path.join(work, "events.parquet")
+        pq.write_table(table, path)
+        df = load_fixture_table(spark, work, "events")
+        got = [
+            r.us
+            for r in df.selectExpr("unix_micros(ts) AS us")
+            .orderBy("event_id")
+            .collect()
+        ]
+        assert got == want_us
+        # cross-engine: DuckDB's read of the identical column agrees
+        duck = [
+            r[0]
+            for r in duckdb.connect()
+            .execute(
+                f"SELECT epoch_us(ts) FROM read_parquet('{path}') ORDER BY event_id"
+            )
+            .fetchall()
+        ]
+        assert got == duck
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
