@@ -5,8 +5,12 @@ Arrow-batched ``mapInPandas`` UDFs.
 The decode path is REAL for image container headers: ``sniff_image``
 parses PNG / GIF / BMP / JPEG magic + dimension fields with the stdlib
 only (the same identify step Pillow runs first), so genuine image bytes
-yield their true mime/width/height. Full PIXEL decode needs PIL/cv2 —
-absent in this container — so unrecognized payloads raise
+yield their true mime/width/height. PIXEL decode is also real — no
+image library involved — for uncompressed 24-bit BMP, 8-bit truecolor
+PNG (stdlib zlib + scanline filters) and baseline sequential JPEG
+(pure-numpy Huffman + IDCT, ``operators/jpeg.py``; 4:4:4/4:2:2/4:2:0,
+grayscale, restart markers). Payloads outside that envelope
+(progressive JPEG, palette/16-bit/interlaced PNG, ...) raise
 NotImplementedError unless ``fake_decode=True``, which produces a
 deterministic fake (payload-hash seeded dimensions) so the Spark-side
 plumbing — schema, batch shape, partitioning — stays testable on
@@ -590,19 +594,22 @@ def resize_images(
 ) -> DataFrame:
     """Image resize, same Arrow ``mapInPandas`` shape as the extractors.
 
-    Two formats are real END-TO-END, no image library involved, running
-    regardless of ``fake_decode``: an uncompressed 24-bit BMP
-    (``decode_bmp_pixels`` → ``resize_rgb_nearest`` → ``encode_bmp``)
-    and an 8-bit truecolor PNG (``decode_png_pixels`` — stdlib zlib
+    Three formats are real END-TO-END, no image library involved,
+    running regardless of ``fake_decode``: an uncompressed 24-bit BMP
+    (``decode_bmp_pixels`` → ``resize_rgb_nearest`` → ``encode_bmp``),
+    an 8-bit truecolor PNG (``decode_png_pixels`` — stdlib zlib
     inflate + all five scanline filters — re-encoded via
-    ``encode_png``). JPEG still needs a DCT codec (PIL/cv2, absent
-    here), and exotic PNG variants (palette/16-bit/interlaced) fall
-    through with it: source dimensions still come from the real header
-    sniff, but the output payload is a deterministic
-    payload-hash-derived stand-in (3 bytes/px RGB) when
+    ``encode_png``), and baseline sequential JPEG
+    (``jpeg.decode_jpeg_pixels`` — pure-numpy Huffman + IDCT, 4:4:4 /
+    4:2:2 / 4:2:0 / grayscale / restart markers — re-encoded 4:4:4 via
+    ``jpeg.encode_jpeg``). Remaining exotica (progressive JPEG,
+    palette/16-bit/interlaced PNG) fall through: source dimensions
+    still come from the real header sniff, but the output payload is a
+    deterministic payload-hash-derived stand-in (3 bytes/px RGB) when
     ``fake_decode=True`` and an explicit NotImplementedError otherwise.
     The Spark-side contract — binary in, binary out, payload never
     entering a shuffle before the resize — is identical on all paths."""
+    from .jpeg import decode_jpeg_pixels, encode_jpeg
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -616,15 +623,18 @@ def resize_images(
                     body = encode_bmp(resize_rgb_nearest(px, width, height))
                 elif (png := decode_png_pixels(raw)) is not None:
                     body = encode_png(resize_rgb_nearest(png, width, height))
+                elif (jp := decode_jpeg_pixels(raw)) is not None:
+                    body = encode_jpeg(resize_rgb_nearest(jp, width, height))
                 elif fake_decode:
                     seed = hashlib.sha256(raw).digest()
                     n = width * height * 3
                     body = (seed * (n // len(seed) + 1))[:n]
                 else:
                     raise NotImplementedError(
-                        "native pixel decode covers uncompressed 24-bit BMP "
-                        "and 8-bit truecolor PNG; resampling this payload "
-                        "(JPEG, palette/16-bit/interlaced PNG, ...) requires "
+                        "native pixel decode covers uncompressed 24-bit BMP, "
+                        "8-bit truecolor PNG and baseline sequential JPEG; "
+                        "resampling this payload (progressive JPEG, "
+                        "palette/16-bit/interlaced PNG, ...) requires "
                         "PIL/cv2, not available in this environment — pass "
                         "fake_decode=True for the deterministic stand-in "
                         "payload"

@@ -365,11 +365,12 @@ def test_multimodal_audio_wav_real_decode(spark):
 
 
 def test_multimodal_resize_plumbing(spark):
-    """Resize stub path (JPEG — its DCT entropy layer genuinely needs
-    PIL/cv2): real source dims from the header sniff; deterministic
-    fixed-size fake payload out; explicit stub raise without the fake
-    flag. (PNG and BMP no longer hit this path — both have real native
-    decoders, tested separately.)"""
+    """Resize stub path (a header-only JPEG with no tables/scan —
+    outside every native decoder's envelope): real source dims from
+    the header sniff; deterministic fixed-size fake payload out;
+    explicit stub raise without the fake flag. (BMP, PNG and baseline
+    JPEG no longer hit this path — all three have real native codecs,
+    tested separately.)"""
     import struct as _s
 
     import pytest as _pytest
@@ -823,3 +824,106 @@ def test_wav_decode_rejects_non_pcm_and_zero_channels():
     assert decode_wav_samples(wav(85, 2)) is None   # MPEG-in-WAV tag
     assert decode_wav_samples(wav(1, 0)) is None    # zero channels
     assert decode_wav_samples(wav(1, 2)) is not None
+
+
+def _gradient_rgb(h, w):
+    import numpy as _np
+
+    yy, xx = _np.mgrid[0:h, 0:w]
+    return _np.stack(
+        [
+            xx * 255 // max(w - 1, 1),
+            yy * 255 // max(h - 1, 1),
+            (xx + yy) * 255 // max(w + h - 2, 1),
+        ],
+        axis=-1,
+    ).astype(_np.uint8)
+
+
+def test_jpeg_codec_roundtrip_within_quantization_loss():
+    """encode_jpeg → decode_jpeg_pixels round-trips within the
+    quantization error budget across quality levels, 4:4:4 and 4:2:0,
+    restart intervals, odd (non-multiple-of-8) dimensions and
+    grayscale — the baseline-JPEG envelope, pure numpy/stdlib."""
+    import numpy as _np
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    px = _gradient_rgb(48, 64)
+    for kwargs, budget in [
+        (dict(quality=75), 8),
+        (dict(quality=95), 5),
+        (dict(quality=90, subsampling="420"), 10),
+        (dict(quality=90, restart_interval=3), 8),
+        (dict(quality=90, subsampling="420", restart_interval=2), 10),
+    ]:
+        raw = encode_jpeg(px, **kwargs)
+        dec = decode_jpeg_pixels(raw)
+        assert dec is not None and dec.shape == px.shape, kwargs
+        err = _np.abs(dec.astype(int) - px.astype(int))
+        assert err.max() <= budget, (kwargs, err.max())
+    # odd dims: padding must not leak into the cropped output
+    odd = px[:45, :61]
+    dec = decode_jpeg_pixels(encode_jpeg(odd, quality=95))
+    assert dec is not None and dec.shape == (45, 61, 3)
+    # grayscale: 1 component replicated to 3 identical channels
+    g = px[..., 0]
+    dec = decode_jpeg_pixels(encode_jpeg(g, quality=90))
+    assert dec is not None and dec.shape == (48, 64, 3)
+    assert _np.array_equal(dec[..., 0], dec[..., 1])
+    assert _np.abs(dec[..., 0].astype(int) - g.astype(int)).max() <= 4
+
+
+def test_jpeg_decode_is_deterministic_and_rejects_non_baseline():
+    """Same payload → bit-identical pixels (the partition-invariance
+    property every codec here guarantees); non-JPEG, truncated and
+    progressive payloads return None instead of raising."""
+    import numpy as _np
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    raw = encode_jpeg(_gradient_rgb(24, 40), quality=85)
+    a, b = decode_jpeg_pixels(raw), decode_jpeg_pixels(raw)
+    assert a is not None and _np.array_equal(a, b)
+    assert decode_jpeg_pixels(b"not a jpeg") is None
+    assert decode_jpeg_pixels(raw[:40]) is None
+    # flip SOF0 -> SOF2 (progressive): politely out of scope, not a crash
+    prog = bytearray(raw)
+    i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    assert decode_jpeg_pixels(bytes(prog)) is None
+
+
+def test_resize_images_real_jpeg_end_to_end(spark):
+    """The JPEG path is real under BOTH fake_decode flags: a baseline
+    JPEG payload decodes (pure-numpy Huffman+IDCT), resamples, and
+    re-encodes to a valid baseline JPEG of the target size whose
+    pixels match the source resample within codec loss."""
+    import numpy as _np
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+        resize_images,
+        resize_rgb_nearest,
+    )
+
+    src = _gradient_rgb(48, 64)
+    jpg = encode_jpeg(src, quality=95)
+    df = spark.createDataFrame([(1, bytearray(jpg))], "doc_id long, payload binary")
+    media = to_media_table(df, "doc_id", "payload", source="t")
+    for flag in (True, False):
+        [r] = resize_images(media, 16, 12, fake_decode=flag).collect()
+        assert (r.mime, r.src_width, r.src_height) == ("image/jpeg", 64, 48)
+        out = decode_jpeg_pixels(bytes(r.payload))
+        assert out is not None and out.shape == (12, 16, 3)
+        want = resize_rgb_nearest(decode_jpeg_pixels(jpg), 16, 12)
+        assert _np.abs(out.astype(int) - want.astype(int)).max() <= 8
