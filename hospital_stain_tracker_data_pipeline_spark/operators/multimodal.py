@@ -789,3 +789,102 @@ def extract_image_features(media: DataFrame, fake_decode: bool = False) -> DataF
     return media.select(
         "media_id", "payload", F.col("meta.mime").alias("mime")
     ).mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("decoded", T.BooleanType(), False),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+        T.StructField("std_luma", T.DoubleType(), True),
+    ]
+)
+
+
+def extract_pixel_stats(media: DataFrame, fake_decode: bool = False) -> DataFrame:
+    """REAL pixel-level feature extraction — per-channel means + luma
+    mean/stddev computed from actually-decoded pixels for every format
+    the native codecs cover (uncompressed 24-bit BMP, 8-bit truecolor
+    PNG, baseline sequential JPEG incl. 4:2:0/grayscale/restarts);
+    ``decoded=True`` marks rows whose stats came from real pixels.
+    The training-data use case: pixel statistics drive quality filters
+    (all-black/blown-out frames, low-variance screenshots) the same way
+    text quality scores gate documents — and they must come from REAL
+    decoded planes to mean anything.
+
+    Payloads outside the native envelope follow the module's standard
+    policy: deterministic payload-hash-seeded stand-in stats (with
+    ``decoded=False``) under ``fake_decode=True``, an explicit
+    NotImplementedError otherwise.
+
+    Same scale shape as every extractor here: Arrow-batched
+    ``mapInPandas``, one decode per payload, binary column dropped on
+    the way out so downstream shuffles carry only the slim stats."""
+    from .jpeg import decode_jpeg_pixels
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                sniffed = sniff_image(raw)
+                mime = sniffed[0] if sniffed else None
+                px = decode_bmp_pixels(raw)
+                if px is None:
+                    px = decode_png_pixels(raw)
+                if px is None:
+                    px = decode_jpeg_pixels(raw)
+                if px is not None:
+                    f = px.astype(np.float64)
+                    luma = (
+                        0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+                    )
+                    row = {
+                        "media_id": media_id,
+                        "mime": mime,
+                        "width": int(px.shape[1]),
+                        "height": int(px.shape[0]),
+                        "decoded": True,
+                        "mean_r": float(f[..., 0].mean()),
+                        "mean_g": float(f[..., 1].mean()),
+                        "mean_b": float(f[..., 2].mean()),
+                        "mean_luma": float(luma.mean()),
+                        "std_luma": float(luma.std()),
+                    }
+                elif fake_decode:
+                    seed = int(hashlib.sha256(raw).hexdigest()[:8], 16)
+                    row = {
+                        "media_id": media_id,
+                        "mime": mime,
+                        "width": 64 + seed % 1024,
+                        "height": 64 + (seed >> 10) % 1024,
+                        "decoded": False,
+                        "mean_r": float(seed % 256),
+                        "mean_g": float((seed >> 8) % 256),
+                        "mean_b": float((seed >> 16) % 256),
+                        "mean_luma": float((seed >> 24) % 256),
+                        "std_luma": 0.0,
+                    }
+                else:
+                    raise NotImplementedError(
+                        "pixel statistics need a decodable payload "
+                        "(uncompressed 24-bit BMP, 8-bit truecolor PNG, "
+                        "baseline sequential JPEG are native); this payload "
+                        "requires PIL/cv2, not available in this environment "
+                        "— pass fake_decode=True for the deterministic "
+                        "stand-in"
+                    )
+                out.append(row)
+            yield pd.DataFrame(
+                out, columns=[f.name for f in PIXEL_STATS_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=PIXEL_STATS_SCHEMA
+    )

@@ -2,8 +2,8 @@
 training-data operators into the pipeline a pretraining data run
 actually executes —
 
-    quality funnel → exact dedup → near-dup drop → epoch shuffle
-    → sequence packing
+    quality funnel → exact dedup → near-dup drop → [optional C4-style
+    span-level dedup] → epoch shuffle → sequence packing
 
 Each stage is one of the library's standalone operators; this module
 only wires them, so the scale properties are the stages' own (funnel:
@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import quality_score, token_count
-from ..operators.dedup import exact_dedup, minhash_lsh_dedup_pairs
+from ..operators.dedup import dedup_spans, exact_dedup, minhash_lsh_dedup_pairs
 from ..operators.packing import epoch_shuffle, filter_funnel, pack_token_chunks
 
 
@@ -43,6 +43,9 @@ class CurationReport:
     after_near_dedup: int
     chunks: int
     packed_tokens: int
+    # docs still non-empty after the optional span-level dedup stage;
+    # None when the stage is off
+    after_span_dedup: int | None = None
 
 
 def default_quality_stages(
@@ -65,6 +68,8 @@ def curate_documents(
     seed: int = 0,
     stages: list[tuple[str, Column]] | None = None,
     near_dup_threshold: float = 0.9,
+    span_dedup_delim: str | None = None,
+    span_min_chars: int = 0,
 ) -> tuple[DataFrame, CurationReport]:
     """Run the full curation pipeline over a ``(doc_id, text)`` corpus;
     returns ``(packed_chunks, report)``.
@@ -83,6 +88,17 @@ def curate_documents(
     of (corpus, stages, threshold, seed, budget, n_shards), rerunnable
     bit-identically, which is what a training job resuming mid-corpus
     needs (pinned by ``test_curate_seed_changes_chunk_composition``).
+
+    ``span_dedup_delim`` switches on the C4-style span-level stage:
+    after doc-level dedup, every span (split on the delimiter) keeps
+    only its corpus-global first occurrence (``dedup_spans``), docs
+    reduced to nothing are dropped, and the SURVIVING TEXT is what
+    packs — boilerplate lines shared across otherwise-distinct pages
+    stop consuming training tokens. Running it after (not before)
+    doc-level dedup is deliberate: whole-doc duplicates are far cheaper
+    to kill at the fingerprint level than span-by-span, and doc-level
+    winners are what a user expects span attrition to be reported
+    against.
 
     The returned chunk frame reads from the persisted post-dedup
     corpus; call ``unpersist_curated(chunks)`` (or
@@ -128,6 +144,20 @@ def curate_documents(
     # final chunk aggregate below hits the materialized cache
     n_near = deduped.count()
 
+    n_span: int | None = None
+    if span_dedup_delim is not None:
+        spanned = (
+            dedup_spans(
+                deduped, delim=span_dedup_delim, min_chars=span_min_chars
+            )
+            .filter(F.trim(F.col("text_deduped")) != "")
+            .select("doc_id", F.col("text_deduped").alias("text"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n_span = spanned.count()  # materializes before packing reuses it
+        deduped.unpersist()
+        deduped = spanned
+
     # sort=False: packing's shard window consumes the _order KEY, so a
     # global range sort here would be a dead exchange
     shuffled = epoch_shuffle(deduped, seed=seed, sort=False)
@@ -149,6 +179,7 @@ def curate_documents(
         after_near_dedup=n_near,
         chunks=int(agg.n_chunks or 0),
         packed_tokens=int(agg.tok or 0),
+        after_span_dedup=n_span,
     )
     # handle for unpersist_curated — the chunks frame's lineage reads
     # from this persisted corpus

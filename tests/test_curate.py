@@ -150,3 +150,53 @@ def test_curate_executes_lineage_once(spark):
         assert acc.value == scans_during          # no lineage re-execution
     finally:
         unpersist_curated(chunks)
+
+
+def test_curate_optional_span_dedup_strips_boilerplate(spark):
+    """With span_dedup_delim the recipe runs C4-style span-level dedup
+    after doc-level dedup: a boilerplate line shared across surviving
+    docs packs only once (its first occurrence), a doc reduced to
+    nothing is dropped, and the report's after_span_dedup counts the
+    survivors."""
+    from hospital_stain_tracker_data_pipeline_spark.pipeline.curate import (
+        unpersist_curated,
+    )
+
+    boiler = "subscribe to our newsletter for updates every single day"
+    rows = [
+        (1, f"{boiler}\nunique alpha content words here for doc one body"),
+        (2, f"{boiler}\ndifferent beta content entirely separate topic text"),
+        (3, boiler),  # nothing but the boilerplate -> dropped entirely
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks, rep = curate_documents(
+        docs,
+        budget=16,
+        n_shards=2,
+        seed=0,
+        near_dup_threshold=0.95,
+        span_dedup_delim="\n",
+    )
+    try:
+        assert rep.after_near_dedup == 3       # docs are pairwise distinct
+        assert rep.after_span_dedup == 2       # doc 3 emptied out
+        survivors = {r.doc_id for r in chunks.select("doc_id").distinct().collect()}
+        assert survivors == {1, 2}
+        # the boilerplate's tokens are packed exactly once: doc1 keeps
+        # both lines (first occurrence), doc2 keeps only its unique line
+        n_boiler = len(boiler.split())
+        n1 = len(rows[0][1].split())
+        n2 = len(rows[1][1].split()) - n_boiler
+        assert rep.packed_tokens == n1 + n2
+    finally:
+        unpersist_curated(chunks)
+
+
+def test_curate_span_dedup_off_is_unchanged(spark):
+    """Default (span stage off): report field None, behavior identical
+    to the pre-span recipe on the same corpus."""
+    chunks, rep = curate_documents(
+        _corpus(spark), budget=16, n_shards=2, seed=1, near_dup_threshold=0.5
+    )
+    assert rep.after_span_dedup is None
+    assert rep.after_near_dedup == 2

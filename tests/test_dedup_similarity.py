@@ -927,3 +927,56 @@ def test_resize_images_real_jpeg_end_to_end(spark):
         assert out is not None and out.shape == (12, 16, 3)
         want = resize_rgb_nearest(decode_jpeg_pixels(jpg), 16, 12)
         assert _np.abs(out.astype(int) - want.astype(int)).max() <= 8
+
+
+def test_extract_pixel_stats_real_decode_all_three_codecs(spark):
+    """Pixel statistics come from ACTUALLY decoded planes: exact for
+    the lossless codecs (BMP, PNG), within codec loss for JPEG, with
+    decoded=True marking the real rows; a non-decodable payload uses
+    the deterministic stand-in only under fake_decode and raises
+    without it."""
+    import numpy as _np
+    import pytest as _pytest
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.jpeg import (
+        encode_jpeg,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+        extract_pixel_stats,
+    )
+
+    src = _gradient_rgb(32, 48)
+    f = src.astype(float)
+    luma = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_bmp(src))),
+            (2, bytearray(encode_png(src))),
+            (3, bytearray(encode_jpeg(src, quality=95))),
+        ],
+        "doc_id long, payload binary",
+    )
+    media = to_media_table(df, "doc_id", "payload", source="t")
+    rows = {r.media_id: r for r in extract_pixel_stats(media).collect()}
+    assert all(rows[i].decoded for i in (1, 2, 3))
+    assert {rows[1].mime, rows[2].mime, rows[3].mime} == {
+        "image/bmp", "image/png", "image/jpeg"
+    }
+    for i in (1, 2):  # lossless: exact
+        assert rows[i].mean_r == _pytest.approx(f[..., 0].mean(), abs=1e-9)
+        assert rows[i].mean_luma == _pytest.approx(luma.mean(), abs=1e-9)
+        assert rows[i].std_luma == _pytest.approx(luma.std(), abs=1e-9)
+    assert rows[3].mean_luma == _pytest.approx(luma.mean(), abs=2.0)
+    assert rows[3].std_luma == _pytest.approx(luma.std(), abs=3.0)
+    assert (rows[1].width, rows[1].height) == (48, 32)
+
+    junk = spark.createDataFrame(
+        [(9, bytearray(b"not an image at all"))], "doc_id long, payload binary"
+    )
+    jm = to_media_table(junk, "doc_id", "payload", source="t")
+    [r] = extract_pixel_stats(jm, fake_decode=True).collect()
+    assert r.decoded is False and r.std_luma == 0.0
+    with _pytest.raises(Exception, match="PIL|NotImplementedError"):
+        extract_pixel_stats(jm, fake_decode=False).collect()
