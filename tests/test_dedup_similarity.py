@@ -980,3 +980,38 @@ def test_extract_pixel_stats_real_decode_all_three_codecs(spark):
     assert r.decoded is False and r.std_luma == 0.0
     with _pytest.raises(Exception, match="PIL|NotImplementedError"):
         extract_pixel_stats(jm, fake_decode=False).collect()
+
+
+def test_jpeg_codec_property_sweep_noise_and_extreme_dims():
+    """Adversarial sweep: pure-noise images (JPEG's worst case) at
+    seeded random dims down to 1×1. 4:4:4 q95 bounds FULL round-trip
+    error; 4:2:0 bounds LUMA only — chroma rides at quarter resolution
+    by design, so per-pixel chroma error on uncorrelated noise is
+    unbounded-ish there (libjpeg behaves identically). Every decode is
+    deterministic and shape-exact."""
+    import numpy as _np
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+
+    def luma(a):
+        f = a.astype(float)
+        return 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+
+    for seed in range(8):
+        rng = _np.random.default_rng(seed)
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        px = rng.integers(0, 256, (h, w, 3), dtype=_np.uint8)
+        d444 = decode_jpeg_pixels(encode_jpeg(px, quality=95))
+        assert d444 is not None and d444.shape == px.shape
+        assert _np.abs(d444.astype(int) - px.astype(int)).max() <= 32
+        d420 = decode_jpeg_pixels(encode_jpeg(px, quality=90, subsampling="420"))
+        assert d420 is not None and d420.shape == px.shape
+        assert _np.abs(luma(d420) - luma(px)).max() <= 35
+    for h, w in [(1, 1), (1, 33), (33, 1), (8, 8), (7, 5)]:
+        px = _np.full((h, w, 3), 200, _np.uint8)
+        for sub in ("444", "420"):
+            d = decode_jpeg_pixels(encode_jpeg(px, quality=90, subsampling=sub))
+            assert d is not None and d.shape == (h, w, 3), (h, w, sub)
