@@ -6,11 +6,12 @@ The decode path is REAL for image container headers: ``sniff_image``
 parses PNG / GIF / BMP / JPEG magic + dimension fields with the stdlib
 only (the same identify step Pillow runs first), so genuine image bytes
 yield their true mime/width/height. PIXEL decode is also real — no
-image library involved — for uncompressed 24-bit BMP, 8-bit truecolor
-PNG (stdlib zlib + scanline filters) and baseline sequential JPEG
+image library involved — for uncompressed 24-bit BMP, 8-bit PNG
+(truecolor/grayscale/palette; stdlib zlib + scanline filters) and
+baseline sequential JPEG
 (pure-numpy Huffman + IDCT, ``operators/jpeg.py``; 4:4:4/4:2:2/4:2:0,
 grayscale, restart markers). Payloads outside that envelope
-(progressive JPEG, palette/16-bit/interlaced PNG, ...) raise
+(progressive JPEG, 16-bit/interlaced PNG, ...) raise
 NotImplementedError unless ``fake_decode=True``, which produces a
 deterministic fake (payload-hash seeded dimensions) so the Spark-side
 plumbing — schema, batch shape, partitioning — stays testable on
@@ -450,18 +451,19 @@ def decode_bmp_pixels(raw: bytes) -> np.ndarray | None:
 
 
 def decode_png_pixels(raw: bytes) -> np.ndarray | None:
-    """8-bit non-interlaced truecolor PNG → ``(height, width, 3)``
-    uint8 RGB ndarray, stdlib ``zlib`` + numpy only — PNG's entropy
-    layer is just DEFLATE, so unlike JPEG no external codec is needed.
-    Supports color types 2 (RGB) and 6 (RGBA — alpha dropped) and all
-    five scanline filters (None/Sub/Up/Average/Paeth, the per-row
-    prediction PNG applies before compression). Returns None for
-    anything else — palette/grayscale/16-bit/interlaced payloads or a
-    non-PNG — so callers can tell "decodable natively" from "needs a
-    real codec"."""
+    """8-bit non-interlaced PNG → ``(height, width, 3)`` uint8 RGB
+    ndarray, stdlib ``zlib`` + numpy only — PNG's entropy layer is
+    just DEFLATE, so unlike JPEG no external codec is needed.
+    Supports color types 0 (grayscale, replicated to RGB), 2 (RGB),
+    3 (palette — PLTE lookup, tRNS transparency dropped like alpha)
+    and 6 (RGBA — alpha dropped), and all five scanline filters
+    (None/Sub/Up/Average/Paeth, the per-row prediction PNG applies
+    before compression). Returns None for anything else —
+    16-bit / sub-byte-depth / interlaced payloads or a non-PNG — so
+    callers can tell "decodable natively" from "needs a real codec"."""
     if len(raw) < 8 or raw[:8] != b"\x89PNG\r\n\x1a\n":
         return None
-    pos, idat, ihdr = 8, [], None
+    pos, idat, ihdr, plte = 8, [], None, None
     while pos + 8 <= len(raw):
         ln = int.from_bytes(raw[pos:pos + 4], "big")
         typ = raw[pos + 4:pos + 8]
@@ -469,6 +471,8 @@ def decode_png_pixels(raw: bytes) -> np.ndarray | None:
             return None
         if typ == b"IHDR":
             ihdr = raw[pos + 8:pos + 8 + ln]
+        elif typ == b"PLTE":
+            plte = raw[pos + 8:pos + 8 + ln]
         elif typ == b"IDAT":
             idat.append(raw[pos + 8:pos + 8 + ln])
         elif typ == b"IEND":
@@ -480,10 +484,12 @@ def decode_png_pixels(raw: bytes) -> np.ndarray | None:
     bit_depth, color_type, comp, filt, interlace = ihdr[8:13]
     if (
         w == 0 or h == 0 or bit_depth != 8
-        or color_type not in (2, 6) or comp or filt or interlace
+        or color_type not in (0, 2, 3, 6) or comp or filt or interlace
     ):
         return None
-    ch = 3 if color_type == 2 else 4
+    if color_type == 3 and (plte is None or len(plte) % 3 or not plte):
+        return None
+    ch = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
     try:
         dec = zlib.decompress(b"".join(idat))
     except zlib.error:
@@ -535,6 +541,15 @@ def decode_png_pixels(raw: bytes) -> np.ndarray | None:
         else:
             return None
         out[y] = rec & 0xFF
+    if color_type == 0:  # grayscale → replicate
+        g = out.reshape(h, w)
+        return np.ascontiguousarray(np.stack([g, g, g], axis=-1))
+    if color_type == 3:  # palette lookup
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = out.reshape(h, w)
+        if int(idx.max()) >= pal.shape[0]:
+            return None  # index past the palette: corrupt stream
+        return np.ascontiguousarray(pal[idx])
     px = out.reshape(h, w, ch)
     return np.ascontiguousarray(px[:, :, :3])
 
@@ -597,13 +612,13 @@ def resize_images(
     Three formats are real END-TO-END, no image library involved,
     running regardless of ``fake_decode``: an uncompressed 24-bit BMP
     (``decode_bmp_pixels`` → ``resize_rgb_nearest`` → ``encode_bmp``),
-    an 8-bit truecolor PNG (``decode_png_pixels`` — stdlib zlib
-    inflate + all five scanline filters — re-encoded via
-    ``encode_png``), and baseline sequential JPEG
+    an 8-bit PNG — truecolor, grayscale or palette
+    (``decode_png_pixels`` — stdlib zlib inflate + all five scanline
+    filters — re-encoded truecolor via ``encode_png``), and baseline sequential JPEG
     (``jpeg.decode_jpeg_pixels`` — pure-numpy Huffman + IDCT, 4:4:4 /
     4:2:2 / 4:2:0 / grayscale / restart markers — re-encoded 4:4:4 via
     ``jpeg.encode_jpeg``). Remaining exotica (progressive JPEG,
-    palette/16-bit/interlaced PNG) fall through: source dimensions
+    16-bit/interlaced PNG) fall through: source dimensions
     still come from the real header sniff, but the output payload is a
     deterministic payload-hash-derived stand-in (3 bytes/px RGB) when
     ``fake_decode=True`` and an explicit NotImplementedError otherwise.
@@ -632,9 +647,10 @@ def resize_images(
                 else:
                     raise NotImplementedError(
                         "native pixel decode covers uncompressed 24-bit BMP, "
-                        "8-bit truecolor PNG and baseline sequential JPEG; "
-                        "resampling this payload (progressive JPEG, "
-                        "palette/16-bit/interlaced PNG, ...) requires "
+                        "8-bit PNG (truecolor/gray/palette) and baseline "
+                        "sequential JPEG; resampling this payload "
+                        "(progressive JPEG, 16-bit/interlaced PNG, ...) "
+                        "requires "
                         "PIL/cv2, not available in this environment — pass "
                         "fake_decode=True for the deterministic stand-in "
                         "payload"
@@ -810,8 +826,8 @@ PIXEL_STATS_SCHEMA = T.StructType(
 def extract_pixel_stats(media: DataFrame, fake_decode: bool = False) -> DataFrame:
     """REAL pixel-level feature extraction — per-channel means + luma
     mean/stddev computed from actually-decoded pixels for every format
-    the native codecs cover (uncompressed 24-bit BMP, 8-bit truecolor
-    PNG, baseline sequential JPEG incl. 4:2:0/grayscale/restarts);
+    the native codecs cover (uncompressed 24-bit BMP, 8-bit PNG
+    incl. grayscale/palette, baseline sequential JPEG incl. 4:2:0/grayscale/restarts);
     ``decoded=True`` marks rows whose stats came from real pixels.
     The training-data use case: pixel statistics drive quality filters
     (all-black/blown-out frames, low-variance screenshots) the same way
@@ -874,7 +890,7 @@ def extract_pixel_stats(media: DataFrame, fake_decode: bool = False) -> DataFram
                 else:
                     raise NotImplementedError(
                         "pixel statistics need a decodable payload "
-                        "(uncompressed 24-bit BMP, 8-bit truecolor PNG, "
+                        "(uncompressed 24-bit BMP, 8-bit PNG, "
                         "baseline sequential JPEG are native); this payload "
                         "requires PIL/cv2, not available in this environment "
                         "— pass fake_decode=True for the deterministic "

@@ -1015,3 +1015,60 @@ def test_jpeg_codec_property_sweep_noise_and_extreme_dims():
         for sub in ("444", "420"):
             d = decode_jpeg_pixels(encode_jpeg(px, quality=90, subsampling=sub))
             assert d is not None and d.shape == (h, w, 3), (h, w, sub)
+
+
+def test_png_grayscale_and_palette_decode(spark):
+    """PNG color types 0 (grayscale) and 3 (palette) decode natively:
+    gray replicates to identical RGB channels, palette rows resolve
+    through PLTE, and a corrupt palette index returns None instead of
+    crashing. A palette PNG runs the REAL resize path end-to-end."""
+    import struct as _s
+    import zlib as _z
+
+    import numpy as _np
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+        decode_png_pixels,
+        resize_images,
+    )
+
+    def chunk(typ, payload):
+        return (
+            _s.pack(">I", len(payload)) + typ + payload
+            + _s.pack(">I", _z.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    def png(color_type, w, h, rows, plte=None):
+        ihdr = _s.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        body = b"".join(b"\x00" + bytes(r) for r in rows)
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", bytes(plte))
+        return out + chunk(b"IDAT", _z.compress(body)) + chunk(b"IEND", b"")
+
+    # grayscale 3x2 ramp
+    g = png(0, 3, 2, [[0, 128, 255], [10, 20, 30]])
+    px = decode_png_pixels(g)
+    assert px is not None and px.shape == (2, 3, 3)
+    assert _np.array_equal(px[..., 0], px[..., 1])
+    assert list(px[0, :, 0]) == [0, 128, 255]
+
+    # palette 2x2: red, green, blue, white
+    pal = [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]
+    p = png(3, 2, 2, [[0, 1], [2, 3]], plte=pal)
+    px = decode_png_pixels(p)
+    assert px is not None and px.shape == (2, 2, 3)
+    assert list(px[0, 0]) == [255, 0, 0] and list(px[1, 1]) == [255, 255, 255]
+
+    # index past the palette -> None, not a crash
+    bad = png(3, 2, 2, [[0, 9], [2, 3]], plte=pal)
+    assert decode_png_pixels(bad) is None
+
+    # real resize end-to-end on the palette payload (no fake flag)
+    df = spark.createDataFrame([(1, bytearray(p))], "doc_id long, payload binary")
+    media = to_media_table(df, "doc_id", "payload", source="t")
+    [r] = resize_images(media, 4, 4, fake_decode=False).collect()
+    out = decode_png_pixels(bytes(r.payload))
+    assert out is not None and out.shape == (4, 4, 3)
+    assert list(out[0, 0]) == [255, 0, 0]  # nearest keeps corner colors
+    assert list(out[3, 3]) == [255, 255, 255]
