@@ -7,10 +7,10 @@ parses PNG / GIF / BMP / JPEG magic + dimension fields with the stdlib
 only (the same identify step Pillow runs first), so genuine image bytes
 yield their true mime/width/height. PIXEL decode is also real — no
 image library involved — for uncompressed 24-bit BMP, 8-bit PNG
-(truecolor/grayscale/palette; stdlib zlib + scanline filters) and
+(truecolor/grayscale/palette; stdlib zlib + scanline filters),
 baseline sequential JPEG
 (pure-numpy Huffman + IDCT, ``operators/jpeg.py``; 4:4:4/4:2:2/4:2:0,
-grayscale, restart markers). Payloads outside that envelope
+grayscale, restart markers) and GIF (LZW + palette + interlace). Payloads outside that envelope
 (progressive JPEG, 16-bit/interlaced PNG, ...) raise
 NotImplementedError unless ``fake_decode=True``, which produces a
 deterministic fake (payload-hash seeded dimensions) so the Spark-side
@@ -609,21 +609,25 @@ def resize_images(
 ) -> DataFrame:
     """Image resize, same Arrow ``mapInPandas`` shape as the extractors.
 
-    Three formats are real END-TO-END, no image library involved,
+    Four formats are real END-TO-END, no image library involved,
     running regardless of ``fake_decode``: an uncompressed 24-bit BMP
     (``decode_bmp_pixels`` → ``resize_rgb_nearest`` → ``encode_bmp``),
     an 8-bit PNG — truecolor, grayscale or palette
     (``decode_png_pixels`` — stdlib zlib inflate + all five scanline
-    filters — re-encoded truecolor via ``encode_png``), and baseline sequential JPEG
-    (``jpeg.decode_jpeg_pixels`` — pure-numpy Huffman + IDCT, 4:4:4 /
-    4:2:2 / 4:2:0 / grayscale / restart markers — re-encoded 4:4:4 via
-    ``jpeg.encode_jpeg``). Remaining exotica (progressive JPEG,
-    16-bit/interlaced PNG) fall through: source dimensions
-    still come from the real header sniff, but the output payload is a
-    deterministic payload-hash-derived stand-in (3 bytes/px RGB) when
-    ``fake_decode=True`` and an explicit NotImplementedError otherwise.
-    The Spark-side contract — binary in, binary out, payload never
-    entering a shuffle before the resize — is identical on all paths."""
+    filters — re-encoded truecolor via ``encode_png``), baseline
+    sequential JPEG (``jpeg.decode_jpeg_pixels`` — pure-numpy Huffman
+    + IDCT, 4:4:4 / 4:2:2 / 4:2:0 / grayscale / restart markers —
+    re-encoded 4:4:4 via ``jpeg.encode_jpeg``), and GIF
+    (``decode_gif_pixels`` — LZW + palette + interlace; the resized
+    frame re-encodes as lossless PNG, since a GIF writer would add an
+    LZW compressor for no analytical gain). Remaining exotica
+    (progressive JPEG, 16-bit/interlaced PNG) fall through: source
+    dimensions still come from the real header sniff, but the output
+    payload is a deterministic payload-hash-derived stand-in
+    (3 bytes/px RGB) when ``fake_decode=True`` and an explicit
+    NotImplementedError otherwise. The Spark-side contract — binary
+    in, binary out, payload never entering a shuffle before the
+    resize — is identical on all paths."""
     from .jpeg import decode_jpeg_pixels, encode_jpeg
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -640,6 +644,8 @@ def resize_images(
                     body = encode_png(resize_rgb_nearest(png, width, height))
                 elif (jp := decode_jpeg_pixels(raw)) is not None:
                     body = encode_jpeg(resize_rgb_nearest(jp, width, height))
+                elif (gf := decode_gif_pixels(raw)) is not None:
+                    body = encode_png(resize_rgb_nearest(gf, width, height))
                 elif fake_decode:
                     seed = hashlib.sha256(raw).digest()
                     n = width * height * 3
@@ -647,8 +653,8 @@ def resize_images(
                 else:
                     raise NotImplementedError(
                         "native pixel decode covers uncompressed 24-bit BMP, "
-                        "8-bit PNG (truecolor/gray/palette) and baseline "
-                        "sequential JPEG; resampling this payload "
+                        "8-bit PNG (truecolor/gray/palette), baseline "
+                        "sequential JPEG and GIF; resampling this payload "
                         "(progressive JPEG, 16-bit/interlaced PNG, ...) "
                         "requires "
                         "PIL/cv2, not available in this environment — pass "
@@ -827,7 +833,8 @@ def extract_pixel_stats(media: DataFrame, fake_decode: bool = False) -> DataFram
     """REAL pixel-level feature extraction — per-channel means + luma
     mean/stddev computed from actually-decoded pixels for every format
     the native codecs cover (uncompressed 24-bit BMP, 8-bit PNG
-    incl. grayscale/palette, baseline sequential JPEG incl. 4:2:0/grayscale/restarts);
+    incl. grayscale/palette, baseline sequential JPEG incl.
+    4:2:0/grayscale/restarts, GIF incl. interlace);
     ``decoded=True`` marks rows whose stats came from real pixels.
     The training-data use case: pixel statistics drive quality filters
     (all-black/blown-out frames, low-variance screenshots) the same way
@@ -856,6 +863,8 @@ def extract_pixel_stats(media: DataFrame, fake_decode: bool = False) -> DataFram
                     px = decode_png_pixels(raw)
                 if px is None:
                     px = decode_jpeg_pixels(raw)
+                if px is None:
+                    px = decode_gif_pixels(raw)
                 if px is not None:
                     f = px.astype(np.float64)
                     luma = (
@@ -890,7 +899,7 @@ def extract_pixel_stats(media: DataFrame, fake_decode: bool = False) -> DataFram
                 else:
                     raise NotImplementedError(
                         "pixel statistics need a decodable payload "
-                        "(uncompressed 24-bit BMP, 8-bit PNG, "
+                        "(uncompressed 24-bit BMP, 8-bit PNG, GIF, "
                         "baseline sequential JPEG are native); this payload "
                         "requires PIL/cv2, not available in this environment "
                         "— pass fake_decode=True for the deterministic "
@@ -904,3 +913,128 @@ def extract_pixel_stats(media: DataFrame, fake_decode: bool = False) -> DataFram
     return media.select("media_id", "payload").mapInPandas(
         run, schema=PIXEL_STATS_SCHEMA
     )
+
+
+def _gif_lzw_decode(data: bytes, mcs: int, n_pixels: int) -> bytes | None:
+    """GIF-variant LZW: LSB-first bit packing, dynamic code size from
+    ``mcs+1`` to 12 bits, clear/EOI control codes. Decoder grows the
+    code size when the next free slot hits ``1 << code_size`` (the
+    giflib rule); the KwKwK case handles a code equal to the next free
+    slot. Returns the index stream, or None on a corrupt stream."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    code_size = mcs + 1
+    out = bytearray()
+    prev: int | None = None
+    buf = n = pos = 0
+    while len(out) < n_pixels:
+        while n < code_size:
+            if pos >= len(data):
+                return None
+            buf |= data[pos] << n
+            pos += 1
+            n += 8
+        code = buf & ((1 << code_size) - 1)
+        buf >>= code_size
+        n -= code_size
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                return None
+            out += table[code]
+            prev = code
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = table[prev] + table[prev][:1]  # KwKwK
+        else:
+            return None
+        out += entry
+        table.append(table[prev] + entry[:1])
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+        prev = code
+    return bytes(out[:n_pixels])
+
+
+def decode_gif_pixels(raw: bytes) -> np.ndarray | None:
+    """GIF87a/89a FIRST frame → ``(height, width, 3)`` uint8 RGB
+    ndarray, stdlib + numpy only — GIF's entropy layer is LZW, fully
+    implementable from the public spec. Global and local color tables,
+    interlaced row order and extension blocks are handled; later
+    frames and transparency are ignored (the first-frame pixels are
+    what a thumbnail/quality filter wants). Returns None outside the
+    envelope or on a corrupt stream."""
+    try:
+        if len(raw) < 13 or raw[:6] not in (b"GIF87a", b"GIF89a"):
+            return None
+        sw, sh = struct.unpack("<HH", raw[6:10])
+        flags = raw[10]
+        pos = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 << (flags & 0x07)
+            gct = np.frombuffer(raw[pos : pos + 3 * n], np.uint8).reshape(-1, 3)
+            pos += 3 * n
+        while pos < len(raw):
+            b = raw[pos]
+            if b == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while pos < len(raw) and raw[pos] != 0:
+                    pos += 1 + raw[pos]
+                pos += 1
+            elif b == 0x2C:  # image descriptor
+                _x, _y, w, h = struct.unpack("<HHHH", raw[pos + 1 : pos + 9])
+                iflags = raw[pos + 9]
+                pos += 10
+                pal = gct
+                if iflags & 0x80:  # local color table
+                    n = 2 << (iflags & 0x07)
+                    pal = np.frombuffer(
+                        raw[pos : pos + 3 * n], np.uint8
+                    ).reshape(-1, 3)
+                    pos += 3 * n
+                if pal is None or w == 0 or h == 0:
+                    return None
+                mcs = raw[pos]
+                pos += 1
+                if not 2 <= mcs <= 11:
+                    return None
+                data = bytearray()
+                while pos < len(raw) and raw[pos] != 0:
+                    ln = raw[pos]
+                    data += raw[pos + 1 : pos + 1 + ln]
+                    pos += 1 + ln
+                idx_bytes = _gif_lzw_decode(bytes(data), mcs, w * h)
+                if idx_bytes is None or len(idx_bytes) < w * h:
+                    return None
+                idx = np.frombuffer(idx_bytes, np.uint8).reshape(h, w)
+                if int(idx.max()) >= pal.shape[0]:
+                    return None
+                if iflags & 0x40:  # interlaced: 4-pass row order
+                    order = np.concatenate(
+                        [
+                            np.arange(0, h, 8),
+                            np.arange(4, h, 8),
+                            np.arange(2, h, 4),
+                            np.arange(1, h, 2),
+                        ]
+                    )
+                    deinter = np.empty_like(idx)
+                    deinter[order] = idx
+                    idx = deinter
+                return np.ascontiguousarray(pal[idx])
+            elif b == 0x3B:  # trailer
+                return None
+            else:
+                return None
+        return None
+    except Exception:
+        return None

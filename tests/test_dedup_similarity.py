@@ -1072,3 +1072,117 @@ def test_png_grayscale_and_palette_decode(spark):
     assert out is not None and out.shape == (4, 4, 3)
     assert list(out[0, 0]) == [255, 0, 0]  # nearest keeps corner colors
     assert list(out[3, 3]) == [255, 255, 255]
+
+
+def _lzw_encode_gif(indices, mcs):
+    """Reference GIF-LZW writer for the decoder tests: full dictionary
+    build with the encoder-side code-size-growth rule (one slot later
+    than the decoder's, since the decoder's dictionary lags one code)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    buf = n = 0
+    code_size = mcs + 1
+
+    def emit(code, size):
+        nonlocal buf, n
+        buf |= code << n
+        n += size
+        while n >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            n -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear, code_size)
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], code_size)
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << code_size) + 1 and code_size < 12:
+            code_size += 1
+        w = bytes([k])
+    if w:
+        emit(table[w], code_size)
+    emit(eoi, code_size)
+    if n:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def _make_gif(idx, palette, mcs, interlace=False, local=False):
+    import struct as _s
+
+    import numpy as _np
+
+    h, w = idx.shape
+    flags = 0x80 | (mcs - 1) if not local else 0x00
+    out = b"GIF89a" + _s.pack("<HHBBB", w, h, flags, 0, 0)
+    pal = bytes(_np.asarray(palette, _np.uint8).reshape(-1))
+    if not local:
+        out += pal
+    iflags = (0x40 if interlace else 0) | ((0x80 | (mcs - 1)) if local else 0)
+    out += b"\x2c" + _s.pack("<HHHHB", 0, 0, w, h, iflags)
+    if local:
+        out += pal
+    if interlace:
+        order = _np.concatenate(
+            [_np.arange(0, h, 8), _np.arange(4, h, 8),
+             _np.arange(2, h, 4), _np.arange(1, h, 2)]
+        )
+        stream = idx[order].reshape(-1)
+    else:
+        stream = idx.reshape(-1)
+    data = _lzw_encode_gif(list(stream), mcs)
+    out += bytes([mcs])
+    for i in range(0, len(data), 255):
+        blk = data[i : i + 255]
+        out += bytes([len(blk)]) + blk
+    return out + b"\x00\x3b"
+
+
+def test_gif_decode_lzw_palette_interlace(spark):
+    """GIF first-frame decode is real: LZW round-trips exactly against
+    a reference writer (including multiple code-size growths at
+    mcs=2), interlaced row order and local color tables resolve, and
+    corrupt/truncated streams return None. A GIF payload runs the REAL
+    resize path end-to-end (re-encoded as lossless PNG)."""
+    import numpy as _np
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+        decode_gif_pixels,
+        decode_png_pixels,
+        resize_images,
+    )
+
+    rng = _np.random.default_rng(7)
+    for mcs, ncol, h, w in [(2, 4, 20, 20), (3, 8, 16, 31), (7, 128, 9, 13)]:
+        pal = rng.integers(0, 256, (1 << mcs, 3), dtype=_np.uint8)
+        idx = rng.integers(0, ncol, (h, w), dtype=_np.uint8)
+        dec = decode_gif_pixels(_make_gif(idx, pal, mcs))
+        assert dec is not None and _np.array_equal(dec, pal[idx]), (mcs, h, w)
+
+    pal = rng.integers(0, 256, (8, 3), dtype=_np.uint8)
+    idx = rng.integers(0, 8, (17, 11), dtype=_np.uint8)
+    assert _np.array_equal(
+        decode_gif_pixels(_make_gif(idx, pal, 3, interlace=True)), pal[idx]
+    )
+    assert _np.array_equal(
+        decode_gif_pixels(_make_gif(idx, pal, 3, local=True)), pal[idx]
+    )
+    g = _make_gif(idx, pal, 3)
+    assert decode_gif_pixels(g[:20]) is None
+    assert decode_gif_pixels(b"junk") is None
+
+    df = spark.createDataFrame([(1, bytearray(g))], "doc_id long, payload binary")
+    media = to_media_table(df, "doc_id", "payload", source="t")
+    [r] = resize_images(media, 5, 5, fake_decode=False).collect()
+    assert (r.mime, r.src_width, r.src_height) == ("image/gif", 11, 17)
+    out = decode_png_pixels(bytes(r.payload))
+    assert out is not None and out.shape == (5, 5, 3)
+    assert list(out[0, 0]) == list(pal[idx][0, 0])  # nearest keeps corners
