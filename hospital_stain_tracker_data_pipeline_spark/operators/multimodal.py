@@ -11,7 +11,7 @@ image library involved — for uncompressed 24-bit BMP, 8-bit PNG
 baseline sequential JPEG
 (pure-numpy Huffman + IDCT, ``operators/jpeg.py``; 4:4:4/4:2:2/4:2:0,
 grayscale, restart markers) and GIF (LZW + palette + interlace). Payloads outside that envelope
-(progressive JPEG, 16-bit/interlaced PNG, ...) raise
+(progressive JPEG, 16-bit PNG, ...) raise
 NotImplementedError unless ``fake_decode=True``, which produces a
 deterministic fake (payload-hash seeded dimensions) so the Spark-side
 plumbing — schema, batch shape, partitioning — stays testable on
@@ -456,11 +456,13 @@ def decode_png_pixels(raw: bytes) -> np.ndarray | None:
     just DEFLATE, so unlike JPEG no external codec is needed.
     Supports color types 0 (grayscale, replicated to RGB), 2 (RGB),
     3 (palette — PLTE lookup, tRNS transparency dropped like alpha)
-    and 6 (RGBA — alpha dropped), and all five scanline filters
+    and 6 (RGBA — alpha dropped), all five scanline filters
     (None/Sub/Up/Average/Paeth, the per-row prediction PNG applies
-    before compression). Returns None for anything else —
-    16-bit / sub-byte-depth / interlaced payloads or a non-PNG — so
-    callers can tell "decodable natively" from "needs a real codec"."""
+    before compression), and BOTH interlace modes (none / Adam7 —
+    each of Adam7's seven sub-images is unfiltered independently and
+    scattered into place). Returns None for anything else — 16-bit or
+    sub-byte-depth payloads or a non-PNG — so callers can tell
+    "decodable natively" from "needs a real codec"."""
     if len(raw) < 8 or raw[:8] != b"\x89PNG\r\n\x1a\n":
         return None
     pos, idat, ihdr, plte = 8, [], None, None
@@ -484,7 +486,8 @@ def decode_png_pixels(raw: bytes) -> np.ndarray | None:
     bit_depth, color_type, comp, filt, interlace = ihdr[8:13]
     if (
         w == 0 or h == 0 or bit_depth != 8
-        or color_type not in (0, 2, 3, 6) or comp or filt or interlace
+        or color_type not in (0, 2, 3, 6) or comp or filt
+        or interlace not in (0, 1)
     ):
         return None
     if color_type == 3 and (plte is None or len(plte) % 3 or not plte):
@@ -494,6 +497,56 @@ def decode_png_pixels(raw: bytes) -> np.ndarray | None:
         dec = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
+    if interlace == 0:
+        out = _png_unfilter(dec, h, w, ch)
+        if out is None:
+            return None
+        px = out.reshape(h, w, ch)
+    else:  # Adam7: seven independently-filtered sub-images
+        px = np.zeros((h, w, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            need = (pw * ch + 1) * ph
+            if off + need > len(dec):
+                return None
+            sub = _png_unfilter(dec[off : off + need], ph, pw, ch)
+            if sub is None:
+                return None
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+            off += need
+        if off != len(dec):
+            return None
+    if color_type == 0:  # grayscale → replicate
+        g = px.reshape(h, w)
+        return np.ascontiguousarray(np.stack([g, g, g], axis=-1))
+    if color_type == 3:  # palette lookup
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = px.reshape(h, w)
+        if int(idx.max()) >= pal.shape[0]:
+            return None  # index past the palette: corrupt stream
+        return np.ascontiguousarray(pal[idx])
+    return np.ascontiguousarray(px[:, :, :3])
+
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(dec: bytes, h: int, w: int, ch: int) -> np.ndarray | None:
+    """Reverse PNG's five scanline filters over one (sub-)image:
+    ``h × (w*ch+1)`` filtered bytes in → ``(h, w*ch)`` raw samples
+    out. Sub/Up are fully vectorized; Average/Paeth are left-recursive
+    per pixel, so the loop runs w times with vectorized ch-wide numpy
+    ops inside — real encoders emit these filters on most rows, making
+    this the common path; per-byte Python iteration here would be
+    3-4x slower."""
     stride = w * ch
     if len(dec) != (stride + 1) * h:
         return None
@@ -510,11 +563,7 @@ def decode_png_pixels(raw: bytes) -> np.ndarray | None:
             rec = cur.reshape(w, ch).cumsum(axis=0).reshape(stride)
         elif f == 2:  # Up
             rec = cur + up
-        elif f in (3, 4):  # Average / Paeth: left-recursive PER PIXEL,
-            # so the loop runs w times with vectorized ch-wide numpy
-            # ops inside — real encoders emit these filters on most
-            # rows, making this the common path; per-byte Python
-            # iteration here would be 3-4x slower
+        elif f in (3, 4):  # Average / Paeth
             curp = cur.reshape(w, ch)
             upp = up.reshape(w, ch)
             upl = np.vstack([np.zeros((1, ch), np.int32), upp[:-1]])
@@ -541,17 +590,7 @@ def decode_png_pixels(raw: bytes) -> np.ndarray | None:
         else:
             return None
         out[y] = rec & 0xFF
-    if color_type == 0:  # grayscale → replicate
-        g = out.reshape(h, w)
-        return np.ascontiguousarray(np.stack([g, g, g], axis=-1))
-    if color_type == 3:  # palette lookup
-        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        idx = out.reshape(h, w)
-        if int(idx.max()) >= pal.shape[0]:
-            return None  # index past the palette: corrupt stream
-        return np.ascontiguousarray(pal[idx])
-    px = out.reshape(h, w, ch)
-    return np.ascontiguousarray(px[:, :, :3])
+    return out
 
 
 def encode_png(px: np.ndarray) -> bytes:
@@ -612,9 +651,9 @@ def resize_images(
     Four formats are real END-TO-END, no image library involved,
     running regardless of ``fake_decode``: an uncompressed 24-bit BMP
     (``decode_bmp_pixels`` → ``resize_rgb_nearest`` → ``encode_bmp``),
-    an 8-bit PNG — truecolor, grayscale or palette
-    (``decode_png_pixels`` — stdlib zlib inflate + all five scanline
-    filters — re-encoded truecolor via ``encode_png``), baseline
+    an 8-bit PNG — truecolor, grayscale or palette, plain or Adam7-
+    interlaced (``decode_png_pixels`` — stdlib zlib inflate + all five
+    scanline filters — re-encoded truecolor via ``encode_png``), baseline
     sequential JPEG (``jpeg.decode_jpeg_pixels`` — pure-numpy Huffman
     + IDCT, 4:4:4 / 4:2:2 / 4:2:0 / grayscale / restart markers —
     re-encoded 4:4:4 via ``jpeg.encode_jpeg``), and GIF
@@ -655,7 +694,7 @@ def resize_images(
                         "native pixel decode covers uncompressed 24-bit BMP, "
                         "8-bit PNG (truecolor/gray/palette), baseline "
                         "sequential JPEG and GIF; resampling this payload "
-                        "(progressive JPEG, 16-bit/interlaced PNG, ...) "
+                        "(progressive JPEG, 16-bit PNG, ...) "
                         "requires "
                         "PIL/cv2, not available in this environment — pass "
                         "fake_decode=True for the deterministic stand-in "

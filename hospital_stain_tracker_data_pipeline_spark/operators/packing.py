@@ -224,3 +224,27 @@ def epoch_shuffle(
     key = F.xxhash64(F.lit(seed).cast("long"), F.col(id_col))
     out = df.withColumn(key_col, key)
     return out.orderBy(key_col, id_col) if sort else out
+
+
+def write_packed_corpus(
+    chunks: DataFrame, path: str, n_files: int | None = None
+) -> None:
+    """Materialize a packed-chunk frame to parquet in STREAM order —
+    the SCALE.md writer recipe as an API: range-partition on
+    ``(shard, chunk_id, chunk_start)`` and sort within partitions on
+    the same keys, so lexicographic part-file order IS global stream
+    order and in-file row order IS in-chunk order. A training reader
+    then streams files sequentially with zero re-sorting, and a
+    resumed job seeks to a (shard, chunk) boundary by file name.
+
+    One sampled range exchange + per-partition sort — no single-task
+    stage at any size. ``n_files`` sets the partition count (target
+    ~1 GB files at scale); None lets AQE/defaults pick.
+    """
+    cols = ["shard", "chunk_id", "chunk_start"]
+    part = (
+        chunks.repartitionByRange(n_files, *cols)
+        if n_files
+        else chunks.repartitionByRange(*cols)
+    )
+    part.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)

@@ -1186,3 +1186,50 @@ def test_gif_decode_lzw_palette_interlace(spark):
     out = decode_png_pixels(bytes(r.payload))
     assert out is not None and out.shape == (5, 5, 3)
     assert list(out[0, 0]) == list(pal[idx][0, 0])  # nearest keeps corners
+
+
+def test_png_adam7_interlaced_decode():
+    """Adam7-interlaced PNGs decode exactly: each of the seven
+    sub-images is unfiltered independently and scattered into place,
+    across odd/degenerate dimensions; truncated interlaced streams
+    return None."""
+    import struct as _s
+    import zlib as _z
+
+    import numpy as _np
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+        _ADAM7,
+        decode_png_pixels,
+    )
+
+    def chunk(typ, payload):
+        return (
+            _s.pack(">I", len(payload)) + typ + payload
+            + _s.pack(">I", _z.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    def make_adam7(px):
+        h, w = px.shape[:2]
+        body = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            for r in range(ph):
+                body += b"\x00" + sub[r].tobytes()
+        ihdr = _s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace=1
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _z.compress(bytes(body)))
+            + chunk(b"IEND", b"")
+        )
+
+    rng = _np.random.default_rng(3)
+    for h, w in [(16, 16), (17, 11), (1, 1), (7, 3), (9, 25), (2, 2)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=_np.uint8)
+        dec = decode_png_pixels(make_adam7(px))
+        assert dec is not None and _np.array_equal(dec, px), (h, w)
+    g = make_adam7(rng.integers(0, 256, (16, 16, 3), dtype=_np.uint8))
+    assert decode_png_pixels(g[:60]) is None

@@ -462,10 +462,11 @@ def test_pack_order_col_seed_changes_composition(spark):
 
 
 def test_packed_write_preserves_stream_order(spark, tmp_path):
-    """The writer recipe (SCALE.md): repartitionByRange +
-    sortWithinPartitions on (shard, chunk_id, chunk_start) materializes
-    the shuffled stream order to files — lexicographic file order IS
-    stream order, no re-sort needed at read time."""
+    """The writer API (`write_packed_corpus`, recipe documented in
+    SCALE.md): repartitionByRange + sortWithinPartitions on
+    (shard, chunk_id, chunk_start) materializes the shuffled stream
+    order to files — lexicographic file order IS stream order, no
+    re-sort needed at read time."""
     import glob
     import os
 
@@ -473,6 +474,7 @@ def test_packed_write_preserves_stream_order(spark, tmp_path):
 
     from hospital_stain_tracker_data_pipeline_spark.operators.packing import (
         epoch_shuffle,
+        write_packed_corpus,
     )
 
     docs = load_fixture_table(spark, "/root/testdata/sf0.001", "documents")
@@ -483,12 +485,7 @@ def test_packed_write_preserves_stream_order(spark, tmp_path):
         order_col="_order",
     )
     path = str(tmp_path / "packed")
-    (
-        chunks.repartitionByRange(4, "shard", "chunk_id", "chunk_start")
-        .sortWithinPartitions("shard", "chunk_id", "chunk_start")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    write_packed_corpus(chunks, path, n_files=4)
     files = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
     assert len(files) > 1
     prev_last = None
