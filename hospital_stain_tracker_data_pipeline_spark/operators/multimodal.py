@@ -6,12 +6,13 @@ The decode path is REAL for image container headers: ``sniff_image``
 parses PNG / GIF / BMP / JPEG magic + dimension fields with the stdlib
 only (the same identify step Pillow runs first), so genuine image bytes
 yield their true mime/width/height. PIXEL decode is also real — no
-image library involved — for uncompressed 24-bit BMP, 8-bit PNG
-(truecolor/grayscale/palette; stdlib zlib + scanline filters),
+image library involved — for uncompressed 24-bit BMP, PNG (complete
+pixel-layer coverage: all color types, depths 1-16, both interlace
+modes; stdlib zlib + scanline filters),
 baseline sequential JPEG
 (pure-numpy Huffman + IDCT, ``operators/jpeg.py``; 4:4:4/4:2:2/4:2:0,
 grayscale, restart markers) and GIF (LZW + palette + interlace). Payloads outside that envelope
-(progressive JPEG, 16-bit PNG, ...) raise
+(progressive JPEG, compressed audio, ...) raise
 NotImplementedError unless ``fake_decode=True``, which produces a
 deterministic fake (payload-hash seeded dimensions) so the Spark-side
 plumbing — schema, batch shape, partitioning — stays testable on
@@ -451,18 +452,18 @@ def decode_bmp_pixels(raw: bytes) -> np.ndarray | None:
 
 
 def decode_png_pixels(raw: bytes) -> np.ndarray | None:
-    """8-bit non-interlaced PNG → ``(height, width, 3)`` uint8 RGB
-    ndarray, stdlib ``zlib`` + numpy only — PNG's entropy layer is
-    just DEFLATE, so unlike JPEG no external codec is needed.
-    Supports color types 0 (grayscale, replicated to RGB), 2 (RGB),
-    3 (palette — PLTE lookup, tRNS transparency dropped like alpha)
-    and 6 (RGBA — alpha dropped), all five scanline filters
-    (None/Sub/Up/Average/Paeth, the per-row prediction PNG applies
-    before compression), and BOTH interlace modes (none / Adam7 —
-    each of Adam7's seven sub-images is unfiltered independently and
-    scattered into place). Returns None for anything else — 16-bit or
-    sub-byte-depth payloads or a non-PNG — so callers can tell
-    "decodable natively" from "needs a real codec"."""
+    """PNG → ``(height, width, 3)`` uint8 RGB ndarray, stdlib ``zlib``
+    + numpy only — PNG's entropy layer is just DEFLATE, so unlike JPEG
+    no external codec is needed. COMPLETE per-spec coverage of the
+    pixel layer: all five color types (grayscale / RGB / palette /
+    gray+alpha / RGBA — alpha and tRNS dropped, gray replicated), every
+    legal bit depth per type (1/2/4/8/16 — 16-bit takes the high byte,
+    sub-byte grays scale by the exact 255/(2^d−1) factor), all five
+    scanline filters (None/Sub/Up/Average/Paeth, left neighbor at the
+    spec's bpp distance), and both interlace modes (none / Adam7 —
+    each of the seven sub-images unfiltered independently and
+    scattered into place). Returns None only for a non-PNG or a
+    corrupt stream."""
     if len(raw) < 8 or raw[:8] != b"\x89PNG\r\n\x1a\n":
         return None
     pos, idat, ihdr, plte = 8, [], None, None
@@ -483,25 +484,26 @@ def decode_png_pixels(raw: bytes) -> np.ndarray | None:
     if ihdr is None or len(ihdr) < 13 or not idat:
         return None
     w, h = struct.unpack(">II", ihdr[:8])
-    bit_depth, color_type, comp, filt, interlace = ihdr[8:13]
+    depth, color_type, comp, filt, interlace = ihdr[8:13]
+    valid_depths = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                    4: (8, 16), 6: (8, 16)}
     if (
-        w == 0 or h == 0 or bit_depth != 8
-        or color_type not in (0, 2, 3, 6) or comp or filt
+        w == 0 or h == 0 or color_type not in valid_depths
+        or depth not in valid_depths[color_type] or comp or filt
         or interlace not in (0, 1)
     ):
         return None
     if color_type == 3 and (plte is None or len(plte) % 3 or not plte):
         return None
-    ch = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     try:
         dec = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
     if interlace == 0:
-        out = _png_unfilter(dec, h, w, ch)
-        if out is None:
+        px = _png_pass(dec, h, w, ch, depth)
+        if px is None:
             return None
-        px = out.reshape(h, w, ch)
     else:  # Adam7: seven independently-filtered sub-images
         px = np.zeros((h, w, ch), dtype=np.uint8)
         off = 0
@@ -510,26 +512,55 @@ def decode_png_pixels(raw: bytes) -> np.ndarray | None:
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            need = (pw * ch + 1) * ph
+            need = ((pw * ch * depth + 7) // 8 + 1) * ph
             if off + need > len(dec):
                 return None
-            sub = _png_unfilter(dec[off : off + need], ph, pw, ch)
+            sub = _png_pass(dec[off : off + need], ph, pw, ch, depth)
             if sub is None:
                 return None
-            px[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+            px[y0::dy, x0::dx] = sub
             off += need
         if off != len(dec):
             return None
-    if color_type == 0:  # grayscale → replicate
-        g = px.reshape(h, w)
+    if color_type in (0, 4):  # grayscale (+alpha dropped) → replicate
+        g = px[:, :, 0]
+        if depth < 8:  # exact expansion: 255/(2^d-1) is integral
+            g = (g * (255 // ((1 << depth) - 1))).astype(np.uint8)
         return np.ascontiguousarray(np.stack([g, g, g], axis=-1))
-    if color_type == 3:  # palette lookup
+    if color_type == 3:  # palette lookup (indices never scale)
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        idx = px.reshape(h, w)
+        idx = px[:, :, 0]
         if int(idx.max()) >= pal.shape[0]:
             return None  # index past the palette: corrupt stream
         return np.ascontiguousarray(pal[idx])
     return np.ascontiguousarray(px[:, :, :3])
+
+
+def _png_pass(
+    dec: bytes, h: int, w: int, ch: int, depth: int
+) -> np.ndarray | None:
+    """One (sub-)image: unfilter its scanlines, then unpack samples to
+    ``(h, w, ch)`` uint8 (16-bit → high byte; sub-byte depths →
+    big-endian-first bit groups, returned UNSCALED so palette indices
+    stay raw)."""
+    row_bytes = (w * ch * depth + 7) // 8
+    bpp = max(1, (ch * depth) // 8)  # filter left-neighbor distance
+    out = _png_unfilter(dec, h, row_bytes, bpp)
+    if out is None:
+        return None
+    if depth == 8:
+        return out.reshape(h, w, ch)
+    if depth == 16:
+        return (
+            np.frombuffer(out.tobytes(), dtype=">u2")
+            .reshape(h, w, ch)
+            .astype(np.uint16)
+            >> 8
+        ).astype(np.uint8)
+    bits = np.unpackbits(out, axis=1)[:, : w * ch * depth]
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    vals = (bits.reshape(h, w * ch, depth) * weights).sum(axis=2)
+    return vals.astype(np.uint8).reshape(h, w, ch)
 
 
 # Adam7 pass grid: (x_start, y_start, x_step, y_step)
@@ -539,42 +570,47 @@ _ADAM7 = (
 )
 
 
-def _png_unfilter(dec: bytes, h: int, w: int, ch: int) -> np.ndarray | None:
+def _png_unfilter(
+    dec: bytes, h: int, row_bytes: int, bpp: int
+) -> np.ndarray | None:
     """Reverse PNG's five scanline filters over one (sub-)image:
-    ``h × (w*ch+1)`` filtered bytes in → ``(h, w*ch)`` raw samples
-    out. Sub/Up are fully vectorized; Average/Paeth are left-recursive
-    per pixel, so the loop runs w times with vectorized ch-wide numpy
-    ops inside — real encoders emit these filters on most rows, making
-    this the common path; per-byte Python iteration here would be
-    3-4x slower."""
-    stride = w * ch
-    if len(dec) != (stride + 1) * h:
+    ``h × (row_bytes+1)`` filtered bytes in → ``(h, row_bytes)`` raw
+    bytes out. ``bpp`` is the spec's filter unit — the byte distance
+    to the left neighbor (channels×depth/8, floored to 1 for sub-byte
+    depths; it always divides row_bytes). Sub/Up are fully vectorized;
+    Average/Paeth are left-recursive per pixel, so the loop runs
+    row_bytes/bpp times with vectorized bpp-wide numpy ops inside —
+    real encoders emit these filters on most rows, making this the
+    common path; per-byte Python iteration here would be 3-4x
+    slower."""
+    if len(dec) != (row_bytes + 1) * h or row_bytes % bpp:
         return None
-    arr = np.frombuffer(dec, dtype=np.uint8).reshape(h, stride + 1)
+    groups = row_bytes // bpp
+    arr = np.frombuffer(dec, dtype=np.uint8).reshape(h, row_bytes + 1)
     ftype, rows = arr[:, 0], arr[:, 1:]
-    out = np.zeros((h, stride), dtype=np.uint8)
+    out = np.zeros((h, row_bytes), dtype=np.uint8)
     for y in range(h):
         cur = rows[y].astype(np.int32)
-        up = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        up = out[y - 1].astype(np.int32) if y else np.zeros(row_bytes, np.int32)
         f = ftype[y]
         if f == 0:  # None
             rec = cur
-        elif f == 1:  # Sub: left-neighbor prefix sum, per channel
-            rec = cur.reshape(w, ch).cumsum(axis=0).reshape(stride)
+        elif f == 1:  # Sub: left-neighbor prefix sum, per byte position
+            rec = cur.reshape(groups, bpp).cumsum(axis=0).reshape(row_bytes)
         elif f == 2:  # Up
             rec = cur + up
         elif f in (3, 4):  # Average / Paeth
-            curp = cur.reshape(w, ch)
-            upp = up.reshape(w, ch)
-            upl = np.vstack([np.zeros((1, ch), np.int32), upp[:-1]])
-            recp = np.empty((w, ch), dtype=np.int32)
-            left = np.zeros(ch, dtype=np.int32)
+            curp = cur.reshape(groups, bpp)
+            upp = up.reshape(groups, bpp)
+            upl = np.vstack([np.zeros((1, bpp), np.int32), upp[:-1]])
+            recp = np.empty((groups, bpp), dtype=np.int32)
+            left = np.zeros(bpp, dtype=np.int32)
             if f == 3:
-                for x in range(w):
+                for x in range(groups):
                     left = (curp[x] + ((left + upp[x]) >> 1)) & 0xFF
                     recp[x] = left
             else:
-                for x in range(w):
+                for x in range(groups):
                     p = left + upp[x] - upl[x]
                     pa = np.abs(p - left)
                     pb = np.abs(p - upp[x])
@@ -586,7 +622,7 @@ def _png_unfilter(dec: bytes, h: int, w: int, ch: int) -> np.ndarray | None:
                     )
                     left = (curp[x] + pred) & 0xFF
                     recp[x] = left
-            rec = recp.reshape(stride)
+            rec = recp.reshape(row_bytes)
         else:
             return None
         out[y] = rec & 0xFF
@@ -651,9 +687,10 @@ def resize_images(
     Four formats are real END-TO-END, no image library involved,
     running regardless of ``fake_decode``: an uncompressed 24-bit BMP
     (``decode_bmp_pixels`` → ``resize_rgb_nearest`` → ``encode_bmp``),
-    an 8-bit PNG — truecolor, grayscale or palette, plain or Adam7-
-    interlaced (``decode_png_pixels`` — stdlib zlib inflate + all five
-    scanline filters — re-encoded truecolor via ``encode_png``), baseline
+    a PNG — complete pixel-layer coverage: all color types, depths
+    1-16, plain or Adam7-interlaced (``decode_png_pixels`` — stdlib
+    zlib inflate + all five scanline filters — re-encoded 8-bit
+    truecolor via ``encode_png``), baseline
     sequential JPEG (``jpeg.decode_jpeg_pixels`` — pure-numpy Huffman
     + IDCT, 4:4:4 / 4:2:2 / 4:2:0 / grayscale / restart markers —
     re-encoded 4:4:4 via ``jpeg.encode_jpeg``), and GIF
@@ -692,9 +729,9 @@ def resize_images(
                 else:
                     raise NotImplementedError(
                         "native pixel decode covers uncompressed 24-bit BMP, "
-                        "8-bit PNG (truecolor/gray/palette), baseline "
+                        "PNG (all color types/depths), baseline "
                         "sequential JPEG and GIF; resampling this payload "
-                        "(progressive JPEG, 16-bit PNG, ...) "
+                        "(progressive JPEG, ...) "
                         "requires "
                         "PIL/cv2, not available in this environment — pass "
                         "fake_decode=True for the deterministic stand-in "
@@ -871,8 +908,8 @@ PIXEL_STATS_SCHEMA = T.StructType(
 def extract_pixel_stats(media: DataFrame, fake_decode: bool = False) -> DataFrame:
     """REAL pixel-level feature extraction — per-channel means + luma
     mean/stddev computed from actually-decoded pixels for every format
-    the native codecs cover (uncompressed 24-bit BMP, 8-bit PNG
-    incl. grayscale/palette, baseline sequential JPEG incl.
+    the native codecs cover (uncompressed 24-bit BMP, PNG at every
+    color type/depth, baseline sequential JPEG incl.
     4:2:0/grayscale/restarts, GIF incl. interlace);
     ``decoded=True`` marks rows whose stats came from real pixels.
     The training-data use case: pixel statistics drive quality filters
@@ -938,7 +975,7 @@ def extract_pixel_stats(media: DataFrame, fake_decode: bool = False) -> DataFram
                 else:
                     raise NotImplementedError(
                         "pixel statistics need a decodable payload "
-                        "(uncompressed 24-bit BMP, 8-bit PNG, GIF, "
+                        "(uncompressed 24-bit BMP, PNG, GIF, "
                         "baseline sequential JPEG are native); this payload "
                         "requires PIL/cv2, not available in this environment "
                         "— pass fake_decode=True for the deterministic "

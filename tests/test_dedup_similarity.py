@@ -1233,3 +1233,110 @@ def test_png_adam7_interlaced_decode():
         assert dec is not None and _np.array_equal(dec, px), (h, w)
     g = make_adam7(rng.integers(0, 256, (16, 16, 3), dtype=_np.uint8))
     assert decode_png_pixels(g[:60]) is None
+
+
+def test_png_full_depth_and_color_type_coverage():
+    """PNG pixel-layer coverage is COMPLETE per spec: every legal
+    (color type, bit depth) combination — gray 1/2/4/8/16, truecolor
+    8/16, palette 1/2/4/8, gray+alpha 8/16, RGBA 8/16 — in both
+    interlace modes, decodes exactly (16-bit → high byte; sub-byte
+    gray scales by the exact 255/(2^d−1) factor; palette indices
+    never scale). Illegal combos are rejected."""
+    import struct as _s
+    import zlib as _z
+
+    import numpy as _np
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+        _ADAM7,
+        decode_png_pixels,
+    )
+
+    def chunk(typ, payload):
+        return (
+            _s.pack(">I", len(payload)) + typ + payload
+            + _s.pack(">I", _z.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    def pack_row(samples, depth):
+        if depth == 8:
+            return bytes(_np.asarray(samples, _np.uint8))
+        if depth == 16:
+            return _np.asarray(samples, ">u2").tobytes()
+        bits = []
+        for s in samples:
+            for b in range(depth - 1, -1, -1):
+                bits.append((int(s) >> b) & 1)
+        while len(bits) % 8:
+            bits.append(0)
+        return _np.packbits(_np.array(bits, _np.uint8)).tobytes()
+
+    def make_png(samples, w, h, depth, color_type, plte=None, interlace=0):
+        body = bytearray()
+
+        def rows_of(sub):
+            for r in range(sub.shape[0]):
+                body.extend(b"\x00" + pack_row(sub[r].reshape(-1), depth))
+
+        if interlace == 0:
+            rows_of(samples)
+        else:
+            for x0, y0, dx, dy in _ADAM7:
+                sub = samples[y0::dy, x0::dx]
+                if sub.shape[0] and sub.shape[1]:
+                    rows_of(sub)
+        ihdr = _s.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", bytes(_np.asarray(plte, _np.uint8).reshape(-1)))
+        return out + chunk(b"IDAT", _z.compress(bytes(body))) + chunk(b"IEND", b"")
+
+    rng = _np.random.default_rng(11)
+    h, w = 13, 21
+
+    for depth in (1, 2, 4, 8, 16):  # grayscale, both interlace modes
+        maxv = (1 << depth) - 1
+        g = rng.integers(0, maxv + 1, (h, w, 1))
+        for il in (0, 1):
+            px = decode_png_pixels(make_png(g, w, h, depth, 0, interlace=il))
+            assert px is not None, (depth, il)
+            if depth < 8:
+                want = (g[:, :, 0] * (255 // maxv)).astype(_np.uint8)
+            elif depth == 8:
+                want = g[:, :, 0].astype(_np.uint8)
+            else:
+                want = (g[:, :, 0] >> 8).astype(_np.uint8)
+            assert _np.array_equal(px[:, :, 0], want), (depth, il)
+            assert _np.array_equal(px[:, :, 0], px[:, :, 2]), (depth, il)
+
+    t = rng.integers(0, 65536, (h, w, 3))  # truecolor 16
+    assert _np.array_equal(
+        decode_png_pixels(make_png(t, w, h, 16, 2)),
+        (t >> 8).astype(_np.uint8),
+    )
+    t4 = rng.integers(0, 65536, (h, w, 4))  # RGBA 16
+    assert _np.array_equal(
+        decode_png_pixels(make_png(t4, w, h, 16, 6)),
+        (t4[:, :, :3] >> 8).astype(_np.uint8),
+    )
+    ga = rng.integers(0, 256, (h, w, 2))  # gray+alpha 8/16
+    px = decode_png_pixels(make_png(ga, w, h, 8, 4))
+    assert _np.array_equal(px[:, :, 0], ga[:, :, 0].astype(_np.uint8))
+    ga16 = rng.integers(0, 65536, (h, w, 2))
+    px = decode_png_pixels(make_png(ga16, w, h, 16, 4))
+    assert _np.array_equal(px[:, :, 1], (ga16[:, :, 0] >> 8).astype(_np.uint8))
+
+    for depth in (1, 2, 4, 8):  # palette, both interlace modes
+        ncol = min(1 << depth, 16)
+        pal = rng.integers(0, 256, (1 << depth, 3))
+        idx = rng.integers(0, ncol, (h, w, 1))
+        for il in (0, 1):
+            px = decode_png_pixels(
+                make_png(idx, w, h, depth, 3, plte=pal, interlace=il)
+            )
+            assert px is not None and _np.array_equal(
+                px, pal.astype(_np.uint8)[idx[:, :, 0]]
+            ), (depth, il)
+
+    # depth 4 truecolor is illegal per spec -> rejected
+    assert decode_png_pixels(make_png(t, w, h, 4, 2)) is None
