@@ -185,3 +185,27 @@ class LakeTable:
         ).localCheckpoint(eager=True)
         self.overwrite(compacted)
         return fragmented
+
+
+def write_bucketed_table(
+    df, table: str, key: str, buckets: int = 32
+) -> None:
+    """Materialize a fact table BUCKETED (and sorted) on its join key —
+    the co-located-join layout for fact⋈fact keys (SCALE.md storage
+    notes): two tables bucketed on the same key with the same bucket
+    count join with ZERO exchange on either side, because bucket i of
+    one table can only match bucket i of the other. At 100 TB this
+    converts every repeated join/aggregation on the key (order ⋈
+    lineitem style) from a full shuffle of both sides into a local
+    merge per bucket — the write pays the shuffle once, every
+    downstream join skips it (plan-asserted by
+    ``test_bucketed_join_is_shuffle_free``). ``buckets`` should be
+    sized so one bucket ≈ one task's worth of data at the target
+    scale; it must MATCH across the tables that join."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )
