@@ -7,14 +7,17 @@ defaults).
 Scope (returns None outside it, so callers can tell "decodable
 natively" from "genuinely needs an external codec"):
 
-- decode: baseline sequential DCT (SOF0/SOF1), 8-bit, Huffman-coded,
-  1 component (grayscale) or 3 components (YCbCr/JFIF), sampling
-  factors whose ratio to the max is integral (covers 4:4:4, 4:2:2,
-  4:2:0), restart intervals honored. Progressive (SOF2), arithmetic
-  coding, 12-bit and CMYK payloads are out of scope.
+- decode: baseline sequential DCT (SOF0/SOF1) AND progressive DCT
+  (SOF2 — spectral selection, successive approximation, EOB runs,
+  per T.81 §G.2), 8-bit, Huffman-coded, 1 component (grayscale) or 3
+  components (YCbCr/JFIF), sampling factors whose ratio to the max is
+  integral (covers 4:4:4, 4:2:2, 4:2:0), restart intervals honored.
+  Arithmetic coding, 12-bit, lossless/hierarchical and CMYK payloads
+  are out of scope.
 - encode: baseline 4:4:4 (or single-component grayscale), Annex K
   tables scaled by the libjpeg quality curve, optional restart
-  interval.
+  interval; progressive (``encode_jpeg_progressive``) with a
+  luma-band-split scan script and optional successive approximation.
 
 Determinism: the DCT/IDCT are float64 matrix products of a fixed 8×8
 basis followed by rounding — IEEE-deterministic on any host, so the
@@ -188,15 +191,150 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg_pixels(raw: bytes) -> np.ndarray | None:
-    """Baseline JPEG → ``(height, width, 3)`` uint8 RGB ndarray
-    (grayscale replicated to 3 channels), or None when the payload is
-    not a JPEG this codec covers (progressive, arithmetic, 12-bit,
-    CMYK, fractional-ratio sampling) — callers use None to route to a
-    real codec / the documented stand-in path."""
+    """Baseline-sequential OR progressive JPEG → ``(height, width, 3)``
+    uint8 RGB ndarray (grayscale replicated to 3 channels), or None
+    when the payload is not a JPEG this codec covers (arithmetic
+    coding, 12-bit, lossless/hierarchical, CMYK, fractional-ratio
+    sampling) — callers use None to route to a real codec / the
+    documented stand-in path. Progressive decoding (SOF2) accumulates
+    every scan — spectral selection bands, successive-approximation
+    first passes and refinement passes, EOB runs — into per-component
+    coefficient buffers before one final IDCT, per ITU T.81 §G.2."""
     try:
         return _decode(raw)
     except Exception:
         return None
+
+
+def _scan_entropy(raw: bytes, start: int) -> tuple[list[bytes], int]:
+    """Split one scan's entropy stream into restart segments (unstuffing
+    0xFF00); returns (segments, position of the marker that ended the
+    scan)."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    p = start
+    while p < len(raw):
+        b = raw[p]
+        if b == 0xFF and p + 1 < len(raw):
+            nxt = raw[p + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
+                segments.append(bytes(cur))
+                cur = bytearray()
+                p += 2
+                continue
+            break  # any other marker ends the scan (EOI, DNL, ...)
+        cur.append(b)
+        p += 1
+    segments.append(bytes(cur))
+    return segments, p
+
+
+class _ScanState:
+    """Per-restart-segment entropy state: DC predictors + the AC EOB
+    run counter (both reset at every restart boundary, T.81 §G.1.2.2)."""
+
+    __slots__ = ("pred", "eobrun")
+
+    def __init__(self, n: int):
+        self.pred = [0] * n
+        self.eobrun = 0
+
+
+def _decode_block(
+    br: _BitReader,
+    st: _ScanState,
+    coef: np.ndarray,  # (64,) int32 raster-order view for this block
+    pi: int,  # predictor slot (index within scan)
+    dct: dict | None,
+    act: dict | None,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+) -> None:
+    """Decode one block's contribution for the current scan — the four
+    progressive modes of T.81 §G.2, with the baseline full-band scan
+    falling out as (ss=0, se=63, ah=al=0)."""
+    if ss == 0:
+        if ah == 0:  # DC first (or baseline)
+            s = _huff_decode(br, dct)
+            st.pred[pi] += _extend(br.bits(s), s)
+            coef[0] = st.pred[pi] << al
+        else:  # DC refinement: one correction bit
+            if br.bit():
+                coef[0] = int(coef[0]) | (1 << al)
+        k = 1
+    else:
+        k = ss
+    if se == 0 or ss > se:
+        return
+    if ah == 0:  # AC first pass (or baseline AC)
+        if st.eobrun > 0:
+            st.eobrun -= 1
+            return
+        while k <= se:
+            rs = _huff_decode(br, act)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                st.eobrun = (1 << r) - 1
+                if r:
+                    st.eobrun += br.bits(r)
+                return
+            k += r
+            if k > se:
+                raise ValueError("AC run past band end")
+            coef[_ZIG[k]] = _extend(br.bits(s), s) << al
+            k += 1
+        return
+    # AC refinement (T.81 §G.2 / the correction-bit walk)
+    p1, m1 = 1 << al, -1 << al
+    if st.eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(br, act)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:
+                    st.eobrun = 1 << r
+                    if r:
+                        st.eobrun += br.bits(r)
+                    break
+                # r == 15: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("AC refine magnitude must be 1")
+                val = p1 if br.bit() else m1
+            while k <= se:
+                c = int(coef[_ZIG[k]])
+                if c != 0:
+                    # history coefficient: consume its correction bit
+                    if br.bit() and (c & p1) == 0:
+                        coef[_ZIG[k]] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        if val:
+                            coef[_ZIG[k]] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if st.eobrun > 0:
+        # block inside an EOB run: history coefficients still consume
+        # correction bits
+        while k <= se:
+            c = int(coef[_ZIG[k]])
+            if c != 0:
+                if br.bit() and (c & p1) == 0:
+                    coef[_ZIG[k]] = c + (p1 if c >= 0 else m1)
+            k += 1
+        st.eobrun -= 1
 
 
 def _decode(raw: bytes) -> np.ndarray | None:
@@ -207,8 +345,9 @@ def _decode(raw: bytes) -> np.ndarray | None:
     sof = None
     restart = 0
     pos = 2
-    scan = None
-    scan_comps = None
+    coeffs: dict[int, np.ndarray] | None = None  # ci -> (nby, nbx, 64) int32
+    geom = None
+    saw_scan = False
     while pos + 4 <= len(raw):
         if raw[pos] != 0xFF:
             return None
@@ -231,7 +370,9 @@ def _decode(raw: bytes) -> np.ndarray | None:
                 tbl[_ZIG] = z  # stored zigzag -> raster
                 qt[tq] = tbl.reshape(8, 8)
                 i += 65
-        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline/extended seq
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
+            if sof is not None:
+                return None  # multi-frame: out of scope
             prec, h, w, nf = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8 or nf not in (1, 3) or h == 0 or w == 0:
                 return None
@@ -239,10 +380,26 @@ def _decode(raw: bytes) -> np.ndarray | None:
             for c in range(nf):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if hmax > 4 or vmax > 4 or hmax < 1 or vmax < 1:
+                return None
+            for _, ch, cv, _tq in comps:
+                if ch < 1 or cv < 1 or hmax % ch or vmax % cv:
+                    return None  # fractional upsampling ratio: out of scope
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
             sof = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            geom = (hmax, vmax, mcux, mcuy)
+            # the padded MCU grid is the storage; non-interleaved scans
+            # cover only each component's ACTUAL block dims inside it
+            coeffs = {
+                i: np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int32)
+                for i, (_, ch, cv, _) in enumerate(comps)
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            return None  # progressive / arithmetic / hierarchical
+            return None  # lossless / arithmetic / hierarchical
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(seg):
@@ -254,108 +411,51 @@ def _decode(raw: bytes) -> np.ndarray | None:
                 i += 17 + nv
         elif marker == 0xDD:  # DRI
             restart = struct.unpack(">H", seg[:2])[0]
-        elif marker == 0xDA:  # SOS: entropy data follows the segment
+        elif marker == 0xDA:  # SOS
+            if sof is None or coeffs is None:
+                return None
+            h, w, comps = sof
+            hmax, vmax, mcux, mcuy = geom
             ns = seg[0]
-            scan_comps = [
+            scan_sel = [
                 (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0xF)
                 for c in range(ns)
             ]
-            scan_start = pos + 2 + ln
-            scan = scan_start
-            break
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if ss > se or se > 63:
+                return None
+            # resolve scan component ids to frame component indices
+            by_id = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
+            sel = []
+            for cid, td, ta in scan_sel:
+                if cid not in by_id:
+                    return None
+                sel.append((by_id[cid], td, ta))
+            segments, pos = _scan_entropy(raw, pos + 2 + ln)
+            if not _run_scan(
+                segments, sel, ss, se, ah, al, restart, comps,
+                (h, w, hmax, vmax, mcux, mcuy), huff, coeffs,
+            ):
+                return None
+            saw_scan = True
+            continue
         pos += 2 + ln
-    if sof is None or scan is None or scan_comps is None:
+    if sof is None or coeffs is None or not saw_scan:
         return None
     h, w, comps = sof
-    if len(scan_comps) != len(comps):
-        return None
-
-    # split the entropy stream into restart segments, unstuffing 0xFF00
-    segments: list[bytes] = []
-    cur = bytearray()
-    p = scan
-    while p < len(raw):
-        b = raw[p]
-        if b == 0xFF and p + 1 < len(raw):
-            nxt = raw[p + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                p += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
-                segments.append(bytes(cur))
-                cur = bytearray()
-                p += 2
-                continue
-            break  # any other marker ends the scan (EOI, DNL, ...)
-        cur.append(b)
-        p += 1
-    segments.append(bytes(cur))
-
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    if hmax > 4 or vmax > 4 or hmax < 1 or vmax < 1:
-        return None
-    for _, ch, cv, _tq in comps:
-        if ch < 1 or cv < 1 or hmax % ch or vmax % cv:
-            return None  # fractional upsampling ratio: out of scope
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-
-    td_ta = {cid: (td, ta) for cid, td, ta in scan_comps}
-    blocks = {
-        i: np.zeros((mcuy * cv, mcux * ch, 8, 8), dtype=np.float64)
-        for i, (_, ch, cv, _) in enumerate(comps)
-    }
-    n_mcu = mcux * mcuy
-    seg_idx = 0
-    br = _BitReader(segments[0])
-    pred = [0] * len(comps)
-    for m in range(n_mcu):
-        if restart and m and m % restart == 0:
-            seg_idx += 1
-            if seg_idx >= len(segments):
-                return None
-            br = _BitReader(segments[seg_idx])
-            pred = [0] * len(comps)
-        my, mx = divmod(m, mcux)
-        for ci, (cid, ch, cv, _tq) in enumerate(comps):
-            td, ta = td_ta.get(cid, (None, None))
-            dct = huff.get((0, td))
-            act = huff.get((1, ta))
-            if dct is None or act is None:
-                return None
-            for by in range(cv):
-                for bx in range(ch):
-                    blk = np.zeros(64, dtype=np.float64)
-                    s = _huff_decode(br, dct)
-                    pred[ci] += _extend(br.bits(s), s)
-                    blk[0] = pred[ci]
-                    k = 1
-                    while k < 64:
-                        rs = _huff_decode(br, act)
-                        r, s = rs >> 4, rs & 0xF
-                        if s == 0:
-                            if r == 15:  # ZRL: 16 zeros
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            return None
-                        blk[_ZIG[k]] = _extend(br.bits(s), s)
-                        k += 1
-                    blocks[ci][my * cv + by, mx * ch + bx] = blk.reshape(8, 8)
+    hmax, vmax, mcux, mcuy = geom
 
     planes = []
     for ci, (_cid, ch, cv, tq) in enumerate(comps):
         q = qt.get(tq)
         if q is None:
             return None
-        coef = blocks[ci] * q  # dequantize (broadcast 8x8 table)
+        rows, cols = mcuy * cv, mcux * ch
+        blk = coeffs[ci].astype(np.float64).reshape(rows, cols, 8, 8)
+        coef = blk * q  # dequantize (broadcast 8x8 table)
         # f[x,y] = Σ_u Σ_v C[u,x]·F[u,v]·C[v,y]  (orthonormal DCT-III)
         spatial = np.einsum("ux,nmuv,vy->nmxy", _C, coef, _C)
-        rows, cols = coef.shape[:2]
         plane = spatial.transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8)
         plane = np.clip(np.round(plane + 128.0), 0, 255)
         plane = np.repeat(np.repeat(plane, vmax // cv, 0), hmax // ch, 1)
@@ -369,6 +469,74 @@ def _decode(raw: bytes) -> np.ndarray | None:
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _run_scan(
+    segments: list[bytes],
+    sel: list[tuple[int, int, int]],  # (comp index, dc table id, ac table id)
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart: int,
+    comps: list,
+    geom: tuple[int, int, int, int, int, int],
+    huff: dict,
+    coeffs: dict[int, np.ndarray],
+) -> bool:
+    """Decode one scan (interleaved MCU order or single-component block
+    order) into the coefficient buffers. Returns False on any
+    structural error."""
+    h, w, hmax, vmax, mcux, mcuy = geom
+    interleaved = len(sel) > 1
+    tables = []
+    for ci, td, ta in sel:
+        dct = huff.get((0, td)) if ss == 0 and ah == 0 else None
+        act = huff.get((1, ta)) if se > 0 else None
+        if ss == 0 and ah == 0 and dct is None:
+            return False
+        if se > 0 and act is None:
+            return False
+        tables.append((dct, act))
+    if interleaved:
+        units = mcux * mcuy
+    else:
+        ci = sel[0][0]
+        _, ch, cv, _ = comps[ci]
+        # the component's ACTUAL block dims (T.81 A.1.1), not the
+        # padded MCU grid
+        nbx = -(-(-(-w * ch // hmax)) // 8)
+        nby = -(-(-(-h * cv // vmax)) // 8)
+        units = nbx * nby
+    seg_idx = 0
+    br = _BitReader(segments[0])
+    st = _ScanState(len(sel))
+    for u in range(units):
+        if restart and u and u % restart == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                return False
+            br = _BitReader(segments[seg_idx])
+            st = _ScanState(len(sel))
+        if interleaved:
+            my, mx = divmod(u, mcux)
+            for pi, (ci, _td, _ta) in enumerate(sel):
+                _, ch, cv, _ = comps[ci]
+                dct, act = tables[pi]
+                for by in range(cv):
+                    for bx in range(ch):
+                        _decode_block(
+                            br, st,
+                            coeffs[ci][my * cv + by, mx * ch + bx],
+                            pi, dct, act, ss, se, ah, al,
+                        )
+        else:
+            by, bx = divmod(u, nbx)
+            dct, act = tables[0]
+            _decode_block(
+                br, st, coeffs[ci][by, bx], 0, dct, act, ss, se, ah, al
+            )
+    return True
 
 
 class _BitWriter:
@@ -442,21 +610,12 @@ def _encode_component_block(
     return dc
 
 
-def encode_jpeg(
-    px: np.ndarray,
-    quality: int = 90,
-    restart_interval: int = 0,
-    subsampling: str = "444",
-) -> bytes:
-    """``(h, w, 3)`` uint8 RGB (or ``(h, w)`` grayscale) → baseline
-    sequential JFIF bytes — the inverse of ``decode_jpeg_pixels`` up
-    to quantization (and, for 4:2:0, chroma-resolution) loss. Annex K
-    default Huffman tables, quality-scaled Annex K quant tables.
-    ``subsampling``: ``"444"`` (one block per component per MCU) or
-    ``"420"`` (2×2 luma blocks + box-averaged chroma — the layout most
-    real-world JPEGs use, and what exercises the decoder's upsampling
-    path). ``restart_interval`` > 0 emits DRI + RSTn markers every
-    that many MCUs (exercises the decoder's restart path)."""
+def _prepare_qblocks(
+    px: np.ndarray, quality: int, subsampling: str
+) -> tuple:
+    """Shared encoder front half: color transform, MCU padding,
+    per-component downsampling, forward DCT, quantization. Returns
+    (gray, h, w, factors, qblocks, ql, qc, hmax, vmax, mcux, mcuy)."""
     gray = px.ndim == 2
     h, w = px.shape[:2]
     if h == 0 or w == 0:
@@ -481,8 +640,6 @@ def encode_jpeg(
         )
     hmax = max(fa[0] for fa in factors)
     vmax = max(fa[1] for fa in factors)
-    # pad the full-res image to the MCU grid, then derive each
-    # component's plane at its own resolution (box-average downsample)
     ph = -(-h // (8 * vmax)) * 8 * vmax
     pw = -(-w // (8 * hmax)) * 8 * hmax
     mcuy, mcux = ph // (8 * vmax), pw // (8 * hmax)
@@ -497,6 +654,27 @@ def encode_jpeg(
         blks = p.reshape(rows, 8, cols, 8).transpose(0, 2, 1, 3)
         coef = np.einsum("ux,nmxy,yv->nmuv", _C, blks, _C.T.copy())
         qblocks.append(np.round(coef / q).astype(np.int64))
+    return gray, h, w, factors, qblocks, ql, qc, hmax, vmax, mcux, mcuy
+
+
+def encode_jpeg(
+    px: np.ndarray,
+    quality: int = 90,
+    restart_interval: int = 0,
+    subsampling: str = "444",
+) -> bytes:
+    """``(h, w, 3)`` uint8 RGB (or ``(h, w)`` grayscale) → baseline
+    sequential JFIF bytes — the inverse of ``decode_jpeg_pixels`` up
+    to quantization (and, for 4:2:0, chroma-resolution) loss. Annex K
+    default Huffman tables, quality-scaled Annex K quant tables.
+    ``subsampling``: ``"444"`` (one block per component per MCU) or
+    ``"420"`` (2×2 luma blocks + box-averaged chroma — the layout most
+    real-world JPEGs use, and what exercises the decoder's upsampling
+    path). ``restart_interval`` > 0 emits DRI + RSTn markers every
+    that many MCUs (exercises the decoder's restart path)."""
+    (gray, h, w, factors, qblocks, ql, qc, hmax, vmax, mcux, mcuy) = (
+        _prepare_qblocks(px, quality, subsampling)
+    )
 
     dc_l = _canonical_codes(*_H_DC_LUMA)
     ac_l = _canonical_codes(*_H_AC_LUMA)
@@ -505,7 +683,7 @@ def encode_jpeg(
     codes = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (0 if gray else 2)
 
     bw = _BitWriter()
-    pred = [0] * len(planes)
+    pred = [0] * len(factors)
     mcu = 0
     rst = 0
     for my in range(mcuy):
@@ -514,7 +692,7 @@ def encode_jpeg(
                 bw.flush()
                 bw.out += bytes([0xFF, 0xD0 + (rst & 7)])
                 rst += 1
-                pred = [0] * len(planes)
+                pred = [0] * len(factors)
             for ci, (ch, cv) in enumerate(factors):
                 for byi in range(cv):
                     for bxi in range(ch):
@@ -556,5 +734,272 @@ def encode_jpeg(
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (T.81 §G.1) — primarily the round-trip test rig
+# for the progressive decoder (no media libs in env to generate
+# progressive payloads otherwise), but a spec-conforming encoder in its
+# own right.
+# ---------------------------------------------------------------------------
+
+# Flat Huffman tables that include the EOBn symbols (0x10..0xE0) the
+# Annex K tables lack — progressive EOB runs > 1 cannot be coded with
+# Annex K. DC: 12 categories at 4 bits. AC: all 256 rs values, 255 at
+# 9 bits + 1 at 10 (a DHT bits byte caps at 255), so no code is
+# all-ones. Compression efficiency is irrelevant here; correctness and
+# decoder-table generality are what matter.
+_H_DC_FLAT = ([0, 0, 0, 12] + [0] * 12, list(range(12)))
+_H_AC_FLAT = ([0] * 8 + [255, 1] + [0] * 6, list(range(256)))
+
+
+def _emit_sym(bw: _BitWriter, codes: dict, sym: int) -> None:
+    ln, code = codes[sym]
+    bw.write(code, ln)
+
+
+def _flush_eob(
+    bw: _BitWriter, codes: dict, eobrun: int, be: list[int]
+) -> tuple[int, list[int]]:
+    """Emit a pending EOBn code plus the correction bits buffered for
+    the blocks inside the run (G.1.2.3)."""
+    if eobrun > 0:
+        rb = eobrun.bit_length() - 1
+        _emit_sym(bw, codes, rb << 4)
+        if rb:
+            bw.write(eobrun - (1 << rb), rb)
+        for b in be:
+            bw.write(b, 1)
+    return 0, []
+
+
+def _enc_ac_first(
+    bw: _BitWriter,
+    blocks: list[np.ndarray],
+    ss: int,
+    se: int,
+    al: int,
+    codes: dict,
+) -> None:
+    """AC first pass (Ah=0): baseline run/size coding plus EOBn runs;
+    the point transform is |v| >> Al with the sign re-applied."""
+    eobrun = 0
+    for blk in blocks:
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(blk[_ZIG[k]])
+            t = (v if v >= 0 else -v) >> al
+            if t == 0:
+                r += 1
+                continue
+            if eobrun:
+                eobrun, _ = _flush_eob(bw, codes, eobrun, [])
+            while r > 15:
+                _emit_sym(bw, codes, 0xF0)
+                r -= 16
+            s = t.bit_length()
+            _emit_sym(bw, codes, (r << 4) | s)
+            mask = (1 << s) - 1
+            bw.write(t if v >= 0 else mask - t, s)
+            r = 0
+        if r > 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun, _ = _flush_eob(bw, codes, eobrun, [])
+    if eobrun:
+        _flush_eob(bw, codes, eobrun, [])
+
+
+def _enc_ac_refine(
+    bw: _BitWriter,
+    blocks: list[np.ndarray],
+    ss: int,
+    se: int,
+    al: int,
+    codes: dict,
+) -> None:
+    """AC refinement pass (Ah=Al+1): newly-significant coefficients as
+    run/1 codes with a sign bit; already-significant ones as buffered
+    correction bits. The ZRL flush runs at EVERY nonzero coefficient
+    (not only newly-significant ones) — that is what keeps each
+    buffered correction bit inside the 16-zero window the decoder's
+    ZRL walk covers (the subtle ordering invariant of G.1.2.3)."""
+    eobrun = 0
+    be: list[int] = []
+    for blk in blocks:
+        absv = [(abs(int(blk[_ZIG[k]])) >> al) for k in range(ss, se + 1)]
+        eob = -1
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = i
+        r = 0
+        br: list[int] = []
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob:
+                eobrun, be = _flush_eob(bw, codes, eobrun, be)
+                _emit_sym(bw, codes, 0xF0)
+                r -= 16
+                for b in br:
+                    bw.write(b, 1)
+                br = []
+            if t > 1:
+                br.append(t & 1)
+                continue
+            eobrun, be = _flush_eob(bw, codes, eobrun, be)
+            _emit_sym(bw, codes, (r << 4) | 1)
+            bw.write(1 if int(blk[_ZIG[ss + i]]) >= 0 else 0, 1)
+            for b in br:
+                bw.write(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            be.extend(br)
+            if eobrun == 0x7FFF:
+                eobrun, be = _flush_eob(bw, codes, eobrun, be)
+    if eobrun:
+        _flush_eob(bw, codes, eobrun, be)
+
+
+def encode_jpeg_progressive(
+    px: np.ndarray,
+    quality: int = 90,
+    successive: bool = True,
+    subsampling: str = "444",
+) -> bytes:
+    """``(h, w, 3)`` uint8 RGB (or ``(h, w)`` grayscale) → progressive
+    JFIF bytes (SOF2). Scan script: one interleaved DC scan, per-
+    component AC scans with the luma band split in two (spectral
+    selection); with ``successive=True`` every first pass runs at
+    Al=1 and is followed by DC/AC refinement scans (successive
+    approximation) — together the scans exercise every branch of the
+    progressive decoder: band limits, EOB runs, correction bits, the
+    ZRL-with-history walk."""
+    (gray, h, w, factors, qblocks, ql, qc, hmax, vmax, mcux, mcuy) = (
+        _prepare_qblocks(px, quality, subsampling)
+    )
+    nf = 1 if gray else 3
+    dc_codes = _canonical_codes(*_H_DC_FLAT)
+    ac_codes = _canonical_codes(*_H_AC_FLAT)
+
+    def comp_blocks(ci: int) -> list[np.ndarray]:
+        ch, cv = factors[ci]
+        nbx = -(-(-(-w * ch // hmax)) // 8)
+        nby = -(-(-(-h * cv // vmax)) // 8)
+        return [
+            qblocks[ci][by, bx].reshape(64)
+            for by in range(nby)
+            for bx in range(nbx)
+        ]
+
+    def dc_scan(bw: _BitWriter, al: int) -> None:
+        pred = [0] * nf
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(nf):
+                    ch, cv = factors[ci]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            dc = int(qblocks[ci][my * cv + by, mx * ch + bx, 0, 0])
+                            t = dc >> al  # arithmetic shift per spec
+                            diff = t - pred[ci]
+                            pred[ci] = t
+                            s = abs(diff).bit_length()
+                            _emit_sym(bw, dc_codes, s)
+                            if s:
+                                bw.write(
+                                    diff if diff >= 0 else diff + (1 << s) - 1,
+                                    s,
+                                )
+
+    def dc_refine(bw: _BitWriter, al: int) -> None:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(nf):
+                    ch, cv = factors[ci]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            dc = int(qblocks[ci][my * cv + by, mx * ch + bx, 0, 0])
+                            bw.write((dc >> al) & 1, 1)
+
+    # scan script: (kind, comps, ss, se, ah, al). The successive
+    # script mirrors libjpeg's standard one — AC first passes at Al=2,
+    # then a 2→1 refinement over the FULL band (deliberately not the
+    # same band split as the first passes) and a final 1→0 pass — so a
+    # round-trip exercises multi-level refinement and band-boundary
+    # independence in the decoder, not just a single correction pass.
+    scans: list[tuple]
+    if not successive:
+        scans = [("dc_first", list(range(nf)), 0, 0, 0, 0)]
+        ac_bands = [(0, 1, 5), (0, 6, 63)] + (
+            [(1, 1, 63), (2, 1, 63)] if not gray else []
+        )
+        for ci, ss, se in ac_bands:
+            scans.append(("ac_first", [ci], ss, se, 0, 0))
+    else:
+        scans = [("dc_first", list(range(nf)), 0, 0, 0, 1)]
+        if gray:
+            scans += [
+                ("ac_first", [0], 1, 5, 0, 2),
+                ("ac_first", [0], 6, 63, 0, 2),
+                ("ac_refine", [0], 1, 63, 2, 1),
+                ("dc_refine", [0], 0, 0, 1, 0),
+                ("ac_refine", [0], 1, 63, 1, 0),
+            ]
+        else:
+            scans += [
+                ("ac_first", [0], 1, 5, 0, 2),
+                ("ac_first", [1], 1, 63, 0, 1),
+                ("ac_first", [2], 1, 63, 0, 1),
+                ("ac_first", [0], 6, 63, 0, 2),
+                ("ac_refine", [0], 1, 63, 2, 1),
+                ("dc_refine", list(range(nf)), 0, 0, 1, 0),
+                ("ac_refine", [2], 1, 63, 1, 0),
+                ("ac_refine", [1], 1, 63, 1, 0),
+                ("ac_refine", [0], 1, 63, 1, 0),
+            ]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(ql.reshape(64)[_ZIG].astype(np.uint8)))
+    if not gray:
+        out += seg(
+            0xDB, bytes([0x01]) + bytes(qc.reshape(64)[_ZIG].astype(np.uint8))
+        )
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nf])
+    for c in range(nf):
+        ch, cv = factors[c]
+        sof += bytes([c + 1, (ch << 4) | cv, 0 if c == 0 else 1])
+    out += seg(0xC2, sof)
+    bits_dc, vals_dc = _H_DC_FLAT
+    bits_ac, vals_ac = _H_AC_FLAT
+    out += seg(0xC4, bytes([0x00]) + bytes(bits_dc) + bytes(vals_dc))
+    out += seg(0xC4, bytes([0x10]) + bytes(bits_ac) + bytes(vals_ac))
+
+    for kind, cis, ss, se, ah, al in scans:
+        sos = bytes([len(cis)])
+        for ci in cis:
+            sos += bytes([ci + 1, 0x00])  # DC table 0 / AC table 0
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        bw = _BitWriter()
+        if kind == "dc_first":
+            dc_scan(bw, al)
+        elif kind == "dc_refine":
+            dc_refine(bw, al)
+        elif kind == "ac_first":
+            _enc_ac_first(bw, comp_blocks(cis[0]), ss, se, al, ac_codes)
+        else:
+            _enc_ac_refine(bw, comp_blocks(cis[0]), ss, se, al, ac_codes)
+        bw.flush()
+        out += bw.out
     out += b"\xff\xd9"
     return bytes(out)

@@ -690,14 +690,15 @@ def resize_images(
     a PNG — complete pixel-layer coverage: all color types, depths
     1-16, plain or Adam7-interlaced (``decode_png_pixels`` — stdlib
     zlib inflate + all five scanline filters — re-encoded 8-bit
-    truecolor via ``encode_png``), baseline
-    sequential JPEG (``jpeg.decode_jpeg_pixels`` — pure-numpy Huffman
-    + IDCT, 4:4:4 / 4:2:2 / 4:2:0 / grayscale / restart markers —
-    re-encoded 4:4:4 via ``jpeg.encode_jpeg``), and GIF
+    truecolor via ``encode_png``), JPEG — baseline sequential AND
+    progressive (``jpeg.decode_jpeg_pixels`` — pure-numpy Huffman
+    + IDCT, 4:4:4 / 4:2:2 / 4:2:0 / grayscale / restart markers /
+    spectral-selection + successive-approximation scans —
+    re-encoded 4:4:4 baseline via ``jpeg.encode_jpeg``), and GIF
     (``decode_gif_pixels`` — LZW + palette + interlace; the resized
     frame re-encodes as lossless PNG, since a GIF writer would add an
     LZW compressor for no analytical gain). Remaining exotica
-    (progressive JPEG, 16-bit/interlaced PNG) fall through: source
+    (arithmetic-coded/12-bit/CMYK JPEG) fall through: source
     dimensions still come from the real header sniff, but the output
     payload is a deterministic payload-hash-derived stand-in
     (3 bytes/px RGB) when ``fake_decode=True`` and an explicit
@@ -729,9 +730,9 @@ def resize_images(
                 else:
                     raise NotImplementedError(
                         "native pixel decode covers uncompressed 24-bit BMP, "
-                        "PNG (all color types/depths), baseline "
-                        "sequential JPEG and GIF; resampling this payload "
-                        "(progressive JPEG, ...) "
+                        "PNG (all color types/depths), baseline-sequential "
+                        "and progressive JPEG, and GIF; resampling this "
+                        "payload (arithmetic-coded/12-bit/CMYK JPEG, ...) "
                         "requires "
                         "PIL/cv2, not available in this environment — pass "
                         "fake_decode=True for the deterministic stand-in "

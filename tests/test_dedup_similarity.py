@@ -880,7 +880,7 @@ def test_jpeg_codec_roundtrip_within_quantization_loss():
 def test_jpeg_decode_is_deterministic_and_rejects_non_baseline():
     """Same payload → bit-identical pixels (the partition-invariance
     property every codec here guarantees); non-JPEG, truncated and
-    progressive payloads return None instead of raising."""
+    arithmetic-coded payloads return None instead of raising."""
     import numpy as _np
 
     from hospital_stain_tracker_data_pipeline_spark.operators.jpeg import (
@@ -893,11 +893,126 @@ def test_jpeg_decode_is_deterministic_and_rejects_non_baseline():
     assert a is not None and _np.array_equal(a, b)
     assert decode_jpeg_pixels(b"not a jpeg") is None
     assert decode_jpeg_pixels(raw[:40]) is None
-    # flip SOF0 -> SOF2 (progressive): politely out of scope, not a crash
-    prog = bytearray(raw)
-    i = prog.find(b"\xff\xc0")
-    prog[i + 1] = 0xC2
-    assert decode_jpeg_pixels(bytes(prog)) is None
+    # flip SOF0 -> SOF9 (arithmetic coding): politely out of scope,
+    # not a crash (progressive SOF2 is IN scope since round 6)
+    arith = bytearray(raw)
+    i = arith.find(b"\xff\xc0")
+    arith[i + 1] = 0xC9
+    assert decode_jpeg_pixels(bytes(arith)) is None
+
+
+def test_jpeg_progressive_roundtrip_matches_baseline():
+    """Progressive encode → decode is BIT-IDENTICAL to the baseline
+    decode of the same image at the same quality: both paths carry the
+    same quantized coefficients, so the reconstruction must agree
+    exactly — across grayscale/color, odd sizes, 4:2:0, and both scan
+    styles (spectral selection only, and the libjpeg-style multi-level
+    successive-approximation script with Al=2 first passes, a 2→1
+    refinement over a band that does not match the first-pass split,
+    and a final 1→0 pass)."""
+    import numpy as _np
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = _np.random.default_rng(11)
+    cases = [
+        ((24, 17, 3), 85, "444"),
+        ((16, 16), 85, "444"),
+        ((9, 31, 3), 60, "420"),
+        ((1, 1, 3), 95, "444"),
+        ((40, 56, 3), 30, "420"),
+    ]
+    for shape, q, sub in cases:
+        px = rng.integers(0, 256, size=shape).astype(_np.uint8)
+        kw = {} if len(shape) == 2 else {"subsampling": sub}
+        base = decode_jpeg_pixels(encode_jpeg(px, quality=q, **kw))
+        for succ in (False, True):
+            prog = decode_jpeg_pixels(
+                encode_jpeg_progressive(px, quality=q, successive=succ, **kw)
+            )
+            assert prog is not None, (shape, q, sub, succ)
+            assert _np.array_equal(base, prog), (shape, q, sub, succ)
+    # near-flat field with one impulse: long EOB runs across blocks,
+    # the buffered-correction-bit (BE) path in refinement scans
+    flat = _np.full((48, 48, 3), 129, dtype=_np.uint8)
+    flat[24, 24] = 0
+    base = decode_jpeg_pixels(encode_jpeg(flat, quality=85))
+    prog = decode_jpeg_pixels(
+        encode_jpeg_progressive(flat, quality=85, successive=True)
+    )
+    assert _np.array_equal(base, prog)
+
+
+def test_resize_images_real_progressive_jpeg(spark):
+    """A PROGRESSIVE payload goes through ``resize_images`` on the real
+    decode path (no fake flag): decoded natively, resampled, re-encoded
+    baseline — the final stub class for JPEG-family payloads is gone."""
+    import numpy as _np
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg_progressive,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+        resize_images,
+        resize_rgb_nearest,
+    )
+
+    src = _gradient_rgb(48, 64)
+    jpg = encode_jpeg_progressive(src, quality=95, successive=True)
+    df = spark.createDataFrame([(1, bytearray(jpg))], "doc_id long, payload binary")
+    media = to_media_table(df, "doc_id", "payload", source="t")
+    [r] = resize_images(media, 16, 12, fake_decode=False).collect()
+    assert (r.mime, r.src_width, r.src_height) == ("image/jpeg", 64, 48)
+    out = decode_jpeg_pixels(bytes(r.payload))
+    assert out is not None and out.shape == (12, 16, 3)
+    want = resize_rgb_nearest(decode_jpeg_pixels(jpg), 16, 12)
+    assert _np.abs(out.astype(int) - want.astype(int)).max() <= 8
+
+
+def test_jpeg_progressive_property_sweep():
+    """Randomized adversarial sweep (noise / gradient / flat-impulse ×
+    random sizes × qualities × subsampling): every progressive payload
+    decodes bit-identically to its baseline twin. Failure prints the
+    reproducing case."""
+    import numpy as _np
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = _np.random.default_rng(23)
+    for i in range(25):
+        hh, ww = int(rng.integers(1, 70)), int(rng.integers(1, 70))
+        gray = bool(rng.integers(0, 2))
+        shape = (hh, ww) if gray else (hh, ww, 3)
+        kind = i % 3
+        if kind == 0:
+            px = rng.integers(0, 256, size=shape).astype(_np.uint8)
+        elif kind == 1:
+            yy, xx = _np.mgrid[0:hh, 0:ww]
+            g = ((yy * 5 + xx * 3) % 256).astype(_np.uint8)
+            px = g if gray else _np.stack([g, g[::-1], 255 - g], -1)
+        else:
+            px = _np.full(shape, 129, dtype=_np.uint8)
+            px[hh // 2, ww // 2] = 0
+        q = int(rng.choice([30, 60, 85, 95]))
+        sub = "420" if (not gray and rng.integers(0, 2)) else "444"
+        kw = {} if gray else {"subsampling": sub}
+        base = decode_jpeg_pixels(encode_jpeg(px, quality=q, **kw))
+        succ = bool(i % 2)
+        prog = decode_jpeg_pixels(
+            encode_jpeg_progressive(px, quality=q, successive=succ, **kw)
+        )
+        assert prog is not None and _np.array_equal(base, prog), (
+            shape, q, sub, succ,
+        )
 
 
 def test_resize_images_real_jpeg_end_to_end(spark):
