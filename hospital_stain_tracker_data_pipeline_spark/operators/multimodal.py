@@ -9,10 +9,14 @@ yield their true mime/width/height. PIXEL decode is also real — no
 image library involved — for uncompressed 24-bit BMP, PNG (complete
 pixel-layer coverage: all color types, depths 1-16, both interlace
 modes; stdlib zlib + scanline filters),
-baseline sequential JPEG
+JPEG — baseline sequential AND progressive
 (pure-numpy Huffman + IDCT, ``operators/jpeg.py``; 4:4:4/4:2:2/4:2:0,
-grayscale, restart markers) and GIF (LZW + palette + interlace). Payloads outside that envelope
-(progressive JPEG, compressed audio, ...) raise
+grayscale, restart markers, spectral-selection +
+successive-approximation scans) — and GIF (LZW + palette +
+interlace); SAMPLE decode is real for 16-bit PCM WAV and FLAC
+(``operators/flac.py`` — rice/LPC, all four channel assignments).
+Payloads outside that envelope
+(arithmetic-coded JPEG, mp3/ogg, ...) raise
 NotImplementedError unless ``fake_decode=True``, which produces a
 deterministic fake (payload-hash seeded dimensions) so the Spark-side
 plumbing — schema, batch shape, partitioning — stays testable on
@@ -301,14 +305,18 @@ RESAMPLED_AUDIO_SCHEMA = T.StructType(
 def resample_audio(
     media: DataFrame, target_rate: int, fake_decode: bool = False
 ) -> DataFrame:
-    """Audio resampling, REAL end-to-end for 16-bit PCM WAV (the
-    training-pipeline normalization step before feature extraction —
-    e.g. everything to 16 kHz): decode raw PCM, nearest-neighbor
-    resample the time axis with the same exact integer index map the
-    image resize uses, re-encode a valid WAV. Non-PCM payloads fall to
+    """Audio resampling, REAL end-to-end for 16-bit PCM WAV and (since
+    round 6) FLAC (the training-pipeline normalization step before
+    feature extraction — e.g. everything to 16 kHz): decode samples
+    (raw PCM, or the native rice/LPC FLAC decoder in
+    ``operators/flac.py``), nearest-neighbor resample the time axis
+    with the same exact integer index map the image resize uses,
+    re-encode in the source container (WAV → WAV, FLAC → FLAC).
+    Other payloads fall to
     the deterministic stand-in under ``fake_decode=True`` or raise the
     documented stub otherwise. Same mapInPandas contract as every media
     op: binary in, binary out, payload never shuffled beforehand."""
+    from .flac import decode_flac_samples, encode_flac
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -316,20 +324,25 @@ def resample_audio(
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(payload) if payload is not None else b""
                 dec = decode_wav_samples(raw)
-                if dec is not None:
-                    src_rate, samples = dec
+                flac_dec = None if dec is not None else decode_flac_samples(raw)
+                if dec is not None or flac_dec is not None:
+                    src_rate, samples = dec if dec is not None else flac_dec
                     n_src = samples.shape[0]
                     n_out = max(1, (n_src * target_rate) // src_rate)
                     idx = (np.arange(n_out, dtype=np.int64) * n_src) // n_out
-                    body = encode_wav(samples[idx], target_rate)
+                    if dec is not None:
+                        body = encode_wav(samples[idx], target_rate)
+                    else:
+                        body = encode_flac(samples[idx], target_rate)
                 elif fake_decode:
                     seed = hashlib.sha256(raw).digest()
                     src_rate, n_out = None, 1 + seed[0]
                     body = (seed * (n_out * 2 // len(seed) + 1))[: n_out * 2]
                 else:
                     raise NotImplementedError(
-                        "native sample decode covers 16-bit PCM WAV; "
-                        "resampling this payload (mp3/flac/float WAV/...) "
+                        "native sample decode covers 16-bit PCM WAV and "
+                        "FLAC; resampling this payload (mp3/ogg/float "
+                        "WAV/...) "
                         "requires an audio library, not available in this "
                         "environment — pass fake_decode=True for the "
                         "deterministic stand-in payload"
@@ -355,9 +368,11 @@ def resample_audio(
 def extract_audio_features(media: DataFrame, fake_decode: bool = False) -> DataFrame:
     """Audio feature extraction over opaque payloads, same Arrow
     ``mapInPandas`` shape as the image path: WAV headers decode for
-    REAL (stdlib RIFF walk); other codecs (mp3/flac/ogg) would need an
+    REAL (stdlib RIFF walk), FLAC STREAMINFO likewise
+    (``flac.sniff_flac``); other codecs (mp3/ogg) would need an
     audio lib — absent here — so unrecognized payloads raise unless
     ``fake_decode=True`` (payload-hash-seeded fake features)."""
+    from .flac import sniff_flac
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -367,12 +382,13 @@ def extract_audio_features(media: DataFrame, fake_decode: bool = False) -> DataF
             ):
                 raw = bytes(payload) if payload is not None else b""
                 digest = hashlib.sha256(raw).hexdigest()
-                sniffed = sniff_wav(raw)
+                sniffed = sniff_wav(raw) or sniff_flac(raw)
                 if sniffed is None:
                     if not fake_decode:
                         raise NotImplementedError(
-                            "payload is not a RIFF/WAVE container (WAV header "
-                            "decode is built in); other codecs require an "
+                            "payload is not a RIFF/WAVE or FLAC container "
+                            "(WAV + FLAC header decode are built in); other "
+                            "codecs require an "
                             "audio library, not available in this environment "
                             "— pass fake_decode=True for the deterministic fake"
                         )

@@ -1455,3 +1455,83 @@ def test_png_full_depth_and_color_type_coverage():
 
     # depth 4 truecolor is illegal per spec -> rejected
     assert decode_png_pixels(make_png(t, w, h, 4, 2)) is None
+
+
+def test_flac_codec_roundtrip_all_modes():
+    """The native FLAC codec is LOSSLESS end-to-end: encode → decode is
+    bit-identical across mono/stereo, all four channel assignments,
+    rice partition orders, FIXED and LPC subframes, constant and
+    noise and tonal content, and block-boundary-straddling lengths.
+    CRC-corrupted and non-FLAC payloads return None."""
+    import numpy as _np
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.flac import (
+        decode_flac_samples,
+        encode_flac,
+        sniff_flac,
+    )
+
+    rng = _np.random.default_rng(5)
+    t = _np.arange(5000)
+    tone = (10000 * _np.sin(t / 17.0)).astype(_np.int16)
+    noise = rng.integers(-32768, 32768, size=5000).astype(_np.int16)
+    const = _np.full(5000, -123, dtype=_np.int16)
+    stereo = _np.stack([tone, (noise // 3).astype(_np.int16)], axis=1)
+    cases = [
+        (tone[:, None], "independent", 0, False),
+        (noise[:, None], "independent", 2, False),
+        (const[:, None], "independent", 0, False),
+        (stereo, "independent", 0, False),
+        (stereo, "left_side", 2, False),
+        (stereo, "right_side", 0, True),
+        (stereo, "mid_side", 2, True),
+        (stereo[:1], "mid_side", 0, False),  # single-frame edge
+    ]
+    for x, st, po, lpc in cases:
+        raw = encode_flac(
+            x, 44100, blocksize=1024, stereo=st, partition_order=po,
+            force_lpc=lpc,
+        )
+        dec = decode_flac_samples(raw)
+        assert dec is not None, (st, po, lpc)
+        assert dec[0] == 44100 and _np.array_equal(dec[1], x), (st, po, lpc)
+    info = sniff_flac(encode_flac(stereo, 22050))
+    assert info["sample_rate"] == 22050 and info["channels"] == 2
+    assert info["n_frames"] == 5000
+    assert decode_flac_samples(b"not flac") is None
+    bad = bytearray(encode_flac(tone[:, None], 8000))
+    bad[-3] ^= 0xFF  # corrupt inside the last frame -> CRC-16 catches
+    assert decode_flac_samples(bytes(bad)) is None
+
+
+def test_flac_resample_real_end_to_end(spark):
+    """FLAC payloads go through ``resample_audio`` on the REAL path:
+    native rice/LPC decode, exact integer decimation, re-encoded as a
+    valid FLAC (mime-preserving); ``extract_audio_features`` reads the
+    STREAMINFO header for real."""
+    import numpy as _np
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.flac import (
+        decode_flac_samples,
+        encode_flac,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+        extract_audio_features,
+        resample_audio,
+    )
+
+    n, rate = 1600, 16000
+    t = _np.arange(n)
+    wave = (_np.sin(2 * _np.pi * 440 * t / rate) * 20000).astype(_np.int16)
+    stereo = _np.stack([wave, -wave], axis=1)
+    src = encode_flac(stereo, rate, stereo="mid_side")
+    df = spark.createDataFrame([(1, bytearray(src))], "doc_id long, payload binary")
+    media = to_media_table(df, "doc_id", "payload", source="t")
+    [r] = resample_audio(media, 8000).collect()
+    assert (r.src_rate, r.rate, r.n_frames) == (16000, 8000, 800)
+    out_rate, out = decode_flac_samples(bytes(r.payload))
+    assert out_rate == 8000 and out.shape == (800, 2)
+    assert _np.array_equal(out, stereo[::2])  # exact decimation
+    [f] = extract_audio_features(media).collect()
+    assert (f.sample_rate, f.channels, f.n_frames) == (16000, 2, 1600)
+    assert f.mime == "audio/flac"
