@@ -8,3 +8,9 @@ from .repetition import (  # noqa: F401
     filter_repetitious,
     ngram_repetition,
 )
+from .bpe import (  # noqa: F401
+    bpe_encode,
+    bpe_vocab,
+    train_bpe,
+    word_histogram,
+)

