@@ -33,6 +33,21 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 
+    # Python workers deserialize the package's pandas-UDF closures BY
+    # MODULE REFERENCE, so they must be able to import this package.
+    # A driver that found us via sys.path manipulation (not an install
+    # and not cwd) would otherwise work on the driver and throw
+    # ModuleNotFoundError on every UDF task. Propagate our root onto
+    # PYTHONPATH before the JVM forks workers (local mode inherits the
+    # driver env; for a real cluster ship a wheel via --py-files /
+    # spark.submit.pyFiles — this is the local-and-single-node belt).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
