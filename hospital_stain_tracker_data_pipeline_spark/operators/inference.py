@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from .similarity import as_double_array
+
 
 def linear_probe_scorer(weights, bias: float = 0.0, logistic: bool = True):
     """Build a batch scorer for a linear probe: score = w·x + b, with
@@ -94,3 +96,117 @@ def batch_score(
     if round_to is not None:
         scored = scored.withColumn(out_col, F.round(F.col(out_col), round_to))
     return scored
+
+
+# ---------------------------------------------------------------------------
+# Distributed probe TRAINING — the other half of the probe loop.
+# ---------------------------------------------------------------------------
+
+_PARTIAL_SCHEMA = "pos int, val double"
+
+
+def train_logistic_probe(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    iters: int = 30,
+    lr: float = 0.5,
+    l2: float = 0.0,
+    seed_weights=None,
+):
+    """Train the logistic quality/domain probe that ``batch_score``
+    consumes, at corpus scale — full-batch gradient descent where each
+    iteration is ONE distributed pass:
+
+    ``mapInPandas`` computes a PARTIAL gradient per Arrow batch (one
+    numpy gemm, emitting d+3 tiny rows: gradient components, bias
+    gradient, loss, count), a groupBy over the component index sums the
+    partials (partial aggregation collapses each task to d+3 rows
+    before the exchange), and the driver collects exactly d+3 scalars
+    to take the step. No data row ever reaches the driver — the same
+    shape as MLlib's treeAggregate, expressed as a DataFrame plan.
+
+    Labels must be 0/1 doubles (build with ``F.when`` upstream); NULL
+    or empty vectors and NULL labels are skipped (they contribute
+    nothing to gradient or loss). The input is persisted for the
+    duration of training and unpersisted on exit — ``iters`` passes
+    over a 100 TB corpus must re-read a materialized projection of
+    (vec, label), not re-run upstream lineage per step.
+
+    Returns ``(weights ndarray[d], bias float, history list[float])``
+    (mean log-loss per iteration, pre-step). Float determinism: partial
+    sums reduce in partition order, so reruns agree to ~1e-12 relative
+    — bit-exactness is not promised (document-level decisions never
+    hinge on it); tests pin against a single-process numpy reference
+    at 1e-6.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    base = df.select(
+        as_double_array(F.col(vec_col)).alias("x"),
+        F.col(label_col).cast("double").alias("y"),
+    ).filter(
+        F.col("x").isNotNull() & (F.size("x") > 0) & F.col("y").isNotNull()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        dim = base.select(F.size("x").alias("d")).first()
+        if dim is None:
+            raise ValueError("no usable (vector, label) rows to train on")
+        d = int(dim["d"])
+        w = (
+            np.zeros(d)
+            if seed_weights is None
+            else np.asarray(seed_weights, dtype=np.float64)
+        )
+        if w.shape != (d,):
+            raise ValueError(f"seed_weights shape {w.shape} != ({d},)")
+        b = 0.0
+        history: list[float] = []
+        for _ in range(iters):
+            w_c, b_c = w.copy(), b
+
+            def partial(batches):
+                for pdf in batches:
+                    mat = np.stack(pdf["x"].map(np.asarray).to_numpy())
+                    if mat.shape[1] != w_c.shape[0]:
+                        raise ValueError(
+                            f"embedding dim {mat.shape[1]} != {w_c.shape[0]}"
+                        )
+                    y = pdf["y"].to_numpy(dtype=np.float64)
+                    z = mat @ w_c + b_c
+                    p = 1.0 / (1.0 + np.exp(-z))
+                    resid = p - y
+                    # clipped log-loss (the standard guard against
+                    # log(0) at saturated predictions)
+                    eps = 1e-15
+                    pc = np.clip(p, eps, 1 - eps)
+                    loss = -(y * np.log(pc) + (1 - y) * np.log(1 - pc)).sum()
+                    grad = mat.T @ resid
+                    out = pd.DataFrame(
+                        {
+                            "pos": np.arange(-3, d, dtype=np.int32),
+                            "val": np.concatenate(
+                                ([len(y), loss, resid.sum()], grad)
+                            ),
+                        }
+                    )
+                    yield out
+
+            rows = (
+                base.mapInPandas(partial, schema=_PARTIAL_SCHEMA)
+                .groupBy("pos")
+                .agg(F.sum("val").alias("s"))
+                .collect()
+            )
+            sums = {int(r["pos"]): float(r["s"]) for r in rows}
+            n = sums[-3]
+            history.append(sums[-2] / n)
+            grad_w = (
+                np.array([sums[i] for i in range(d)]) / n + l2 * w
+            )
+            grad_b = sums[-1] / n
+            w = w - lr * grad_w
+            b = b - lr * grad_b
+        return w, b, history
+    finally:
+        base.unpersist()

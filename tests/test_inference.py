@@ -7,6 +7,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from hospital_stain_tracker_data_pipeline_spark.operators.inference import (
     batch_score,
@@ -136,3 +137,142 @@ def test_infinite_scores_surface_as_null(spark):
         ).collect()
     }
     assert out[1] is None and out[2] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# train_logistic_probe — the distributed trainer behind the probe
+# ---------------------------------------------------------------------------
+
+
+def _numpy_logistic_reference(X, y, iters, lr, l2=0.0):
+    """Single-process full-batch GD with the exact update rule the
+    distributed trainer implements — the cross-implementation oracle."""
+    import numpy as np
+
+    w = np.zeros(X.shape[1])
+    b = 0.0
+    hist = []
+    for _ in range(iters):
+        z = X @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        eps = 1e-15
+        pc = np.clip(p, eps, 1 - eps)
+        hist.append(
+            float(-(y * np.log(pc) + (1 - y) * np.log(1 - pc)).mean())
+        )
+        resid = p - y
+        w = w - lr * (X.T @ resid / len(y) + l2 * w)
+        b = b - lr * resid.mean()
+    return w, b, hist
+
+
+def _labeled_embeddings(spark, sf_dir):
+    from hospital_stain_tracker_data_pipeline_spark.sources.tables import (
+        load_fixture_table,
+    )
+
+    emb = load_fixture_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "embedding",
+        F.when(F.col("label") == 0, 1.0).otherwise(0.0).alias("y"),
+    )
+
+
+def test_train_logistic_probe_matches_numpy_reference(spark, sf_dir):
+    import numpy as np
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.inference import (
+        train_logistic_probe,
+    )
+
+    df = _labeled_embeddings(spark, sf_dir)
+    w, b, hist = train_logistic_probe(
+        df, vec_col="embedding", label_col="y", iters=10, lr=0.5, l2=0.01
+    )
+    pdf = df.orderBy("vec_id").toPandas()
+    X = np.stack(pdf["embedding"].map(np.asarray).to_numpy()).astype(np.float64)
+    y = pdf["y"].to_numpy(dtype=np.float64)
+    w_ref, b_ref, hist_ref = _numpy_logistic_reference(X, y, 10, 0.5, 0.01)
+    assert np.allclose(w, w_ref, rtol=1e-6, atol=1e-9)
+    assert b == pytest.approx(b_ref, rel=1e-6, abs=1e-9)
+    assert hist == pytest.approx(hist_ref, rel=1e-6)
+    # training actually learns: loss strictly improves over the run
+    assert hist[-1] < hist[0]
+
+
+def test_train_logistic_probe_partitioning_invariant(spark, sf_dir):
+    import numpy as np
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.inference import (
+        train_logistic_probe,
+    )
+
+    df = _labeled_embeddings(spark, sf_dir)
+    w1, b1, _ = train_logistic_probe(df, label_col="y", iters=3, lr=0.5)
+    w8, b8, _ = train_logistic_probe(
+        df.repartition(8), label_col="y", iters=3, lr=0.5
+    )
+    assert np.allclose(w1, w8, rtol=1e-9, atol=1e-12)
+    assert b1 == pytest.approx(b8, rel=1e-9, abs=1e-12)
+
+
+def test_trained_probe_feeds_batch_score_and_separates_classes(spark, sf_dir):
+    """The loop closes: train -> linear_probe_scorer -> batch_score
+    must rank the positive class above the negative one (mean score
+    gap), i.e. the trained weights are usable by the serving path."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.inference import (
+        batch_score,
+        linear_probe_scorer,
+        train_logistic_probe,
+    )
+
+    df = _labeled_embeddings(spark, sf_dir)
+    w, b, _ = train_logistic_probe(df, label_col="y", iters=40, lr=2.0)
+    scored = batch_score(df, linear_probe_scorer(w, bias=b))
+    [r] = (
+        scored.groupBy()
+        .agg(
+            F.avg(F.when(F.col("y") == 1.0, F.col("score"))).alias("pos"),
+            F.avg(F.when(F.col("y") == 0.0, F.col("score"))).alias("neg"),
+        )
+        .collect()
+    )
+    # the fixture embeddings are only weakly linearly separable (unit
+    # vectors, class-mean gap ~0.15); 40 full-batch steps reach a
+    # ~0.016 mean-score gap in the numpy reference — assert the
+    # trained probe reproduces that separation direction and magnitude
+    assert r["pos"] > r["neg"] + 0.01, (r["pos"], r["neg"])
+
+
+def test_train_logistic_probe_skips_null_and_empty_rows(spark):
+    import numpy as np
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.inference import (
+        train_logistic_probe,
+    )
+
+    rows = [
+        ([1.0, 0.0], 1.0),
+        ([0.0, 1.0], 0.0),
+        (None, 1.0),
+        ([], 0.0),
+        ([0.5, 0.5], None),
+    ]
+    df = spark.createDataFrame(rows, "embedding array<double>, y double")
+    w, b, hist = train_logistic_probe(df, label_col="y", iters=5, lr=1.0)
+    X = np.array([[1.0, 0.0], [0.0, 1.0]])
+    y = np.array([1.0, 0.0])
+    w_ref, b_ref, _ = _numpy_logistic_reference(X, y, 5, 1.0)
+    assert np.allclose(w, w_ref, rtol=1e-9)
+    assert b == pytest.approx(b_ref, rel=1e-9, abs=1e-12)
+
+
+def test_train_logistic_probe_empty_input_raises(spark):
+    from hospital_stain_tracker_data_pipeline_spark.operators.inference import (
+        train_logistic_probe,
+    )
+
+    df = spark.createDataFrame([], "embedding array<double>, y double")
+    with pytest.raises(ValueError, match="no usable"):
+        train_logistic_probe(df, label_col="y", iters=1)
