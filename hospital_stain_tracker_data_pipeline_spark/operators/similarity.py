@@ -510,3 +510,79 @@ def knn_ivf(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic (embedding-space) deduplication
+# ---------------------------------------------------------------------------
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_rows: int | None = 100_000,
+) -> DataFrame:
+    """Semantic near-duplicate pairs, SemDeDup-style (Abbas et al.
+    2023, arXiv:2303.09540): cluster the corpus with the deterministic
+    spherical k-means quantizer, then compute exact cosine only WITHIN
+    each cluster — the cluster assignment is the blocking key that
+    makes the quadratic step tractable at corpus scale.
+
+    Returns ``(id_a, id_b, cosine_sim)`` with ``id_a < id_b`` and
+    rounded cosine ≥ threshold. Documented approximation (the paper's
+    own): a near-dup pair split across two clusters is missed; raise
+    ``n_clusters`` quality by raising ``iters``, or lower miss rate by
+    lowering ``n_clusters`` (bigger blocks, more exact work). The
+    within-cluster all-pairs inherits ``blocked_similar_pairs``'
+    ``max_cluster_rows`` fail-fast guard, so an unbalanced clustering
+    cannot silently launch a days-long quadratic join.
+
+    Scale shape: fit = iters × (one gemm-assign scan + a k×dim
+    integer-sum shuffle); pairing = one equi-join keyed on cluster id.
+    Everything downstream of the fit is the exact-integer /
+    rounded-cosine arithmetic the other similarity operators use, so
+    reruns are bit-identical under any partitioning.
+    """
+    cents = ivf_fit_centroids(df, n_clusters, iters, id_col, vec_col)
+    assigned = fanout(df).select(
+        F.col(id_col),
+        F.col(vec_col),
+    ).withColumn("_cell", ivf_assign_udf(cents)(as_double_array(F.col(vec_col))))
+    return blocked_similar_pairs(
+        assigned,
+        block_col="_cell",
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_block_rows=max_cluster_rows,
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_rows: int | None = 100_000,
+) -> DataFrame:
+    """Drop semantic near-duplicates: the survivor policy is the
+    library-wide one (``pipeline/curate.py``) — the LOWEST id of every
+    ≥ threshold pair survives, i.e. any row appearing as ``id_b`` in
+    ``semantic_dedup_pairs`` is dropped. Transitive chains collapse
+    toward their minimum without a connected-components pass because
+    each pair independently names a smaller survivor. Returns the
+    surviving rows of ``df`` unchanged (left_anti on the drop set —
+    the wide payload never enters the pair join)."""
+    drop = (
+        semantic_dedup_pairs(
+            df, threshold, n_clusters, iters, id_col, vec_col, max_cluster_rows
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(drop, id_col, "left_anti")

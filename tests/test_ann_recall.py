@@ -6,6 +6,7 @@ a regression test, not a statistical one."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from hospital_stain_tracker_data_pipeline_spark.operators.similarity import (
@@ -143,3 +144,138 @@ def test_ivf_golden_neighbors(spark, sf_dir):
         (82, 0.2494), (394, 0.248665), (71, 0.245227),
         (248, 0.239341),
     ]
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup — SemDeDup-style embedding-space deduplication
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_pairs_match_numpy_within_cluster_replay(spark, sf_dir):
+    """The pair set must equal a numpy brute-force replay RESTRICTED to
+    the operator's own cluster assignment: collect the (deterministic)
+    cell per id, compute exact cosines within each cell in numpy, and
+    compare ids AND rounded similarity values exactly."""
+    import numpy as np
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.similarity import (
+        as_double_array,
+        ivf_assign_udf,
+        ivf_fit_centroids,
+        semantic_dedup_pairs,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.sources.tables import (
+        load_fixture_table,
+    )
+
+    emb = load_fixture_table(spark, sf_dir, "embeddings")
+    thr = 0.3  # fixture max pairwise cosine ~0.479: non-trivial pair set
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in semantic_dedup_pairs(
+            emb, threshold=thr, n_clusters=8, iters=2
+        ).collect()
+    }
+    cents = ivf_fit_centroids(emb, n_clusters=8, iters=2)
+    rows = emb.select(
+        "vec_id",
+        as_double_array(F.col("embedding")).alias("v"),
+    ).withColumn("cell", ivf_assign_udf(cents)(F.col("v"))).collect()
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append((r["vec_id"], np.array(r["v"])))
+    want = {}
+    for members in by_cell.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                (ia, va), (ib, vb) = members[i], members[j]
+                if ia > ib:
+                    (ia, va), (ib, vb) = (ib, vb), (ia, va)
+                sim = round(
+                    float(
+                        va @ vb
+                        / (np.linalg.norm(va) * np.linalg.norm(vb))
+                    ),
+                    6,
+                )
+                if sim >= thr:
+                    want[(ia, ib)] = sim
+    assert want, "replay should produce a non-empty pair set at thr=0.3"
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=2e-6)
+
+
+def test_semantic_dedup_survivor_policy_and_determinism(spark, sf_dir):
+    from hospital_stain_tracker_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.sources.tables import (
+        load_fixture_table,
+    )
+
+    emb = load_fixture_table(spark, sf_dir, "embeddings")
+    # the fixture's max pairwise cosine is ~0.479 (random-ish unit
+    # vectors); 0.35 yields a real drop set without being trivial
+    thr = 0.35
+    pairs = semantic_dedup_pairs(emb, threshold=thr, n_clusters=8, iters=2)
+    dropped = {r["id_b"] for r in pairs.collect()}
+    assert dropped, "fixture should contain semantic near-dups at thr=0.35"
+    kept = semantic_dedup(emb, threshold=thr, n_clusters=8, iters=2)
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert kept_ids == all_ids - dropped
+    # survivors keep their full row payload
+    assert kept.columns == emb.columns
+    # partitioning invariance (integer-exact fit + rounded cosines)
+    kept2 = semantic_dedup(
+        emb.repartition(7), threshold=thr, n_clusters=8, iters=2
+    )
+    assert {r["vec_id"] for r in kept2.select("vec_id").collect()} == kept_ids
+
+
+def test_semantic_dedup_golden_tiny(spark):
+    """Hand-built corpus: two near-duplicate groups plus a singleton.
+    n_clusters=1 makes the within-cluster step exhaustive, so this
+    golden pins the survivor POLICY (lowest id per ≥-threshold pair)
+    independent of clustering quality — which the fixture replay test
+    covers. (With k≥2 on 5 points, the deterministic init can seed the
+    two halves of a dup group as separate centroids: the documented
+    SemDeDup cross-cluster miss, meaningless at corpus scale but
+    dominant at n=5.)"""
+    from hospital_stain_tracker_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.001, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.999, 0.001]),   # near-dup of 3
+        (5, [0.0, 0.0, 1.0]),       # singleton
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            df, threshold=0.99, n_clusters=1, iters=2
+        ).collect()
+    }
+    assert kept == {1, 3, 5}
+
+
+def test_semantic_dedup_cluster_size_guard(spark):
+    from hospital_stain_tracker_data_pipeline_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [1.0, float(i % 3) * 1e-4]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="max_block_rows"):
+        # one direction -> one cluster holds ~all rows; guard must fire
+        semantic_dedup_pairs(
+            df, threshold=0.9, n_clusters=2, iters=1, max_cluster_rows=10
+        ).collect()
