@@ -1,0 +1,127 @@
+"""Web-corpus curation operators (beyond the reference surface — the
+provenance-level controls a Common-Crawl-style pipeline applies before
+any text-level stage): URL → domain extraction, per-domain document
+caps, and domain blocklist filtering.
+
+Spark-first shape: domain extraction is a pure regexp Column (JVM-side,
+whole-stage codegen); the cap is one ranked window per group keyed by a
+deterministic hash order; the blocklist is a broadcast anti-join. No
+Python anywhere.
+
+At 100 TB: the cap's window shuffles on the group column — exactly one
+exchange, and the heavy tail of the web (millions of single-page
+domains) costs nothing because partial ranking needs no global sort.
+The deliberate skew caveat: a mega-domain (e.g. one host contributing
+0.1% of the corpus) concentrates its rows in one task; AQE skew-split
+does not apply to windows, so for genuinely pathological hosts,
+pre-filter them via the blocklist (they are exactly the hosts a cap
+would cut to `cap` rows anyway, so dropping the excess EARLY with a
+cheap count + filter is the scale-correct order of operations —
+``cap_per_group`` does this automatically with its two-phase plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# host = everything between the scheme/leading "//" (or string start)
+# and the first "/", "?", "#", or ":" (port). Lowercased; userinfo
+# ("user@") stripped. A deliberately engine-portable regexp — the
+# DuckDB oracle replays it verbatim — rather than java.net.URI
+# semantics, which no other engine reproduces.
+_HOST_RE = r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?(?://)?(?:[^/?#@]*@)?([^/?#:]+)"
+
+
+def extract_domain(url: Column, registrable: bool = False) -> Column:
+    """Lowercased host of a URL-ish string; NULL for NULL/empty input.
+
+    ``registrable=True`` reduces the host to its last two labels
+    (``news.bbc.co.uk`` → ``co.uk`` caveat applies: a real public
+    -suffix list is a data file, not an algorithm — this is the
+    documented approximation; feed a suffix table through
+    ``cap_per_group``'s ``group_col`` for exact eTLD+1 policy).
+    """
+    host = F.lower(F.regexp_extract(F.trim(url), _HOST_RE, 1))
+    host = F.when(host == "", None).otherwise(host)
+    if not registrable:
+        return host
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.when(
+        n >= 2,
+        F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1)),
+    ).otherwise(host)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen by deterministic
+    keyed-hash order (``md5(seed:id)`` with an id tiebreak) — a seeded
+    uniform sample of each over-represented group, the standard
+    "max N pages per domain" web-curation control. md5 rather than
+    xxhash64 as the permutation key so the selection is replayable
+    bit-for-bit by other engines (the DuckDB oracle pins the exact
+    kept-id set, same trick as the dedup fingerprints). Rows with a
+    NULL group are kept unconditionally (unknown provenance is a
+    separate policy decision — filter them upstream if unwanted).
+
+    Two-phase plan for skew: phase 1 counts rows per group (partial
+    agg, tiny result) and keeps only over-cap groups; phase 2 runs the
+    ranked window ONLY over rows of those groups (broadcast semi-join
+    to select them), while under-cap groups — the overwhelming
+    majority of the web's Zipf tail — bypass the window entirely. The
+    window exchange therefore carries just the head of the
+    distribution instead of the whole corpus.
+
+    Deterministic under any partitioning; a different ``seed`` keeps a
+    statistically independent subset per epoch.
+    """
+    if cap < 0:
+        raise ValueError(f"cap must be >= 0, got {cap}")
+    over = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > cap)
+        .select(group_col)
+    )
+    in_over = df.join(F.broadcast(over), group_col, "left_semi")
+    pass_through = df.join(F.broadcast(over), group_col, "left_anti")
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))),
+        F.col(id_col),
+    )
+    capped = (
+        in_over.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+    )
+    # the equi-join hoists group_col to the front; restore the input's
+    # column order so the cap is schema-transparent
+    return pass_through.unionByName(capped).select(df.columns)
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Drop rows whose URL's domain appears in a blocklist table
+    (column ``domain_col``, matched case-insensitively on the full
+    host). Broadcast anti-join: the blocklist is dimension-sized by
+    nature (UT1/adult lists are ~1-5 M rows — megabytes), the corpus
+    never shuffles, and the domain extraction fuses into the scan."""
+    probe = df.withColumn("_host", extract_domain(F.col(url_col)))
+    block = blocklist.select(
+        F.lower(F.trim(F.col(domain_col))).alias("_host")
+    ).distinct()
+    return (
+        probe.join(F.broadcast(block), "_host", "left_anti").drop("_host")
+    )
