@@ -2,8 +2,9 @@
 training-data operators into the pipeline a pretraining data run
 actually executes —
 
-    quality funnel → exact dedup → near-dup drop → [optional C4-style
-    span-level dedup] → epoch shuffle → sequence packing
+    [optional per-source cap] → quality funnel → exact dedup →
+    near-dup drop → [optional C4-style span-level dedup] → [optional
+    CCNet-style LM perplexity gate] → epoch shuffle → sequence packing
 
 Each stage is one of the library's standalone operators; this module
 only wires them, so the scale properties are the stages' own (funnel:
@@ -32,7 +33,9 @@ from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import quality_score, token_count
 from ..operators.dedup import dedup_spans, exact_dedup, minhash_lsh_dedup_pairs
+from ..operators.lm import score_perplexity
 from ..operators.packing import epoch_shuffle, filter_funnel, pack_token_chunks
+from ..operators.web import cap_per_group
 
 
 @dataclass
@@ -46,6 +49,10 @@ class CurationReport:
     # docs still non-empty after the optional span-level dedup stage;
     # None when the stage is off
     after_span_dedup: int | None = None
+    # docs surviving the optional per-source cap; None when off
+    after_source_cap: int | None = None
+    # docs surviving the optional LM-perplexity filter; None when off
+    after_perplexity: int | None = None
 
 
 def default_quality_stages(
@@ -70,6 +77,10 @@ def curate_documents(
     near_dup_threshold: float = 0.9,
     span_dedup_delim: str | None = None,
     span_min_chars: int = 0,
+    max_per_source: int | None = None,
+    source_col: str = "source",
+    ppl_lm=None,
+    max_perplexity: float | None = None,
 ) -> tuple[DataFrame, CurationReport]:
     """Run the full curation pipeline over a ``(doc_id, text)`` corpus;
     returns ``(packed_chunks, report)``.
@@ -100,11 +111,39 @@ def curate_documents(
     winners are what a user expects span attrition to be reported
     against.
 
+    ``max_per_source`` switches on the provenance control FIRST (the
+    cheapest stage — it sees only (id, source) — and the standard
+    web-pipeline order: cap a mega-source before paying any text-level
+    work for its excess): at most that many docs survive per
+    ``source_col`` group, chosen by ``cap_per_group``'s seeded
+    deterministic permutation (the same ``seed`` as the epoch
+    shuffle). ``ppl_lm`` + ``max_perplexity`` switch on the
+    CCNet-style LM quality gate LAST among the doc-level stages
+    (scoring explodes every doc into n-grams — run it on the
+    smallest corpus the pipeline can offer): docs whose perplexity
+    under the caller's trusted-corpus model exceeds the bound (or is
+    NULL — empty docs) are dropped. Train the model with
+    ``operators.lm.train_ngram_lm`` on a *trusted* reference corpus,
+    not on the corpus being filtered.
+
     The returned chunk frame reads from the persisted post-dedup
     corpus; call ``unpersist_curated(chunks)`` (or
     ``spark.catalog.clearCache()``) when done with it to release
     executor storage."""
+    if (ppl_lm is None) != (max_perplexity is None):
+        raise ValueError(
+            "ppl_lm and max_perplexity must be provided together"
+        )
     stages = stages if stages is not None else default_quality_stages()
+
+    n_cap: int | None = None
+    if max_per_source is not None:
+        # the pre-cap total needs its own (cheap, two-column) count;
+        # the funnel's `total` below then reports the post-cap corpus
+        total_in = docs.count()
+        docs = cap_per_group(
+            docs, source_col, max_per_source, id_col="doc_id", seed=seed
+        )
 
     # one conditional-agg scan yields total + every cumulative stage
     # count — NOT len(stages)+1 separate count() actions
@@ -115,6 +154,9 @@ def curate_documents(
     else:
         total = docs.count()
         n_clean = total
+    if max_per_source is not None:
+        n_cap = total
+        total = total_in
 
     cond = None
     for _, c in stages:
@@ -158,6 +200,24 @@ def curate_documents(
         deduped.unpersist()
         deduped = spanned
 
+    n_ppl: int | None = None
+    if ppl_lm is not None:
+        keep_ppl = (
+            score_perplexity(deduped, ppl_lm)
+            .filter(
+                F.col("perplexity").isNotNull()
+                & (F.col("perplexity") <= F.lit(float(max_perplexity)))
+            )
+            .select("doc_id")
+        )
+        filtered = deduped.join(keep_ppl, "doc_id", "left_semi").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        n_ppl = filtered.count()  # materializes: the n-gram explode +
+        # model joins execute once; packing reads the cached survivors
+        deduped.unpersist()
+        deduped = filtered
+
     # sort=False: packing's shard window consumes the _order KEY, so a
     # global range sort here would be a dead exchange
     shuffled = epoch_shuffle(deduped, seed=seed, sort=False)
@@ -180,6 +240,8 @@ def curate_documents(
         chunks=int(agg.n_chunks or 0),
         packed_tokens=int(agg.tok or 0),
         after_span_dedup=n_span,
+        after_source_cap=n_cap,
+        after_perplexity=n_ppl,
     )
     # handle for unpersist_curated — the chunks frame's lineage reads
     # from this persisted corpus

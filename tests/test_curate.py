@@ -200,3 +200,81 @@ def test_curate_span_dedup_off_is_unchanged(spark):
     )
     assert rep.after_span_dedup is None
     assert rep.after_near_dedup == 2
+
+
+def test_curate_source_cap_stage(spark):
+    """max_per_source engages first: 10 docs from one source capped to
+    3 before any text stage; attrition is reported against the true
+    input total."""
+    rows = [
+        (i, BASE.replace("fox", f"fox{i}"), "srcA") for i in range(1, 11)
+    ] + [(20, BASE.replace("fox", "vulpes"), "srcB")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    chunks, rep = curate_documents(
+        docs,
+        budget=16,
+        n_shards=2,
+        seed=1,
+        near_dup_threshold=0.99,
+        max_per_source=3,
+    )
+    assert rep.total == 11
+    assert rep.after_source_cap == 4  # 3 of srcA + 1 of srcB
+    assert rep.after_quality <= rep.after_source_cap
+    # deterministic: same call again yields the identical chunk set
+    chunks2, rep2 = curate_documents(
+        docs,
+        budget=16,
+        n_shards=2,
+        seed=1,
+        near_dup_threshold=0.99,
+        max_per_source=3,
+    )
+    assert rep2 == rep
+    assert sorted(map(tuple, chunks.collect())) == sorted(
+        map(tuple, chunks2.collect())
+    )
+
+
+def test_curate_perplexity_stage(spark):
+    """The LM gate drops the out-of-distribution doc: train the model
+    on in-domain text, curate a corpus holding one in-domain and one
+    gibberish doc with a threshold between their perplexities."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.lm import (
+        score_perplexity,
+        train_ngram_lm,
+    )
+
+    trusted = spark.createDataFrame(
+        [(i, BASE) for i in range(5)], "doc_id long, text string"
+    )
+    lm = train_ngram_lm(trusted, n=2, k=0.1)
+    corpus = spark.createDataFrame(
+        [
+            (1, BASE),
+            (2, "zxqv wvut qqqq plk mnb asdf ghjk zxcv tyui opas dfgh jkl"),
+        ],
+        "doc_id long, text string",
+    )
+    ppls = {
+        r["doc_id"]: r["perplexity"]
+        for r in score_perplexity(corpus, lm).collect()
+    }
+    cut = (ppls[1] + ppls[2]) / 2
+    chunks, rep = curate_documents(
+        corpus,
+        budget=16,
+        n_shards=1,
+        near_dup_threshold=0.99,
+        ppl_lm=lm,
+        max_perplexity=cut,
+    )
+    assert rep.after_near_dedup == 2
+    assert rep.after_perplexity == 1
+    packed_docs = {r["doc_id"] for r in chunks.select("doc_id").collect()}
+    assert packed_docs == {1}
+    # the two optional args must travel together
+    import pytest
+
+    with pytest.raises(ValueError, match="together"):
+        curate_documents(corpus, ppl_lm=lm)
