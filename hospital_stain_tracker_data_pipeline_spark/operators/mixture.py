@@ -1,0 +1,226 @@
+"""Token-budget data-mixture planning + sampling (beyond the reference
+surface — the "how many tokens of each source goes into the run"
+decision every pretraining data pipeline makes, à la the published
+LLaMA/Pile mixtures): compute per-source token inventories, allocate a
+global token budget across sources under per-source epoch caps
+(water-filling the shortfall), and materialize the allocation as a
+deterministic hash-ordered sample with explicit epoch replication.
+
+Spark-first shape: the inventory is one partial-agg scan; the
+allocation runs driver-side over k aggregated rows (k = number of
+sources — dimension-sized by definition); the sampler is a per-source
+cumulative-token window over an md5 permutation — the same
+engine-replayable ordering trick as `cap_per_group` and
+`train_test_split`, so the EXACT sampled id set is DuckDB-verifiable.
+
+At 100 TB: sampling shuffles once on the source key for the cumsum
+window. A mega-source concentrates its rows in one window task — the
+documented mitigation is the same two-phase pruning `q_mixture_sample`
+demonstrates (pre-prune per input partition before the exact window);
+here the prefix is token-count-bounded rather than row-count-bounded,
+so local pruning needs the per-source token quota as a local cumsum
+bound. Epoch replication (`epoch` column) is explode-per-row — no
+driver loop, and downstream shuffles see epoch-tagged ids so repeated
+epochs never collide in dedup-sensitive consumers.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count
+
+
+def source_token_stats(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    tokens_col: Column | None = None,
+) -> DataFrame:
+    """Per-source inventory: ``(source, n_docs, n_tokens)``. One
+    partial-agg scan; pass ``tokens_col`` to use a real tokenizer's
+    counts instead of the whitespace default."""
+    n_tok = (
+        token_count(F.col(text_col)) if tokens_col is None else tokens_col
+    ).cast("long")
+    return docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).alias("n_tokens"),
+    )
+
+
+@dataclass
+class SourceAllocation:
+    source: str
+    available_tokens: int
+    weight: float
+    target_tokens: int  # what the budget wants from this source
+    epochs: float  # target_tokens / available_tokens (≤ max_epochs)
+
+
+def plan_token_mixture(
+    stats: DataFrame,
+    target_tokens: int,
+    weights: dict[str, float] | None = None,
+    max_epochs: float = 1.0,
+) -> list[SourceAllocation]:
+    """Allocate ``target_tokens`` across sources by ``weights``
+    (default: proportional to availability), capping every source at
+    ``max_epochs`` passes over its data and WATER-FILLING the capped
+    surplus onto the uncapped sources (re-normalized by their weights,
+    iterated until stable — ≤ k rounds). The published-mixture shape:
+    "2 epochs of books, 0.7 of web" falls out of weights + caps.
+
+    Driver-side BY DESIGN: the input is the per-source aggregate
+    (dimension-sized); the corpus itself is never touched here.
+    Unknown weight keys raise (a silently dropped source is a wrong
+    mixture); sources present in ``stats`` but absent from an explicit
+    ``weights`` get weight 0 (excluded, reported with epochs=0).
+    Returns allocations sorted by source for determinism.
+    """
+    if target_tokens < 0:
+        raise ValueError(f"target_tokens must be >= 0, got {target_tokens}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    rows = {r["source"]: r for r in stats.collect()}
+    if weights is not None:
+        unknown = set(weights) - set(rows)
+        if unknown:
+            raise ValueError(
+                f"weights name sources absent from stats: {sorted(unknown)}"
+            )
+        w = {s: float(weights.get(s, 0.0)) for s in rows}
+    else:
+        w = {s: float(rows[s]["n_tokens"] or 0) for s in rows}
+    if any(v < 0 for v in w.values()):
+        raise ValueError("weights must be >= 0")
+    cap = {
+        s: int(math.floor(max_epochs * int(rows[s]["n_tokens"] or 0)))
+        for s in rows
+    }
+    alloc = {s: 0 for s in rows}
+    remaining = int(target_tokens)
+    active = {s for s in rows if w[s] > 0 and cap[s] > alloc[s]}
+    # water-fill: distribute by weight, clamp at caps, push the
+    # surplus back onto the still-uncapped set; each round caps ≥1
+    # source or terminates, so ≤ k rounds
+    while remaining > 0 and active:
+        total_w = sum(w[s] for s in active)
+        # largest-remainder rounding keeps the round's grants summing
+        # to exactly `remaining` when nothing clamps
+        grants = {s: int(remaining * w[s] / total_w) for s in active}
+        leftover = remaining - sum(grants.values())
+        for s in sorted(active)[:leftover]:
+            grants[s] += 1
+        progressed = False
+        for s in list(active):
+            take = min(grants[s], cap[s] - alloc[s])
+            if take > 0:
+                alloc[s] += take
+                remaining -= take
+                progressed = True
+            if alloc[s] >= cap[s]:
+                active.discard(s)
+        if not progressed:
+            break  # all grants rounded to zero — nothing left to place
+    return [
+        SourceAllocation(
+            source=s,
+            available_tokens=int(rows[s]["n_tokens"] or 0),
+            weight=w[s],
+            target_tokens=alloc[s],
+            epochs=(
+                alloc[s] / int(rows[s]["n_tokens"])
+                if int(rows[s]["n_tokens"] or 0) > 0
+                else 0.0
+            ),
+        )
+        for s in sorted(rows)
+    ]
+
+
+def sample_token_mixture(
+    docs: DataFrame,
+    plan: list[SourceAllocation],
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_col: Column | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Materialize a mixture plan: for each source, emit
+    ``floor(epochs)`` full passes plus a hash-ordered prefix holding
+    the fractional remainder of the token quota. Output adds an
+    ``epoch`` column (0-based) so repeated passes are distinguishable
+    downstream.
+
+    The fractional prefix takes docs in md5(seed:epoch:id) order while
+    their PRECEDING cumulative token count is under the remainder —
+    greedy take-until-reached, the first doc crossing the boundary is
+    included (a training run overshoots by at most one document rather
+    than undershooting the budget). Deterministic under any
+    partitioning, exact-replayable in SQL (cumsum window over the same
+    md5 order). Each epoch uses its own permutation — repeated passes
+    stream the source in independent orders, matching how a training
+    loop reshuffles per epoch.
+    """
+    quota = {
+        a.source: a.target_tokens for a in plan if a.target_tokens > 0
+    }
+    avail = {a.source: a.available_tokens for a in plan}
+    if not quota:
+        empty = docs.withColumn("epoch", F.lit(0)).limit(0)
+        return empty
+    n_tok = (
+        token_count(F.col(text_col)) if tokens_col is None else tokens_col
+    ).cast("long")
+    max_full = {
+        s: int(quota[s] // avail[s]) if avail[s] > 0 else 0 for s in quota
+    }
+    rem_tokens = {
+        s: quota[s] - max_full[s] * avail[s] for s in quota
+    }
+    full_map = F.create_map(
+        *[x for s in quota for x in (F.lit(s), F.lit(max_full[s]))]
+    )
+    rem_map = F.create_map(
+        *[x for s in quota for x in (F.lit(s), F.lit(rem_tokens[s]))]
+    )
+    base = (
+        docs.filter(F.col(source_col).isin(*quota.keys()))
+        .withColumn("_n_tok", n_tok)
+        .withColumn("_full", full_map[F.col(source_col)])
+        .withColumn("_rem", rem_map[F.col(source_col)])
+    )
+    # full epochs: every doc of the source, epochs 0..full-1
+    fulls = base.filter(F.col("_full") > 0).withColumn(
+        "epoch",
+        F.explode(F.sequence(F.lit(0), F.col("_full") - 1)),
+    )
+    # fractional epoch (index = _full): hash-ordered token prefix
+    order = F.md5(
+        F.concat_ws(
+            ":",
+            F.lit(seed),
+            F.col("_full").cast("string"),
+            F.col(id_col).cast("string"),
+        )
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(order, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    frac = (
+        base.filter(F.col("_rem") > 0)
+        .withColumn("_cum", F.sum("_n_tok").over(w))
+        .filter(F.col("_cum") - F.col("_n_tok") < F.col("_rem"))
+        .withColumn("epoch", F.col("_full"))
+        .drop("_cum")
+    )
+    out_cols = docs.columns + ["epoch"]
+    return fulls.select(out_cols).unionByName(frac.select(out_cols))
