@@ -36,6 +36,7 @@ class LakeTable:
         partition_col: str = "date",
         version_col: str | None = "created_at",
         sort_cols: Sequence[str] | None = None,
+        data_format: str = "parquet",
     ):
         """``sort_cols``: optional within-file clustering columns. Every
         write sorts rows inside each task by (partition, *sort_cols)
@@ -45,13 +46,25 @@ class LakeTable:
         whole row groups from the footer alone (the poor man's Z-order;
         single-column clustering is exactly what the reference's B-tree
         second key gave it). Costs one in-task sort at write time, no
-        extra shuffle."""
+        extra shuffle.
+
+        ``data_format``: ``parquet`` (default) or ``orc`` — both are
+        Spark-native columnar formats with identical partition-pruning,
+        predicate-pushdown, and dynamic-partition-overwrite behavior,
+        so the whole merge/compact machinery is format-agnostic; ORC
+        matters for lakes shared with Hive/Trino deployments that
+        standardized on it."""
         self.spark = spark
         self.path = path
         self.keys = list(keys)
         self.partition_col = partition_col
         self.version_col = version_col
         self.sort_cols = list(sort_cols) if sort_cols else []
+        if data_format not in ("parquet", "orc"):
+            raise ValueError(
+                f"unsupported data_format {data_format!r}: parquet | orc"
+            )
+        self.data_format = data_format
 
     def _hadoop_fs(self):
         """Resolve ``self.path`` through the Hadoop ``FileSystem`` API so
@@ -77,7 +90,7 @@ class LakeTable:
         )
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+        return self.spark.read.format(self.data_format).load(self.path)
 
     def overwrite(self, df: DataFrame) -> None:
         if self.sort_cols:
@@ -86,7 +99,8 @@ class LakeTable:
             df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(self.partition_col)
-            .parquet(self.path)
+            .format(self.data_format)
+            .save(self.path)
         )
 
     def upsert(self, incoming: DataFrame) -> None:
@@ -150,7 +164,7 @@ class LakeTable:
                     1
                     for f in fs.listStatus(st.getPath())
                     if f.isFile()
-                    and f.getPath().getName().endswith(".parquet")
+                    and f.getPath().getName().endswith(f".{self.data_format}")
                     and not f.getPath().getName().startswith(".")
                 )
         return out

@@ -580,3 +580,56 @@ def test_bucketed_join_is_shuffle_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_items")
+
+
+def test_lake_table_orc_format_upsert_prune_compact(spark, tmp_path):
+    """The lake machinery is format-agnostic: an ORC-backed table must
+    upsert idempotently, partition-prune a date-equality read (ORC
+    scans carry PartitionFilters exactly like parquet), and compact
+    fragmented partitions — same semantics, different encoder."""
+    import pyspark.sql.functions as F
+
+    from hospital_stain_tracker_data_pipeline_spark.pipeline.lake import LakeTable
+
+    path = str(tmp_path / "cap_orc")
+    df = spark.createDataFrame(
+        [("2026-02-0%d" % (i % 2 + 1), i, float(i)) for i in range(20)],
+        "date string, region_id int, v double",
+    ).withColumn("date", F.to_date("date"))
+    t = LakeTable(
+        spark, path, keys=["date", "region_id"], version_col=None,
+        data_format="orc",
+    )
+    t.upsert(df)
+    assert t.read().count() == 20
+    # idempotent re-upsert with an updated value: last writer wins
+    upd = df.filter(F.col("region_id") == 3).withColumn("v", F.lit(99.0))
+    t.upsert(upd)
+    got = t.read()
+    assert got.count() == 20
+    assert got.filter("region_id = 3").collect()[0]["v"] == 99.0
+    # files on disk are ORC, not parquet
+    import glob
+
+    assert glob.glob(f"{path}/date=*/*.orc")
+    assert not glob.glob(f"{path}/date=*/*.parquet")
+    # partition pruning in the ORC scan
+    q = t.read().filter(F.col("date") == "2026-02-02")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    pf_line = plan.split("PartitionFilters")[1].splitlines()[0]
+    assert "date" in pf_line and "2026-02-02" in pf_line
+    # the second upsert fragmented the touched partition; compaction
+    # sees and rewrites ORC files
+    counts = t.partition_file_counts()
+    assert counts and all(n >= 1 for n in counts.values())
+    rewritten = t.compact(min_files=2)
+    after = t.partition_file_counts()
+    for p in rewritten:
+        assert after[p] == 1
+    assert t.read().count() == 20
+    with pytest.raises(ValueError, match="unsupported data_format"):
+        LakeTable(spark, path, keys=["date"], data_format="avro")
