@@ -7,6 +7,9 @@
     stream_ingest --input-dir          (§2.9 availableNow file-source ingest,
                                         the Spark stand-in for the S3→Lambda
                                         trigger in aws/lambda_handler.py:7-47)
+    curate --input --output            (training-data extension: the corpus
+                                        curation recipe → stream-ordered
+                                        packed chunks)
 
 A user of the reference pipeline can run the same workflows against a
 parquet lake directory instead of Postgres:
@@ -116,6 +119,38 @@ def cmd_query(args) -> None:
             print(line)
 
 
+def cmd_curate(args) -> None:
+    """Training-data extension: run the corpus-curation recipe over a
+    parquet documents table and write the packed chunks in stream
+    order (operators/packing.py::write_packed_corpus)."""
+    import dataclasses
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.packing import (
+        write_packed_corpus,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.pipeline.curate import (
+        curate_documents,
+        unpersist_curated,
+    )
+
+    spark = get_spark(app_name="curate")
+    docs = spark.read.parquet(args.input)
+    chunks, report = curate_documents(
+        docs,
+        budget=args.budget,
+        n_shards=args.shards,
+        seed=args.seed,
+        near_dup_threshold=args.near_dup_threshold,
+        span_dedup_delim=args.span_delim,
+        max_per_source=args.max_per_source,
+    )
+    write_packed_corpus(chunks, args.output)
+    unpersist_curated(chunks)
+    for k, v in dataclasses.asdict(report).items():
+        print(f"{k}={v}")
+    print(f"wrote {args.output}")
+
+
 def main() -> None:
     p = argparse.ArgumentParser(prog="run_pipeline")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -160,6 +195,17 @@ def main() -> None:
     pq.add_argument("--full", action="store_true")
     pq.add_argument("--csv-out", default=None)
     pq.set_defaults(fn=cmd_query)
+
+    pc = sub.add_parser("curate")
+    pc.add_argument("--input", required=True, help="documents parquet path")
+    pc.add_argument("--output", required=True, help="packed-chunk parquet out")
+    pc.add_argument("--budget", type=int, default=2048)
+    pc.add_argument("--shards", type=int, default=32)
+    pc.add_argument("--seed", type=int, default=0)
+    pc.add_argument("--near-dup-threshold", type=float, default=0.9)
+    pc.add_argument("--span-delim", default=None)
+    pc.add_argument("--max-per-source", type=int, default=None)
+    pc.set_defaults(fn=cmd_curate)
 
     args = p.parse_args()
     args.fn(args)

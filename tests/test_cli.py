@@ -57,3 +57,43 @@ def test_cli_ingest_metrics_query_json_and_csv(tmp_path):
         recs = list(csv.DictReader(f))
     assert {r["region"] for r in recs} == {"R, quoted", "PLAIN"}
     assert all(r["strain_index"] for r in recs)
+
+
+def test_cli_curate_writes_packed_corpus(tmp_path):
+    """The curate subcommand must run the full recipe over a documents
+    parquet and emit stream-ordered packed chunks + the attrition
+    report on stdout."""
+    import subprocess
+    import sys
+
+    import duckdb
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "packed")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "scripts/run_pipeline.py",
+            "curate",
+            "--input", src,
+            "--output", out,
+            "--budget", "256",
+            "--shards", "4",
+            "--max-per-source", "20",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = dict(
+        line.split("=", 1)
+        for line in proc.stdout.splitlines()
+        if "=" in line and not line.startswith("wrote")
+    )
+    assert int(report["total"]) == 500
+    assert int(report["after_source_cap"]) <= 500
+    assert int(report["chunks"]) > 0
+    n = duckdb.sql(f"SELECT count(*) FROM '{out}/*.parquet'").fetchone()[0]
+    assert n > 0
