@@ -262,3 +262,121 @@ def test_dedup_spans_matches_python_reference(spark, doc_lines):
                 kept.append(s)
         want[doc_id] = ("\n".join(kept), len(spans), len(kept))
     assert got == want
+
+
+@_slow
+@given(
+    docs=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab xyz"),
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    n=st.integers(1, 3),
+    k=st.floats(0.01, 2.0),
+)
+def test_ngram_lm_perplexity_properties(spark, docs, n, k):
+    """Any corpus, any order n, any add-k: (1) scored self-perplexity
+    is finite and ≥ 1 for docs with tokens, NULL for token-free docs;
+    (2) every per-gram probability is a proper distribution, so
+    avg_neg_logp > 0 unless the model is deterministic on that doc
+    (perplexity == 1.0 exactly when every gram has probability 1 —
+    impossible under add-k with a nonempty vocab, so ppl > 1)."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.lm import (
+        score_perplexity,
+        train_ngram_lm,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    lm = train_ngram_lm(df, n=n, k=k)
+    rows = score_perplexity(df, lm, round_to=None).collect()
+    assert len(rows) == len(docs)
+    has_tokens = lm.vocab_size > 0
+    for r in rows:
+        if r["n_grams"] == 0:
+            assert r["perplexity"] is None
+        else:
+            assert has_tokens
+            # add-k smoothing spreads mass onto the OOV bucket, so no
+            # gram is ever certain: perplexity strictly above 1
+            assert r["perplexity"] > 1.0
+            assert r["avg_neg_logp"] > 0.0
+
+
+@_slow
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 50), st.sampled_from(["a", "b", "c", None])),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    cap=st.integers(0, 6),
+    seed=st.integers(0, 3),
+)
+def test_cap_per_group_properties(spark, rows, cap, seed):
+    """Any corpus/cap/seed: every non-NULL group ends ≤ cap, NULL
+    groups pass through whole, kept rows are a subset of the input,
+    and under-cap groups are untouched."""
+    from collections import Counter
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.web import (
+        cap_per_group,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = cap_per_group(df, "source", cap, seed=seed).collect()
+    in_counts = Counter(s for _, s in rows)
+    out_counts = Counter(r["source"] for r in got)
+    in_ids = {i for i, _ in rows}
+    assert all(r["doc_id"] in in_ids for r in got)
+    for g, n_in in in_counts.items():
+        if g is None:
+            assert out_counts[g] == n_in
+        else:
+            assert out_counts[g] == min(n_in, cap)
+
+
+@_slow
+@given(
+    tokens=st.lists(st.integers(1, 20), min_size=1, max_size=12),
+    frac=st.floats(0.1, 2.9),
+    seed=st.integers(0, 2),
+)
+def test_sample_token_mixture_budget_conservation(spark, tokens, frac, seed):
+    """Any corpus and fractional epoch target: the sampled token mass
+    per source lands in [quota, quota + max_doc) — greedy
+    take-until-reached overshoots by less than one document — and
+    full epochs replicate the whole source."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.mixture import (
+        plan_token_mixture,
+        sample_token_mixture,
+        source_token_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n), "s") for i, n in enumerate(tokens)],
+        "doc_id long, text string, source string",
+    )
+    stats = source_token_stats(docs)
+    avail = sum(tokens)
+    target = max(1, int(avail * frac))
+    plan = plan_token_mixture(stats, target_tokens=target, max_epochs=3.0)
+    quota = plan[0].target_tokens
+    assert quota == min(target, int(3.0 * avail))
+    out = sample_token_mixture(docs, plan, seed=seed).collect()
+    tok_by_id = dict(enumerate(tokens))
+    got_tokens = sum(tok_by_id[r["doc_id"]] for r in out)
+    assert got_tokens >= quota
+    assert got_tokens - max(tokens) < quota
+    # every full epoch contains the entire source exactly once
+    from collections import Counter
+
+    per_epoch = Counter(r["epoch"] for r in out)
+    n_full = quota // avail
+    for e in range(n_full):
+        assert per_epoch[e] == len(tokens)
