@@ -465,3 +465,51 @@ def stream_static_enrich(
     )
     q.awaitTermination()
     return _drain_memory_sink(spark, name)
+
+
+def stream_score_perplexity(
+    spark: SparkSession,
+    source_path: str,
+    lm,
+    out_dir: str,
+    schema: str = "doc_id long, text string",
+) -> DataFrame:
+    """Score-on-ingest: LM-perplexity-score a STREAM of documents with
+    the batch operator reused verbatim inside ``foreachBatch``
+    (§2.9 extension — a real curation pipeline scores documents as
+    they land, not in a nightly batch).
+
+    Why foreachBatch instead of a streaming aggregation: the per-doc
+    aggregate is BATCH-LOCAL by construction — a document arrives as
+    one row, and ``score_perplexity``'s explode keeps all of its grams
+    inside that same micro-batch, so no cross-batch state (and thus no
+    watermark, no state store) is needed; ``foreachBatch`` lets the
+    exact batch plan (JVM gram construction + two broadcast model
+    joins + per-doc agg) run per micro-batch with zero semantic drift
+    from the batch path — pinned by the stream-equals-batch test.
+
+    The scored rows append to ``out_dir`` as parquet (the durable-sink
+    shape; a memory sink can't survive the executor restart a real
+    deployment has to). Returns a batch DataFrame over the sink.
+    """
+    from ..operators.lm import score_perplexity
+
+    docs = spark.readStream.schema(schema).parquet(source_path)
+
+    def _score_batch(batch_df: DataFrame, _epoch: int) -> None:
+        (
+            score_perplexity(batch_df, lm)
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(_score_batch)
+        .option(
+            "checkpointLocation", os.path.join(out_dir, "_checkpoint")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

@@ -225,3 +225,37 @@ def test_stream_static_enrich_matches_batch_join(spark, staged, sf_dir):
         (r.event_id, r.c_name, r.c_nationkey) for r in batch.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_score_perplexity_matches_batch(spark, sf_dir, tmp_path):
+    """Streamed LM scoring must equal the batch operator row-for-row:
+    same model, same corpus, one via readStream+foreachBatch, one via
+    the direct batch call."""
+    import os as _os
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.lm import (
+        score_perplexity,
+        train_ngram_lm,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.streaming.ingest_stream import (
+        stream_score_perplexity,
+    )
+
+    docs = load_fixture_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    lm = train_ngram_lm(docs, n=2, k=0.1, min_count=2)
+
+    src = str(tmp_path / "docs_in")
+    docs.repartition(3).write.parquet(src)  # 3 files => multiple batches possible
+    out = str(tmp_path / "scored")
+    streamed = stream_score_perplexity(spark, src, lm, out)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["avg_neg_logp"], r["perplexity"])
+        for r in streamed.collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_grams"], r["avg_neg_logp"], r["perplexity"])
+        for r in score_perplexity(docs, lm).collect()
+    }
+    assert got == want and len(got) > 0
