@@ -263,3 +263,62 @@ def test_score_plan_broadcasts_model_and_never_shuffles_corpus(spark):
     plan = score_perplexity(_toy(spark), lm)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") == 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization — the pre-fingerprint curation pass
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_text_nfkc_goldens(spark):
+    from hospital_stain_tracker_data_pipeline_spark.functions.text import (
+        normalize_text_udf,
+    )
+
+    rows = [
+        (1, "ﬁre"),        # ligature fi -> "fire"
+        (2, "Ｆｕｌｌ１２３"),  # fullwidth -> "Full123"
+        (3, "é"),     # combining acute -> precomposed é
+        (4, None),
+        (5, "plain"),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {
+        r["i"]: r["n"]
+        for r in df.select(
+            "i", normalize_text_udf("NFKC")(F.col("t")).alias("n")
+        ).collect()
+    }
+    assert got[1] == "fire"
+    assert got[2] == "Full123"
+    assert got[3] == "é"
+    assert got[4] is None
+    assert got[5] == "plain"
+    with pytest.raises(ValueError, match="unknown normalization"):
+        normalize_text_udf("NFX")
+
+
+def test_normalize_text_nfc_matches_duckdb(spark, sf_dir):
+    """Cross-engine pin for the one form DuckDB exposes
+    (nfc_normalize): both engines must produce identical NFC text for
+    the whole fixture corpus."""
+    from hospital_stain_tracker_data_pipeline_spark.functions.text import (
+        normalize_text_udf,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.sources.tables import (
+        load_fixture_table,
+    )
+
+    docs = load_fixture_table(spark, sf_dir, "documents")
+    got = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", normalize_text_udf("NFC")(F.col("text")).alias("n")
+        ).collect()
+    }
+    want = dict(
+        duckdb.sql(
+            f"SELECT doc_id, nfc_normalize(text) FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
