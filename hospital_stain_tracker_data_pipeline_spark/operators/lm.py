@@ -57,27 +57,24 @@ def lm_tokens(text: Column) -> Column:
     return F.filter(toks, lambda t: t != "")
 
 
-def doc_ngrams(text: Column, n: int) -> Column:
-    """Array of ``struct<ctx string, word string>`` for every n-gram in
-    the document, BOS-padded so the first word is conditioned on a
-    start context (n-1 BOS tokens). ``ctx`` is the space-joined n-1
-    preceding tokens; for a unigram model ``ctx`` is the empty string.
-    A document with zero tokens yields an empty array."""
-    if n < 1:
-        raise ValueError(f"n must be >= 1, got {n}")
-    toks = lm_tokens(text)
-    if n == 1:
-        return F.transform(
-            toks, lambda w: F.struct(F.lit("").alias("ctx"), w.alias("word"))
-        )
-    pad = F.array(*[F.lit(BOS)] * (n - 1))
-    padded = F.concat(pad, toks)
+def _grams_over_padded(padded: Column, n_tokens: Column, n: int) -> Column:
+    """Gram array from a BOS-padded token-array column.
+
+    PERFORMANCE CONTRACT: ``padded`` must be a bound attribute (a
+    projected column), not an inline expression. Catalyst does NOT
+    common-subexpression-eliminate inside higher-order-function
+    lambdas, so an inline ``concat(pad, split(...))`` here would be
+    RE-EVALUATED PER POSITION by the slice/element_at below — O(len²)
+    per document (measured ~8× on the sf0.1 fixture corpus). The
+    train/score paths project the padded array first; ``doc_ngrams``
+    keeps the inline composition for expression-level tests on small
+    rows."""
     # positions n..len(padded) (1-based) each end one n-gram. The
     # zero-token guard matters: F.sequence(n, n-1) would generate a
     # DESCENDING [n, n-1] (sequence's default step is sign-inferred),
     # and under ANSI mode element_at(padded, n) then errors out.
     positions = F.when(
-        F.size(toks) > 0, F.sequence(F.lit(n), F.size(padded))
+        n_tokens > 0, F.sequence(F.lit(n), F.size(padded))
     ).otherwise(F.array().cast("array<int>"))
     return F.transform(
         positions,
@@ -86,6 +83,59 @@ def doc_ngrams(text: Column, n: int) -> Column:
             F.element_at(padded, i).alias("word"),
         ),
     )
+
+
+def _unigrams(toks: Column) -> Column:
+    return F.transform(
+        toks, lambda w: F.struct(F.lit("").alias("ctx"), w.alias("word"))
+    )
+
+
+def _exploded_grams(
+    docs: DataFrame, n: int, text_col: str, keep: list[str], outer: bool
+) -> DataFrame:
+    """(keep..., ctx, word) — one row per gram, built through TWO
+    projection boundaries (tokens, then padded array) so the lambda in
+    ``_grams_over_padded`` touches only bound attributes (see its
+    performance contract). ``outer`` keeps zero-token docs as a NULL
+    gram row (scoring needs every doc back; training must NOT count a
+    NULL pseudo-gram)."""
+    expl = F.explode_outer if outer else F.explode
+    tokd = docs.select(*keep, lm_tokens(F.col(text_col)).alias("_t"))
+    if n == 1:
+        ex = tokd.select(*keep, expl(_unigrams(F.col("_t"))).alias("g"))
+    else:
+        pad = F.array(*[F.lit(BOS)] * (n - 1))
+        padded = tokd.select(
+            *keep,
+            F.concat(pad, F.col("_t")).alias("_p"),
+            F.size("_t").alias("_nt"),
+        )
+        ex = padded.select(
+            *keep,
+            expl(_grams_over_padded(F.col("_p"), F.col("_nt"), n)).alias("g"),
+        )
+    return ex.select(*keep, F.col("g.ctx").alias("ctx"), F.col("g.word").alias("word"))
+
+
+def doc_ngrams(text: Column, n: int) -> Column:
+    """Array of ``struct<ctx string, word string>`` for every n-gram in
+    the document, BOS-padded so the first word is conditioned on a
+    start context (n-1 BOS tokens). ``ctx`` is the space-joined n-1
+    preceding tokens; for a unigram model ``ctx`` is the empty string.
+    A document with zero tokens yields an empty array.
+
+    Expression-level form for composition/tests; the train/score hot
+    paths use ``_exploded_grams`` (projected token/padded columns) —
+    this inline composition re-derives the token array per position
+    inside the lambda, which is quadratic in document length."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = lm_tokens(text)
+    if n == 1:
+        return _unigrams(toks)
+    pad = F.array(*[F.lit(BOS)] * (n - 1))
+    return _grams_over_padded(F.concat(pad, toks), F.size(toks), n)
 
 
 @dataclass
@@ -131,9 +181,9 @@ def train_ngram_lm(
     """
     if k <= 0:
         raise ValueError(f"add-k smoothing needs k > 0, got {k}")
-    ex = docs.select(
-        F.explode(doc_ngrams(F.col(text_col), n)).alias("g")
-    ).select("g.ctx", "g.word")
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    ex = _exploded_grams(docs, n, text_col, keep=[], outer=False)
     # both aggregates partial-combine map-side; heavy-hitter grams
     # arrive at reducers pre-collapsed to one row per map task
     contexts = ex.groupBy("ctx").agg(F.count(F.lit(1)).alias("c_ctx"))
@@ -172,9 +222,7 @@ def score_perplexity(
     for the lookup; docs with zero grams rejoin via a broadcast-able
     left join on the per-doc aggregate.
     """
-    base = docs.select(
-        F.col(id_col), F.explode_outer(doc_ngrams(F.col(text_col), lm.n)).alias("g")
-    ).select(id_col, "g.ctx", "g.word")
+    base = _exploded_grams(docs, lm.n, text_col, keep=[id_col], outer=True)
     denom_k = float(lm.k) * (lm.vocab_size + 1)
     scored = (
         base.join(F.broadcast(lm.grams), ["ctx", "word"], "left")
