@@ -88,19 +88,29 @@ def fingerprint64_hex(text: Column) -> Column:
 
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct k-word shingles of the normalized text (MinHash /
-    Jaccard input). Built with transform over token indices — JVM-side,
-    no UDF."""
+    Jaccard input). JVM-side, no UDF.
+
+    Shape matters: the shingle stream is built by zipping k SHIFTED
+    SLICES of the token array and joining each zipped element — the
+    lambda touches only its own element. The naive alternative
+    (``transform`` over indices with ``element_at(toks, i+j)`` where
+    ``toks`` is the inline split) re-tokenizes the document PER
+    POSITION — Catalyst does not common-subexpression-eliminate inside
+    higher-order-function lambdas, so that form is O(len²) per doc
+    (measured ~8-12× on the LM gram path before the same fix).
+
+    Short docs (< k tokens): ``arrays_zip`` NULL-pads the shorter
+    shifted slices and ``concat_ws`` skips NULLs, so one partial
+    shingle survives — same semantics as the try_element_at form."""
     toks = F.split(normalized_text(text), " ")
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    # try_element_at: NULL past the end (concat_ws skips NULLs), so a
-    # short doc (< k tokens) yields one partial shingle instead of an
-    # ANSI out-of-bounds error — element_at THROWS under ANSI mode.
+    length = F.greatest(n - (k - 1), F.lit(1))
+    zipped = F.arrays_zip(
+        *[F.slice(toks, F.lit(j + 1), length).alias(f"t{j}") for j in range(k)]
+    )
     shingle = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.try_element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
-        ),
+        zipped,
+        lambda x: F.concat_ws(" ", *[x[f"t{j}"] for j in range(k)]),
     )
     return F.array_distinct(shingle)
 

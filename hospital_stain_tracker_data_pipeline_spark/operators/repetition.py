@@ -81,9 +81,19 @@ def word_ngrams(text: Column, n: int) -> Column:
     (guarded — Spark's ``sequence(0, negative)`` would DESCEND, not
     return empty)."""
     toks = tokens(F.lower(text))
+    # zip n shifted slices and join each zipped element: the transform
+    # lambda references only its own element. The previous form —
+    # slice(toks, i, n) inside the lambda with `toks` an inline split —
+    # re-tokenized the doc per position (no CSE inside HOF lambdas),
+    # O(len²) per document.
+    length = F.size(toks) - (n - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(toks, F.lit(j + 1), F.greatest(length, F.lit(0))).alias(f"t{j}")
+          for j in range(n)]
+    )
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        zipped,
+        lambda x: F.concat_ws(" ", *[x[f"t{j}"] for j in range(n)]),
     )
     # empty array of the RIGHT element type (filter-to-nothing keeps
     # array<string>; a bare array() literal would be array<void>)

@@ -332,7 +332,13 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs inside the scan stage, no shuffle until a downstream agg."""
     docs = load_fixture_table(spark, sf_dir, "documents")
     size, stride = 64, 48
-    toks = F.split(F.trim("text"), r"\s+")
+    # project the token array to a bound column BEFORE the transform:
+    # referencing an inline split inside the lambda re-tokenizes the
+    # doc per chunk (no CSE inside HOF lambdas — O(len²/stride))
+    tokd = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("_toks")
+    )
+    toks = F.col("_toks")
     n = F.size(toks)
     n_chunks = F.greatest(
         F.lit(1), F.ceil((n - F.lit(size)) / F.lit(stride)).cast("int") + 1
@@ -345,7 +351,7 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return (
-        docs.select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk"))
+        tokd.select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk"))
         .select(
             "doc_id",
             "chunk_id",
