@@ -623,6 +623,7 @@ def ngram_contamination(
     id_col: str = "doc_id",
     eval_id_col: str = "eval_id",
     n: int = 13,
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """Train/eval decontamination: corpus documents sharing any
     ``n``-token contiguous span with an eval document (the GPT-3
@@ -634,7 +635,16 @@ def ngram_contamination(
     hash set builds map-side (broadcast) — the 100 TB corpus explodes
     its n-grams ONCE and hash-joins without shuffling; only the
     (tiny) contaminated-pair aggregate shuffles. No all-pairs term
-    anywhere: cost is corpus-ngrams × broadcast-probe."""
+    anywhere: cost is corpus-ngrams × broadcast-probe.
+
+    ``broadcast_eval=False`` drops the broadcast hint for eval sets
+    too big to ship to every task (an all-benchmarks-ever suite can
+    run to tens of GB of 13-grams): the join plans as a shuffle join,
+    and the session's runtime bloom-filter pruning (SCALE.md global
+    posture) builds a bloom from the eval side that is probed inside
+    the corpus scan — most clean n-grams drop BEFORE the exchange, so
+    the shuffled volume approaches the contaminated subset rather
+    than the corpus. Same results either way (pinned by test)."""
     c = fanout(corpus).select(
         F.col(id_col),
         F.explode(hashed_shingles64(F.col(text_col), n)).alias("h"),
@@ -643,8 +653,9 @@ def ngram_contamination(
         F.col(eval_id_col),
         F.explode(hashed_shingles64(F.col(text_col), n)).alias("h"),
     )
+    e_side = F.broadcast(e) if broadcast_eval else e
     return (
-        c.join(F.broadcast(e), "h")
+        c.join(e_side, "h")
         .groupBy(id_col, eval_id_col)
         .agg(F.count("*").alias("shared_ngrams"))
     )

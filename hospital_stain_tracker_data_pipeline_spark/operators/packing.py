@@ -248,3 +248,124 @@ def write_packed_corpus(
         else chunks.repartitionByRange(*cols)
     )
     part.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
+
+
+def pack_documents_no_split(
+    docs: DataFrame,
+    budget: int,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: Column | None = None,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Whole-document greedy packing (the "packing without
+    cross-document splitting" variant — T5-style batching where a
+    sequence never straddles an example boundary): walk each shard's
+    document stream IN ORDER and open a new chunk whenever the next
+    document would overflow ``budget``. Documents are never split;
+    chunks are under-full by whatever tail space the next doc didn't
+    fit into (the padding cost this strategy trades for clean example
+    boundaries — measure it with ``packing_efficiency`` below).
+
+    Returns one row per document: ``shard, chunk_id, doc_id, n_tok,
+    oversize`` (``oversize`` marks docs longer than ``budget``, placed
+    alone in their own chunk — the consumer decides truncate/drop).
+
+    Spark shape: greedy reset-at-boundary is a data-dependent
+    recurrence no window expression computes, so each shard runs a
+    linear Arrow-batched pass (``applyInPandas`` over the shard
+    group — numpy argsorted walk, one Python frame per shard, NOT per
+    row). The constraint that buys: a shard's (id, order, n_tok) slim
+    projection must fit one task — size ``n_shards`` ≥ cluster cores
+    AND corpus_rows/n_shards × ~24 B ≤ task memory; the payload text
+    never enters the pass. Sharding/order follow ``pack_token_chunks``
+    (``order_col`` hook = epoch shuffle; default doc_id order), so
+    reruns are bit-identical under any partitioning.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    if tokens_col is None:
+        tokens_col = F.when(
+            F.trim(F.col(text_col)) == "", F.lit(0)
+        ).otherwise(token_count(F.col(text_col)))
+    n_tok = tokens_col.cast("long")
+    if order_col is None:
+        shard_expr = F.pmod(F.col(id_col), F.lit(n_shards)).cast("int")
+        base = docs.select(
+            F.col(id_col).alias("doc_id"),
+            shard_expr.alias("shard"),
+            n_tok.alias("n_tok"),
+            F.col(id_col).cast("long").alias("_ord"),
+        )
+    else:
+        shard_expr = (
+            F.pmod(F.col(order_col).cast("long"), F.lit(n_shards)).cast("int")
+        )
+        base = docs.select(
+            F.col(id_col).alias("doc_id"),
+            shard_expr.alias("shard"),
+            n_tok.alias("n_tok"),
+            F.col(order_col).cast("long").alias("_ord"),
+        )
+    base = base.filter(F.col("n_tok") > 0)
+    b = int(budget)
+
+    def _pack(pdf):
+        import numpy as np
+        import pandas as pd
+
+        order = np.lexsort(
+            (pdf["doc_id"].to_numpy(), pdf["_ord"].to_numpy())
+        )
+        toks = pdf["n_tok"].to_numpy()[order]
+        chunk = np.empty(len(order), dtype=np.int64)
+        cid, used = 0, 0
+        for j, t in enumerate(toks):
+            if used > 0 and used + t > b:
+                cid += 1
+                used = 0
+            chunk[j] = cid
+            used += t
+            if t > b:  # oversize doc sits alone; close its chunk
+                cid += 1
+                used = 0
+        out = pd.DataFrame(
+            {
+                "shard": pdf["shard"].to_numpy()[order],
+                "chunk_id": chunk,
+                "doc_id": pdf["doc_id"].to_numpy()[order],
+                "n_tok": toks,
+                "oversize": toks > b,
+            }
+        )
+        return out
+
+    return base.groupBy("shard").applyInPandas(
+        _pack,
+        schema="shard int, chunk_id long, doc_id long, n_tok long, oversize boolean",
+    )
+
+
+def packing_efficiency(packed: DataFrame, budget: int) -> DataFrame:
+    """One-row report for a packed layout (either packer's output):
+    ``n_chunks, total_tokens, capacity, fill_ratio`` — fill_ratio is
+    the fraction of chunk capacity carrying real tokens (1 − padding).
+    The number a pipeline watches when tuning budget/strategy; one
+    aggregate, no extra scan of the corpus."""
+    tok_col = "chunk_tokens" if "chunk_tokens" in packed.columns else "n_tok"
+    agg = packed.agg(
+        F.count_distinct("shard", "chunk_id").alias("n_chunks"),
+        F.coalesce(F.sum(tok_col), F.lit(0)).cast("long").alias("total_tokens"),
+    )
+    return agg.select(
+        "n_chunks",
+        "total_tokens",
+        (F.col("n_chunks") * budget).cast("long").alias("capacity"),
+        F.when(
+            F.col("n_chunks") > 0,
+            F.round(F.col("total_tokens") / (F.col("n_chunks") * budget), 6),
+        ).alias("fill_ratio"),
+    )

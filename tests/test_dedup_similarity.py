@@ -1535,3 +1535,26 @@ def test_flac_resample_real_end_to_end(spark):
     [f] = extract_audio_features(media).collect()
     assert (f.sample_rate, f.channels, f.n_frames) == (16000, 2, 1600)
     assert f.mime == "audio/flac"
+
+
+def test_ngram_contamination_shuffle_path_matches_broadcast(spark, sf_dir):
+    """broadcast_eval=False (the too-big-to-broadcast escape hatch)
+    must produce the identical contamination pair set, and its plan
+    must NOT carry the forced broadcast of the eval side."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+        ngram_contamination,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.sources.tables import (
+        load_fixture_table,
+    )
+
+    docs = load_fixture_table(spark, sf_dir, "documents")
+    eval_set = docs.limit(5).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    key = lambda df: sorted(
+        (r["doc_id"], r["eval_id"], r["shared_ngrams"]) for r in df.collect()
+    )
+    a = key(ngram_contamination(docs, eval_set, n=5))
+    b = key(ngram_contamination(docs, eval_set, n=5, broadcast_eval=False))
+    assert a == b and a, "contamination sets must match and be non-empty"

@@ -537,3 +537,99 @@ def test_dedup_spans_blank_lines_always_survive(spark):
     assert out[1] == "para one\n\npara two"
     # 'para one' dedups (seen in doc 1); BOTH blank separators survive
     assert out[2] == "para three\n\npara four\n"
+
+
+# ---------------------------------------------------------------------------
+# pack_documents_no_split — whole-document greedy packing
+# ---------------------------------------------------------------------------
+
+
+def _docs_from_counts(spark, counts):
+    return spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate(counts)],
+        "doc_id long, text string",
+    )
+
+
+def test_no_split_golden_layout(spark):
+    from hospital_stain_tracker_data_pipeline_spark.operators.packing import (
+        pack_documents_no_split,
+    )
+
+    # one shard, doc order = id order, budget 10:
+    # [4, 5] -> chunk0 (9), [7] -> chunk1, [12 oversize] -> chunk2 alone,
+    # [3, 6] -> chunk3 (9), [2] -> chunk4
+    docs = _docs_from_counts(spark, [4, 5, 7, 12, 3, 6, 2])
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["oversize"])
+        for r in pack_documents_no_split(docs, budget=10, n_shards=1).collect()
+    )
+    assert rows == [
+        (0, 0, False),
+        (1, 0, False),
+        (2, 1, False),
+        (3, 2, True),
+        (4, 3, False),
+        (5, 3, False),
+        (6, 4, False),
+    ]
+
+
+def test_no_split_invariants_on_fixture(spark, sf_dir):
+    from hospital_stain_tracker_data_pipeline_spark.operators.packing import (
+        pack_documents_no_split,
+        packing_efficiency,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.sources.tables import (
+        load_fixture_table,
+    )
+
+    docs = load_fixture_table(spark, sf_dir, "documents")
+    budget = 256
+    packed = pack_documents_no_split(docs, budget=budget, n_shards=4)
+    pdf = packed.toPandas()
+    # one row per non-empty doc, docs never split
+    assert pdf["doc_id"].is_unique
+    # no chunk over budget unless it is a single oversize doc
+    by_chunk = pdf.groupby(["shard", "chunk_id"]).agg(
+        tok=("n_tok", "sum"), n=("doc_id", "count"), over=("oversize", "any")
+    )
+    bad = by_chunk[(by_chunk["tok"] > budget) & ~by_chunk["over"]]
+    assert bad.empty
+    assert (by_chunk[by_chunk["over"]]["n"] == 1).all()
+    # efficiency row is consistent and capacity-bounded
+    [eff] = packing_efficiency(packed, budget).collect()
+    assert eff["n_chunks"] == len(by_chunk)
+    assert eff["total_tokens"] == int(pdf["n_tok"].sum())
+    assert 0 < eff["fill_ratio"] <= 1.5
+    # chunk count can't beat the theoretical floor
+    import math
+
+    assert eff["n_chunks"] >= math.ceil(eff["total_tokens"] / budget) - len(
+        by_chunk[by_chunk["over"]]
+    )
+
+
+def test_no_split_deterministic_and_order_sensitive(spark, sf_dir):
+    from hospital_stain_tracker_data_pipeline_spark.operators.packing import (
+        epoch_shuffle,
+        pack_documents_no_split,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.sources.tables import (
+        load_fixture_table,
+    )
+
+    docs = load_fixture_table(spark, sf_dir, "documents")
+    key = lambda df: sorted(
+        (r["shard"], r["chunk_id"], r["doc_id"]) for r in df.collect()
+    )
+    a = key(pack_documents_no_split(docs, budget=256, n_shards=4))
+    b = key(
+        pack_documents_no_split(docs.repartition(11), budget=256, n_shards=4)
+    )
+    assert a == b
+    s0 = epoch_shuffle(docs, seed=0, sort=False)
+    s1 = epoch_shuffle(docs, seed=1, sort=False)
+    c = key(pack_documents_no_split(s0, budget=256, n_shards=4, order_col="_order"))
+    d = key(pack_documents_no_split(s1, budget=256, n_shards=4, order_col="_order"))
+    assert c != d
