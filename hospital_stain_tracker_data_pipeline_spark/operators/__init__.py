@@ -14,3 +14,26 @@ from .bpe import (  # noqa: F401
     train_bpe,
     word_histogram,
 )
+from .lm import (  # noqa: F401
+    perplexity_buckets,
+    score_perplexity,
+    train_ngram_lm,
+)
+from .mixture import (  # noqa: F401
+    plan_token_mixture,
+    sample_token_mixture,
+    source_token_stats,
+)
+from .web import (  # noqa: F401
+    cap_per_group,
+    extract_domain,
+    filter_blocked_domains,
+)
+from .splits import leakage_safe_split, split_assignments  # noqa: F401
+from .packing import (  # noqa: F401
+    pack_documents_no_split,
+    pack_token_chunks,
+    packing_efficiency,
+    write_packed_corpus,
+)
+from .inference import batch_score, train_logistic_probe  # noqa: F401
