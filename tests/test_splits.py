@@ -94,3 +94,23 @@ def test_leakage_safe_split_on_fixture_with_real_pairs(spark, sf_dir):
 def test_split_assignments_validation():
     with pytest.raises(ValueError):
         split_assignments(F.lit(1), train_pct=90, val_pct=20)
+
+
+def test_leakage_safe_split_empty_pairs_is_plain_hash_split(spark):
+    """Zero near-dup pairs: every doc keys on itself — byte-identical
+    to the plain md5-bucket split."""
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(40)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    out = leakage_safe_split(docs, pairs).collect()
+    assert len(out) == 40
+    for r in out:
+        assert r["split_key"] == r["doc_id"]
+    plain = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id", split_assignments(F.col("doc_id")).alias("s")
+        ).collect()
+    }
+    assert {r["doc_id"]: r["split"] for r in out} == plain

@@ -139,12 +139,16 @@ def test_cap_per_group_two_phase_plan_bypasses_window_for_tail(spark):
     df = spark.createDataFrame(
         [(i, f"s{i % 5}") for i in range(50)], "doc_id long, source string"
     )
-    plan = (
-        cap_per_group(df, "source", cap=3)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
+    out = cap_per_group(df, "source", cap=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+    # after execution, AQE must REUSE the over-cap broadcast between
+    # the semi and anti joins — the group-count aggregate (and its
+    # input scan) runs once, not once per branch
+    out.collect()
+    final = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, final
 
 
 def test_filter_blocked_domains(spark):
