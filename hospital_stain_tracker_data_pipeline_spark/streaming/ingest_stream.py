@@ -193,6 +193,7 @@ def stream_windowed_event_counts(
     source_path: str,
     watermark: str = "1 hour",
     window_len: str = "1 day",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Event-time tumbling-window aggregation with a watermark (beyond
     the reference surface — it has no event-time windowing): per
@@ -206,7 +207,9 @@ def stream_windowed_event_counts(
     window — making the result oracle-comparable."""
     import uuid
 
-    stream = _events_stream(spark, source_path).withWatermark("ts", watermark)
+    stream = _events_stream(spark, source_path, max_files_per_trigger).withWatermark(
+        "ts", watermark
+    )
     agg = (
         stream.groupBy(F.window("ts", window_len).alias("win"), F.col("event_type"))
         .agg(
@@ -308,7 +311,10 @@ SESSION_STATE_SCHEMA = T.StructType(
 
 
 def stream_sessionize_events(
-    spark: SparkSession, source_path: str, gap_s: int = 1800
+    spark: SparkSession,
+    source_path: str,
+    gap_s: int = 1800,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``
     (the extension point for operators Spark's built-in streaming aggs
@@ -366,7 +372,7 @@ def stream_sessionize_events(
             }
         )
 
-    stream = _events_stream(spark, source_path)
+    stream = _events_stream(spark, source_path, max_files_per_trigger)
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     sessions = stream.groupBy("user_id").applyInPandasWithState(

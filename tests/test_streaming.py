@@ -259,3 +259,124 @@ def test_stream_score_perplexity_matches_batch(spark, sf_dir, tmp_path):
         for r in score_perplexity(docs, lm).collect()
     }
     assert got == want and len(got) > 0
+
+
+@pytest.fixture()
+def staged_multibatch(sf_dir):
+    """Events split into three TIME-ORDERED parquet files with strictly
+    increasing modification times, so maxFilesPerTrigger=1 forces three
+    micro-batches arriving in event-time order — state genuinely
+    crosses batch boundaries."""
+    import duckdb
+
+    work = tempfile.mkdtemp(prefix="stream_multibatch_")
+    input_dir = os.path.join(work, "incoming")
+    os.makedirs(input_dir)
+    src = os.path.join(sf_dir, "events.parquet")
+    n = duckdb.sql(f"SELECT count(*) FROM '{src}'").fetchone()[0]
+    third = n // 3 + 1
+    for i in range(3):
+        path = os.path.join(input_dir, f"part{i}.parquet")
+        duckdb.sql(
+            f"""
+            COPY (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (ORDER BY ts NULLS FIRST, event_id) AS _rn
+                FROM '{src}'
+              ) WHERE _rn > {i * third} AND _rn <= {(i + 1) * third}
+            ) TO '{path}' (FORMAT PARQUET)
+            """
+        )
+        os.utime(path, (1700000000 + i * 1000, 1700000000 + i * 1000))
+    yield work, input_dir
+    shutil.rmtree(work, ignore_errors=True)
+
+
+def test_windowed_counts_multibatch_matches_batch(spark, staged_multibatch, sf_dir):
+    """Three micro-batches instead of one: the watermarked windowed agg
+    must still converge to the batch rollup (complete mode re-emits the
+    full state after the last batch)."""
+    from hospital_stain_tracker_data_pipeline_spark.streaming.ingest_stream import (
+        stream_windowed_event_counts,
+    )
+
+    _, input_dir = staged_multibatch
+    streamed = stream_windowed_event_counts(
+        spark, input_dir, max_files_per_trigger=1
+    )
+    got = {
+        (r.window_day, r.event_type): (r.n, r.sum_value)
+        for r in streamed.collect()
+    }
+    ev = load_fixture_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    batch = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("window_day"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    want = {
+        (r.window_day, r.event_type): (r.n, r.sum_value)
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_sessionize_multibatch_state_crosses_batches(
+    spark, staged_multibatch, sf_dir
+):
+    """The applyInPandasWithState sessionizer with three in-order
+    micro-batches: per-user state must carry across batches. Open-tail
+    sessions re-emit when extended — dedup by natural key keeping the
+    final (max n_events) emission, then the result must equal the
+    batch sessionization exactly."""
+    from pyspark.sql import Window
+
+    from hospital_stain_tracker_data_pipeline_spark.streaming.ingest_stream import (
+        stream_sessionize_events,
+    )
+
+    _, input_dir = staged_multibatch
+    streamed = stream_sessionize_events(
+        spark, input_dir, gap_s=1800, max_files_per_trigger=1
+    )
+    w = Window.partitionBy("user_id", "session_id").orderBy(
+        F.desc("n_events"), F.desc("duration_s")
+    )
+    final = (
+        streamed.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    s = {
+        (r.user_id, r.session_id): (r.n_events, r.duration_s)
+        for r in final.collect()
+    }
+
+    ev = load_fixture_table(spark, sf_dir, "events")
+    bw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(bw)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    batch = (
+        ev.select(
+            "user_id",
+            F.col("ts").cast("long").alias("tsec"),
+            (
+                F.sum(new_sess).over(
+                    bw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+                - 1
+            ).alias("session_id"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max("tsec") - F.min("tsec")).alias("duration_s"),
+        )
+    )
+    b = {
+        (r.user_id, r.session_id): (r.n_events, r.duration_s)
+        for r in batch.collect()
+    }
+    assert s == b and len(s) > 0
