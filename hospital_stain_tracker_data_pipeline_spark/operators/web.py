@@ -27,10 +27,15 @@ from pyspark.sql import functions as F
 
 # host = everything between the scheme/leading "//" (or string start)
 # and the first "/", "?", "#", or ":" (port). Lowercased; userinfo
-# ("user@") stripped. A deliberately engine-portable regexp — the
-# DuckDB oracle replays it verbatim — rather than java.net.URI
+# ("user@") stripped; a bracketed IPv6 literal ("[::1]") matches as a
+# unit (the port colon only terminates OUTSIDE brackets) and the
+# brackets are stripped afterward — mirroring urllib.parse .hostname.
+# A deliberately engine-portable regexp rather than java.net.URI
 # semantics, which no other engine reproduces.
-_HOST_RE = r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?(?://)?(?:[^/?#@]*@)?([^/?#:]+)"
+_HOST_RE = (
+    r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?(?://)?(?:[^/?#@]*@)?"
+    r"(\[[^\]/?#]*\]|[^/?#:]+)"
+)
 
 
 def extract_domain(url: Column, registrable: bool = False) -> Column:
@@ -43,6 +48,7 @@ def extract_domain(url: Column, registrable: bool = False) -> Column:
     ``cap_per_group``'s ``group_col`` for exact eTLD+1 policy).
     """
     host = F.lower(F.regexp_extract(F.trim(url), _HOST_RE, 1))
+    host = F.regexp_replace(host, r"^\[|\]$", "")
     host = F.when(host == "", None).otherwise(host)
     if not registrable:
         return host

@@ -170,3 +170,46 @@ def test_filter_blocked_domains(spark):
     assert kept == {1, 4}
     # dropped helper column does not leak
     assert filter_blocked_domains(docs, block).columns == docs.columns
+
+
+def test_extract_domain_ipv6_and_urlparse_property(spark):
+    """Bracketed IPv6 literals parse as a unit (port colon only
+    terminates outside brackets), brackets stripped like urllib's
+    .hostname; and over a deterministic sweep of well-formed http(s)
+    URLs the extraction must agree with urllib.parse exactly."""
+    from urllib.parse import urlparse
+
+    ipv6 = [
+        (1, "http://[::1]:8080/x", "::1"),
+        (2, "https://[2001:db8::1]/y", "2001:db8::1"),
+        (3, "http://user@[2001:DB8::2]:443/z", "2001:db8::2"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _ in ipv6], "i long, url string")
+    got = {
+        r["i"]: r["d"]
+        for r in df.select("i", extract_domain(F.col("url")).alias("d")).collect()
+    }
+    for i, _, want in ipv6:
+        assert got[i] == want, (i, got[i], want)
+
+    hosts = ["Example.com", "a.b.co.uk", "xn--bcher-kva.ch", "127.0.0.1",
+             "[2001:db8::7]", "single"]
+    schemes = ["http://", "https://", "//"]
+    users = ["", "u@", "u:p@"]
+    ports = ["", ":80", ":8443"]
+    paths = ["", "/", "/a/b?q=1#f"]
+    urls = [
+        f"{s}{u}{h}{p}{q}"
+        for s in schemes for u in users for h in hosts for p in ports
+        for q in paths
+    ]
+    df2 = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i long, url string"
+    )
+    got2 = {
+        r["i"]: r["d"]
+        for r in df2.select("i", extract_domain(F.col("url")).alias("d")).collect()
+    }
+    for i, u in enumerate(urls):
+        want = urlparse(u if "//" in u else "//" + u).hostname
+        assert got2[i] == want, (u, got2[i], want)
