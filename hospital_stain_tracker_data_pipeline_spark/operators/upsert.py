@@ -44,7 +44,13 @@ def upsert_last_writer_wins(
     if existing is None:
         unioned = incoming
     else:
-        unioned = existing.withColumn(_PRIORITY, F.lit(0)).unionByName(incoming)
+        # schema evolution: a batch may ADD columns (rows already
+        # stored read NULL for them — the ALTER TABLE ADD COLUMN
+        # semantics every lake format gives) or arrive from an older
+        # producer missing recent columns (NULL-filled the same way).
+        unioned = existing.withColumn(_PRIORITY, F.lit(0)).unionByName(
+            incoming, allowMissingColumns=True
+        )
 
     order = [F.desc(_PRIORITY)]
     if version_col is not None:

@@ -90,7 +90,16 @@ class LakeTable:
         )
 
     def read(self) -> DataFrame:
-        return self.spark.read.format(self.data_format).load(self.path)
+        # mergeSchema: dynamic partition overwrite only rewrites touched
+        # partitions, so after a column is added the untouched
+        # partitions still hold the old physical schema — the merged
+        # read surfaces the union schema with NULLs for the missing
+        # column (the lake-format ALTER TABLE ADD COLUMN behavior)
+        return (
+            self.spark.read.option("mergeSchema", "true")
+            .format(self.data_format)
+            .load(self.path)
+        )
 
     def overwrite(self, df: DataFrame) -> None:
         if self.sort_cols:

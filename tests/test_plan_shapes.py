@@ -633,3 +633,46 @@ def test_lake_table_orc_format_upsert_prune_compact(spark, tmp_path):
     assert t.read().count() == 20
     with pytest.raises(ValueError, match="unsupported data_format"):
         LakeTable(spark, path, keys=["date"], data_format="avro")
+
+
+def test_lake_table_schema_evolution_add_column(spark, tmp_path):
+    """A later batch ADDs a column: the upsert must succeed, old rows
+    read NULL for the new column (mergeSchema across partitions whose
+    physical files predate it), and a subsequent old-producer batch
+    MISSING the column NULL-fills instead of failing."""
+    import pyspark.sql.functions as F
+
+    from hospital_stain_tracker_data_pipeline_spark.pipeline.lake import LakeTable
+
+    path = str(tmp_path / "evolve")
+    t = LakeTable(spark, path, keys=["date", "region_id"], version_col=None)
+    v1 = spark.createDataFrame(
+        [("2026-03-01", 1, 10.0), ("2026-03-02", 2, 20.0)],
+        "date string, region_id int, v double",
+    ).withColumn("date", F.to_date("date"))
+    t.upsert(v1)
+    # batch 2 adds `flag` and touches only 03-02 (03-01's file keeps
+    # the old physical schema on disk)
+    v2 = spark.createDataFrame(
+        [("2026-03-02", 2, 21.0, "new")],
+        "date string, region_id int, v double, flag string",
+    ).withColumn("date", F.to_date("date"))
+    t.upsert(v2)
+    got = {
+        (str(r["date"]), r["region_id"]): (r["v"], r["flag"])
+        for r in t.read().collect()
+    }
+    assert got[("2026-03-01", 1)] == (10.0, None)
+    assert got[("2026-03-02", 2)] == (21.0, "new")
+    # batch 3 from an old producer without `flag`: merges, NULL flag
+    v3 = spark.createDataFrame(
+        [("2026-03-01", 1, 11.0)], "date string, region_id int, v double"
+    ).withColumn("date", F.to_date("date"))
+    t.upsert(v3)
+    got = {
+        (str(r["date"]), r["region_id"]): (r["v"], r["flag"])
+        for r in t.read().collect()
+    }
+    assert got[("2026-03-01", 1)] == (11.0, None)
+    assert got[("2026-03-02", 2)] == (21.0, "new")
+    assert len(got) == 2
