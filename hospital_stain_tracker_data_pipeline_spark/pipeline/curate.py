@@ -3,8 +3,9 @@ training-data operators into the pipeline a pretraining data run
 actually executes —
 
     [optional per-source cap] → quality funnel → exact dedup →
-    near-dup drop → [optional C4-style span-level dedup] → [optional
-    CCNet-style LM perplexity gate] → epoch shuffle → sequence packing
+    near-dup drop → [optional SemDeDup over embeddings] → [optional
+    C4-style span-level dedup] → [optional CCNet-style LM perplexity
+    gate] → epoch shuffle → sequence packing
 
 Each stage is one of the library's standalone operators; this module
 only wires them, so the scale properties are the stages' own (funnel:
@@ -35,6 +36,7 @@ from ..functions.text import quality_score, token_count
 from ..operators.dedup import dedup_spans, exact_dedup, minhash_lsh_dedup_pairs
 from ..operators.lm import score_perplexity
 from ..operators.packing import epoch_shuffle, filter_funnel, pack_token_chunks
+from ..operators.similarity import semantic_dedup_pairs
 from ..operators.web import cap_per_group
 
 
@@ -53,6 +55,8 @@ class CurationReport:
     after_source_cap: int | None = None
     # docs surviving the optional LM-perplexity filter; None when off
     after_perplexity: int | None = None
+    # docs surviving the optional SemDeDup stage; None when off
+    after_semantic_dedup: int | None = None
 
 
 def default_quality_stages(
@@ -81,6 +85,9 @@ def curate_documents(
     source_col: str = "source",
     ppl_lm=None,
     max_perplexity: float | None = None,
+    embeddings: DataFrame | None = None,
+    semantic_threshold: float | None = None,
+    semantic_clusters: int = 16,
 ) -> tuple[DataFrame, CurationReport]:
     """Run the full curation pipeline over a ``(doc_id, text)`` corpus;
     returns ``(packed_chunks, report)``.
@@ -134,6 +141,10 @@ def curate_documents(
         raise ValueError(
             "ppl_lm and max_perplexity must be provided together"
         )
+    if (embeddings is None) != (semantic_threshold is None):
+        raise ValueError(
+            "embeddings and semantic_threshold must be provided together"
+        )
     stages = stages if stages is not None else default_quality_stages()
 
     n_cap: int | None = None
@@ -185,6 +196,31 @@ def curate_documents(
     # this count is where the LSH candidate join executes — once; the
     # final chunk aggregate below hits the materialized cache
     n_near = deduped.count()
+
+    n_sem: int | None = None
+    if embeddings is not None:
+        # SemDeDup over the SURVIVORS' embeddings only (semi-join
+        # restricts the k-means fit + pair join to docs still alive);
+        # same lowest-id winner policy as the text-level stages
+        emb_alive = embeddings.join(
+            deduped.select("doc_id"), "doc_id", "left_semi"
+        )
+        sem_drop = (
+            semantic_dedup_pairs(
+                emb_alive,
+                threshold=float(semantic_threshold),
+                n_clusters=semantic_clusters,
+                id_col="doc_id",
+            )
+            .select(F.col("id_b").alias("doc_id"))
+            .distinct()
+        )
+        sem = deduped.join(sem_drop, "doc_id", "left_anti").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        n_sem = sem.count()  # materializes before downstream reuse
+        deduped.unpersist()
+        deduped = sem
 
     n_span: int | None = None
     if span_dedup_delim is not None:
@@ -242,6 +278,7 @@ def curate_documents(
         after_span_dedup=n_span,
         after_source_cap=n_cap,
         after_perplexity=n_ppl,
+        after_semantic_dedup=n_sem,
     )
     # handle for unpersist_curated — the chunks frame's lineage reads
     # from this persisted corpus

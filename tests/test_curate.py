@@ -278,3 +278,43 @@ def test_curate_perplexity_stage(spark):
 
     with pytest.raises(ValueError, match="together"):
         curate_documents(corpus, ppl_lm=lm)
+
+
+def test_curate_semantic_dedup_stage(spark):
+    """Two docs with distinct text (survive text-level dedup) but
+    near-identical embeddings: the SemDeDup stage drops the higher id;
+    a doc without an embedding row is untouched (no pair can name it)."""
+    corpus = spark.createDataFrame(
+        [
+            (1, BASE),
+            (2, BASE.replace("fox", "wolf").replace("dog", "hound")),
+            (3, "completely different content about astronomy telescopes "
+                "galaxies nebulae and the slow drift of planets across skies"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9999, 0.0001, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    chunks, rep = curate_documents(
+        corpus,
+        budget=16,
+        n_shards=1,
+        near_dup_threshold=0.99,
+        embeddings=emb,
+        semantic_threshold=0.99,
+        semantic_clusters=1,
+    )
+    assert rep.after_near_dedup == 3
+    assert rep.after_semantic_dedup == 2
+    packed = {r["doc_id"] for r in chunks.select("doc_id").collect()}
+    assert packed == {1, 3}
+    import pytest
+
+    with pytest.raises(ValueError, match="together"):
+        curate_documents(corpus, embeddings=emb)
