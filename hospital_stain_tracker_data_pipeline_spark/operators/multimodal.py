@@ -45,7 +45,8 @@ from pyspark.sql import types as T
 def sniff_image(raw: bytes) -> tuple[str, int, int] | None:
     """(mime, width, height) from the container header, stdlib-only —
     PNG (IHDR), GIF (logical screen), BMP (BITMAPINFOHEADER), JPEG
-    (first SOF0-SOF15 frame marker). None when the payload is not a
+    (first SOF0-SOF15 frame marker), WebP (VP8X canvas / VP8 lossy
+    frame / VP8L lossless signature). None when the payload is not a
     recognized image."""
     if len(raw) >= 24 and raw[:8] == b"\x89PNG\r\n\x1a\n" and raw[12:16] == b"IHDR":
         w, h = struct.unpack(">II", raw[16:24])
@@ -56,6 +57,20 @@ def sniff_image(raw: bytes) -> tuple[str, int, int] | None:
     if len(raw) >= 26 and raw[:2] == b"BM":
         w, h = struct.unpack("<ii", raw[18:26])
         return ("image/bmp", w, abs(h))  # negative height = top-down rows
+    if len(raw) >= 20 and raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
+        chunk = raw[12:16]
+        if chunk == b"VP8X" and len(raw) >= 30:
+            w = 1 + int.from_bytes(raw[24:27], "little")
+            h = 1 + int.from_bytes(raw[27:30], "little")
+            return ("image/webp", w, h)
+        if chunk == b"VP8 " and len(raw) >= 30 and raw[23:26] == b"\x9d\x01\x2a":
+            w = struct.unpack("<H", raw[26:28])[0] & 0x3FFF
+            h = struct.unpack("<H", raw[28:30])[0] & 0x3FFF
+            return ("image/webp", w, h)
+        if chunk == b"VP8L" and len(raw) >= 25 and raw[20] == 0x2F:
+            bits = int.from_bytes(raw[21:25], "little")
+            return ("image/webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
+        return None
     if len(raw) >= 4 and raw[:2] == b"\xff\xd8":
         # walk JPEG segments to the first frame header (SOFn). Legal
         # streams may pad with extra 0xFF fill bytes before a marker,
@@ -365,6 +380,80 @@ def resample_audio(
     )
 
 
+# (samples per frame, rate divisor) per MPEG version id for Layer III
+_MP3_BITRATES_V1 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_BITRATES_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+_MP3_RATES = (44100, 48000, 32000)
+
+
+def sniff_mp3(raw: bytes) -> dict | None:
+    """Layer-III MPEG audio metadata by WALKING the frame headers
+    (stdlib-only, no entropy decode): skips a leading ID3v2 tag, then
+    counts frames — each header carries enough (version, bitrate index,
+    sample-rate index, padding) to compute its own length, so the walk
+    is exact for CBR and VBR alike; duration = frames × samples-per-
+    frame / rate, no CBR assumption. Returns None unless the payload
+    starts (post-ID3) with a valid Layer-III sync and parses to ≥1
+    whole frame; bails on free-format (bitrate index 0 — length not
+    derivable from the header). ``bits_per_sample`` is None (lossy
+    codecs have no integer sample width)."""
+    i = 0
+    if len(raw) >= 10 and raw[:3] == b"ID3":
+        size = 0
+        for b in raw[6:10]:  # syncsafe big-endian
+            size = (size << 7) | (b & 0x7F)
+        i = 10 + size
+    frames = 0
+    channels = rate = spf = None
+    while i + 4 <= len(raw):
+        b0, b1, b2, b3 = raw[i:i + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            break
+        version = (b1 >> 3) & 3      # 0=2.5, 2=2, 3=1 (1 reserved)
+        layer = (b1 >> 1) & 3        # 1 = Layer III
+        if version == 1 or layer != 1:
+            # a valid sync carrying a reserved version or a non-III
+            # layer: not a stream this sniffer understands
+            return None
+        br_idx = (b2 >> 4) & 15
+        sr_idx = (b2 >> 2) & 3
+        if br_idx in (0, 15) or sr_idx == 3:
+            return None  # free-format / invalid
+        pad = (b2 >> 1) & 1
+        if version == 3:
+            bitrate = _MP3_BITRATES_V1[br_idx]
+            f_rate = _MP3_RATES[sr_idx]
+            f_spf, coef = 1152, 144
+        else:
+            bitrate = _MP3_BITRATES_V2[br_idx]
+            f_rate = _MP3_RATES[sr_idx] // (2 if version == 2 else 4)
+            f_spf, coef = 576, 72
+        if frames == 0:
+            rate, spf = f_rate, f_spf
+            channels = 1 if ((b3 >> 6) & 3) == 3 else 2
+        flen = coef * bitrate * 1000 // f_rate + pad
+        if flen <= 4 or i + flen > len(raw):
+            break
+        frames += 1
+        i += flen
+    if frames == 0:
+        return None
+    # trailing ID3v1 ("TAG", 128 bytes) or zero padding is fine; any
+    # other trailing garbage means we lost sync mid-stream — reject
+    tail = raw[i:]
+    if tail and not (tail[:3] == b"TAG" or all(b == 0 for b in tail)):
+        return None
+    n_samples = frames * spf
+    return {
+        "mime": "audio/mpeg",
+        "sample_rate": rate,
+        "channels": channels,
+        "bits_per_sample": None,
+        "n_frames": n_samples,
+        "duration_s": n_samples / rate,
+    }
+
+
 def extract_audio_features(media: DataFrame, fake_decode: bool = False) -> DataFrame:
     """Audio feature extraction over opaque payloads, same Arrow
     ``mapInPandas`` shape as the image path: WAV headers decode for
@@ -382,13 +471,13 @@ def extract_audio_features(media: DataFrame, fake_decode: bool = False) -> DataF
             ):
                 raw = bytes(payload) if payload is not None else b""
                 digest = hashlib.sha256(raw).hexdigest()
-                sniffed = sniff_wav(raw) or sniff_flac(raw)
+                sniffed = sniff_wav(raw) or sniff_flac(raw) or sniff_mp3(raw)
                 if sniffed is None:
                     if not fake_decode:
                         raise NotImplementedError(
-                            "payload is not a RIFF/WAVE or FLAC container "
-                            "(WAV + FLAC header decode are built in); other "
-                            "codecs require an "
+                            "payload is not a RIFF/WAVE, FLAC, or Layer-III "
+                            "MPEG container (WAV/FLAC/MP3 header decode are "
+                            "built in); other codecs require an "
                             "audio library, not available in this environment "
                             "— pass fake_decode=True for the deterministic fake"
                         )

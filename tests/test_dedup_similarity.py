@@ -8,6 +8,7 @@ golden-value level."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from hospital_stain_tracker_data_pipeline_spark.functions.text import (
@@ -1558,3 +1559,86 @@ def test_ngram_contamination_shuffle_path_matches_broadcast(spark, sf_dir):
     a = key(ngram_contamination(docs, eval_set, n=5))
     b = key(ngram_contamination(docs, eval_set, n=5, broadcast_eval=False))
     assert a == b and a, "contamination sets must match and be non-empty"
+
+
+def test_sniff_webp_all_three_chunk_forms():
+    import struct
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+        sniff_image,
+    )
+
+    lossy = (
+        b"RIFF" + struct.pack("<I", 22) + b"WEBP" + b"VP8 "
+        + struct.pack("<I", 10) + bytes(3) + b"\x9d\x01\x2a"
+        + struct.pack("<HH", 320, 240)
+    )
+    assert sniff_image(lossy) == ("image/webp", 320, 240)
+    lossless = (
+        b"RIFF" + struct.pack("<I", 13) + b"WEBP" + b"VP8L"
+        + struct.pack("<I", 5) + bytes([0x2F])
+        + ((99) | (49 << 14)).to_bytes(4, "little")
+    )
+    assert sniff_image(lossless) == ("image/webp", 100, 50)
+    extended = (
+        b"RIFF" + struct.pack("<I", 18) + b"WEBP" + b"VP8X"
+        + struct.pack("<I", 10) + bytes(4)
+        + (639).to_bytes(3, "little") + (479).to_bytes(3, "little")
+    )
+    assert sniff_image(extended) == ("image/webp", 640, 480)
+    # bad VP8 start code -> not recognized
+    bad = lossy[:23] + b"\x00\x01\x2a" + lossy[26:]
+    assert sniff_image(bad) is None
+
+
+def _mp3_stream(n_frames, pad_every=0, id3v2=True, id3v1=True):
+    hdr_nopad = bytes([0xFF, 0xFB, 0x90, 0x00])  # MPEG1 L3 128k 44100 stereo
+    hdr_pad = bytes([0xFF, 0xFB, 0x92, 0x00])    # same with padding bit
+    base = 144 * 128000 // 44100  # 417
+    out = b""
+    if id3v2:
+        out += b"ID3" + bytes([4, 0, 0]) + bytes([0, 0, 0, 10]) + bytes(10)
+    for i in range(n_frames):
+        if pad_every and (i % pad_every == 0):
+            out += hdr_pad + bytes(base + 1 - 4)
+        else:
+            out += hdr_nopad + bytes(base - 4)
+    if id3v1:
+        out += b"TAG" + bytes(125)
+    return out
+
+
+def test_sniff_mp3_walks_frames_exactly():
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+        sniff_mp3,
+    )
+
+    got = sniff_mp3(_mp3_stream(10))
+    assert got["mime"] == "audio/mpeg"
+    assert got["sample_rate"] == 44100 and got["channels"] == 2
+    assert got["n_frames"] == 10 * 1152
+    assert got["duration_s"] == pytest.approx(10 * 1152 / 44100)
+    # padded frames change lengths, not the frame count (VBR-safe walk)
+    got2 = sniff_mp3(_mp3_stream(8, pad_every=3, id3v2=False, id3v1=False))
+    assert got2["n_frames"] == 8 * 1152
+    # truncated mid-frame garbage tail -> rejected, not mis-measured
+    s = _mp3_stream(4, id3v1=False) + b"\x01garbage"
+    assert sniff_mp3(s) is None
+    assert sniff_mp3(b"not audio") is None
+
+
+def test_extract_audio_features_mp3_end_to_end(spark):
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    payload = _mp3_stream(25)
+    media = spark.createDataFrame(
+        [(1, bytearray(payload), ("audio/mpeg", len(payload), "t"))],
+        "media_id long, payload binary, meta struct<mime string, n_bytes long, source string>",
+    )
+    [r] = extract_audio_features(media).collect()
+    assert r["mime"] == "audio/mpeg"
+    assert r["n_frames"] == 25 * 1152
+    assert r["bits_per_sample"] is None
+    assert r["duration_s"] == pytest.approx(25 * 1152 / 44100)
