@@ -931,33 +931,47 @@ def sample_video_frames(
 ) -> DataFrame:
     """Frame sampling over video payloads — the 1→N ``mapInPandas``
     shape (one input row explodes into one row per sampled timestamp).
-    The container header decodes for REAL (``sniff_mp4`` → duration,
-    which fixes the sample count); actual FRAME extraction needs a
-    video lib (PyAV/ffmpeg) — absent here — so the frame bytes are a
-    deterministic payload-hash fake behind ``fake_decode=True``, and
-    NULL (timestamps only) otherwise. A non-MP4 payload raises unless
-    ``fake_decode=True`` (2-second fake duration)."""
+
+    REAL end-to-end for RIFF/AVI MJPEG (``sniff_avi``): the container
+    walk locates every '00dc' frame chunk, the sampled timestamp maps
+    to a frame index via the header fps, and ``frame`` carries the
+    ACTUAL JPEG bytes from the container — decodable by the library's
+    own JPEG codec (``operators/jpeg.py``), no media lib involved.
+    For ISO-BMFF (MP4) the header decodes for real (duration → sample
+    count) but frame extraction needs a video lib (H.264 entropy
+    decode) — absent here — so MP4 frame bytes are a deterministic
+    payload-hash fake behind ``fake_decode=True`` and NULL otherwise.
+    A payload in neither container raises unless ``fake_decode=True``
+    (2-second fake duration)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(payload) if payload is not None else b""
-                sniffed = sniff_mp4(raw)
+                avi = sniff_avi(raw)
+                sniffed = avi or sniff_mp4(raw)
                 if sniffed is None:
                     if not fake_decode:
                         raise NotImplementedError(
-                            "payload is not an ISO-BMFF (MP4) container; "
-                            "frame decode requires PyAV/ffmpeg, not available "
-                            "in this environment — pass fake_decode=True"
+                            "payload is not an AVI or ISO-BMFF (MP4) "
+                            "container; AVI/MJPEG frames extract natively, "
+                            "MP4 frame decode requires PyAV/ffmpeg — pass "
+                            "fake_decode=True for the deterministic fake"
                         )
                     sniffed = {"mime": "video/unknown", "duration_s": 2.0}
                 dur = sniffed["duration_s"] or 0.0
                 n = max(1, int(dur / stride_s) + (1 if dur % stride_s else 0))
+                chunks = (avi or {}).get("frames") or []
+                fps = (avi or {}).get("fps") or 0.0
                 for idx in range(n):
                     ts = idx * stride_s
                     frame = None
-                    if fake_decode:
+                    if chunks and fps:
+                        fi = min(int(round(ts * fps)), len(chunks) - 1)
+                        off, ln = chunks[fi]
+                        frame = raw[off:off + ln]
+                    elif fake_decode:
                         frame = hashlib.sha256(
                             raw + str(idx).encode()
                         ).digest()[:16]
@@ -1220,3 +1234,104 @@ def decode_gif_pixels(raw: bytes) -> np.ndarray | None:
         return None
     except Exception:
         return None
+
+
+# ---------------------------------------------------------------------------
+# AVI / MJPEG — the container whose frames our own JPEG codec can decode,
+# making video frame extraction REAL end-to-end (no ffmpeg in env).
+# ---------------------------------------------------------------------------
+
+
+def build_mjpeg_avi(
+    frames: list[bytes], width: int, height: int, fps: float = 10.0
+) -> bytes:
+    """Assemble JPEG-encoded frames into a minimal RIFF/AVI (MJPEG)
+    container: hdrl (avih + one 'vids'/'MJPG' strl) + movi with one
+    '00dc' chunk per frame (word-aligned) + an idx1 index. The
+    write-side of the real video path — and the test rig that lets the
+    extractor be pinned without any media library."""
+    if not frames:
+        raise ValueError("at least one frame required")
+    usec = int(round(1_000_000 / fps))
+
+    def chunk(cid: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return cid + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    avih = struct.pack(
+        "<10I4I",
+        usec, 0, 0, 0x10, len(frames), 0, 1, 0, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1,
+                                        int(round(fps)), 0, len(frames),
+                                        0, 0, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_payload = b"".join(chunk(b"00dc", f) for f in frames)
+    movi = lst(b"movi", movi_payload)
+    # idx1: one entry per frame, offsets relative to the 'movi' fourcc
+    idx_entries = []
+    off = 4
+    for f in frames:
+        idx_entries.append(b"00dc" + struct.pack("<III", 0x10, off, len(f)))
+        off += 8 + len(f) + (len(f) & 1)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def sniff_avi(raw: bytes) -> dict | None:
+    """RIFF/AVI metadata + MJPEG frame chunk locations, stdlib-only:
+    walks hdrl for avih (frame period, count, dims) and movi for
+    '00dc'/'00db' chunks. Returns None unless the payload is RIFF/AVI
+    with an avih header; ``frames`` is the list of (offset, length)
+    of each video chunk's payload (empty for a non-MJPEG stream — the
+    caller then has metadata but no decodable frames)."""
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+        return None
+    meta: dict | None = None
+    frames: list[tuple[int, int]] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal meta
+        i = start
+        while i + 8 <= end:
+            cid = raw[i:i + 4]
+            size = struct.unpack("<I", raw[i + 4:i + 8])[0]
+            body_start = i + 8
+            body_end = min(body_start + size, end)
+            if cid == b"LIST" and body_start + 4 <= end:
+                walk(body_start + 4, body_end)
+            elif cid == b"avih" and meta is None and size >= 40:
+                vals = struct.unpack("<10I", raw[body_start:body_start + 40])
+                usec, total, width, height = vals[0], vals[4], vals[8], vals[9]
+                fps = 1_000_000 / usec if usec else 0.0
+                meta = {
+                    "mime": "video/x-msvideo",
+                    "width": width,
+                    "height": height,
+                    "fps": fps,
+                    "n_frames": total,
+                    "duration_s": total / fps if fps else 0.0,
+                }
+            elif cid[2:4] in (b"dc", b"db"):
+                frames.append((body_start, size))
+            i = body_start + size + (size & 1)
+
+    walk(12, len(raw))
+    if meta is None:
+        return None
+    meta["frames"] = frames
+    return meta

@@ -1642,3 +1642,50 @@ def test_extract_audio_features_mp3_end_to_end(spark):
     assert r["n_frames"] == 25 * 1152
     assert r["bits_per_sample"] is None
     assert r["duration_s"] == pytest.approx(25 * 1152 / 44100)
+
+
+def test_sample_video_frames_real_mjpeg_avi_end_to_end(spark):
+    """REAL video frame extraction with zero media libraries: encode
+    solid-color frames with the library's own JPEG codec, assemble a
+    RIFF/AVI MJPEG container, sample frames through the Spark path,
+    and decode the returned frame bytes back to pixels — each sampled
+    timestamp must yield the frame whose color encodes its index."""
+    import numpy as np
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+        build_mjpeg_avi,
+        sample_video_frames,
+        sniff_avi,
+    )
+
+    fps, n_frames = 4.0, 8
+    frames = [
+        encode_jpeg(np.full((16, 24, 3), i * 30, dtype=np.uint8), quality=95)
+        for i in range(n_frames)
+    ]
+    avi = build_mjpeg_avi(frames, 24, 16, fps=fps)
+    meta = sniff_avi(avi)
+    assert meta["n_frames"] == n_frames and meta["fps"] == fps
+    assert meta["duration_s"] == pytest.approx(2.0)
+
+    media = spark.createDataFrame(
+        [(7, bytearray(avi), ("video/x-msvideo", len(avi), "t"))],
+        "media_id long, payload binary, "
+        "meta struct<mime string, n_bytes long, source string>",
+    )
+    rows = sorted(
+        sample_video_frames(media, stride_s=0.5).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert len(rows) == 4  # 2.0s / 0.5s
+    for r in rows:
+        assert r["mime"] == "video/x-msvideo"
+        px = decode_jpeg_pixels(bytes(r["frame"]))
+        assert px is not None and px.shape == (16, 24, 3)
+        # ts 0.0/0.5/1.0/1.5 at 4 fps -> frames 0/2/4/6
+        want = int(round(r["frame_ts_s"] * fps)) * 30
+        assert abs(float(px.mean()) - want) < 3.0, (r["frame_idx"], px.mean())
