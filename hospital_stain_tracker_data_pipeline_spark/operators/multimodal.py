@@ -471,13 +471,18 @@ def extract_audio_features(media: DataFrame, fake_decode: bool = False) -> DataF
             ):
                 raw = bytes(payload) if payload is not None else b""
                 digest = hashlib.sha256(raw).hexdigest()
-                sniffed = sniff_wav(raw) or sniff_flac(raw) or sniff_mp3(raw)
+                sniffed = (
+                    sniff_wav(raw)
+                    or sniff_flac(raw)
+                    or sniff_mp3(raw)
+                    or sniff_ogg_vorbis(raw)
+                )
                 if sniffed is None:
                     if not fake_decode:
                         raise NotImplementedError(
-                            "payload is not a RIFF/WAVE, FLAC, or Layer-III "
-                            "MPEG container (WAV/FLAC/MP3 header decode are "
-                            "built in); other codecs require an "
+                            "payload is not a RIFF/WAVE, FLAC, Layer-III "
+                            "MPEG, or Ogg/Vorbis container (their header "
+                            "decodes are built in); other codecs require an "
                             "audio library, not available in this environment "
                             "— pass fake_decode=True for the deterministic fake"
                         )
@@ -1335,3 +1340,49 @@ def sniff_avi(raw: bytes) -> dict | None:
         return None
     meta["frames"] = frames
     return meta
+
+
+def sniff_ogg_vorbis(raw: bytes) -> dict | None:
+    """Ogg/Vorbis stream metadata by page walk, stdlib-only: the first
+    page's first packet must be the Vorbis identification header
+    (channels, sample rate); the LAST page's granule position is the
+    total PCM sample count, so duration is exact — the same trick every
+    tag reader uses, no codec decode involved. Page CRCs are not
+    verified (a corrupt-but-well-framed stream mis-measures rather than
+    rejects — the entropy layer is out of scope here anyway). Returns
+    None for non-Ogg payloads or a first packet that is not Vorbis."""
+    if len(raw) < 58 or raw[:4] != b"OggS":
+        return None
+    # first page: header is 27 bytes + segment table
+    nseg = raw[26]
+    body = 27 + nseg
+    if len(raw) < body + 30:
+        return None
+    pkt = raw[body:body + 30]
+    if pkt[:7] != b"\x01vorbis":
+        return None
+    channels = pkt[11]
+    rate = struct.unpack("<I", pkt[12:16])[0]
+    if channels == 0 or rate == 0:
+        return None
+    # walk pages to the last granule position
+    i, last_granule = 0, 0
+    while i + 27 <= len(raw):
+        if raw[i:i + 4] != b"OggS":
+            break
+        granule = struct.unpack("<q", raw[i + 6:i + 14])[0]
+        if granule > 0:
+            last_granule = granule
+        ns = raw[i + 26]
+        if i + 27 + ns > len(raw):
+            break
+        seg_total = sum(raw[i + 27:i + 27 + ns])
+        i += 27 + ns + seg_total
+    return {
+        "mime": "audio/ogg",
+        "sample_rate": rate,
+        "channels": channels,
+        "bits_per_sample": None,
+        "n_frames": last_granule,
+        "duration_s": last_granule / rate,
+    }

@@ -1689,3 +1689,40 @@ def test_sample_video_frames_real_mjpeg_avi_end_to_end(spark):
         # ts 0.0/0.5/1.0/1.5 at 4 fps -> frames 0/2/4/6
         want = int(round(r["frame_ts_s"] * fps)) * 30
         assert abs(float(px.mean()) - want) < 3.0, (r["frame_idx"], px.mean())
+
+
+def _ogg_page(serial, seq, granule, segments, header_type=0):
+    import struct as _s
+
+    table = b"".join(bytes([len(x)]) for x in segments)
+    body = b"".join(segments)
+    return (
+        b"OggS" + bytes([0, header_type]) + _s.pack("<q", granule)
+        + _s.pack("<II", serial, seq) + bytes(4)
+        + bytes([len(segments)]) + table + body
+    )
+
+
+def test_sniff_ogg_vorbis_duration_from_last_granule():
+    import struct as _s
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+        sniff_ogg_vorbis,
+    )
+
+    ident = (
+        b"\x01vorbis" + _s.pack("<I", 0) + bytes([2])
+        + _s.pack("<I", 48000) + bytes(12) + bytes([0xB8]) + b"\x01"
+    )
+    pages = (
+        _ogg_page(7, 0, 0, [ident], header_type=2)
+        + _ogg_page(7, 1, 24000, [b"\x05audio-ish"])
+        + _ogg_page(7, 2, 96000, [b"\x05more"], header_type=4)
+    )
+    got = sniff_ogg_vorbis(pages)
+    assert got["mime"] == "audio/ogg"
+    assert got["channels"] == 2 and got["sample_rate"] == 48000
+    assert got["n_frames"] == 96000
+    assert got["duration_s"] == pytest.approx(2.0)
+    assert sniff_ogg_vorbis(b"OggS garbage") is None
+    assert sniff_ogg_vorbis(b"not ogg at all, promise" * 4) is None
