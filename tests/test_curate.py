@@ -318,3 +318,30 @@ def test_curate_semantic_dedup_stage(spark):
 
     with pytest.raises(ValueError, match="together"):
         curate_documents(corpus, embeddings=emb)
+
+
+def test_curate_fully_filtered_corpus_reports_zero_chunks(spark):
+    """Every doc fails the funnel: the recipe must complete with an
+    all-zero tail (no crash in the shuffle/packing stages on an empty
+    frame) and an empty chunk frame."""
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "tiny")], "doc_id long, text string"
+    )
+    chunks, rep = curate_documents(docs, budget=16, n_shards=2)
+    assert rep.total == 3
+    assert rep.after_quality == 0
+    assert rep.after_exact_dedup == 0
+    assert rep.after_near_dedup == 0
+    assert rep.chunks == 0 and rep.packed_tokens == 0
+    assert chunks.count() == 0
+
+
+def test_curate_all_duplicates_single_survivor(spark):
+    docs = spark.createDataFrame(
+        [(i, BASE) for i in range(1, 6)], "doc_id long, text string"
+    )
+    chunks, rep = curate_documents(docs, budget=16, n_shards=2)
+    assert rep.after_exact_dedup == 1
+    assert rep.after_near_dedup == 1
+    packed = {r["doc_id"] for r in chunks.select("doc_id").collect()}
+    assert packed == {1}
