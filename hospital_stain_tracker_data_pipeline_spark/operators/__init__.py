@@ -37,3 +37,4 @@ from .packing import (  # noqa: F401
     write_packed_corpus,
 )
 from .inference import batch_score, train_logistic_probe  # noqa: F401
+from .retrieval import bm25_topk, build_bm25_index  # noqa: F401

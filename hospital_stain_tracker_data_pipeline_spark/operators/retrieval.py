@@ -1,0 +1,154 @@
+"""BM25 lexical retrieval over a document corpus (beyond the reference
+surface — the workhorse of data-curation search: "find the documents
+most similar to this eval prompt / this seed set" is a BM25 query, and
+retrieval-based decontamination and quality mining both reduce to it).
+
+Spark-first shape: the index is two aggregates over the exploded
+token stream — per-(doc, term) frequencies and per-term document
+frequencies — plus a one-row corpus stats frame. A query scores as:
+broadcast the query's terms (queries are tiny by definition), semi-join
+them into the postings, compute the BM25 contribution per (doc, term)
+with pure Column math, and sum per doc with partial aggregation. The
+corpus is scanned once at index build; each query touches only the
+postings of its own terms (an equi-join on term — Zipf heads are
+bounded by the df values themselves).
+
+Determinism: tf/df/doc-length are exact integers; idf/score are the
+only floats, rounded for cross-engine comparison; top-k ties break on
+doc_id. The whole scoring formula is plain SQL — the DuckDB oracle
+replays it term for term.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .lm import lm_tokens
+
+
+@dataclass
+class BM25Index:
+    """``postings``: (term, doc_id, tf long); ``doc_lens``: (doc_id,
+    dl long); ``dfs``: (term, df long); ``n_docs``/``avgdl``: corpus
+    scalars (from one aggregate — the only driver-side values)."""
+
+    postings: DataFrame
+    doc_lens: DataFrame
+    dfs: DataFrame
+    n_docs: int
+    avgdl: float
+
+
+def build_bm25_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> BM25Index:
+    """One corpus scan → the three index frames. Tokenization is the
+    LM's (lowercase, whitespace, no empties) so retrieval and
+    perplexity see the same token stream. Zero-token docs carry dl=0
+    and simply never match (no postings)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), lm_tokens(F.col(text_col)).alias("_t")
+    )
+    doc_lens = toks.select("doc_id", F.size("_t").cast("long").alias("dl"))
+    ex = toks.select("doc_id", F.explode("_t").alias("term"))
+    postings = ex.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfs = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    [stats] = doc_lens.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()
+    return BM25Index(
+        postings=postings,
+        doc_lens=doc_lens,
+        dfs=dfs,
+        n_docs=int(stats["n"]),
+        avgdl=float(stats["avgdl"] or 0.0),
+    )
+
+
+def bm25_topk(
+    index: BM25Index,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Top-``k`` documents for a query string under Okapi BM25:
+
+    ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))``
+    with the standard smoothed ``idf(t) = ln(1 + (N−df+0.5)/(df+0.5))``
+    (non-negative — stopword-heavy terms contribute ~0 instead of
+    going negative). Duplicate query terms count once (the common
+    bag-of-words-query simplification).
+
+    Plan: the query's term list broadcasts into the postings equi-join;
+    df joins in the same way; one groupBy(doc) with partial aggregation
+    and a TakeOrdered top-k. No scan of non-matching postings — the
+    join prunes to the query's terms.
+    """
+    if index.n_docs == 0 or index.avgdl == 0:
+        return (
+            index.postings.select(
+                F.col("doc_id"), F.lit(0.0).alias("score")
+            ).limit(0)
+        )
+    spark = index.postings.sparkSession
+    terms = sorted({t for t in query.lower().split() if t})
+    if not terms:
+        raise ValueError("query has no tokens")
+    qdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    n = float(index.n_docs)
+    matched = (
+        index.postings.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(index.dfs), "term")
+        .join(index.doc_lens, "doc_id")
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf = F.col("tf").cast("double")
+    norm = tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(index.avgdl))
+    contrib = idf * tf * (k1 + 1.0) / norm
+    scored = matched.groupBy("doc_id").agg(F.sum(contrib).alias("score"))
+    if round_to is not None:
+        scored = scored.withColumn("score", F.round("score", round_to))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def bm25_reference(
+    docs: list[tuple[int, str]], query: str, k1: float = 1.2, b: float = 0.75
+) -> dict[int, float]:
+    """Single-process reference scorer (test oracle for shapes DuckDB
+    SQL also replays — two independent checks, one formula)."""
+    tok = lambda s: [t for t in s.lower().split() if t]
+    toks = {i: tok(t) for i, t in docs}
+    n = len(docs)
+    dls = {i: len(ts) for i, ts in toks.items()}
+    avgdl = sum(dls.values()) / n if n else 0.0
+    terms = sorted(set(tok(query)))
+    dfs = {
+        t: sum(1 for ts in toks.values() if t in ts) for t in terms
+    }
+    out: dict[int, float] = {}
+    for i, ts in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = ts.count(t)
+            if tf == 0 or dfs[t] == 0:
+                continue
+            idf = math.log(1 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dls[i] / avgdl))
+        if s > 0:
+            out[i] = s
+    return out
