@@ -297,3 +297,91 @@ def perplexity_buckets(
         .when(F.col("ppl_rank") > F.lit(1.0 - float(tail_frac)), F.lit("tail"))
         .otherwise(F.lit("middle")),
     )
+
+
+def contrastive_score(
+    docs: DataFrame,
+    lm_target,
+    lm_general,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """DSIR-style importance score: ``avg log p_target − avg log
+    p_general`` per document (positive = the doc looks more like the
+    target domain than the general corpus — the ranking key for
+    importance-resampled data selection, Xie et al. 2023,
+    arXiv:2302.03169). Both models must share ``n`` (same gram stream;
+    enforced). Returns ``(id, n_grams, target_anl, general_anl,
+    importance)``; token-free docs carry NULLs throughout.
+
+    Cost: the gram explode runs ONCE — both models join onto the same
+    exploded stream (four broadcast joins total), one per-doc
+    aggregate. Scoring two LMs costs one corpus scan, not two."""
+    if lm_target.n != lm_general.n:
+        raise ValueError(
+            f"models disagree on n: {lm_target.n} vs {lm_general.n}"
+        )
+    base = _exploded_grams(docs, lm_target.n, text_col, keep=[id_col], outer=True)
+
+    def logp(lm, suffix: str):
+        denom_k = float(lm.k) * (lm.vocab_size + 1)
+        return F.when(
+            F.col("word").isNotNull(),
+            F.log(
+                (F.coalesce(F.col(f"c_cw{suffix}"), F.lit(0)) + F.lit(float(lm.k)))
+                / (F.coalesce(F.col(f"c_ctx{suffix}"), F.lit(0)) + F.lit(denom_k))
+            ),
+        )
+
+    joined = (
+        base.join(
+            F.broadcast(
+                lm_target.grams.select(
+                    "ctx", "word", F.col("c_cw").alias("c_cw_t")
+                )
+            ),
+            ["ctx", "word"],
+            "left",
+        )
+        .join(
+            F.broadcast(
+                lm_target.contexts.select("ctx", F.col("c_ctx").alias("c_ctx_t"))
+            ),
+            ["ctx"],
+            "left",
+        )
+        .join(
+            F.broadcast(
+                lm_general.grams.select(
+                    "ctx", "word", F.col("c_cw").alias("c_cw_g")
+                )
+            ),
+            ["ctx", "word"],
+            "left",
+        )
+        .join(
+            F.broadcast(
+                lm_general.contexts.select("ctx", F.col("c_ctx").alias("c_ctx_g"))
+            ),
+            ["ctx"],
+            "left",
+        )
+    )
+    out = (
+        joined.withColumn("_lp_t", logp(lm_target, "_t"))
+        .withColumn("_lp_g", logp(lm_general, "_g"))
+        .groupBy(id_col)
+        .agg(
+            F.count("_lp_t").alias("n_grams"),
+            (-F.avg("_lp_t")).alias("target_anl"),
+            (-F.avg("_lp_g")).alias("general_anl"),
+        )
+        .withColumn(
+            "importance", F.col("general_anl") - F.col("target_anl")
+        )
+    )
+    if round_to is not None:
+        for c in ("target_anl", "general_anl", "importance"):
+            out = out.withColumn(c, F.round(c, round_to))
+    return out

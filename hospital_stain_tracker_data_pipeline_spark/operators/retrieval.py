@@ -152,3 +152,47 @@ def bm25_reference(
         if s > 0:
             out[i] = s
     return out
+
+
+def bm25_bulk_scores(
+    index: BM25Index,
+    eval_docs: DataFrame,
+    eval_id_col: str = "eval_id",
+    text_col: str = "text",
+    min_score: float = 0.0,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Score EVERY eval document against the corpus in one plan —
+    retrieval-based decontamination at its natural shape ("drop any
+    corpus doc suspiciously similar to any eval doc"): explode the
+    eval set into (eval_id, term) pairs (terms deduped per eval doc),
+    broadcast them into the postings join, and aggregate BM25 per
+    (corpus doc, eval doc). No per-query loop — one job regardless of
+    eval-set size. Returns ``(doc_id, eval_id, score)`` with
+    score > ``min_score``; anti-join ``doc_id`` to decontaminate.
+
+    The per-(doc,eval) scores are IDENTICAL to running ``bm25_topk``
+    per eval doc (pinned by test) — same formula, vectorized."""
+    ev = eval_docs.select(
+        F.col(eval_id_col),
+        F.explode(F.array_distinct(lm_tokens(F.col(text_col)))).alias("term"),
+    )
+    n = float(index.n_docs)
+    k1, b = 1.2, 0.75
+    matched = (
+        index.postings.join(F.broadcast(ev), "term")
+        .join(F.broadcast(index.dfs), "term")
+        .join(index.doc_lens, "doc_id")
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf = F.col("tf").cast("double")
+    norm = tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(index.avgdl))
+    contrib = idf * tf * (k1 + 1.0) / norm
+    scored = matched.groupBy("doc_id", eval_id_col).agg(
+        F.sum(contrib).alias("score")
+    )
+    if round_to is not None:
+        scored = scored.withColumn("score", F.round("score", round_to))
+    return scored.filter(F.col("score") > min_score)

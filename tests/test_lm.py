@@ -322,3 +322,45 @@ def test_normalize_text_nfc_matches_duckdb(spark, sf_dir):
         ).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_contrastive_score_dsir_ranking(spark):
+    """Train a target LM on domain A text and a general LM on mixed
+    text: importance must rank an A-like doc above a B-like doc, agree
+    with independently-computed per-model scores, and enforce the
+    shared-n contract."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.lm import (
+        contrastive_score,
+    )
+
+    dom_a = "alpha beta gamma " * 10
+    dom_b = "rock paper scissors " * 10
+    target = train_ngram_lm(
+        spark.createDataFrame([(1, dom_a)], "doc_id long, text string"), n=2
+    )
+    general = train_ngram_lm(
+        spark.createDataFrame(
+            [(1, dom_a), (2, dom_b)], "doc_id long, text string"
+        ),
+        n=2,
+    )
+    probe = spark.createDataFrame(
+        [(10, "alpha beta gamma alpha beta"), (20, "rock paper scissors rock"),
+         (30, "   ")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in contrastive_score(probe, target, general).collect()}
+    assert got[10]["importance"] > got[20]["importance"]
+    assert got[30]["importance"] is None and got[30]["n_grams"] == 0
+    # cross-check against the standalone scorer per model
+    t = {r["doc_id"]: r["avg_neg_logp"] for r in score_perplexity(probe, target).collect()}
+    g = {r["doc_id"]: r["avg_neg_logp"] for r in score_perplexity(probe, general).collect()}
+    for d in (10, 20):
+        assert got[d]["target_anl"] == pytest.approx(t[d], abs=2e-4)
+        assert got[d]["general_anl"] == pytest.approx(g[d], abs=2e-4)
+        assert got[d]["importance"] == pytest.approx(g[d] - t[d], abs=4e-4)
+    tri = train_ngram_lm(
+        spark.createDataFrame([(1, dom_a)], "doc_id long, text string"), n=3
+    )
+    with pytest.raises(ValueError, match="disagree on n"):
+        contrastive_score(probe, tri, general)

@@ -119,3 +119,31 @@ def test_bm25_edge_policies(spark):
     a = bm25_topk(idx, "hello hello", k=5).collect()[0]["score"]
     b = bm25_topk(idx, "hello", k=5).collect()[0]["score"]
     assert a == b
+
+
+def test_bm25_bulk_scores_match_per_query_topk(spark, sf_dir):
+    """The vectorized eval-set scorer must reproduce bm25_topk's
+    per-query scores exactly for every eval doc."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.retrieval import (
+        bm25_bulk_scores,
+    )
+
+    docs = load_fixture_table(spark, sf_dir, "documents")
+    idx = build_bm25_index(docs)
+    eval_rows = [
+        (100, "the data system"),
+        (200, "of and processing"),
+    ]
+    eval_docs = spark.createDataFrame(eval_rows, "eval_id long, text string")
+    bulk = {
+        (r["doc_id"], r["eval_id"]): r["score"]
+        for r in bm25_bulk_scores(idx, eval_docs, round_to=None).collect()
+    }
+    assert bulk
+    for eval_id, q in eval_rows:
+        per = {
+            r["doc_id"]: r["score"]
+            for r in bm25_topk(idx, q, k=10**6, round_to=None).collect()
+        }
+        got = {d: s for (d, e), s in bulk.items() if e == eval_id}
+        assert got == pytest.approx(per)
