@@ -4,6 +4,7 @@ actually executes —
 
     [optional per-source cap] → quality funnel → exact dedup →
     near-dup drop → [optional SemDeDup over embeddings] → [optional
+    BM25 retrieval decontamination against an eval set] → [optional
     C4-style span-level dedup] → [optional CCNet-style LM perplexity
     gate] → epoch shuffle → sequence packing
 
@@ -57,6 +58,8 @@ class CurationReport:
     after_perplexity: int | None = None
     # docs surviving the optional SemDeDup stage; None when off
     after_semantic_dedup: int | None = None
+    # docs surviving the optional retrieval decontamination; None when off
+    after_decontamination: int | None = None
 
 
 def default_quality_stages(
@@ -88,6 +91,8 @@ def curate_documents(
     embeddings: DataFrame | None = None,
     semantic_threshold: float | None = None,
     semantic_clusters: int = 16,
+    decon_eval_docs: DataFrame | None = None,
+    decon_min_score: float | None = None,
 ) -> tuple[DataFrame, CurationReport]:
     """Run the full curation pipeline over a ``(doc_id, text)`` corpus;
     returns ``(packed_chunks, report)``.
@@ -144,6 +149,10 @@ def curate_documents(
     if (embeddings is None) != (semantic_threshold is None):
         raise ValueError(
             "embeddings and semantic_threshold must be provided together"
+        )
+    if (decon_eval_docs is None) != (decon_min_score is None):
+        raise ValueError(
+            "decon_eval_docs and decon_min_score must be provided together"
         )
     stages = stages if stages is not None else default_quality_stages()
 
@@ -222,6 +231,28 @@ def curate_documents(
         deduped.unpersist()
         deduped = sem
 
+    n_decon: int | None = None
+    if decon_eval_docs is not None:
+        # retrieval-based decontamination: any surviving doc whose BM25
+        # similarity to ANY eval doc crosses the bound goes. Index is
+        # built over survivors only (the smallest corpus available)
+        from ..operators.retrieval import bm25_bulk_scores, build_bm25_index
+
+        idx = build_bm25_index(deduped)
+        hits = (
+            bm25_bulk_scores(
+                idx, decon_eval_docs, min_score=float(decon_min_score)
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        decon = deduped.join(hits, "doc_id", "left_anti").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        n_decon = decon.count()
+        deduped.unpersist()
+        deduped = decon
+
     n_span: int | None = None
     if span_dedup_delim is not None:
         spanned = (
@@ -279,6 +310,7 @@ def curate_documents(
         after_source_cap=n_cap,
         after_perplexity=n_ppl,
         after_semantic_dedup=n_sem,
+        after_decontamination=n_decon,
     )
     # handle for unpersist_curated — the chunks frame's lineage reads
     # from this persisted corpus

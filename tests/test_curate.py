@@ -345,3 +345,38 @@ def test_curate_all_duplicates_single_survivor(spark):
     assert rep.after_near_dedup == 1
     packed = {r["doc_id"] for r in chunks.select("doc_id").collect()}
     assert packed == {1}
+
+
+def test_curate_retrieval_decontamination_stage(spark):
+    """An eval doc lexically close to one corpus doc: that doc must be
+    dropped by the decontamination stage, the unrelated one kept."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quantum physics benchmark question about entanglement "
+                "and superposition states measured in qubits repeatedly"),
+            (2, "completely different content about gardening tomatoes "
+                "seedlings compost watering schedules and sunlight hours"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "quantum entanglement benchmark question superposition qubits")],
+        "eval_id long, text string",
+    )
+    chunks, rep = curate_documents(
+        corpus,
+        budget=16,
+        n_shards=1,
+        stages=[],
+        near_dup_threshold=0.99,
+        decon_eval_docs=eval_docs,
+        decon_min_score=3.0,
+    )
+    assert rep.after_near_dedup == 2
+    assert rep.after_decontamination == 1
+    packed = {r["doc_id"] for r in chunks.select("doc_id").collect()}
+    assert packed == {2}
+    import pytest
+
+    with pytest.raises(ValueError, match="together"):
+        curate_documents(corpus, decon_eval_docs=eval_docs)
