@@ -15,6 +15,7 @@ from .bpe import (  # noqa: F401
     word_histogram,
 )
 from .lm import (  # noqa: F401
+    contrastive_score,
     perplexity_buckets,
     score_perplexity,
     train_ngram_lm,
@@ -37,4 +38,8 @@ from .packing import (  # noqa: F401
     write_packed_corpus,
 )
 from .inference import batch_score, train_logistic_probe  # noqa: F401
-from .retrieval import bm25_topk, build_bm25_index  # noqa: F401
+from .retrieval import (  # noqa: F401
+    bm25_bulk_scores,
+    bm25_topk,
+    build_bm25_index,
+)

@@ -24,7 +24,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .lm import lm_tokens
@@ -118,12 +118,11 @@ def bm25_topk(
     scored = matched.groupBy("doc_id").agg(F.sum(contrib).alias("score"))
     if round_to is not None:
         scored = scored.withColumn("score", F.round("score", round_to))
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= k)
-        .drop("_rk")
-    )
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition heap +
+    # merge) — a row_number window here would be a SINGLE-TASK global
+    # sort of every matching doc, which for a stopword-ish query is the
+    # corpus (plan-asserted in tests)
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 def bm25_reference(

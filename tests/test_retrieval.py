@@ -100,7 +100,9 @@ def test_bm25_plan_broadcasts_query_and_dfs(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("BroadcastHashJoin") >= 2, plan
-    assert "TakeOrdered" in plan or "Window" in plan
+    # distributed top-k, not a single-task global rank window
+    assert "TakeOrdered" in plan, plan
+    assert "Window" not in plan, plan
 
 
 def test_bm25_edge_policies(spark):
