@@ -240,8 +240,15 @@ def write_packed_corpus(
     One sampled range exchange + per-partition sort — no single-task
     stage at any size. ``n_files`` sets the partition count (target
     ~1 GB files at scale); None lets AQE/defaults pick.
+
+    Works for BOTH packers: concat-and-chunk rows order within a chunk
+    by ``chunk_start``; no-split rows (no ``chunk_start`` column) order
+    by ``doc_id`` — within a no-split chunk the concatenation order IS
+    the deterministic walk order, which sorts by doc id inside the
+    (order_col-sharded) chunk.
     """
-    cols = ["shard", "chunk_id", "chunk_start"]
+    in_chunk = "chunk_start" if "chunk_start" in chunks.columns else "doc_id"
+    cols = ["shard", "chunk_id", in_chunk]
     part = (
         chunks.repartitionByRange(n_files, *cols)
         if n_files

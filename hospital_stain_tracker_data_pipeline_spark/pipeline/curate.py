@@ -36,7 +36,12 @@ from pyspark.storagelevel import StorageLevel
 from ..functions.text import quality_score, token_count
 from ..operators.dedup import dedup_spans, exact_dedup, minhash_lsh_dedup_pairs
 from ..operators.lm import score_perplexity
-from ..operators.packing import epoch_shuffle, filter_funnel, pack_token_chunks
+from ..operators.packing import (
+    epoch_shuffle,
+    filter_funnel,
+    pack_documents_no_split,
+    pack_token_chunks,
+)
 from ..operators.similarity import semantic_dedup_pairs
 from ..operators.web import cap_per_group
 
@@ -93,6 +98,7 @@ def curate_documents(
     semantic_clusters: int = 16,
     decon_eval_docs: DataFrame | None = None,
     decon_min_score: float | None = None,
+    no_split: bool = False,
 ) -> tuple[DataFrame, CurationReport]:
     """Run the full curation pipeline over a ``(doc_id, text)`` corpus;
     returns ``(packed_chunks, report)``.
@@ -285,15 +291,24 @@ def curate_documents(
         deduped.unpersist()
         deduped = filtered
 
+    # no_split switches the packer: greedy whole-document chunks
+    # (T5-style) instead of concat-and-chunk splitting
     # sort=False: packing's shard window consumes the _order KEY, so a
     # global range sort here would be a dead exchange
     shuffled = epoch_shuffle(deduped, seed=seed, sort=False)
-    chunks = pack_token_chunks(
-        shuffled, budget=budget, n_shards=n_shards, order_col="_order"
-    )
+    if no_split:
+        chunks = pack_documents_no_split(
+            shuffled, budget=budget, n_shards=n_shards, order_col="_order"
+        )
+        tok_col = "n_tok"
+    else:
+        chunks = pack_token_chunks(
+            shuffled, budget=budget, n_shards=n_shards, order_col="_order"
+        )
+        tok_col = "chunk_tokens"
     agg = chunks.agg(
         F.count_distinct("shard", "chunk_id").alias("n_chunks"),
-        F.sum("chunk_tokens").alias("tok"),
+        F.sum(tok_col).alias("tok"),
     ).collect()[0]
     # deduped (what chunks reads) stays persisted for the caller;
     # exact is only an intermediate of the now-materialized deduped

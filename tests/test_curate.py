@@ -380,3 +380,19 @@ def test_curate_retrieval_decontamination_stage(spark):
 
     with pytest.raises(ValueError, match="together"):
         curate_documents(corpus, decon_eval_docs=eval_docs)
+
+
+def test_curate_no_split_packing_variant(spark):
+    """no_split=True packs whole documents (one row per doc, no chunk
+    straddling); packed token mass equals the survivors' token mass."""
+    docs = spark.createDataFrame(
+        [(i, BASE.replace("fox", f"f{i}")) for i in range(1, 5)],
+        "doc_id long, text string",
+    )
+    chunks, rep = curate_documents(
+        docs, budget=30, n_shards=2, near_dup_threshold=0.99, no_split=True
+    )
+    pdf = chunks.toPandas()
+    assert pdf["doc_id"].is_unique  # docs never split
+    assert rep.packed_tokens == int(pdf["n_tok"].sum())
+    assert rep.chunks == len(pdf.groupby(["shard", "chunk_id"]))

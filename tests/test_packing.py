@@ -633,3 +633,20 @@ def test_no_split_deterministic_and_order_sensitive(spark, sf_dir):
     c = key(pack_documents_no_split(s0, budget=256, n_shards=4, order_col="_order"))
     d = key(pack_documents_no_split(s1, budget=256, n_shards=4, order_col="_order"))
     assert c != d
+
+
+def test_write_packed_corpus_handles_no_split_layout(spark, sf_dir, tmp_path):
+    from hospital_stain_tracker_data_pipeline_spark.operators.packing import (
+        pack_documents_no_split,
+        write_packed_corpus,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.sources.tables import (
+        load_fixture_table,
+    )
+
+    docs = load_fixture_table(spark, sf_dir, "documents")
+    packed = pack_documents_no_split(docs, budget=256, n_shards=2)
+    out = str(tmp_path / "packed_ns")
+    write_packed_corpus(packed, out, n_files=2)
+    back = spark.read.parquet(out)
+    assert back.count() == packed.count()
