@@ -380,3 +380,73 @@ def test_sample_token_mixture_budget_conservation(spark, tokens, frac, seed):
     n_full = quota // avail
     for e in range(n_full):
         assert per_epoch[e] == len(tokens)
+
+
+@_slow
+@given(
+    docs=st.lists(
+        st.text(alphabet=st.sampled_from("ab c"), max_size=25),
+        min_size=1,
+        max_size=10,
+    ),
+    query=st.text(alphabet=st.sampled_from("abc "), min_size=1, max_size=10),
+)
+def test_bm25_matches_reference_on_random_corpora(spark, docs, query):
+    """Any corpus/query: Spark BM25 equals the single-process reference
+    scorer exactly (same formula, distributed vs loop)."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.retrieval import (
+        bm25_reference,
+        bm25_topk,
+        build_bm25_index,
+    )
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_bm25_index(df)
+    want = bm25_reference(rows, query)
+    if not query.split():
+        return  # tokenless query raises; covered by the unit test
+    if idx.avgdl == 0:
+        return  # all-empty corpus: no scores by contract
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(idx, query, k=1000, round_to=None).collect()
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert abs(got[d] - want[d]) < 1e-9
+
+
+@_slow
+@given(
+    tokens=st.lists(st.integers(1, 30), min_size=1, max_size=25),
+    budget=st.integers(1, 40),
+)
+def test_no_split_packing_matches_greedy_reference(spark, tokens, budget):
+    """Any token profile/budget (single shard): the distributed packer
+    equals a plain-python greedy walk — same chunk assignment for every
+    doc, including oversize singleton semantics."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.packing import (
+        pack_documents_no_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate(tokens)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["chunk_id"]
+        for r in pack_documents_no_split(docs, budget=budget, n_shards=1).collect()
+    }
+    want = {}
+    cid, used = 0, 0
+    for i, t in enumerate(tokens):
+        if used > 0 and used + t > budget:
+            cid += 1
+            used = 0
+        want[i] = cid
+        used += t
+        if t > budget:
+            cid += 1
+            used = 0
+    assert got == want
