@@ -937,14 +937,16 @@ def sample_video_frames(
     """Frame sampling over video payloads — the 1→N ``mapInPandas``
     shape (one input row explodes into one row per sampled timestamp).
 
-    REAL end-to-end for RIFF/AVI MJPEG (``sniff_avi``): the container
-    walk locates every '00dc' frame chunk, the sampled timestamp maps
-    to a frame index via the header fps, and ``frame`` carries the
-    ACTUAL JPEG bytes from the container — decodable by the library's
-    own JPEG codec (``operators/jpeg.py``), no media lib involved.
-    For ISO-BMFF (MP4) the header decodes for real (duration → sample
-    count) but frame extraction needs a video lib (H.264 entropy
-    decode) — absent here — so MP4 frame bytes are a deterministic
+    REAL end-to-end for RIFF/AVI MJPEG (``sniff_avi``) AND for MP4
+    tracks whose sample entry is a JPEG-family format
+    (``mp4_jpeg_track`` — full stsd/stsz/stsc/stco/stts resolution):
+    the sampled timestamp maps to a frame (header fps for AVI, exact
+    stts decode times for MP4) and ``frame`` carries the ACTUAL JPEG
+    bytes from the container — decodable by the library's own JPEG
+    codec (``operators/jpeg.py``), no media lib involved. For
+    H.264/H.265 MP4 tracks the header still decodes for real
+    (duration → sample count) but frame extraction needs an entropy
+    decoder — absent here — so those frame bytes are a deterministic
     payload-hash fake behind ``fake_decode=True`` and NULL otherwise.
     A payload in neither container raises unless ``fake_decode=True``
     (2-second fake duration)."""
@@ -956,6 +958,7 @@ def sample_video_frames(
                 raw = bytes(payload) if payload is not None else b""
                 avi = sniff_avi(raw)
                 sniffed = avi or sniff_mp4(raw)
+                mp4_track = None if avi else mp4_jpeg_track(raw)
                 if sniffed is None:
                     if not fake_decode:
                         raise NotImplementedError(
@@ -975,6 +978,17 @@ def sample_video_frames(
                     if chunks and fps:
                         fi = min(int(round(ts * fps)), len(chunks) - 1)
                         off, ln = chunks[fi]
+                        frame = raw[off:off + ln]
+                    elif mp4_track is not None:
+                        # last sample whose decode time <= ts
+                        times = mp4_track["times_s"]
+                        fi = 0
+                        for j, tsec in enumerate(times):
+                            if tsec <= ts:
+                                fi = j
+                            else:
+                                break
+                        off, ln = mp4_track["samples"][fi]
                         frame = raw[off:off + ln]
                     elif fake_decode:
                         frame = hashlib.sha256(
@@ -1386,3 +1400,198 @@ def sniff_ogg_vorbis(raw: bytes) -> dict | None:
         "n_frames": last_granule,
         "duration_s": last_granule / rate,
     }
+
+
+# ---------------------------------------------------------------------------
+# MP4 sample tables — real frame extraction for JPEG-coded tracks.
+# ---------------------------------------------------------------------------
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+_MP4_JPEG_FORMATS = {b"jpeg", b"mjpa", b"mjpb"}
+
+
+def mp4_jpeg_track(raw: bytes) -> dict | None:
+    """Locate the first JPEG-coded video track in an ISO-BMFF file and
+    resolve its full sample table, stdlib-only: stsd (sample-entry
+    format), stsz (sizes), stco/co64 (chunk offsets), stsc
+    (sample→chunk runs, expanded per ISO 14496-12 §8.7.4), stts
+    (decode timestamps), mdhd (track timescale). Returns
+    ``{"samples": [(offset, size)...], "times_s": [...], "timescale"}``
+    or None when no track's sample entry is a JPEG family format —
+    H.264/H.265 tracks are real video but need an entropy decoder this
+    environment doesn't have; JPEG-coded samples our own codec decodes.
+    """
+    if len(raw) < 12 or raw[4:8] != b"ftyp":
+        return None
+    be32 = lambda i: struct.unpack(">I", raw[i:i + 4])[0]
+    be64 = lambda i: struct.unpack(">Q", raw[i:i + 8])[0]
+    tracks: list[dict] = []
+    cur: dict | None = None
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal cur
+        i = lo
+        while i + 8 <= hi:
+            size, typ, header = be32(i), raw[i + 4:i + 8], 8
+            if size == 1:
+                if i + 16 > hi:
+                    return
+                size, header = be64(i + 8), 16
+                if size < 16:
+                    return
+            elif size == 0:
+                size = hi - i
+            elif size < 8:
+                return
+            base, end = i + header, min(i + size, hi)
+            if typ == b"trak":
+                cur = {}
+                walk(base, end)
+                if cur.get("is_jpeg"):
+                    tracks.append(cur)
+                cur = None
+            elif typ in _MP4_CONTAINERS:
+                walk(base, end)
+            elif cur is not None and typ == b"mdhd" and base + 4 <= hi:
+                ver = raw[base]
+                ts_off = base + (20 if ver == 1 else 12)
+                if ts_off + 4 <= hi:
+                    cur["timescale"] = be32(ts_off)
+            elif cur is not None and typ == b"stsd" and base + 16 <= hi:
+                fmt = raw[base + 12:base + 16]
+                cur["is_jpeg"] = fmt in _MP4_JPEG_FORMATS
+            elif cur is not None and typ == b"stsz" and base + 12 <= hi:
+                fixed, n = be32(base + 4), be32(base + 8)
+                if fixed:
+                    cur["sizes"] = [fixed] * n
+                else:
+                    cur["sizes"] = [
+                        be32(base + 12 + 4 * j)
+                        for j in range(n)
+                        if base + 16 + 4 * j <= hi
+                    ]
+            elif cur is not None and typ in (b"stco", b"co64") and base + 8 <= hi:
+                n = be32(base + 4)
+                step = 4 if typ == b"stco" else 8
+                rd = be32 if typ == b"stco" else be64
+                cur["chunk_offsets"] = [
+                    rd(base + 8 + step * j)
+                    for j in range(n)
+                    if base + 8 + step * (j + 1) <= hi
+                ]
+            elif cur is not None and typ == b"stsc" and base + 8 <= hi:
+                n = be32(base + 4)
+                cur["stsc"] = [
+                    (be32(base + 8 + 12 * j), be32(base + 12 + 12 * j))
+                    for j in range(n)
+                    if base + 20 + 12 * j <= hi
+                ]
+            elif cur is not None and typ == b"stts" and base + 8 <= hi:
+                n = be32(base + 4)
+                cur["stts"] = [
+                    (be32(base + 8 + 8 * j), be32(base + 12 + 8 * j))
+                    for j in range(n)
+                    if base + 16 + 8 * j <= hi
+                ]
+            i += size
+
+    walk(0, len(raw))
+    for t in tracks:
+        sizes = t.get("sizes") or []
+        offsets = t.get("chunk_offsets") or []
+        stsc = t.get("stsc") or []
+        scale = t.get("timescale") or 0
+        if not (sizes and offsets and stsc and scale):
+            continue
+        # expand stsc runs: entry (first_chunk, samples_per_chunk)
+        # applies from its first_chunk until the next entry's
+        samples: list[tuple[int, int]] = []
+        si = 0
+        for e_idx, (first, per) in enumerate(stsc):
+            last = (
+                stsc[e_idx + 1][0] - 1
+                if e_idx + 1 < len(stsc)
+                else len(offsets)
+            )
+            for c in range(first, last + 1):
+                if c - 1 >= len(offsets) or si >= len(sizes):
+                    break
+                off = offsets[c - 1]
+                for _ in range(per):
+                    if si >= len(sizes):
+                        break
+                    samples.append((off, sizes[si]))
+                    off += sizes[si]
+                    si += 1
+        if not samples:
+            continue
+        times, acc = [], 0
+        for count, delta in t.get("stts") or [(len(samples), scale)]:
+            for _ in range(count):
+                times.append(acc / scale)
+                acc += delta
+        times = times[: len(samples)]
+        while len(times) < len(samples):
+            times.append(times[-1] if times else 0.0)
+        return {"samples": samples, "times_s": times, "timescale": scale}
+    return None
+
+
+def build_mjpeg_mp4(
+    frames: list[bytes], width: int, height: int, fps: float = 10.0
+) -> bytes:
+    """Assemble JPEG frames into a minimal ISO-BMFF file with a
+    'jpeg'-coded video track (ftyp + mdat + moov with the full stbl:
+    stsd/stts/stsc/stsz/stco) — the write-side of the real MP4 frame
+    path and its test rig. One sample per chunk; absolute stco offsets
+    point into the mdat that precedes moov."""
+    if not frames:
+        raise ValueError("at least one frame required")
+    scale = 1000
+    delta = int(round(scale / fps))
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + typ + payload
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mdat_payload = b"".join(frames)
+    offsets = []
+    off = len(ftyp) + 8
+    for f in frames:
+        offsets.append(off)
+        off += len(f)
+    mdat = box(b"mdat", mdat_payload)
+    n = len(frames)
+    dur = n * delta
+    full = b"\x00\x00\x00\x00"  # version+flags
+    mvhd = box(
+        b"mvhd", full + bytes(8) + struct.pack(">II", scale, dur) + bytes(80)
+    )
+    tkhd = box(b"tkhd", full + bytes(92))
+    mdhd = box(
+        b"mdhd", full + bytes(8) + struct.pack(">II", scale, dur) + bytes(4)
+    )
+    hdlr = box(b"hdlr", full + bytes(4) + b"vide" + bytes(12) + b"\x00")
+    entry = (
+        struct.pack(">I", 86) + b"jpeg" + bytes(6) + struct.pack(">H", 1)
+        + bytes(16) + struct.pack(">HH", width, height) + bytes(50)
+    )
+    stsd = box(b"stsd", full + struct.pack(">I", 1) + entry)
+    stts = box(b"stts", full + struct.pack(">III", 1, n, delta))
+    stsc = box(b"stsc", full + struct.pack(">IIII", 1, 1, 1, 1))
+    stsz = box(
+        b"stsz",
+        full + struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(f)) for f in frames),
+    )
+    stco = box(
+        b"stco",
+        full + struct.pack(">I", n)
+        + b"".join(struct.pack(">I", o) for o in offsets),
+    )
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov

@@ -1726,3 +1726,63 @@ def test_sniff_ogg_vorbis_duration_from_last_granule():
     assert got["duration_s"] == pytest.approx(2.0)
     assert sniff_ogg_vorbis(b"OggS garbage") is None
     assert sniff_ogg_vorbis(b"not ogg at all, promise" * 4) is None
+
+
+def test_sample_video_frames_real_jpeg_mp4_end_to_end(spark):
+    """MP4 with a 'jpeg'-coded track: the full sample-table walk
+    (stsd/stsz/stsc/stco/stts) yields real frame bytes at the sampled
+    timestamps, decodable by the repo's own JPEG codec."""
+    import numpy as np
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+        build_mjpeg_mp4,
+        mp4_jpeg_track,
+        sample_video_frames,
+    )
+
+    fps, n_frames = 5.0, 10
+    frames = [
+        encode_jpeg(np.full((16, 24, 3), i * 25, dtype=np.uint8), quality=95)
+        for i in range(n_frames)
+    ]
+    mp4 = build_mjpeg_mp4(frames, 24, 16, fps=fps)
+    track = mp4_jpeg_track(mp4)
+    assert len(track["samples"]) == n_frames
+    assert track["times_s"][1] == pytest.approx(0.2)
+
+    media = spark.createDataFrame(
+        [(9, bytearray(mp4), ("video/mp4", len(mp4), "t"))],
+        "media_id long, payload binary, "
+        "meta struct<mime string, n_bytes long, source string>",
+    )
+    rows = sorted(
+        sample_video_frames(media, stride_s=0.5).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert len(rows) == 4  # 2.0s duration / 0.5s
+    for r in rows:
+        px = decode_jpeg_pixels(bytes(r["frame"]))
+        assert px is not None and px.shape == (16, 24, 3)
+        # ts 0.0/0.5/1.0/1.5 at 5 fps -> last sample with t<=ts:
+        # frames 0/2/5/7 -> means 0/50/125/175
+        want = int(r["frame_ts_s"] * fps) * 25
+        assert abs(float(px.mean()) - want) < 3.0, (r["frame_idx"], px.mean())
+
+
+def test_mp4_jpeg_track_none_for_non_jpeg_codec():
+    import struct as _s
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+        build_mjpeg_mp4,
+        mp4_jpeg_track,
+    )
+
+    mp4 = build_mjpeg_mp4([b"\xff\xd8fake\xff\xd9"], 8, 8)
+    # rewrite the stsd sample-entry format to avc1: no jpeg track
+    avc = mp4.replace(b"jpeg", b"avc1", 1)
+    assert mp4_jpeg_track(avc) is None
+    assert mp4_jpeg_track(b"plainly not a video") is None
