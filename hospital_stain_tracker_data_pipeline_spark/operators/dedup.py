@@ -799,3 +799,136 @@ def dedup_spans(
             F.coalesce("n_spans_kept", F.lit(0)).cast("long").alias("n_spans_kept"),
         )
     )
+
+
+def dedup_substrings(
+    docs: DataFrame,
+    min_tokens: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-substring removal, Lee et al. 2022-style
+    (arXiv:2107.06499 "Deduplicating Training Data Makes Language
+    Models Better", public methodology): any ``min_tokens``-token span
+    occurring more than once ANYWHERE in the corpus survives only at
+    its globally-first occurrence; all other occurrences are cut from
+    their documents. Overlapping duplicated windows merge into one
+    removed span, so a long repeated passage is excised once as a
+    whole, not window-by-window.
+
+    The paper builds a suffix array; the Spark-first equivalent is
+    fingerprinted fixed-length windows: every token position yields an
+    ``min_tokens``-gram md5 key, the global first occurrence per key is
+    ``min(struct(doc_id, pos))`` (deterministic under any
+    partitioning), every later occurrence marks interval
+    ``[pos, pos+L)``, intervals merge per doc with a running-max
+    window (the sessionization trick), and surviving tokens reassemble
+    in order. A repeated span of length m ≥ L is fully covered by its
+    m−L+1 duplicated windows, so the merged cut equals the suffix-array
+    answer for spans ≥ L; spans shorter than L are below the dedup
+    threshold by definition.
+
+    Returns ``(id, text_deduped, n_tokens, n_tokens_removed)`` for
+    EVERY input doc — ``text_deduped`` is whitespace-normalized
+    (single-space joined tokens; the tokenizer is shared with packing,
+    so removed-token accounting matches the packer's budget math).
+
+    Scale: one shuffle keyed by the window fingerprint (16-byte md5 —
+    span text never shuffles) with map-side partial aggregation; one
+    doc-keyed window for interval merge; one doc-keyed reassembly agg.
+    No all-pairs term anywhere.
+    """
+    if min_tokens < 1:
+        raise ValueError(f"min_tokens must be >= 1, got {min_tokens}")
+    L = int(min_tokens)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+        .alias("_t"),
+    )
+    # windows: zip L shifted slices of the BOUND token array (the
+    # HOF-lambda CSE contract — see SCALE.md) and md5 each joined gram
+    n = F.size("_t")
+    length = n - (L - 1)
+    zipped = F.arrays_zip(
+        *[
+            F.slice(F.col("_t"), F.lit(j + 1), F.greatest(length, F.lit(0)))
+            .alias(f"t{j}")
+            for j in range(L)
+        ]
+    )
+    grams = toks.select(
+        "doc_id",
+        F.when(n >= L, zipped).otherwise(
+            F.array().cast(
+                "array<struct<" + ",".join(f"t{j}:string" for j in range(L)) + ">>"
+            )
+        ).alias("_z"),
+    ).select(
+        "doc_id",
+        F.posexplode("_z").alias("pos", "g"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.md5(
+            F.concat_ws(" ", *[F.col(f"g.t{j}") for j in range(L)])
+        ).alias("key"),
+    )
+    grams = materialize(grams)
+    firsts = grams.groupBy("key").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first"),
+        F.count(F.lit(1)).alias("c"),
+    ).filter(F.col("c") > 1)
+    cut = (
+        grams.join(firsts, "key")
+        .filter(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .select("doc_id", F.col("pos").alias("start"), (F.col("pos") + L).alias("end"))
+    )
+    # merge overlapping/adjacent intervals per doc (running max of end)
+    w = Window.partitionBy("doc_id").orderBy("start", "end")
+    prev_max = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    merged = (
+        cut.withColumn(
+            "_new", F.when(prev_max.isNull() | (F.col("start") > prev_max), 1).otherwise(0)
+        )
+        .withColumn(
+            "_grp",
+            F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "_grp")
+        .agg(F.min("start").alias("start"), F.max("end").alias("end"))
+    )
+    covered = merged.select(
+        "doc_id", F.explode(F.sequence("start", F.col("end") - 1)).alias("idx")
+    )
+    exploded = toks.select(
+        "doc_id", F.posexplode("_t").alias("idx", "tok")
+    )
+    kept = exploded.join(covered, ["doc_id", "idx"], "left_anti")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_deduped"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    return (
+        toks.select("doc_id", F.size("_t").cast("long").alias("n_tokens"))
+        .join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("text_deduped"), F.lit("")).alias("text_deduped"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_tokens_removed"),
+        )
+    )
