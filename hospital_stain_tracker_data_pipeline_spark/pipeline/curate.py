@@ -5,8 +5,9 @@ actually executes —
     [optional per-source cap] → quality funnel → exact dedup →
     near-dup drop → [optional SemDeDup over embeddings] → [optional
     BM25 retrieval decontamination against an eval set] → [optional
-    C4-style span-level dedup] → [optional CCNet-style LM perplexity
-    gate] → epoch shuffle → sequence packing
+    exact substring dedup (Lee et al.)] → [optional C4-style
+    span-level dedup] → [optional CCNet-style LM perplexity gate] →
+    epoch shuffle → sequence packing
 
 Each stage is one of the library's standalone operators; this module
 only wires them, so the scale properties are the stages' own (funnel:
@@ -65,6 +66,8 @@ class CurationReport:
     after_semantic_dedup: int | None = None
     # docs surviving the optional retrieval decontamination; None when off
     after_decontamination: int | None = None
+    # docs still non-empty after optional exact substring dedup; None when off
+    after_substring_dedup: int | None = None
 
 
 def default_quality_stages(
@@ -99,6 +102,7 @@ def curate_documents(
     decon_eval_docs: DataFrame | None = None,
     decon_min_score: float | None = None,
     no_split: bool = False,
+    substring_min_tokens: int | None = None,
 ) -> tuple[DataFrame, CurationReport]:
     """Run the full curation pipeline over a ``(doc_id, text)`` corpus;
     returns ``(packed_chunks, report)``.
@@ -259,6 +263,25 @@ def curate_documents(
         deduped.unpersist()
         deduped = decon
 
+    n_substr: int | None = None
+    if substring_min_tokens is not None:
+        # Lee-et-al exact substring dedup: corpus-global duplicated
+        # passages >= the threshold survive only at their first
+        # occurrence; docs reduced to nothing drop
+        from ..operators.dedup import dedup_substrings
+
+        sub = (
+            dedup_substrings(deduped, min_tokens=substring_min_tokens)
+            .filter(F.col("text_deduped") != "")
+            .select("doc_id", F.col("text_deduped").alias("text"))
+        )
+        sub = deduped.drop("text").join(sub, "doc_id", "inner").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        n_substr = sub.count()
+        deduped.unpersist()
+        deduped = sub
+
     n_span: int | None = None
     if span_dedup_delim is not None:
         spanned = (
@@ -326,6 +349,7 @@ def curate_documents(
         after_perplexity=n_ppl,
         after_semantic_dedup=n_sem,
         after_decontamination=n_decon,
+        after_substring_dedup=n_substr,
     )
     # handle for unpersist_curated — the chunks frame's lineage reads
     # from this persisted corpus

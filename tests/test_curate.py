@@ -396,3 +396,29 @@ def test_curate_no_split_packing_variant(spark):
     assert pdf["doc_id"].is_unique  # docs never split
     assert rep.packed_tokens == int(pdf["n_tok"].sum())
     assert rep.chunks == len(pdf.groupby(["shard", "chunk_id"]))
+
+
+def test_curate_substring_dedup_stage(spark):
+    """Two docs sharing a long passage with otherwise-distinct text:
+    the later doc loses the passage but survives with its remainder."""
+    shared = " ".join(f"s{i}" for i in range(12))
+    corpus = spark.createDataFrame(
+        [
+            (1, f"first unique opener {shared} first unique closer words"),
+            (2, f"second version begins {shared} second ending tokens here"),
+        ],
+        "doc_id long, text string",
+    )
+    chunks, rep = curate_documents(
+        corpus,
+        budget=16,
+        n_shards=1,
+        stages=[],
+        near_dup_threshold=0.99,
+        substring_min_tokens=10,
+    )
+    assert rep.after_near_dedup == 2
+    assert rep.after_substring_dedup == 2  # both survive, doc 2 shrunk
+    # packed token mass reflects the removal: doc1 keeps all 19
+    # tokens (3 + 12 shared + 4), doc2 contributes only its 7 unique
+    assert rep.packed_tokens == 19 + 7
