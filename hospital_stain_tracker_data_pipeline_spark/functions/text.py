@@ -138,3 +138,33 @@ def normalize_text_udf(form: str = "NFKC"):
     # territory with no pandas import, and the decorator's string type
     # hints would need `pd` resolvable in module globals
     return pandas_udf(lambda s: s.str.normalize(form), "string")
+
+
+def compression_ratio_udf(level: int = 6):
+    """Per-document zlib compression ratio (compressed/raw bytes) — a
+    classic cheap quality signal: highly repetitive or templated text
+    compresses far below natural prose (~0.3-0.5), while random bytes
+    sit near 1.0; pipelines cut both tails. stdlib zlib per Arrow
+    batch (another documented Python seam — Spark has no compression
+    expression); NULL for NULL/empty docs. DEFLATE output is fully
+    deterministic for a given (input, level, library) so reruns and
+    same-zlib replays are exact."""
+    from pyspark.sql.functions import pandas_udf
+
+    if not 1 <= level <= 9:
+        raise ValueError(f"zlib level must be in 1..9, got {level}")
+
+    def _ratio(s):
+        import zlib
+
+        def one(x):
+            if x is None:
+                return None
+            b = x.encode("utf-8")
+            if not b:
+                return None
+            return len(zlib.compress(b, level)) / len(b)
+
+        return s.map(one)
+
+    return pandas_udf(_ratio, "double")

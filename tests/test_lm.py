@@ -364,3 +364,35 @@ def test_contrastive_score_dsir_ranking(spark):
     )
     with pytest.raises(ValueError, match="disagree on n"):
         contrastive_score(probe, tri, general)
+
+
+def test_compression_ratio_signal(spark):
+    """Repetitive text compresses far below varied text; NULL/empty
+    yield NULL; values replay exactly against the same stdlib zlib."""
+    import zlib
+
+    from hospital_stain_tracker_data_pipeline_spark.functions.text import (
+        compression_ratio_udf,
+    )
+
+    rows = [
+        (1, "spam " * 200),
+        (2, " ".join(f"w{i}x{i * 7 % 13}" for i in range(200))),
+        (3, None),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["cr"]
+        for r in df.select(
+            "doc_id", compression_ratio_udf()(F.col("text")).alias("cr")
+        ).collect()
+    }
+    assert got[3] is None and got[4] is None
+    assert got[1] < 0.1  # highly repetitive
+    assert got[2] > got[1] * 3  # varied text compresses much worse
+    for i, t in rows[:2]:
+        b = t.encode()
+        assert got[i] == pytest.approx(len(zlib.compress(b, 6)) / len(b))
+    with pytest.raises(ValueError):
+        compression_ratio_udf(level=0)

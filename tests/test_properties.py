@@ -450,3 +450,55 @@ def test_no_split_packing_matches_greedy_reference(spark, tokens, budget):
             cid += 1
             used = 0
     assert got == want
+
+
+@_slow
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 3), min_size=0, max_size=14),
+        min_size=1,
+        max_size=6,
+    ),
+    L=st.integers(2, 5),
+)
+def test_dedup_substrings_matches_python_reference(spark, docs, L):
+    """Random small-alphabet corpora (duplicates likely): the
+    distributed substring dedup equals a direct python replay of the
+    spec — window keys, global first occurrence, merged-interval cut."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+        dedup_substrings,
+    )
+
+    texts = [(i, " ".join(f"t{x}" for x in ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_deduped"], r["n_tokens_removed"])
+        for r in dedup_substrings(df, min_tokens=L).collect()
+    }
+
+    toks = {i: t.split() if t else [] for i, t in texts}
+    occ: dict[tuple, list] = {}
+    for i in sorted(toks):
+        ts = toks[i]
+        for p in range(len(ts) - L + 1):
+            occ.setdefault(tuple(ts[p:p + L]), []).append((i, p))
+    cuts: dict[int, list] = {}
+    for key, places in occ.items():
+        if len(places) > 1:
+            for d, p in sorted(places)[1:]:
+                cuts.setdefault(d, []).append((p, p + L))
+    want = {}
+    for i, ts in toks.items():
+        ivs = sorted(cuts.get(i, []))
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        covered = set()
+        for s, e in merged:
+            covered.update(range(s, e))
+        kept = [t for j, t in enumerate(ts) if j not in covered]
+        want[i] = (" ".join(kept), len(ts) - len(kept))
+    assert got == want
