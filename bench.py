@@ -152,6 +152,24 @@ def _extras_registry():
         docs = load_fixture_table(spark, sf_dir, "documents")
         return leakage_safe_split(docs, minhash_lsh_dedup_pairs(docs, threshold=0.5))
 
+    def bm25(spark, sf_dir):
+        from hospital_stain_tracker_data_pipeline_spark.operators.retrieval import (
+            bm25_topk,
+            build_bm25_index,
+        )
+
+        idx = build_bm25_index(load_fixture_table(spark, sf_dir, "documents"))
+        return bm25_topk(idx, "the data of and system", k=25)
+
+    def substr_dedup(spark, sf_dir):
+        from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+            dedup_substrings,
+        )
+
+        return dedup_substrings(
+            load_fixture_table(spark, sf_dir, "documents"), min_tokens=8
+        )
+
     return {
         "lm_train_score": lm_train_score,
         "mixture_sample_tokens": mixture,
@@ -159,6 +177,8 @@ def _extras_registry():
         "no_split_pack": no_split_pack,
         "semantic_dedup_pairs": sem_dedup,
         "leakage_safe_split": safe_split,
+        "bm25_index_and_query": bm25,
+        "dedup_substrings": substr_dedup,
     }
 
 

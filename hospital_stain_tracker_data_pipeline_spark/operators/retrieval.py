@@ -159,6 +159,8 @@ def bm25_bulk_scores(
     eval_id_col: str = "eval_id",
     text_col: str = "text",
     min_score: float = 0.0,
+    k1: float = 1.2,
+    b: float = 0.75,
     round_to: int | None = 6,
 ) -> DataFrame:
     """Score EVERY eval document against the corpus in one plan —
@@ -177,7 +179,6 @@ def bm25_bulk_scores(
         F.explode(F.array_distinct(lm_tokens(F.col(text_col)))).alias("term"),
     )
     n = float(index.n_docs)
-    k1, b = 1.2, 0.75
     matched = (
         index.postings.join(F.broadcast(ev), "term")
         .join(F.broadcast(index.dfs), "term")
