@@ -586,3 +586,41 @@ def semantic_dedup(
         .distinct()
     )
     return df.join(drop, id_col, "left_anti")
+
+
+def save_ivf_index(
+    spark, centroids: np.ndarray, path: str
+) -> None:
+    """Persist a fitted coarse quantizer as a tiny parquet table
+    ``(cluster int, pos int, val double)`` — the index artifact a
+    nightly fit job writes and every downstream search job loads, so
+    the (expensive, iterative) fit runs once per corpus version, not
+    once per query job. Plain parquet: engine-portable, diffable,
+    and versioned by path like any other lake artifact."""
+    rows = [
+        (int(c), int(p), float(v))
+        for c, row in enumerate(centroids)
+        for p, v in enumerate(row)
+    ]
+    spark.createDataFrame(
+        rows, "cluster int, pos int, val double"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_ivf_index(spark, path: str) -> np.ndarray:
+    """Inverse of ``save_ivf_index``; validates a dense rectangular
+    (k, dim) table so a corrupted artifact fails loudly here, not as
+    silent wrong assignments downstream."""
+    rows = spark.read.parquet(path).collect()
+    if not rows:
+        raise ValueError(f"empty IVF index at {path}")
+    k = max(r["cluster"] for r in rows) + 1
+    dim = max(r["pos"] for r in rows) + 1
+    if len(rows) != k * dim:
+        raise ValueError(
+            f"IVF index at {path} is not dense: {len(rows)} cells != {k}x{dim}"
+        )
+    out = np.zeros((k, dim))
+    for r in rows:
+        out[r["cluster"], r["pos"]] = r["val"]
+    return out

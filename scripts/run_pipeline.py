@@ -143,6 +143,8 @@ def cmd_curate(args) -> None:
         near_dup_threshold=args.near_dup_threshold,
         span_dedup_delim=args.span_delim,
         max_per_source=args.max_per_source,
+        substring_min_tokens=args.substring_min_tokens,
+        no_split=args.no_split,
     )
     write_packed_corpus(chunks, args.output)
     unpersist_curated(chunks)
@@ -205,6 +207,8 @@ def main() -> None:
     pc.add_argument("--near-dup-threshold", type=float, default=0.9)
     pc.add_argument("--span-delim", default=None)
     pc.add_argument("--max-per-source", type=int, default=None)
+    pc.add_argument("--substring-min-tokens", type=int, default=None)
+    pc.add_argument("--no-split", action="store_true")
     pc.set_defaults(fn=cmd_curate)
 
     args = p.parse_args()

@@ -279,3 +279,29 @@ def test_semantic_dedup_cluster_size_guard(spark):
         semantic_dedup_pairs(
             df, threshold=0.9, n_clusters=2, iters=1, max_cluster_rows=10
         ).collect()
+
+
+def test_ivf_index_save_load_roundtrip(spark, sf_dir, tmp_path):
+    import numpy as np
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.similarity import (
+        ivf_fit_centroids,
+        load_ivf_index,
+        save_ivf_index,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.sources.tables import (
+        load_fixture_table,
+    )
+
+    emb = load_fixture_table(spark, sf_dir, "embeddings")
+    cents = ivf_fit_centroids(emb, n_clusters=4, iters=1)
+    path = str(tmp_path / "ivf_idx")
+    save_ivf_index(spark, cents, path)
+    back = load_ivf_index(spark, path)
+    assert np.array_equal(back, cents)
+    # corrupted artifact (an interior cell missing) fails loudly
+    spark.read.parquet(path).filter(
+        ~((F.col("cluster") == 1) & (F.col("pos") == 1))
+    ).write.mode("overwrite").parquet(path + "2")
+    with pytest.raises(ValueError, match="not dense"):
+        load_ivf_index(spark, path + "2")
