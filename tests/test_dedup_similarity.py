@@ -1786,3 +1786,49 @@ def test_mp4_jpeg_track_none_for_non_jpeg_codec():
     avc = mp4.replace(b"jpeg", b"avc1", 1)
     assert mp4_jpeg_track(avc) is None
     assert mp4_jpeg_track(b"plainly not a video") is None
+
+
+def test_extract_video_features_avi_and_mp4(spark):
+    import numpy as np
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.jpeg import (
+        encode_jpeg,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+        build_mjpeg_avi,
+        build_mjpeg_mp4,
+        extract_video_features,
+    )
+
+    frames = [
+        encode_jpeg(np.full((8, 12, 3), i * 50, dtype=np.uint8))
+        for i in range(5)
+    ]
+    avi = build_mjpeg_avi(frames, 12, 8, fps=5.0)
+    mp4 = build_mjpeg_mp4(frames, 12, 8, fps=5.0)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(avi), ("video/x-msvideo", len(avi), "t")),
+            (2, bytearray(mp4), ("video/mp4", len(mp4), "t")),
+        ],
+        "media_id long, payload binary, "
+        "meta struct<mime string, n_bytes long, source string>",
+    )
+    got = {r["media_id"]: r for r in extract_video_features(media).collect()}
+    a = got[1]
+    assert (a["mime"], a["width"], a["height"]) == ("video/x-msvideo", 12, 8)
+    assert a["fps"] == 5.0 and a["n_frames"] == 5
+    assert a["duration_s"] == pytest.approx(1.0)
+    m = got[2]
+    assert m["mime"] == "video/mp4" and m["n_frames"] == 5
+    assert m["fps"] == pytest.approx(5.0)
+    assert m["duration_s"] == pytest.approx(1.0)
+    # unrecognized payload raises without the fake
+    bad = spark.createDataFrame(
+        [(3, bytearray(b"nope"), ("x", 4, "t"))],
+        "media_id long, payload binary, "
+        "meta struct<mime string, n_bytes long, source string>",
+    )
+    with pytest.raises(Exception):
+        extract_video_features(bad).collect()
+    assert extract_video_features(bad, fake_decode=True).count() == 1
