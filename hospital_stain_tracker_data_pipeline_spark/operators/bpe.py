@@ -41,7 +41,7 @@ the merge table rides the closure once per task, never per row.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -92,7 +92,6 @@ def _merge_pair_expr(a: str, b: str) -> Column:
 
 
 def train_bpe(
-    spark: SparkSession,
     docs: DataFrame,
     n_merges: int,
     text_col: str = "text",
@@ -182,7 +181,6 @@ def train_bpe(
 
 
 def bpe_vocab(
-    spark: SparkSession,
     docs: DataFrame,
     merges: list[tuple[str, str]],
     text_col: str = "text",

@@ -291,7 +291,10 @@ def _decode(raw: bytes) -> tuple[int, np.ndarray] | None:
         return None
     chans: list[np.ndarray] = []
     got = 0
-    while got < total and pos + 4 <= len(raw):
+    # total_samples == 0 is LEGAL (RFC 9639: "0 means unknown" — a
+    # streaming encoder that can't seek back writes it); decode until
+    # the byte stream runs out instead of refusing the file
+    while (total == 0 or got < total) and pos + 4 <= len(raw):
         frame_start = pos
         br = _Bits(raw, pos * 8)
         sync = br.u(14)

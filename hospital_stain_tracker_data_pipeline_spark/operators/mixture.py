@@ -35,6 +35,16 @@ from pyspark.sql import functions as F
 from ..functions.text import token_count
 
 
+def _doc_tokens(text_col: str) -> Column:
+    """Default per-doc token count with the packing module's empty-doc
+    guard: split('') yields [""] (count 1), but a blank doc carries
+    zero training tokens — without the guard a source of N blank docs
+    would claim N tokens of budget that packing then cannot deliver."""
+    return F.when(
+        F.trim(F.col(text_col)) == "", F.lit(0)
+    ).otherwise(token_count(F.col(text_col)))
+
+
 def source_token_stats(
     docs: DataFrame,
     source_col: str = "source",
@@ -45,7 +55,7 @@ def source_token_stats(
     partial-agg scan; pass ``tokens_col`` to use a real tokenizer's
     counts instead of the whitespace default."""
     n_tok = (
-        token_count(F.col(text_col)) if tokens_col is None else tokens_col
+        _doc_tokens(text_col) if tokens_col is None else tokens_col
     ).cast("long")
     return docs.groupBy(F.col(source_col).alias("source")).agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -176,7 +186,7 @@ def sample_token_mixture(
         empty = docs.withColumn("epoch", F.lit(0)).limit(0)
         return empty
     n_tok = (
-        token_count(F.col(text_col)) if tokens_col is None else tokens_col
+        _doc_tokens(text_col) if tokens_col is None else tokens_col
     ).cast("long")
     max_full = {
         s: int(quota[s] // avail[s]) if avail[s] > 0 else 0 for s in quota

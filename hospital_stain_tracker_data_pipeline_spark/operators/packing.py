@@ -242,12 +242,17 @@ def write_packed_corpus(
     ~1 GB files at scale); None lets AQE/defaults pick.
 
     Works for BOTH packers: concat-and-chunk rows order within a chunk
-    by ``chunk_start``; no-split rows (no ``chunk_start`` column) order
-    by ``doc_id`` — within a no-split chunk the concatenation order IS
-    the deterministic walk order, which sorts by doc id inside the
-    (order_col-sharded) chunk.
+    by ``chunk_start``; no-split rows order by ``chunk_pos`` — the
+    greedy walk position the packer records precisely so the epoch
+    shuffle's in-chunk order survives the write (doc_id order inside a
+    chunk is NOT walk order once ``order_col`` drives the pack).
     """
-    in_chunk = "chunk_start" if "chunk_start" in chunks.columns else "doc_id"
+    if "chunk_start" in chunks.columns:
+        in_chunk = "chunk_start"
+    elif "chunk_pos" in chunks.columns:
+        in_chunk = "chunk_pos"
+    else:
+        in_chunk = "doc_id"
     cols = ["shard", "chunk_id", in_chunk]
     part = (
         chunks.repartitionByRange(n_files, *cols)
@@ -275,9 +280,14 @@ def pack_documents_no_split(
     fit into (the padding cost this strategy trades for clean example
     boundaries — measure it with ``packing_efficiency`` below).
 
-    Returns one row per document: ``shard, chunk_id, doc_id, n_tok,
-    oversize`` (``oversize`` marks docs longer than ``budget``, placed
-    alone in their own chunk — the consumer decides truncate/drop).
+    Returns one row per document: ``shard, chunk_id, chunk_pos,
+    doc_id, n_tok, oversize`` — ``chunk_pos`` is the document's
+    0-based position in the greedy walk within its chunk (the
+    concatenation order a writer must preserve; with ``order_col`` the
+    walk follows the shuffle key, so doc_id order inside a chunk is
+    NOT the stream order), ``oversize`` marks docs longer than
+    ``budget``, placed alone in their own chunk — the consumer decides
+    truncate/drop.
 
     Spark shape: greedy reset-at-boundary is a data-dependent
     recurrence no window expression computes, so each shard runs a
@@ -329,20 +339,26 @@ def pack_documents_no_split(
         )
         toks = pdf["n_tok"].to_numpy()[order]
         chunk = np.empty(len(order), dtype=np.int64)
-        cid, used = 0, 0
+        cpos = np.empty(len(order), dtype=np.int64)
+        cid, used, pos = 0, 0, 0
         for j, t in enumerate(toks):
             if used > 0 and used + t > b:
                 cid += 1
                 used = 0
+                pos = 0
             chunk[j] = cid
+            cpos[j] = pos
             used += t
+            pos += 1
             if t > b:  # oversize doc sits alone; close its chunk
                 cid += 1
                 used = 0
+                pos = 0
         out = pd.DataFrame(
             {
                 "shard": pdf["shard"].to_numpy()[order],
                 "chunk_id": chunk,
+                "chunk_pos": cpos,
                 "doc_id": pdf["doc_id"].to_numpy()[order],
                 "n_tok": toks,
                 "oversize": toks > b,
@@ -352,7 +368,10 @@ def pack_documents_no_split(
 
     return base.groupBy("shard").applyInPandas(
         _pack,
-        schema="shard int, chunk_id long, doc_id long, n_tok long, oversize boolean",
+        schema=(
+            "shard int, chunk_id long, chunk_pos long, doc_id long, "
+            "n_tok long, oversize boolean"
+        ),
     )
 
 

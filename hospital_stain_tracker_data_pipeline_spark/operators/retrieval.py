@@ -104,9 +104,13 @@ def bm25_topk(
         raise ValueError("query has no tokens")
     qdf = spark.createDataFrame([(t,) for t in terms], "term string")
     n = float(index.n_docs)
+    # prune dfs to the query's terms BEFORE broadcasting: the full dfs
+    # table is one row per distinct corpus term (web-scale: 10^8+) and
+    # would blow the broadcast limit; post-semi-join it is |terms| rows
+    dfs_q = index.dfs.join(F.broadcast(qdf), "term")
     matched = (
         index.postings.join(F.broadcast(qdf), "term")
-        .join(F.broadcast(index.dfs), "term")
+        .join(F.broadcast(dfs_q), "term")
         .join(index.doc_lens, "doc_id")
     )
     idf = F.log(
@@ -179,9 +183,14 @@ def bm25_bulk_scores(
         F.explode(F.array_distinct(lm_tokens(F.col(text_col)))).alias("term"),
     )
     n = float(index.n_docs)
+    # same broadcast-pruning as bm25_topk: dfs restricted to the eval
+    # set's distinct terms before it ships anywhere
+    dfs_q = index.dfs.join(
+        F.broadcast(ev.select("term").distinct()), "term"
+    )
     matched = (
         index.postings.join(F.broadcast(ev), "term")
-        .join(F.broadcast(index.dfs), "term")
+        .join(F.broadcast(dfs_q), "term")
         .join(index.doc_lens, "doc_id")
     )
     idf = F.log(

@@ -84,7 +84,7 @@ def test_train_bpe_matches_python_reference(spark):
         r["word"]: r["count"] for r in word_histogram(docs).collect()
     }
     want = _ref_train(hist, 25)
-    got = train_bpe(spark, docs, 25)
+    got = train_bpe(docs, 25)
     assert got == want and len(got) == 25
 
 
@@ -95,14 +95,14 @@ def test_train_bpe_on_fixture_matches_reference(spark, sf_dir):
     docs = load_fixture_table(spark, sf_dir, "documents")
     hist = {r["word"]: r["count"] for r in word_histogram(docs).collect()}
     want = _ref_train(hist, 15)
-    got = train_bpe(spark, docs, 15)
+    got = train_bpe(docs, 15)
     assert got == want and len(got) == 15
 
 
 def test_train_bpe_deterministic_under_repartition(spark):
     docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
-    a = train_bpe(spark, docs, 12)
-    b = train_bpe(spark, docs.repartition(7), 12)
+    a = train_bpe(docs, 12)
+    b = train_bpe(docs.repartition(7), 12)
     assert a == b
 
 
@@ -113,8 +113,8 @@ def test_train_bpe_batched_rounds(spark):
     batch is pairwise symbol-disjoint by construction — pinned by
     replaying the disjointness rule over the output."""
     docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
-    classic = train_bpe(spark, docs, 1)
-    batched = train_bpe(spark, docs, 12, merges_per_round=4)
+    classic = train_bpe(docs, 1)
+    batched = train_bpe(docs, 12, merges_per_round=4)
     assert len(batched) == 12
     assert batched[0] == classic[0]
     assert len(set(batched)) == 12  # no merge repeats across rounds
@@ -122,7 +122,7 @@ def test_train_bpe_batched_rounds(spark):
 
 def test_bpe_encode_matches_reference_and_reconstructs(spark):
     docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
-    merges = train_bpe(spark, docs, 20)
+    merges = train_bpe(docs, 20)
     enc = {
         r["doc_id"]: r["bpe_tokens"]
         for r in bpe_encode(docs, merges).collect()
@@ -141,8 +141,8 @@ def test_bpe_encode_matches_reference_and_reconstructs(spark):
 
 def test_bpe_vocab_counts_conserve_words(spark):
     docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
-    merges = train_bpe(spark, docs, 10)
-    vocab = bpe_vocab(spark, docs, merges)
+    merges = train_bpe(docs, 10)
+    vocab = bpe_vocab(docs, merges)
     # every word ends in exactly one </w>-carrying token, so the
     # </w>-token count total equals the corpus word count
     eow_total = (

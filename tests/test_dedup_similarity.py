@@ -1832,3 +1832,28 @@ def test_extract_video_features_avi_and_mp4(spark):
     with pytest.raises(Exception):
         extract_video_features(bad).collect()
     assert extract_video_features(bad, fake_decode=True).count() == 1
+
+
+def test_flac_unknown_length_stream_decodes():
+    """RFC 9639: STREAMINFO total_samples == 0 means 'unknown length'
+    (streaming encoders that can't seek back). The decoder must decode
+    to end-of-stream instead of refusing the file."""
+    import numpy as np
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.flac import (
+        decode_flac_samples,
+        encode_flac,
+    )
+
+    t = np.arange(2000)
+    pcm = (3000 * np.sin(t / 9.0)).astype(np.int16)[:, None]
+    raw = bytearray(encode_flac(pcm, 16000))
+    # zero the 36-bit total_samples field (bits 28..63 of the 8-byte
+    # rate/ch/bps/total pack at STREAMINFO offset 18)
+    raw[21] &= 0xF0
+    raw[22:26] = b"\x00\x00\x00\x00"
+    dec = decode_flac_samples(bytes(raw))
+    assert dec is not None
+    rate, out = dec
+    assert rate == 16000
+    assert np.array_equal(out[:, 0], pcm[:, 0])

@@ -131,7 +131,9 @@ def test_sample_matches_duckdb_oracle(spark, sf_dir):
         WITH q(source, quota) AS (VALUES {quota_rows}),
         tok AS (
           SELECT doc_id, source,
-                 len(string_split_regex(trim(text), '\\s+')) AS n_tok
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+'))
+                 END AS n_tok
           FROM '{sf_dir}/documents.parquet'
         ),
         avail AS (SELECT source, sum(n_tok) AS av FROM tok GROUP BY 1),
@@ -183,3 +185,15 @@ def test_sample_partitioning_invariant_and_seed_sensitive(spark, sf_dir):
     c = key(sample_token_mixture(docs, plan, seed=2))
     assert a == b
     assert a != c
+
+
+def test_blank_docs_carry_zero_tokens(spark):
+    """The packing module's empty-doc guard applies to the inventory
+    and the sampler: blank docs claim no budget (split('') would
+    otherwise count 1 token each — budget packing cannot deliver)."""
+    docs = spark.createDataFrame(
+        [(1, "a b", "s"), (2, "", "s"), (3, "   ", "s")],
+        "doc_id long, text string, source string",
+    )
+    [r] = source_token_stats(docs).collect()
+    assert (r["n_docs"], r["n_tokens"]) == (3, 2)

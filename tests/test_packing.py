@@ -650,3 +650,49 @@ def test_write_packed_corpus_handles_no_split_layout(spark, sf_dir, tmp_path):
     write_packed_corpus(packed, out, n_files=2)
     back = spark.read.parquet(out)
     assert back.count() == packed.count()
+
+
+def test_no_split_writer_preserves_shuffled_walk_order(spark, sf_dir, tmp_path):
+    """With order_col driving the pack, in-chunk doc order follows the
+    shuffle key, NOT doc_id — the writer must preserve the recorded
+    chunk_pos so a reader streams the epoch shuffle's order."""
+    import pandas as pd
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.packing import (
+        epoch_shuffle,
+        pack_documents_no_split,
+        write_packed_corpus,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.sources.tables import (
+        load_fixture_table,
+    )
+
+    docs = epoch_shuffle(
+        load_fixture_table(spark, sf_dir, "documents"), seed=3, sort=False
+    )
+    packed = pack_documents_no_split(
+        docs, budget=256, n_shards=2, order_col="_order"
+    )
+    want = (
+        packed.orderBy("shard", "chunk_id", "chunk_pos")
+        .select("doc_id")
+        .toPandas()["doc_id"]
+        .tolist()
+    )
+    # the shuffled walk genuinely differs from doc_id order in-chunk
+    by_id = (
+        packed.orderBy("shard", "chunk_id", "doc_id")
+        .select("doc_id")
+        .toPandas()["doc_id"]
+        .tolist()
+    )
+    assert want != by_id
+    out = str(tmp_path / "packed_order")
+    write_packed_corpus(packed, out, n_files=2)
+    import glob
+
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    got = []
+    for f in files:
+        got.extend(pd.read_parquet(f)["doc_id"].tolist())
+    assert got == want
