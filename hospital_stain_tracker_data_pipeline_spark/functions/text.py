@@ -35,6 +35,14 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+def doc_token_count(text: Column) -> Column:
+    """Token count with the blank-doc guard every BUDGET consumer
+    needs: ``split('')`` yields ``[""]`` (count 1), but a blank doc
+    carries zero training tokens — the packers and the mixture
+    planner must agree on this or budget math silently drifts."""
+    return F.when(F.trim(text) == "", F.lit(0)).otherwise(token_count(text))
+
+
 def stopword_count(text: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
     toks = tokens(F.lower(text))
     return F.size(F.filter(toks, lambda t: t.isin(*stopwords)))

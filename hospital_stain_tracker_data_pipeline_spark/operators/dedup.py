@@ -870,11 +870,18 @@ def dedup_substrings(
     ).select(
         "doc_id",
         "pos",
-        F.md5(
-            F.concat_ws(" ", *[F.col(f"g.t{j}") for j in range(L)])
+        # 16 raw bytes, not the 32-char hex: the key is the shuffle
+        # payload for one row PER TOKEN POSITION — half the bytes is
+        # half the exchange
+        F.unhex(
+            F.md5(F.concat_ws(" ", *[F.col(f"g.t{j}") for j in range(L)]))
         ).alias("key"),
     )
-    grams = materialize(grams)
+    # deliberately NOT materialize()d: grams is O(corpus tokens) — as
+    # large as the input text — and pinning it in executor storage
+    # violates materialize's own small-frame contract; the two
+    # consumers below recompute it (two scans), which at scale is far
+    # cheaper than storing a corpus-sized intermediate
     firsts = grams.groupBy("key").agg(
         F.min(F.struct("doc_id", "pos")).alias("first"),
         F.count(F.lit(1)).alias("c"),

@@ -299,6 +299,11 @@ def _decode(raw: bytes) -> tuple[int, np.ndarray] | None:
         br = _Bits(raw, pos * 8)
         sync = br.u(14)
         if sync != 0x3FFE:
+            if total == 0 and chans:
+                # unknown-length stream: non-frame trailing bytes
+                # (ID3v1 tag, padding) mark end-of-stream, not
+                # corruption — keep what decoded
+                break
             return None
         br.u(1)  # reserved
         br.u(1)  # blocking strategy

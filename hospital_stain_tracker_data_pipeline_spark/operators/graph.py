@@ -68,11 +68,17 @@ def pagerank(
         with_deg = ranks.join(
             outdeg, ranks["node"] == outdeg["src"], "left"
         ).select("node", "rank", "outdeg")
-        # dangling mass: an aggregated scalar, the only collect per loop
+        # dangling mass: an aggregated scalar, the only collect per
+        # loop — summed as quantized LONGs like the contributions, so
+        # it too is order-invariant (a float sum here would leak
+        # shuffle-order ulps into every node via the uniform term)
         [row] = with_deg.filter(F.col("outdeg").isNull()).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m")
+            F.coalesce(
+                F.sum(F.round(F.col("rank") * _SCALE).cast("long")),
+                F.lit(0),
+            ).alias("m")
         ).collect()
-        dangling = float(row["m"])
+        dangling = float(row["m"]) / _SCALE
         contrib = (
             e.join(with_deg.filter(F.col("outdeg").isNotNull()),
                    e["src"] == with_deg["node"])
@@ -104,12 +110,18 @@ def pagerank(
                 new_ranks.alias("a")
                 .join(ranks.alias("b"), "node")
                 .agg(
-                    F.sum(F.abs(F.col("a.rank") - F.col("b.rank"))).alias("d")
+                    # quantized-integer L1 delta: the early-stop
+                    # decision must not depend on float sum order
+                    F.sum(
+                        F.round(
+                            F.abs(F.col("a.rank") - F.col("b.rank")) * _SCALE
+                        ).cast("long")
+                    ).alias("d")
                 )
                 .collect()
             )
             ranks = new_ranks
-            if float(d["d"]) < tol:
+            if float(d["d"]) / _SCALE < tol:
                 break
         else:
             ranks = new_ranks

@@ -32,17 +32,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import token_count
-
-
-def _doc_tokens(text_col: str) -> Column:
-    """Default per-doc token count with the packing module's empty-doc
-    guard: split('') yields [""] (count 1), but a blank doc carries
-    zero training tokens — without the guard a source of N blank docs
-    would claim N tokens of budget that packing then cannot deliver."""
-    return F.when(
-        F.trim(F.col(text_col)) == "", F.lit(0)
-    ).otherwise(token_count(F.col(text_col)))
+from ..functions.text import doc_token_count
 
 
 def source_token_stats(
@@ -55,7 +45,7 @@ def source_token_stats(
     partial-agg scan; pass ``tokens_col`` to use a real tokenizer's
     counts instead of the whitespace default."""
     n_tok = (
-        _doc_tokens(text_col) if tokens_col is None else tokens_col
+        doc_token_count(F.col(text_col)) if tokens_col is None else tokens_col
     ).cast("long")
     return docs.groupBy(F.col(source_col).alias("source")).agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -186,7 +176,7 @@ def sample_token_mixture(
         empty = docs.withColumn("epoch", F.lit(0)).limit(0)
         return empty
     n_tok = (
-        _doc_tokens(text_col) if tokens_col is None else tokens_col
+        doc_token_count(F.col(text_col)) if tokens_col is None else tokens_col
     ).cast("long")
     max_full = {
         s: int(quota[s] // avail[s]) if avail[s] > 0 else 0 for s in quota

@@ -1462,6 +1462,10 @@ def mp4_jpeg_track(raw: bytes) -> dict | None:
                 cur["is_jpeg"] = fmt in _MP4_JPEG_FORMATS
             elif cur is not None and typ == b"stsz" and base + 12 <= hi:
                 fixed, n = be32(base + 4), be32(base + 8)
+                # clamp table counts by what the FILE can hold: a
+                # corrupt 0xFFFFFFFF count would otherwise allocate a
+                # multi-GB list and OOM the worker on one bad payload
+                n = min(n, len(raw))
                 if fixed:
                     cur["sizes"] = [fixed] * n
                 else:
@@ -1513,6 +1517,8 @@ def mp4_jpeg_track(raw: bytes) -> dict | None:
                 if e_idx + 1 < len(stsc)
                 else len(offsets)
             )
+            if first < 1:  # chunks are 1-based; 0 would wrap to [-1]
+                continue
             for c in range(first, last + 1):
                 if c - 1 >= len(offsets) or si >= len(sizes):
                     break
@@ -1527,9 +1533,13 @@ def mp4_jpeg_track(raw: bytes) -> dict | None:
             continue
         times, acc = [], 0
         for count, delta in t.get("stts") or [(len(samples), scale)]:
-            for _ in range(count):
+            # per-entry counts are 32-bit and unvalidated; never expand
+            # past the samples we actually have
+            for _ in range(min(count, len(samples) - len(times))):
                 times.append(acc / scale)
                 acc += delta
+            if len(times) >= len(samples):
+                break
         times = times[: len(samples)]
         while len(times) < len(samples):
             times.append(times[-1] if times else 0.0)

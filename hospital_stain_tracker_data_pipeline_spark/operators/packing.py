@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import token_count
+from ..functions.text import doc_token_count
 
 
 def pack_token_chunks(
@@ -73,12 +73,7 @@ def pack_token_chunks(
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
     if tokens_col is None:
-        # token_count counts split(trim(x)) elements, which is 1 for a
-        # blank string (split yields [""]); a blank doc contributes no
-        # tokens to a training stream, so zero it explicitly
-        tokens_col = F.when(
-            F.trim(F.col(text_col)) == "", F.lit(0)
-        ).otherwise(token_count(F.col(text_col)))
+        tokens_col = doc_token_count(F.col(text_col))
     n_tok = tokens_col.cast("long")
     if order_col is None:
         shard_expr = F.pmod(F.col(id_col), F.lit(n_shards)).cast("int")
@@ -305,9 +300,7 @@ def pack_documents_no_split(
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
     if tokens_col is None:
-        tokens_col = F.when(
-            F.trim(F.col(text_col)) == "", F.lit(0)
-        ).otherwise(token_count(F.col(text_col)))
+        tokens_col = doc_token_count(F.col(text_col))
     n_tok = tokens_col.cast("long")
     if order_col is None:
         shard_expr = F.pmod(F.col(id_col), F.lit(n_shards)).cast("int")

@@ -597,13 +597,14 @@ def save_ivf_index(
     the (expensive, iterative) fit runs once per corpus version, not
     once per query job. Plain parquet: engine-portable, diffable,
     and versioned by path like any other lake artifact."""
+    k, dim = centroids.shape
     rows = [
-        (int(c), int(p), float(v))
+        (int(c), int(p), float(v), int(k), int(dim))
         for c, row in enumerate(centroids)
         for p, v in enumerate(row)
     ]
     spark.createDataFrame(
-        rows, "cluster int, pos int, val double"
+        rows, "cluster int, pos int, val double, k int, dim int"
     ).coalesce(1).write.mode("overwrite").parquet(path)
 
 
@@ -614,13 +615,23 @@ def load_ivf_index(spark, path: str) -> np.ndarray:
     rows = spark.read.parquet(path).collect()
     if not rows:
         raise ValueError(f"empty IVF index at {path}")
-    k = max(r["cluster"] for r in rows) + 1
-    dim = max(r["pos"] for r in rows) + 1
+    # declared shape travels IN the artifact: deriving k/dim from max
+    # indices would let a truncated last row/column pass the density
+    # check and silently mis-assign every vector downstream
+    k, dim = int(rows[0]["k"]), int(rows[0]["dim"])
     if len(rows) != k * dim:
         raise ValueError(
             f"IVF index at {path} is not dense: {len(rows)} cells != {k}x{dim}"
         )
+    seen = set()
     out = np.zeros((k, dim))
     for r in rows:
-        out[r["cluster"], r["pos"]] = r["val"]
+        c, p_ = r["cluster"], r["pos"]
+        if not (0 <= c < k and 0 <= p_ < dim) or (c, p_) in seen:
+            raise ValueError(
+                f"IVF index at {path} is not dense: cell ({c},{p_}) "
+                "out of range or duplicated"
+            )
+        seen.add((c, p_))
+        out[c, p_] = r["val"]
     return out

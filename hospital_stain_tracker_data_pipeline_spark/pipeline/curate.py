@@ -5,9 +5,15 @@ actually executes —
     [optional per-source cap] → quality funnel → exact dedup →
     near-dup drop → [optional SemDeDup over embeddings] → [optional
     BM25 retrieval decontamination against an eval set] → [optional
-    exact substring dedup (Lee et al.)] → [optional C4-style
-    span-level dedup] → [optional CCNet-style LM perplexity gate] →
+    C4-style span-level dedup] → [optional exact substring dedup
+    (Lee et al.)] → [optional CCNet-style LM perplexity gate] →
     epoch shuffle → sequence packing
+
+    Span dedup runs BEFORE substring dedup on purpose: the substring
+    stage whitespace-normalizes its output (tokens rejoined with
+    single spaces), which would destroy the delimiter the span stage
+    splits on — line-level boilerplate removal must see the original
+    newlines.
 
 Each stage is one of the library's standalone operators; this module
 only wires them, so the scale properties are the stages' own (funnel:
@@ -263,6 +269,20 @@ def curate_documents(
         deduped.unpersist()
         deduped = decon
 
+    n_span: int | None = None
+    if span_dedup_delim is not None:
+        spanned = (
+            dedup_spans(
+                deduped, delim=span_dedup_delim, min_chars=span_min_chars
+            )
+            .filter(F.trim(F.col("text_deduped")) != "")
+            .select("doc_id", F.col("text_deduped").alias("text"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n_span = spanned.count()  # materializes before packing reuses it
+        deduped.unpersist()
+        deduped = spanned
+
     n_substr: int | None = None
     if substring_min_tokens is not None:
         # Lee-et-al exact substring dedup: corpus-global duplicated
@@ -281,20 +301,6 @@ def curate_documents(
         n_substr = sub.count()
         deduped.unpersist()
         deduped = sub
-
-    n_span: int | None = None
-    if span_dedup_delim is not None:
-        spanned = (
-            dedup_spans(
-                deduped, delim=span_dedup_delim, min_chars=span_min_chars
-            )
-            .filter(F.trim(F.col("text_deduped")) != "")
-            .select("doc_id", F.col("text_deduped").alias("text"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        n_span = spanned.count()  # materializes before packing reuses it
-        deduped.unpersist()
-        deduped = spanned
 
     n_ppl: int | None = None
     if ppl_lm is not None:
