@@ -422,3 +422,35 @@ def test_curate_substring_dedup_stage(spark):
     # packed token mass reflects the removal: doc1 keeps all 19
     # tokens (3 + 12 shared + 4), doc2 contributes only its 7 unique
     assert rep.packed_tokens == 19 + 7
+
+
+def test_curate_span_and_substring_stages_compose(spark):
+    """Span dedup must run BEFORE substring dedup (substring output is
+    whitespace-normalized, destroying newlines): a boilerplate line
+    shared across docs is still removed at the line level when both
+    stages are on."""
+    boiler = "subscribe to our newsletter for updates"
+    docs = spark.createDataFrame(
+        [
+            (1, f"real article content here\n{boiler}\nmore real words"),
+            (2, f"different article body text\n{boiler}\nother closing line"),
+        ],
+        "doc_id long, text string",
+    )
+    chunks, rep = curate_documents(
+        docs,
+        budget=16,
+        n_shards=1,
+        stages=[],
+        near_dup_threshold=0.99,
+        span_dedup_delim="\n",
+        span_min_chars=1,
+        substring_min_tokens=50,  # longer than any doc: no-op here
+    )
+    # the line-level stage genuinely fired: doc 2 lost the boilerplate
+    assert rep.after_span_dedup == 2
+    # 6 + 6 tokens of boilerplate counted once: doc1 keeps 4+6+3=13?
+    # doc1: 4 + 6 + 3 tokens; doc2: 4 + 3 (boiler line removed)
+    t1 = len("real article content here".split()) + len(boiler.split()) + len("more real words".split())
+    t2 = len("different article body text".split()) + len("other closing line".split())
+    assert rep.packed_tokens == t1 + t2
