@@ -43,3 +43,17 @@ from .retrieval import (  # noqa: F401
     bm25_topk,
     build_bm25_index,
 )
+from .dedup import dedup_substrings, ngram_contamination  # noqa: F401
+from .graph import pagerank  # noqa: F401
+from .similarity import (  # noqa: F401
+    load_ivf_index,
+    save_ivf_index,
+    semantic_dedup,
+    semantic_dedup_pairs,
+)
+from .multimodal import (  # noqa: F401
+    extract_audio_features,
+    extract_image_features,
+    extract_video_features,
+    sample_video_frames,
+)

@@ -396,3 +396,20 @@ def test_compression_ratio_signal(spark):
         assert got[i] == pytest.approx(len(zlib.compress(b, 6)) / len(b))
     with pytest.raises(ValueError):
         compression_ratio_udf(level=0)
+
+
+def test_contrastive_plan_broadcasts_all_model_tables(spark):
+    """Scale shape of DSIR scoring: four broadcast joins (two tables
+    per model) onto one exploded gram stream, no sort-merge join."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.lm import (
+        contrastive_score,
+    )
+
+    t = train_ngram_lm(_toy(spark), n=2)
+    g = train_ngram_lm(_toy(spark), n=2)
+    plan = (
+        contrastive_score(_toy(spark), t, g)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 4, plan
+    assert "SortMergeJoin" not in plan, plan
