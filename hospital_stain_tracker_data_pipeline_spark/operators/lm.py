@@ -385,3 +385,36 @@ def contrastive_score(
         for c in ("target_anl", "general_anl", "importance"):
             out = out.withColumn(c, F.round(c, round_to))
     return out
+
+
+def save_ngram_lm(lm: NgramLM, path: str) -> None:
+    """Persist a trained model as three parquet tables (grams,
+    contexts, one-row meta) — the artifact a nightly trusted-corpus
+    training job writes and every scoring job loads, so the count
+    shuffles run once per model version. Engine-portable plain
+    parquet, like the IVF index artifact."""
+    lm.grams.write.mode("overwrite").parquet(f"{path}/grams")
+    lm.contexts.write.mode("overwrite").parquet(f"{path}/contexts")
+    spark = lm.grams.sparkSession
+    spark.createDataFrame(
+        [(int(lm.n), int(lm.vocab_size), float(lm.k))],
+        "n int, vocab_size long, k double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_ngram_lm(spark, path: str) -> NgramLM:
+    """Inverse of ``save_ngram_lm``; validates the meta row so a
+    half-written artifact fails loudly."""
+    metas = spark.read.parquet(f"{path}/meta").collect()
+    if len(metas) != 1:
+        raise ValueError(
+            f"LM artifact at {path} has {len(metas)} meta rows, want 1"
+        )
+    m = metas[0]
+    return NgramLM(
+        grams=spark.read.parquet(f"{path}/grams"),
+        contexts=spark.read.parquet(f"{path}/contexts"),
+        n=int(m["n"]),
+        vocab_size=int(m["vocab_size"]),
+        k=float(m["k"]),
+    )

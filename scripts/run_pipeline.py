@@ -135,6 +135,17 @@ def cmd_curate(args) -> None:
 
     spark = get_spark(app_name="curate")
     docs = spark.read.parquet(args.input)
+    ppl_lm = None
+    if args.trusted_docs is not None:
+        # CCNet gate: train the quality LM on the TRUSTED corpus, not
+        # on the corpus being filtered
+        from hospital_stain_tracker_data_pipeline_spark.operators.lm import (
+            train_ngram_lm,
+        )
+
+        ppl_lm = train_ngram_lm(
+            spark.read.parquet(args.trusted_docs), n=2, min_count=2
+        )
     chunks, report = curate_documents(
         docs,
         budget=args.budget,
@@ -145,6 +156,8 @@ def cmd_curate(args) -> None:
         max_per_source=args.max_per_source,
         substring_min_tokens=args.substring_min_tokens,
         no_split=args.no_split,
+        ppl_lm=ppl_lm,
+        max_perplexity=args.max_perplexity,
     )
     write_packed_corpus(chunks, args.output)
     unpersist_curated(chunks)
@@ -209,6 +222,11 @@ def main() -> None:
     pc.add_argument("--max-per-source", type=int, default=None)
     pc.add_argument("--substring-min-tokens", type=int, default=None)
     pc.add_argument("--no-split", action="store_true")
+    pc.add_argument(
+        "--trusted-docs", default=None,
+        help="parquet of trusted docs to train the CCNet LM gate on",
+    )
+    pc.add_argument("--max-perplexity", type=float, default=None)
     pc.set_defaults(fn=cmd_curate)
 
     args = p.parse_args()

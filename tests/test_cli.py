@@ -97,3 +97,36 @@ def test_cli_curate_writes_packed_corpus(tmp_path):
     assert int(report["chunks"]) > 0
     n = duckdb.sql(f"SELECT count(*) FROM '{out}/*.parquet'").fetchone()[0]
     assert n > 0
+
+
+def test_cli_curate_with_perplexity_gate(tmp_path):
+    """--trusted-docs/--max-perplexity wire the CCNet gate through the
+    CLI: a tight bound drops part of the corpus and the report shows
+    the stage attrition."""
+    import subprocess
+    import sys
+
+    import duckdb
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "packed_ppl")
+    proc = subprocess.run(
+        [
+            sys.executable, "scripts/run_pipeline.py", "curate",
+            "--input", src, "--output", out,
+            "--budget", "256", "--shards", "2",
+            "--trusted-docs", src,
+            "--max-perplexity", "30",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = dict(
+        line.split("=", 1)
+        for line in proc.stdout.splitlines()
+        if "=" in line and not line.startswith("wrote")
+    )
+    assert report["after_perplexity"] != "None"
+    assert int(report["after_perplexity"]) <= int(report["after_near_dedup"])
+    n = duckdb.sql(f"SELECT count(*) FROM '{out}/*.parquet'").fetchone()[0]
+    assert n > 0
