@@ -1,0 +1,39 @@
+"""Package hygiene: every module imports cleanly (no circular imports,
+no syntax drift, no missing deps) and the operators package re-exports
+the documented public surface."""
+
+from __future__ import annotations
+
+import importlib
+import pkgutil
+
+import hospital_stain_tracker_data_pipeline_spark as pkg
+
+
+def test_every_module_imports():
+    failures = []
+    for mod in pkgutil.walk_packages(pkg.__path__, prefix=f"{pkg.__name__}."):
+        try:
+            importlib.import_module(mod.name)
+        except Exception as e:  # pragma: no cover - the assert reports
+            failures.append((mod.name, repr(e)))
+    assert not failures, failures
+
+
+def test_operator_surface_exports():
+    from hospital_stain_tracker_data_pipeline_spark import operators as o
+
+    for name in (
+        "train_ngram_lm", "score_perplexity", "perplexity_buckets",
+        "contrastive_score", "train_logistic_probe", "batch_score",
+        "semantic_dedup", "semantic_dedup_pairs", "cap_per_group",
+        "extract_domain", "filter_blocked_domains", "plan_token_mixture",
+        "sample_token_mixture", "source_token_stats", "leakage_safe_split",
+        "pack_token_chunks", "pack_documents_no_split", "packing_efficiency",
+        "write_packed_corpus", "bm25_topk", "bm25_bulk_scores",
+        "build_bm25_index", "dedup_substrings", "ngram_contamination",
+        "pagerank", "save_ivf_index", "load_ivf_index",
+        "extract_image_features", "extract_audio_features",
+        "extract_video_features", "sample_video_frames",
+    ):
+        assert callable(getattr(o, name)), name
