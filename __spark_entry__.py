@@ -2,9 +2,9 @@
 
 ``queries()``/``oracle_sql()`` are backed by the catalog in
 ``hospital_stain_tracker_data_pipeline_spark.plans`` — one entry per operator from
-SURVEY.md §2 plus the Phase-4 training-data extensions. Entries whose
-oracle is None (approximate LSH, streaming) get the driver's rows-only
-check.
+SURVEY.md §2 plus the Phase-4 training-data extensions. Since round 7
+every catalog entry carries a full DuckDB oracle (the IVF fit became
+exact-integer and therefore SQL-replayable).
 """
 
 from __future__ import annotations

@@ -30,6 +30,7 @@ early and dropping the binary.
 
 from __future__ import annotations
 
+import bisect
 import hashlib
 import struct
 import zlib
@@ -980,14 +981,12 @@ def sample_video_frames(
                         off, ln = chunks[fi]
                         frame = raw[off:off + ln]
                     elif mp4_track is not None:
-                        # last sample whose decode time <= ts
+                        # last sample whose decode time <= ts — decode
+                        # times ascend, so binary search instead of a
+                        # linear scan (O(n_samples·log n_frames), not
+                        # O(n_samples·n_frames) on long tracks)
                         times = mp4_track["times_s"]
-                        fi = 0
-                        for j, tsec in enumerate(times):
-                            if tsec <= ts:
-                                fi = j
-                            else:
-                                break
+                        fi = max(0, bisect.bisect_right(times, ts) - 1)
                         off, ln = mp4_track["samples"][fi]
                         frame = raw[off:off + ln]
                     elif fake_decode:
@@ -1462,13 +1461,17 @@ def mp4_jpeg_track(raw: bytes) -> dict | None:
                 cur["is_jpeg"] = fmt in _MP4_JPEG_FORMATS
             elif cur is not None and typ == b"stsz" and base + 12 <= hi:
                 fixed, n = be32(base + 4), be32(base + 8)
-                # clamp table counts by what the FILE can hold: a
-                # corrupt 0xFFFFFFFF count would otherwise allocate a
-                # multi-GB list and OOM the worker on one bad payload
-                n = min(n, len(raw))
+                # clamp table counts by what the payload can actually
+                # hold: a corrupt 0xFFFFFFFF count would otherwise
+                # allocate a multi-GB list and OOM the worker on one
+                # bad payload. Fixed-size samples can't outnumber
+                # len(raw)/fixed bytes; a sizes TABLE can't have more
+                # entries than fit between here and the box end.
                 if fixed:
+                    n = min(n, len(raw) // max(fixed, 1))
                     cur["sizes"] = [fixed] * n
                 else:
+                    n = min(n, max(0, (hi - base - 12) // 4))
                     cur["sizes"] = [
                         be32(base + 12 + 4 * j)
                         for j in range(n)

@@ -349,10 +349,13 @@ def ann_lsh_pairs(
 # IVF (inverted-file) ANN — coarse quantizer + probed search
 # ---------------------------------------------------------------------------
 
-def _normalize_rows(m: np.ndarray) -> np.ndarray:
-    n = np.linalg.norm(m, axis=1, keepdims=True)
-    n[n == 0.0] = 1.0
-    return m / n
+def quantize_vec_long(col: Column) -> Column:
+    """floor(x·1e6) per component as array<long> — the exact-integer
+    representation the IVF fit/assign runs on (see ``QUANT_SCALE``)."""
+    return F.transform(
+        as_double_array(col),
+        lambda x: F.floor(x * F.lit(QUANT_SCALE)).cast("long"),
+    )
 
 
 def ivf_fit_centroids(
@@ -362,58 +365,64 @@ def ivf_fit_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> np.ndarray:
-    """Fit a spherical k-means coarse quantizer (the IVF index's
-    codebook) fully distributed; the driver only ever holds the
-    k×dim centroid matrix (an aggregated result, never corpus rows).
+    """Fit the IVF coarse quantizer (Lloyd k-means on the cosine
+    objective) fully distributed; the driver only ever holds the k×dim
+    centroid matrix (an aggregated result, never corpus rows).
 
-    - init: the k corpus vectors with the smallest ``xxhash64(id)`` —
-      deterministic across runs and partitionings, no RNG.
-    - assign step: one Arrow-batched numpy gemm per batch (argmax of
-      cosine against the broadcast centroid matrix) — same rationale
-      as the LSH projection UDF: k×dim dot products per row exceed
-      what whole-stage codegen handles gracefully.
-    - update step: posexplode → groupBy(cluster, pos) sum — the
-      shuffle payload is the k×dim centroid matrix, not the corpus.
-      Components are quantized to 1e-6 and summed as LONGs (the same
-      exact-integer trick as ``ann_lsh_pairs``), so the aggregation is
-      order-invariant: the fitted centroids — and therefore the whole
-      IVF search — are bit-identical under any input partitioning
-      (pinned by ``tests/test_ann_recall.py::
-      test_ivf_partitioning_determinism``). Empty clusters keep their
-      previous centroid.
+    Every number in the fit is EXACT integer arithmetic on the 1e-6
+    quantized grid, so the whole algorithm is bit-replayable by any
+    engine — including the DuckDB oracle that grades ``knn_ivf``
+    (``plans/vectors.py::_ivf_oracle_sql`` unrolls these iterations as
+    SQL CTEs):
 
+    - init: the ``n_clusters`` corpus vectors with the smallest
+      ``(md5(id), id)`` — deterministic, no RNG, and md5 (unlike
+      xxhash64) exists on both engines; centroid 0 is the smallest.
+    - assign step: one Arrow-batched integer gemm per batch; score =
+      intdot(qv, c_j) / sqrt(intdot(c_j, c_j)) — proportional to
+      cosine for the argmax (the row norm is constant per row), and
+      composed only of exact-int sums plus correctly-rounded IEEE
+      sqrt/divide, so every engine computes identical float64 scores.
+      Ties break to the lowest cluster id.
+    - update step: posexplode → groupBy(cluster, pos) LONG sum — the
+      shuffle payload is the k×dim matrix, not the corpus; integer +=
+      is associative, so the fit is bit-identical under any input
+      partitioning (``test_ivf_partitioning_determinism``). New
+      centroid component = floor(sum / count) back on the integer
+      grid; empty clusters keep their previous centroid. Centroids
+      are never L2-normalized — the assign score divides by the
+      centroid norm explicitly, which is the same argmax.
+
+    Returns the int64 (k, dim) quantized centroid matrix.
     Iteration gotcha handled: the source is localCheckpoint'd once so
     the per-iteration jobs re-scan a materialized compact frame, not
     the original lineage."""
     src = materialize(
         fanout(df).select(
             F.col(id_col).alias("_id"),
-            as_double_array(F.col(vec_col)).alias("_v"),
-        ).filter(F.col("_v").isNotNull())
+            quantize_vec_long(F.col(vec_col)).alias("_qv"),
+        ).filter(F.col("_qv").isNotNull())
     )
     seed_rows = (
-        src.withColumn("_h", F.xxhash64("_id"))
+        src.withColumn("_h", F.md5(F.col("_id").cast("string")))
         .orderBy("_h", "_id")
         .limit(n_clusters)
         .collect()
     )
-    centroids = _normalize_rows(np.array([r["_v"] for r in seed_rows]))
+    centroids = np.array([r["_qv"] for r in seed_rows], dtype=np.int64)
     for _ in range(iters):
         assigned = src.select(
-            "_v", ivf_assign_udf(centroids)(F.col("_v")).alias("cluster")
+            "_qv", ivf_assign_udf(centroids)(F.col("_qv")).alias("cluster")
         )
         sums = (
-            assigned.select("cluster", F.posexplode("_v").alias("pos", "x"))
+            assigned.select("cluster", F.posexplode("_qv").alias("pos", "x"))
             .groupBy("cluster", "pos")
             # exact-integer sum: quantized components are ≤1e6-scaled
             # LONGs, so the shuffle-order of the partial aggregates
             # cannot perturb the result (float += is not associative;
             # integer += is) — this is what makes the fit
-            # partitioning-deterministic
-            .agg(
-                F.sum(F.round(F.col("x") * 1e6).cast("long")).alias("s"),
-                F.count("*").alias("n"),
-            )
+            # partitioning-deterministic AND oracle-replayable
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
             .collect()
         )
         new_c = centroids.copy()
@@ -421,23 +430,31 @@ def ivf_fit_centroids(
         for r in sums:
             by_cluster.setdefault(r["cluster"], []).append(r)
         for c, rows in by_cluster.items():
-            vec = np.zeros(centroids.shape[1])
+            vec = np.zeros(centroids.shape[1], dtype=np.int64)
             for r in rows:
-                vec[r["pos"]] = (r["s"] / 1e6) / r["n"]
-            if np.linalg.norm(vec) > 0:
-                new_c[c] = vec
-        centroids = _normalize_rows(new_c)
+                # Python // is floor division — identical to the
+                # oracle's floor(CAST(s AS DOUBLE)/n): |s| < 2^53 and
+                # n ≤ corpus rows keep the float quotient > 1 ulp away
+                # from any unattained integer
+                vec[r["pos"]] = r["s"] // r["n"]
+            new_c[c] = vec
+        centroids = new_c
     return centroids
 
 
 def ivf_assign_udf(centroids: np.ndarray, nprobe: int = 1):
-    """Arrow-batched assignment against a broadcast centroid matrix:
-    L2-normalize the batch, one gemm, take the top-``nprobe`` clusters
-    by cosine. Returns array<int> (nprobe=1 still returns a 1-element
-    array for a uniform schema; callers take element_at(..., 1))."""
+    """Arrow-batched assignment of QUANTIZED vectors (array<long>, see
+    ``quantize_vec_long``) against a broadcast int64 centroid matrix:
+    one integer gemm, score = intdot / centroid-norm, top-``nprobe``
+    clusters with ties to the lowest cluster id. All products sum to
+    < 2^53, so the gemm is exact and engine-independent. Returns
+    array<int> (nprobe=1 still returns a 1-element array for a uniform
+    schema; callers take element_at(..., 1))."""
     from pyspark.sql.functions import pandas_udf
 
-    c = np.ascontiguousarray(centroids)
+    c = np.ascontiguousarray(centroids, dtype=np.int64)
+    cnorm = np.sqrt((c.astype(np.float64) ** 2).sum(axis=1))
+    cnorm[cnorm == 0.0] = 1.0  # zero centroid ⇒ score 0 (not NaN)
 
     @pandas_udf("array<int>")
     def _assign(emb: pd.Series) -> pd.Series:
@@ -448,8 +465,8 @@ def ivf_assign_udf(centroids: np.ndarray, nprobe: int = 1):
         out = np.empty(len(arrs), dtype=object)
         out[~mask] = None
         if mask.any():
-            x = _normalize_rows(np.stack(arrs[mask]))
-            sims = x @ c.T  # (rows, k)
+            x = np.stack(arrs[mask]).astype(np.int64)
+            sims = (x @ c.T).astype(np.float64) / cnorm  # exact int dot
             top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
             for j, i in enumerate(np.nonzero(mask)[0]):
                 out[i] = top[j].astype("int32")
@@ -482,7 +499,10 @@ def knn_ivf(
     cell is probed; raise nprobe (or n_clusters^0.5-ish) to trade cost
     for recall. Cosine values are computed with the same zip_with +
     aggregate expression as the brute-force baseline, so overlapping
-    results are bit-identical."""
+    results are bit-identical. The fit AND this search are exact-int
+    arithmetic end-to-end (see ``ivf_fit_centroids``), which is what
+    lets ``plans/vectors.py::_ivf_oracle_sql`` replay the whole
+    operator — fit included — as one DuckDB query."""
     from pyspark.sql import Window
 
     cents = ivf_fit_centroids(corpus, n_clusters, iters, id_col, vec_col)
@@ -490,13 +510,20 @@ def knn_ivf(
         fanout(corpus).select(
             F.col(id_col),
             as_double_array(F.col(vec_col)).alias("_cv"),
-        ).withColumn("cell", ivf_assign_udf(cents)(F.col("_cv")))
+        ).withColumn(
+            "cell", ivf_assign_udf(cents)(quantize_vec_long(F.col("_cv")))
+        )
     )
     probes = query.select(
         F.col(query_id_col),
         as_double_array(F.col(vec_col)).alias("_qv"),
     ).withColumn(
-        "cell", F.explode(ivf_assign_udf(cents, nprobe=nprobe)(F.col("_qv")))
+        "cell",
+        F.explode(
+            ivf_assign_udf(cents, nprobe=nprobe)(
+                quantize_vec_long(F.col("_qv"))
+            )
+        ),
     )
     sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
     w = Window.partitionBy(query_id_col).orderBy(
@@ -550,7 +577,9 @@ def semantic_dedup_pairs(
     assigned = fanout(df).select(
         F.col(id_col),
         F.col(vec_col),
-    ).withColumn("_cell", ivf_assign_udf(cents)(as_double_array(F.col(vec_col))))
+    ).withColumn(
+        "_cell", ivf_assign_udf(cents)(quantize_vec_long(F.col(vec_col)))
+    )
     return blocked_similar_pairs(
         assigned,
         block_col="_cell",
@@ -592,19 +621,21 @@ def save_ivf_index(
     spark, centroids: np.ndarray, path: str
 ) -> None:
     """Persist a fitted coarse quantizer as a tiny parquet table
-    ``(cluster int, pos int, val double)`` — the index artifact a
+    ``(cluster int, pos int, val long)`` — the index artifact a
     nightly fit job writes and every downstream search job loads, so
     the (expensive, iterative) fit runs once per corpus version, not
-    once per query job. Plain parquet: engine-portable, diffable,
-    and versioned by path like any other lake artifact."""
+    once per query job. Values are the exact 1e-6-grid integers the
+    fit produced, so the artifact round-trips bit-exactly on any
+    engine. Plain parquet: engine-portable, diffable, and versioned
+    by path like any other lake artifact."""
     k, dim = centroids.shape
     rows = [
-        (int(c), int(p), float(v), int(k), int(dim))
+        (int(c), int(p), int(v), int(k), int(dim))
         for c, row in enumerate(centroids)
         for p, v in enumerate(row)
     ]
     spark.createDataFrame(
-        rows, "cluster int, pos int, val double, k int, dim int"
+        rows, "cluster int, pos int, val long, k int, dim int"
     ).coalesce(1).write.mode("overwrite").parquet(path)
 
 
@@ -624,7 +655,7 @@ def load_ivf_index(spark, path: str) -> np.ndarray:
             f"IVF index at {path} is not dense: {len(rows)} cells != {k}x{dim}"
         )
     seen = set()
-    out = np.zeros((k, dim))
+    out = np.zeros((k, dim), dtype=np.int64)
     for r in rows:
         c, p_ = r["cluster"], r["pos"]
         if not (0 <= c < k and 0 <= p_ < dim) or (c, p_) in seen:

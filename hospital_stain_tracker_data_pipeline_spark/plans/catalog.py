@@ -1,11 +1,9 @@
 """The query catalog: name → QuerySpec(fn, oracle_sql).
 
-Backs ``__spark_entry__.queries()`` / ``oracle_sql()``. ``oracle_sql``
-is None only for ``knn_ivf`` — distributed float k-means (argmax over
-float32-accumulated gemm results) is the one pipeline whose exact
-replay DuckDB cannot express; its stability is pinned by recall and
-determinism tests instead (SURVEY.md §5.2). Everything else, including
-the LSH ANN and all four streaming entries, carries a full oracle.
+Backs ``__spark_entry__.queries()`` / ``oracle_sql()``. Every entry —
+including ``knn_ivf`` since round 7 (the Lloyd fit is exact-integer
+arithmetic, so its oracle unrolls the iterations as SQL CTEs), the LSH
+ANN, and all four streaming entries — carries a full DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -104,7 +102,7 @@ CATALOG: dict[str, QuerySpec] = {
     "embedding_centroids": QuerySpec(
         V.q_embedding_centroids, V.SQL_EMBEDDING_CENTROIDS
     ),
-    "knn_ivf": QuerySpec(V.q_knn_ivf, None),
+    "knn_ivf": QuerySpec(V.q_knn_ivf, V.SQL_KNN_IVF),
     # --- §2.9 streaming ---
     "stream_events_ingest": QuerySpec(
         S.q_stream_events_ingest, S.SQL_STREAM_EVENTS_INGEST

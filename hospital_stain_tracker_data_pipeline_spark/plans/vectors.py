@@ -199,24 +199,23 @@ ORDER BY label, pos
 
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-10 for the same query as ``knn_cosine``: spherical
-    k-means coarse quantizer (16 cells, 3 Lloyd iterations,
-    deterministic hash-order init) → probe the query's 4 nearest cells
-    → exact cosine inside the probed quarter of the corpus.
+    """IVF ANN top-10 for the same query as ``knn_cosine``: k-means
+    coarse quantizer (16 cells, 3 Lloyd iterations, deterministic
+    md5-order init) → probe the query's 4 nearest cells → exact cosine
+    inside the probed quarter of the corpus.
 
-    The ONE legitimately rows-only catalog entry: the fit interleaves
-    driver-side numpy normalization with per-iteration Spark jobs — an
-    iterative algorithm DuckDB has no way to replay as one SQL query;
-    the driver records rows-only while ``tests/test_ann_recall.py``
-    pins recall floors + overlap bit-identity
-    (``test_ivf_recall_scales_with_nprobe``), bit-identical output
-    under corpus repartitioning
-    (``test_ivf_partitioning_determinism`` — the Lloyd update sums
-    1e-6-quantized components as LONGs, so aggregation order cannot
-    perturb centroids), and the exact sf0.001 top-10
-    (``test_ivf_golden_neighbors``). Scale: search cost is
-    ~nprobe/n_clusters of brute force; n_clusters grows ~√corpus to
-    keep both the assign gemm and the per-cell scan balanced."""
+    Fully oracle-graded since round 7: the fit is exact integer
+    arithmetic on the 1e-6 grid end-to-end (md5-ordered seeds,
+    integer-gemm assignment, LONG-sum + floor-division update — see
+    ``operators.similarity.ivf_fit_centroids``), so
+    ``_ivf_oracle_sql`` below replays the ENTIRE operator — all three
+    Lloyd iterations unrolled as CTEs, then probe + exact-cosine
+    verify — and matches hash-exactly. Recall floors, nprobe
+    monotonicity, partitioning determinism and the sf0.001 golden
+    top-10 stay pinned in ``tests/test_ann_recall.py``. Scale: search
+    cost is ~nprobe/n_clusters of brute force; n_clusters grows
+    ~√corpus to keep both the assign gemm and the per-cell scan
+    balanced."""
     emb = load_fixture_table(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -224,3 +223,100 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_ivf(
         emb, query, k=10, n_clusters=16, nprobe=4, iters=3
     ).orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+
+
+def _ivf_oracle_sql(
+    k: int = 10, n_clusters: int = 16, nprobe: int = 4, iters: int = 3
+) -> str:
+    """Generate the DuckDB replay of ``knn_ivf`` — fit included.
+
+    Replayability argument (mirrors ``ivf_fit_centroids``): every
+    quantity is either (a) an exact integer below 2^53 carried in
+    BIGINT/DOUBLE (quantized components, their dot products, the
+    Lloyd sums), or (b) the result of a single correctly-rounded IEEE
+    operation on such integers (sqrt, divide, floor-of-quotient).
+    Neither class depends on evaluation or aggregation order, so
+    Spark's gemm-and-shuffle answers and this SQL's window-and-join
+    answers are bit-identical; the fit unrolls as one CTE chain per
+    Lloyd iteration (assign → update → carry empty clusters)."""
+    parts = [
+        f"""
+WITH src AS (
+  SELECT vec_id,
+         CAST(embedding AS DOUBLE[]) AS v,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> floor(x * 1000000.0)) AS qv
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+), c0 AS (
+  SELECT rn - 1 AS cluster, qv AS cv
+  FROM (
+    SELECT qv, row_number() OVER (
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    FROM src
+  ) WHERE rn <= {n_clusters}
+)"""
+    ]
+    score = (
+        "list_inner_product(s.qv, c.cv)\n"
+        "           / (CASE WHEN list_inner_product(c.cv, c.cv) = 0 THEN 1.0\n"
+        "                   ELSE sqrt(list_inner_product(c.cv, c.cv)) END)"
+    )
+    for i in range(1, iters + 1):
+        parts.append(f""", a{i} AS (
+  SELECT s.vec_id, c.cluster,
+         {score} AS score
+  FROM src s CROSS JOIN c{i - 1} c
+), asg{i} AS (
+  SELECT vec_id, cluster FROM a{i}
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY score DESC, cluster ASC) = 1
+), upd{i} AS (
+  SELECT g.cluster, t.u.pos,
+         floor(CAST(SUM(CAST(t.u.x AS BIGINT)) AS DOUBLE) / COUNT(*)) AS val
+  FROM asg{i} g
+  JOIN src s USING (vec_id),
+       UNNEST([{{'pos': i - 1, 'x': s.qv[i]}}
+               FOR i IN range(1, len(s.qv) + 1)]) AS t(u)
+  GROUP BY g.cluster, t.u.pos
+), c{i} AS (
+  SELECT p.cluster, COALESCE(n.cv, p.cv) AS cv
+  FROM c{i - 1} p
+  LEFT JOIN (SELECT cluster, list(val ORDER BY pos) AS cv
+             FROM upd{i} GROUP BY cluster) n USING (cluster)
+)""")
+    parts.append(f""", af AS (
+  SELECT s.vec_id, c.cluster,
+         {score} AS score
+  FROM src s CROSS JOIN c{iters} c
+), cells AS (
+  SELECT vec_id, cluster FROM af
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY score DESC, cluster ASC) = 1
+), probe AS (
+  SELECT vec_id AS query_id, cluster FROM af
+  WHERE vec_id = 0
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY score DESC, cluster ASC) <= {nprobe}
+), n2 AS (
+  SELECT vec_id, v, list_inner_product(v, v) AS nn FROM src
+)
+SELECT query_id, vec_id, cosine_sim
+FROM (
+  SELECT p.query_id, ce.vec_id,
+         ROUND(list_inner_product(a.v, b.v) / (sqrt(a.nn) * sqrt(b.nn)), 6)
+           AS cosine_sim
+  FROM probe p
+  JOIN cells ce USING (cluster)
+  JOIN n2 a ON a.vec_id = p.query_id
+  JOIN n2 b ON b.vec_id = ce.vec_id
+  WHERE ce.vec_id <> p.query_id
+)
+QUALIFY row_number() OVER (
+  PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) <= {k}
+ORDER BY cosine_sim DESC, vec_id ASC
+""")
+    return "".join(parts)
+
+
+SQL_KNN_IVF = _ivf_oracle_sql(k=10, n_clusters=16, nprobe=4, iters=3)

@@ -494,18 +494,27 @@ def stream_score_perplexity(
     joins + per-doc agg) run per micro-batch with zero semantic drift
     from the batch path — pinned by the stream-equals-batch test.
 
-    The scored rows append to ``out_dir`` as parquet (the durable-sink
-    shape; a memory sink can't survive the executor restart a real
-    deployment has to). Returns a batch DataFrame over the sink.
+    The scored rows land in ``out_dir`` as parquet partitioned by
+    micro-batch id, and each batch OVERWRITES its own ``_batch_id``
+    partition (dynamic partition overwrite). ``foreachBatch`` is
+    at-least-once — a crash between the write and the checkpoint
+    commit replays the batch — so the deterministic per-batch
+    location is what upgrades the sink to effectively-exactly-once:
+    a replay rewrites partition ``_batch_id=N`` in place instead of
+    appending a duplicate copy of its rows. Returns a batch DataFrame
+    over the sink (without the bookkeeping column).
     """
     from ..operators.lm import score_perplexity
 
     docs = spark.readStream.schema(schema).parquet(source_path)
 
-    def _score_batch(batch_df: DataFrame, _epoch: int) -> None:
+    def _score_batch(batch_df: DataFrame, epoch: int) -> None:
         (
             score_perplexity(batch_df, lm)
-            .write.mode("append")
+            .withColumn("_batch_id", F.lit(epoch))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
             .parquet(out_dir)
         )
 
@@ -518,4 +527,4 @@ def stream_score_perplexity(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    return spark.read.parquet(out_dir).drop("_batch_id")

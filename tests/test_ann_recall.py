@@ -138,11 +138,14 @@ def test_ivf_golden_neighbors(spark, sf_dir):
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
         .collect()
     ]
+    # regenerated in round 7 when the fit moved to md5-ordered seeds +
+    # exact-integer Lloyd updates (the change that made the operator
+    # DuckDB-oracle-replayable); recall floors are pinned separately
     assert got == [
-        (17, 0.334456), (260, 0.298669), (73, 0.297238),
-        (212, 0.281399), (232, 0.267338), (497, 0.252082),
-        (82, 0.2494), (394, 0.248665), (71, 0.245227),
-        (248, 0.239341),
+        (225, 0.315127), (483, 0.300451), (73, 0.297238),
+        (212, 0.281399), (347, 0.274508), (402, 0.2745),
+        (299, 0.268713), (497, 0.252082), (59, 0.248708),
+        (394, 0.248665),
     ]
 
 
@@ -162,6 +165,7 @@ def test_semantic_dedup_pairs_match_numpy_within_cluster_replay(spark, sf_dir):
         as_double_array,
         ivf_assign_udf,
         ivf_fit_centroids,
+        quantize_vec_long,
         semantic_dedup_pairs,
     )
     from hospital_stain_tracker_data_pipeline_spark.sources.tables import (
@@ -180,7 +184,9 @@ def test_semantic_dedup_pairs_match_numpy_within_cluster_replay(spark, sf_dir):
     rows = emb.select(
         "vec_id",
         as_double_array(F.col("embedding")).alias("v"),
-    ).withColumn("cell", ivf_assign_udf(cents)(F.col("v"))).collect()
+    ).withColumn(
+        "cell", ivf_assign_udf(cents)(quantize_vec_long(F.col("v")))
+    ).collect()
     by_cell: dict[int, list] = {}
     for r in rows:
         by_cell.setdefault(r["cell"], []).append((r["vec_id"], np.array(r["v"])))
@@ -279,6 +285,36 @@ def test_semantic_dedup_cluster_size_guard(spark):
         semantic_dedup_pairs(
             df, threshold=0.9, n_clusters=2, iters=1, max_cluster_rows=10
         ).collect()
+
+
+def test_ivf_full_oracle_replay(spark, sf_dir):
+    """The round-7 upgrade: the whole knn_ivf pipeline — md5-seeded
+    exact-integer Lloyd fit, final cell assignment, nprobe probing,
+    exact-cosine verify, top-10 — must match the generated DuckDB SQL
+    hash-exactly (values, not just ids). This is the local twin of the
+    driver's CORRECTNESS gate for the ``knn_ivf`` catalog entry."""
+    import duckdb
+
+    from hospital_stain_tracker_data_pipeline_spark.plans.vectors import (
+        SQL_KNN_IVF,
+        q_knn_ivf,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    want = [
+        (int(a), int(b), float(c))
+        for a, b, c in con.execute(SQL_KNN_IVF).fetchall()
+    ]
+    got = [
+        (r.query_id, r.vec_id, r.cosine_sim)
+        for r in q_knn_ivf(spark, sf_dir).collect()
+    ]
+    assert len(got) == 10
+    assert got == want
 
 
 def test_ivf_index_save_load_roundtrip(spark, sf_dir, tmp_path):
