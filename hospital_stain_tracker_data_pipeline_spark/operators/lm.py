@@ -42,6 +42,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import materialize
+
 # Sentinel context token for document starts. Chosen outside \w so a
 # real corpus token can only collide by containing '<' '>' literally;
 # the gram JOIN key includes it as plain text, so even a collision is
@@ -184,17 +186,24 @@ def train_ngram_lm(
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     ex = _exploded_grams(docs, n, text_col, keep=[], outer=False)
-    # both aggregates partial-combine map-side; heavy-hitter grams
-    # arrive at reducers pre-collapsed to one row per map task
-    contexts = ex.groupBy("ctx").agg(F.count(F.lit(1)).alias("c_ctx"))
-    grams = ex.groupBy("ctx", "word").agg(F.count(F.lit(1)).alias("c_cw"))
+    # ONE corpus scan: the (ctx, word) aggregate partial-combines
+    # map-side and is materialized once; the context totals (sum of
+    # gram counts per ctx), the vocab size, and the pruned gram table
+    # all derive from that compact frame — no re-tokenization jobs
+    grams_all = materialize(
+        ex.groupBy("ctx", "word").agg(F.count(F.lit(1)).alias("c_cw"))
+    )
+    contexts = grams_all.groupBy("ctx").agg(F.sum("c_cw").alias("c_ctx"))
+    grams = grams_all
     if min_count > 1:
-        grams = grams.filter(F.col("c_cw") >= min_count)
-    # V excludes BOS (it is a context symbol, never predicted)
+        grams = grams_all.filter(F.col("c_cw") >= min_count)
+    # V excludes BOS (it is a context symbol, never predicted); every
+    # corpus token appears as a predicted word in exactly one gram, so
+    # distinct gram words == distinct corpus tokens — the filter only
+    # matters for a corpus containing the literal BOS string
     vocab_size = (
-        docs.select(F.explode(lm_tokens(F.col(text_col))).alias("w"))
-        .filter(F.col("w") != BOS)
-        .agg(F.count_distinct("w").alias("v"))
+        grams_all.filter(F.col("word") != BOS)
+        .agg(F.count_distinct("word").alias("v"))
         .collect()[0]["v"]
     )
     return NgramLM(grams=grams, contexts=contexts, n=n, vocab_size=int(vocab_size), k=k)

@@ -275,7 +275,12 @@ def pack_documents_no_split(
     fit into (the padding cost this strategy trades for clean example
     boundaries — measure it with ``packing_efficiency`` below).
 
-    Returns one row per document: ``shard, chunk_id, chunk_pos,
+    Returns one row per document WITH AT LEAST ONE TOKEN: zero-token
+    docs (blank/whitespace-only text, mirroring ``doc_token_count``'s
+    blank-doc zeroing) are excluded — they contribute nothing to any
+    chunk, so auditors reconciling doc counts against the pack output
+    should compare against ``count(n_tok > 0)``, not ``count(*)``.
+    Columns: ``shard, chunk_id, chunk_pos,
     doc_id, n_tok, oversize`` — ``chunk_pos`` is the document's
     0-based position in the greedy walk within its chunk (the
     concatenation order a writer must preserve; with ``order_col`` the
