@@ -72,16 +72,24 @@ HEADLINE = [
 # can't distinguish a regression from noise, so these get
 # median-of-N warm reps reported separately as queries_median. The two
 # slowest (dup_clusters, dedup_jaccard_topk) swung >1.3x between
-# same-day runs even at n=3, so they get n=5.
+# same-day runs even at n=3, so they get n=5. tfidf_topterms and
+# upsert_merge joined in round 7 after drifting ~1.35x r5→r6 on single
+# warm samples with no hot-path change — classic shared-VM noise band.
 NOISY_UDF_FAMILY = {
     "dedup_simhash",
     "dedup_jaccard_topk",
     "dedup_minhash_lsh",
     "dup_clusters",
     "ann_lsh_pairs",
+    "tfidf_topterms",
+    "upsert_merge",
 }
 NOISY_REPS_DEFAULT = 3
 NOISY_REPS = {"dup_clusters": 5, "dedup_jaccard_topk": 5}
+
+# Side-channel for extras that carry structured results (e.g. the
+# curate_full per-stage attrition report) into BENCH_LOCAL.json.
+EXTRAS_INFO: dict[str, dict] = {}
 
 
 def _extras_registry():
@@ -170,6 +178,48 @@ def _extras_registry():
             load_fixture_table(spark, sf_dir, "documents"), min_tokens=8
         )
 
+    def curate_full(spark, sf_dir):
+        """The flagship composition end-to-end with EVERY optional
+        stage on (cap → funnel → exact → MinHash → SemDeDup → BM25
+        decon → span → substring → LM gate → epoch shuffle → pack), so
+        flagship-path regressions show round-over-round instead of
+        only per-stage. Per-stage attrition lands in EXTRAS_INFO →
+        BENCH_LOCAL.json."""
+        import dataclasses
+
+        from pyspark.sql import functions as F
+
+        from hospital_stain_tracker_data_pipeline_spark.pipeline.curate import (
+            curate_documents,
+        )
+
+        docs = load_fixture_table(spark, sf_dir, "documents")
+        emb = load_fixture_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        )
+        lm = train_ngram_lm(docs, n=2, k=0.1, min_count=2)
+        eval_docs = docs.orderBy("doc_id").limit(20).select(
+            F.col("doc_id").alias("eval_id"), "text"
+        )
+        chunks, rep = curate_documents(
+            docs,
+            budget=2048,
+            n_shards=8,
+            seed=1,
+            near_dup_threshold=0.9,
+            max_per_source=100_000,
+            semantic_threshold=0.35,
+            embeddings=emb,
+            decon_eval_docs=eval_docs,
+            decon_min_score=40.0,
+            span_dedup_delim="\n",
+            substring_min_tokens=8,
+            ppl_lm=lm,
+            max_perplexity=1e9,
+        )
+        EXTRAS_INFO["curate_full"] = dataclasses.asdict(rep)
+        return chunks
+
     return {
         "lm_train_score": lm_train_score,
         "mixture_sample_tokens": mixture,
@@ -179,6 +229,9 @@ def _extras_registry():
         "leakage_safe_split": safe_split,
         "bm25_index_and_query": bm25,
         "dedup_substrings": substr_dedup,
+        # keep last: it persists its outputs; main() clears the cache
+        # after the extras loop
+        "curate_full": curate_full,
     }
 
 
@@ -248,6 +301,7 @@ def main() -> None:
         t1 = time.perf_counter()
         fn(spark, sf_dir).count()
         extras_warm[name] = round(time.perf_counter() - t1, 3)
+    spark.catalog.clearCache()  # drop curate_full's persisted outputs
     # Full record (cold + warm + median maps) goes to BENCH_LOCAL.json;
     # stdout carries ONE shorter JSON line (one per-query map, not
     # three) — the round-5 stdout line was long enough that the
@@ -261,6 +315,7 @@ def main() -> None:
         "queries_median": medians,
         "extras_cold": extras_cold,
         "extras_warm": extras_warm,
+        "extras_info": EXTRAS_INFO,
         "warm_total": warm_total,
         "cold_total": total,
         "sf": sf,
@@ -271,20 +326,20 @@ def main() -> None:
     with open(local_path, "w") as f:
         json.dump(full, f, indent=2)
         f.write("\n")
-    # stdout "queries" = the WARM per-query map (the steady-state
-    # numbers round-over-round comparisons actually use; cold numbers
-    # carry first-touch codegen/footer noise and live in the file)
+    # stdout carries ONLY the driver-needed fields: the WARM per-query
+    # map (the steady-state numbers round-over-round comparisons use),
+    # the noisy-family medians, warm_total, and sf. Cold maps, extras,
+    # and the curate report live exclusively in BENCH_LOCAL.json — the
+    # line must stay short enough that the driver's capture never
+    # truncates it again (round-5 regression).
     line = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": warm,
-        "queries_kind": "warm",
         "queries_median": medians,
         "warm_total": warm_total,
-        "cold_total": total,
         "sf": sf,
-        "detail": "BENCH_LOCAL.json",
     }
     spark.stop()  # nothing else may write between here and the JSON line
     print(json.dumps(line), flush=True)

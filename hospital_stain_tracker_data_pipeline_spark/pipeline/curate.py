@@ -25,11 +25,19 @@ per-shard cumsum window).
 Action discipline (the 100 TB property): the recipe fires multiple
 actions (attrition counts + the final chunk aggregate) but each
 pipeline stage EXECUTES once — the quality-funnel counts come from one
-conditional-agg scan (``filter_funnel``), and the two expensive
-products (post-exact-dedup, post-near-dedup corpora) are persisted
-before anything counts them, so the MinHash-LSH candidate join runs
-exactly once per call. Pinned by ``test_curate_executes_lineage_once``
-with a source-scan counter.
+conditional-agg scan (``filter_funnel``), and every stage product is
+eagerly localCheckpoint'd before anything counts it, so the
+MinHash-LSH candidate join runs exactly once per call. Pinned by
+``test_curate_executes_lineage_once`` with a source-scan counter.
+
+Why localCheckpoint instead of persist (round-7 finding): every
+optional stage joins the surviving corpus against a drop-set DERIVED
+FROM that same corpus, so with ``.persist()`` the logical plan doubles
+per stage — the data is cached but Catalyst still analyzes the full
+2^stages tree on every action (measured: 13 s to count a cached
+414-row frame with all six stages on). ``localCheckpoint`` stores the
+same MEMORY_AND_DISK blocks AND replaces the plan with a flat scan,
+keeping driver-side planning O(stage count).
 """
 
 from __future__ import annotations
@@ -38,10 +46,13 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
-
 from ..functions.text import quality_score, token_count
-from ..operators.dedup import dedup_spans, exact_dedup, minhash_lsh_dedup_pairs
+from ..operators.dedup import (
+    dedup_spans,
+    exact_dedup,
+    materialize,
+    minhash_lsh_dedup_pairs,
+)
 from ..operators.lm import score_perplexity
 from ..operators.packing import (
     epoch_shuffle,
@@ -199,14 +210,14 @@ def curate_documents(
         cond = c if cond is None else (cond & c)
     clean = docs.filter(cond) if cond is not None else docs
 
-    # exact dedup: keep each fingerprint's lowest doc_id. Persist
-    # BEFORE counting: the count materializes the cache, so the
-    # downstream LSH join and packing re-read the materialized corpus
-    # instead of re-running the funnel + dedup lineage per action.
+    # exact dedup: keep each fingerprint's lowest doc_id. materialize
+    # (eager localCheckpoint) BEFORE counting: the downstream LSH join
+    # and packing re-read the checkpointed corpus instead of
+    # re-running the funnel + dedup lineage per action, AND the stage
+    # product's logical plan truncates to a flat scan (see module
+    # docstring for why plan truncation matters here).
     keep = exact_dedup(clean).select(F.col("keep_id").alias("doc_id"))
-    exact = clean.join(keep, "doc_id", "left_semi").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    exact = materialize(clean.join(keep, "doc_id", "left_semi"))
     n_exact = exact.count()
 
     # near-dup drop: every higher id of a >= threshold pair goes
@@ -215,11 +226,8 @@ def curate_documents(
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    deduped = exact.join(drop, "doc_id", "left_anti").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    # this count is where the LSH candidate join executes — once; the
-    # final chunk aggregate below hits the materialized cache
+    # the LSH candidate join executes here — once
+    deduped = materialize(exact.join(drop, "doc_id", "left_anti"))
     n_near = deduped.count()
 
     n_sem: int | None = None
@@ -240,11 +248,8 @@ def curate_documents(
             .select(F.col("id_b").alias("doc_id"))
             .distinct()
         )
-        sem = deduped.join(sem_drop, "doc_id", "left_anti").persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        n_sem = sem.count()  # materializes before downstream reuse
-        deduped.unpersist()
+        sem = materialize(deduped.join(sem_drop, "doc_id", "left_anti"))
+        n_sem = sem.count()
         deduped = sem
 
     n_decon: int | None = None
@@ -262,25 +267,20 @@ def curate_documents(
             .select("doc_id")
             .distinct()
         )
-        decon = deduped.join(hits, "doc_id", "left_anti").persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        decon = materialize(deduped.join(hits, "doc_id", "left_anti"))
         n_decon = decon.count()
-        deduped.unpersist()
         deduped = decon
 
     n_span: int | None = None
     if span_dedup_delim is not None:
-        spanned = (
+        spanned = materialize(
             dedup_spans(
                 deduped, delim=span_dedup_delim, min_chars=span_min_chars
             )
             .filter(F.trim(F.col("text_deduped")) != "")
             .select("doc_id", F.col("text_deduped").alias("text"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        n_span = spanned.count()  # materializes before packing reuses it
-        deduped.unpersist()
+        n_span = spanned.count()
         deduped = spanned
 
     n_substr: int | None = None
@@ -295,11 +295,8 @@ def curate_documents(
             .filter(F.col("text_deduped") != "")
             .select("doc_id", F.col("text_deduped").alias("text"))
         )
-        sub = deduped.drop("text").join(sub, "doc_id", "inner").persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        sub = materialize(deduped.drop("text").join(sub, "doc_id", "inner"))
         n_substr = sub.count()
-        deduped.unpersist()
         deduped = sub
 
     n_ppl: int | None = None
@@ -312,12 +309,12 @@ def curate_documents(
             )
             .select("doc_id")
         )
-        filtered = deduped.join(keep_ppl, "doc_id", "left_semi").persist(
-            StorageLevel.MEMORY_AND_DISK
+        # the n-gram explode + model joins execute once here; packing
+        # reads the checkpointed survivors
+        filtered = materialize(
+            deduped.join(keep_ppl, "doc_id", "left_semi")
         )
-        n_ppl = filtered.count()  # materializes: the n-gram explode +
-        # model joins execute once; packing reads the cached survivors
-        deduped.unpersist()
+        n_ppl = filtered.count()
         deduped = filtered
 
     # no_split switches the packer: greedy whole-document chunks
@@ -339,9 +336,6 @@ def curate_documents(
         F.count_distinct("shard", "chunk_id").alias("n_chunks"),
         F.sum(tok_col).alias("tok"),
     ).collect()[0]
-    # deduped (what chunks reads) stays persisted for the caller;
-    # exact is only an intermediate of the now-materialized deduped
-    exact.unpersist()
 
     report = CurationReport(
         total=total,
@@ -358,20 +352,28 @@ def curate_documents(
         after_substring_dedup=n_substr,
     )
     # handle for unpersist_curated — the chunks frame's lineage reads
-    # from this persisted corpus
+    # from this checkpointed corpus
     chunks._curate_persisted = deduped  # type: ignore[attr-defined]
     return chunks, report
 
 
 def unpersist_curated(chunks: DataFrame) -> None:
-    """Release the persisted post-dedup corpus backing a
+    """Release the materialized post-dedup corpus backing a
     ``curate_documents`` result. Safe on any DataFrame (no-op when the
-    frame didn't come from ``curate_documents``). After this, actions
-    on the chunk frame recompute the full lineage — unpersist only
-    once the chunks are materialized (written/collected)."""
+    frame didn't come from ``curate_documents``). Stage products are
+    eager localCheckpoints, so their storage blocks are ALSO reclaimed
+    by the ContextCleaner once the frames are garbage-collected; this
+    call just drops the explicit reference (and unpersists, harmless
+    no-op on a checkpointed frame) so that reclamation can happen
+    promptly. After this, keep no actions pending on the chunk frame —
+    write/collect it first."""
     backing = getattr(chunks, "_curate_persisted", None)
     if backing is not None:
         backing.unpersist()
+        try:
+            delattr(chunks, "_curate_persisted")
+        except AttributeError:
+            pass
 
 
 def curation_funnel_report(
