@@ -270,6 +270,36 @@ def dot_batch_udf():
     return _dot
 
 
+def ann_lsh_candidates(
+    df: DataFrame,
+    nbits: int = 4,
+    tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distinct LSH candidate pairs BEFORE the cosine verify
+    (test/introspection hook, and the generator ``ann_lsh_pairs``
+    verifies). ``|candidates|`` is the quantity the 100 TB scaling
+    contract is about: at fixed banding it must grow ~linearly with
+    corpus size while true-pair density is constant, and raising
+    ``nbits`` must flatten it (fan-out doubles per bit) — pinned by
+    ``tests/test_ann_recall.py::test_lsh_candidate_growth_is_bounded``."""
+    bucketed = materialize(
+        random_hyperplane_buckets(
+            df, nbits, dim, id_col, vec_col, tables=tables
+        ).select(id_col, "table", "bucket")
+    )
+    a = bucketed.select("table", "bucket", F.col(id_col).alias("id_a"))
+    b = bucketed.select("table", "bucket", F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def ann_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.9,
@@ -297,19 +327,7 @@ def ann_lsh_pairs(
     is orders of magnitude larger than the vector set, so per-pair cost
     dominates everything. cosine = dot / (√n²ₐ · √n²ᵦ): sqrt/mul/div
     are single correctly-rounded IEEE ops, same order on both engines."""
-    bucketed = materialize(
-        random_hyperplane_buckets(
-            df, nbits, dim, id_col, vec_col, tables=tables
-        ).select(id_col, "table", "bucket")
-    )
-    a = bucketed.select("table", "bucket", F.col(id_col).alias("id_a"))
-    b = bucketed.select("table", "bucket", F.col(id_col).alias("id_b"))
-    cands = (
-        a.join(b, ["table", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cands = ann_lsh_candidates(df, nbits, tables, dim, id_col, vec_col)
     # squared norm ONCE into its own column behind a materialize
     # boundary, so CollapseProject cannot re-inline the aggregate into
     # downstream expressions (no CSE inside higher-order functions).

@@ -287,6 +287,33 @@ def test_semantic_dedup_cluster_size_guard(spark):
         ).collect()
 
 
+def test_lsh_candidate_growth_is_bounded(spark):
+    """Executable form of the 100 TB scaling contract the ann_lsh
+    docstrings state: candidate count per table ≈ n²/2^nbits, so (a)
+    at 4× the corpus, raising nbits by 4 keeps the candidate set FLAT
+    (the knob a scale-up turns), and (b) each +2 bits at fixed corpus
+    cuts candidates by ≥ 2× (fan-out halves per bit). Deterministic
+    planes ⇒ these are regression numbers, not statistics."""
+    from pyspark.sql import functions as F
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.similarity import (
+        ann_lsh_candidates,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    small = emb.filter(F.col("vec_id") % 4 == 0)  # 500 of 2000
+    c_small_4 = ann_lsh_candidates(small, nbits=4).count()
+    c_full_4 = ann_lsh_candidates(emb, nbits=4).count()
+    c_full_6 = ann_lsh_candidates(emb, nbits=6).count()
+    c_full_8 = ann_lsh_candidates(emb, nbits=8).count()
+    assert c_small_4 > 0
+    # (a) 4x corpus + 4 more bits ≈ flat (allow 2x slack)
+    assert c_full_8 <= 2 * c_small_4, (c_full_8, c_small_4)
+    # (b) each +2 bits at fixed corpus halves candidates (at least)
+    assert c_full_6 <= c_full_4 / 2, (c_full_6, c_full_4)
+    assert c_full_8 <= c_full_6 / 2, (c_full_8, c_full_6)
+
+
 def test_ivf_full_oracle_replay(spark, sf_dir):
     """The round-7 upgrade: the whole knn_ivf pipeline — md5-seeded
     exact-integer Lloyd fit, final cell assignment, nprobe probing,

@@ -1857,3 +1857,55 @@ def test_flac_unknown_length_stream_decodes():
     rate, out = dec
     assert rate == 16000
     assert np.array_equal(out[:, 0], pcm[:, 0])
+
+
+# ---------------------------------------------------------------------------
+# candidate-growth scaling contracts (the 100 TB claims, executable)
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_candidate_fraction_shrinks_with_corpus(spark):
+    """MinHash-LSH buckets are content hashes over a huge key space, so
+    random collisions are negligible and candidates track TRUE dup
+    structure: the candidate FRACTION of all C(n,2) pairs must not grow
+    as the corpus grows (sub-quadratic — the property that replaces the
+    O(n²) similarity join at scale). 500-doc subset vs the full 5000
+    sf0.1 corpus, deterministic hashing ⇒ regression numbers."""
+    from pyspark.sql import functions as F
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    small = docs.filter(F.col("doc_id") % 10 == 0)
+    n_small, n_full = small.count(), docs.count()
+    c_small = minhash_lsh_candidates(small).count()
+    c_full = minhash_lsh_candidates(docs).count()
+    assert c_full > 0
+
+    def frac(c, n):
+        return c / (n * (n - 1) / 2)
+
+    # fraction may wobble on the tiny subset; 2x slack
+    assert frac(c_full, n_full) <= 2 * max(frac(c_small, n_small), 1e-12)
+    # absolute sanity: candidates are a vanishing share of all pairs
+    assert frac(c_full, n_full) < 1e-3
+
+
+def test_simhash_nbits_is_the_candidate_flattening_lever(spark):
+    """SimHash pigeonhole banding has SMALL band spaces (nbits=32,
+    max_hamming=3 → four 8-bit bands), so at fixed nbits random band
+    collisions scale ~n²/2^(nbits/bands) — the documented cost note.
+    The executable contract is the LEVER: widening the fingerprint
+    multiplies the band space, and candidates must drop superlinearly
+    in nbits (measured ~3.4x per +16 bits on the sf0.1 corpus)."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+        simhash_band_candidates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    c32 = simhash_band_candidates(docs, nbits=32).count()
+    c64 = simhash_band_candidates(docs, nbits=64).count()
+    assert c32 > 0
+    assert c64 <= c32 / 8, (c64, c32)
