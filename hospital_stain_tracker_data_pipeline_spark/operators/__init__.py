@@ -24,6 +24,7 @@ from .mixture import (  # noqa: F401
     plan_token_mixture,
     sample_token_mixture,
     source_token_stats,
+    temperature_weights,
 )
 from .web import (  # noqa: F401
     cap_per_group,
@@ -37,13 +38,23 @@ from .packing import (  # noqa: F401
     packing_efficiency,
     write_packed_corpus,
 )
-from .inference import batch_score, train_logistic_probe  # noqa: F401
+from .inference import (  # noqa: F401
+    batch_score,
+    probe_calibration,
+    train_logistic_probe,
+)
 from .retrieval import (  # noqa: F401
     bm25_bulk_scores,
     bm25_topk,
     build_bm25_index,
 )
-from .dedup import dedup_substrings, ngram_contamination  # noqa: F401
+from .dedup import (  # noqa: F401
+    dedup_against_corpus,
+    dedup_pairs_against_corpus,
+    dedup_substrings,
+    minhash_signature_index,
+    ngram_contamination,
+)
 from .graph import pagerank  # noqa: F401
 from .similarity import (  # noqa: F401
     load_ivf_index,

@@ -417,6 +417,122 @@ def minhash_lsh_dedup_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def minhash_signature_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    k: int = 3,
+) -> DataFrame:
+    """``(id, sig)`` MinHash signature table for a corpus — the
+    artifact an INCREMENTAL dedup deployment computes once per corpus
+    version (write it as plain parquet like the IVF quantizer), then
+    checks every new batch/stream against without touching corpus
+    text. num_hashes longs per doc: ~256 B/doc regardless of doc size.
+    Signatures are bit-identical to ``minhash_lsh_dedup_pairs``'s
+    (same shingle hash, same LCG permutations), so thresholds tuned on
+    the batch operator carry over."""
+    hashed = fanout(docs).select(
+        F.col(id_col), hashed_shingles(F.col(text_col), k).alias("_hs")
+    )
+    return materialize(
+        hashed.select(
+            F.col(id_col),
+            minhash_signature_udf(num_hashes)(F.col("_hs")).alias("sig"),
+        )
+    )
+
+
+def dedup_pairs_against_corpus(
+    new_docs: DataFrame,
+    corpus_index: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """Near-dup matches of NEW documents against an EXISTING corpus's
+    signature index (``minhash_signature_index``): banded bucket join
+    for candidates, then a SIGNATURE-estimate verify — est_jaccard =
+    fraction of agreeing signature positions (the standard MinHash
+    estimator, σ ≈ √(J(1−J)/num_hashes) ≈ 0.09 at 32 hashes). The
+    estimate (not exact Jaccard) is the deliberate trade that keeps
+    the index text-free: an incremental pipeline can hold years of
+    corpus in ~256 B/doc and never re-read old text. Rows:
+    ``(new_id, corpus_id, est_jaccard)`` with est_jaccard ≥ threshold.
+
+    Scale shape: new batch is typically ≪ corpus, so the band join is
+    a broadcast-able probe of the (new) side into the corpus band
+    table; candidates are bounded by banding exactly as in
+    ``minhash_lsh_candidates``. Integer-exact signatures both sides →
+    DuckDB-replayable (pinned in ``tests/test_dedup_similarity.py``)."""
+    new_sigs = minhash_signature_index(
+        new_docs, text_col, id_col, num_hashes, k
+    )
+    nb = _minhash_banded(new_sigs, id_col, num_hashes, bands).select(
+        "band", "bucket", F.col(id_col).alias("new_id")
+    )
+    cb = _minhash_banded(corpus_index, id_col, num_hashes, bands).select(
+        "band", "bucket", F.col(id_col).alias("corpus_id")
+    )
+    cands = (
+        nb.join(cb, ["band", "bucket"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    a = new_sigs.select(
+        F.col(id_col).alias("new_id"), F.col("sig").alias("sig_a")
+    )
+    b = corpus_index.select(
+        F.col(id_col).alias("corpus_id"), F.col("sig").alias("sig_b")
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda m: m,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return (
+        cands.join(a, "new_id")
+        .join(b, "corpus_id")
+        .select("new_id", "corpus_id", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def dedup_against_corpus(
+    new_docs: DataFrame,
+    corpus_index: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """Drop new documents that near-dup anything already in the corpus
+    (the corpus always wins — incremental-ingest semantics). Returns
+    the surviving ``new_docs`` rows unchanged (left_anti on matched new
+    ids; the wide payload never enters the signature join). Does NOT
+    dedup new docs against each other — compose with
+    ``minhash_lsh_dedup_pairs`` (batch) or ``stream_dedup``
+    (within-stream exact) for that."""
+    matched = (
+        dedup_pairs_against_corpus(
+            new_docs, corpus_index, threshold, text_col, id_col,
+            num_hashes, bands, k,
+        )
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new_docs.join(matched, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

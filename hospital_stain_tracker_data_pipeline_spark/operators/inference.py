@@ -210,3 +210,80 @@ def train_logistic_probe(
         return w, b, history
     finally:
         base.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Classifier calibration / threshold sweep — the step between "probe is
+# trained" and "pick the quality cutoff for the corpus filter".
+# ---------------------------------------------------------------------------
+
+
+def probe_calibration(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Equal-width calibration + threshold-sweep table over a scored,
+    labeled frame: one row per non-empty score bucket with the
+    calibration curve (observed positive rate vs mean score) AND the
+    precision/recall a corpus filter would get thresholding at the
+    bucket's lower edge.
+
+    Columns: ``bucket`` (0-based over [0,1), scores clamped in),
+    ``n``, ``positives``, ``mean_score``, ``frac_positive`` — the
+    reliability-diagram point — and ``precision_at``/``recall_at``:
+    cumulative from the TOP bucket down, i.e. the operating point of
+    "keep everything scoring ≥ this bucket's floor". The row count is
+    ``n_buckets`` max, so picking a corpus-filter cutoff reads a
+    dimension-sized table, not the corpus.
+
+    Spark shape: one partial-agg scan to K rows, then window cumsums
+    over those K rows — the corpus shuffles once, K-wide. NULL scores
+    and NULL labels are excluded (scoring's documented "no usable
+    signal" rows can't calibrate anything). Fully expression-level →
+    exact DuckDB replay (``tests/test_inference.py``)."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    from pyspark.sql import Window
+
+    s = F.col(score_col)
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(F.lit(0), F.floor(s * n_buckets).cast("int")),
+    )
+    per = (
+        scored.filter(s.isNotNull() & F.col(label_col).isNotNull())
+        .select(
+            bucket.alias("bucket"),
+            s.alias("_s"),
+            F.col(label_col).cast("int").alias("_y"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_y").alias("positives"),
+            F.round(F.avg("_s"), 6).alias("mean_score"),
+        )
+    )
+    w = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total_pos = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per.select(
+        "bucket",
+        "n",
+        "positives",
+        "mean_score",
+        F.round(F.col("positives") / F.col("n"), 6).alias("frac_positive"),
+        F.round(
+            F.sum("positives").over(w) / F.sum("n").over(w), 6
+        ).alias("precision_at"),
+        F.round(
+            F.sum("positives").over(w)
+            / F.greatest(F.lit(1), F.sum("positives").over(total_pos)),
+            6,
+        ).alias("recall_at"),
+    ).orderBy("bucket")

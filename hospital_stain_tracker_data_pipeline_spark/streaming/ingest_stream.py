@@ -528,3 +528,66 @@ def stream_score_perplexity(
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir).drop("_batch_id")
+
+
+def stream_dedup_against_corpus(
+    spark: SparkSession,
+    source_path: str,
+    corpus_index: DataFrame,
+    out_dir: str,
+    schema: str = "doc_id long, text string",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """Incremental-ingest near-dup gate: documents STREAM in and are
+    dropped when they near-dup anything in an EXISTING corpus's
+    MinHash signature index (``operators.dedup.dedup_against_corpus``
+    reused verbatim per micro-batch — stream and batch answers are
+    identical by construction, pinned by the stream-equals-batch
+    test).
+
+    Why foreachBatch: the corpus index is a STATIC frame joined into
+    every micro-batch (a stream-static equi-join needs no watermark or
+    state store — the per-doc decision depends only on the batch row
+    and the static index), and foreachBatch lets the exact batch plan
+    (signature UDF → banded bucket join → estimate verify) run
+    unchanged. Within-stream duplicates are NOT deduped here (compose
+    with ``stream_dedup``); the corpus index is also not updated
+    mid-stream — an incremental deployment refreshes the index
+    between runs, not between micro-batches (index-freshness races
+    would make results timing-dependent).
+
+    Survivors land partitioned by micro-batch id with dynamic
+    partition overwrite — the same effectively-exactly-once sink shape
+    as ``stream_score_perplexity`` (a replayed batch rewrites its own
+    partition instead of appending duplicates). Returns a batch frame
+    over the sink without the bookkeeping column."""
+    from ..operators.dedup import dedup_against_corpus
+
+    docs = spark.readStream.schema(schema).parquet(source_path)
+
+    def _dedup_batch(batch_df: DataFrame, epoch: int) -> None:
+        (
+            dedup_against_corpus(
+                batch_df, corpus_index, threshold,
+                num_hashes=num_hashes, bands=bands, k=k,
+            )
+            .withColumn("_batch_id", F.lit(epoch))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(_dedup_batch)
+        .option(
+            "checkpointLocation", os.path.join(out_dir, "_checkpoint")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).drop("_batch_id")

@@ -1909,3 +1909,119 @@ def test_simhash_nbits_is_the_candidate_flattening_lever(spark):
     c64 = simhash_band_candidates(docs, nbits=64).count()
     assert c32 > 0
     assert c64 <= c32 / 8, (c64, c32)
+
+
+def test_dedup_against_corpus_duckdb_replay_and_policy(spark, sf_dir):
+    """Incremental dedup vs a corpus signature index: (a) the match
+    pairs + signature-estimate values replay exactly in DuckDB (same
+    md5 shingles, same LCG permutations, estimate = agreeing
+    positions / 32), and (b) dedup_against_corpus drops exactly the
+    matched new ids — planted exact copies of corpus docs always
+    match at estimate 1.0."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+        dedup_against_corpus,
+        dedup_pairs_against_corpus,
+        minhash_signature_index,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.plans.text import (
+        _MINHASH_A,
+        _MINHASH_B,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.sources.tables import (
+        load_fixture_table,
+    )
+
+    docs = load_fixture_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    copies = corpus.orderBy("doc_id").limit(2).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    new_docs = docs.filter(F.col("doc_id") % 2 == 1).unionByName(copies)
+    index = minhash_signature_index(corpus)
+    thr = 0.2
+    got = {
+        (r["new_id"], r["corpus_id"]): r["est_jaccard"]
+        for r in dedup_pairs_against_corpus(
+            new_docs, index, threshold=thr
+        ).collect()
+    }
+    assert got, "fixture + planted copies must produce matches"
+    # planted copies match their source at estimate 1.0
+    planted = {k: v for k, v in got.items() if k[0] >= 1_000_000}
+    assert len(planted) >= 2
+    assert all(v == 1.0 for k, v in planted.items() if k[0] - 1_000_000 == k[1])
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW base_docs AS "
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    )
+    want = {
+        (int(a), int(b)): float(e)
+        for a, b, e in con.execute(rf"""
+WITH documents AS (
+  SELECT doc_id, text FROM base_docs
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM (
+    SELECT doc_id, text FROM base_docs WHERE doc_id % 2 = 0
+    ORDER BY doc_id LIMIT 2)
+), toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS ts
+  FROM documents
+), shingled AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(ts[i:i+2], ' ')
+                        FOR i IN range(1, GREATEST(len(ts) - 2, 1) + 1)]) AS sstr
+  FROM toks
+), sets31 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(sstr,
+           s -> CAST(CONCAT('0x', substr(md5(s), 1, 15)) AS BIGINT)
+                & 2147483647)) AS hs
+  FROM shingled
+), hrows AS (
+  SELECT doc_id, UNNEST(hs) AS h FROM sets31
+), coef AS (
+  SELECT i, ({_MINHASH_A})[i] AS a, ({_MINHASH_B})[i] AS b
+  FROM range(1, 33) t(i)
+), minvals AS (
+  SELECT doc_id, i, MIN((a * h + b) % 2147483647) AS mv
+  FROM hrows CROSS JOIN coef
+  GROUP BY doc_id, i
+), banded AS (
+  SELECT doc_id, (i - 1) // 4 AS band,
+         string_agg(CAST(mv AS VARCHAR), '_' ORDER BY i) AS bucket
+  FROM minvals
+  GROUP BY doc_id, (i - 1) // 4
+), cands AS (
+  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+  FROM banded n JOIN banded c ON n.band = c.band AND n.bucket = c.bucket
+  WHERE (n.doc_id % 2 = 1 OR n.doc_id >= 1000000)
+    AND c.doc_id % 2 = 0 AND c.doc_id < 1000000
+)
+SELECT k.new_id, k.corpus_id,
+       SUM(CASE WHEN a.mv = b.mv THEN 1 ELSE 0 END) / 32.0 AS est
+FROM cands k
+JOIN minvals a ON a.doc_id = k.new_id
+JOIN minvals b ON b.doc_id = k.corpus_id AND b.i = a.i
+GROUP BY k.new_id, k.corpus_id
+HAVING SUM(CASE WHEN a.mv = b.mv THEN 1 ELSE 0 END) / 32.0 >= {thr}
+""").fetchall()
+    }
+    assert got == want
+
+    kept = {
+        r["doc_id"]
+        for r in dedup_against_corpus(new_docs, index, threshold=thr)
+        .select("doc_id")
+        .collect()
+    }
+    all_new = {r["doc_id"] for r in new_docs.select("doc_id").collect()}
+    assert kept == all_new - {a for a, _ in got}

@@ -276,3 +276,102 @@ def test_train_logistic_probe_empty_input_raises(spark):
     df = spark.createDataFrame([], "embedding array<double>, y double")
     with pytest.raises(ValueError, match="no usable"):
         train_logistic_probe(df, label_col="y", iters=1)
+
+
+def test_probe_calibration_duckdb_oracle(spark):
+    """probe_calibration's bucket stats, reliability fractions, and
+    top-down precision/recall sweep replay exactly in DuckDB. Scores
+    are integer-derived rationals (vec_id-based) so bucketing has no
+    float-boundary ambiguity and the comparison is value-exact."""
+    import duckdb
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.inference import (
+        probe_calibration,
+    )
+    from pyspark.sql import functions as F
+
+    scored = spark.range(0, 500).select(
+        F.col("id").alias("vec_id"),
+        F.round((F.col("id") % 97) / 97.0, 6).alias("score"),
+        (F.col("id") % 3 == 0).cast("int").alias("label"),
+    )
+    # plant NULLs: excluded rows must not perturb any bucket
+    scored = scored.withColumn(
+        "score", F.when(F.col("vec_id") % 101 == 0, None).otherwise(F.col("score"))
+    )
+    got = [
+        tuple(r)
+        for r in probe_calibration(scored, n_buckets=10)
+        .collect()
+    ]
+    want = [
+        tuple(r)
+        for r in duckdb.sql(
+            """
+WITH s AS (
+  SELECT id AS vec_id,
+         CASE WHEN id % 101 = 0 THEN NULL
+              ELSE ROUND((id % 97) / 97.0, 6) END AS score,
+         CASE WHEN id % 3 = 0 THEN 1 ELSE 0 END AS label
+  FROM range(0, 500) t(id)
+), b AS (
+  SELECT LEAST(9, GREATEST(0, CAST(FLOOR(score * 10) AS INT))) AS bucket,
+         score, label
+  FROM s WHERE score IS NOT NULL
+), per AS (
+  SELECT bucket, COUNT(*) AS n, SUM(label) AS positives,
+         ROUND(AVG(score), 6) AS mean_score
+  FROM b GROUP BY bucket
+)
+SELECT bucket, n, positives, mean_score,
+       ROUND(positives / CAST(n AS DOUBLE), 6) AS frac_positive,
+       ROUND(SUM(positives) OVER w / CAST(SUM(n) OVER w AS DOUBLE), 6)
+         AS precision_at,
+       ROUND(SUM(positives) OVER w
+             / GREATEST(1, CAST(SUM(positives) OVER
+                 (ORDER BY bucket DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND UNBOUNDED FOLLOWING) AS DOUBLE)), 6) AS recall_at
+FROM per
+WINDOW w AS (ORDER BY bucket DESC ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)
+ORDER BY bucket
+"""
+        ).fetchall()
+    ]
+    assert len(got) == 10
+    assert got == want
+    # the sweep's structural invariants: recall falls as the threshold
+    # rises; the bottom row's recall covers every positive
+    recalls = [r[6] for r in got]
+    assert recalls[0] == 1.0
+    assert all(a >= b for a, b in zip(recalls, recalls[1:]))
+
+
+def test_probe_calibration_composes_with_batch_score(spark, sf_dir):
+    """End-to-end: score the embeddings fixture with a fixed logistic
+    probe, attach labels, calibrate — every bucket's frac_positive is a
+    probability and counts conserve."""
+    import numpy as np
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.inference import (
+        batch_score,
+        linear_probe_scorer,
+        probe_calibration,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.sources.tables import (
+        load_fixture_table,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_fixture_table(spark, sf_dir, "embeddings")
+    w = np.linspace(-0.5, 0.5, 64)
+    scored = batch_score(emb, linear_probe_scorer(w, bias=0.1)).withColumn(
+        "label", (F.col("label") % 2).cast("int")
+    )
+    cal = probe_calibration(scored, n_buckets=5).collect()
+    assert sum(r["n"] for r in cal) == scored.filter(
+        F.col("score").isNotNull()
+    ).count()
+    for r in cal:
+        assert 0.0 <= r["frac_positive"] <= 1.0
+        assert 0.0 <= r["precision_at"] <= 1.0

@@ -380,3 +380,47 @@ def test_stream_sessionize_multibatch_state_crosses_batches(
         for r in batch.collect()
     }
     assert s == b and len(s) > 0
+
+
+def test_stream_dedup_against_corpus_matches_batch(spark, sf_dir, tmp_path):
+    """Streamed incremental dedup must keep exactly the docs the batch
+    operator keeps: same corpus index, same new docs, one via
+    readStream+foreachBatch, one via the direct batch call. The fixture
+    split (even ids = corpus, odd = stream) plus planted exact copies
+    guarantees both kept and dropped rows exist."""
+    from pyspark.sql import functions as F
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+        dedup_against_corpus,
+        minhash_signature_index,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.streaming.ingest_stream import (
+        stream_dedup_against_corpus,
+    )
+
+    docs = load_fixture_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    # new batch: the odd docs plus exact copies of two corpus docs
+    copies = corpus.orderBy("doc_id").limit(2).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    new_docs = docs.filter(F.col("doc_id") % 2 == 1).unionByName(copies)
+    index = minhash_signature_index(corpus)
+
+    src = str(tmp_path / "new_in")
+    new_docs.repartition(3).write.parquet(src)
+    out = str(tmp_path / "kept")
+    streamed = stream_dedup_against_corpus(spark, src, index, out)
+    got = {r["doc_id"] for r in streamed.select("doc_id").collect()}
+    want = {
+        r["doc_id"]
+        for r in dedup_against_corpus(new_docs, index)
+        .select("doc_id")
+        .collect()
+    }
+    n_new = new_docs.count()
+    assert got == want
+    assert len(want) < n_new          # the planted copies were dropped
+    assert len(want) > 0              # and plenty survived
