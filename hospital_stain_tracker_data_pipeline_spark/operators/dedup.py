@@ -298,8 +298,15 @@ def _minhash_banded(
     """(id, band, bucket) rows from a materialized signature frame —
     the ONE banding implementation every MinHash caller shares, so a
     banding change (bucket hashing, salting) cannot diverge between
-    the candidate hook and the production pair path."""
+    the candidate hook and the production pair path.
+
+    NULL signatures (NULL/blank input text) are dropped up front: they
+    can never verify as pairs, but concat_ws skips NULL elements, so
+    without the filter every null-sig doc would band to the same ''
+    bucket and the candidate join would do quadratic dead work on
+    ingest-glitch rows."""
     rows_per_band = num_hashes // bands
+    sigs = sigs.filter(F.col("sig").isNotNull())
     return sigs.select(
         F.col(id_col),
         F.explode(
@@ -468,6 +475,23 @@ def dedup_pairs_against_corpus(
     table; candidates are bounded by banding exactly as in
     ``minhash_lsh_candidates``. Integer-exact signatures both sides →
     DuckDB-replayable (pinned in ``tests/test_dedup_similarity.py``)."""
+    # fail fast on an index built with a different num_hashes: banding
+    # would silently use the wrong slices and the estimate the wrong
+    # denominator. The index is slim (ids + 32 longs), so the probe is
+    # one cheap aggregate over an already-materialized artifact.
+    bad = (
+        corpus_index.filter(
+            F.col("sig").isNotNull() & (F.size("sig") != num_hashes)
+        )
+        .select(F.size("sig").alias("n"))
+        .take(1)
+    )
+    if bad:
+        raise ValueError(
+            f"corpus_index signatures have {bad[0]['n']} hashes but the "
+            f"probe expects num_hashes={num_hashes} — rebuild the index "
+            "or pass the matching num_hashes"
+        )
     new_sigs = minhash_signature_index(
         new_docs, text_col, id_col, num_hashes, k
     )

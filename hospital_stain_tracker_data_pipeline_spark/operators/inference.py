@@ -253,7 +253,14 @@ def probe_calibration(
         F.greatest(F.lit(0), F.floor(s * n_buckets).cast("int")),
     )
     per = (
-        scored.filter(s.isNotNull() & F.col(label_col).isNotNull())
+        # NaN (as opposed to NULL) survives isNotNull and would land in
+        # bucket 0 with a NaN mean — exclude it like NULL ("no usable
+        # signal", batch_score's documented policy)
+        scored.filter(
+            s.isNotNull()
+            & ~F.isnan(s.cast("double"))
+            & F.col(label_col).isNotNull()
+        )
         .select(
             bucket.alias("bucket"),
             s.alias("_s"),

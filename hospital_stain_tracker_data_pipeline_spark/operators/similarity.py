@@ -661,7 +661,18 @@ def load_ivf_index(spark, path: str) -> np.ndarray:
     """Inverse of ``save_ivf_index``; validates a dense rectangular
     (k, dim) table so a corrupted artifact fails loudly here, not as
     silent wrong assignments downstream."""
-    rows = spark.read.parquet(path).collect()
+    df = spark.read.parquet(path)
+    # the round-7 exact-integer fit stores LONG grid values; a legacy
+    # float artifact (normalized values in [-1, 1]) would silently
+    # truncate to an all-zero centroid matrix below — reject it loudly
+    val_type = df.schema["val"].dataType.simpleString()
+    if val_type not in ("bigint", "int"):
+        raise ValueError(
+            f"IVF index at {path} has non-integer val column "
+            f"({val_type}) — a pre-quantized-fit artifact; re-fit and "
+            "re-save with the current ivf_fit_centroids"
+        )
+    rows = df.collect()
     if not rows:
         raise ValueError(f"empty IVF index at {path}")
     # declared shape travels IN the artifact: deriving k/dim from max

@@ -25,19 +25,22 @@ per-shard cumsum window).
 Action discipline (the 100 TB property): the recipe fires multiple
 actions (attrition counts + the final chunk aggregate) but each
 pipeline stage EXECUTES once — the quality-funnel counts come from one
-conditional-agg scan (``filter_funnel``), and every stage product is
-eagerly localCheckpoint'd before anything counts it, so the
-MinHash-LSH candidate join runs exactly once per call. Pinned by
+conditional-agg scan (``filter_funnel``), every corpus-sized stage
+product is persisted before anything counts it (and unpersisted as
+soon as the next stage materializes), so the MinHash-LSH candidate
+join runs exactly once per call. Pinned by
 ``test_curate_executes_lineage_once`` with a source-scan counter.
 
-Why localCheckpoint instead of persist (round-7 finding): every
-optional stage joins the surviving corpus against a drop-set DERIVED
-FROM that same corpus, so with ``.persist()`` the logical plan doubles
-per stage — the data is cached but Catalyst still analyzes the full
+Plan-growth discipline (round-7 finding): every dedup/filter stage
+joins the surviving corpus against a drop/keep set DERIVED FROM that
+same corpus, so without intervention the logical plan DOUBLES per
+stage — the data is cached but Catalyst still analyzes the full
 2^stages tree on every action (measured: 13 s to count a cached
-414-row frame with all six stages on). ``localCheckpoint`` stores the
-same MEMORY_AND_DISK blocks AND replaces the plan with a flat scan,
-keeping driver-side planning O(stage count).
+414-row frame with all six optional stages on). The fix is to eagerly
+localCheckpoint ONLY the small id-sets (drop/keep/hits frames): the
+stage join's derived side becomes a flat scan and plan growth is
+linear, while the corpus-sized products stay under persist() — whose
+storage, unlike localCheckpoint blocks, is releasable by unpersist.
 """
 
 from __future__ import annotations
@@ -46,6 +49,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
 from ..functions.text import quality_score, token_count
 from ..operators.dedup import (
     dedup_spans,
@@ -210,25 +215,37 @@ def curate_documents(
         cond = c if cond is None else (cond & c)
     clean = docs.filter(cond) if cond is not None else docs
 
-    # exact dedup: keep each fingerprint's lowest doc_id. materialize
-    # (eager localCheckpoint) BEFORE counting: the downstream LSH join
-    # and packing re-read the checkpointed corpus instead of
-    # re-running the funnel + dedup lineage per action, AND the stage
-    # product's logical plan truncates to a flat scan (see module
-    # docstring for why plan truncation matters here).
-    keep = exact_dedup(clean).select(F.col("keep_id").alias("doc_id"))
-    exact = materialize(clean.join(keep, "doc_id", "left_semi"))
+    # exact dedup: keep each fingerprint's lowest doc_id. The KEEP
+    # SET (ids only — orders of magnitude smaller than the corpus) is
+    # materialized (eager localCheckpoint) so the stage join's right
+    # side is a FLAT scan: every optional stage below joins the
+    # surviving corpus against a set derived from that same corpus,
+    # and without truncating the small side the logical plan doubles
+    # per stage (see module docstring — Catalyst then re-analyzes a
+    # 2^stages tree on every action). Truncating only the id sets
+    # keeps plan growth linear while the corpus-sized stage products
+    # stay under persist() with progressive unpersist — storage that
+    # CAN be released (localCheckpoint blocks cannot, short of GC).
+    keep = materialize(
+        exact_dedup(clean).select(F.col("keep_id").alias("doc_id"))
+    )
+    exact = clean.join(keep, "doc_id", "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     n_exact = exact.count()
 
-    # near-dup drop: every higher id of a >= threshold pair goes
-    drop = (
+    # near-dup drop: every higher id of a >= threshold pair goes.
+    # The LSH candidate join executes during this materialize — once.
+    drop = materialize(
         minhash_lsh_dedup_pairs(exact, threshold=near_dup_threshold)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    # the LSH candidate join executes here — once
-    deduped = materialize(exact.join(drop, "doc_id", "left_anti"))
-    n_near = deduped.count()
+    deduped = exact.join(drop, "doc_id", "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_near = deduped.count()  # materializes deduped; exact can go
+    exact.unpersist()
 
     n_sem: int | None = None
     if embeddings is not None:
@@ -248,8 +265,12 @@ def curate_documents(
             .select(F.col("id_b").alias("doc_id"))
             .distinct()
         )
-        sem = materialize(deduped.join(sem_drop, "doc_id", "left_anti"))
+        sem_drop = materialize(sem_drop)  # ids only — flat join side
+        sem = deduped.join(sem_drop, "doc_id", "left_anti").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         n_sem = sem.count()
+        deduped.unpersist()
         deduped = sem
 
     n_decon: int | None = None
@@ -267,20 +288,28 @@ def curate_documents(
             .select("doc_id")
             .distinct()
         )
-        decon = materialize(deduped.join(hits, "doc_id", "left_anti"))
+        hits = materialize(hits)  # ids only — flat join side
+        decon = deduped.join(hits, "doc_id", "left_anti").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         n_decon = decon.count()
+        deduped.unpersist()
         deduped = decon
 
     n_span: int | None = None
     if span_dedup_delim is not None:
-        spanned = materialize(
+        # single reference to `deduped` (no self-join) — plan growth
+        # is linear here without any truncation
+        spanned = (
             dedup_spans(
                 deduped, delim=span_dedup_delim, min_chars=span_min_chars
             )
             .filter(F.trim(F.col("text_deduped")) != "")
             .select("doc_id", F.col("text_deduped").alias("text"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         n_span = spanned.count()
+        deduped.unpersist()
         deduped = spanned
 
     n_substr: int | None = None
@@ -295,8 +324,15 @@ def curate_documents(
             .filter(F.col("text_deduped") != "")
             .select("doc_id", F.col("text_deduped").alias("text"))
         )
-        sub = materialize(deduped.drop("text").join(sub, "doc_id", "inner"))
+        # `sub` carries corpus-sized TEXT, so it is NOT checkpointed
+        # (materialize's never-payloads rule); this one stage accepts
+        # a single 2x plan reference to `deduped` — a constant factor,
+        # not the per-stage doubling the id-set truncation prevents
+        sub = deduped.drop("text").join(sub, "doc_id", "inner").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         n_substr = sub.count()
+        deduped.unpersist()
         deduped = sub
 
     n_ppl: int | None = None
@@ -309,12 +345,14 @@ def curate_documents(
             )
             .select("doc_id")
         )
-        # the n-gram explode + model joins execute once here; packing
-        # reads the checkpointed survivors
-        filtered = materialize(
-            deduped.join(keep_ppl, "doc_id", "left_semi")
+        # the n-gram explode + model joins execute during this
+        # materialize — once; ids only, flat join side
+        keep_ppl = materialize(keep_ppl)
+        filtered = deduped.join(keep_ppl, "doc_id", "left_semi").persist(
+            StorageLevel.MEMORY_AND_DISK
         )
         n_ppl = filtered.count()
+        deduped.unpersist()
         deduped = filtered
 
     # no_split switches the packer: greedy whole-document chunks
@@ -352,21 +390,19 @@ def curate_documents(
         after_substring_dedup=n_substr,
     )
     # handle for unpersist_curated — the chunks frame's lineage reads
-    # from this checkpointed corpus
+    # from this persisted corpus
     chunks._curate_persisted = deduped  # type: ignore[attr-defined]
     return chunks, report
 
 
 def unpersist_curated(chunks: DataFrame) -> None:
-    """Release the materialized post-dedup corpus backing a
+    """Release the persisted post-dedup corpus backing a
     ``curate_documents`` result. Safe on any DataFrame (no-op when the
-    frame didn't come from ``curate_documents``). Stage products are
-    eager localCheckpoints, so their storage blocks are ALSO reclaimed
-    by the ContextCleaner once the frames are garbage-collected; this
-    call just drops the explicit reference (and unpersists, harmless
-    no-op on a checkpointed frame) so that reclamation can happen
-    promptly. After this, keep no actions pending on the chunk frame —
-    write/collect it first."""
+    frame didn't come from ``curate_documents``). The small id-set
+    localCheckpoints are reclaimed by the ContextCleaner once garbage
+    collected (bounded residue, ids only). After this, actions on the
+    chunk frame recompute the final stage's lineage — unpersist only
+    once the chunks are materialized (written/collected)."""
     backing = getattr(chunks, "_curate_persisted", None)
     if backing is not None:
         backing.unpersist()

@@ -527,7 +527,29 @@ def stream_score_perplexity(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir).drop("_batch_id")
+    return _read_batch_sink(
+        spark,
+        out_dir,
+        empty=lambda: score_perplexity(
+            spark.createDataFrame([], schema), lm
+        ),
+    )
+
+
+def _read_batch_sink(spark: SparkSession, out_dir: str, empty):
+    """Read back a per-batch-partitioned parquet sink, tolerating the
+    zero-output case: a run whose every micro-batch wrote no rows (all
+    docs dropped, or an empty source) leaves no part files, and a bare
+    ``spark.read.parquet`` would fail with UNABLE_TO_INFER_SCHEMA —
+    for a dedup gate, "everything was a duplicate" is an expected
+    steady state, not an error. ``empty`` builds the correctly-typed
+    empty frame."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(out_dir).drop("_batch_id")
+    except AnalysisException:
+        return empty().limit(0)
 
 
 def stream_dedup_against_corpus(
@@ -590,4 +612,6 @@ def stream_dedup_against_corpus(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir).drop("_batch_id")
+    return _read_batch_sink(
+        spark, out_dir, empty=lambda: spark.createDataFrame([], schema)
+    )

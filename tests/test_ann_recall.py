@@ -368,3 +368,21 @@ def test_ivf_index_save_load_roundtrip(spark, sf_dir, tmp_path):
     ).write.mode("overwrite").parquet(path + "2")
     with pytest.raises(ValueError, match="not dense"):
         load_ivf_index(spark, path + "2")
+
+
+def test_ivf_index_rejects_legacy_float_artifact(spark, tmp_path):
+    """A pre-round-7 artifact (val double, normalized floats) must be
+    rejected loudly — loading it into the int64 grid would truncate
+    every |v|<1 component to 0 and silently assign everything to
+    cluster 0."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.similarity import (
+        load_ivf_index,
+    )
+
+    path = str(tmp_path / "legacy_idx")
+    spark.createDataFrame(
+        [(0, 0, 0.31, 1, 2), (0, 1, -0.95, 1, 2)],
+        "cluster int, pos int, val double, k int, dim int",
+    ).write.parquet(path)
+    with pytest.raises(ValueError, match="non-integer val"):
+        load_ivf_index(spark, path)

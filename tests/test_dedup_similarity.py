@@ -2025,3 +2025,41 @@ HAVING SUM(CASE WHEN a.mv = b.mv THEN 1 ELSE 0 END) / 32.0 >= {thr}
     }
     all_new = {r["doc_id"] for r in new_docs.select("doc_id").collect()}
     assert kept == all_new - {a for a, _ in got}
+
+
+def test_dedup_against_corpus_num_hashes_mismatch_fails_fast(spark):
+    from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+        dedup_pairs_against_corpus,
+        minhash_signature_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    idx64 = minhash_signature_index(docs, num_hashes=64)
+    with pytest.raises(ValueError, match="num_hashes=32"):
+        dedup_pairs_against_corpus(docs, idx64, num_hashes=32).collect()
+
+
+def test_minhash_banding_drops_null_signatures(spark):
+    """NULL-text docs must never band (concat_ws would send them all
+    to the same '' bucket → quadratic dead candidates): a corpus of
+    null-text rows produces zero candidates against itself."""
+    from pyspark.sql import functions as F
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+        dedup_pairs_against_corpus,
+        minhash_lsh_candidates,
+        minhash_signature_index,
+    )
+
+    rows = [(i, None) for i in range(1, 6)] + [(10, "real text here okay")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert minhash_lsh_candidates(docs).count() == 0
+    idx = minhash_signature_index(docs)
+    got = dedup_pairs_against_corpus(
+        docs.withColumn("doc_id", F.col("doc_id") + 100), idx, threshold=0.2
+    ).collect()
+    # only the one real-text doc can match (its shifted copy)
+    assert {(r["new_id"], r["corpus_id"]) for r in got} == {(110, 10)}

@@ -375,3 +375,22 @@ def test_probe_calibration_composes_with_batch_score(spark, sf_dir):
     for r in cal:
         assert 0.0 <= r["frac_positive"] <= 1.0
         assert 0.0 <= r["precision_at"] <= 1.0
+
+
+def test_probe_calibration_excludes_nan_scores(spark):
+    from pyspark.sql import functions as F
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.inference import (
+        probe_calibration,
+    )
+
+    scored = spark.createDataFrame(
+        [(0.05, 1), (0.15, 0), (0.95, 1)], "score double, label int"
+    ).unionByName(
+        spark.range(1).select(
+            F.lit(float("nan")).alias("score"), F.lit(1).alias("label")
+        )
+    )
+    cal = probe_calibration(scored, n_buckets=10).collect()
+    assert sum(r["n"] for r in cal) == 3      # NaN row excluded
+    assert all(r["mean_score"] == r["mean_score"] for r in cal)  # no NaN

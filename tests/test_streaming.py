@@ -424,3 +424,35 @@ def test_stream_dedup_against_corpus_matches_batch(spark, sf_dir, tmp_path):
     assert got == want
     assert len(want) < n_new          # the planted copies were dropped
     assert len(want) > 0              # and plenty survived
+
+
+def test_stream_dedup_against_corpus_all_duplicates_returns_empty(
+    spark, sf_dir, tmp_path
+):
+    """A stream whose every doc near-dups the corpus is the gate's
+    expected steady state: the sink holds zero rows and the read-back
+    must return a correctly-typed empty frame, not raise
+    UNABLE_TO_INFER_SCHEMA."""
+    from pyspark.sql import functions as F
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+        minhash_signature_index,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.streaming.ingest_stream import (
+        stream_dedup_against_corpus,
+    )
+
+    docs = load_fixture_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    dupes = corpus.orderBy("doc_id").limit(5).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    index = minhash_signature_index(corpus)
+    src = str(tmp_path / "dupes_in")
+    dupes.write.parquet(src)
+    out = str(tmp_path / "kept")
+    kept = stream_dedup_against_corpus(spark, src, index, out)
+    assert kept.count() == 0
+    assert kept.columns == ["doc_id", "text"]
