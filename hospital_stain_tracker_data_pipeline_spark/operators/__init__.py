@@ -54,6 +54,7 @@ from .dedup import (  # noqa: F401
     dedup_substrings,
     minhash_signature_index,
     ngram_contamination,
+    select_cluster_representatives,
 )
 from .graph import pagerank  # noqa: F401
 from .similarity import (  # noqa: F401

@@ -857,6 +857,60 @@ def connected_components_min_label(
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 
+def select_cluster_representatives(
+    docs: DataFrame,
+    clusters: DataFrame,
+    score_col: Column | None = None,
+    id_col: str = "doc_id",
+    node_col: str = "node",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Keep ONE representative per near-dup cluster — the BEST-scoring
+    member rather than the lowest id (the alternative survivor policy:
+    lowest-id is reproducible and cheap, but when duplicates differ in
+    extraction quality — one copy truncated, one boilerplate-laden —
+    keeping the highest-quality copy preserves more signal for the
+    same token budget).
+
+    ``clusters`` is ``connected_components_min_label`` output
+    ``(node, cluster_id)``; docs absent from it are singletons and
+    always survive. ``score_col`` defaults to ``quality_score(text)``;
+    ties break to the LOWEST doc id so the choice is deterministic
+    under any partitioning. Returns the surviving ``docs`` rows
+    unchanged.
+
+    Spark shape: one max_by-style aggregate over (cluster, score, id)
+    — the per-cluster argmax is a struct-max (partial-combining, no
+    window over the corpus); the wide payload joins back by id only.
+    Fully expression-level → exact DuckDB replay
+    (``tests/test_dedup_similarity.py``)."""
+    from ..functions.text import quality_score
+
+    score = quality_score(F.col("text")) if score_col is None else score_col
+    member = docs.join(
+        clusters.select(
+            F.col(node_col).alias(id_col), F.col(cluster_col).alias("_cl")
+        ),
+        id_col,
+        "inner",
+    ).select(
+        "_cl",
+        F.col(id_col),
+        score.cast("double").alias("_score"),
+    )
+    # argmax by (score, -id): struct max takes the highest score and,
+    # within a score tie, the highest -id i.e. the LOWEST id
+    winners = member.groupBy("_cl").agg(
+        F.max(
+            F.struct(F.col("_score"), (-F.col(id_col)).alias("_neg"))
+        ).alias("_w")
+    ).select((-F.col("_w._neg")).cast("long").alias(id_col))
+    clustered_ids = clusters.select(F.col(node_col).alias(id_col))
+    singletons = docs.join(clustered_ids, id_col, "left_anti")
+    kept = docs.join(winners, id_col, "left_semi")
+    return singletons.unionByName(kept)
+
+
 def dedup_spans(
     df: DataFrame,
     delim: str = "\n",

@@ -2063,3 +2063,86 @@ def test_minhash_banding_drops_null_signatures(spark):
     ).collect()
     # only the one real-text doc can match (its shifted copy)
     assert {(r["new_id"], r["corpus_id"]) for r in got} == {(110, 10)}
+
+
+def test_select_cluster_representatives_policy_and_oracle(spark):
+    """Best-scoring member survives per cluster (ties -> lowest id),
+    singletons always survive; exact DuckDB replay with an
+    integer-derived score."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+        connected_components_min_label,
+        select_cluster_representatives,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} text") for i in range(1, 11)],
+        "doc_id long, text string",
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9)], "src long, dst long"
+    )
+    nodes = edges.select(F.col("src").alias("node")).unionByName(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    clusters = connected_components_min_label(edges, nodes)
+    score = (F.col("doc_id") % 7).cast("double")
+    kept = {
+        r["doc_id"]
+        for r in select_cluster_representatives(
+            docs, clusters, score_col=score
+        ).collect()
+    }
+    want = {
+        r[0]
+        for r in duckdb.sql("""
+WITH docs AS (SELECT UNNEST(range(1, 11)) AS doc_id),
+clusters(node, cl) AS (VALUES (1,1),(2,1),(3,1),(5,5),(6,5),(8,8),(9,8)),
+member AS (
+  SELECT c.cl, d.doc_id, CAST(d.doc_id % 7 AS DOUBLE) AS score
+  FROM docs d JOIN clusters c ON d.doc_id = c.node
+), winners AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (
+      PARTITION BY cl ORDER BY score DESC, doc_id ASC) AS rn
+    FROM member) WHERE rn = 1
+)
+SELECT doc_id FROM docs
+WHERE doc_id NOT IN (SELECT node FROM clusters)
+   OR doc_id IN (SELECT doc_id FROM winners)
+""").fetchall()
+    }
+    assert kept == want
+    # policy spot checks: cluster {1,2,3} scores (1,2,3) -> 3 wins;
+    # {5,6} -> 6 wins; {8,9} scores (1,2) -> 9 wins; singletons stay
+    assert kept == {3, 6, 9, 4, 7, 10}
+
+
+def test_select_cluster_representatives_default_quality_and_ties(spark):
+    from pyspark.sql import functions as F
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+        select_cluster_representatives,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "substantive report covering methodology results "
+                "analysis discussion conclusions recommendations"),
+            (2, "the of and a"),               # all stopwords, tiny
+            (3, "same text here"), (4, "same text here"),  # score tie
+        ],
+        "doc_id long, text string",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3)], "node long, cluster_id long"
+    )
+    kept = {
+        r["doc_id"]
+        for r in select_cluster_representatives(docs, clusters).collect()
+    }
+    assert 1 in kept and 2 not in kept   # quality beats stopword soup
+    assert 3 in kept and 4 not in kept   # tie -> lowest id
