@@ -10,6 +10,10 @@
     curate --input --output            (training-data extension: the corpus
                                         curation recipe → stream-ordered
                                         packed chunks)
+    dedup_index --input --output       (incremental dedup: build the
+                                        text-free MinHash signature index)
+    dedup_filter --input --index --output  (drop new docs near-duplicating
+                                        the indexed corpus; corpus wins)
 
 A user of the reference pipeline can run the same workflows against a
 parquet lake directory instead of Postgres:
@@ -166,6 +170,41 @@ def cmd_curate(args) -> None:
     print(f"wrote {args.output}")
 
 
+def cmd_dedup_index(args) -> None:
+    """Build (or refresh) the text-free MinHash signature index for a
+    corpus — the artifact `dedup_filter` probes. Run nightly / per
+    corpus version; the index is ~256 B/doc regardless of text size."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+        minhash_signature_index,
+    )
+
+    spark = get_spark(app_name="dedup_index")
+    docs = spark.read.parquet(args.input)
+    idx = minhash_signature_index(docs, num_hashes=args.num_hashes)
+    idx.write.mode("overwrite").parquet(args.output)
+    print(f"indexed {idx.count()} docs -> {args.output}")
+
+
+def cmd_dedup_filter(args) -> None:
+    """Drop new documents that near-dup anything in an existing corpus
+    index (corpus always wins), writing the survivors. The incremental
+    ingest gate: old corpus text is never re-read."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+        dedup_against_corpus,
+    )
+
+    spark = get_spark(app_name="dedup_filter")
+    new_docs = spark.read.parquet(args.input)
+    index = spark.read.parquet(args.index)
+    kept = dedup_against_corpus(
+        new_docs, index,
+        threshold=args.threshold, num_hashes=args.num_hashes,
+    )
+    kept.write.mode("overwrite").parquet(args.output)
+    n_in, n_out = new_docs.count(), spark.read.parquet(args.output).count()
+    print(f"kept {n_out}/{n_in} docs -> {args.output}")
+
+
 def main() -> None:
     p = argparse.ArgumentParser(prog="run_pipeline")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -228,6 +267,20 @@ def main() -> None:
     )
     pc.add_argument("--max-perplexity", type=float, default=None)
     pc.set_defaults(fn=cmd_curate)
+
+    pdi = sub.add_parser("dedup_index")
+    pdi.add_argument("--input", required=True, help="documents parquet path")
+    pdi.add_argument("--output", required=True, help="signature index out")
+    pdi.add_argument("--num-hashes", type=int, default=32)
+    pdi.set_defaults(fn=cmd_dedup_index)
+
+    pdf_ = sub.add_parser("dedup_filter")
+    pdf_.add_argument("--input", required=True, help="NEW documents parquet")
+    pdf_.add_argument("--index", required=True, help="signature index path")
+    pdf_.add_argument("--output", required=True, help="survivors parquet out")
+    pdf_.add_argument("--threshold", type=float, default=0.5)
+    pdf_.add_argument("--num-hashes", type=int, default=32)
+    pdf_.set_defaults(fn=cmd_dedup_filter)
 
     args = p.parse_args()
     args.fn(args)

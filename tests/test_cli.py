@@ -130,3 +130,34 @@ def test_cli_curate_with_perplexity_gate(tmp_path):
     assert int(report["after_perplexity"]) <= int(report["after_near_dedup"])
     n = duckdb.sql(f"SELECT count(*) FROM '{out}/*.parquet'").fetchone()[0]
     assert n > 0
+
+
+def test_cli_dedup_index_and_filter(tmp_path):
+    """Incremental-dedup deployment flow: build the signature index
+    over a corpus, then gate a new batch (one exact copy + one fresh
+    doc) against it — the copy drops, the fresh doc survives."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    corpus = tmp_path / "corpus.parquet"
+    new = tmp_path / "new.parquet"
+    idx = str(tmp_path / "sig_index")
+    out = str(tmp_path / "kept")
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    pq.write_table(
+        pa.table({"doc_id": [1, 2], "text": [shared, "totally different words here"]}),
+        corpus,
+    )
+    pq.write_table(
+        pa.table({"doc_id": [10, 11],
+                  "text": [shared, "fresh unseen content entirely new phrasing"]}),
+        new,
+    )
+    _run("dedup_index", "--input", str(corpus), "--output", idx)
+    stdout = _run(
+        "dedup_filter", "--input", str(new), "--index", idx,
+        "--output", out, "--threshold", "0.5",
+    )
+    assert "kept 1/2" in stdout
+    kept = pq.read_table(glob.glob(os.path.join(out, "*.parquet"))[0])
+    assert kept.column("doc_id").to_pylist() == [11]
