@@ -27,10 +27,13 @@ from .mixture import (  # noqa: F401
     temperature_weights,
 )
 from .web import (  # noqa: F401
+    canonicalize_url,
     cap_per_group,
+    dedup_exact_urls,
     extract_domain,
     filter_blocked_domains,
 )
+from .sketch import heavy_hitters, skew_report  # noqa: F401
 from .splits import leakage_safe_split, split_assignments  # noqa: F401
 from .packing import (  # noqa: F401
     pack_documents_no_split,

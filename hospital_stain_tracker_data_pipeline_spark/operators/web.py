@@ -31,9 +31,13 @@ from pyspark.sql import functions as F
 # unit (the port colon only terminates OUTSIDE brackets) and the
 # brackets are stripped afterward — mirroring urllib.parse .hostname.
 # A deliberately engine-portable regexp rather than java.net.URI
-# semantics, which no other engine reproduces.
+# semantics, which no other engine reproduces. The prefix quantifiers
+# are POSSESSIVE (Java-regex `?+`): a degenerate input like
+# "https://" must NOT backtrack into re-reading its scheme as a host —
+# with possessive consumption the host group simply fails to match and
+# the extraction returns NULL, agreeing with urllib's .hostname.
 _HOST_RE = (
-    r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?(?://)?(?:[^/?#@]*@)?"
+    r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?+(?://)?+(?:[^/?#@]*@)?+"
     r"(\[[^\]/?#]*\]|[^/?#:]+)"
 )
 
@@ -111,6 +115,115 @@ def cap_per_group(
     # the equi-join hoists group_col to the front; restore the input's
     # column order so the cap is schema-transparent
     return pass_through.unionByName(capped).select(df.columns)
+
+
+# Query parameters that carry only click-tracking provenance, never
+# content identity: the standard strip-set every web-curation pipeline
+# applies before exact-URL dedup (utm_* is a prefix family; the rest
+# are vendor click ids). Matched against the raw (undecoded) key.
+TRACKING_PARAM_RE = (
+    r"^(utm_[^=&]*|fbclid|gclid|gclsrc|dclid|msclkid|mc_cid|mc_eid|"
+    r"igshid|yclid|_ga|_gl|ref_src|ref_url|spm|wbraid|gbraid)(=.*)?$"
+)
+
+# Authority prefix shared by the canonicalizer's part extractors:
+# optional scheme, optional "//", optional userinfo — what precedes
+# the host (same possessive shape as _HOST_RE's prefix).
+_AUTH_PREFIX = r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?+(?://)?+(?:[^/?#@]*@)?+"
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of a web URL for exact-URL dedup — collapses the
+    provenance-irrelevant variation that makes byte-equal pages look
+    distinct in a crawl:
+
+    - scheme and host lowercased; userinfo (``user:pass@``) dropped
+    - default ports stripped (``:80`` for http, ``:443`` for https);
+      other ports kept
+    - fragment (``#...``) dropped
+    - tracking query params dropped (``TRACKING_PARAM_RE``: utm_*,
+      fbclid, gclid, ...); surviving params sorted byte-wise so
+      ``?b=2&a=1`` == ``?a=1&b=2``; empty query ⇒ no ``?``
+    - trailing slashes collapsed (``/a/b///`` → ``/a/b``); empty path
+      ⇒ ``/``
+    - percent-escapes and ``+`` are NOT decoded (decoding is lossy
+      without charset knowledge; byte-level canonical form is the
+      stable dedup key)
+
+    NULL/blank input ⇒ NULL. Schemeless ``host:port/...`` is parsed
+    per RFC 3986 (``host:`` is a syntactically valid scheme), so feed
+    full URLs when ports matter — crawl records always carry the
+    scheme. Idempotent: applying it twice is a no-op
+    (pinned by a hypothesis property). Pure Column expressions — stays
+    in whole-stage codegen; at 100 TB this fuses into the scan with no
+    Python and no shuffle. Each piece is extracted from a bound column
+    (not re-derived inside HOF lambdas) per the repo's HOF-CSE rule.
+    """
+    u = F.trim(url)
+    scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1))
+    host = F.lower(F.regexp_extract(u, _HOST_RE, 1))  # brackets kept
+    port = F.regexp_extract(u, _AUTH_PREFIX + r"(?:\[[^\]/?#]*\]|[^/?#:]+):(\d+)", 1)
+    raw_path = F.regexp_extract(u, _AUTH_PREFIX + r"[^/?#]*([^?#]*)", 1)
+    # strip the fragment BEFORE looking for '?' — a '?' inside the
+    # fragment ("/p#a?b") is not a query delimiter (RFC 3986 §3.4/3.5)
+    pre_frag = F.substring_index(u, "#", 1)
+    raw_query = F.regexp_extract(pre_frag, r"\?(.*)$", 1)
+
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    stripped = F.regexp_replace(raw_path, r"/+$", "")
+    path = F.when(stripped == "", F.lit("/")).otherwise(stripped)
+    params = F.array_sort(
+        F.filter(
+            F.split(raw_query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    query = F.array_join(params, "&")
+
+    canon = F.concat(
+        F.when(scheme == "", F.lit("")).otherwise(F.concat(scheme, F.lit("://"))),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
+    )
+    return F.when(u.isNull() | (u == "") | (host == ""), None).otherwise(canon)
+
+
+def dedup_exact_urls(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the first occurrence (lowest ``id_col``) per canonical URL
+    — exact-URL dedup, the cheapest and highest-yield dedup stage of a
+    crawl pipeline (CommonCrawl re-fetches the same page across snapshots
+    under tracking-param/fragment/port variations).
+
+    Plan: the groupBy shuffles only ``(canonical_url_hash, id)`` — the
+    canonical string is reduced to a 64-bit xxhash before the exchange
+    so document text never moves; winners come back via a broadcast-
+    friendly semi-join on ids when the winner set is dimension-sized,
+    or a shuffled semi-join otherwise (Catalyst/AQE picks). Rows whose
+    URL fails to canonicalize (NULL) are kept unconditionally —
+    unknown provenance is a separate policy, mirroring
+    ``cap_per_group``'s NULL-group rule.
+    """
+    canon = df.withColumn("_canon", canonicalize_url(F.col(url_col)))
+    keyed = canon.withColumn(
+        "_ck", F.xxhash64(F.col("_canon"))
+    )
+    winners = (
+        keyed.filter(F.col("_canon").isNotNull())
+        .groupBy("_ck")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    kept = keyed.filter(F.col("_canon").isNull()).select(df.columns).unionByName(
+        keyed.join(winners, id_col, "left_semi").select(df.columns)
+    )
+    return kept
 
 
 def filter_blocked_domains(

@@ -213,3 +213,152 @@ def test_extract_domain_ipv6_and_urlparse_property(spark):
     for i, u in enumerate(urls):
         want = urlparse(u if "//" in u else "//" + u).hostname
         assert got2[i] == want, (u, got2[i], want)
+
+
+# ---------------------------------------------------------------- URLs
+
+
+def _canon_ref(u):
+    """Pure-Python reference for canonicalize_url built on urllib
+    (independent parse) + the documented spec — the cross-engine pin."""
+    import re
+    from urllib.parse import urlsplit
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.web import (
+        TRACKING_PARAM_RE,
+    )
+
+    if u is None:
+        return None
+    s = u.strip()
+    if not s:
+        return None
+    has_scheme = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*:", s)
+    parts = urlsplit(s if has_scheme or s.startswith("//") else "//" + s)
+    host = parts.hostname
+    if not host:
+        return None
+    hostp = f"[{host}]" if ":" in host else host
+    scheme = parts.scheme.lower()
+    port = parts.port
+    keep_port = port is not None and not (
+        (scheme == "http" and port == 80)
+        or (scheme == "https" and port == 443)
+    )
+    path = re.sub(r"/+$", "", parts.path) or "/"
+    params = sorted(
+        p
+        for p in parts.query.split("&")
+        if p and not re.match(TRACKING_PARAM_RE, p)
+    )
+    out = (f"{scheme}://" if scheme else "") + hostp
+    if keep_port:
+        out += f":{port}"
+    out += path
+    if params:
+        out += "?" + "&".join(params)
+    return out
+
+
+def test_canonicalize_url_goldens(spark):
+    from hospital_stain_tracker_data_pipeline_spark.operators.web import (
+        canonicalize_url,
+    )
+
+    cases = [
+        (
+            "HTTPS://User:Pw@Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+            "https://example.com/a/b?a=1&b=2",
+        ),
+        ("http://example.com:8080//", "http://example.com:8080/"),
+        ("example.org/path/", "example.org/path"),
+        ("https://example.com", "https://example.com/"),
+        ("http://EXAMPLE.com:80?x=1", "http://example.com/?x=1"),
+        ("https://[2001:DB8::1]:443/x?fbclid=abc", "https://[2001:db8::1]/x"),
+        ("http://example.com/#section?notaquery=1", "http://example.com/"),
+        ("http://h.io/p?gclid=1&utm_medium=email&z=%20+2", "http://h.io/p?z=%20+2"),
+        ("", None),
+        ("   ", None),
+        (None, None),
+        ("https://", None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", canonicalize_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+        assert got[i] == _canon_ref(u), (u, got[i], _canon_ref(u))
+
+
+def test_canonicalize_url_reference_sweep_and_idempotence(spark):
+    """Deterministic component sweep (same style as the extract_domain
+    urllib property): Spark output must equal the urllib-based
+    reference AND be a fixed point of a second application."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.web import (
+        canonicalize_url,
+    )
+
+    schemes = ["http://", "https://", "FTP://", ""]
+    users = ["", "bob@", "u:p@"]
+    hosts = ["Example.com", "a.B.co.uk", "127.0.0.1", "[2001:db8::7]"]
+    ports = ["", ":80", ":443", ":8443"]
+    paths = ["", "/", "/a/b", "/a/b///", "/%7Euser/x.html"]
+    queries = [
+        "",
+        "?b=2&a=1",
+        "?utm_source=x&k=v",
+        "?gclid=9",
+        "?a=1&a=0&",
+        "?only",
+    ]
+    frags = ["", "#f", "#a?b=1"]
+    urls = []
+    for s in schemes:
+        for us in users:
+            for h in hosts:
+                for p in ports:
+                    if s == "" and (p or us):
+                        continue  # RFC ambiguity documented in docstring
+                    for pa in paths:
+                        for q in queries:
+                            for fr in frags:
+                                urls.append(f"{s}{us}{h}{p}{pa}{q}{fr}")
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i long, url string"
+    )
+    c1 = canonicalize_url(F.col("url"))
+    rows = df.select("i", c1.alias("c"), canonicalize_url(c1).alias("cc")).collect()
+    got = {r["i"]: (r["c"], r["cc"]) for r in rows}
+    for i, u in enumerate(urls):
+        want = _canon_ref(u)
+        c, cc = got[i]
+        assert c == want, (u, c, want)
+        assert cc == c, ("not idempotent", u, c, cc)
+
+
+def test_dedup_exact_urls_keeps_first_per_canonical(spark):
+    from hospital_stain_tracker_data_pipeline_spark.operators.web import (
+        dedup_exact_urls,
+    )
+
+    rows = [
+        (1, "https://Example.com/a/?utm_source=x", "v1"),
+        (2, "https://example.com:443/a", "dup of 1 - dropped"),
+        (3, "https://example.com/a?real=1", "distinct query - kept"),
+        (4, None, "null url - kept unconditionally"),
+        (5, "http://other.net/b#frag", "v5"),
+        (6, "http://other.net/b", "dup of 5 - dropped"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    kept = sorted(
+        r["doc_id"] for r in dedup_exact_urls(df).select("doc_id").collect()
+    )
+    assert kept == [1, 3, 4, 5]
+    # schema-transparent: same columns in the same order
+    assert dedup_exact_urls(df).columns == df.columns
