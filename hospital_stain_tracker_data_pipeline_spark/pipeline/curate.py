@@ -2,7 +2,8 @@
 training-data operators into the pipeline a pretraining data run
 actually executes —
 
-    [optional per-source cap] → quality funnel → exact dedup →
+    [optional exact-URL dedup] → [optional per-source cap] →
+    quality funnel → exact dedup →
     near-dup drop → [optional SemDeDup over embeddings] → [optional
     BM25 retrieval decontamination against an eval set] → [optional
     C4-style span-level dedup] → [optional exact substring dedup
@@ -66,7 +67,7 @@ from ..operators.packing import (
     pack_token_chunks,
 )
 from ..operators.similarity import semantic_dedup_pairs
-from ..operators.web import cap_per_group
+from ..operators.web import cap_per_group, dedup_exact_urls
 
 
 @dataclass
@@ -90,6 +91,8 @@ class CurationReport:
     after_decontamination: int | None = None
     # docs still non-empty after optional exact substring dedup; None when off
     after_substring_dedup: int | None = None
+    # docs surviving the optional exact-URL dedup; None when off
+    after_url_dedup: int | None = None
 
 
 def default_quality_stages(
@@ -125,6 +128,7 @@ def curate_documents(
     decon_min_score: float | None = None,
     no_split: bool = False,
     substring_min_tokens: int | None = None,
+    url_col: str | None = None,
 ) -> tuple[DataFrame, CurationReport]:
     """Run the full curation pipeline over a ``(doc_id, text)`` corpus;
     returns ``(packed_chunks, report)``.
@@ -155,8 +159,14 @@ def curate_documents(
     winners are what a user expects span attrition to be reported
     against.
 
-    ``max_per_source`` switches on the provenance control FIRST (the
-    cheapest stage — it sees only (id, source) — and the standard
+    ``url_col`` switches on exact-URL dedup as the VERY FIRST stage
+    (``dedup_exact_urls`` — re-crawls of the same page under
+    tracking-param/port/fragment variation collapse to their first
+    occurrence before ANY text-level work, and before the source cap
+    so the cap sees true per-source page counts, not re-crawl
+    inflation; rows with a NULL/unparseable URL pass through). Then
+    ``max_per_source`` switches on the provenance control (the
+    cheapest text-free stage — it sees only (id, source) — and the standard
     web-pipeline order: cap a mega-source before paying any text-level
     work for its excess): at most that many docs survive per
     ``source_col`` group, chosen by ``cap_per_group``'s seeded
@@ -189,9 +199,13 @@ def curate_documents(
     stages = stages if stages is not None else default_quality_stages()
 
     n_cap: int | None = None
+    n_url: int | None = None
+    if url_col is not None:
+        # pre-stage totals need their own (cheap, text-free) counts;
+        # the funnel's `total` below reports the post-url/post-cap corpus
+        n_before_url = docs.count()
+        docs = dedup_exact_urls(docs, url_col=url_col, id_col="doc_id")
     if max_per_source is not None:
-        # the pre-cap total needs its own (cheap, two-column) count;
-        # the funnel's `total` below then reports the post-cap corpus
         total_in = docs.count()
         docs = cap_per_group(
             docs, source_col, max_per_source, id_col="doc_id", seed=seed
@@ -209,6 +223,9 @@ def curate_documents(
     if max_per_source is not None:
         n_cap = total
         total = total_in
+    if url_col is not None:
+        n_url = total
+        total = n_before_url
 
     cond = None
     for _, c in stages:
@@ -388,6 +405,7 @@ def curate_documents(
         after_semantic_dedup=n_sem,
         after_decontamination=n_decon,
         after_substring_dedup=n_substr,
+        after_url_dedup=n_url,
     )
     # handle for unpersist_curated — the chunks frame's lineage reads
     # from this persisted corpus

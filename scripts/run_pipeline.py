@@ -162,6 +162,7 @@ def cmd_curate(args) -> None:
         no_split=args.no_split,
         ppl_lm=ppl_lm,
         max_perplexity=args.max_perplexity,
+        url_col=args.url_col,
     )
     write_packed_corpus(chunks, args.output)
     unpersist_curated(chunks)
@@ -260,6 +261,10 @@ def main() -> None:
     pc.add_argument("--span-delim", default=None)
     pc.add_argument("--max-per-source", type=int, default=None)
     pc.add_argument("--substring-min-tokens", type=int, default=None)
+    pc.add_argument(
+        "--url-col", default=None,
+        help="column holding each doc's URL; enables exact-URL dedup",
+    )
     pc.add_argument("--no-split", action="store_true")
     pc.add_argument(
         "--trusted-docs", default=None,

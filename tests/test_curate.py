@@ -454,3 +454,52 @@ def test_curate_span_and_substring_stages_compose(spark):
     t1 = len("real article content here".split()) + len(boiler.split()) + len("more real words".split())
     t2 = len("different article body text".split()) + len("other closing line".split())
     assert rep.packed_tokens == t1 + t2
+
+
+def test_curate_url_dedup_stage(spark):
+    """url_col engages before everything: re-crawls of one page under
+    tracking-param/port variation collapse to the lowest doc_id, the
+    source cap then sees deduped counts, and NULL-url docs pass."""
+    rows = [
+        (1, BASE, "https://site.com/page?utm_source=feed", "srcA"),
+        (2, BASE.replace("fox", "fox2"), "https://site.com:443/page", "srcA"),
+        (3, BASE.replace("fox", "fox3"), "https://site.com/other", "srcA"),
+        (4, BASE.replace("fox", "vulpes4"), None, "srcB"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, url string, source string"
+    )
+    chunks, rep = curate_documents(
+        docs,
+        budget=16,
+        n_shards=2,
+        seed=1,
+        near_dup_threshold=0.99,
+        url_col="url",
+    )
+    assert rep.total == 4
+    assert rep.after_url_dedup == 3       # 2 is a re-crawl of 1
+    assert rep.after_quality == 3
+    survivors = {r.doc_id for r in chunks.select("doc_id").distinct().collect()}
+    assert survivors == {1, 3, 4}
+
+    # composes with the source cap: cap sees post-url counts
+    _, rep_cap = curate_documents(
+        docs,
+        budget=16,
+        n_shards=2,
+        seed=1,
+        near_dup_threshold=0.99,
+        url_col="url",
+        max_per_source=1,
+    )
+    assert rep_cap.after_url_dedup == 3
+    assert rep_cap.after_source_cap == 2  # 1 of srcA + 1 of srcB
+    assert rep_cap.total == 4
+
+
+def test_curate_url_dedup_off_reports_none(spark):
+    _, rep = curate_documents(
+        _corpus(spark), budget=16, n_shards=2, seed=1, near_dup_threshold=0.5
+    )
+    assert rep.after_url_dedup is None
