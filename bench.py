@@ -178,6 +178,43 @@ def _extras_registry():
             load_fixture_table(spark, sf_dir, "documents"), min_tokens=8
         )
 
+    def heavy_ngrams(spark, sf_dir):
+        from hospital_stain_tracker_data_pipeline_spark.operators.sketch import (
+            heavy_hitters,
+        )
+
+        docs = load_fixture_table(spark, sf_dir, "documents")
+        grams = docs.select(
+            F.explode(
+                F.slice(F.split(F.lower(F.col("text")), r"\s+"), 1, 200)
+            ).alias("w")
+        ).filter(F.col("w") != "")
+        return heavy_hitters(grams, "w", phi=0.002)
+
+    def url_dedup(spark, sf_dir):
+        from hospital_stain_tracker_data_pipeline_spark.operators.web import (
+            dedup_exact_urls,
+        )
+
+        docs = load_fixture_table(spark, sf_dir, "documents")
+        # deterministic synthetic crawl URLs: page id = doc_id*2//3
+        # maps every 3 consecutive ids onto 2 pages, so ~1/3 of docs
+        # are re-crawls of another doc's page — under tracking-param /
+        # port / trailing-slash noise the canonicalizer must collapse
+        urls = docs.withColumn(
+            "url",
+            F.concat(
+                F.when(F.col("doc_id") % 4 == 0, F.lit("https://www.example.com:443/p/"))
+                .when(F.col("doc_id") % 4 == 1, F.lit("HTTPS://WWW.Example.COM/p/"))
+                .otherwise(F.lit("https://www.example.com/p/")),
+                (F.col("doc_id") * 2 / 3).cast("long").cast("string"),
+                F.when(F.col("doc_id") % 3 == 0, F.lit("/?utm_source=feed&b=2&a=1"))
+                .when(F.col("doc_id") % 3 == 1, F.lit("?b=2&a=1"))
+                .otherwise(F.lit("?a=1&b=2#frag")),
+            ),
+        )
+        return dedup_exact_urls(urls)
+
     def curate_full(spark, sf_dir):
         """The flagship composition end-to-end with EVERY optional
         stage on (cap → funnel → exact → MinHash → SemDeDup → BM25
@@ -229,6 +266,8 @@ def _extras_registry():
         "leakage_safe_split": safe_split,
         "bm25_index_and_query": bm25,
         "dedup_substrings": substr_dedup,
+        "heavy_hitter_words": heavy_ngrams,
+        "url_dedup": url_dedup,
         # keep last: it persists its outputs; main() clears the cache
         # after the extras loop
         "curate_full": curate_full,
