@@ -9,7 +9,7 @@ ever shuffling the full item stream. Pass 1 runs a Misra-Gries
 capacity-``m`` summary retains every item whose local count exceeds
 ``n_p / m``, so by pigeonhole the union of per-partition candidate
 sets contains every item with global count > N/m (Agarwal et al.,
-"Mergeable Summaries", PODS 2012). With ``m = ceil(2/phi)`` the
+"Mergeable Summaries", PODS 2012). With ``m = 2*ceil(1/phi)`` the
 candidate union (≤ m rows per partition — kilobytes) is a guaranteed
 superset of the phi-heavy items. Pass 2 broadcast-semi-joins the
 corpus against the candidates and takes EXACT counts for just those
@@ -29,6 +29,7 @@ size, not stream size.
 from __future__ import annotations
 
 import math
+from fractions import Fraction
 from typing import Iterator
 
 import pandas as pd
@@ -67,7 +68,11 @@ def heavy_hitters(
     candidate union provably contains every phi-heavy item; pass 2
     re-counts candidates exactly. Items below the threshold never
     appear. Memory is O(capacity) per task; the default capacity
-    ``ceil(2/phi)`` doubles the pigeonhole requirement for slack.
+    ``2*ceil(1/phi)`` doubles the pigeonhole requirement for slack,
+    and an explicit capacity below ``ceil(1/phi)`` is rejected —
+    it would silently break completeness. The threshold
+    ``ceil(phi*N)`` is computed in exact rational arithmetic on the
+    decimal value of ``phi`` (never float products).
 
     At 100 TB: pass 1 is a mapInPandas scan emitting ≤ capacity rows
     per partition; pass 2 is a broadcast semi-join (candidate set is
@@ -78,9 +83,18 @@ def heavy_hitters(
     """
     if not (0.0 < phi <= 1.0):
         raise ValueError(f"phi must be in (0, 1], got {phi}")
-    m = int(capacity) if capacity is not None else math.ceil(2.0 / phi)
-    if m < 1:
-        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    # Fraction(str(phi)) reads the DECIMAL the caller wrote (0.07 ->
+    # 7/100), so thresholds and guards are exact — float math would
+    # make ceil(0.07 * 100) = 8 and silently exclude an exactly-
+    # phi-heavy item
+    phi_frac = Fraction(str(phi))
+    min_capacity = math.ceil(1 / phi_frac)
+    m = int(capacity) if capacity is not None else 2 * min_capacity
+    if m < min_capacity:
+        raise ValueError(
+            f"capacity {capacity} breaks the completeness guarantee: "
+            f"phi={phi} needs capacity >= ceil(1/phi) = {min_capacity}"
+        )
 
     items = df.select(F.col(item_col).cast("string").alias("item"))
 
@@ -109,7 +123,7 @@ def heavy_hitters(
         candidates = summary_df.filter(F.col("item").isNotNull()).select(
             "item"
         ).distinct()
-        threshold = math.ceil(phi * total)
+        threshold = math.ceil(phi_frac * total)
         exact = (
             items.join(F.broadcast(candidates), "item", "left_semi")
             .groupBy("item")
@@ -154,8 +168,15 @@ def skew_report(
     # collect_list order is not guaranteed even after orderBy+limit, so
     # the struct carries a negated count and array_sort imposes the
     # (count desc, key asc) order deterministically post-collection
+    # the limit orders by the same COALESCED key the display strings
+    # use (plus a NULL-last tiebreak), so a NULL key tying with a real
+    # key at the boundary picks the same row as the DuckDB replay
     topk = (
-        counts.orderBy(F.col("cnt").desc(), F.col("key"))
+        counts.orderBy(
+            F.col("cnt").desc(),
+            F.coalesce(F.col("key"), F.lit("NULL")),
+            F.col("key").isNull(),
+        )
         .limit(top)
         .select(
             F.struct(

@@ -25,21 +25,26 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# host = everything between the scheme/leading "//" (or string start)
-# and the first "/", "?", "#", or ":" (port). Lowercased; userinfo
-# ("user@") stripped; a bracketed IPv6 literal ("[::1]") matches as a
-# unit (the port colon only terminates OUTSIDE brackets) and the
-# brackets are stripped afterward — mirroring urllib.parse .hostname.
-# A deliberately engine-portable regexp rather than java.net.URI
-# semantics, which no other engine reproduces. The prefix quantifiers
-# are POSSESSIVE (Java-regex `?+`): a degenerate input like
-# "https://" must NOT backtrack into re-reading its scheme as a host —
-# with possessive consumption the host group simply fails to match and
-# the extraction returns NULL, agreeing with urllib's .hostname.
-_HOST_RE = (
-    r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?+(?://)?+(?:[^/?#@]*@)?+"
-    r"(\[[^\]/?#]*\]|[^/?#:]+)"
-)
+# Authority prefix: optional scheme, optional "//", optional userinfo
+# — everything that precedes the host. The quantifiers are POSSESSIVE
+# (Java-regex `?+`): a degenerate input like "https://" must NOT
+# backtrack into re-reading its scheme as a host — with possessive
+# consumption the host group simply fails to match and the extraction
+# returns NULL, agreeing with urllib's .hostname. The scheme branch
+# requires a character AFTER the colon (`(?=.)`) so a trailing-colon
+# empty-port input like "example.com:" is host + empty port (urllib
+# agrees), not a scheme swallowing the whole string. Single source of
+# truth: the host/port/path extractors all compose from this prefix.
+_AUTH_PREFIX = r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*:(?=.))?+(?://)?+(?:[^/?#@]*@)?+"
+
+# host = everything between the authority prefix and the first "/",
+# "?", "#", or ":" (port). Lowercased; userinfo ("user@") stripped; a
+# bracketed IPv6 literal ("[::1]") matches as a unit (the port colon
+# only terminates OUTSIDE brackets) and the brackets are stripped
+# afterward — mirroring urllib.parse .hostname. A deliberately
+# engine-portable regexp rather than java.net.URI semantics, which no
+# other engine reproduces.
+_HOST_RE = _AUTH_PREFIX + r"(\[[^\]/?#]*\]|[^/?#:]+)"
 
 
 def extract_domain(url: Column, registrable: bool = False) -> Column:
@@ -126,12 +131,6 @@ TRACKING_PARAM_RE = (
     r"igshid|yclid|_ga|_gl|ref_src|ref_url|spm|wbraid|gbraid)(=.*)?$"
 )
 
-# Authority prefix shared by the canonicalizer's part extractors:
-# optional scheme, optional "//", optional userinfo — what precedes
-# the host (same possessive shape as _HOST_RE's prefix).
-_AUTH_PREFIX = r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?+(?://)?+(?:[^/?#@]*@)?+"
-
-
 def canonicalize_url(url: Column) -> Column:
     """Canonical form of a web URL for exact-URL dedup — collapses the
     provenance-irrelevant variation that makes byte-equal pages look
@@ -150,10 +149,16 @@ def canonicalize_url(url: Column) -> Column:
       without charset knowledge; byte-level canonical form is the
       stable dedup key)
 
-    NULL/blank input ⇒ NULL. Schemeless ``host:port/...`` is parsed
-    per RFC 3986 (``host:`` is a syntactically valid scheme), so feed
-    full URLs when ports matter — crawl records always carry the
-    scheme. Idempotent: applying it twice is a no-op
+    NULL/blank input ⇒ NULL. A URI with a scheme but NO authority
+    (``mailto:a@b``, ``http:example.com/x`` — no ``//``) has no host
+    and canonicalizes to NULL rather than inventing one (urllib's
+    .hostname agrees; ``dedup_exact_urls`` keeps NULL rows
+    unconditionally, so authority-less records are never collapsed
+    into each other). Schemeless ``host:port/...`` is likewise parsed
+    per RFC 3986 (``host:`` is a syntactically valid scheme ⇒ no
+    authority ⇒ NULL), so feed full URLs when ports matter — crawl
+    records always carry the scheme. Idempotent: applying it twice is
+    a no-op
     (pinned by a hypothesis property). Pure Column expressions — stays
     in whole-stage codegen; at 100 TB this fuses into the scan with no
     Python and no shuffle. Each piece is extracted from a bound column
@@ -161,6 +166,11 @@ def canonicalize_url(url: Column) -> Column:
     """
     u = F.trim(url)
     scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1))
+    # a scheme without "//" means NO authority (RFC 3986 §3) — there
+    # is no host to canonicalize around
+    has_authority = (scheme == "") | u.rlike(
+        r"^[a-zA-Z][a-zA-Z0-9+.-]*://"
+    )
     host = F.lower(F.regexp_extract(u, _HOST_RE, 1))  # brackets kept
     port = F.regexp_extract(u, _AUTH_PREFIX + r"(?:\[[^\]/?#]*\]|[^/?#:]+):(\d+)", 1)
     raw_path = F.regexp_extract(u, _AUTH_PREFIX + r"[^/?#]*([^?#]*)", 1)
@@ -190,38 +200,54 @@ def canonicalize_url(url: Column) -> Column:
         path,
         F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
     )
-    return F.when(u.isNull() | (u == "") | (host == ""), None).otherwise(canon)
+    return F.when(
+        u.isNull() | (u == "") | (host == "") | ~has_authority, None
+    ).otherwise(canon)
 
 
 def dedup_exact_urls(
-    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    checkpoint_winners: bool = False,
 ) -> DataFrame:
     """Keep the first occurrence (lowest ``id_col``) per canonical URL
     — exact-URL dedup, the cheapest and highest-yield dedup stage of a
     crawl pipeline (CommonCrawl re-fetches the same page across snapshots
     under tracking-param/fragment/port variations).
 
-    Plan: the groupBy shuffles only ``(canonical_url_hash, id)`` — the
-    canonical string is reduced to a 64-bit xxhash before the exchange
-    so document text never moves; winners come back via a broadcast-
-    friendly semi-join on ids when the winner set is dimension-sized,
-    or a shuffled semi-join otherwise (Catalyst/AQE picks). Rows whose
-    URL fails to canonicalize (NULL) are kept unconditionally —
-    unknown provenance is a separate policy, mirroring
-    ``cap_per_group``'s NULL-group rule.
+    Plan: the groupBy shuffles only ``(canonical_url, id)`` — document
+    text never moves. Identity is the canonical STRING itself, not a
+    hash of it: at the billions-of-URLs scale this stage targets, a
+    64-bit hash identity would take expected birthday collisions, each
+    silently dropping a non-duplicate document — a canonical URL is
+    ~80 bytes, so exactness costs only a modestly wider exchange.
+    Winners come back via a semi-join on ids (Catalyst/AQE picks
+    broadcast when the winner set is dimension-sized). Rows whose URL
+    fails to canonicalize (NULL) are kept unconditionally — unknown
+    provenance is a separate policy, mirroring ``cap_per_group``'s
+    NULL-group rule.
+
+    ``checkpoint_winners=True`` eagerly truncates the winner id-set's
+    lineage (``materialize``): the semi-join's right side becomes a
+    flat scan instead of a second reference to ``df``'s plan — pass it
+    when composing into multi-stage recipes (``curate_documents``
+    does) so plan growth stays linear per the repo's plan-growth
+    discipline.
     """
     canon = df.withColumn("_canon", canonicalize_url(F.col(url_col)))
-    keyed = canon.withColumn(
-        "_ck", F.xxhash64(F.col("_canon"))
-    )
     winners = (
-        keyed.filter(F.col("_canon").isNotNull())
-        .groupBy("_ck")
+        canon.filter(F.col("_canon").isNotNull())
+        .groupBy("_canon")
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )
-    kept = keyed.filter(F.col("_canon").isNull()).select(df.columns).unionByName(
-        keyed.join(winners, id_col, "left_semi").select(df.columns)
+    if checkpoint_winners:
+        from .dedup import materialize
+
+        winners = materialize(winners)
+    kept = canon.filter(F.col("_canon").isNull()).select(df.columns).unionByName(
+        canon.join(winners, id_col, "left_semi").select(df.columns)
     )
     return kept
 

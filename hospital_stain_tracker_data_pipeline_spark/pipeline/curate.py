@@ -204,7 +204,12 @@ def curate_documents(
         # pre-stage totals need their own (cheap, text-free) counts;
         # the funnel's `total` below reports the post-url/post-cap corpus
         n_before_url = docs.count()
-        docs = dedup_exact_urls(docs, url_col=url_col, id_col="doc_id")
+        # checkpoint_winners: the winner id-set joins back against the
+        # frame it derives from — truncate it so plan growth stays
+        # linear (module docstring, plan-growth discipline)
+        docs = dedup_exact_urls(
+            docs, url_col=url_col, id_col="doc_id", checkpoint_winners=True
+        )
     if max_per_source is not None:
         total_in = docs.count()
         docs = cap_per_group(

@@ -25,17 +25,30 @@ def _exploded_words(spark, sf_dir):
 
 
 def _oracle_heavy(sf_dir, phi):
+    """DuckDB ground truth; the threshold is computed with the same
+    exact rational arithmetic as the operator (float ceil(phi*N) would
+    reproduce the operator's OWN former bug, hiding it)."""
+    from fractions import Fraction
+
     con = duckdb.connect()
+    n = con.execute(
+        f"""
+        SELECT count(*) FROM (
+          SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+          FROM read_parquet('{sf_dir}/documents.parquet')
+        ) WHERE w <> ''
+        """
+    ).fetchone()[0]
+    threshold = math.ceil(Fraction(str(phi)) * n)
     rows = con.execute(
         f"""
         WITH words AS (
           SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
           FROM read_parquet('{sf_dir}/documents.parquet')
-        ), nonblank AS (SELECT w FROM words WHERE w <> ''),
-        tot AS (SELECT count(*) AS n FROM nonblank)
+        ), nonblank AS (SELECT w FROM words WHERE w <> '')
         SELECT w, count(*) AS n FROM nonblank
         GROUP BY w
-        HAVING count(*) >= ceil({phi} * (SELECT n FROM tot))
+        HAVING count(*) >= {threshold}
         ORDER BY n DESC, w
         """
     ).fetchall()
@@ -89,6 +102,20 @@ def test_heavy_hitters_empty_and_bad_phi(spark):
         heavy_hitters(df, "w", phi=0.0)
     with pytest.raises(ValueError):
         heavy_hitters(df, "w", phi=1.5)
+    # a capacity below ceil(1/phi) would silently break completeness
+    with pytest.raises(ValueError, match="completeness"):
+        heavy_hitters(df, "w", phi=0.5, capacity=1)
+
+
+def test_heavy_hitters_exact_rational_threshold(spark):
+    """Regression: 0.07 * 100 = 7.000000000000001 in floats; an item
+    occurring exactly 7/100 times IS 0.07-heavy and must be returned
+    (the threshold is computed on the decimal value of phi, never a
+    float product)."""
+    rows = [("x",)] * 7 + [(f"f{i}",) for i in range(93)]
+    df = spark.createDataFrame(rows, "w string")
+    got = [(r["item"], r["n"]) for r in heavy_hitters(df, "w", phi=0.07).collect()]
+    assert got == [("x", 7)]
 
 
 def test_mg_merge_retention_bound():
@@ -142,7 +169,8 @@ def test_skew_report_matches_duckdb(spark, sf_dir):
         ), topk AS (
           SELECT list(key || ':' || cnt ORDER BY cnt DESC, key) AS top_keys
           FROM (SELECT coalesce(key, 'NULL') AS key, cnt FROM counts
-                ORDER BY cnt DESC, key LIMIT 3)
+                ORDER BY cnt DESC, coalesce(key, 'NULL'), (key IS NULL)
+                LIMIT 3)
         )
         SELECT * FROM summary, topk
         """
@@ -165,3 +193,14 @@ def test_skew_report_null_keys_are_a_group(spark):
     assert row["n_keys"] == 3
     assert row["max_count"] == 5
     assert list(row["top_keys"]) == ["a:5", "NULL:3"]
+
+
+def test_skew_report_null_tie_at_limit_matches_replay(spark):
+    """Regression: a NULL key tying a real key at the limit boundary
+    must pick the same row as the documented DuckDB replay — the limit
+    orders by the COALESCED key ('AAA' < 'NULL'), not raw NULLS FIRST."""
+    df = spark.createDataFrame(
+        [("AAA",)] * 3 + [(None,)] * 3 + [("b",)], "k string"
+    )
+    row = skew_report(df, "k", top=1).collect()[0]
+    assert list(row["top_keys"]) == ["AAA:3"]

@@ -59,6 +59,22 @@ def test_extract_domain_registrable(spark):
     assert got[2] == "localhost"
 
 
+def test_extract_domain_trailing_colon_empty_port(spark):
+    """Regression: a trailing-colon empty-port record must still yield
+    its host (urlparse('//example.com:').hostname agrees) — the
+    possessive scheme branch requires a character after the colon."""
+    df = spark.createDataFrame(
+        [(1, "example.com:"), (2, "http://example.com:/x")],
+        "i long, url string",
+    )
+    got = {
+        r["i"]: r["d"]
+        for r in df.select("i", extract_domain(F.col("url")).alias("d")).collect()
+    }
+    assert got[1] == "example.com"
+    assert got[2] == "example.com"
+
+
 def test_cap_per_group_matches_duckdb_oracle(spark, sf_dir):
     """The EXACT kept-id set must equal DuckDB's replay of the
     md5(seed:id)-ordered row_number cap over the fixture documents'
@@ -281,6 +297,12 @@ def test_canonicalize_url_goldens(spark):
         ("   ", None),
         (None, None),
         ("https://", None),
+        # authority-less URIs have no host — NULL, never an invented
+        # authority (two distinct mailto records must NOT collide)
+        ("mailto:a@example.com", None),
+        ("mailto:b@example.com", None),
+        ("http:example.com/x", None),
+        ("tel:+15551234567", None),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
