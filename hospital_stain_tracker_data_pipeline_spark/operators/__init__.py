@@ -34,6 +34,11 @@ from .web import (  # noqa: F401
     filter_blocked_domains,
 )
 from .sketch import heavy_hitters, skew_report  # noqa: F401
+from .quality import (  # noqa: F401
+    filter_gopher_quality,
+    gopher_stage_predicates,
+    quality_signals,
+)
 from .splits import leakage_safe_split, split_assignments  # noqa: F401
 from .packing import (  # noqa: F401
     pack_documents_no_split,

@@ -1,0 +1,212 @@
+"""Gopher/C4-style document quality rules (beyond the reference
+surface — the standard heuristic battery every large-scale text
+pipeline applies before dedup: Rae et al. 2021 "Scaling Language
+Models" §A1.1 for the Gopher rules, Raffel et al. 2020 for C4's
+punctuation/brace/lorem-ipsum rules).
+
+Spark-first shape: every signal is a pure Column expression over ONE
+bound words-array and ONE bound lines-array (split once per document —
+never re-derived inside higher-order-function lambdas, per the repo's
+HOF-CSE rule), so the whole battery fuses into the scan with no
+shuffle and no Python. At 100 TB the battery is a free rider on
+whatever scan reads the text — `.explain` shows a single
+WholeStageCodegen span with zero exchanges.
+
+All fractions are rounded to 6 dp so cross-engine replays (the DuckDB
+oracle in ``tests/test_quality.py``) hash bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# The Gopher stop-set: a doc must contain >= 2 of these to survive
+# (Rae et al. 2021, §A1.1 — deliberately tiny, it's an "is this
+# running English prose at all" check, not a stopword list).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+_BULLET_RE = r"^[-*•‣▪●·]"
+_ELLIPSIS_RE = r"(\.\.\.|…)$"
+_TERMINAL_PUNCT_RE = "[.!?\"']$"
+
+
+def _round6(c: Column) -> Column:
+    return F.round(c, 6)
+
+
+def quality_signals(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Append the Gopher/C4 signal columns to ``df``:
+
+    - ``n_words`` — whitespace tokens; ``mean_word_len`` — mean
+      character length of those tokens (NULL for empty docs)
+    - ``frac_alpha_words`` — fraction of words containing at least one
+      ASCII letter (Gopher requires >= 0.8)
+    - ``symbol_word_ratio`` — (``#`` occurrences + ``...``/``…``
+      occurrences) / words (Gopher requires <= 0.1)
+    - ``frac_bullet_lines`` / ``frac_ellipsis_lines`` — fraction of
+      non-blank lines starting with a bullet glyph / ending in an
+      ellipsis (Gopher: <= 0.9 / <= 0.3)
+    - ``frac_terminal_punct_lines`` — fraction of non-blank lines
+      ending in terminal punctuation (C4 keeps punctuation-terminated
+      lines; surfaced as a doc-level signal)
+    - ``n_gopher_stopwords`` — how many DISTINCT members of the
+      8-word Gopher stop-set appear (>= 2 required)
+    - ``has_curly_brace`` / ``has_lorem_ipsum`` — C4's code/boilerplate
+      tells (C4 drops the whole page on either)
+
+    Ratio columns are NULL when their denominator is zero (blank doc ⇒
+    no words / no lines); the Gopher filter drops those docs anyway
+    (word-count floor). One scan, zero exchanges, zero Python.
+    """
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda w: w != ""
+    )
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda ln: F.trim(ln) != ""
+    )
+    out = df.withColumn("_words", words).withColumn("_lines", lines)
+
+    n_words = F.size("_words")
+    n_lines = F.size("_lines")
+    wlen_sum = F.aggregate(
+        "_words", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_alpha = F.size(F.filter("_words", lambda w: w.rlike("[A-Za-z]")))
+    n_hash = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), "#", "")
+    )
+    n_ellipsis = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"(\.\.\.|…)"), 0)
+    )
+    n_bullet = F.size(
+        F.filter("_lines", lambda ln: F.trim(ln).rlike(_BULLET_RE))
+    )
+    n_ell_lines = F.size(
+        F.filter("_lines", lambda ln: F.trim(ln).rlike(_ELLIPSIS_RE))
+    )
+    n_term = F.size(
+        F.filter("_lines", lambda ln: F.trim(ln).rlike(_TERMINAL_PUNCT_RE))
+    )
+    lower = F.lower(F.col(text_col))
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(
+        F.array_intersect(
+            F.transform("_words", lambda w: F.lower(w)), stop_arr
+        )
+    )
+
+    def ratio(num: Column, den: Column) -> Column:
+        # try_divide (not a when-guard): ANSI division by zero throws
+        # and codegen may evaluate both branches of a CASE
+        return _round6(F.try_divide(num.cast("double"), den))
+
+    return (
+        out.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", ratio(wlen_sum, n_words))
+        .withColumn("frac_alpha_words", ratio(n_alpha, n_words))
+        .withColumn("symbol_word_ratio", ratio(n_hash + n_ellipsis, n_words))
+        .withColumn("frac_bullet_lines", ratio(n_bullet, n_lines))
+        .withColumn("frac_ellipsis_lines", ratio(n_ell_lines, n_lines))
+        .withColumn("frac_terminal_punct_lines", ratio(n_term, n_lines))
+        .withColumn("n_gopher_stopwords", n_stop)
+        .withColumn("has_curly_brace", F.col(text_col).contains("{"))
+        .withColumn("has_lorem_ipsum", lower.contains("lorem ipsum"))
+        .drop("_words", "_lines")
+    )
+
+
+def gopher_stage_predicates(
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_frac_alpha: float = 0.8,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_stopwords: int = 2,
+    c4_rules: bool = True,
+) -> list[tuple[str, Column]]:
+    """The Gopher rule battery as ``(name, predicate)`` stages —
+    directly consumable by ``curate_documents(stages=...)`` and
+    ``filter_funnel`` (one conditional-agg scan reports attrition for
+    every rule). Defaults are the published Gopher paper thresholds;
+    ``c4_rules=True`` appends C4's curly-brace and lorem-ipsum page
+    drops. Predicates recompute their signals inline (cheap
+    expressions) so the funnel stays a single scan with no
+    intermediate columns."""
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda ln: F.trim(ln) != "")
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    wlen_sum = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    # try_divide: blank docs have n_words == 0 and ANSI division
+    # throws; NULL compares false in every threshold predicate
+    mean_wl = F.try_divide(wlen_sum.cast("double"), n_words)
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    n_hash = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), "#", "")
+    )
+    n_ellipsis = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"(\.\.\.|…)"), 0)
+    )
+    n_bullet = F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(_BULLET_RE)))
+    n_ell_lines = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(_ELLIPSIS_RE))
+    )
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(
+        F.array_intersect(F.transform(words, lambda w: F.lower(w)), stop_arr)
+    )
+    stages: list[tuple[str, Column]] = [
+        ("word_count", (n_words >= min_words) & (n_words <= max_words)),
+        (
+            "mean_word_len",
+            (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len),
+        ),
+        (
+            "alpha_words",
+            n_alpha.cast("double") >= F.lit(min_frac_alpha) * n_words,
+        ),
+        (
+            "symbol_ratio",
+            (n_hash + n_ellipsis).cast("double")
+            <= F.lit(max_symbol_ratio) * n_words,
+        ),
+        (
+            "bullet_lines",
+            (n_lines == 0)
+            | (n_bullet.cast("double") <= F.lit(max_bullet_frac) * n_lines),
+        ),
+        (
+            "ellipsis_lines",
+            (n_lines == 0)
+            | (n_ell_lines.cast("double") <= F.lit(max_ellipsis_frac) * n_lines),
+        ),
+        ("stopwords", n_stop >= min_stopwords),
+    ]
+    if c4_rules:
+        stages.append(("no_curly_brace", ~F.col(text_col).contains("{")))
+        stages.append(
+            ("no_lorem_ipsum", ~F.lower(F.col(text_col)).contains("lorem ipsum"))
+        )
+    return stages
+
+
+def filter_gopher_quality(
+    df: DataFrame, text_col: str = "text", **thresholds
+) -> DataFrame:
+    """Drop documents failing ANY Gopher/C4 rule (see
+    ``gopher_stage_predicates`` for thresholds). One scan, pure
+    expressions; for per-rule attrition numbers feed the predicates
+    through ``filter_funnel`` instead."""
+    cond = None
+    for _, c in gopher_stage_predicates(text_col=text_col, **thresholds):
+        cond = c if cond is None else (cond & c)
+    return df.filter(cond)
