@@ -139,6 +139,15 @@ def cmd_curate(args) -> None:
 
     spark = get_spark(app_name="curate")
     docs = spark.read.parquet(args.input)
+    stages = None
+    if args.gopher:
+        # the published Gopher/C4 rule battery instead of the C4-ish
+        # default funnel; per-rule attrition lands in the report
+        from hospital_stain_tracker_data_pipeline_spark.operators.quality import (
+            gopher_stage_predicates,
+        )
+
+        stages = gopher_stage_predicates()
     ppl_lm = None
     if args.trusted_docs is not None:
         # CCNet gate: train the quality LM on the TRUSTED corpus, not
@@ -152,6 +161,7 @@ def cmd_curate(args) -> None:
         )
     chunks, report = curate_documents(
         docs,
+        stages=stages,
         budget=args.budget,
         n_shards=args.shards,
         seed=args.seed,
@@ -264,6 +274,10 @@ def main() -> None:
     pc.add_argument(
         "--url-col", default=None,
         help="column holding each doc's URL; enables exact-URL dedup",
+    )
+    pc.add_argument(
+        "--gopher", action="store_true",
+        help="use the published Gopher/C4 quality rules as the funnel",
     )
     pc.add_argument("--no-split", action="store_true")
     pc.add_argument(

@@ -161,3 +161,39 @@ def test_cli_dedup_index_and_filter(tmp_path):
     assert "kept 1/2" in stdout
     kept = pq.read_table(glob.glob(os.path.join(out, "*.parquet"))[0])
     assert kept.column("doc_id").to_pylist() == [11]
+
+
+def test_cli_curate_gopher_funnel(tmp_path):
+    """--gopher swaps the funnel for the published rule battery; the
+    report carries per-rule attrition names."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    good = (
+        "The quick brown fox jumps over the lazy dog and runs to the "
+        "river bank where it finds that the water is cold and clear. "
+        "Every animal in the forest seems to have come down with the "
+        "same idea today. The fox waits until the bears have finished "
+        "drinking before it steps forward to take a long drink of the "
+        "cool water itself."
+    )
+    src = tmp_path / "docs.parquet"
+    out = str(tmp_path / "packed")
+    pq.write_table(
+        pa.table({
+            "doc_id": [1, 2, 3],
+            "text": [good, "too short", good + " {json: true}"],
+        }),
+        src,
+    )
+    stdout = _run(
+        "curate", "--input", str(src), "--output", out,
+        "--budget", "64", "--shards", "2", "--gopher",
+    )
+    report = dict(
+        line.split("=", 1) for line in stdout.splitlines() if "=" in line
+    )
+    assert report["total"] == "3"
+    assert report["after_quality"] == "1"  # 2 fails word_count, 3 curly
+    n = len(glob.glob(os.path.join(out, "*.parquet")))
+    assert n > 0
