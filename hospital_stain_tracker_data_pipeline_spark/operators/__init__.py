@@ -66,7 +66,9 @@ from .dedup import (  # noqa: F401
 )
 from .graph import pagerank  # noqa: F401
 from .similarity import (  # noqa: F401
+    dequantize_embeddings,
     load_ivf_index,
+    quantize_embeddings,
     save_ivf_index,
     semantic_dedup,
     semantic_dedup_pairs,
