@@ -22,6 +22,7 @@ from .lm import (  # noqa: F401
 )
 from .mixture import (  # noqa: F401
     plan_token_mixture,
+    sample_exact_k,
     sample_token_mixture,
     source_token_stats,
     temperature_weights,
@@ -38,6 +39,7 @@ from .quality import (  # noqa: F401
     filter_gopher_quality,
     gopher_stage_predicates,
     quality_signals,
+    redact_pii,
 )
 from .splits import leakage_safe_split, split_assignments  # noqa: F401
 from .packing import (  # noqa: F401

@@ -251,3 +251,30 @@ def sample_token_mixture(
     )
     out_cols = docs.columns + ["epoch"]
     return fulls.select(out_cols).unionByName(frac.select(out_cols))
+
+
+def sample_exact_k(
+    df: DataFrame, k: int, seed: int = 0, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exactly ``min(k, n)`` rows, drawn uniformly at random but fully
+    deterministic: rank every row by ``md5(seed:id)`` (an id tiebreak
+    makes the order total) and keep the first k. Unlike
+    ``DataFrame.sample`` this is EXACT (no binomial row-count jitter)
+    and replayable bit-for-bit by other engines — the same md5
+    keyed-permutation trick as ``cap_per_group``/``epoch_shuffle``, so
+    the kept-id set is DuckDB-oracle-checkable. A different ``seed``
+    draws a statistically independent sample.
+
+    Plan: one TakeOrderedAndProject — per-partition top-k partials,
+    k-row final merge; no global sort, no full-corpus shuffle, driver
+    holds nothing. The right tool for "give me 100k random docs from
+    100 TB to eyeball / tune thresholds on"."""
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    key = F.md5(
+        F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))
+    )
+    return (
+        df.orderBy(key.asc(), F.col(id_col).asc())
+        .limit(k)
+    )

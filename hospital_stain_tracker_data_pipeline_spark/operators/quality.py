@@ -210,3 +210,53 @@ def filter_gopher_quality(
     for _, c in gopher_stage_predicates(text_col=text_col, **thresholds):
         cond = c if cond is None else (cond & c)
     return df.filter(cond)
+
+
+# PII patterns (Dolma/RefinedWeb-style scrubbing): deliberately
+# conservative, engine-portable regexes (no lookaround — Java regex
+# and RE2/DuckDB agree on every construct used).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+# the word boundary lives INSIDE the alternation: "\b(" can never
+# match after a space (both sides non-word), which would miss the
+# "(555) 123-4567" form entirely
+PII_PHONE_RE = (
+    r"(\+\d{1,2}[ .-]?)?(\(\d{3}\)|\b\d{3})[ .-]?\d{3}[ .-]?\d{4}\b"
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    email_token: str = "<EMAIL>",
+    ip_token: str = "<IP>",
+    phone_token: str = "<PHONE>",
+) -> DataFrame:
+    """Replace emails, IPv4 addresses, and phone numbers with stable
+    placeholder tokens (the standard pre-training scrub — Dolma §PII,
+    RefinedWeb §3.4), appending ``text_redacted`` plus per-kind match
+    counts (``n_pii_email`` / ``n_pii_ipv4`` / ``n_pii_phone``).
+
+    Redaction ORDER is part of the contract: email → IPv4 → phone,
+    each counted on the PREVIOUS stage's output — an email's digits
+    can't double-count as a phone number, and an IP quad can't be
+    half-eaten by the looser phone pattern. Counts use the same
+    regexes as the replacements, so count == replacements made.
+
+    Pure JVM regexp expressions (count = size(regexp_extract_all),
+    replace = regexp_replace) — no shuffle, rides the scan; replayable
+    in DuckDB with regexp_replace(..., 'g') (pinned)."""
+    t0 = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(t0, F.lit(PII_EMAIL_RE), 0))
+    t1 = F.regexp_replace(t0, PII_EMAIL_RE, email_token)
+    out = df.withColumn("_t1", t1).withColumn("n_pii_email", n_email)
+    n_ip = F.size(F.regexp_extract_all(F.col("_t1"), F.lit(PII_IPV4_RE), 0))
+    t2 = F.regexp_replace(F.col("_t1"), PII_IPV4_RE, ip_token)
+    out = out.withColumn("_t2", t2).withColumn("n_pii_ipv4", n_ip)
+    n_ph = F.size(F.regexp_extract_all(F.col("_t2"), F.lit(PII_PHONE_RE), 0))
+    t3 = F.regexp_replace(F.col("_t2"), PII_PHONE_RE, phone_token)
+    return (
+        out.withColumn("n_pii_phone", n_ph)
+        .withColumn("text_redacted", t3)
+        .drop("_t1", "_t2")
+    )

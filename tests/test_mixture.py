@@ -258,3 +258,52 @@ def test_temperature_weights_compose_with_planner(spark):
     got2 = {a.source: a.target_tokens for a in plan2}
     assert got2["c"] == 1000 and got2["a"] + got2["b"] == 5000
     assert got2["a"] == got2["b"]
+
+
+def test_sample_exact_k_duckdb_kept_set_and_plan(spark, sf_dir):
+    """Exact-k sampling: the kept-id set replays in DuckDB via the
+    same md5 permutation; different seeds draw different sets; the
+    plan is TakeOrderedAndProject (no global sort exchange)."""
+    import contextlib
+    import io
+
+    import duckdb
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.mixture import (
+        sample_exact_k,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(
+        r["doc_id"]
+        for r in sample_exact_k(docs, 25, seed=3).select("doc_id").collect()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            f"""
+            SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet')
+            ORDER BY md5('3:' || CAST(doc_id AS VARCHAR)), doc_id
+            LIMIT 25
+            """
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+    assert len(got) == 25
+
+    other = sorted(
+        r["doc_id"]
+        for r in sample_exact_k(docs, 25, seed=4).select("doc_id").collect()
+    )
+    assert other != got
+
+    # k > n -> whole frame, no error
+    tiny = docs.limit(3)
+    assert sample_exact_k(tiny, 100).count() == 3
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sample_exact_k(docs, 25, seed=3).explain("formatted")
+    assert "TakeOrderedAndProject" in buf.getvalue()

@@ -205,3 +205,72 @@ def test_curate_accepts_gopher_stages(spark):
     assert rep.total == 3
     assert rep.after_quality == 1
     assert {r["doc_id"] for r in chunks.select("doc_id").distinct().collect()} == {1}
+
+
+def test_redact_pii_goldens_and_duckdb_replay(spark):
+    from hospital_stain_tracker_data_pipeline_spark.operators.quality import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+        redact_pii,
+    )
+
+    rows = [
+        (1, "Contact alice.smith+x@example.co.uk or call (555) 123-4567."),
+        (2, "Server at 192.168.1.100 responded; backup 10.0.0.1 did not."),
+        (3, "Call +1 555-123-4567 or 555.987.6543 today"),
+        (4, "No PII here at all, just prose."),
+        (5, "bob@site.io and carol@site.io share 8.8.8.8"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+
+    assert got[1]["n_pii_email"] == 1 and got[1]["n_pii_phone"] == 1
+    assert "<EMAIL>" in got[1]["text_redacted"]
+    assert "<PHONE>" in got[1]["text_redacted"]
+    assert "alice" not in got[1]["text_redacted"]
+    assert got[2]["n_pii_ipv4"] == 2
+    assert got[2]["text_redacted"].count("<IP>") == 2
+    assert got[3]["n_pii_phone"] == 2
+    assert got[4]["text_redacted"] == rows[3][1]
+    assert got[4]["n_pii_email"] == got[4]["n_pii_ipv4"] == 0
+    assert got[5]["n_pii_email"] == 2 and got[5]["n_pii_ipv4"] == 1
+    assert got[6]["text_redacted"] == ""
+
+    # full DuckDB replay of counts + redacted text, same stage order
+    import duckdb as d
+
+    con = d.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, ?)" for i, _ in rows)
+        + ") v(doc_id, text)",
+        [t for _, t in rows],
+    )
+    want = con.execute(
+        f"""
+        WITH s1 AS (
+          SELECT doc_id,
+            len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS n_email,
+            regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+          FROM t
+        ), s2 AS (
+          SELECT doc_id, n_email,
+            len(regexp_extract_all(t1, '{PII_IPV4_RE}')) AS n_ip,
+            regexp_replace(t1, '{PII_IPV4_RE}', '<IP>', 'g') AS t2
+          FROM s1
+        )
+        SELECT doc_id, n_email, n_ip,
+          len(regexp_extract_all(t2, '{PII_PHONE_RE}')) AS n_phone,
+          regexp_replace(t2, '{PII_PHONE_RE}', '<PHONE>', 'g') AS red
+        FROM s2 ORDER BY doc_id
+        """
+    ).fetchall()
+    con.close()
+    for doc_id, n_email, n_ip, n_phone, red in want:
+        g = got[doc_id]
+        assert g["n_pii_email"] == n_email, doc_id
+        assert g["n_pii_ipv4"] == n_ip, doc_id
+        assert g["n_pii_phone"] == n_phone, doc_id
+        assert g["text_redacted"] == red, doc_id

@@ -126,3 +126,25 @@ def test_qvec_is_one_byte_per_component(spark, sf_dir):
     q = quantize_embeddings(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     t = dict(q.dtypes)["qvec"]
     assert t == "array<tinyint>", t
+
+
+def test_sq8_knn_recall(spark, sf_dir):
+    """Searching the QUANTIZED lake instead of the float lake keeps
+    recall@10 >= 0.9 on the fixture — the SQ8 artifact is a drop-in
+    corpus for knn_brute_force via dequantize_embeddings."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.similarity import (
+        knn_brute_force,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (
+        emb.orderBy("vec_id").limit(5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    truth = knn_brute_force(emb, queries, k=10)
+    sq8 = dequantize_embeddings(quantize_embeddings(emb))
+    approx = knn_brute_force(sq8, queries, k=10)
+    t = {(r["query_id"], r["vec_id"]) for r in truth.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(t & a) / len(t)
+    assert recall >= 0.9, recall
