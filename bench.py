@@ -215,6 +215,35 @@ def _extras_registry():
         )
         return dedup_exact_urls(urls)
 
+    def gopher_and_pii(spark, sf_dir):
+        from hospital_stain_tracker_data_pipeline_spark.operators.quality import (
+            gopher_stage_predicates,
+            redact_pii,
+        )
+        from hospital_stain_tracker_data_pipeline_spark.operators.packing import (
+            filter_funnel,
+        )
+
+        docs = load_fixture_table(spark, sf_dir, "documents")
+        # one conditional-agg scan for all nine rules, then the PII
+        # scrub over the full corpus — both zero-shuffle passes
+        funnel = filter_funnel(docs, gopher_stage_predicates())
+        return funnel.crossJoin(
+            redact_pii(docs).agg(
+                F.sum("n_pii_email").alias("pii_emails"),
+                F.sum("n_pii_phone").alias("pii_phones"),
+            )
+        )
+
+    def quantize_lake(spark, sf_dir):
+        from hospital_stain_tracker_data_pipeline_spark.operators.similarity import (
+            dequantize_embeddings,
+            quantize_embeddings,
+        )
+
+        emb = load_fixture_table(spark, sf_dir, "embeddings")
+        return dequantize_embeddings(quantize_embeddings(emb))
+
     def curate_full(spark, sf_dir):
         """The flagship composition end-to-end with EVERY optional
         stage on (cap → funnel → exact → MinHash → SemDeDup → BM25
@@ -268,6 +297,8 @@ def _extras_registry():
         "dedup_substrings": substr_dedup,
         "heavy_hitter_words": heavy_ngrams,
         "url_dedup": url_dedup,
+        "gopher_pii_pass": gopher_and_pii,
+        "quantize_embeddings": quantize_lake,
         # keep last: it persists its outputs; main() clears the cache
         # after the extras loop
         "curate_full": curate_full,

@@ -274,3 +274,39 @@ def test_redact_pii_goldens_and_duckdb_replay(spark):
         assert g["n_pii_ipv4"] == n_ip, doc_id
         assert g["n_pii_phone"] == n_phone, doc_id
         assert g["text_redacted"] == red, doc_id
+
+
+def test_gopher_filter_stream_equals_batch(spark, tmp_path):
+    """The rule battery is stateless Column logic, so it applies to a
+    streaming DataFrame unchanged: filtering an availableNow file
+    stream keeps exactly the docs the batch filter keeps."""
+    import os
+
+    src = str(tmp_path / "docs_src")
+    out = str(tmp_path / "docs_kept")
+    ckpt = str(tmp_path / "ckpt")
+    docs = _docs(spark)
+    docs.write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema).parquet(src)
+        .transform(filter_gopher_quality)
+    )
+    (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = {
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in filter_gopher_quality(spark.read.parquet(src))
+        .select("doc_id")
+        .collect()
+    }
+    assert got == want == {1}
