@@ -265,6 +265,12 @@ def sample_exact_k(
     the kept-id set is DuckDB-oracle-checkable. A different ``seed``
     draws a statistically independent sample.
 
+    Rows with a NULL ``id_col`` are EXCLUDED: sampling requires an
+    identity (concat_ws would otherwise collapse every NULL id onto
+    one shared key, making the k-boundary nondeterministic and
+    engine-divergent — Spark sorts NULLs first ascending, DuckDB
+    last).
+
     Plan: one TakeOrderedAndProject — per-partition top-k partials,
     k-row final merge; no global sort, no full-corpus shuffle, driver
     holds nothing. The right tool for "give me 100k random docs from
@@ -275,6 +281,7 @@ def sample_exact_k(
         F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))
     )
     return (
-        df.orderBy(key.asc(), F.col(id_col).asc())
+        df.filter(F.col(id_col).isNotNull())
+        .orderBy(key.asc(), F.col(id_col).asc())
         .limit(k)
     )

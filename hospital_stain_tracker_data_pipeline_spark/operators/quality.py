@@ -2,21 +2,37 @@
 surface — the standard heuristic battery every large-scale text
 pipeline applies before dedup: Rae et al. 2021 "Scaling Language
 Models" §A1.1 for the Gopher rules, Raffel et al. 2020 for C4's
-punctuation/brace/lorem-ipsum rules).
+punctuation/brace/lorem-ipsum rules) plus Dolma/RefinedWeb-style PII
+redaction.
 
-Spark-first shape: every signal is a pure Column expression over ONE
-bound words-array and ONE bound lines-array (split once per document —
+Spark-first shape: ``quality_signals`` computes every signal from ONE
+bound words-array and ONE bound lines-array per document (split once —
 never re-derived inside higher-order-function lambdas, per the repo's
-HOF-CSE rule), so the whole battery fuses into the scan with no
-shuffle and no Python. At 100 TB the battery is a free rider on
-whatever scan reads the text — `.explain` shows a single
-WholeStageCodegen span with zero exchanges.
+HOF-CSE rule), fusing into the scan with no shuffle and no Python.
+The rule predicates (``gopher_stage_predicates``) are cheap SCALAR
+comparisons over those signal columns, so ``filter_funnel``'s
+cumulative conjunctions cost k scalar ANDs — not k re-splits of the
+text (the naive per-predicate-splits shape makes a k-stage funnel
+O(k²) in full-text work; this one is O(k) after a single O(text)
+projection). Compose as ``filter_funnel(quality_signals(df),
+gopher_stage_predicates())`` or
+``curate_documents(quality_signals(df), stages=...)`` — the packers
+project their own columns, so signal columns never leak into packed
+output.
 
-All fractions are rounded to 6 dp so cross-engine replays (the DuckDB
-oracle in ``tests/test_quality.py``) hash bit-identically.
+All fractions are rounded to 6 dp and the predicates compare the
+ROUNDED values — one canonical semantics whether you filter via
+``filter_gopher_quality`` or via the signal columns yourself, and the
+DuckDB oracle in ``tests/test_quality.py`` replays it bit-identically.
+Lines split on ``\\r?\\n``: Java's ``$`` anchor matches before a bare
+trailing ``\\r`` but RE2's does not, so CRLF text would silently break
+cross-engine parity if the carriage return survived into the line
+array.
 """
 
 from __future__ import annotations
+
+import re as _re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -29,6 +45,8 @@ GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 _BULLET_RE = r"^[-*•‣▪●·]"
 _ELLIPSIS_RE = r"(\.\.\.|…)$"
 _TERMINAL_PUNCT_RE = "[.!?\"']$"
+# CRLF-safe line delimiter — see module docstring
+_LINE_SPLIT_RE = r"\r?\n"
 
 
 def _round6(c: Column) -> Column:
@@ -65,7 +83,7 @@ def quality_signals(
         F.split(F.col(text_col), r"\s+"), lambda w: w != ""
     )
     lines = F.filter(
-        F.split(F.col(text_col), "\n"), lambda ln: F.trim(ln) != ""
+        F.split(F.col(text_col), _LINE_SPLIT_RE), lambda ln: F.trim(ln) != ""
     )
     out = df.withColumn("_words", words).withColumn("_lines", lines)
 
@@ -119,7 +137,6 @@ def quality_signals(
 
 
 def gopher_stage_predicates(
-    text_col: str = "text",
     min_words: int = 50,
     max_words: int = 100_000,
     min_mean_word_len: float = 3.0,
@@ -131,71 +148,40 @@ def gopher_stage_predicates(
     min_stopwords: int = 2,
     c4_rules: bool = True,
 ) -> list[tuple[str, Column]]:
-    """The Gopher rule battery as ``(name, predicate)`` stages —
-    directly consumable by ``curate_documents(stages=...)`` and
-    ``filter_funnel`` (one conditional-agg scan reports attrition for
-    every rule). Defaults are the published Gopher paper thresholds;
-    ``c4_rules=True`` appends C4's curly-brace and lorem-ipsum page
-    drops. Predicates recompute their signals inline (cheap
-    expressions) so the funnel stays a single scan with no
-    intermediate columns."""
-    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
-    lines = F.filter(F.split(F.col(text_col), "\n"), lambda ln: F.trim(ln) != "")
-    n_words = F.size(words)
-    n_lines = F.size(lines)
-    wlen_sum = F.aggregate(
-        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
-    )
-    # try_divide: blank docs have n_words == 0 and ANSI division
-    # throws; NULL compares false in every threshold predicate
-    mean_wl = F.try_divide(wlen_sum.cast("double"), n_words)
-    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
-    n_hash = F.length(F.col(text_col)) - F.length(
-        F.regexp_replace(F.col(text_col), "#", "")
-    )
-    n_ellipsis = F.size(
-        F.regexp_extract_all(F.col(text_col), F.lit(r"(\.\.\.|…)"), 0)
-    )
-    n_bullet = F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(_BULLET_RE)))
-    n_ell_lines = F.size(
-        F.filter(lines, lambda ln: F.trim(ln).rlike(_ELLIPSIS_RE))
-    )
-    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
-    n_stop = F.size(
-        F.array_intersect(F.transform(words, lambda w: F.lower(w)), stop_arr)
-    )
+    """The Gopher rule battery as ``(name, predicate)`` stages over
+    the SIGNAL COLUMNS that ``quality_signals`` appends — apply to
+    ``quality_signals(df)``, not to the raw frame:
+
+        filter_funnel(quality_signals(docs), gopher_stage_predicates())
+        curate_documents(quality_signals(docs), stages=...)
+
+    Each predicate is a scalar comparison (the text-derived arrays are
+    computed ONCE by the signal projection), so the funnel's
+    cumulative conjunction and curate's combined filter stay linear in
+    rule count instead of re-splitting the text per rule per stage.
+    Defaults are the published Gopher thresholds; ``c4_rules=True``
+    appends C4's curly-brace and lorem-ipsum page drops. Comparisons
+    use the rounded (6 dp) signal values — the one canonical
+    semantics. NULL line-fractions pass the line rules (a NULL means a
+    blank doc, which dies at the word-count floor instead)."""
+    line_ok = lambda col, mx: F.col(col).isNull() | (F.col(col) <= mx)  # noqa: E731
     stages: list[tuple[str, Column]] = [
-        ("word_count", (n_words >= min_words) & (n_words <= max_words)),
+        ("word_count", F.col("n_words").between(min_words, max_words)),
         (
             "mean_word_len",
-            (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len),
+            F.col("mean_word_len").between(
+                min_mean_word_len, max_mean_word_len
+            ),
         ),
-        (
-            "alpha_words",
-            n_alpha.cast("double") >= F.lit(min_frac_alpha) * n_words,
-        ),
-        (
-            "symbol_ratio",
-            (n_hash + n_ellipsis).cast("double")
-            <= F.lit(max_symbol_ratio) * n_words,
-        ),
-        (
-            "bullet_lines",
-            (n_lines == 0)
-            | (n_bullet.cast("double") <= F.lit(max_bullet_frac) * n_lines),
-        ),
-        (
-            "ellipsis_lines",
-            (n_lines == 0)
-            | (n_ell_lines.cast("double") <= F.lit(max_ellipsis_frac) * n_lines),
-        ),
-        ("stopwords", n_stop >= min_stopwords),
+        ("alpha_words", F.col("frac_alpha_words") >= min_frac_alpha),
+        ("symbol_ratio", F.col("symbol_word_ratio") <= max_symbol_ratio),
+        ("bullet_lines", line_ok("frac_bullet_lines", max_bullet_frac)),
+        ("ellipsis_lines", line_ok("frac_ellipsis_lines", max_ellipsis_frac)),
+        ("stopwords", F.col("n_gopher_stopwords") >= min_stopwords),
     ]
     if c4_rules:
-        stages.append(("no_curly_brace", ~F.col(text_col).contains("{")))
-        stages.append(
-            ("no_lorem_ipsum", ~F.lower(F.col(text_col)).contains("lorem ipsum"))
-        )
+        stages.append(("no_curly_brace", ~F.col("has_curly_brace")))
+        stages.append(("no_lorem_ipsum", ~F.col("has_lorem_ipsum")))
     return stages
 
 
@@ -203,13 +189,15 @@ def filter_gopher_quality(
     df: DataFrame, text_col: str = "text", **thresholds
 ) -> DataFrame:
     """Drop documents failing ANY Gopher/C4 rule (see
-    ``gopher_stage_predicates`` for thresholds). One scan, pure
-    expressions; for per-rule attrition numbers feed the predicates
-    through ``filter_funnel`` instead."""
+    ``gopher_stage_predicates`` for thresholds), returning the INPUT
+    schema (signal columns are internal). One signal projection + one
+    combined scalar filter; for per-rule attrition feed
+    ``filter_funnel(quality_signals(df), gopher_stage_predicates())``.
+    """
     cond = None
-    for _, c in gopher_stage_predicates(text_col=text_col, **thresholds):
+    for _, c in gopher_stage_predicates(**thresholds):
         cond = c if cond is None else (cond & c)
-    return df.filter(cond)
+    return quality_signals(df, text_col).filter(cond).select(df.columns)
 
 
 # PII patterns (Dolma/RefinedWeb-style scrubbing): deliberately
@@ -223,6 +211,14 @@ PII_IPV4_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
 PII_PHONE_RE = (
     r"(\+\d{1,2}[ .-]?)?(\(\d{3}\)|\b\d{3})[ .-]?\d{3}[ .-]?\d{4}\b"
 )
+
+
+def _literal_replacement(token: str) -> str:
+    """Escape Java-regex replacement metacharacters (``$`` group refs
+    and ``\\``) so a caller's token is inserted LITERALLY — an
+    unescaped ``$0`` would re-insert the matched PII while the count
+    still reports it redacted."""
+    return _re.sub(r"([\\$])", r"\\\1", token)
 
 
 def redact_pii(
@@ -242,19 +238,25 @@ def redact_pii(
     can't double-count as a phone number, and an IP quad can't be
     half-eaten by the looser phone pattern. Counts use the same
     regexes as the replacements, so count == replacements made.
+    Tokens are escaped into literal replacements (``$``/``\\`` are
+    Java group-reference metacharacters).
 
     Pure JVM regexp expressions (count = size(regexp_extract_all),
     replace = regexp_replace) — no shuffle, rides the scan; replayable
     in DuckDB with regexp_replace(..., 'g') (pinned)."""
     t0 = F.col(text_col)
     n_email = F.size(F.regexp_extract_all(t0, F.lit(PII_EMAIL_RE), 0))
-    t1 = F.regexp_replace(t0, PII_EMAIL_RE, email_token)
+    t1 = F.regexp_replace(t0, PII_EMAIL_RE, _literal_replacement(email_token))
     out = df.withColumn("_t1", t1).withColumn("n_pii_email", n_email)
     n_ip = F.size(F.regexp_extract_all(F.col("_t1"), F.lit(PII_IPV4_RE), 0))
-    t2 = F.regexp_replace(F.col("_t1"), PII_IPV4_RE, ip_token)
+    t2 = F.regexp_replace(
+        F.col("_t1"), PII_IPV4_RE, _literal_replacement(ip_token)
+    )
     out = out.withColumn("_t2", t2).withColumn("n_pii_ipv4", n_ip)
     n_ph = F.size(F.regexp_extract_all(F.col("_t2"), F.lit(PII_PHONE_RE), 0))
-    t3 = F.regexp_replace(F.col("_t2"), PII_PHONE_RE, phone_token)
+    t3 = F.regexp_replace(
+        F.col("_t2"), PII_PHONE_RE, _literal_replacement(phone_token)
+    )
     return (
         out.withColumn("n_pii_phone", n_ph)
         .withColumn("text_redacted", t3)

@@ -716,7 +716,11 @@ def quantize_embeddings(
     half-away mode differs across engines — so the DuckDB oracle
     replays the EXACT int8 arrays (same trick as ``quantize_vec``).
     All-zero vectors quantize to scale 0.0 / all-zero q (dequantize
-    restores exact zeros); NULL embeddings stay NULL.
+    restores exact zeros); NULL embeddings stay NULL; a vector with
+    ANY non-finite component (NaN/±Inf) yields NULL scale/qvec —
+    explicit rejection instead of silently quantizing the whole vector
+    to garbage (NaN would otherwise poison max/scale and every
+    downstream cosine).
 
     Pure Column expressions, no shuffle; the intermediate max and
     reciprocal are BOUND columns, never re-derived inside the
@@ -726,27 +730,50 @@ def quantize_embeddings(
     out = df.withColumn("_v", v).withColumn(
         "_amax", F.array_max(F.transform("_v", lambda x: F.abs(x)))
     )
+    # non-finite guard: NaN propagates through array_max and is NOT
+    # NULL, so without this the coalesce below would quantize a
+    # NaN-bearing vector to all-zero q with scale=NaN
+    out = out.withColumn(
+        "_finite",
+        F.col("_amax").isNotNull()
+        & ~F.isnan(F.col("_amax"))
+        & (F.col("_amax") < F.lit(float("inf"))),
+    )
     # scale_inv = 127/amax bound once; try_divide -> NULL for the
     # all-zero vector, coalesced into "quantize everything to 0"
     out = out.withColumn("_sinv", F.try_divide(F.lit(127.0), F.col("_amax")))
+    # sanitize in DOUBLE space BEFORE floor/cast: the masked
+    # non-finite branch can still be evaluated by codegen, and under
+    # ANSI `floor(Inf)` (BIGINT result) and `cast(NaN as int)` throw
+    # even though the row's output is NULLed by the validity mask
+    # below. nanvl folds NaN to 0.0; greatest/least fold ±Inf to
+    # ±127.0 pre-floor. |x·sinv| ≤ 127+ε for finite rows, so the
+    # clamp never alters a valid quantization (floor of the clamped
+    # +127.0 boundary is still 127; the low side can't reach -127.5).
     q = F.transform(
         "_v",
-        lambda x: F.greatest(
-            F.lit(-127),
-            F.least(
-                F.lit(127),
-                F.floor(x * F.coalesce(F.col("_sinv"), F.lit(0.0)) + F.lit(0.5))
-                .cast("int"),
-            ),
+        lambda x: F.floor(
+            F.greatest(
+                F.lit(-127.0),
+                F.least(
+                    F.lit(127.0),
+                    F.nanvl(
+                        x * F.coalesce(F.col("_sinv"), F.lit(0.0))
+                        + F.lit(0.5),
+                        F.lit(0.0),
+                    ),
+                ),
+            )
         ).cast("byte"),
     )
     scale = F.coalesce(
         F.try_divide(F.col("_amax"), F.lit(127.0)), F.lit(0.0)
     )
+    valid = F.col("_v").isNotNull() & F.col("_finite")
     return out.select(
         F.col(id_col),
-        F.when(F.col("_v").isNotNull(), scale).alias("scale"),
-        F.when(F.col("_v").isNotNull(), q).alias("qvec"),
+        F.when(valid, scale).alias("scale"),
+        F.when(valid, q).alias("qvec"),
     )
 
 
