@@ -218,6 +218,7 @@ def _extras_registry():
     def gopher_and_pii(spark, sf_dir):
         from hospital_stain_tracker_data_pipeline_spark.operators.quality import (
             gopher_stage_predicates,
+            quality_signals,
             redact_pii,
         )
         from hospital_stain_tracker_data_pipeline_spark.operators.packing import (
@@ -225,9 +226,9 @@ def _extras_registry():
         )
 
         docs = load_fixture_table(spark, sf_dir, "documents")
-        # one conditional-agg scan for all nine rules, then the PII
-        # scrub over the full corpus — both zero-shuffle passes
-        funnel = filter_funnel(docs, gopher_stage_predicates())
+        # one signal projection + one conditional-agg scan for all nine
+        # rules, then the PII scrub over the full corpus — zero-shuffle
+        funnel = filter_funnel(quality_signals(docs), gopher_stage_predicates())
         return funnel.crossJoin(
             redact_pii(docs).agg(
                 F.sum("n_pii_email").alias("pii_emails"),
@@ -361,47 +362,16 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     warm_total = round(sum(warm.values()), 3)
 
-    # extras: cold+warm, BENCH_LOCAL.json only (headline comparability)
-    extras_cold: dict[str, float] = {}
-    extras_warm: dict[str, float] = {}
-    for name, fn in _extras_registry().items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        extras_cold[name] = round(time.perf_counter() - t0, 3)
-        t1 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        extras_warm[name] = round(time.perf_counter() - t1, 3)
-    spark.catalog.clearCache()  # drop curate_full's persisted outputs
-    # Full record (cold + warm + median maps) goes to BENCH_LOCAL.json;
-    # stdout carries ONE shorter JSON line (one per-query map, not
-    # three) — the round-5 stdout line was long enough that the
-    # driver's capture truncated it from the front and parsed null.
-    full = {
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "queries_cold": timings,
-        "queries_warm": warm,
-        "queries_median": medians,
-        "extras_cold": extras_cold,
-        "extras_warm": extras_warm,
-        "extras_info": EXTRAS_INFO,
-        "warm_total": warm_total,
-        "cold_total": total,
-        "sf": sf,
-    }
-    local_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
-    )
-    with open(local_path, "w") as f:
-        json.dump(full, f, indent=2)
-        f.write("\n")
-    # stdout carries ONLY the driver-needed fields: the WARM per-query
-    # map (the steady-state numbers round-over-round comparisons use),
-    # the noisy-family medians, warm_total, and sf. Cold maps, extras,
-    # and the curate report live exclusively in BENCH_LOCAL.json — the
-    # line must stay short enough that the driver's capture never
-    # truncates it again (round-5 regression).
+    # The graded stdout line prints IMMEDIATELY after the headline
+    # loop — round 7 lost a complete set of headline timings because
+    # an extra crashed before the (then end-of-main) print. stdout
+    # carries ONLY the driver-needed fields: the WARM per-query map
+    # (the steady-state numbers round-over-round comparisons use), the
+    # noisy-family medians, warm_total, and sf — the line must stay
+    # short enough that the driver's capture never truncates it
+    # (round-5 regression). Nothing below writes to stdout (extras
+    # failures go to stderr + BENCH_LOCAL.json), so this stays the
+    # only/last stdout line whichever way the driver parses.
     line = {
         "metric": "headline_queries_total",
         "value": total,
@@ -411,8 +381,58 @@ def main() -> None:
         "warm_total": warm_total,
         "sf": sf,
     }
-    spark.stop()  # nothing else may write between here and the JSON line
     print(json.dumps(line), flush=True)
+
+    # Full record (cold + warm + median maps) goes to BENCH_LOCAL.json —
+    # written once now so a crash/kill mid-extras still leaves the
+    # headline record, and rewritten with extras after the loop.
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries_cold": timings,
+        "queries_warm": warm,
+        "queries_median": medians,
+        "warm_total": warm_total,
+        "cold_total": total,
+        "sf": sf,
+    }
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+
+    def _write_local() -> None:
+        with open(local_path, "w") as f:
+            json.dump(full, f, indent=2)
+            f.write("\n")
+
+    _write_local()
+
+    # extras: cold+warm, BENCH_LOCAL.json only (headline comparability).
+    # Each extra is individually fenced: one broken extra records an
+    # error entry instead of vaporizing the bench record (the round-7
+    # failure mode).
+    extras_cold: dict[str, float] = {}
+    extras_warm: dict[str, float] = {}
+    extras_errors: dict[str, str] = {}
+    for name, fn in _extras_registry().items():
+        try:
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            extras_cold[name] = round(time.perf_counter() - t0, 3)
+            t1 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            extras_warm[name] = round(time.perf_counter() - t1, 3)
+        except Exception as exc:  # noqa: BLE001 — record-and-continue by design
+            extras_errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"[bench] extra {name!r} failed: {exc}", file=sys.stderr)
+    spark.catalog.clearCache()  # drop curate_full's persisted outputs
+    full["extras_cold"] = extras_cold
+    full["extras_warm"] = extras_warm
+    full["extras_errors"] = extras_errors
+    full["extras_info"] = EXTRAS_INFO
+    _write_local()
+    spark.stop()
 
 
 if __name__ == "__main__":

@@ -36,6 +36,7 @@ from .web import (  # noqa: F401
 )
 from .sketch import heavy_hitters, skew_report  # noqa: F401
 from .quality import (  # noqa: F401
+    ensure_quality_signals,
     filter_gopher_quality,
     gopher_stage_predicates,
     quality_signals,

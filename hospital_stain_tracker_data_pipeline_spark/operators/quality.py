@@ -185,6 +185,67 @@ def gopher_stage_predicates(
     return stages
 
 
+# The columns quality_signals appends — the contract surface the
+# stage predicates reference (and what ensure_quality_signals probes).
+QUALITY_SIGNAL_COLUMNS = (
+    "n_words",
+    "mean_word_len",
+    "frac_alpha_words",
+    "symbol_word_ratio",
+    "frac_bullet_lines",
+    "frac_ellipsis_lines",
+    "frac_terminal_punct_lines",
+    "n_gopher_stopwords",
+    "has_curly_brace",
+    "has_lorem_ipsum",
+)
+
+
+def ensure_quality_signals(
+    df: DataFrame,
+    stages: list[tuple[str, Column]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Return a frame against which every stage predicate RESOLVES,
+    applying ``quality_signals`` if (and only if) that is what's
+    missing.
+
+    The round-7 snapshot broke every ``gopher_stage_predicates``
+    caller at once by moving the signal computation out of the
+    predicates; this guard makes composition sites
+    (``curate_documents(stages=...)``, CLI ``--gopher``) robust to
+    either calling convention: a raw ``(doc_id, text)`` frame or an
+    already-projected ``quality_signals(df)``. Cost when signals are
+    already present: one driver-side analysis probe (no job). If the
+    predicates still don't resolve after adding the signals, the
+    original AnalysisException propagates — a genuinely unknown
+    column should fail loudly, not silently pass every row."""
+    from pyspark.errors import AnalysisException
+
+    def _resolves(frame: DataFrame) -> bool:
+        try:
+            frame.select(
+                *[p.alias(f"_s{i}") for i, (_, p) in enumerate(stages)]
+            ).schema
+            return True
+        except AnalysisException:
+            return False
+
+    if not stages or _resolves(df):
+        return df
+    if text_col in df.columns and not set(QUALITY_SIGNAL_COLUMNS) <= set(
+        df.columns
+    ):
+        out = quality_signals(df, text_col)
+        if _resolves(out):
+            return out
+    # re-raise the real resolution error with full Spark context
+    df.select(
+        *[p.alias(f"_s{i}") for i, (_, p) in enumerate(stages)]
+    ).schema
+    return df  # unreachable: the select above throws
+
+
 def filter_gopher_quality(
     df: DataFrame, text_col: str = "text", **thresholds
 ) -> DataFrame:

@@ -66,6 +66,7 @@ from ..operators.packing import (
     pack_documents_no_split,
     pack_token_chunks,
 )
+from ..operators.quality import ensure_quality_signals
 from ..operators.similarity import semantic_dedup_pairs
 from ..operators.web import cap_per_group, dedup_exact_urls
 
@@ -219,6 +220,12 @@ def curate_documents(
     # one conditional-agg scan yields total + every cumulative stage
     # count — NOT len(stages)+1 separate count() actions
     if stages:
+        # stage predicates may reference quality_signals columns
+        # (gopher_stage_predicates contract) — auto-project them when
+        # the caller passed a raw (doc_id, text) frame, and restore
+        # the caller's schema right after the filter below
+        in_cols = docs.columns
+        docs = ensure_quality_signals(docs, stages)
         [funnel] = filter_funnel(docs, stages).collect()
         total = int(funnel["total"])
         n_clean = int(funnel[f"after_{stages[-1][0]}"])
@@ -235,7 +242,7 @@ def curate_documents(
     cond = None
     for _, c in stages:
         cond = c if cond is None else (cond & c)
-    clean = docs.filter(cond) if cond is not None else docs
+    clean = docs.filter(cond).select(in_cols) if cond is not None else docs
 
     # exact dedup: keep each fingerprint's lowest doc_id. The KEEP
     # SET (ids only — orders of magnitude smaller than the corpus) is
@@ -441,4 +448,5 @@ def curation_funnel_report(
     """The one-scan observability row for the quality stages alone
     (dedup attrition needs the join stages above and is reported by
     ``curate_documents``)."""
-    return filter_funnel(docs, stages if stages is not None else default_quality_stages())
+    stages = stages if stages is not None else default_quality_stages()
+    return filter_funnel(ensure_quality_signals(docs, stages), stages)

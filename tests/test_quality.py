@@ -48,9 +48,11 @@ def test_gopher_rule_goldens(spark):
 
 
 def test_gopher_stage_attrition_via_funnel(spark):
-    """The predicates plug straight into filter_funnel: one scan,
-    cumulative per-rule attrition."""
-    [row] = filter_funnel(_docs(spark), gopher_stage_predicates()).collect()
+    """The predicates plug straight into filter_funnel over the
+    signal projection: one scan, cumulative per-rule attrition."""
+    [row] = filter_funnel(
+        quality_signals(_docs(spark)), gopher_stage_predicates()
+    ).collect()
     assert row["total"] == 7
     # cumulative: each stage can only shrink the survivor count
     names = [n for n, _ in gopher_stage_predicates()]
