@@ -236,6 +236,25 @@ def _extras_registry():
             )
         )
 
+    def incremental_dedup(spark, sf_dir):
+        """Incremental-ingest dedup at the fixture scale: index the
+        first ~2/3 of the corpus (the 'existing' lake), then filter
+        the remaining third — whose shifted ids guarantee every doc is
+        genuinely new — against it. Times the full deployment shape:
+        index build + banded probe + anti-join survivorship."""
+        from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+            dedup_against_corpus,
+            minhash_signature_index,
+        )
+
+        docs = load_fixture_table(spark, sf_dir, "documents")
+        split = docs.agg(
+            F.percentile_approx("doc_id", 0.67).alias("p")
+        ).collect()[0]["p"]
+        idx = minhash_signature_index(docs.filter(F.col("doc_id") <= split))
+        batch = docs.filter(F.col("doc_id") > split)
+        return dedup_against_corpus(batch, idx, threshold=0.5)
+
     def quantize_lake(spark, sf_dir):
         from hospital_stain_tracker_data_pipeline_spark.operators.similarity import (
             dequantize_embeddings,
@@ -299,6 +318,7 @@ def _extras_registry():
         "heavy_hitter_words": heavy_ngrams,
         "url_dedup": url_dedup,
         "gopher_pii_pass": gopher_and_pii,
+        "incremental_dedup": incremental_dedup,
         "quantize_embeddings": quantize_lake,
         # keep last: it persists its outputs; main() clears the cache
         # after the extras loop

@@ -898,13 +898,23 @@ def select_cluster_representatives(
         F.col(id_col),
         score.cast("double").alias("_score"),
     )
-    # argmax by (score, -id): struct max takes the highest score and,
-    # within a score tie, the highest -id i.e. the LOWEST id
+    # argmax via min_by over (negated score, id): the struct's FIRST
+    # field inverts the score so the per-cluster MINIMUM is the score
+    # argmax, and the id rides UN-negated so a score tie breaks to the
+    # LOWEST id for ANY orderable id type — negating the id itself
+    # would silently assume a numeric column (string doc_ids throw
+    # under ANSI). NULL scores map to +inf (worst member): they are
+    # chosen only when the whole cluster is unscored, and then the
+    # lowest id wins — still deterministic.
+    neg_score = F.when(
+        F.col("_score").isNull(), F.lit(float("inf"))
+    ).otherwise(-F.col("_score"))
     winners = member.groupBy("_cl").agg(
-        F.max(
-            F.struct(F.col("_score"), (-F.col(id_col)).alias("_neg"))
-        ).alias("_w")
-    ).select((-F.col("_w._neg")).cast("long").alias(id_col))
+        F.min_by(
+            F.col(id_col),
+            F.struct(neg_score.alias("_ns"), F.col(id_col).alias("_i")),
+        ).alias(id_col)
+    ).select(id_col)
     clustered_ids = clusters.select(F.col(node_col).alias(id_col))
     singletons = docs.join(clustered_ids, id_col, "left_anti")
     kept = docs.join(winners, id_col, "left_semi")

@@ -47,6 +47,13 @@ _ELLIPSIS_RE = r"(\.\.\.|…)$"
 _TERMINAL_PUNCT_RE = "[.!?\"']$"
 # CRLF-safe line delimiter — see module docstring
 _LINE_SPLIT_RE = r"\r?\n"
+# Edge punctuation stripped from words before the stopword-containment
+# check ("the," counts as "the"): explicit ASCII class + ellipsis and
+# curly quotes, identical semantics in Java regex and RE2/DuckDB
+# (\p{Punct} is Java-only, [[:punct:]] is POSIX-only — neither ports).
+_WORD_EDGE_PUNCT_RE = (
+    "^[\"'()\\[\\]{}<>.,:;!?…“”‘’-]+|[\"'()\\[\\]{}<>.,:;!?…“”‘’-]+$"
+)
 
 
 def _round6(c: Column) -> Column:
@@ -71,7 +78,10 @@ def quality_signals(
       ending in terminal punctuation (C4 keeps punctuation-terminated
       lines; surfaced as a doc-level signal)
     - ``n_gopher_stopwords`` — how many DISTINCT members of the
-      8-word Gopher stop-set appear (>= 2 required)
+      8-word Gopher stop-set appear (>= 2 required); words are
+      compared after lowering AND stripping edge punctuation, so a
+      punctuated occurrence ("The.", "with,") still counts — Gopher's
+      published rule is containment, not exact-token equality
     - ``has_curly_brace`` / ``has_lorem_ipsum`` — C4's code/boilerplate
       tells (C4 drops the whole page on either)
 
@@ -110,9 +120,22 @@ def quality_signals(
     )
     lower = F.lower(F.col(text_col))
     stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    # strip EDGE punctuation before matching: Gopher's rule is word
+    # containment, so "the," / "The." must count — exact-token
+    # matching would fail a doc whose every stopword instance is
+    # punctuated (advisor round-7). The class is an explicit ASCII
+    # list (+ ellipsis/smart quotes) so Java regex and DuckDB's RE2
+    # agree character-for-character; the transform runs on the BOUND
+    # _words column per the HOF-CSE rule.
     n_stop = F.size(
         F.array_intersect(
-            F.transform("_words", lambda w: F.lower(w)), stop_arr
+            F.transform(
+                "_words",
+                lambda w: F.regexp_replace(
+                    F.lower(w), _WORD_EDGE_PUNCT_RE, ""
+                ),
+            ),
+            stop_arr,
         )
     )
 

@@ -54,10 +54,12 @@ from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import quality_score, token_count
 from ..operators.dedup import (
+    connected_components_min_label,
     dedup_spans,
     exact_dedup,
     materialize,
     minhash_lsh_dedup_pairs,
+    select_cluster_representatives,
 )
 from ..operators.lm import score_perplexity
 from ..operators.packing import (
@@ -116,6 +118,7 @@ def curate_documents(
     seed: int = 0,
     stages: list[tuple[str, Column]] | None = None,
     near_dup_threshold: float = 0.9,
+    near_dup_policy: str = "lowest_id",
     span_dedup_delim: str | None = None,
     span_min_chars: int = 0,
     max_per_source: int | None = None,
@@ -134,10 +137,17 @@ def curate_documents(
     """Run the full curation pipeline over a ``(doc_id, text)`` corpus;
     returns ``(packed_chunks, report)``.
 
-    Winner policy is uniform across both dedup stages: the LOWEST
-    doc_id of a duplicate group survives (deterministic under any
-    partitioning). Near-dup pairs come from the banded MinHash-LSH
-    operator, so the drop set is exactly "every doc that appears as
+    Winner policy defaults to uniform across both dedup stages: the
+    LOWEST doc_id of a duplicate group survives (deterministic under
+    any partitioning). ``near_dup_policy="best_quality"`` switches the
+    NEAR-DUP stage to quality-aware survivors: pair edges resolve into
+    clusters (min-label connected components over the pairs — an
+    id-sized graph, never the corpus) and each cluster keeps its
+    highest-``quality_score`` member, ties to the lowest id
+    (``select_cluster_representatives``) — worth the extra CC pass
+    when duplicate copies differ in extraction quality. Near-dup pairs
+    come from the banded MinHash-LSH operator; under the default
+    policy the drop set is exactly "every doc that appears as
     the higher id in a ≥threshold pair" — transitive chains collapse
     to their minimum without a connected-components pass because each
     pair independently names a smaller survivor. The chunk composition
@@ -263,16 +273,46 @@ def curate_documents(
     )
     n_exact = exact.count()
 
-    # near-dup drop: every higher id of a >= threshold pair goes.
-    # The LSH candidate join executes during this materialize — once.
-    drop = materialize(
-        minhash_lsh_dedup_pairs(exact, threshold=near_dup_threshold)
-        .select(F.col("id_b").alias("doc_id"))
-        .distinct()
-    )
-    deduped = exact.join(drop, "doc_id", "left_anti").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # near-dup stage. Default policy: every higher id of a >=
+    # threshold pair goes — transitive chains collapse to their
+    # minimum without a components pass because each pair
+    # independently names a smaller survivor. The LSH candidate join
+    # executes during this materialize — once.
+    if near_dup_policy == "lowest_id":
+        drop = materialize(
+            minhash_lsh_dedup_pairs(exact, threshold=near_dup_threshold)
+            .select(F.col("id_b").alias("doc_id"))
+            .distinct()
+        )
+        deduped = exact.join(drop, "doc_id", "left_anti").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    elif near_dup_policy == "best_quality":
+        # quality-aware survivor: resolve pair edges into clusters
+        # (iterative min-label CC — pairs only, not the corpus) and
+        # keep each cluster's best-scoring member instead of its
+        # lowest id. Costs the CC pass the default skips; clusters is
+        # an id-sized frame, materialized to keep plan growth linear.
+        pairs = minhash_lsh_dedup_pairs(exact, threshold=near_dup_threshold)
+        edges = pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        clusters = materialize(
+            connected_components_min_label(edges, nodes)
+        )
+        deduped = select_cluster_representatives(exact, clusters).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    else:
+        raise ValueError(
+            "near_dup_policy must be 'lowest_id' or 'best_quality', "
+            f"got {near_dup_policy!r}"
+        )
     n_near = deduped.count()  # materializes deduped; exact can go
     exact.unpersist()
 

@@ -166,6 +166,7 @@ def cmd_curate(args) -> None:
         n_shards=args.shards,
         seed=args.seed,
         near_dup_threshold=args.near_dup_threshold,
+        near_dup_policy=args.near_dup_policy,
         span_dedup_delim=args.span_delim,
         max_per_source=args.max_per_source,
         substring_min_tokens=args.substring_min_tokens,
@@ -268,6 +269,13 @@ def main() -> None:
     pc.add_argument("--shards", type=int, default=32)
     pc.add_argument("--seed", type=int, default=0)
     pc.add_argument("--near-dup-threshold", type=float, default=0.9)
+    pc.add_argument(
+        "--near-dup-policy",
+        choices=["lowest_id", "best_quality"],
+        default="lowest_id",
+        help="near-dup survivor: lowest doc_id (cheap, default) or the "
+        "best quality_score member per duplicate cluster",
+    )
     pc.add_argument("--span-delim", default=None)
     pc.add_argument("--max-per-source", type=int, default=None)
     pc.add_argument("--substring-min-tokens", type=int, default=None)

@@ -534,3 +534,47 @@ def test_curate_repeat_call_plan_is_stable(spark):
     a, _ = curate_documents(_corpus(spark), budget=16, n_shards=2, seed=9)
     b, _ = curate_documents(_corpus(spark), budget=16, n_shards=2, seed=9)
     assert _shape(a) == _shape(b)
+
+
+def test_curate_best_quality_near_dup_policy(spark):
+    """near_dup_policy='best_quality': the near-dup cluster keeps its
+    highest-quality_score member instead of the lowest id, singletons
+    and the rest of the pipeline unchanged."""
+    rich = (
+        "substantive detailed report covering methodology results "
+        "analysis discussion conclusions recommendations appendix "
+        "references glossary index preface summary introduction "
+        "background literature survey experiments datasets metrics "
+        "baselines ablations findings limitations implications future "
+        "directions acknowledgments funding sources contributions "
+        "tables figures charts diagrams notation terminology errata"
+    )
+    docs = spark.createDataFrame(
+        [
+            # near-dup pair: 1 is a degraded copy (stopword-soup tail
+            # lowers its quality_score), 2 is the clean copy —
+            # best_quality must keep 2, lowest_id keeps 1
+            (1, rich + " the of and a the of and a"),
+            (2, rich),
+            (3, "completely unrelated standalone document about rivers "
+                "and mountains flowing through the landscape today"),
+        ],
+        "doc_id long, text string",
+    )
+    lo, rl = curate_documents(
+        docs, budget=64, n_shards=2, seed=0, near_dup_threshold=0.5
+    )
+    bq, rq = curate_documents(
+        docs, budget=64, n_shards=2, seed=0, near_dup_threshold=0.5,
+        near_dup_policy="best_quality",
+    )
+    kept_lo = {r.doc_id for r in lo.select("doc_id").distinct().collect()}
+    kept_bq = {r.doc_id for r in bq.select("doc_id").distinct().collect()}
+    assert rl.after_near_dedup == rq.after_near_dedup == 2
+    assert kept_lo == {1, 3}
+    assert kept_bq == {2, 3}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="near_dup_policy"):
+        curate_documents(docs, near_dup_policy="nope")

@@ -2146,3 +2146,31 @@ def test_select_cluster_representatives_default_quality_and_ties(spark):
     }
     assert 1 in kept and 2 not in kept   # quality beats stopword soup
     assert 3 in kept and 4 not in kept   # tie -> lowest id
+
+
+def test_select_cluster_representatives_string_ids(spark):
+    """The tiebreak must not assume a numeric id (advisor round-7):
+    string doc_ids pick the best score, ties -> lexically lowest id."""
+    from pyspark.sql import functions as F
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+        select_cluster_representatives,
+    )
+
+    docs = spark.createDataFrame(
+        [("a1", "x"), ("a2", "x"), ("b9", "x"), ("b2", "x"), ("c5", "x")],
+        "doc_id string, text string",
+    )
+    clusters = spark.createDataFrame(
+        [("a1", "a1"), ("a2", "a1"), ("b9", "b2"), ("b2", "b2")],
+        "node string, cluster_id string",
+    )
+    # a-cluster: a2 outscores a1; b-cluster: score tie -> "b2" < "b9"
+    score = F.when(F.col("doc_id") == "a2", 2.0).otherwise(1.0)
+    kept = {
+        r["doc_id"]
+        for r in select_cluster_representatives(
+            docs, clusters, score_col=score
+        ).collect()
+    }
+    assert kept == {"a2", "b2", "c5"}

@@ -237,3 +237,28 @@ def test_dashboard_kpis(spark, lake):
     assert k.highest_strain_region == "CA"
     assert k.highest_strain == 93.0
     assert k.crisis_count == 1
+
+
+def test_scan_s3a_env_ceiling_is_the_jar_not_the_code(spark):
+    """op-scan-s3, the untestable half, pinned as far as the sandbox
+    allows: pointing ``read_hhs_csv`` at an ``s3a://`` URI must reach
+    Hadoop's FileSystem scheme resolution and fail there with
+    ClassNotFoundException for ``org.apache.hadoop.fs.s3a.S3AFileSystem``
+    — i.e. the engine's read path is fully wired for S3 and the ONLY
+    missing piece is the connector jar this environment doesn't ship
+    (``hadoop-aws-3.4.2.jar`` + ``bundle`` AWS SDK, matching the
+    installed hadoop-client 3.4.2). On a real cluster those jars are
+    present and the same call reads the object directly — no boto3
+    staging copy (reference: ingest_capacity_s3.py:22-45). Any other
+    failure mode here (our code raising before Hadoop resolves the
+    scheme, or a different exception class) is a regression in the
+    contract."""
+    from hospital_stain_tracker_data_pipeline_spark.sources.csv_source import (
+        read_hhs_csv,
+    )
+
+    with pytest.raises(Exception) as exc_info:
+        read_hhs_csv(spark, "s3a://no-such-bucket/key.csv").count()
+    msg = str(exc_info.value)
+    assert "org.apache.hadoop.fs.s3a.S3AFileSystem" in msg
+    assert "ClassNotFoundException" in msg

@@ -111,7 +111,10 @@ def test_quality_signals_match_duckdb(spark, sf_dir):
             len(list_filter(lines,
                 l -> regexp_matches(trim(l), '[.!?"'']$')))
               * 1.0 / len(lines), 6) END AS frac_terminal_punct_lines,
-          len(list_intersect(list_transform(words, w -> lower(w)),
+          len(list_intersect(list_transform(words,
+                w -> regexp_replace(lower(w),
+                  '^["''()\\[\\]{{}}<>.,:;!?…“”‘’-]+|["''()\\[\\]{{}}<>.,:;!?…“”‘’-]+$',
+                  '', 'g')),
               ['the','be','to','of','and','that','have','with']))
             AS n_gopher_stopwords,
           contains(text, '{{') AS has_curly_brace,
@@ -312,3 +315,24 @@ def test_gopher_filter_stream_equals_batch(spark, tmp_path):
         .collect()
     }
     assert got == want == {1}
+
+
+def test_gopher_stopwords_count_punctuated_occurrences(spark):
+    """Gopher's stopword rule is containment: "The." / "with," count.
+    A doc whose every stopword instance carries edge punctuation must
+    still clear the >=2-distinct-stopword floor (advisor round-7)."""
+    docs = spark.createDataFrame(
+        [
+            (1, 'The. end with, "and" (that) [of] {be}'),
+            (2, "nothing matching here at all"),
+            (3, "...the--- ‘with’ …and…"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_gopher_stopwords"]
+        for r in quality_signals(docs).collect()
+    }
+    assert got[1] == 6   # the, with, and, that, of, be
+    assert got[2] == 0
+    assert got[3] == 3   # the, with, and
