@@ -236,6 +236,32 @@ def _extras_registry():
             )
         )
 
+    def html_extract(spark, sf_dir):
+        """HTML -> text extraction over the documents fixture wrapped
+        in deterministic synthetic markup (head/style/script noise +
+        per-word paragraph structure) — times the full regex chain at
+        corpus scale; zero-shuffle, rides the scan."""
+        from hospital_stain_tracker_data_pipeline_spark.operators.web import (
+            parse_html_documents,
+        )
+
+        docs = load_fixture_table(spark, sf_dir, "documents")
+        html = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit(
+                    "<html><head><title>t</title><style>p{margin:0}"
+                    "</style><script>var x=1;</script></head><body>"
+                    "<!-- c --><p>"
+                ),
+                F.regexp_replace(F.col("text"), r"\n", "</p><p>"),
+                F.lit("</p></body></html>"),
+            ).alias("html"),
+        )
+        return parse_html_documents(html).select(
+            F.sum(F.length("text")).alias("total_chars")
+        )
+
     def incremental_dedup(spark, sf_dir):
         """Incremental-ingest dedup at the fixture scale: index the
         first ~2/3 of the corpus (the 'existing' lake), then filter
@@ -318,6 +344,7 @@ def _extras_registry():
         "heavy_hitter_words": heavy_ngrams,
         "url_dedup": url_dedup,
         "gopher_pii_pass": gopher_and_pii,
+        "html_extract": html_extract,
         "incremental_dedup": incremental_dedup,
         "quantize_embeddings": quantize_lake,
         # keep last: it persists its outputs; main() clears the cache

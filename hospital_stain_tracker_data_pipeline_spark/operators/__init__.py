@@ -32,11 +32,15 @@ from .web import (  # noqa: F401
     cap_per_group,
     dedup_exact_urls,
     extract_domain,
+    extract_text_from_html,
     filter_blocked_domains,
+    parse_html_documents,
 )
 from .sketch import heavy_hitters, skew_report  # noqa: F401
 from .quality import (  # noqa: F401
+    compression_signals,
     ensure_quality_signals,
+    filter_by_compression,
     filter_gopher_quality,
     gopher_stage_predicates,
     quality_signals,

@@ -346,3 +346,40 @@ def redact_pii(
         .withColumn("text_redacted", t3)
         .drop("_t1", "_t2")
     )
+
+
+
+def compression_signals(
+    df: DataFrame, text_col: str = "text", level: int = 6
+) -> DataFrame:
+    """Append ``zlib_ratio`` — the compressibility quality signal the
+    web-scale pipelines apply beside the Gopher rules (RedPajama-v2 /
+    Dolma ship it): highly compressible text (ratio near 0) is
+    template/boilerplate soup, near-incompressible (~1+) is binary
+    junk. Thin signal-column adapter over the library's existing
+    ``functions.text.compression_ratio_udf`` (the documented batched
+    Python seam — Spark has no zlib expression), rounded to 6 dp like
+    every other signal here; NULL for NULL/empty docs."""
+    from ..functions.text import compression_ratio_udf
+
+    return df.withColumn(
+        "zlib_ratio",
+        _round6(compression_ratio_udf(level)(F.col(text_col))),
+    )
+
+
+def filter_by_compression(
+    df: DataFrame,
+    min_ratio: float = 0.25,
+    max_ratio: float = 1.05,
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep docs whose ``zlib_ratio`` lands inside the band (defaults
+    follow the common web-pipeline practice: < ~0.25 is template soup,
+    > ~1.05 is non-text). NULL-ratio (empty) docs are DROPPED — an
+    empty doc carries no trainable signal. Returns the INPUT schema."""
+    return (
+        compression_signals(df, text_col)
+        .filter(F.col("zlib_ratio").between(min_ratio, max_ratio))
+        .select(df.columns)
+    )

@@ -270,3 +270,99 @@ def filter_blocked_domains(
     return (
         probe.join(F.broadcast(block), "_host", "left_anti").drop("_host")
     )
+
+
+# --- HTML -> text extraction (the step BEFORE every text-quality /
+# dedup operator in a web pipeline: crawl HTML in, prose out) ---
+
+# container elements whose CONTENT is noise, not prose — dropped
+# whole. One regex PER TAG (applied sequentially) instead of an
+# alternation with a backreference: RE2/DuckDB has no backreferences,
+# and cross-engine replay is part of the contract. (?is) =
+# case-insensitive + dotall; non-greedy body so adjacent blocks don't
+# merge. Every construct here means the same in Java regex and RE2.
+_HTML_DROP_TAGS = ("script", "style", "noscript", "head", "svg", "iframe")
+_HTML_DROP_BLOCK_RES = tuple(
+    rf"(?is)<{tag}\b[^>]*>.*?</{tag}\s*>" for tag in _HTML_DROP_TAGS
+)
+_HTML_COMMENT_RE = r"(?s)<!--.*?-->"
+# block-level boundaries become newlines so "<p>a</p><p>b</p>" keeps a
+# document structure instead of fusing into "ab" — span dedup and line
+# heuristics downstream depend on those newlines
+_HTML_BLOCK_TAG_RE = (
+    r"(?i)</?(p|div|br|li|ul|ol|dl|dt|dd|h[1-6]|tr|td|th|table|thead|"
+    r"tbody|section|article|aside|nav|header|footer|blockquote|pre|"
+    r"form|fieldset|hr|figure|figcaption|main|address)\b[^>]*/?\s*>"
+)
+_HTML_ANY_TAG_RE = r"<[^>]+>"
+
+# the named entities worth decoding without an HTML parser; &amp; is
+# decoded LAST so "&amp;lt;" correctly yields the literal "&lt;", not
+# "<" (double-encoding must not double-decode)
+_HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&quot;", '"'),
+    ("&#34;", '"'),
+    ("&apos;", "'"),
+    ("&#39;", "'"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&amp;", "&"),
+)
+
+
+def extract_text_from_html(html: Column) -> Column:
+    """Visible text of an HTML payload as a pure Column expression —
+    the C4/CCNet-style extraction step (crawl record → prose) that
+    runs BEFORE any quality/dedup operator, kept deliberately
+    parser-free so it fuses into the scan: drop comments and
+    script/style/noscript/head/svg/iframe blocks wholesale, turn
+    block-level tags into newlines (paragraph structure survives for
+    the line-based quality rules and span dedup), strip remaining
+    tags, decode the common named entities (``&amp;`` last — double
+    encoding must not double-decode; numeric references other than
+    ``&#34;``/``&#39;`` pass through untouched), collapse horizontal
+    whitespace, and trim each line.
+
+    A regex pipeline is NOT an HTML5 parser (no misnested-tag
+    recovery, no CDATA subtleties); it is the deterministic,
+    zero-shuffle, JVM-side 99%-case — the same trade C4 made. Every
+    regex construct used is Java/RE2-common, so DuckDB replays the
+    chain bit-identically (pinned in ``tests/test_web.py``).
+
+    NULL in ⇒ NULL out; input without any markup passes through
+    (modulo whitespace normalization)."""
+    t = F.regexp_replace(html, _HTML_COMMENT_RE, "")
+    for block_re in _HTML_DROP_BLOCK_RES:
+        t = F.regexp_replace(t, block_re, "")
+    t = F.regexp_replace(t, _HTML_BLOCK_TAG_RE, "\n")
+    t = F.regexp_replace(t, _HTML_ANY_TAG_RE, "")
+    for ent, ch in _HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    # horizontal runs -> one space; then strip spaces adjacent to
+    # newlines (anchor-free per-line trim: multiline ^/$ semantics
+    # diverge between Java regex and RE2's newline-sensitive mode,
+    # " *\n *" means the same everywhere)
+    t = F.regexp_replace(t, r"[ \t\x0b\f\r]+", " ")
+    t = F.regexp_replace(t, r" *\n *", "\n")
+    # 3+ blank lines -> paragraph break; document-edge trim last
+    # (regexp, not trim() — Spark's trim strips only spaces, and the
+    # tag->newline pass leaves \n at the document edges)
+    t = F.regexp_replace(t, r"\n{3,}", "\n\n")
+    return F.regexp_replace(t, r"^\s+|\s+$", "")
+
+
+def parse_html_documents(
+    df: DataFrame,
+    html_col: str = "html",
+    text_col: str = "text",
+) -> DataFrame:
+    """DataFrame convenience over ``extract_text_from_html``: append
+    ``text_col`` with the extracted prose (input schema otherwise
+    unchanged) — the natural first stage of a crawl-ingest pipeline:
+
+        parse_html_documents(crawl) |> quality filters |> dedup ...
+    """
+    return df.withColumn(
+        text_col, extract_text_from_html(F.col(html_col))
+    )

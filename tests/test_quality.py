@@ -336,3 +336,59 @@ def test_gopher_stopwords_count_punctuated_occurrences(spark):
     assert got[1] == 6   # the, with, and, that, of, be
     assert got[2] == 0
     assert got[3] == 3   # the, with, and
+
+
+def test_compression_signals_exact_zlib_replay(spark, sf_dir):
+    """zlib_ratio replayed exactly against direct zlib.compress over
+    golden docs + the fixture corpus — same bytes, same level, same
+    rounding (the UDF adds no drift)."""
+    import zlib
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.quality import (
+        compression_signals,
+        filter_by_compression,
+    )
+
+    def expect(t):
+        b = t.encode("utf-8")
+        if not b:
+            return None
+        return len(zlib.compress(b, 6)) / len(b)
+
+    golden = [
+        (1, "spam " * 400),                   # template soup -> tiny ratio
+        (2, GOOD),                            # prose -> mid ratio
+        (3, ""),                              # empty -> NULL
+        (4, "k9#x!Qz@7vB$2mW&5pL*8nR%3cT^6dY"),  # noise -> ratio ~1+
+    ]
+    docs = spark.createDataFrame(golden, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["zlib_ratio"]
+        for r in compression_signals(docs).collect()
+    }
+    for i, t in golden:
+        if t == "":
+            assert got[i] is None
+        else:
+            # F.round is HALF_UP, Python round is banker's — compare
+            # the 6-dp signal against the raw ratio with rounding slack
+            assert abs(got[i] - expect(t)) <= 5e-7, (i, got[i], expect(t))
+    assert got[1] < 0.1 < got[2] < got[4]
+
+    # band filter: soup and empty out, prose and (short) noise per band
+    kept = {
+        r["doc_id"]
+        for r in filter_by_compression(docs, 0.25, 1.05).collect()
+    }
+    assert 1 not in kept and 3 not in kept and 2 in kept
+
+    # fixture sweep: every non-empty doc matches the direct computation
+    fx = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = compression_signals(fx).select("doc_id", "text", "zlib_ratio").collect()
+    assert len(rows) > 0
+    for r in rows:
+        want = expect(r["text"])
+        if want is None:
+            assert r["zlib_ratio"] is None, r["doc_id"]
+        else:
+            assert abs(r["zlib_ratio"] - want) <= 5e-7, r["doc_id"]

@@ -384,3 +384,110 @@ def test_dedup_exact_urls_keeps_first_per_canonical(spark):
     assert kept == [1, 3, 4, 5]
     # schema-transparent: same columns in the same order
     assert dedup_exact_urls(df).columns == df.columns
+
+
+HTML_DOC = """<!DOCTYPE html><html><head><title>Ignored</title>
+<style>body { color: red; }</style></head>
+<body><!-- nav follows -->
+<script type="text/javascript">var x = "<p>not text</p>";</script>
+<h1>The  Heading</h1>
+<p>First &amp; second &lt;paragraphs&gt; meet.</p>
+<div>Item list:</div><ul><li>alpha</li><li>beta&nbsp;gamma</li></ul>
+<p>Double-encoded stays literal: &amp;lt;tag&amp;gt;</p>
+<SCRIPT>upper.case()</SCRIPT><p>after upper script</p>
+</body></html>"""
+
+
+def test_extract_text_from_html_goldens(spark):
+    from hospital_stain_tracker_data_pipeline_spark.operators.web import (
+        extract_text_from_html,
+        parse_html_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, HTML_DOC), (2, "plain   text no markup"), (3, None)],
+        "doc_id long, html string",
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in parse_html_documents(docs).collect()
+    }
+    text = got[1]
+    # scripts/styles/head/comments gone — including their CONTENT
+    assert "not text" not in text and "color: red" not in text
+    assert "Ignored" not in text and "nav follows" not in text
+    assert "upper.case" not in text
+    # entities decoded; double-encoding stays literal
+    assert "First & second <paragraphs> meet." in text
+    assert "beta gamma" in text
+    assert "&lt;tag&gt;" in text
+    # block tags became line structure, not fused text
+    assert "The Heading\n" in text
+    assert "alpha\n\nbeta gamma" in text
+    assert got[2] == "plain text no markup"
+    assert got[3] is None
+
+
+def test_extract_text_from_html_duckdb_replay(spark):
+    """The full regex chain replayed in DuckDB (RE2) over varied HTML
+    shapes — no backreferences or Java-only constructs anywhere."""
+    import duckdb
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.web import (
+        _HTML_ANY_TAG_RE,
+        _HTML_BLOCK_TAG_RE,
+        _HTML_COMMENT_RE,
+        _HTML_DROP_BLOCK_RES,
+        _HTML_ENTITIES,
+        extract_text_from_html,
+    )
+
+    rows = [
+        (1, HTML_DOC),
+        (2, "<p>a</p><p>b</p>"),
+        (3, "no markup at all"),
+        (4, "<div>unclosed <b>bold"),
+        (5, "text with &amp;amp; and &#39;quote&#39; and &#8212; dash"),
+        (6, "<script>while(1){}</script>rest"),
+        (7, "  \n\n\n\n  spaced\t\tout  \n\n\n\nlines  "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {
+        r["doc_id"]: r["t"]
+        for r in docs.select(
+            "doc_id", extract_text_from_html(F.col("html")).alias("t")
+        ).collect()
+    }
+    con = duckdb.connect()
+    expr = "regexp_replace(html, ?, '', 'gs')"
+    # build the same chain in SQL: comments, drop-blocks, block tags,
+    # any tags, entities, whitespace passes
+    sql_expr = "html"
+    params = []
+    for pat, rep, flags in (
+        [(_HTML_COMMENT_RE.replace("(?s)", ""), "", "gs")]
+        + [(p.replace("(?is)", ""), "", "gis") for p in _HTML_DROP_BLOCK_RES]
+        + [(_HTML_BLOCK_TAG_RE.replace("(?i)", ""), "\n", "gi")]
+        + [(_HTML_ANY_TAG_RE, "", "g")]
+    ):
+        sql_expr = f"regexp_replace({sql_expr}, ?, ?, ?)"
+        params += [pat, rep, flags]
+    for ent, ch in _HTML_ENTITIES:
+        sql_expr = f"replace({sql_expr}, ?, ?)"
+        params += [ent, ch]
+    for pat, rep, flags in (
+        (r"[ \t\x0b\f\r]+", " ", "g"),
+        (r" *\n *", "\n", "g"),
+        (r"\n{3,}", "\n\n", "g"),
+    ):
+        sql_expr = f"regexp_replace({sql_expr}, ?, ?, ?)"
+        params += [pat, rep, flags]
+    sql_expr = f"regexp_replace({sql_expr}, ?, ?, ?)"
+    params += [r"^\s+|\s+$", "", "g"]
+    sql = f"SELECT doc_id, {sql_expr} AS t FROM docs_in ORDER BY doc_id"
+    con.register("docs_in", __import__("pandas").DataFrame(
+        rows, columns=["doc_id", "html"]
+    ))
+    want = {int(r[0]): r[1] for r in con.execute(sql, params).fetchall()}
+    con.close()
+    assert got == want
