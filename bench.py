@@ -443,6 +443,10 @@ def main() -> None:
         "warm_total": warm_total,
         "cold_total": total,
         "sf": sf,
+        # sentinel so a record from a run killed mid-extras is
+        # distinguishable from "all extras ran clean" — overwritten by
+        # the post-extras rewrite below
+        "extras_errors": {"_status": "extras did not complete"},
     }
     local_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"

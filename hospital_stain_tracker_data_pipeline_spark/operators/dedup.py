@@ -835,11 +835,23 @@ def connected_components_min_label(
         F.col(node_col).alias("node"), F.col(node_col).alias("label")
     ).localCheckpoint(eager=True)
 
-    # convergence check: labels only ever decrease, so the label sum
-    # strictly decreases until the fixpoint — one cheap agg per
-    # iteration instead of a join-and-compare
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # convergence check, exact for ANY orderable id type: numeric ids
+    # keep the cheap label-sum invariant (labels only ever decrease,
+    # so the sum strictly decreases until the fixpoint — one agg per
+    # iteration); non-numeric ids (string doc_ids) use a
+    # join-and-compare over the two flat checkpointed id-frames —
+    # summing strings throws under ANSI, and a hashed-sum shortcut
+    # would trade exactness for it (round-8 review finding)
+    from pyspark.sql.types import NumericType
+
+    numeric_ids = isinstance(
+        labels.schema["label"].dataType, NumericType
+    )
+    prev_sum = (
+        labels.agg(F.sum("label")).collect()[0][0] if numeric_ids else None
+    )
     for _ in range(max_iter):
+        prev = labels
         neighbor = (
             labels.join(sym, labels["node"] == sym["a"])
             .select(F.col("b").alias("node"), F.col("label"))
@@ -850,10 +862,23 @@ def connected_components_min_label(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        new_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+        if numeric_ids:
+            new_sum = labels.agg(F.sum("label")).collect()[0][0]
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+        else:
+            changed = (
+                labels.join(
+                    prev.select("node", F.col("label").alias("_prev")),
+                    "node",
+                )
+                .filter(F.col("label") != F.col("_prev"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                break
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 

@@ -256,17 +256,23 @@ def ensure_quality_signals(
 
     if not stages or _resolves(df):
         return df
+    best = df
     if text_col in df.columns and not set(QUALITY_SIGNAL_COLUMNS) <= set(
         df.columns
     ):
         out = quality_signals(df, text_col)
         if _resolves(out):
             return out
+        # still unresolved WITH the signals applied: re-raise against
+        # the projected frame so the error names only the genuinely
+        # unknown column (a typo'd predicate), not all ten signal
+        # columns the projection would have provided
+        best = out
     # re-raise the real resolution error with full Spark context
-    df.select(
+    best.select(
         *[p.alias(f"_s{i}") for i, (_, p) in enumerate(stages)]
     ).schema
-    return df  # unreachable: the select above throws
+    return best  # unreachable: the select above throws
 
 
 def filter_gopher_quality(

@@ -332,9 +332,16 @@ def extract_text_from_html(html: Column) -> Column:
 
     NULL in ⇒ NULL out; input without any markup passes through
     (modulo whitespace normalization)."""
-    t = F.regexp_replace(html, _HTML_COMMENT_RE, "")
+    # script/style blocks drop BEFORE comments: a script containing a
+    # literal "<!--" (JS string, legacy script-hiding) would otherwise
+    # let the comment regex swallow real body content up to the next
+    # "-->" (round-8 review). The residual case — a comment containing
+    # "</script>" — is far rarer and costs only over-trimming the
+    # comment, which was being deleted anyway.
+    t = html
     for block_re in _HTML_DROP_BLOCK_RES:
         t = F.regexp_replace(t, block_re, "")
+    t = F.regexp_replace(t, _HTML_COMMENT_RE, "")
     t = F.regexp_replace(t, _HTML_BLOCK_TAG_RE, "\n")
     t = F.regexp_replace(t, _HTML_ANY_TAG_RE, "")
     for ent, ch in _HTML_ENTITIES:

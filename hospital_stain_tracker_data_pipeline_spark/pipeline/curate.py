@@ -207,6 +207,13 @@ def curate_documents(
         raise ValueError(
             "decon_eval_docs and decon_min_score must be provided together"
         )
+    if near_dup_policy not in ("lowest_id", "best_quality"):
+        # validate at entry with the other guards — failing after the
+        # funnel/exact-dedup stages would waste minutes of cluster work
+        raise ValueError(
+            "near_dup_policy must be 'lowest_id' or 'best_quality', "
+            f"got {near_dup_policy!r}"
+        )
     stages = stages if stages is not None else default_quality_stages()
 
     n_cap: int | None = None
@@ -287,13 +294,18 @@ def curate_documents(
         deduped = exact.join(drop, "doc_id", "left_anti").persist(
             StorageLevel.MEMORY_AND_DISK
         )
-    elif near_dup_policy == "best_quality":
+    else:
         # quality-aware survivor: resolve pair edges into clusters
         # (iterative min-label CC — pairs only, not the corpus) and
         # keep each cluster's best-scoring member instead of its
         # lowest id. Costs the CC pass the default skips; clusters is
         # an id-sized frame, materialized to keep plan growth linear.
-        pairs = minhash_lsh_dedup_pairs(exact, threshold=near_dup_threshold)
+        # pairs materializes FIRST: CC's edge checkpoint and node set
+        # both consume it, and a lazy producer would re-execute the
+        # LSH candidate join once per consumer (round-8 review).
+        pairs = materialize(
+            minhash_lsh_dedup_pairs(exact, threshold=near_dup_threshold)
+        )
         edges = pairs.select(
             F.col("id_a").alias("src"), F.col("id_b").alias("dst")
         )
@@ -307,11 +319,6 @@ def curate_documents(
         )
         deduped = select_cluster_representatives(exact, clusters).persist(
             StorageLevel.MEMORY_AND_DISK
-        )
-    else:
-        raise ValueError(
-            "near_dup_policy must be 'lowest_id' or 'best_quality', "
-            f"got {near_dup_policy!r}"
         )
     n_near = deduped.count()  # materializes deduped; exact can go
     exact.unpersist()

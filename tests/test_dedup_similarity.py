@@ -2174,3 +2174,30 @@ def test_select_cluster_representatives_string_ids(spark):
         ).collect()
     }
     assert kept == {"a2", "b2", "c5"}
+
+
+def test_connected_components_string_ids(spark):
+    """CC must converge for non-numeric node ids (round-8 review: the
+    label-sum convergence shortcut cast labels to double — string ids
+    threw under ANSI). Chain a-b-c-d has diameter 3, so one-iteration
+    exits would mislabel it."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+        connected_components_min_label,
+    )
+
+    edges = spark.createDataFrame(
+        [("d3", "c2"), ("c2", "b1"), ("b1", "a0"), ("x9", "y8")],
+        "src string, dst string",
+    )
+    nodes = spark.createDataFrame(
+        [("a0",), ("b1",), ("c2",), ("d3",), ("x9",), ("y8",), ("lone",)],
+        "node string",
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components_min_label(edges, nodes).collect()
+    }
+    assert got == {
+        "a0": "a0", "b1": "a0", "c2": "a0", "d3": "a0",
+        "x9": "x9", "y8": "x9", "lone": "lone",
+    }

@@ -449,6 +449,7 @@ def test_extract_text_from_html_duckdb_replay(spark):
         (4, "<div>unclosed <b>bold"),
         (5, "text with &amp;amp; and &#39;quote&#39; and &#8212; dash"),
         (6, "<script>while(1){}</script>rest"),
+        (8, '<script>document.write("<!--");</script><p>hello</p><!-- nav -->'),
         (7, "  \n\n\n\n  spaced\t\tout  \n\n\n\nlines  "),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, html string")
@@ -465,8 +466,8 @@ def test_extract_text_from_html_duckdb_replay(spark):
     sql_expr = "html"
     params = []
     for pat, rep, flags in (
-        [(_HTML_COMMENT_RE.replace("(?s)", ""), "", "gs")]
-        + [(p.replace("(?is)", ""), "", "gis") for p in _HTML_DROP_BLOCK_RES]
+        [(p.replace("(?is)", ""), "", "gis") for p in _HTML_DROP_BLOCK_RES]
+        + [(_HTML_COMMENT_RE.replace("(?s)", ""), "", "gs")]
         + [(_HTML_BLOCK_TAG_RE.replace("(?i)", ""), "\n", "gi")]
         + [(_HTML_ANY_TAG_RE, "", "g")]
     ):
