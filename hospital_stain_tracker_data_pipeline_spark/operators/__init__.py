@@ -39,6 +39,7 @@ from .web import (  # noqa: F401
 from .sketch import heavy_hitters, skew_report  # noqa: F401
 from .quality import (  # noqa: F401
     compression_signals,
+    corpus_report,
     ensure_quality_signals,
     filter_by_compression,
     filter_gopher_quality,

@@ -389,3 +389,57 @@ def filter_by_compression(
         .filter(F.col("zlib_ratio").between(min_ratio, max_ratio))
         .select(df.columns)
     )
+
+
+def corpus_report(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One-row "dataset card" for a document corpus — the summary a
+    data release ships (and a curation run logs before/after): doc and
+    blank counts, token mass and its distribution, mean heuristic
+    quality, and the exact-duplicate rate via the 64-bit normalized
+    fingerprint.
+
+    Columns: ``n_docs, n_blank, total_tokens, mean_tokens,
+    p50_tokens, p90_tokens, p99_tokens, max_tokens, mean_quality,
+    exact_dup_rate`` (rates/means rounded to 6 dp; percentiles are
+    EXACT linear-interpolated — same definition as DuckDB
+    ``quantile_cont``, replayed in the tests; at extreme scale swap
+    ``approx_percentile`` like the sketch variants of the event
+    percentiles).
+
+    ONE projection + ONE aggregate over (n_tok, quality, fingerprint,
+    blank) — no per-metric scans; the only expensive member is the
+    distinct-fingerprint count, which is the price of an exact dup
+    rate (the MinHash index is the cheap proxy when exactness isn't
+    required)."""
+    from ..functions.text import (
+        fingerprint64_hex,
+        quality_score,
+        token_count,
+    )
+
+    per_doc = df.select(
+        token_count(F.col(text_col)).alias("_nt"),
+        quality_score(F.col(text_col)).alias("_q"),
+        fingerprint64_hex(F.col(text_col)).alias("_fp"),
+        (F.trim(F.col(text_col)) == "").alias("_blank"),
+    )
+    n_docs = F.count(F.lit(1))
+    return per_doc.agg(
+        n_docs.alias("n_docs"),
+        F.sum(F.col("_blank").cast("int")).alias("n_blank"),
+        F.sum("_nt").alias("total_tokens"),
+        _round6(F.avg("_nt")).alias("mean_tokens"),
+        F.round(F.expr("percentile(_nt, 0.5)"), 4).alias("p50_tokens"),
+        F.round(F.expr("percentile(_nt, 0.9)"), 4).alias("p90_tokens"),
+        F.round(F.expr("percentile(_nt, 0.99)"), 4).alias("p99_tokens"),
+        F.max("_nt").alias("max_tokens"),
+        _round6(F.avg("_q")).alias("mean_quality"),
+        _round6(
+            F.lit(1.0)
+            - F.try_divide(
+                F.count_distinct("_fp").cast("double"), n_docs
+            )
+        ).alias("exact_dup_rate"),
+    )

@@ -2,6 +2,7 @@
 training-data operators into the pipeline a pretraining data run
 actually executes —
 
+    [optional HTML→text extraction] →
     [optional exact-URL dedup] → [optional per-source cap] →
     quality funnel → exact dedup →
     near-dup drop → [optional SemDeDup over embeddings] → [optional
@@ -70,7 +71,11 @@ from ..operators.packing import (
 )
 from ..operators.quality import ensure_quality_signals
 from ..operators.similarity import semantic_dedup_pairs
-from ..operators.web import cap_per_group, dedup_exact_urls
+from ..operators.web import (
+    cap_per_group,
+    dedup_exact_urls,
+    parse_html_documents,
+)
 
 
 @dataclass
@@ -133,6 +138,7 @@ def curate_documents(
     no_split: bool = False,
     substring_min_tokens: int | None = None,
     url_col: str | None = None,
+    html_col: str | None = None,
 ) -> tuple[DataFrame, CurationReport]:
     """Run the full curation pipeline over a ``(doc_id, text)`` corpus;
     returns ``(packed_chunks, report)``.
@@ -170,7 +176,11 @@ def curate_documents(
     winners are what a user expects span attrition to be reported
     against.
 
-    ``url_col`` switches on exact-URL dedup as the VERY FIRST stage
+    ``html_col`` switches on crawl ingest: ``parse_html_documents``
+    derives ``text`` from the raw HTML column as the zeroth
+    (zero-shuffle, scan-fused) step, so a pipeline can go straight
+    from crawl records to packed tokens. ``url_col`` switches on
+    exact-URL dedup as the (next) VERY FIRST id-level stage
     (``dedup_exact_urls`` — re-crawls of the same page under
     tracking-param/port/fragment variation collapse to their first
     occurrence before ANY text-level work, and before the source cap
@@ -215,6 +225,17 @@ def curate_documents(
             f"got {near_dup_policy!r}"
         )
     stages = stages if stages is not None else default_quality_stages()
+
+    if html_col is not None:
+        # crawl ingest: extract prose from raw HTML as the zeroth
+        # stage — BEFORE even the URL dedup, so every text-level stage
+        # (funnel signals, fingerprints, shingles, spans) sees prose,
+        # never markup. Pure Column regex chain: fuses into the scan,
+        # adds no action and no shuffle, so it needs no report row —
+        # attrition from docs whose HTML contains no visible text
+        # shows up at the quality funnel (blank text) like any other
+        # empty doc.
+        docs = parse_html_documents(docs, html_col=html_col, text_col="text")
 
     n_cap: int | None = None
     n_url: int | None = None

@@ -1,3 +1,6 @@
 """Structured Streaming ingest (SURVEY.md §2.9)."""
 
-from .ingest_stream import stream_ingest_events  # noqa: F401
+from .ingest_stream import (  # noqa: F401
+    stream_ingest_events,
+    stream_quality_gate,
+)

@@ -615,3 +615,72 @@ def stream_dedup_against_corpus(
     return _read_batch_sink(
         spark, out_dir, empty=lambda: spark.createDataFrame([], schema)
     )
+
+
+def stream_quality_gate(
+    spark: SparkSession,
+    source_path: str,
+    out_dir: str,
+    schema: str = "doc_id long, text string",
+    redact: bool = True,
+    **gopher_thresholds,
+) -> DataFrame:
+    """Filter-on-ingest: documents STREAM in, the Gopher/C4 rule
+    battery drops the junk, and (optionally) PII is scrubbed from the
+    survivors before they land — the front door of an incremental
+    training-data lake, composed from the batch operators verbatim
+    (``operators.quality.filter_gopher_quality`` + ``redact_pii`` per
+    micro-batch; stream and batch answers are identical by
+    construction, pinned by the stream-equals-batch test).
+
+    Why foreachBatch: every rule is a PER-DOCUMENT scalar predicate —
+    no cross-batch state, no watermark — so the exact batch plan (one
+    signal projection + one combined filter + the regex scrub chain)
+    runs unchanged per micro-batch. Survivors land partitioned by
+    micro-batch id with dynamic partition overwrite (the same
+    effectively-exactly-once sink shape as the perplexity/dedup
+    streams: a replayed batch rewrites its own partition). When
+    ``redact`` the sink's ``text`` column IS the redacted form (the
+    raw text never lands — scrub-before-persist is the PII contract);
+    the per-kind counts land as ``n_pii_email/ipv4/phone``. Returns a
+    batch frame over the sink without the bookkeeping column."""
+    from ..operators.quality import filter_gopher_quality, redact_pii
+
+    docs = spark.readStream.schema(schema).parquet(source_path)
+
+    def _gate(batch_df: DataFrame) -> DataFrame:
+        clean = filter_gopher_quality(batch_df, **gopher_thresholds)
+        if not redact:
+            return clean
+        red = redact_pii(clean)
+        keep = [c for c in clean.columns if c != "text"]
+        return red.select(
+            *keep,
+            F.col("text_redacted").alias("text"),
+            "n_pii_email", "n_pii_ipv4", "n_pii_phone",
+        )
+
+    def _gate_batch(batch_df: DataFrame, epoch: int) -> None:
+        (
+            _gate(batch_df)
+            .withColumn("_batch_id", F.lit(epoch))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(_gate_batch)
+        .option(
+            "checkpointLocation", os.path.join(out_dir, "_checkpoint")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _read_batch_sink(
+        spark,
+        out_dir,
+        empty=lambda: _gate(spark.createDataFrame([], schema)),
+    )

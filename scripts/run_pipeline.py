@@ -167,6 +167,7 @@ def cmd_curate(args) -> None:
         seed=args.seed,
         near_dup_threshold=args.near_dup_threshold,
         near_dup_policy=args.near_dup_policy,
+        html_col=args.html_col,
         span_dedup_delim=args.span_delim,
         max_per_source=args.max_per_source,
         substring_min_tokens=args.substring_min_tokens,
@@ -269,6 +270,12 @@ def main() -> None:
     pc.add_argument("--shards", type=int, default=32)
     pc.add_argument("--seed", type=int, default=0)
     pc.add_argument("--near-dup-threshold", type=float, default=0.9)
+    pc.add_argument(
+        "--html-col",
+        default=None,
+        help="treat this column as raw HTML: extract text from it as "
+        "the first pipeline stage (crawl ingest)",
+    )
     pc.add_argument(
         "--near-dup-policy",
         choices=["lowest_id", "best_quality"],

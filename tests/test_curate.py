@@ -578,3 +578,28 @@ def test_curate_best_quality_near_dup_policy(spark):
 
     with _pytest.raises(ValueError, match="near_dup_policy"):
         curate_documents(docs, near_dup_policy="nope")
+
+
+def test_curate_html_ingest_stage(spark):
+    """html_col: the recipe accepts raw crawl HTML and every text
+    stage sees extracted prose — markup never reaches fingerprints,
+    and a doc whose HTML has no visible text dies at the funnel."""
+    body = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "keeps falling on the quiet town and nobody minds the weather"
+    )
+    rows = [
+        (1, f"<html><body><p>{body}</p></body></html>"),
+        # same prose, different markup -> exact dup after extraction
+        (2, f"<html><body><div>{body}</div></body></html>"),
+        (3, "<html><head><script>var x=1;</script></head><body></body></html>"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, html string")
+    chunks, rep = curate_documents(
+        docs, budget=32, n_shards=2, seed=0, html_col="html"
+    )
+    assert rep.total == 3
+    assert rep.after_quality == 2          # doc 3 extracted to blank
+    assert rep.after_exact_dedup == 1      # markup-invariant dedup
+    kept = {r.doc_id for r in chunks.select("doc_id").distinct().collect()}
+    assert kept == {1}

@@ -392,3 +392,58 @@ def test_compression_signals_exact_zlib_replay(spark, sf_dir):
             assert r["zlib_ratio"] is None, r["doc_id"]
         else:
             assert abs(r["zlib_ratio"] - want) <= 5e-7, r["doc_id"]
+
+
+def test_corpus_report_duckdb_replay(spark, sf_dir):
+    """The one-row dataset card replayed in DuckDB over the documents
+    fixture — token stats, exact percentiles (quantile_cont), mean
+    quality, and the fingerprint-based exact-dup rate."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.quality import (
+        corpus_report,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    [got] = corpus_report(docs).collect()
+    con = duckdb.connect()
+    [want] = con.execute(
+        f"""
+        WITH per AS (
+          SELECT
+            len(string_split_regex(trim(text), '\\s+')) AS nt,
+            round(0.5 * least(1.0,
+                len(string_split_regex(trim(text), '\\s+')) / 100.0)
+              + 0.5 * (1.0 -
+                len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                    t -> t IN ('the','a','of','and','in','to'))) * 1.0
+                / len(string_split_regex(trim(text), '\\s+'))), 4) AS q,
+            substring(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+                      1, 16) AS fp,
+            trim(text) = '' AS blank
+          FROM read_parquet('{sf_dir}/documents.parquet')
+        )
+        SELECT count(*) AS n_docs,
+               sum(CASE WHEN blank THEN 1 ELSE 0 END) AS n_blank,
+               sum(nt) AS total_tokens,
+               round(avg(nt), 6) AS mean_tokens,
+               round(quantile_cont(nt, 0.5), 4) AS p50_tokens,
+               round(quantile_cont(nt, 0.9), 4) AS p90_tokens,
+               round(quantile_cont(nt, 0.99), 4) AS p99_tokens,
+               max(nt) AS max_tokens,
+               round(avg(q), 6) AS mean_quality,
+               round(1.0 - count(DISTINCT fp) * 1.0 / count(*), 6)
+                 AS exact_dup_rate
+        FROM per
+        """
+    ).fetchall()
+    con.close()
+    names = [
+        "n_docs", "n_blank", "total_tokens", "mean_tokens", "p50_tokens",
+        "p90_tokens", "p99_tokens", "max_tokens", "mean_quality",
+        "exact_dup_rate",
+    ]
+    for i, name in enumerate(names):
+        g, w = got[name], want[i]
+        if isinstance(g, float):
+            assert g == pytest.approx(w, abs=1e-9), (name, g, w)
+        else:
+            assert int(g) == int(w), (name, g, w)

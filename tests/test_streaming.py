@@ -456,3 +456,68 @@ def test_stream_dedup_against_corpus_all_duplicates_returns_empty(
     kept = stream_dedup_against_corpus(spark, src, index, out)
     assert kept.count() == 0
     assert kept.columns == ["doc_id", "text"]
+
+
+def test_stream_quality_gate_matches_batch(spark, tmp_path):
+    """The streamed Gopher gate keeps exactly the docs the batch
+    filter keeps, with the sink text already PII-scrubbed (the raw
+    form never lands) and per-kind counts attached."""
+    from pyspark.sql import functions as F
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.quality import (
+        filter_gopher_quality,
+        redact_pii,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.streaming.ingest_stream import (
+        stream_quality_gate,
+    )
+
+    good = (
+        "The quick brown fox jumps over the lazy dog and runs to the "
+        "river bank where it finds that the water is cold and clear. "
+        "Every animal in the forest seems to have come down with the "
+        "same idea today; write to ranger@example.com with sightings. "
+        "The fox waits until the bears have finished drinking before "
+        "it steps forward to take a long drink of the cool water."
+    )
+    docs = spark.createDataFrame(
+        [(1, good), (2, "too short"), (3, good + " {code}"),
+         (4, good.replace("ranger@example.com", "10.0.0.1 instead"))],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs_in")
+    docs.repartition(2).write.parquet(src)
+    out = str(tmp_path / "gated")
+
+    streamed = stream_quality_gate(spark, src, out)
+    got = {r["doc_id"]: r for r in streamed.collect()}
+
+    want_ids = {
+        r["doc_id"]
+        for r in filter_gopher_quality(docs).select("doc_id").collect()
+    }
+    assert set(got) == want_ids == {1, 4}
+    # sink text is the REDACTED form
+    batch_red = {
+        r["doc_id"]: r
+        for r in redact_pii(filter_gopher_quality(docs)).collect()
+    }
+    for i in want_ids:
+        assert got[i]["text"] == batch_red[i]["text_redacted"]
+        assert got[i]["n_pii_email"] == batch_red[i]["n_pii_email"]
+    assert "ranger@example.com" not in got[1]["text"]
+    assert "<EMAIL>" in got[1]["text"]
+    assert "10.0.0.1" not in got[4]["text"]
+
+    # replay from a fresh checkpoint is idempotent (same sink rows)
+    streamed2 = stream_quality_gate(spark, src, out)
+    assert {r["doc_id"] for r in streamed2.collect()} == want_ids
+
+    # no-survivors steady state: typed empty frame, no schema error
+    junk = spark.createDataFrame([(9, "x")], "doc_id long, text string")
+    src2 = str(tmp_path / "junk_in")
+    junk.write.parquet(src2)
+    out2 = str(tmp_path / "gated2")
+    empty = stream_quality_gate(spark, src2, out2)
+    assert empty.count() == 0
+    assert "n_pii_email" in empty.columns
