@@ -236,6 +236,16 @@ def _extras_registry():
             )
         )
 
+    def corpus_card(spark, sf_dir):
+        """One-row dataset-card aggregate over the documents fixture —
+        times the single-scan multi-stat shape (incl. the exact
+        percentile + distinct-fingerprint members)."""
+        from hospital_stain_tracker_data_pipeline_spark.operators.quality import (
+            corpus_report,
+        )
+
+        return corpus_report(load_fixture_table(spark, sf_dir, "documents"))
+
     def html_extract(spark, sf_dir):
         """HTML -> text extraction over the documents fixture wrapped
         in deterministic synthetic markup (head/style/script noise +
@@ -344,6 +354,7 @@ def _extras_registry():
         "heavy_hitter_words": heavy_ngrams,
         "url_dedup": url_dedup,
         "gopher_pii_pass": gopher_and_pii,
+        "corpus_card": corpus_card,
         "html_extract": html_extract,
         "incremental_dedup": incremental_dedup,
         "quantize_embeddings": quantize_lake,

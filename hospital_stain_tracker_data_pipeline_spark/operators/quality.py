@@ -392,7 +392,7 @@ def filter_by_compression(
 
 
 def corpus_report(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text"
 ) -> DataFrame:
     """One-row "dataset card" for a document corpus — the summary a
     data release ships (and a curation run logs before/after): doc and
@@ -408,22 +408,34 @@ def corpus_report(
     ``approx_percentile`` like the sketch variants of the event
     percentiles).
 
+    Accounting contracts (round-8 review): token counts use
+    ``doc_token_count`` — a blank doc is 0 tokens, matching the
+    packers and the mixture planner, so the card's token mass
+    reconciles against ``packed_tokens``; NULL text is treated as
+    blank (counted in ``n_blank``, 0 tokens, same fingerprint as the
+    empty string); blank/NULL docs carry NULL quality so
+    ``mean_quality`` averages only docs with content.
+
     ONE projection + ONE aggregate over (n_tok, quality, fingerprint,
     blank) — no per-metric scans; the only expensive member is the
     distinct-fingerprint count, which is the price of an exact dup
     rate (the MinHash index is the cheap proxy when exactness isn't
     required)."""
     from ..functions.text import (
+        doc_token_count,
         fingerprint64_hex,
         quality_score,
-        token_count,
     )
 
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    blank = F.trim(text) == ""
     per_doc = df.select(
-        token_count(F.col(text_col)).alias("_nt"),
-        quality_score(F.col(text_col)).alias("_q"),
-        fingerprint64_hex(F.col(text_col)).alias("_fp"),
-        (F.trim(F.col(text_col)) == "").alias("_blank"),
+        doc_token_count(text).alias("_nt"),
+        F.when(blank, F.lit(None)).otherwise(
+            quality_score(text)
+        ).alias("_q"),
+        fingerprint64_hex(text).alias("_fp"),
+        blank.alias("_blank"),
     )
     n_docs = F.count(F.lit(1))
     return per_doc.agg(

@@ -236,6 +236,11 @@ def curate_documents(
         # shows up at the quality funnel (blank text) like any other
         # empty doc.
         docs = parse_html_documents(docs, html_col=html_col, text_col="text")
+        if html_col != "text":
+            # the raw markup (typically 5-10x the prose) must NOT ride
+            # through every downstream persist/shuffle/join — nothing
+            # after extraction reads it (round-8 review)
+            docs = docs.drop(html_col)
 
     n_cap: int | None = None
     n_url: int | None = None

@@ -33,11 +33,14 @@ def read_hhs_csv(
     """Read an HHS capacity CSV (local path or s3a:// URI), enforce the
     required-column contract, and project+rename to canonical names.
 
-    Numeric columns are cast to double (raw HHS data can carry
-    fractional averages); the date stays a string for the parse step to
-    validate (op-parse-date routes bad dates to rejects instead of
-    failing the batch — an improvement over the reference, which raises
-    on first bad date, ingest_capacity.py:15-20,126).
+    Numeric columns are try_cast to double (raw HHS data can carry
+    fractional averages; a non-numeric value becomes NULL and is then
+    rejected by op-validate-row's "is required" rule rather than
+    aborting the batch under ANSI mode); the date stays a string for
+    the parse step to validate (op-parse-date routes bad dates to
+    rejects instead of failing the batch — an improvement over the
+    reference, which raises on first bad value,
+    ingest_capacity.py:15-20,126).
     """
     mapping = mapping or HHS_COLUMN_MAPPING
     raw = spark.read.option("header", True).csv(path)
@@ -51,7 +54,7 @@ def read_hhs_csv(
         "staffed_adult_icu_bed_occupancy",
     }
     cols = [
-        (F.col(src).cast("double") if src in numeric else F.col(src)).alias(dst)
+        (F.col(src).try_cast("double") if src in numeric else F.col(src)).alias(dst)
         for src, dst in mapping.items()
     ]
     # _source_row: the distributed analog of the reference's reject

@@ -623,6 +623,7 @@ def stream_quality_gate(
     out_dir: str,
     schema: str = "doc_id long, text string",
     redact: bool = True,
+    text_col: str = "text",
     **gopher_thresholds,
 ) -> DataFrame:
     """Filter-on-ingest: documents STREAM in, the Gopher/C4 rule
@@ -640,7 +641,7 @@ def stream_quality_gate(
     micro-batch id with dynamic partition overwrite (the same
     effectively-exactly-once sink shape as the perplexity/dedup
     streams: a replayed batch rewrites its own partition). When
-    ``redact`` the sink's ``text`` column IS the redacted form (the
+    ``redact`` the sink's ``text_col`` column IS the redacted form (the
     raw text never lands — scrub-before-persist is the PII contract);
     the per-kind counts land as ``n_pii_email/ipv4/phone``. Returns a
     batch frame over the sink without the bookkeeping column."""
@@ -649,14 +650,19 @@ def stream_quality_gate(
     docs = spark.readStream.schema(schema).parquet(source_path)
 
     def _gate(batch_df: DataFrame) -> DataFrame:
-        clean = filter_gopher_quality(batch_df, **gopher_thresholds)
+        # text_col is an explicit parameter (NOT smuggled through the
+        # threshold kwargs) so the filter, the scrub, and the rebuilt
+        # output column all agree on which column is the text
+        clean = filter_gopher_quality(
+            batch_df, text_col=text_col, **gopher_thresholds
+        )
         if not redact:
             return clean
-        red = redact_pii(clean)
-        keep = [c for c in clean.columns if c != "text"]
+        red = redact_pii(clean, text_col=text_col)
+        keep = [c for c in clean.columns if c != text_col]
         return red.select(
             *keep,
-            F.col("text_redacted").alias("text"),
+            F.col("text_redacted").alias(text_col),
             "n_pii_email", "n_pii_ipv4", "n_pii_phone",
         )
 

@@ -58,6 +58,9 @@ REJECT_CASES = [
     (["2026-01-01", "CA", 100, 50, 10, 20], "icu_occupied cannot exceed icu_beds"),
     # first-match-wins: date NULL AND total_beds < 0 → date reason
     (["", "CA", -1, 50, "", ""], "date is required"),
+    # non-numeric bed count: try_cast → NULL → required-rule reject
+    # (ANSI mode would otherwise abort the whole batch on the cast)
+    (["2026-01-01", "CA", "NA", 50, "", ""], "total_beds is required"),
 ]
 
 
@@ -262,3 +265,24 @@ def test_scan_s3a_env_ceiling_is_the_jar_not_the_code(spark):
     msg = str(exc_info.value)
     assert "org.apache.hadoop.fs.s3a.S3AFileSystem" in msg
     assert "ClassNotFoundException" in msg
+
+
+def test_non_numeric_optional_icu_loads_as_null(spark, tmp_path):
+    """A non-numeric value in an OPTIONAL numeric column (icu_beds) must
+    not abort the batch (ANSI cast) nor reject the row — try_cast turns
+    it into NULL and the row loads with icu metrics absent, matching the
+    reference's coercion semantics (ingest_capacity.py:15-20)."""
+    csv_path = _write_csv(
+        str(tmp_path / "icu_na.csv"),
+        [["2026-02-01", "WA", 100, 50, "NA", "NA"]],
+    )
+    lake_dir = str(tmp_path / "tables")
+    res = ingest_capacity_csv(spark, csv_path, "icu-na", lake_dir)
+    assert res.rows_loaded == 1 and res.rows_rejected == 0
+    [row] = (
+        spark.read.parquet(os.path.join(lake_dir, "capacity_daily"))
+        .select("total_beds", "icu_beds", "icu_occupied")
+        .collect()
+    )
+    assert row["total_beds"] == 100.0
+    assert row["icu_beds"] is None and row["icu_occupied"] is None

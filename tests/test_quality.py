@@ -394,32 +394,48 @@ def test_compression_signals_exact_zlib_replay(spark, sf_dir):
             assert abs(r["zlib_ratio"] - want) <= 5e-7, r["doc_id"]
 
 
-def test_corpus_report_duckdb_replay(spark, sf_dir):
-    """The one-row dataset card replayed in DuckDB over the documents
-    fixture — token stats, exact percentiles (quantile_cont), mean
-    quality, and the fingerprint-based exact-dup rate."""
+def test_corpus_report_duckdb_replay(spark, sf_dir, tmp_path):
+    """The one-row dataset card replayed in DuckDB over (a) the
+    documents fixture and (b) a golden corpus with NULL text, blank
+    docs, and exact duplicates — token accounting uses the packers'
+    doc_token_count contract (blank/NULL = 0 tokens), quality is NULL
+    for contentless docs, NULL text fingerprints like the empty
+    string."""
+    import os
+
     from hospital_stain_tracker_data_pipeline_spark.operators.quality import (
         corpus_report,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    [got] = corpus_report(docs).collect()
-    con = duckdb.connect()
-    [want] = con.execute(
-        f"""
+    golden = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon of the day"),
+            (2, "alpha beta gamma delta epsilon of the day"),  # exact dup
+            (3, ""),                                           # blank
+            (4, None),                                         # NULL text
+            (5, "a completely different second document body"),
+        ],
+        "doc_id long, text string",
+    )
+    gpath = os.path.join(str(tmp_path), "golden.parquet")
+    golden.write.parquet(gpath)
+
+    oracle = """
         WITH per AS (
           SELECT
-            len(string_split_regex(trim(text), '\\s+')) AS nt,
-            round(0.5 * least(1.0,
-                len(string_split_regex(trim(text), '\\s+')) / 100.0)
-              + 0.5 * (1.0 -
-                len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-                    t -> t IN ('the','a','of','and','in','to'))) * 1.0
-                / len(string_split_regex(trim(text), '\\s+'))), 4) AS q,
-            substring(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
-                      1, 16) AS fp,
-            trim(text) = '' AS blank
-          FROM read_parquet('{sf_dir}/documents.parquet')
+            CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS nt,
+            CASE WHEN trim(coalesce(text, '')) = '' THEN NULL
+                 ELSE round(0.5 * least(1.0,
+                     len(string_split_regex(trim(text), '\\s+')) / 100.0)
+                   + 0.5 * (1.0 -
+                     len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> t IN ('the','a','of','and','in','to'))) * 1.0
+                     / len(string_split_regex(trim(text), '\\s+'))), 4) END AS q,
+            substring(md5(regexp_replace(lower(trim(coalesce(text, ''))),
+                                         '\\s+', ' ', 'g')), 1, 16) AS fp,
+            trim(coalesce(text, '')) = '' AS blank
+          FROM read_parquet('{path}')
         )
         SELECT count(*) AS n_docs,
                sum(CASE WHEN blank THEN 1 ELSE 0 END) AS n_blank,
@@ -433,17 +449,32 @@ def test_corpus_report_duckdb_replay(spark, sf_dir):
                round(1.0 - count(DISTINCT fp) * 1.0 / count(*), 6)
                  AS exact_dup_rate
         FROM per
-        """
-    ).fetchall()
-    con.close()
+    """
     names = [
         "n_docs", "n_blank", "total_tokens", "mean_tokens", "p50_tokens",
         "p90_tokens", "p99_tokens", "max_tokens", "mean_quality",
         "exact_dup_rate",
     ]
-    for i, name in enumerate(names):
-        g, w = got[name], want[i]
-        if isinstance(g, float):
-            assert g == pytest.approx(w, abs=1e-9), (name, g, w)
-        else:
-            assert int(g) == int(w), (name, g, w)
+    for path, frame in (
+        (f"{sf_dir}/documents.parquet", spark.read.parquet(f"{sf_dir}/documents.parquet")),
+        (f"{gpath}/*.parquet", golden),
+    ):
+        [got] = corpus_report(frame).collect()
+        con = duckdb.connect()
+        [want] = con.execute(oracle.format(path=path)).fetchall()
+        con.close()
+        for i, name in enumerate(names):
+            g, w = got[name], want[i]
+            if g is None or w is None:
+                assert g is None and w is None, (path, name, g, w)
+            elif isinstance(g, float):
+                assert g == pytest.approx(w, abs=1e-9), (path, name, g, w)
+            else:
+                assert int(g) == int(w), (path, name, g, w)
+    # golden spot values: 2 blank-ish (one NULL), dup pair collapses
+    [gr] = corpus_report(golden).collect()
+    assert gr["n_docs"] == 5 and gr["n_blank"] == 2
+    assert gr["total_tokens"] == 8 + 8 + 6
+    # 3 distinct fingerprints: the dup pair's, the shared blank/NULL
+    # empty-string print, and doc 5's
+    assert gr["exact_dup_rate"] == pytest.approx(1 - 3 / 5, abs=1e-9)

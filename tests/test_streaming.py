@@ -509,9 +509,18 @@ def test_stream_quality_gate_matches_batch(spark, tmp_path):
     assert "<EMAIL>" in got[1]["text"]
     assert "10.0.0.1" not in got[4]["text"]
 
-    # replay from a fresh checkpoint is idempotent (same sink rows)
+    # replay from a FRESH checkpoint re-processes batch 0 against the
+    # existing sink: dynamic partition overwrite rewrites the batch's
+    # own partition instead of appending duplicates (this is the
+    # effectively-exactly-once mechanism — reusing the old checkpoint
+    # would skip the batch and pin nothing)
+    import shutil
+
+    shutil.rmtree(os.path.join(out, "_checkpoint"))
     streamed2 = stream_quality_gate(spark, src, out)
-    assert {r["doc_id"] for r in streamed2.collect()} == want_ids
+    rows2 = streamed2.collect()
+    assert {r["doc_id"] for r in rows2} == want_ids
+    assert len(rows2) == len(want_ids)      # no appended duplicates
 
     # no-survivors steady state: typed empty frame, no schema error
     junk = spark.createDataFrame([(9, "x")], "doc_id long, text string")
