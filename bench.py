@@ -246,6 +246,51 @@ def _extras_registry():
 
         return corpus_report(load_fixture_table(spark, sf_dir, "documents"))
 
+    def warc_scan(spark, sf_dir):
+        """Crawl front-door throughput: the documents fixture wrapped
+        into a CommonCrawl-layout .warc.gz (one gzip member per
+        response record; built once per sf and reused, so the timing
+        is the distributed parse, not the rig), then
+        warc_to_documents — stream gunzip + WARC/HTTP envelope parse
+        + charset decode in mapInPandas tasks."""
+        import tempfile
+
+        from hospital_stain_tracker_data_pipeline_spark.sources.warc import (
+            http_response_block,
+            warc_to_documents,
+            write_warc,
+        )
+
+        n_files = 8  # the scale unit is the FILE — give the scan real fan-out
+        tag = sf_dir.strip("/").replace("/", "_")
+        base = os.path.join(tempfile.gettempdir(), f"bench_warc_{tag}")
+        paths = [os.path.join(base, f"crawl-{i}.warc.gz") for i in range(n_files)]
+        if not all(os.path.exists(p) for p in paths):
+            os.makedirs(base, exist_ok=True)
+            docs = (
+                load_fixture_table(spark, sf_dir, "documents")
+                .select("doc_id", "text")
+                .collect()
+            )
+            for i, p in enumerate(paths):
+                write_warc(
+                    p,
+                    (
+                        {
+                            "warc_type": "response",
+                            "target_uri": f"http://bench.example/{r['doc_id']}",
+                            "warc_date": "2026-01-01T00:00:00Z",
+                            "content_type": "application/http; msgtype=response",
+                            "block": http_response_block(
+                                (r["text"] or "").encode("utf-8")
+                            ),
+                        }
+                        for r in docs
+                        if r["doc_id"] % n_files == i
+                    ),
+                )
+        return warc_to_documents(spark, paths, parallelism=n_files)
+
     def html_extract(spark, sf_dir):
         """HTML -> text extraction over the documents fixture wrapped
         in deterministic synthetic markup (head/style/script noise +
@@ -355,6 +400,7 @@ def _extras_registry():
         "url_dedup": url_dedup,
         "gopher_pii_pass": gopher_and_pii,
         "corpus_card": corpus_card,
+        "warc_scan": warc_scan,
         "html_extract": html_extract,
         "incremental_dedup": incremental_dedup,
         "quantize_embeddings": quantize_lake,
