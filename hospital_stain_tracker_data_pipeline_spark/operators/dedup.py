@@ -803,7 +803,7 @@ def ngram_contamination(
 
 def connected_components_min_label(
     edges: DataFrame,
-    nodes: DataFrame,
+    nodes: DataFrame | None = None,
     node_col: str = "node",
     src_col: str = "src",
     dst_col: str = "dst",
@@ -819,6 +819,14 @@ def connected_components_min_label(
     state is truncated with localCheckpoint per iteration so lineage
     doesn't grow linearly with iterations. Iterations needed = graph
     diameter (near-dup clusters are shallow; ``max_iter`` is a guard).
+
+    ``nodes=None`` (the right default for dedup) label-propagates over
+    the EDGE-INCIDENT node set, derived from the already-materialized
+    symmetric edge list — no second execution of an expensive pair
+    producer, and at corpus scale the loop shuffles the duplicate
+    graph, never the corpus (docs in no pair are singletons by
+    definition). Pass an explicit ``nodes`` frame only when singleton
+    rows must appear in the output with ``cluster_id = node``.
     """
     # materialize the symmetric edge list ONCE — it is referenced by
     # every iteration's join, and a lazy producer (e.g. a full Jaccard
@@ -831,6 +839,8 @@ def connected_components_min_label(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if nodes is None:
+        nodes = sym.select(F.col("a").alias(node_col)).distinct()
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("label")
     ).localCheckpoint(eager=True)

@@ -77,12 +77,9 @@ def leakage_safe_split(
     (min-label CC + md5 buckets, no RNG)."""
     a, b = pair_cols
     edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    comp = connected_components_min_label(edges, nodes).select(
+    # nodes=None → edge-incident universe derived from the operator's
+    # own checkpointed edge list (a lazy pairs producer runs ONCE)
+    comp = connected_components_min_label(edges).select(
         F.col("node").alias(id_col), F.col("cluster_id").alias("_comp")
     )
     keyed = docs.join(comp, id_col, "left").withColumn(

@@ -335,13 +335,8 @@ def curate_documents(
         edges = pairs.select(
             F.col("id_a").alias("src"), F.col("id_b").alias("dst")
         )
-        nodes = (
-            edges.select(F.col("src").alias("node"))
-            .unionByName(edges.select(F.col("dst").alias("node")))
-            .distinct()
-        )
         clusters = materialize(
-            connected_components_min_label(edges, nodes)
+            connected_components_min_label(edges)
         )
         deduped = select_cluster_representatives(exact, clusters).persist(
             StorageLevel.MEMORY_AND_DISK

@@ -465,8 +465,11 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.3)
         .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
-    nodes = docs.select(F.col("doc_id").alias("node"))
-    out = connected_components_min_label(edges, nodes)
+    # nodes=None: label-propagate over EDGE-INCIDENT nodes only — docs
+    # in no pair are singletons and the >1 filter below discards them
+    # anyway, so at corpus scale the loop shuffles the duplicate
+    # graph, never the corpus
+    out = connected_components_min_label(edges)
     return (
         out.groupBy("cluster_id")
         .agg(F.count("*").alias("cluster_size"))

@@ -2201,3 +2201,21 @@ def test_connected_components_string_ids(spark):
         "a0": "a0", "b1": "a0", "c2": "a0", "d3": "a0",
         "x9": "x9", "y8": "x9", "lone": "lone",
     }
+
+
+def test_connected_components_default_node_universe(spark):
+    """nodes=None label-propagates over edge-incident nodes only —
+    identical labels for every node that touches an edge, and no
+    singleton rows (the dedup call sites treat absence as singleton)."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+        connected_components_min_label,
+    )
+
+    edges = spark.createDataFrame(
+        [(2, 5), (5, 9), (11, 12)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components_min_label(edges).collect()
+    }
+    assert got == {2: 2, 5: 2, 9: 2, 11: 11, 12: 11}
