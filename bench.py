@@ -265,8 +265,19 @@ def _extras_registry():
         tag = sf_dir.strip("/").replace("/", "_")
         base = os.path.join(tempfile.gettempdir(), f"bench_warc_{tag}")
         paths = [os.path.join(base, f"crawl-{i}.warc.gz") for i in range(n_files)]
-        if not all(os.path.exists(p) for p in paths):
+        # cache validity = a marker written AFTER all files complete,
+        # stamped with the source fixture's identity: a crash mid-write
+        # or a regenerated fixture must rebuild, not silently bench
+        # truncated/stale data
+        src = os.path.join(sf_dir, "documents.parquet")
+        st = os.stat(src)
+        stamp = f"{st.st_mtime_ns}:{st.st_size}:{n_files}"
+        marker = os.path.join(base, "_SUCCESS")
+        fresh = os.path.exists(marker) and open(marker).read() == stamp
+        if not fresh:
             os.makedirs(base, exist_ok=True)
+            if os.path.exists(marker):
+                os.remove(marker)
             docs = (
                 load_fixture_table(spark, sf_dir, "documents")
                 .select("doc_id", "text")
@@ -289,6 +300,8 @@ def _extras_registry():
                         if r["doc_id"] % n_files == i
                     ),
                 )
+            with open(marker, "w") as f:
+                f.write(stamp)
         return warc_to_documents(spark, paths, parallelism=n_files)
 
     def html_extract(spark, sf_dir):

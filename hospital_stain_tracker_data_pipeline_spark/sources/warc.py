@@ -29,8 +29,6 @@ from __future__ import annotations
 import io
 import zlib
 from collections.abc import Iterable, Iterator
-from email.parser import BytesHeaderParser
-
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -42,6 +40,10 @@ WARC_SCHEMA = T.StructType(
         # record start: compressed member offset for .gz input (the
         # CommonCrawl CDXJ index convention), raw byte offset otherwise
         T.StructField("record_offset", T.LongType(), False),
+        # ordinal within the gzip member (0 in the CC layout; records
+        # of a multi-record/whole-file-gzip member share an offset, so
+        # (offset, seq) is the unique record address in every layout)
+        T.StructField("record_seq", T.IntegerType(), False),
         T.StructField("warc_type", T.StringType(), True),
         T.StructField("record_id", T.StringType(), True),
         T.StructField("target_uri", T.StringType(), True),
@@ -140,7 +142,10 @@ def http_response_block(
 def _iter_gzip_members(stream) -> Iterator[tuple[int, bytes]]:
     """(compressed_member_offset, decompressed_bytes) per gzip member,
     streaming: only one member's decompressed bytes (one WARC record
-    for CC-layout files) are held at a time."""
+    for CC-layout files) are held at a time. A CORRUPT member (bit-rot,
+    non-gzip garbage between members) does not kill the file: the
+    iterator resyncs by scanning forward for the next gzip magic —
+    the malformed-record-skip contract applied at the member level."""
     offset = 0
     buf = b""
     chunk_size = 1 << 20
@@ -156,6 +161,7 @@ def _iter_gzip_members(stream) -> Iterator[tuple[int, bytes]]:
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
         out = bytearray()
         consumed_into = 0  # bytes of buf fed so far for this member
+        corrupt = False
         while True:
             if consumed_into == len(buf) and not eof:
                 got = stream.read(chunk_size)
@@ -168,7 +174,12 @@ def _iter_gzip_members(stream) -> Iterator[tuple[int, bytes]]:
                 if out:
                     yield offset, bytes(out)
                 return
-            out += d.decompress(feed)
+            try:
+                out += d.decompress(feed)
+            except zlib.error:
+                corrupt = True
+                consumed_into = len(buf)
+                break
             consumed_into = len(buf)
             if d.eof:
                 tail = d.unused_data
@@ -177,54 +188,110 @@ def _iter_gzip_members(stream) -> Iterator[tuple[int, bytes]]:
                 offset += member_len
                 buf = tail
                 break
+        if corrupt:
+            # resync: skip forward to the next gzip member magic
+            # (deflate magic byte \x08 required to cut false positives)
+            while True:
+                idx = buf.find(_GZIP_MAGIC + b"\x08", 1)
+                if idx >= 0:
+                    offset += idx
+                    buf = buf[idx:]
+                    break
+                if eof:
+                    return
+                # keep the last 2 bytes in case the magic straddles reads
+                offset += max(0, len(buf) - 2)
+                buf = buf[-2:] if len(buf) > 2 else buf
+                got = stream.read(chunk_size)
+                if not got:
+                    eof = True
+                buf += got
 
 
 def _iter_plain_records_raw(stream) -> Iterator[tuple[int, bytes]]:
     """(byte_offset, record_bytes) from an uncompressed WARC stream.
-    Splits on the version line + Content-Length header — no full-file
-    buffering; one record in memory at a time."""
+    Splits on the version line + Content-Length header. Buffer work is
+    amortized: a read cursor advances through the chunk buffer and the
+    buffer compacts once per chunk, not once per record — per-record
+    cost is O(record), not O(buffer)."""
     offset = 0
     buf = bytearray()
+    start = 0  # read cursor into buf
     chunk_size = 1 << 20
     eof = False
     while True:
+        # compact once the consumed prefix exceeds a chunk
+        if start >= chunk_size:
+            del buf[:start]
+            start = 0
         # ensure we have the full header block (terminated by CRLFCRLF)
-        while b"\r\n\r\n" not in buf and not eof:
+        while buf.find(b"\r\n\r\n", start) < 0 and not eof:
             got = stream.read(chunk_size)
             if not got:
                 eof = True
             buf += got
-        if not buf.strip():
+        if not bytes(buf[start:]).strip():
             return
-        head_end = buf.find(b"\r\n\r\n")
+        head_end = buf.find(b"\r\n\r\n", start)
         if head_end < 0:
             return  # trailing garbage without a header block
-        head = bytes(buf[:head_end])
-        clen = None
-        for line in head.split(_CRLF):
-            k, _, v = line.partition(b":")
-            if k.strip().lower() == b"content-length":
-                try:
-                    clen = int(v.strip())
-                except ValueError:
-                    clen = None
+        clen = _content_length(bytes(buf[start:head_end]))
         if clen is None:
             return  # unrecoverable: cannot find the block boundary
-        need = head_end + 4 + clen + 4  # block + trailing CRLFCRLF
+        # block + trailing CRLFCRLF
+        need = head_end + 4 + clen + 4
         while len(buf) < need and not eof:
             got = stream.read(chunk_size)
             if not got:
                 eof = True
             buf += got
-        rec = bytes(buf[: min(need, len(buf))])
-        yield offset, rec
-        offset += len(rec)
-        buf = buf[len(rec):]
-        if eof and not buf.strip():
+        end = min(need, len(buf))
+        yield offset, bytes(buf[start:end])
+        offset += end - start
+        start = end
+        if eof and not bytes(buf[start:]).strip():
             return
 
 
-_header_parser = BytesHeaderParser()
+def _parse_headers(head: bytes) -> dict[str, str]:
+    """WARC/HTTP header block → {name_lower: value} with FIRST-wins
+    duplicate semantics and folded-continuation handling. A hand-rolled
+    parser instead of ``email``: raw UTF-8 in header values (ubiquitous
+    in real crawls — non-ASCII target URIs) must come back as plain
+    ``str``, never ``email.header.Header`` objects that poison the
+    Arrow conversion. Values decode as UTF-8 with replacement."""
+    out: dict[str, str] = {}
+    last: str | None = None
+    for line in head.split(_CRLF):
+        if not line:
+            continue
+        if line[:1] in (b" ", b"\t") and last is not None:
+            out[last] += " " + line.strip().decode("utf-8", "replace")
+            continue
+        k, sep, v = line.partition(b":")
+        if not sep:
+            last = None
+            continue
+        key = k.strip().decode("utf-8", "replace").lower()
+        if key not in out:  # first occurrence wins
+            out[key] = v.strip().decode("utf-8", "replace")
+            last = key
+        else:
+            last = None
+    return out
+
+
+def _content_length(head: bytes) -> int | None:
+    """Content-Length from a header block via the SAME parser the
+    record parser uses — one length authority, so the splitter and the
+    field parser can never disagree on record boundaries."""
+    v = _parse_headers(head).get("content-length")
+    if v is None:
+        return None
+    try:
+        return int(v.strip())
+    except ValueError:
+        return None
 
 
 def _dechunk(body: bytes) -> bytes:
@@ -244,28 +311,34 @@ def _dechunk(body: bytes) -> bytes:
         return body
 
 
-def _parse_record(raw: bytes) -> dict | None:
-    """One WARC record's bytes → field dict, or None if malformed."""
-    if not raw.startswith(b"WARC/"):
-        return None
-    head_end = raw.find(b"\r\n\r\n")
+def _parse_record(raw: bytes, pos: int = 0) -> tuple[dict | None, int]:
+    """Parse one WARC record at byte offset ``pos`` of ``raw``.
+    Returns ``(fields, next_pos)`` — or ``(None, len(raw))`` if
+    malformed (which also terminates a multi-record walk: record
+    boundaries come from Content-Length, so a record whose length
+    can't be trusted makes everything after it unaddressable).
+    Offset-based (no per-record slice copies) and the SAME
+    ``_content_length`` authority as the plain-stream splitter."""
+    if not raw.startswith(b"WARC/", pos):
+        return None, len(raw)
+    head_end = raw.find(b"\r\n\r\n", pos)
     if head_end < 0:
-        return None
-    first_nl = raw.find(_CRLF)
-    fields = _header_parser.parsebytes(raw[first_nl + 2 : head_end + 2])
-    try:
-        clen = int(fields.get("Content-Length", "").strip())
-    except ValueError:
-        return None
+        return None, len(raw)
+    first_nl = raw.find(_CRLF, pos)
+    fields = _parse_headers(raw[first_nl + 2 : head_end])
+    clen = _content_length(raw[first_nl + 2 : head_end])
+    if clen is None:
+        return None, len(raw)
     block = raw[head_end + 4 : head_end + 4 + clen]
     if len(block) < clen:
-        return None  # truncated record
-    ctype = fields.get("Content-Type")
+        return None, len(raw)  # truncated record
+    next_pos = head_end + 4 + clen + 4
+    ctype = fields.get("content-type")
     rec = {
-        "warc_type": fields.get("WARC-Type"),
-        "record_id": fields.get("WARC-Record-ID"),
-        "target_uri": fields.get("WARC-Target-URI"),
-        "warc_date": fields.get("WARC-Date"),
+        "warc_type": fields.get("warc-type"),
+        "record_id": fields.get("warc-record-id"),
+        "target_uri": fields.get("warc-target-uri"),
+        "warc_date": fields.get("warc-date"),
         "content_type": ctype,
         "http_status": None,
         "http_content_type": None,
@@ -275,7 +348,7 @@ def _parse_record(raw: bytes) -> dict | None:
         split = block.find(b"\r\n\r\n")
         if split >= 0:
             status_line, _, header_bytes = block[:split].partition(_CRLF)
-            http = _header_parser.parsebytes(header_bytes + _CRLF)
+            http = _parse_headers(header_bytes)
             body = block[split + 4 :]
             parts = status_line.split()
             if len(parts) >= 2 and parts[0].startswith(b"HTTP/"):
@@ -283,19 +356,28 @@ def _parse_record(raw: bytes) -> dict | None:
                     rec["http_status"] = int(parts[1])
                 except ValueError:
                     pass
-            rec["http_content_type"] = http.get("Content-Type")
-            if (http.get("Transfer-Encoding") or "").lower().strip() == "chunked":
+            rec["http_content_type"] = http.get("content-type")
+            if (http.get("transfer-encoding") or "").lower().strip() == "chunked":
                 body = _dechunk(body)
             rec["payload"] = body
-    return rec
+    return rec, next_pos
 
 
-def iter_warc_records(path: str) -> Iterator[tuple[int, dict]]:
-    """(record_offset, fields) for every well-formed record in a local
-    or ``pyarrow.fs``-resolvable WARC file; malformed records are
-    skipped (crawl files DO carry truncated captures — one bad record
-    must not kill a 1 GB file, the op-validate-row philosophy applied
-    to a binary source)."""
+def iter_warc_records(path: str) -> Iterator[tuple[int, int, dict]]:
+    """(record_offset, record_seq, fields) for every well-formed record
+    in a local or ``pyarrow.fs``-resolvable WARC file; malformed
+    records are skipped (crawl files DO carry truncated captures — one
+    bad record must not kill a 1 GB file, the op-validate-row
+    philosophy applied to a binary source).
+
+    ``record_seq`` is the record's ordinal WITHIN its gzip member
+    (always 0 for the CommonCrawl one-record-per-member layout; 0..n
+    for whole-file-gzipped or multi-record members, which all share
+    the member's compressed offset) — ``(offset, seq)`` is therefore a
+    unique record address in every layout. Memory is bounded by the
+    largest gzip MEMBER (== one record for the CC layout; a
+    whole-file-gzip degrades to file-sized, which is why CC shards
+    per-record — noted, not hidden)."""
     stream = _open_stream(path)
     try:
         head = stream.read(2)
@@ -306,30 +388,16 @@ def iter_warc_records(path: str) -> Iterator[tuple[int, dict]]:
             else _iter_plain_records_raw(stream)
         )
         for offset, raw in members:
-            # a gzip member may carry several records (non-CC writers);
-            # all share the member's compressed offset
             pos = 0
+            seq = 0
             while pos < len(raw):
-                if not raw[pos:].strip():
-                    break
-                rec = _parse_record(raw[pos:])
+                rec, pos = _parse_record(raw, pos)
                 if rec is None:
                     break
-                yield offset, rec
-                pos = _next_record_pos(raw, pos)
+                yield offset, seq, rec
+                seq += 1
     finally:
         stream.close()
-
-
-def _next_record_pos(raw: bytes, pos: int) -> int:
-    head_end = raw.index(b"\r\n\r\n", pos)
-    head = raw[pos:head_end]
-    clen = 0
-    for line in head.split(_CRLF):
-        k, _, v = line.partition(b":")
-        if k.strip().lower() == b"content-length":
-            clen = int(v.strip())
-    return head_end + 4 + clen + 4
 
 
 class _Unread:
@@ -378,13 +446,40 @@ def read_warc(
     ``warc_types`` filters record types during the parse (response
     records are the corpus; request/metadata/warcinfo are bookkeeping),
     so filtered records never materialize in Arrow.
+
+    A glob that matches nothing raises ``FileNotFoundError`` (Spark's
+    own readers fail on an empty glob too) — a 100 TB ingest must
+    never silently become an empty corpus. Remote-URI globs
+    (``s3://bucket/crawl/*.warc.gz``) list via ``pyarrow.fs`` +
+    fnmatch on the final path segment; an explicit empty list is the
+    only way to get an empty (typed) frame.
     """
+    import fnmatch
     import glob as globmod
+    import posixpath
 
     if isinstance(paths, str):
-        listed = sorted(globmod.glob(paths)) if any(
-            ch in paths for ch in "*?["
-        ) else [paths]
+        if not any(ch in paths for ch in "*?["):
+            listed = [paths]
+        elif "://" in paths:
+            from pyarrow import fs as pafs
+
+            scheme = paths.split("://", 1)[0]
+            filesystem, pat = pafs.FileSystem.from_uri(paths)
+            dirname, base = posixpath.split(pat)
+            infos = filesystem.get_file_info(
+                pafs.FileSelector(dirname, recursive=False)
+            )
+            listed = sorted(
+                f"{scheme}://{i.path}"
+                for i in infos
+                if i.is_file
+                and fnmatch.fnmatch(posixpath.basename(i.path), base)
+            )
+        else:
+            listed = sorted(globmod.glob(paths))
+        if not listed:
+            raise FileNotFoundError(f"no WARC files match {paths!r}")
     else:
         listed = sorted(paths)
     if not listed:
@@ -399,13 +494,14 @@ def read_warc(
         for pdf in batches:
             for path in pdf["warc_file"]:
                 rows = []
-                for offset, rec in iter_warc_records(path):
+                for offset, seq, rec in iter_warc_records(path):
                     if want is not None and rec["warc_type"] not in want:
                         continue
                     rows.append(
                         {
                             "warc_file": path,
                             "record_offset": offset,
+                            "record_seq": seq,
                             **{
                                 k: rec[k]
                                 for k in (
@@ -446,7 +542,13 @@ def warc_payload_text(
                 continue
             charset = "utf-8"
             if isinstance(c, str) and "charset=" in c.lower():
-                charset = c.lower().split("charset=")[1].split(";")[0].strip() or "utf-8"
+                # strip RFC 9110 quoting: charset="iso-8859-1" is legal
+                # and common — quotes left in would LookupError every
+                # such page into mojibake-by-fallback
+                charset = (
+                    c.lower().split("charset=")[1].split(";")[0]
+                    .strip().strip("\"'").strip()
+                ) or "utf-8"
             try:
                 out.append(bytes(raw).decode(charset, errors="replace"))
             except LookupError:  # unknown charset label in the wild
@@ -464,13 +566,15 @@ def warc_to_documents(
     """The crawl front-door: WARC response records →
     ``(doc_id, url, fetch_date, html)`` ready for
     ``curate_documents(..., html_col="html", url_col="url")``.
-    ``doc_id`` is the 64-bit hash of (file, offset) — deterministic,
-    collision-checked by the exact-dedup stage downstream."""
+    ``doc_id`` is the 64-bit hash of (file, offset, seq) —
+    deterministic and unique for every layout incl. multi-record gzip
+    members, where records share the member offset and only ``seq``
+    separates them."""
     recs = read_warc(spark, paths, warc_types=("response",), parallelism=parallelism)
     return (
         warc_payload_text(recs, out_col="html")
         .select(
-            F.xxhash64("warc_file", "record_offset").alias("doc_id"),
+            F.xxhash64("warc_file", "record_offset", "record_seq").alias("doc_id"),
             F.col("target_uri").alias("url"),
             F.col("warc_date").alias("fetch_date"),
             "html",

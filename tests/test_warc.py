@@ -80,24 +80,26 @@ def test_roundtrip_all_record_types(tmp_path, compress):
     offsets = write_warc(path, records, compress=compress)
 
     got = list(iter_warc_records(path))
-    assert [o for o, _ in got] == offsets  # offset contract, both layouts
-    assert [r["warc_type"] for _, r in got] == [
+    assert [o for o, _, _ in got] == offsets  # offset contract, both layouts
+    assert all(s == 0 for _, s, _ in got)     # one record per member/split
+    assert [r["warc_type"] for _, _, r in got] == [
         "warcinfo", "request", "response", "response", "metadata",
     ]
+    recs = [r for _, _, r in got]
     # non-http records keep the raw block as payload
-    assert got[0][1]["payload"] == b"software: test-rig/1.0\r\n"
-    assert got[0][1]["http_status"] is None
+    assert recs[0]["payload"] == b"software: test-rig/1.0\r\n"
+    assert recs[0]["http_status"] is None
     # http request: headers stripped, empty body
-    assert got[1][1]["payload"] == b""
+    assert recs[1]["payload"] == b""
     # plain response: body extracted, status + content-type parsed
-    assert got[2][1]["payload"] == body_a
-    assert got[2][1]["http_status"] == 200
-    assert got[2][1]["http_content_type"] == "text/html; charset=utf-8"
+    assert recs[2]["payload"] == body_a
+    assert recs[2]["http_status"] == 200
+    assert recs[2]["http_content_type"] == "text/html; charset=utf-8"
     # chunked response: transfer-coding undone, latin-1 charset kept
-    assert got[3][1]["payload"] == body_b
-    assert got[3][1]["http_status"] == 404
-    assert got[3][1]["target_uri"] == "http://b.example/missing"
-    for (_, r), want in zip(got, records):
+    assert recs[3]["payload"] == body_b
+    assert recs[3]["http_status"] == 404
+    assert recs[3]["target_uri"] == "http://b.example/missing"
+    for r, want in zip(recs, records):
         assert r["record_id"] == want["record_id"]
 
 
@@ -219,3 +221,140 @@ def test_warc_to_documents_curate_composition(spark, tmp_path):
     want_tokens = sum(len(t.split()) for t in prose)
     assert report.packed_tokens == want_tokens
     assert chunks.count() > 0
+
+
+def test_whole_file_gzip_multi_record_member(tmp_path):
+    """A whole-file-gzipped WARC (one member, many records — valid
+    gzip from `gzip file.warc`, a layout non-CC writers produce): all
+    records parse, share the member offset, and get distinct seq
+    ordinals, so (offset, seq) — and therefore doc_id — stays unique."""
+    records, body_a, _ = _sample_records()
+    plain = str(tmp_path / "w.warc")
+    write_warc(plain, records, compress=False)
+    wf = str(tmp_path / "w.warc.gz")
+    with open(plain, "rb") as src, open(wf, "wb") as dst:
+        dst.write(gzip.compress(src.read()))
+    got = list(iter_warc_records(wf))
+    assert len(got) == len(records)
+    assert {o for o, _, _ in got} == {0}
+    assert [s for _, s, _ in got] == list(range(len(records)))
+    assert got[2][2]["payload"] == body_a
+
+
+def test_whole_file_gzip_distinct_doc_ids(spark, tmp_path):
+    records, _, _ = _sample_records()
+    plain = str(tmp_path / "w.warc")
+    write_warc(plain, records, compress=False)
+    wf = str(tmp_path / "w.warc.gz")
+    with open(plain, "rb") as src, open(wf, "wb") as dst:
+        dst.write(gzip.compress(src.read()))
+    rows = warc_to_documents(spark, [wf]).collect()
+    assert len(rows) == 2
+    assert len({r["doc_id"] for r in rows}) == 2  # seq disambiguates
+
+
+def test_corrupt_gzip_member_resyncs(tmp_path):
+    """Bit-rot / non-gzip garbage BETWEEN members must not kill the
+    file: the reader resyncs to the next member magic and later
+    records survive (the malformed-skip contract at member level)."""
+    records, _, _ = _sample_records()
+    path = str(tmp_path / "rot.warc.gz")
+    offs = write_warc(path, records, compress=True)
+    blob = open(path, "rb").read()
+    # corrupt record 1's deflate stream mid-member (keep its magic),
+    # leaving records 0 and 2..4 intact
+    cut = offs[1] + 12
+    mangled = blob[:cut] + b"\x99\x99\x99\x99" + blob[cut + 4:]
+    open(path, "wb").write(mangled)
+    got = list(iter_warc_records(path))
+    ids = [r["record_id"] for _, _, r in got]
+    assert records[0]["record_id"] in ids
+    assert records[2]["record_id"] in ids and records[4]["record_id"] in ids
+    assert len(got) >= len(records) - 1
+    # offsets of the surviving post-corruption records still match
+    surviving = {o for o, _, _ in got}
+    assert offs[2] in surviving and offs[4] in surviving
+
+
+def test_non_ascii_header_values(tmp_path):
+    """Raw UTF-8 in header values (ubiquitous in real crawls) must come
+    back as plain str — never email.header.Header objects that poison
+    the Arrow conversion."""
+    path = str(tmp_path / "u.warc.gz")
+    write_warc(
+        path,
+        [
+            {
+                "warc_type": "response",
+                "target_uri": "http://e.example/café-résumé",
+                "content_type": "application/http; msgtype=response",
+                "block": http_response_block("page".encode()),
+            }
+        ],
+    )
+    [(_, _, rec)] = list(iter_warc_records(path))
+    assert isinstance(rec["target_uri"], str)
+    assert rec["target_uri"] == "http://e.example/café-résumé"
+
+
+def test_duplicate_content_length_first_wins_consistent(tmp_path):
+    """Duplicate Content-Length headers: the splitter and the field
+    parser share ONE first-wins authority, so records after the
+    ambiguous one still parse instead of silently vanishing."""
+    # hand-build a plain WARC: record 0 with two Content-Length
+    # headers (first one correct), then a normal record
+    block0 = b"0123456789"
+    rec0 = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: resource\r\n"
+        b"WARC-Record-ID: <urn:a>\r\n"
+        + b"Content-Length: " + str(len(block0)).encode() + b"\r\n"
+        b"Content-Length: 4\r\n"
+        b"\r\n" + block0 + b"\r\n\r\n"
+    )
+    block1 = b"second"
+    rec1 = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: resource\r\n"
+        b"WARC-Record-ID: <urn:b>\r\n"
+        + b"Content-Length: " + str(len(block1)).encode() + b"\r\n"
+        b"\r\n" + block1 + b"\r\n\r\n"
+    )
+    path = str(tmp_path / "dup.warc")
+    open(path, "wb").write(rec0 + rec1)
+    got = list(iter_warc_records(path))
+    assert [r["record_id"] for _, _, r in got] == ["<urn:a>", "<urn:b>"]
+    assert got[0][2]["payload"] == block0
+    assert got[1][2]["payload"] == block1
+    assert got[1][0] == len(rec0)  # offsets agree with the length authority
+
+
+def test_quoted_charset_decodes(spark, tmp_path):
+    """RFC 9110 quoted charset (charset="iso-8859-1") must decode with
+    the declared codec, not fall back to utf-8 mojibake."""
+    body = "smörgåsbord äöå".encode("iso-8859-1")
+    path = str(tmp_path / "q.warc.gz")
+    write_warc(
+        path,
+        [
+            {
+                "warc_type": "response",
+                "target_uri": "http://q.example/",
+                "content_type": "application/http; msgtype=response",
+                "block": http_response_block(
+                    body, content_type='text/html; charset="iso-8859-1"'
+                ),
+            }
+        ],
+    )
+    [row] = warc_payload_text(read_warc(spark, [path])).collect()
+    assert row["text"] == "smörgåsbord äöå"
+
+
+def test_empty_glob_raises(spark, tmp_path):
+    """A glob matching nothing raises — a 100 TB ingest must never
+    silently become an empty corpus. An explicit empty list is the
+    only way to an empty typed frame."""
+    with pytest.raises(FileNotFoundError):
+        read_warc(spark, str(tmp_path / "nothing-*.warc.gz"))
+    assert read_warc(spark, []).count() == 0
