@@ -3,4 +3,5 @@
 from .ingest_stream import (  # noqa: F401
     stream_ingest_events,
     stream_quality_gate,
+    stream_warc_ingest,
 )

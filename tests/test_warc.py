@@ -358,3 +358,39 @@ def test_empty_glob_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_warc(spark, str(tmp_path / "nothing-*.warc.gz"))
     assert read_warc(spark, []).count() == 0
+
+
+def test_stream_warc_ingest_matches_batch(spark, tmp_path):
+    """Streaming twin: files landing incrementally produce exactly the
+    batch warc_to_documents rows; a second run with no new files adds
+    nothing; a file landing later is picked up as a new batch."""
+    import os
+
+    from hospital_stain_tracker_data_pipeline_spark.streaming.ingest_stream import (
+        stream_warc_ingest,
+    )
+
+    records, _, _ = _sample_records()
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "docs")
+    os.makedirs(src)
+    write_warc(os.path.join(src, "a.warc.gz"), records)
+
+    got1 = stream_warc_ingest(spark, src, out)
+    batch = warc_to_documents(spark, os.path.join(src, "a.warc.gz"))
+    want = {
+        (r["doc_id"], r["url"], r["html"]) for r in batch.collect()
+    }
+    assert {
+        (r["doc_id"], r["url"], r["html"]) for r in got1.collect()
+    } == want and len(want) == 2
+
+    # no new files: idempotent
+    got2 = stream_warc_ingest(spark, src, out)
+    assert got2.count() == 2
+
+    # a late-landing file becomes a new batch; earlier rows unchanged
+    write_warc(os.path.join(src, "b.warc.gz"), records[2:4])
+    got3 = stream_warc_ingest(spark, src, out)
+    assert got3.count() == 4
+    assert len({r["doc_id"] for r in got3.collect()}) == 4
