@@ -580,3 +580,67 @@ def warc_to_documents(
             "html",
         )
     )
+
+
+def warc_cdx_index(records: DataFrame) -> DataFrame:
+    """Derive the CDX-style capture index from a ``read_warc`` frame —
+    the lookup table crawl archives ship beside the WARC files
+    (public CDXJ convention: canonical URL → file + compressed member
+    offset). One narrow projection; persist it as the corpus's
+    random-access sidecar and ``fetch_warc_record`` resolves any row
+    back to its record without scanning the file."""
+    from ..operators.web import canonicalize_url
+
+    return records.select(
+        canonicalize_url(F.col("target_uri")).alias("url_key"),
+        F.col("target_uri").alias("url"),
+        F.col("warc_date"),
+        F.col("warc_file"),
+        F.col("record_offset"),
+        F.col("record_seq"),
+        F.col("http_status"),
+        F.col("http_content_type").alias("mime"),
+        F.length("payload").alias("payload_len"),
+    )
+
+
+def fetch_warc_record(
+    path: str, offset: int, seq: int = 0
+) -> dict | None:
+    """Random access: read ONE record from a WARC file by its index
+    pointer — seek to the compressed member offset (``.gz``; the CDXJ
+    convention) or raw byte offset (plain) and parse just that member.
+    The driver-side counterpart of the distributed scan: what a
+    serving layer or a spot-checking notebook calls with a
+    ``warc_cdx_index`` row; no Spark involved."""
+    if "://" in path:
+        from pyarrow import fs as pafs
+
+        filesystem, p = pafs.FileSystem.from_uri(path)
+        # open_input_FILE: the seekable handle (open_input_stream isn't)
+        stream = filesystem.open_input_file(p)
+    else:
+        stream = open(path, "rb")
+    try:
+        head = stream.read(2)
+        is_gz = head == _GZIP_MAGIC
+        # local files seek; pyarrow input streams for remote URIs do too
+        stream.seek(offset)
+        if is_gz:
+            first = _iter_gzip_members(stream)
+        else:
+            first = _iter_plain_records_raw(stream)
+        for _, raw in first:
+            pos = 0
+            s = 0
+            while pos < len(raw):
+                rec, pos = _parse_record(raw, pos)
+                if rec is None:
+                    return None
+                if s == seq:
+                    return rec
+                s += 1
+            return None  # seq beyond the member's record count
+        return None
+    finally:
+        stream.close()

@@ -394,3 +394,50 @@ def test_stream_warc_ingest_matches_batch(spark, tmp_path):
     got3 = stream_warc_ingest(spark, src, out)
     assert got3.count() == 4
     assert len({r["doc_id"] for r in got3.collect()}) == 4
+
+
+def test_cdx_index_and_fetch(spark, tmp_path):
+    """The CDX sidecar derives from the scan frame and every index row
+    resolves back to its exact record via seek — including records that
+    share a member offset and differ only in seq (whole-file gzip)."""
+    from hospital_stain_tracker_data_pipeline_spark.sources.warc import (
+        fetch_warc_record,
+        warc_cdx_index,
+    )
+
+    records, body_a, body_b = _sample_records()
+    p1 = str(tmp_path / "a.warc.gz")
+    write_warc(p1, records)
+    idx = warc_cdx_index(read_warc(spark, [p1])).collect()
+    assert len(idx) == 2
+    for row in idx:
+        rec = fetch_warc_record(
+            row["warc_file"], row["record_offset"], row["record_seq"]
+        )
+        assert rec is not None
+        assert rec["target_uri"] == row["url"]
+        assert len(rec["payload"]) == row["payload_len"]
+    got = {
+        bytes(
+            fetch_warc_record(r["warc_file"], r["record_offset"])["payload"]
+        )
+        for r in idx
+    }
+    assert got == {body_a, body_b}
+    # canonical url_key present (dedup key of the capture index)
+    assert all(r["url_key"] for r in idx)
+
+    # whole-file gzip: same offset, seq distinguishes
+    plain = str(tmp_path / "w.warc")
+    write_warc(plain, records, compress=False)
+    wf = str(tmp_path / "w.warc.gz")
+    with open(plain, "rb") as src, open(wf, "wb") as dst:
+        dst.write(gzip.compress(src.read()))
+    r2 = fetch_warc_record(wf, 0, seq=2)
+    r3 = fetch_warc_record(wf, 0, seq=3)
+    assert r2["payload"] == body_a and r3["payload"] == body_b
+    assert fetch_warc_record(wf, 0, seq=99) is None
+    # plain file: raw byte offsets seek directly
+    offs = write_warc(plain, records, compress=False)
+    rp = fetch_warc_record(plain, offs[3])
+    assert rp["payload"] == body_b
