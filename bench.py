@@ -133,6 +133,27 @@ def _extras_registry():
         lm = train_ngram_lm(docs, n=2, k=0.1, min_count=2)
         return score_perplexity(docs, lm)
 
+    def text_probe(spark, sf_dir):
+        """Train-and-apply a hashed-feature logistic classifier on raw
+        text (langid as the stand-in label): times the featurizer's
+        JVM-side gram/bucket aggregations plus 8 distributed GD passes
+        and the scoring pass."""
+        from pyspark.sql import functions as F
+
+        from hospital_stain_tracker_data_pipeline_spark.operators.features import (
+            score_text_probe,
+            train_text_probe,
+        )
+        from hospital_stain_tracker_data_pipeline_spark.operators.inference import (
+            linear_probe_scorer,
+        )
+
+        docs = load_fixture_table(spark, sf_dir, "documents").withColumn(
+            "label", (F.col("lang") == "en").cast("double")
+        )
+        w, b, _ = train_text_probe(docs, dim=64, iters=8, lr=1.0)
+        return score_text_probe(docs, linear_probe_scorer(w, b), dim=64)
+
     def mixture(spark, sf_dir):
         docs = load_fixture_table(spark, sf_dir, "documents")
         stats = source_token_stats(docs)
@@ -402,6 +423,7 @@ def _extras_registry():
 
     return {
         "lm_train_score": lm_train_score,
+        "text_probe": text_probe,
         "mixture_sample_tokens": mixture,
         "domain_cap": domain_cap,
         "no_split_pack": no_split_pack,

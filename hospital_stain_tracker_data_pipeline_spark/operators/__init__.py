@@ -87,3 +87,8 @@ from .multimodal import (  # noqa: F401
     extract_video_features,
     sample_video_frames,
 )
+from .features import (  # noqa: F401
+    hashed_text_features,
+    score_text_probe,
+    train_text_probe,
+)
