@@ -28,12 +28,12 @@ from ..functions.text import normalized_text
 
 
 def _bucket(gram: Column, dim: int) -> Column:
-    """md5-derived stable bucket in [0, dim) — same construction as
-    ``splits.split_bucket`` / the dedup oracles (engine-portable)."""
-    return (
-        F.conv(F.substring(F.md5(gram), 1, 15), 16, 10)
-        .cast("long") % F.lit(dim)
-    ).cast("int")
+    """md5-derived stable bucket in [0, dim) — delegates to the ONE
+    engine-portable hash construction (``splits.split_bucket``) so a
+    change to the cross-engine convention can't silently diverge."""
+    from .splits import split_bucket
+
+    return split_bucket(gram, dim).cast("int")
 
 
 def hashed_text_features(
@@ -95,15 +95,27 @@ def hashed_text_features(
         ).cast("double"),
     )
     if normalize:
-        norm = F.sqrt(
-            F.aggregate(
-                dense, F.lit(0.0), lambda acc, x: acc + x * x
-            )
+        # bind dense and the norm as COLUMNS before the normalizing
+        # lambda touches them: a lambda referencing the inline
+        # aggregate would re-evaluate it per element (the HOF-CSE
+        # pitfall — O(dim²) map lookups per doc)
+        bound = maps.select(F.col(id_col), dense.alias("_dense")).select(
+            F.col(id_col),
+            F.col("_dense"),
+            F.sqrt(
+                F.aggregate(
+                    F.col("_dense"), F.lit(0.0), lambda acc, x: acc + x * x
+                )
+            ).alias("_norm"),
         )
-        vec = F.transform(dense, lambda x: F.round(x / norm, 6))
+        feats = bound.select(
+            F.col(id_col),
+            F.transform(
+                F.col("_dense"), lambda x: F.round(x / F.col("_norm"), 6)
+            ).alias(out_col),
+        )
     else:
-        vec = dense
-    feats = maps.select(F.col(id_col), vec.alias(out_col))
+        feats = maps.select(F.col(id_col), dense.alias(out_col))
     # blank docs produce no gram rows → absent from `feats` → NULL via
     # the left join, which IS the contract
     return df.join(feats, id_col, "left")

@@ -630,7 +630,13 @@ def fetch_warc_record(
             first = _iter_gzip_members(stream)
         else:
             first = _iter_plain_records_raw(stream)
-        for _, raw in first:
+        for rel_off, raw in first:
+            if rel_off != 0:
+                # the member AT the pointer was corrupt/stale and the
+                # iterator resynced forward — in random access that
+                # must be "not found", never a DIFFERENT record served
+                # as if it were the requested one
+                return None
             pos = 0
             s = 0
             while pos < len(raw):

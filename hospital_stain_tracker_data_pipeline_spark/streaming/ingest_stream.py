@@ -508,27 +508,10 @@ def stream_score_perplexity(
 
     docs = spark.readStream.schema(schema).parquet(source_path)
 
-    def _score_batch(batch_df: DataFrame, epoch: int) -> None:
-        (
-            score_perplexity(batch_df, lm)
-            .withColumn("_batch_id", F.lit(epoch))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch_id")
-            .parquet(out_dir)
-        )
-
-    q = (
-        docs.writeStream.foreachBatch(_score_batch)
-        .option(
-            "checkpointLocation", os.path.join(out_dir, "_checkpoint")
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return _read_batch_sink(
+    return _run_batch_sink_stream(
         spark,
+        docs,
+        lambda batch_df: score_perplexity(batch_df, lm),
         out_dir,
         empty=lambda: score_perplexity(
             spark.createDataFrame([], schema), lm
@@ -550,6 +533,47 @@ def _read_batch_sink(spark: SparkSession, out_dir: str, empty):
         return spark.read.parquet(out_dir).drop("_batch_id")
     except AnalysisException:
         return empty().limit(0)
+
+
+def _run_batch_sink_stream(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    batch_fn,
+    out_dir: str,
+    empty,
+) -> DataFrame:
+    """The module's ONE effectively-exactly-once sink runner (the
+    perplexity / incremental-dedup / quality-gate / WARC streams all
+    share it): per micro-batch, ``batch_fn(batch_df)`` produces the
+    rows to land (or ``None`` to skip the write entirely), which are
+    partitioned by micro-batch id and written with dynamic partition
+    overwrite — a replayed batch rewrites its own partition, never
+    appends. Checkpoint lives under ``out_dir/_checkpoint``
+    (underscore-hidden from the read-back), one availableNow pass,
+    then the batch view of the sink via ``_read_batch_sink``."""
+
+    def _write(batch_df: DataFrame, epoch: int) -> None:
+        out = batch_fn(batch_df)
+        if out is None:
+            return
+        (
+            out.withColumn("_batch_id", F.lit(epoch))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_write)
+        .option(
+            "checkpointLocation", os.path.join(out_dir, "_checkpoint")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _read_batch_sink(spark, out_dir, empty)
 
 
 def stream_dedup_against_corpus(
@@ -590,30 +614,15 @@ def stream_dedup_against_corpus(
 
     docs = spark.readStream.schema(schema).parquet(source_path)
 
-    def _dedup_batch(batch_df: DataFrame, epoch: int) -> None:
-        (
-            dedup_against_corpus(
-                batch_df, corpus_index, threshold,
-                num_hashes=num_hashes, bands=bands, k=k,
-            )
-            .withColumn("_batch_id", F.lit(epoch))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch_id")
-            .parquet(out_dir)
-        )
-
-    q = (
-        docs.writeStream.foreachBatch(_dedup_batch)
-        .option(
-            "checkpointLocation", os.path.join(out_dir, "_checkpoint")
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return _read_batch_sink(
-        spark, out_dir, empty=lambda: spark.createDataFrame([], schema)
+    return _run_batch_sink_stream(
+        spark,
+        docs,
+        lambda batch_df: dedup_against_corpus(
+            batch_df, corpus_index, threshold,
+            num_hashes=num_hashes, bands=bands, k=k,
+        ),
+        out_dir,
+        empty=lambda: spark.createDataFrame([], schema),
     )
 
 
@@ -666,27 +675,10 @@ def stream_quality_gate(
             "n_pii_email", "n_pii_ipv4", "n_pii_phone",
         )
 
-    def _gate_batch(batch_df: DataFrame, epoch: int) -> None:
-        (
-            _gate(batch_df)
-            .withColumn("_batch_id", F.lit(epoch))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch_id")
-            .parquet(out_dir)
-        )
-
-    q = (
-        docs.writeStream.foreachBatch(_gate_batch)
-        .option(
-            "checkpointLocation", os.path.join(out_dir, "_checkpoint")
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return _read_batch_sink(
+    return _run_batch_sink_stream(
         spark,
+        docs,
+        _gate,
         out_dir,
         empty=lambda: _gate(spark.createDataFrame([], schema)),
     )
@@ -714,9 +706,18 @@ def stream_warc_ingest(
     many files a batch contains. Sink: per-batch dynamic partition
     overwrite (the module's effectively-exactly-once shape — a
     replayed batch rewrites its own partition, never appends).
-    """
-    from urllib.parse import unquote, urlparse
 
+    LANDING CONTRACT (the standard Spark file-source contract, stated
+    because the parser's truncation tolerance makes violating it
+    SILENT): files must appear in ``source_dir`` atomically — write
+    to a dot-prefixed temp name or a staging directory, then rename.
+    The file stream tracks paths, so a file first seen mid-write is
+    parsed up to its truncation point, checkpointed as done, and its
+    remaining records are NEVER revisited when the write completes.
+    Dot/underscore-prefixed names are invisible to the source (Spark
+    hidden-file convention), which is what makes the temp-then-rename
+    recipe safe.
+    """
     from ..sources.warc import warc_to_documents
 
     files = (
@@ -733,38 +734,31 @@ def stream_warc_ingest(
         .select("path")
     )
 
-    def _ingest_batch(batch_df: DataFrame, epoch: int) -> None:
+    def _ingest_batch(batch_df: DataFrame) -> DataFrame | None:
         # one row per FILE — tiny by construction (the 100 TB corpus
         # is ~100k rows here), so the driver-side collect is safe
         uris = [r["path"] for r in batch_df.collect()]
         paths = []
         for u in uris:
-            parsed = urlparse(u)
-            # binaryFile yields file:/abs URIs for local paths; remote
-            # schemes pass through for pyarrow.fs resolution
-            paths.append(unquote(parsed.path) if parsed.scheme == "file" else u)
+            # binaryFile yields Hadoop Path strings: file:/abs (or
+            # file:///abs) for local files, raw and NOT
+            # percent-encoded — so strip the scheme with plain string
+            # ops. urlparse/unquote here would corrupt legitimate
+            # names containing '%' or split at '#' (round-8 review);
+            # remote schemes pass through for pyarrow.fs resolution.
+            if u.startswith("file:"):
+                p = u[len("file:"):]
+                paths.append("/" + p.lstrip("/"))
+            else:
+                paths.append(u)
         if not paths:
-            return
-        (
-            warc_to_documents(spark, sorted(paths))
-            .withColumn("_batch_id", F.lit(epoch))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch_id")
-            .parquet(out_dir)
-        )
+            return None
+        return warc_to_documents(spark, sorted(paths))
 
-    q = (
-        files.writeStream.foreachBatch(_ingest_batch)
-        .option(
-            "checkpointLocation", os.path.join(out_dir, "_checkpoint")
-        )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return _read_batch_sink(
+    return _run_batch_sink_stream(
         spark,
+        files,
+        _ingest_batch,
         out_dir,
         empty=lambda: spark.createDataFrame(
             [], "doc_id long, url string, fetch_date string, html string"

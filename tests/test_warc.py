@@ -441,3 +441,22 @@ def test_cdx_index_and_fetch(spark, tmp_path):
     offs = write_warc(plain, records, compress=False)
     rp = fetch_warc_record(plain, offs[3])
     assert rp["payload"] == body_b
+
+
+def test_fetch_corrupt_member_returns_none(tmp_path):
+    """Random access must NEVER serve a resynced neighbor as the
+    requested record: a corrupt member at the pointer yields None, not
+    the next member's payload."""
+    from hospital_stain_tracker_data_pipeline_spark.sources.warc import (
+        fetch_warc_record,
+    )
+
+    records, _, _ = _sample_records()
+    path = str(tmp_path / "rot.warc.gz")
+    offs = write_warc(path, records, compress=True)
+    blob = open(path, "rb").read()
+    cut = offs[2] + 12
+    open(path, "wb").write(blob[:cut] + b"\x99\x99\x99\x99" + blob[cut + 4:])
+    assert fetch_warc_record(path, offs[2]) is None   # corrupt target
+    got = fetch_warc_record(path, offs[3])            # neighbors still fine
+    assert got is not None and got["record_id"] == records[3]["record_id"]
