@@ -9,7 +9,8 @@ actually executes —
     BM25 retrieval decontamination against an eval set] → [optional
     C4-style span-level dedup] → [optional exact substring dedup
     (Lee et al.)] → [optional CCNet-style LM perplexity gate] →
-    epoch shuffle → sequence packing
+    [optional model-based quality probe (FineWeb-Edu-style classifier
+    over hashed text features)] → epoch shuffle → sequence packing
 
     Span dedup runs BEFORE substring dedup on purpose: the substring
     stage whitespace-normalizes its output (tokens rejoined with
@@ -101,6 +102,8 @@ class CurationReport:
     after_substring_dedup: int | None = None
     # docs surviving the optional exact-URL dedup; None when off
     after_url_dedup: int | None = None
+    # docs surviving the optional model-based quality probe; None when off
+    after_quality_probe: int | None = None
 
 
 def default_quality_stages(
@@ -130,6 +133,9 @@ def curate_documents(
     source_col: str = "source",
     ppl_lm=None,
     max_perplexity: float | None = None,
+    quality_probe=None,
+    min_probe_score: float | None = None,
+    probe_dim: int = 128,
     embeddings: DataFrame | None = None,
     semantic_threshold: float | None = None,
     semantic_clusters: int = 16,
@@ -216,6 +222,10 @@ def curate_documents(
     if (decon_eval_docs is None) != (decon_min_score is None):
         raise ValueError(
             "decon_eval_docs and decon_min_score must be provided together"
+        )
+    if (quality_probe is None) != (min_probe_score is None):
+        raise ValueError(
+            "quality_probe and min_probe_score must be provided together"
         )
     if near_dup_policy not in ("lowest_id", "best_quality"):
         # validate at entry with the other guards — failing after the
@@ -452,6 +462,44 @@ def curate_documents(
         deduped.unpersist()
         deduped = filtered
 
+    # model-based quality gate (the FineWeb-Edu / CCNet-classifier
+    # recipe): a trained logistic probe over hashed text features
+    # scores every surviving doc; those under the operating threshold
+    # drop. quality_probe is a (weights, bias) pair from
+    # train_text_probe or a ready scorer callable; probe_dim must
+    # match the training featurization (the only train/score coupling
+    # — there is no vocabulary artifact). Blank docs score NULL and
+    # drop (no usable signal clears no threshold).
+    n_probe: int | None = None
+    if quality_probe is not None:
+        from ..operators.features import score_text_probe
+        from ..operators.inference import linear_probe_scorer
+
+        scorer = (
+            quality_probe
+            if callable(quality_probe)
+            else linear_probe_scorer(*quality_probe)
+        )
+        keep_probe = (
+            score_text_probe(
+                deduped.select("doc_id", "text"), scorer, dim=probe_dim
+            )
+            .filter(
+                F.col("score").isNotNull()
+                & (F.col("score") >= F.lit(float(min_probe_score)))
+            )
+            .select("doc_id")
+        )
+        # featurization + scoring execute during this materialize —
+        # once; ids only, flat join side
+        keep_probe = materialize(keep_probe)
+        filtered = deduped.join(keep_probe, "doc_id", "left_semi").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        n_probe = filtered.count()
+        deduped.unpersist()
+        deduped = filtered
+
     # no_split switches the packer: greedy whole-document chunks
     # (T5-style) instead of concat-and-chunk splitting
     # sort=False: packing's shard window consumes the _order KEY, so a
@@ -482,6 +530,7 @@ def curate_documents(
         after_span_dedup=n_span,
         after_source_cap=n_cap,
         after_perplexity=n_ppl,
+        after_quality_probe=n_probe,
         after_semantic_dedup=n_sem,
         after_decontamination=n_decon,
         after_substring_dedup=n_substr,

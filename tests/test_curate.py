@@ -603,3 +603,76 @@ def test_curate_html_ingest_stage(spark):
     assert rep.after_exact_dedup == 1      # markup-invariant dedup
     kept = {r.doc_id for r in chunks.select("doc_id").distinct().collect()}
     assert kept == {1}
+
+
+def test_curate_quality_probe_stage(spark):
+    """The model-based quality gate: a probe trained to separate two
+    disjoint vocabularies drops the low-scoring half inside
+    curate_documents, the attrition lands in after_quality_probe, and
+    the survivors match a direct score-and-filter."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.features import (
+        score_text_probe,
+        train_text_probe,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.operators.inference import (
+        linear_probe_scorer,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.pipeline.curate import (
+        curate_documents,
+        unpersist_curated,
+    )
+
+    good_words = ["clear", "concise", "prose", "article", "reference"]
+    junk_words = ["zzz", "spam", "click", "buy", "winner"]
+    train_rows, corpus_rows = [], []
+    for i in range(40):
+        g = " ".join(good_words[(i + j) % 5] for j in range(8))
+        b = " ".join(junk_words[(i + j) % 5] for j in range(8))
+        train_rows += [(2 * i, g, 1.0), (2 * i + 1, b, 0.0)]
+    for i in range(10):
+        # a unique tail per doc so the dedup stages upstream of the
+        # probe keep all 20 (rotations alone collapse under exact +
+        # near-dup, which is those stages doing their job)
+        g = " ".join(good_words[(i + j) % 5] for j in range(8))
+        b = " ".join(junk_words[(i + j) % 5] for j in range(8))
+        corpus_rows += [
+            (1000 + 2 * i, f"{g} uniq{i}a uniq{i}b uniq{i}c"),
+            (1000 + 2 * i + 1, f"{b} sep{i}a sep{i}b sep{i}c"),
+        ]
+    train = spark.createDataFrame(
+        train_rows, "doc_id long, text string, label double"
+    )
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+
+    w, b, _ = train_text_probe(train, dim=64, iters=30, lr=1.0)
+    scorer = linear_probe_scorer(w, b)
+
+    chunks, rep = curate_documents(
+        corpus,
+        budget=64,
+        n_shards=2,
+        quality_probe=scorer,
+        min_probe_score=0.5,
+        probe_dim=64,
+    )
+    want_ids = {
+        r["doc_id"]
+        for r in score_text_probe(corpus, scorer, dim=64)
+        .filter("score >= 0.5")
+        .collect()
+    }
+    assert want_ids and all(i % 2 == 0 for i in want_ids)  # good half only
+    assert rep.after_quality_probe == len(want_ids)
+    kept = {r.doc_id for r in chunks.select("doc_id").distinct().collect()}
+    assert kept == want_ids
+    unpersist_curated(chunks)
+
+    # paired-param validation
+    import pytest
+
+    with pytest.raises(ValueError, match="quality_probe"):
+        curate_documents(corpus, quality_probe=scorer)
+    # off → None in the report
+    chunks2, rep2 = curate_documents(corpus, budget=64, n_shards=2)
+    assert rep2.after_quality_probe is None
+    unpersist_curated(chunks2)
