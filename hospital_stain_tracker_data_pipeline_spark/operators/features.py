@@ -170,3 +170,39 @@ def score_text_probe(
     return batch_score(feat, scorer, vec_col="features", out_col=out_col).drop(
         "features"
     )
+
+
+def save_text_probe(path: str, weights, bias: float, dim: int) -> None:
+    """Persist a trained text probe as a tiny JSON artifact (weights +
+    bias + the featurization dim that MUST accompany them — scoring
+    with a different dim is a silent wrong answer, so the artifact
+    carries it)."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "dim": int(dim),
+                "bias": float(bias),
+                "weights": [float(x) for x in weights],
+            },
+            f,
+        )
+
+
+def load_text_probe(path: str):
+    """Load a ``save_text_probe`` artifact → ``(weights, bias, dim)``
+    (numpy weights, ready for ``linear_probe_scorer``). Validates the
+    weights length against the recorded dim."""
+    import json
+
+    import numpy as np
+
+    with open(path) as f:
+        d = json.load(f)
+    w = np.asarray(d["weights"], dtype=float)
+    if len(w) != int(d["dim"]):
+        raise ValueError(
+            f"probe artifact corrupt: {len(w)} weights for dim {d['dim']}"
+        )
+    return w, float(d["bias"]), int(d["dim"])

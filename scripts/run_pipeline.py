@@ -148,6 +148,36 @@ def cmd_curate(args) -> None:
         )
 
         stages = gopher_stage_predicates()
+    quality_probe = None
+    probe_dim = args.probe_dim
+    if args.probe_train is not None:
+        # FineWeb-style classifier gate: train the probe on a LABELED
+        # parquet (doc_id, text, label in {0,1}) — curated-vs-junk
+        # exemplars — then gate the corpus at --min-probe-score
+        from hospital_stain_tracker_data_pipeline_spark.operators.features import (
+            save_text_probe,
+            train_text_probe,
+        )
+        from hospital_stain_tracker_data_pipeline_spark.operators.inference import (
+            linear_probe_scorer,
+        )
+
+        w, b, _ = train_text_probe(
+            spark.read.parquet(args.probe_train), dim=probe_dim
+        )
+        if args.save_probe:
+            save_text_probe(args.save_probe, w, b, probe_dim)
+        quality_probe = linear_probe_scorer(w, b)
+    elif args.probe_weights is not None:
+        from hospital_stain_tracker_data_pipeline_spark.operators.features import (
+            load_text_probe,
+        )
+        from hospital_stain_tracker_data_pipeline_spark.operators.inference import (
+            linear_probe_scorer,
+        )
+
+        w, b, probe_dim = load_text_probe(args.probe_weights)
+        quality_probe = linear_probe_scorer(w, b)
     ppl_lm = None
     if args.trusted_docs is not None:
         # CCNet gate: train the quality LM on the TRUSTED corpus, not
@@ -175,6 +205,11 @@ def cmd_curate(args) -> None:
         ppl_lm=ppl_lm,
         max_perplexity=args.max_perplexity,
         url_col=args.url_col,
+        quality_probe=quality_probe,
+        min_probe_score=(
+            args.min_probe_score if quality_probe is not None else None
+        ),
+        probe_dim=probe_dim,
     )
     write_packed_corpus(chunks, args.output)
     unpersist_curated(chunks)
@@ -300,6 +335,19 @@ def main() -> None:
         help="parquet of trusted docs to train the CCNet LM gate on",
     )
     pc.add_argument("--max-perplexity", type=float, default=None)
+    pc.add_argument(
+        "--probe-train", default=None,
+        help="labeled parquet (doc_id, text, label) to train the "
+        "model-based quality gate on",
+    )
+    pc.add_argument(
+        "--probe-weights", default=None,
+        help="saved probe artifact (save_text_probe JSON) to gate with",
+    )
+    pc.add_argument("--save-probe", default=None,
+                    help="write the trained probe artifact here")
+    pc.add_argument("--min-probe-score", type=float, default=0.5)
+    pc.add_argument("--probe-dim", type=int, default=128)
     pc.set_defaults(fn=cmd_curate)
 
     pdi = sub.add_parser("dedup_index")

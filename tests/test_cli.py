@@ -197,3 +197,67 @@ def test_cli_curate_gopher_funnel(tmp_path):
     assert report["after_quality"] == "1"  # 2 fails word_count, 3 curly
     n = len(glob.glob(os.path.join(out, "*.parquet")))
     assert n > 0
+
+
+def test_cli_curate_probe_gate(tmp_path):
+    """--probe-train trains the model-based quality gate from a
+    labeled parquet, --save-probe persists the artifact, and a second
+    run gates with --probe-weights alone — same survivors both ways."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    good_words = ["clear", "concise", "prose", "article", "reference"]
+    junk_words = ["zzz", "spam", "click", "buy", "winner"]
+    rows_id, rows_text, rows_label = [], [], []
+    for i in range(40):
+        rows_id += [2 * i, 2 * i + 1]
+        rows_text += [
+            " ".join(good_words[(i + j) % 5] for j in range(8)),
+            " ".join(junk_words[(i + j) % 5] for j in range(8)),
+        ]
+        rows_label += [1.0, 0.0]
+    train = tmp_path / "train.parquet"
+    pq.write_table(
+        pa.table({"doc_id": rows_id, "text": rows_text, "label": rows_label}),
+        train,
+    )
+    cid, ctext = [], []
+    for i in range(6):
+        cid += [1000 + 2 * i, 1000 + 2 * i + 1]
+        ctext += [
+            " ".join(good_words[(i + j) % 5] for j in range(8))
+            + f" uniq{i}a uniq{i}b uniq{i}c",
+            " ".join(junk_words[(i + j) % 5] for j in range(8))
+            + f" sep{i}a sep{i}b sep{i}c",
+        ]
+    src = tmp_path / "docs.parquet"
+    pq.write_table(pa.table({"doc_id": cid, "text": ctext}), src)
+
+    probe = str(tmp_path / "probe.json")
+    out1 = str(tmp_path / "packed1")
+    stdout = _run(
+        "curate", "--input", str(src), "--output", out1,
+        "--budget", "64", "--shards", "2",
+        "--probe-train", str(train), "--save-probe", probe,
+        "--min-probe-score", "0.5", "--probe-dim", "64",
+    )
+    report = dict(
+        line.split("=", 1) for line in stdout.splitlines() if "=" in line
+    )
+    assert report["after_quality_probe"] == "6"  # junk half dropped
+
+    art = json.load(open(probe))
+    assert art["dim"] == 64 and len(art["weights"]) == 64
+
+    out2 = str(tmp_path / "packed2")
+    stdout2 = _run(
+        "curate", "--input", str(src), "--output", out2,
+        "--budget", "64", "--shards", "2",
+        "--probe-weights", probe, "--min-probe-score", "0.5",
+    )
+    report2 = dict(
+        line.split("=", 1) for line in stdout2.splitlines() if "=" in line
+    )
+    assert report2["after_quality_probe"] == "6"
