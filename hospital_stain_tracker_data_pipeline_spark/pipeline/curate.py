@@ -199,13 +199,25 @@ def curate_documents(
     ``source_col`` group, chosen by ``cap_per_group``'s seeded
     deterministic permutation (the same ``seed`` as the epoch
     shuffle). ``ppl_lm`` + ``max_perplexity`` switch on the
-    CCNet-style LM quality gate LAST among the doc-level stages
+    CCNet-style LM quality gate late among the doc-level stages
     (scoring explodes every doc into n-grams — run it on the
     smallest corpus the pipeline can offer): docs whose perplexity
     under the caller's trusted-corpus model exceeds the bound (or is
     NULL — empty docs) are dropped. Train the model with
     ``operators.lm.train_ngram_lm`` on a *trusted* reference corpus,
     not on the corpus being filtered.
+
+    ``quality_probe`` + ``min_probe_score`` switch on the model-based
+    quality gate (FineWeb-Edu-style classifier), which runs LAST among
+    the doc-level stages, after the LM gate, for the same
+    smallest-corpus reason. ``quality_probe`` is either a scorer
+    callable (``inference.linear_probe_scorer(weights, bias)``) or a
+    ``(weights, bias)`` PAIR — note ``train_text_probe`` returns
+    ``(weights, bias, loss_history)``, so pass ``result[:2]``, not the
+    raw return. ``probe_dim`` must equal the training featurization
+    dim (the only train/score coupling; ``save_text_probe`` artifacts
+    record it). Docs scoring under the threshold — or NULL (blank
+    text: no usable signal) — are dropped.
 
     The returned chunk frame reads from the persisted post-dedup
     corpus; call ``unpersist_curated(chunks)`` (or
@@ -465,21 +477,25 @@ def curate_documents(
     # model-based quality gate (the FineWeb-Edu / CCNet-classifier
     # recipe): a trained logistic probe over hashed text features
     # scores every surviving doc; those under the operating threshold
-    # drop. quality_probe is a (weights, bias) pair from
-    # train_text_probe or a ready scorer callable; probe_dim must
-    # match the training featurization (the only train/score coupling
-    # — there is no vocabulary artifact). Blank docs score NULL and
-    # drop (no usable signal clears no threshold).
+    # drop. quality_probe is a scorer callable or a (weights, bias)
+    # PAIR; probe_dim must match the training featurization (the only
+    # train/score coupling — there is no vocabulary artifact). Blank
+    # docs score NULL and drop (no usable signal clears no threshold).
     n_probe: int | None = None
     if quality_probe is not None:
         from ..operators.features import score_text_probe
         from ..operators.inference import linear_probe_scorer
 
-        scorer = (
-            quality_probe
-            if callable(quality_probe)
-            else linear_probe_scorer(*quality_probe)
-        )
+        if callable(quality_probe):
+            scorer = quality_probe
+        else:
+            # strict 2-unpack: the raw train_text_probe return is a
+            # 3-tuple whose loss history would otherwise bind to
+            # linear_probe_scorer's `logistic` flag — an empty history
+            # (iters=0) silently gating raw margins against a
+            # probability threshold. Fail fast instead.
+            weights, bias = quality_probe
+            scorer = linear_probe_scorer(weights, bias)
         keep_probe = (
             score_text_probe(
                 deduped.select("doc_id", "text"), scorer, dim=probe_dim

@@ -148,8 +148,31 @@ def cmd_curate(args) -> None:
         )
 
         stages = gopher_stage_predicates()
+    # fail-loud flag pairing, mirroring the perplexity gate's
+    # ValueError contract: a gate flag that silently does nothing
+    # writes an UNFILTERED corpus the user believes is gated
+    if args.probe_train is not None and args.probe_weights is not None:
+        raise ValueError(
+            "--probe-train and --probe-weights are mutually exclusive "
+            "(train a new gate OR load a saved artifact)"
+        )
+    if args.save_probe is not None and args.probe_train is None:
+        raise ValueError("--save-probe requires --probe-train")
+    probe_requested = (
+        args.probe_train is not None or args.probe_weights is not None
+    )
+    if not probe_requested and (
+        args.min_probe_score is not None or args.probe_dim is not None
+    ):
+        raise ValueError(
+            "--min-probe-score/--probe-dim require --probe-train or "
+            "--probe-weights"
+        )
+    min_probe_score = (
+        args.min_probe_score if args.min_probe_score is not None else 0.5
+    )
     quality_probe = None
-    probe_dim = args.probe_dim
+    probe_dim = args.probe_dim if args.probe_dim is not None else 128
     if args.probe_train is not None:
         # FineWeb-style classifier gate: train the probe on a LABELED
         # parquet (doc_id, text, label in {0,1}) — curated-vs-junk
@@ -176,7 +199,14 @@ def cmd_curate(args) -> None:
             linear_probe_scorer,
         )
 
-        w, b, probe_dim = load_text_probe(args.probe_weights)
+        w, b, artifact_dim = load_text_probe(args.probe_weights)
+        if args.probe_dim is not None and args.probe_dim != artifact_dim:
+            raise ValueError(
+                f"--probe-dim {args.probe_dim} contradicts the artifact's "
+                f"dim {artifact_dim} — the artifact's featurization wins; "
+                "drop the flag"
+            )
+        probe_dim = artifact_dim
         quality_probe = linear_probe_scorer(w, b)
     ppl_lm = None
     if args.trusted_docs is not None:
@@ -207,7 +237,7 @@ def cmd_curate(args) -> None:
         url_col=args.url_col,
         quality_probe=quality_probe,
         min_probe_score=(
-            args.min_probe_score if quality_probe is not None else None
+            min_probe_score if quality_probe is not None else None
         ),
         probe_dim=probe_dim,
     )
@@ -346,8 +376,12 @@ def main() -> None:
     )
     pc.add_argument("--save-probe", default=None,
                     help="write the trained probe artifact here")
-    pc.add_argument("--min-probe-score", type=float, default=0.5)
-    pc.add_argument("--probe-dim", type=int, default=128)
+    pc.add_argument("--min-probe-score", type=float, default=None,
+                    help="probe gate threshold (default 0.5 when a "
+                    "probe source is given; error without one)")
+    pc.add_argument("--probe-dim", type=int, default=None,
+                    help="featurization dim for --probe-train "
+                    "(default 128; --probe-weights carries its own)")
     pc.set_defaults(fn=cmd_curate)
 
     pdi = sub.add_parser("dedup_index")

@@ -261,3 +261,33 @@ def test_cli_curate_probe_gate(tmp_path):
         line.split("=", 1) for line in stdout2.splitlines() if "=" in line
     )
     assert report2["after_quality_probe"] == "6"
+
+
+def test_cli_curate_probe_flag_pairing_fails_loud(tmp_path):
+    """Probe flags without a probe source (or conflicting sources)
+    must error, not silently write an unfiltered corpus — the same
+    contract as the perplexity gate's paired params."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "docs.parquet"
+    pq.write_table(
+        pa.table({"doc_id": [1], "text": ["some words here okay"]}), src
+    )
+    out = str(tmp_path / "packed")
+
+    def _expect_error(*extra):
+        proc = subprocess.run(
+            [sys.executable, CLI, "curate", "--input", str(src),
+             "--output", out, *extra],
+            capture_output=True, text=True, timeout=240, cwd=REPO,
+        )
+        assert proc.returncode != 0
+        assert "probe" in proc.stderr.lower()
+
+    _expect_error("--min-probe-score", "0.9")       # no source
+    _expect_error("--probe-dim", "64")              # no source
+    _expect_error("--save-probe", str(tmp_path / "p.json"))  # no train
+    _expect_error(
+        "--probe-train", str(src), "--probe-weights", str(src)
+    )                                                # conflicting sources
