@@ -263,6 +263,36 @@ def cmd_dedup_index(args) -> None:
     print(f"indexed {idx.count()} docs -> {args.output}")
 
 
+def cmd_warc_ingest(args) -> None:
+    """Crawl front-door: parse WARC file(s) (path, glob, or
+    comma-separated list) into a (doc_id, url, fetch_date, html)
+    documents parquet — the input shape `curate --html-col html
+    --url-col url` consumes. Optionally also writes the CDX capture
+    index sidecar for random access (sources/warc.py::warc_cdx_index)."""
+    from hospital_stain_tracker_data_pipeline_spark.sources.warc import (
+        read_warc,
+        warc_cdx_index,
+        warc_to_documents,
+    )
+
+    spark = get_spark(app_name="warc_ingest")
+    paths = (
+        [p for p in args.input.split(",") if p]
+        if "," in args.input
+        else args.input
+    )
+    # doc_id construction lives in ONE place (warc_to_documents) —
+    # the CDX sidecar re-scans rather than risk the selects drifting
+    docs = warc_to_documents(spark, paths, parallelism=args.parallelism)
+    docs.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    if args.cdx_out:
+        recs = read_warc(spark, paths, parallelism=args.parallelism)
+        warc_cdx_index(recs).write.mode("overwrite").parquet(args.cdx_out)
+        print(f"cdx -> {args.cdx_out}")
+    print(f"ingested {n} response records -> {args.output}")
+
+
 def cmd_dedup_filter(args) -> None:
     """Drop new documents that near-dup anything in an existing corpus
     index (corpus always wins), writing the survivors. The incremental
@@ -383,6 +413,17 @@ def main() -> None:
                     help="featurization dim for --probe-train "
                     "(default 128; --probe-weights carries its own)")
     pc.set_defaults(fn=cmd_curate)
+
+    pw = sub.add_parser("warc_ingest")
+    pw.add_argument(
+        "--input", required=True,
+        help="WARC path, glob, or comma-separated list",
+    )
+    pw.add_argument("--output", required=True, help="documents parquet out")
+    pw.add_argument("--cdx-out", default=None,
+                    help="also write the CDX capture index here")
+    pw.add_argument("--parallelism", type=int, default=None)
+    pw.set_defaults(fn=cmd_warc_ingest)
 
     pdi = sub.add_parser("dedup_index")
     pdi.add_argument("--input", required=True, help="documents parquet path")

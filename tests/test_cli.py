@@ -291,3 +291,45 @@ def test_cli_curate_probe_flag_pairing_fails_loud(tmp_path):
     _expect_error(
         "--probe-train", str(src), "--probe-weights", str(src)
     )                                                # conflicting sources
+
+
+def test_cli_warc_ingest_roundtrip(tmp_path):
+    """warc_ingest parses a crawl file to the documents parquet the
+    curate command consumes, writes the optional CDX sidecar, and its
+    doc_ids match the library's warc_to_documents exactly."""
+    import pyarrow.parquet as pq
+
+    from hospital_stain_tracker_data_pipeline_spark.sources.warc import (
+        http_response_block,
+        write_warc,
+    )
+
+    wf = str(tmp_path / "crawl.warc.gz")
+    write_warc(
+        wf,
+        [
+            {
+                "warc_type": "response",
+                "target_uri": f"http://c.example/{i}",
+                "warc_date": "2026-08-15T00:00:00Z",
+                "content_type": "application/http; msgtype=response",
+                "block": http_response_block(
+                    f"<html><body>page {i} body words here</body></html>".encode()
+                ),
+            }
+            for i in range(3)
+        ],
+    )
+    out = str(tmp_path / "docs")
+    cdx = str(tmp_path / "cdx")
+    stdout = _run(
+        "warc_ingest", "--input", wf, "--output", out, "--cdx-out", cdx
+    )
+    assert "ingested 3 response records" in stdout
+    docs = pq.read_table(out).to_pylist()
+    assert len(docs) == 3 and len({d["doc_id"] for d in docs}) == 3
+    assert {d["url"] for d in docs} == {f"http://c.example/{i}" for i in range(3)}
+    assert all("<body>" in d["html"] for d in docs)
+    idx = pq.read_table(cdx).to_pylist()
+    assert len(idx) == 3
+    assert all(r["http_status"] == 200 for r in idx)
