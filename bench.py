@@ -257,6 +257,19 @@ def _extras_registry():
             )
         )
 
+    def pack_manifest(spark, sf_dir):
+        """Concat-and-chunk packing + the per-shard accounting
+        manifest (rows/chunks/docs/tokens + order-invariant md5
+        checksum) — times the window cumsum pack and the one-scan
+        manifest aggregation a training job validates shards with."""
+        from hospital_stain_tracker_data_pipeline_spark.operators.packing import (
+            pack_token_chunks,
+            shard_manifest,
+        )
+
+        docs = load_fixture_table(spark, sf_dir, "documents")
+        return shard_manifest(pack_token_chunks(docs, budget=2048, n_shards=32))
+
     def corpus_card(spark, sf_dir):
         """One-row dataset-card aggregate over the documents fixture —
         times the single-scan multi-stat shape (incl. the exact
@@ -434,6 +447,7 @@ def _extras_registry():
         "heavy_hitter_words": heavy_ngrams,
         "url_dedup": url_dedup,
         "gopher_pii_pass": gopher_and_pii,
+        "pack_manifest": pack_manifest,
         "corpus_card": corpus_card,
         "warc_scan": warc_scan,
         "html_extract": html_extract,

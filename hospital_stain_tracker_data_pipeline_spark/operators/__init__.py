@@ -52,6 +52,8 @@ from .packing import (  # noqa: F401
     pack_documents_no_split,
     pack_token_chunks,
     packing_efficiency,
+    shard_manifest,
+    verify_packed_corpus,
     write_packed_corpus,
 )
 from .inference import (  # noqa: F401

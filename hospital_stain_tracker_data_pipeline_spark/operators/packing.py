@@ -257,6 +257,90 @@ def write_packed_corpus(
     part.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
 
 
+def shard_manifest(chunks: DataFrame) -> DataFrame:
+    """Per-shard accounting for a packed corpus — the manifest a
+    training job validates BEFORE streaming shard data (did every
+    shard land? does the token total reconcile with the curation
+    report? did a rewritten shard silently change content?). One row
+    per shard: ``shard, n_rows, n_chunks, n_docs, n_tokens,
+    checksum``.
+
+    The checksum is the DECIMAL(38,0) sum of the repo's 60-bit
+    md5-prefix hash over each row's identity tuple
+    ``(shard, chunk_id, doc_id, position, tokens)``:
+
+    - order-invariant — a distributed write lands rows in
+      nondeterministic order across retries/speculation; CONTENT is
+      what the digest certifies;
+    - exact — decimal sums don't overflow at any real shard size
+      (2^60 x 10^12 rows << 10^38) and, unlike a bit-xor set digest,
+      never cancel duplicate row pairs to an unchanged checksum;
+    - engine-portable — any SQL auditor replays it from the parquet
+      (DuckDB: ``SUM(CAST(CONCAT('0x', substr(md5(...),1,15)) AS
+      BIGINT))`` over the same concat), no Spark required.
+
+    Accepts BOTH packers' shapes (``chunk_start``/``chunk_tokens``
+    concat-and-chunk rows, ``chunk_pos``/``n_tok`` no-split rows),
+    like ``write_packed_corpus``. One partial-aggregated groupBy —
+    the manifest costs a single scan of the (narrow) chunk frame.
+    """
+    if "chunk_start" in chunks.columns:
+        in_chunk, tok = "chunk_start", "chunk_tokens"
+    elif "chunk_pos" in chunks.columns:
+        in_chunk, tok = "chunk_pos", "n_tok"
+    else:
+        raise ValueError(
+            "not a packed-chunk frame: expected chunk_start (concat"
+            "-and-chunk) or chunk_pos (no-split) among "
+            f"{chunks.columns}"
+        )
+    row_h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", "shard", "chunk_id", "doc_id", in_chunk, tok
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return chunks.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("chunk_id").alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum(tok).cast("long").alias("n_tokens"),
+        F.sum(row_h.cast("decimal(38,0)")).alias("checksum"),
+    )
+
+
+def verify_packed_corpus(
+    spark, data_path: str, manifest_path: str
+) -> DataFrame:
+    """Audit a packed corpus against its stored manifest: recompute
+    ``shard_manifest`` from what is ON DISK and full-outer-join to the
+    manifest on ``shard``. Returns the mismatch frame — one row per
+    shard whose recomputed accounting differs (or that exists on only
+    one side), with ``want_*``/``got_*`` column pairs; EMPTY means the
+    corpus is exactly what the manifest certifies. The join is
+    n_shards rows a side — the only corpus-sized work is the manifest
+    rescan itself."""
+    want = spark.read.parquet(manifest_path)
+    got = shard_manifest(spark.read.parquet(data_path))
+    metrics = ["n_rows", "n_chunks", "n_docs", "n_tokens", "checksum"]
+    w = want.select("shard", *[F.col(m).alias(f"want_{m}") for m in metrics])
+    g = got.select("shard", *[F.col(m).alias(f"got_{m}") for m in metrics])
+    joined = w.join(g, "shard", "full_outer")
+    mismatch = F.lit(False)
+    for m in metrics:
+        mismatch = mismatch | ~F.col(f"want_{m}").eqNullSafe(
+            F.col(f"got_{m}")
+        )
+    return joined.filter(mismatch).orderBy("shard")
+
+
 def pack_documents_no_split(
     docs: DataFrame,
     budget: int,

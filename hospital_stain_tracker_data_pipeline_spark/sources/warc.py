@@ -582,6 +582,38 @@ def warc_to_documents(
     )
 
 
+def wet_to_documents(
+    spark: SparkSession,
+    paths: str | list[str],
+    parallelism: int | None = None,
+) -> DataFrame:
+    """The WET front-door: ``conversion`` records (the pre-extracted
+    plain-text sidecar CommonCrawl publishes as ``*.warc.wet.gz`` —
+    most public LLM corpora start here, not from raw HTML) →
+    ``(doc_id, url, fetch_date, text)`` ready for
+    ``curate_documents(..., url_col="url")`` with NO ``html_col`` —
+    the text is already extracted.
+
+    A WET record has no HTTP envelope (``http_content_type`` is NULL),
+    and its payload is UTF-8 ``text/plain`` by the CC convention, so
+    ``warc_payload_text``'s utf-8-with-replacement default is exactly
+    the right decode. ``doc_id`` uses the same (file, offset, seq)
+    hash as ``warc_to_documents`` — a WET-derived corpus and a
+    WARC-derived one never collide on doc_id because the hash input
+    carries the file path. The leading ``warcinfo`` record every WET
+    file starts with is dropped by the type filter, not by position —
+    robust to files that lack it."""
+    recs = read_warc(
+        spark, paths, warc_types=("conversion",), parallelism=parallelism
+    )
+    return warc_payload_text(recs, out_col="text").select(
+        F.xxhash64("warc_file", "record_offset", "record_seq").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.col("warc_date").alias("fetch_date"),
+        "text",
+    )
+
+
 def warc_cdx_index(records: DataFrame) -> DataFrame:
     """Derive the CDX-style capture index from a ``read_warc`` frame —
     the lookup table crawl archives ship beside the WARC files

@@ -242,6 +242,17 @@ def cmd_curate(args) -> None:
         probe_dim=probe_dim,
     )
     write_packed_corpus(chunks, args.output)
+    if args.manifest_out:
+        # accounting sidecar: recompute from what actually LANDED so
+        # the manifest certifies the files, not the plan
+        from hospital_stain_tracker_data_pipeline_spark.operators.packing import (
+            shard_manifest,
+        )
+
+        shard_manifest(spark.read.parquet(args.output)).coalesce(
+            1
+        ).write.mode("overwrite").parquet(args.manifest_out)
+        print(f"manifest -> {args.manifest_out}")
     unpersist_curated(chunks)
     for k, v in dataclasses.asdict(report).items():
         print(f"{k}={v}")
@@ -267,12 +278,16 @@ def cmd_warc_ingest(args) -> None:
     """Crawl front-door: parse WARC file(s) (path, glob, or
     comma-separated list) into a (doc_id, url, fetch_date, html)
     documents parquet — the input shape `curate --html-col html
-    --url-col url` consumes. Optionally also writes the CDX capture
-    index sidecar for random access (sources/warc.py::warc_cdx_index)."""
+    --url-col url` consumes. With --wet the input is CommonCrawl's
+    pre-extracted text sidecar (conversion records) and the output
+    column is `text` (no --html-col needed downstream). Optionally
+    also writes the CDX capture index sidecar for random access
+    (sources/warc.py::warc_cdx_index)."""
     from hospital_stain_tracker_data_pipeline_spark.sources.warc import (
         read_warc,
         warc_cdx_index,
         warc_to_documents,
+        wet_to_documents,
     )
 
     spark = get_spark(app_name="warc_ingest")
@@ -281,16 +296,26 @@ def cmd_warc_ingest(args) -> None:
         if "," in args.input
         else args.input
     )
-    # doc_id construction lives in ONE place (warc_to_documents) —
-    # the CDX sidecar re-scans rather than risk the selects drifting
-    docs = warc_to_documents(spark, paths, parallelism=args.parallelism)
+    # doc_id construction lives in ONE place (warc_to_documents /
+    # wet_to_documents) — the CDX sidecar re-scans rather than risk
+    # the selects drifting
+    if args.wet:
+        docs = wet_to_documents(spark, paths, parallelism=args.parallelism)
+        kind = "conversion"
+    else:
+        docs = warc_to_documents(spark, paths, parallelism=args.parallelism)
+        kind = "response"
     docs.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     if args.cdx_out:
-        recs = read_warc(spark, paths, parallelism=args.parallelism)
+        recs = read_warc(
+            spark, paths,
+            warc_types=("conversion",) if args.wet else ("response",),
+            parallelism=args.parallelism,
+        )
         warc_cdx_index(recs).write.mode("overwrite").parquet(args.cdx_out)
         print(f"cdx -> {args.cdx_out}")
-    print(f"ingested {n} response records -> {args.output}")
+    print(f"ingested {n} {kind} records -> {args.output}")
 
 
 def cmd_dedup_filter(args) -> None:
@@ -361,6 +386,11 @@ def main() -> None:
     pc = sub.add_parser("curate")
     pc.add_argument("--input", required=True, help="documents parquet path")
     pc.add_argument("--output", required=True, help="packed-chunk parquet out")
+    pc.add_argument(
+        "--manifest-out", default=None,
+        help="also write the per-shard accounting manifest here "
+        "(operators/packing.py::shard_manifest)",
+    )
     pc.add_argument("--budget", type=int, default=2048)
     pc.add_argument("--shards", type=int, default=32)
     pc.add_argument("--seed", type=int, default=0)
@@ -422,6 +452,11 @@ def main() -> None:
     pw.add_argument("--output", required=True, help="documents parquet out")
     pw.add_argument("--cdx-out", default=None,
                     help="also write the CDX capture index here")
+    pw.add_argument(
+        "--wet", action="store_true",
+        help="input is WET (pre-extracted text; conversion records) — "
+             "output column is `text`, not `html`",
+    )
     pw.add_argument("--parallelism", type=int, default=None)
     pw.set_defaults(fn=cmd_warc_ingest)
 

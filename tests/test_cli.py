@@ -70,6 +70,7 @@ def test_cli_curate_writes_packed_corpus(tmp_path):
 
     src = "/root/testdata/sf0.001/documents.parquet"
     out = str(tmp_path / "packed")
+    manifest = str(tmp_path / "manifest")
     proc = subprocess.run(
         [
             sys.executable,
@@ -77,6 +78,7 @@ def test_cli_curate_writes_packed_corpus(tmp_path):
             "curate",
             "--input", src,
             "--output", out,
+            "--manifest-out", manifest,
             "--budget", "256",
             "--shards", "4",
             "--max-per-source", "20",
@@ -97,6 +99,14 @@ def test_cli_curate_writes_packed_corpus(tmp_path):
     assert int(report["chunks"]) > 0
     n = duckdb.sql(f"SELECT count(*) FROM '{out}/*.parquet'").fetchone()[0]
     assert n > 0
+    # the manifest sidecar reconciles against the written corpus AND
+    # the stdout report — same token total, every shard accounted
+    man = duckdb.sql(
+        f"SELECT count(*), CAST(sum(n_tokens) AS BIGINT) "
+        f"FROM '{manifest}/*.parquet'"
+    ).fetchone()
+    assert man[0] == 4
+    assert man[1] == int(report["packed_tokens"])
 
 
 def test_cli_curate_with_perplexity_gate(tmp_path):
@@ -333,3 +343,44 @@ def test_cli_warc_ingest_roundtrip(tmp_path):
     idx = pq.read_table(cdx).to_pylist()
     assert len(idx) == 3
     assert all(r["http_status"] == 200 for r in idx)
+
+
+def test_cli_warc_ingest_wet(tmp_path):
+    """warc_ingest --wet parses CommonCrawl's pre-extracted text
+    sidecar (conversion records) into a `text`-column documents
+    parquet, dropping the warcinfo preamble by type."""
+    import pyarrow.parquet as pq
+
+    from hospital_stain_tracker_data_pipeline_spark.sources.warc import (
+        write_warc,
+    )
+
+    wf = str(tmp_path / "crawl.warc.wet.gz")
+    write_warc(
+        wf,
+        [
+            {
+                "warc_type": "warcinfo",
+                "block": b"software: test-rig/1.0\r\n",
+                "content_type": "application/warc-fields",
+            },
+            *[
+                {
+                    "warc_type": "conversion",
+                    "target_uri": f"http://w.example/{i}",
+                    "warc_date": "2026-08-15T00:00:00Z",
+                    "content_type": "text/plain",
+                    "block": f"extracted text for page {i}".encode(),
+                }
+                for i in range(3)
+            ],
+        ],
+    )
+    out = str(tmp_path / "docs")
+    stdout = _run("warc_ingest", "--input", wf, "--output", out, "--wet")
+    assert "ingested 3 conversion records" in stdout
+    docs = pq.read_table(out).to_pylist()
+    assert len(docs) == 3 and len({d["doc_id"] for d in docs}) == 3
+    assert {d["text"] for d in docs} == {
+        f"extracted text for page {i}" for i in range(3)
+    }

@@ -30,7 +30,8 @@ def test_operator_surface_exports():
         "extract_domain", "filter_blocked_domains", "plan_token_mixture",
         "sample_token_mixture", "source_token_stats", "leakage_safe_split",
         "pack_token_chunks", "pack_documents_no_split", "packing_efficiency",
-        "write_packed_corpus", "bm25_topk", "bm25_bulk_scores",
+        "write_packed_corpus", "shard_manifest", "verify_packed_corpus",
+        "bm25_topk", "bm25_bulk_scores",
         "build_bm25_index", "dedup_substrings", "ngram_contamination",
         "pagerank", "save_ivf_index", "load_ivf_index",
         "extract_image_features", "extract_audio_features",

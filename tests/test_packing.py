@@ -811,3 +811,159 @@ def test_cdc_chunks_validation_and_short_docs(spark):
         cdc_chunks(docs, window=0)
     with pytest.raises(ValueError):
         cdc_chunks(docs, divisor=0)
+
+
+# ---------------------------------------------------------------- manifest
+
+
+def test_shard_manifest_duckdb_oracle(spark, sf_dir, tmp_path):
+    """shard_manifest accounting (rows/chunks/docs/tokens/checksum)
+    replays exactly in DuckDB over the same packed rows — the
+    engine-portable audit the docstring promises."""
+    import duckdb
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.packing import (
+        pack_token_chunks,
+        shard_manifest,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.sources.tables import (
+        load_fixture_table,
+    )
+
+    docs = load_fixture_table(spark, sf_dir, "documents")
+    chunks = pack_token_chunks(docs, budget=256, n_shards=8)
+    chunks_path = str(tmp_path / "chunks")
+    chunks.write.parquet(chunks_path)
+
+    got = sorted(
+        tuple(r)
+        for r in shard_manifest(spark.read.parquet(chunks_path)).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            f"""
+        SELECT shard,
+               count(*) AS n_rows,
+               count(DISTINCT chunk_id) AS n_chunks,
+               count(DISTINCT doc_id) AS n_docs,
+               CAST(sum(chunk_tokens) AS BIGINT) AS n_tokens,
+               sum(CAST(CAST(CONCAT('0x', substr(md5(
+                     concat_ws('|', shard, chunk_id, doc_id,
+                               chunk_start, chunk_tokens)
+                   ), 1, 15)) AS BIGINT) AS DECIMAL(38, 0))) AS checksum
+        FROM '{chunks_path}/*.parquet'
+        GROUP BY shard
+        """
+        ).fetchall()
+    )
+    assert len(got) == 8
+    assert got == want
+
+
+def test_shard_manifest_order_invariant_and_dup_sensitive(spark):
+    """The checksum certifies CONTENT: invariant under any row order /
+    partitioning of the same rows, but a duplicated row (the bit-xor
+    blind spot) and a single changed token count both move it."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.packing import (
+        pack_token_chunks,
+        shard_manifest,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (5 + i % 7)) for i in range(60)],
+        "doc_id long, text string",
+    )
+    chunks = pack_token_chunks(docs, budget=16, n_shards=4)
+    base = {r["shard"]: tuple(r) for r in shard_manifest(chunks).collect()}
+    shuffled = {
+        r["shard"]: tuple(r)
+        for r in shard_manifest(
+            chunks.repartition(13).sortWithinPartitions("doc_id")
+        ).collect()
+    }
+    assert base == shuffled
+
+    # deterministic single row: limit() without an order can pick a
+    # different row per action, and `one` is evaluated twice below
+    one = chunks.orderBy("shard", "chunk_id", "doc_id").limit(1)
+    dup = {
+        r["shard"]: tuple(r)
+        for r in shard_manifest(chunks.unionAll(one)).collect()
+    }
+    tampered_shard = one.collect()[0]["shard"]
+    assert dup[tampered_shard] != base[tampered_shard]
+
+    from pyspark.sql import functions as F
+
+    changed = chunks.withColumn(
+        "chunk_tokens",
+        F.when(
+            (F.col("shard") == tampered_shard) & (F.col("chunk_id") == 0),
+            F.col("chunk_tokens") + 1,
+        ).otherwise(F.col("chunk_tokens")),
+    )
+    assert (
+        {r["shard"]: tuple(r) for r in shard_manifest(changed).collect()}[
+            tampered_shard
+        ]
+        != base[tampered_shard]
+    )
+
+
+def test_shard_manifest_no_split_shape_and_validation(spark):
+    import pytest
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.packing import (
+        pack_documents_no_split,
+        shard_manifest,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (3 + i % 5)) for i in range(20)],
+        "doc_id long, text string",
+    )
+    packed = pack_documents_no_split(docs, budget=8, n_shards=3)
+    rows = shard_manifest(packed).collect()
+    assert sum(r["n_tokens"] for r in rows) == sum(
+        3 + i % 5 for i in range(20)
+    )
+    assert sum(r["n_docs"] for r in rows) == 20
+    with pytest.raises(ValueError, match="not a packed-chunk frame"):
+        shard_manifest(docs)
+
+
+def test_verify_packed_corpus_roundtrip_and_tamper(spark, tmp_path):
+    """verify_packed_corpus is empty against an intact corpus and
+    names exactly the tampered/missing shards afterwards."""
+    from pyspark.sql import functions as F
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.packing import (
+        pack_token_chunks,
+        shard_manifest,
+        verify_packed_corpus,
+        write_packed_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "word " * (4 + i % 9)) for i in range(80)],
+        "doc_id long, text string",
+    )
+    chunks = pack_token_chunks(docs, budget=32, n_shards=4)
+    data = str(tmp_path / "packed")
+    manifest = str(tmp_path / "manifest")
+    write_packed_corpus(chunks, data)
+    shard_manifest(spark.read.parquet(data)).coalesce(1).write.parquet(
+        manifest
+    )
+
+    assert verify_packed_corpus(spark, data, manifest).count() == 0
+
+    # tamper: drop one shard's rows entirely on disk
+    victim = chunks.select("shard").distinct().collect()[0]["shard"]
+    kept = spark.read.parquet(data).filter(F.col("shard") != victim)
+    tampered = str(tmp_path / "tampered")
+    kept.write.parquet(tampered)
+    bad = verify_packed_corpus(spark, tampered, manifest).collect()
+    assert [r["shard"] for r in bad] == [victim]
+    assert bad[0]["got_n_rows"] is None  # missing side is NULL, not 0

@@ -223,6 +223,67 @@ def test_warc_to_documents_curate_composition(spark, tmp_path):
     assert chunks.count() > 0
 
 
+def test_wet_to_documents_curate_composition(spark, tmp_path):
+    """WET front-door: conversion records (CommonCrawl's pre-extracted
+    text sidecar) → (doc_id, url, fetch_date, text) — warcinfo and
+    response records in the same file are filtered by TYPE, the utf-8
+    text decodes as-is (no HTML stage), and the frame composes into
+    curate_documents without html_col."""
+    from hospital_stain_tracker_data_pipeline_spark.pipeline.curate import (
+        curate_documents,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.sources.warc import (
+        wet_to_documents,
+    )
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "café résumé — prose the funnel keeps, with the usual words",
+    ]
+    records = [
+        {
+            "warc_type": "warcinfo",
+            "block": b"software: test-rig/1.0\r\n",
+            "warc_date": "2026-08-15T00:00:00Z",
+            "content_type": "application/warc-fields",
+        },
+        # a stray response record: a WET reader must drop it by TYPE
+        {
+            "warc_type": "response",
+            "target_uri": "http://a.example/raw",
+            "content_type": "application/http; msgtype=response",
+            "block": http_response_block(b"<html><body>raw</body></html>"),
+        },
+        *[
+            {
+                "warc_type": "conversion",
+                "target_uri": f"http://a.example/{i}",
+                "warc_date": f"2026-08-15T00:00:0{i + 1}Z",
+                "content_type": "text/plain",
+                "block": t.encode("utf-8"),
+            }
+            for i, t in enumerate(texts)
+        ],
+    ]
+    path = str(tmp_path / "c.warc.wet.gz")
+    write_warc(path, records, compress=True)
+
+    docs = wet_to_documents(spark, [path])
+    rows = {r["url"]: r for r in docs.collect()}
+    assert set(rows) == {"http://a.example/0", "http://a.example/1"}
+    assert rows["http://a.example/0"]["text"] == texts[0]
+    assert rows["http://a.example/1"]["text"] == texts[1]  # utf-8 intact
+    assert len({r["doc_id"] for r in rows.values()}) == 2
+    # determinism: same scan → same ids (hash of file+offset+seq)
+    again = {r["doc_id"] for r in wet_to_documents(spark, [path]).collect()}
+    assert again == {r["doc_id"] for r in rows.values()}
+
+    chunks, report = curate_documents(docs, url_col="url")
+    assert report.total == 2
+    assert report.packed_tokens == sum(len(t.split()) for t in texts)
+    assert chunks.count() > 0
+
+
 def test_whole_file_gzip_multi_record_member(tmp_path):
     """A whole-file-gzipped WARC (one member, many records — valid
     gzip from `gzip file.warc`, a layout non-CC writers produce): all
