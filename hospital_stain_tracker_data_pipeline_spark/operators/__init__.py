@@ -56,6 +56,15 @@ from .packing import (  # noqa: F401
     verify_packed_corpus,
     write_packed_corpus,
 )
+from .pq import (  # noqa: F401
+    knn_ivf_pq,
+    knn_pq,
+    pack_codes,
+    pq_decode,
+    pq_encode,
+    pq_fit_codebooks,
+    unpack_codes,
+)
 from .inference import (  # noqa: F401
     batch_score,
     probe_calibration,

@@ -242,12 +242,7 @@ def write_packed_corpus(
     shuffle's in-chunk order survives the write (doc_id order inside a
     chunk is NOT walk order once ``order_col`` drives the pack).
     """
-    if "chunk_start" in chunks.columns:
-        in_chunk = "chunk_start"
-    elif "chunk_pos" in chunks.columns:
-        in_chunk = "chunk_pos"
-    else:
-        in_chunk = "doc_id"
+    in_chunk, _, _ = _chunk_shape(chunks, default="doc_id")
     cols = ["shard", "chunk_id", in_chunk]
     part = (
         chunks.repartitionByRange(n_files, *cols)
@@ -255,6 +250,29 @@ def write_packed_corpus(
         else chunks.repartitionByRange(*cols)
     )
     part.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
+
+
+def _chunk_shape(
+    chunks: DataFrame, default: str | None = None
+) -> tuple[str, str | None, list[str]]:
+    """THE one place that knows which packer produced a chunk frame.
+    Returns ``(in_chunk, tok, extras)``: the in-chunk position column,
+    the per-row token-count column, and the shape's remaining content
+    columns (what a digest must cover beyond the identity tuple).
+    ``default`` names a fallback position column for frames that match
+    neither shape (``write_packed_corpus`` orders arbitrary frames by
+    it); without a default an unrecognized frame raises."""
+    if "chunk_start" in chunks.columns:
+        return "chunk_start", "chunk_tokens", ["n_tok"]
+    if "chunk_pos" in chunks.columns:
+        return "chunk_pos", "n_tok", ["oversize"]
+    if default is not None:
+        return default, None, []
+    raise ValueError(
+        "not a packed-chunk frame: expected chunk_start (concat"
+        "-and-chunk) or chunk_pos (no-split) among "
+        f"{chunks.columns}"
+    )
 
 
 def shard_manifest(chunks: DataFrame) -> DataFrame:
@@ -266,8 +284,15 @@ def shard_manifest(chunks: DataFrame) -> DataFrame:
     checksum``.
 
     The checksum is the DECIMAL(38,0) sum of the repo's 60-bit
-    md5-prefix hash over each row's identity tuple
-    ``(shard, chunk_id, doc_id, position, tokens)``:
+    md5-prefix hash over EVERY content column of the shape —
+    concat-and-chunk: ``(shard, chunk_id, doc_id, chunk_start,
+    chunk_tokens, n_tok)``; no-split: ``(shard, chunk_id, doc_id,
+    chunk_pos, n_tok, oversize)`` — so zeroed per-doc token counts or
+    flipped oversize flags move the digest, not just identity-tuple
+    edits. (A user-supplied ``order_col`` passthrough key is the one
+    exclusion: its name is unknown here, and it is re-derivable from
+    the shuffle seed — audit it against ``epoch_shuffle`` directly.)
+    Properties:
 
     - order-invariant — a distributed write lands rows in
       nondeterministic order across retries/speculation; CONTENT is
@@ -284,21 +309,16 @@ def shard_manifest(chunks: DataFrame) -> DataFrame:
     like ``write_packed_corpus``. One partial-aggregated groupBy —
     the manifest costs a single scan of the (narrow) chunk frame.
     """
-    if "chunk_start" in chunks.columns:
-        in_chunk, tok = "chunk_start", "chunk_tokens"
-    elif "chunk_pos" in chunks.columns:
-        in_chunk, tok = "chunk_pos", "n_tok"
-    else:
-        raise ValueError(
-            "not a packed-chunk frame: expected chunk_start (concat"
-            "-and-chunk) or chunk_pos (no-split) among "
-            f"{chunks.columns}"
-        )
+    in_chunk, tok, extras = _chunk_shape(chunks)
     row_h = F.conv(
         F.substring(
             F.md5(
+                # extras are NOT optional: a projected-away n_tok /
+                # oversize must fail analysis, not silently weaken
+                # the digest
                 F.concat_ws(
-                    "|", "shard", "chunk_id", "doc_id", in_chunk, tok
+                    "|", "shard", "chunk_id", "doc_id", in_chunk, tok,
+                    *extras,
                 )
             ),
             1,
@@ -463,7 +483,7 @@ def packing_efficiency(packed: DataFrame, budget: int) -> DataFrame:
     the fraction of chunk capacity carrying real tokens (1 − padding).
     The number a pipeline watches when tuning budget/strategy; one
     aggregate, no extra scan of the corpus."""
-    tok_col = "chunk_tokens" if "chunk_tokens" in packed.columns else "n_tok"
+    _, tok_col, _ = _chunk_shape(packed)
     agg = packed.agg(
         F.count_distinct("shard", "chunk_id").alias("n_chunks"),
         F.coalesce(F.sum(tok_col), F.lit(0)).cast("long").alias("total_tokens"),

@@ -1,0 +1,445 @@
+"""Product quantization (PQ) for the embedding lake — the compression
+tier BELOW SQ8 and the search tier that makes 100 TB ANN tractable.
+
+SQ8 (``similarity.quantize_embeddings``) stores 1 byte per component
+(4x vs float32). PQ stores ``m`` bytes per VECTOR: split each vector
+into ``m`` subvectors, k-means each subspace into ``n_codes``
+codewords, store only the per-subspace codeword ids (Jegou, Douze,
+Schmid, "Product Quantization for Nearest Neighbor Search", IEEE TPAMI
+2011 — the IVF-PQ design every large-scale ANN system builds on). For
+dim=64 float32 that is 256 B -> 8 B (32x). Search never reconstructs
+vectors: ADC (asymmetric distance computation) turns a query into an
+``(m, n_codes)`` table of per-subspace partial distances and scores a
+corpus row with ``m`` table lookups.
+
+Spark-first shapes, exact-integer arithmetic end-to-end:
+
+- the fit mirrors ``ivf_fit_centroids``'s determinism contract
+  (md5-ordered seeds, integer gemm assign, LONG-sum + floor-div
+  update), but runs ALL ``m`` subspaces in one distributed pass per
+  Lloyd iteration — the shuffle payload is the ``m x n_codes x dsub``
+  codebook, never corpus rows;
+- codes live as ``array<smallint>`` (m per-subspace ids) — parquet
+  dictionary+RLE encodes them near the 1-byte ideal; ``pack_codes``/
+  ``unpack_codes`` give the literal m-byte ``binary`` for byte-budget
+  sinks;
+- ADC is DataFrame-native: the per-query distance table is a
+  ``q x m x n_codes``-row frame (tiny -> broadcast), the corpus codes
+  explode to ``(vec_id, sub, code)`` and equi-join the table with NO
+  shuffle on the corpus side; one partial-aggregated groupBy sums the
+  ``m`` lookups. Distances are exact int64 on the 1e-12 grid (squared
+  L2 of 1e-6-quantized values), so results are bit-replayable by any
+  engine and partitioning-invariant.
+
+Reference parity: the reference app has no vector search at all —
+this module is part of the training-data surface the build brief adds
+beyond reference scope (SURVEY.md S2 "beyond-reference" block).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import fanout, materialize
+from .similarity import (
+    QUANT_SCALE,
+    as_double_array,
+    ivf_assign_udf,
+    ivf_fit_centroids,
+    quantize_vec_long,
+)
+
+__all__ = [
+    "pq_fit_codebooks",
+    "pq_encode",
+    "pq_decode",
+    "knn_pq",
+    "knn_ivf_pq",
+    "pack_codes",
+    "unpack_codes",
+]
+
+
+def _pq_assign_udf(codebooks: np.ndarray):
+    """Arrow-batched PQ assignment: QUANTIZED vectors (array<long>,
+    ``quantize_vec_long``) -> ``array<smallint>`` of m per-subspace
+    codeword ids. Per subspace the argmin of exact-integer
+    ``|c|^2 - 2 x.c`` (the x-norm term is constant per row); numpy
+    ``argmin`` takes the FIRST minimum, i.e. ties break to the lowest
+    codeword id — the same rule as the IVF assign. All products stay
+    below 2^53, so the gemm is exact and engine-independent."""
+    from pyspark.sql.functions import pandas_udf
+
+    cb = np.ascontiguousarray(codebooks, dtype=np.int64)
+    m, _, dsub = cb.shape
+    cnorm2 = (cb * cb).sum(axis=2)  # (m, k) int64, exact
+
+    @pandas_udf("array<smallint>")
+    def _assign(emb: pd.Series) -> pd.Series:
+        arrs = emb.to_numpy()
+        if not len(arrs):
+            return pd.Series([], dtype=object)
+        mask = np.array([a is not None for a in arrs])
+        out = np.empty(len(arrs), dtype=object)
+        out[~mask] = None
+        if mask.any():
+            x = np.stack(arrs[mask]).astype(np.int64).reshape(-1, m, dsub)
+            for s in range(m):
+                # score = |c|^2 - 2 x.c  (exact int64); argmin first-hit
+                score = cnorm2[s][None, :] - 2 * (x[:, s, :] @ cb[s].T)
+                codes_s = np.argmin(score, axis=1).astype("int16")
+                if s == 0:
+                    codes = np.empty((x.shape[0], m), dtype="int16")
+                codes[:, s] = codes_s
+            for j, i in enumerate(np.nonzero(mask)[0]):
+                out[i] = codes[j]
+        return pd.Series(out)
+
+    return _assign
+
+
+def pq_fit_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Fit the ``m`` per-subspace codebooks (Lloyd k-means on squared
+    L2 within each subspace) fully distributed, ALL subspaces per
+    pass; the driver only ever holds the (m, n_codes, dsub) codebook
+    tensor. The vector dim must divide evenly by ``m``.
+
+    Determinism (the ``ivf_fit_centroids`` contract, applied per
+    subspace): seeds are the ``n_codes`` corpus vectors with the
+    smallest ``(md5(id), id)``, codeword j of EVERY subspace starts
+    from seed row j's subvector; assignment is exact-int argmin with
+    ties to the lowest id; the update is a LONG sum + floor division
+    on the 1e-6 grid, associative under any partitioning
+    (``test_pq_fit_partitioning_determinism``). Empty codewords keep
+    their previous value. Returns int64 (m, n_codes, dsub)."""
+    src = materialize(
+        fanout(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            quantize_vec_long(F.col(vec_col)).alias("_qv"),
+        )
+        .filter(F.col("_qv").isNotNull())
+    )
+    first = src.select(F.size("_qv").alias("d")).first()
+    if first is None:
+        raise ValueError("no vectors to fit")
+    dim = first["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    seed_rows = (
+        src.withColumn("_h", F.md5(F.col("_id").cast("string")))
+        .orderBy("_h", "_id")
+        .limit(n_codes)
+        .collect()
+    )
+    if len(seed_rows) < n_codes:
+        raise ValueError(
+            f"need >= {n_codes} vectors to seed, have {len(seed_rows)}"
+        )
+    cb = np.array([r["_qv"] for r in seed_rows], dtype=np.int64).reshape(
+        n_codes, m, dsub
+    ).transpose(1, 0, 2).copy()  # (m, k, dsub)
+    for _ in range(iters):
+        assigned = src.select(
+            "_qv", _pq_assign_udf(cb)(F.col("_qv")).alias("_codes")
+        )
+        # one job for all subspaces: pos -> (sub, pos-in-sub), code
+        # looked up from the row's code array; LONG sums are exact and
+        # associative, so the fit is partitioning-deterministic
+        sums = (
+            assigned.select(
+                F.posexplode("_qv").alias("pos", "x"),
+                F.col("_codes"),
+            )
+            .select(
+                (F.col("pos") / dsub).cast("int").alias("sub"),
+                F.element_at(
+                    "_codes", (F.col("pos") / dsub).cast("int") + 1
+                ).alias("code"),
+                (F.col("pos") % dsub).alias("possub"),
+                "x",
+            )
+            .groupBy("sub", "code", "possub")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        # copy-then-overwrite: a (sub, code) with any assigned row
+        # contributes every possub, so non-empty codewords are fully
+        # rewritten; empty codewords keep their previous value
+        new_cb = cb.copy()
+        for r in sums:
+            # Python // floor division — exact on the integer grid
+            new_cb[r["sub"], r["code"], r["possub"]] = r["s"] // r["n"]
+        cb = new_cb
+    return cb
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode an embedding frame to ``(id, pq_code array<smallint>)``
+    — m per-subspace codeword ids per vector. One narrow pass, no
+    shuffle; NULL embeddings stay NULL. ``array<smallint>`` is the
+    join-able representation ADC consumes; ``pack_codes`` turns it
+    into the literal m-byte binary when byte budget matters more than
+    joinability."""
+    return df.select(
+        F.col(id_col),
+        _pq_assign_udf(codebooks)(
+            quantize_vec_long(F.col(vec_col))
+        ).alias("pq_code"),
+    )
+
+
+def pq_decode(
+    df: DataFrame, codebooks: np.ndarray, id_col: str = "vec_id"
+) -> DataFrame:
+    """Reconstruct approximate vectors from codes: codeword j of each
+    subspace, dequantized off the 1e-6 grid, concatenated in subspace
+    order -> ``embedding array<double>``. The reconstruction error is
+    the quantization distortion the fit minimized; useful for
+    spot-audits and for feeding PQ-compressed vectors to operators
+    that want real arrays."""
+    cb = np.ascontiguousarray(codebooks, dtype=np.int64)
+    m, _, dsub = cb.shape
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def _decode(codes: pd.Series) -> pd.Series:
+        out = []
+        for c in codes:
+            if c is None:
+                out.append(None)
+                continue
+            idx = np.asarray(c, dtype=np.int64)
+            vec = np.concatenate(
+                [cb[s, idx[s], :] for s in range(m)]
+            ).astype(np.float64) / QUANT_SCALE
+            out.append(vec)
+        return pd.Series(out, dtype=object)
+
+    return df.select(F.col(id_col), _decode("pq_code").alias("embedding"))
+
+
+def pack_codes(col: Column) -> Column:
+    """``array<smallint>`` codes -> literal m-byte ``binary`` (one
+    byte per subspace; requires n_codes <= 256). Pure expression:
+    each id renders as a 2-hex-digit chunk, ``unhex`` packs the
+    concatenation — no UDF in the storage path."""
+    return F.unhex(
+        F.array_join(
+            F.transform(col, lambda c: F.lpad(F.hex(c), 2, "0")), ""
+        )
+    )
+
+
+def unpack_codes(col: Column, m: int) -> Column:
+    """Inverse of ``pack_codes``: m-byte binary -> array<smallint>.
+    ``hex`` then fixed-width 2-char slices; pure expression."""
+    h = F.hex(col)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda i: F.conv(F.substring(h, i * 2 + 1, 2), 16, 10).cast(
+            "smallint"
+        ),
+    )
+
+
+def _adc_table(
+    query: DataFrame,
+    codebooks: np.ndarray,
+    query_id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The per-query ADC lookup table as a FRAME: one row per
+    (query, sub, code) with the exact-integer partial squared-L2
+    between the query's quantized subvector and the codeword, on the
+    1e-12 grid. q x m x n_codes rows — broadcast-sized by
+    construction."""
+    cb = np.ascontiguousarray(codebooks, dtype=np.int64)
+    m, k, dsub = cb.shape
+    spark = query.sparkSession
+    cw = spark.createDataFrame(
+        [
+            (s, c, [int(v) for v in cb[s, c, :]])
+            for s in range(m)
+            for c in range(k)
+        ],
+        "sub int, code smallint, cw array<long>",
+    )
+    qsubs = query.select(
+        F.col(query_id_col),
+        quantize_vec_long(F.col(vec_col)).alias("_qv"),
+    ).select(
+        query_id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.cast("int").alias("sub"),
+                    F.slice("_qv", s * dsub + 1, dsub).alias("qsub"),
+                ),
+            )
+        ).alias("e"),
+    ).select(query_id_col, "e.sub", "e.qsub")
+    # exact int64: (q_i - c_i)^2 summed over the subspace; |q-c| <=
+    # 2e6, dsub * 4e12 stays far below 2^63 (and each partial below
+    # 2^53, so any downstream double conversion is exact too)
+    pdist = F.aggregate(
+        F.zip_with(
+            "qsub", "cw", lambda q, c: (q - c) * (q - c)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return qsubs.join(cw, "sub").select(
+        query_id_col, "sub", "code", pdist.alias("pdist")
+    )
+
+
+def _adc_topk(
+    codes: DataFrame,
+    table: DataFrame,
+    k: int,
+    id_col: str,
+    query_id_col: str,
+    per_query: bool,
+) -> DataFrame:
+    """Shared ADC scoring tail: explode codes to (sub, code), broadcast
+    the table join, sum the m lookups, window top-k per query (distance
+    ascending, ties to the lowest id). ``per_query=False`` means the
+    code frame carries no query column — the (sub, code) join fans each
+    corpus row out to every query (the full-scan path);
+    ``per_query=True`` joins on query_id too (the IVF-probed path,
+    where candidates are already per-query)."""
+    from pyspark.sql import Window
+
+    lead = [query_id_col] if per_query else []
+    exploded = codes.select(
+        *lead,
+        F.col(id_col),
+        F.posexplode("pq_code").alias("sub", "code"),
+    )
+    scored = exploded.join(F.broadcast(table), lead + ["sub", "code"])
+    agg = scored.groupBy(query_id_col, id_col).agg(
+        F.sum("pdist").alias("_adc")
+    )
+    # self-exclusion BEFORE the window: a self-match must not consume
+    # one of the k slots (same rule as knn_ivf)
+    agg = agg.filter(F.col(query_id_col) != F.col(id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("_adc"), F.asc(id_col)
+    )
+    return (
+        agg.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(F.col("_adc") / F.lit(QUANT_SCALE * QUANT_SCALE), 6)
+            .alias("adc_dist"),
+        )
+    )
+
+
+def knn_pq(
+    corpus_codes: DataFrame,
+    query: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ADC k-NN over a PQ-encoded corpus: ``(query_id, vec_id,
+    adc_dist)`` with the ``k`` smallest approximate squared-L2
+    distances per query (ties to the lowest id). ``corpus_codes`` is
+    ``pq_encode`` output — the corpus embeddings themselves are never
+    read.
+
+    Plan shape at scale: the corpus side is scan -> posexplode (m
+    narrow rows per vector) -> BROADCAST hash join against the
+    q x m x n_codes table frame -> partial-aggregated groupBy — the
+    only shuffle is (query_id, vec_id) partial sums, and the window
+    top-k. Exact-integer distances on the 1e-12 grid make the result
+    partitioning-invariant and replayable (``test_pq_adc_exact_replay``
+    pins the bit-exact numpy replay). For normalized embeddings
+    squared L2 = 2 - 2 cos, so the ADC ranking approximates the cosine
+    ranking the brute-force baseline uses."""
+    table = _adc_table(query, codebooks, query_id_col, vec_col)
+    codes = corpus_codes.filter(F.col("pq_code").isNotNull())
+    return _adc_topk(
+        codes, table, k, id_col, query_id_col, per_query=False
+    )
+
+
+def knn_ivf_pq(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ: the full Jegou-et-al composition — coarse IVF cells
+    bound WHICH rows are scored, PQ/ADC bounds WHAT scoring a row
+    costs. The 100 TB search shape: probe ``nprobe`` of ``n_clusters``
+    cells (~nprobe/n_clusters of the corpus) and score each candidate
+    with ``m`` byte-table lookups instead of a ``dim``-wide float dot.
+
+    Codebooks are fit on the raw subvectors (no residual encoding —
+    documented simplification vs the paper's residual variant; at
+    these cell counts the residual win is marginal and the non-residual
+    fit keeps ONE codebook tensor shared by every cell, which is what
+    makes the distance table per query, not per (query, cell)).
+    Returns ``(query_id, vec_id, adc_dist)``; self-matches excluded
+    like ``knn_ivf``."""
+    cents = ivf_fit_centroids(corpus, n_clusters, iters, id_col, vec_col)
+    cb = pq_fit_codebooks(corpus, m, n_codes, iters, id_col, vec_col)
+    encoded = materialize(
+        fanout(corpus)
+        .select(
+            F.col(id_col),
+            quantize_vec_long(F.col(vec_col)).alias("_qv"),
+        )
+        .filter(F.col("_qv").isNotNull())
+        .select(
+            id_col,
+            ivf_assign_udf(cents)(F.col("_qv")).alias("cell"),
+            _pq_assign_udf(cb)(F.col("_qv")).alias("pq_code"),
+        )
+    )
+    probes = query.select(
+        F.col(query_id_col),
+        as_double_array(F.col(vec_col)).alias("_pv"),
+    ).select(
+        query_id_col,
+        F.explode(
+            ivf_assign_udf(cents, nprobe=nprobe)(
+                quantize_vec_long(F.col("_pv"))
+            )
+        ).alias("cell"),
+    )
+    table = _adc_table(query, cb, query_id_col, vec_col)
+    cand = probes.join(encoded, "cell").filter(
+        F.col(query_id_col) != F.col(id_col)
+    ).select(query_id_col, id_col, "pq_code")
+    return _adc_topk(cand, table, k, id_col, query_id_col, per_query=True)

@@ -449,39 +449,50 @@ def read_warc(
 
     A glob that matches nothing raises ``FileNotFoundError`` (Spark's
     own readers fail on an empty glob too) — a 100 TB ingest must
-    never silently become an empty corpus. Remote-URI globs
-    (``s3://bucket/crawl/*.warc.gz``) list via ``pyarrow.fs`` +
-    fnmatch on the final path segment; an explicit empty list is the
-    only way to get an empty (typed) frame.
+    never silently become an empty corpus. List elements are expanded
+    the same way (each may itself be a glob; each must match).
+    Remote-URI globs (``s3://bucket/crawl/*.warc.gz``) list via
+    ``pyarrow.fs`` + fnmatch on the final path segment; an explicit
+    empty list is the only way to get an empty (typed) frame.
     """
     import fnmatch
     import glob as globmod
     import posixpath
 
-    if isinstance(paths, str):
-        if not any(ch in paths for ch in "*?["):
-            listed = [paths]
-        elif "://" in paths:
+    def expand_one(p: str) -> list[str]:
+        # one path → its file list; a glob that matches nothing fails
+        # loud (a 100 TB ingest must never silently shrink), a literal
+        # path passes through (the executor's open() reports missing
+        # files with the real OS error)
+        if not any(ch in p for ch in "*?["):
+            hits = [p]
+        elif "://" in p:
             from pyarrow import fs as pafs
 
-            scheme = paths.split("://", 1)[0]
-            filesystem, pat = pafs.FileSystem.from_uri(paths)
+            scheme = p.split("://", 1)[0]
+            filesystem, pat = pafs.FileSystem.from_uri(p)
             dirname, base = posixpath.split(pat)
             infos = filesystem.get_file_info(
                 pafs.FileSelector(dirname, recursive=False)
             )
-            listed = sorted(
+            hits = sorted(
                 f"{scheme}://{i.path}"
                 for i in infos
                 if i.is_file
                 and fnmatch.fnmatch(posixpath.basename(i.path), base)
             )
         else:
-            listed = sorted(globmod.glob(paths))
-        if not listed:
-            raise FileNotFoundError(f"no WARC files match {paths!r}")
+            hits = sorted(globmod.glob(p))
+        if not hits:
+            raise FileNotFoundError(f"no WARC files match {p!r}")
+        return hits
+
+    if isinstance(paths, str):
+        listed = expand_one(paths)
     else:
-        listed = sorted(paths)
+        # each list element gets the same expansion + fail-loud as a
+        # bare string; only an explicit [] yields the empty frame
+        listed = sorted(h for p in paths for h in expand_one(p))
     if not listed:
         return spark.createDataFrame([], WARC_SCHEMA)
     want = set(warc_types) if warc_types else None
@@ -558,10 +569,24 @@ def warc_payload_text(
     return df.withColumn(out_col, decode(F.col(payload_col), F.col(http_ct_col)))
 
 
+def _records_to_documents(recs: DataFrame, out_col: str) -> DataFrame:
+    """THE doc_id recipe, in one place: decode the payload and project
+    the 4-column documents shape. Both front-doors (and any caller
+    holding a pre-read ``read_warc`` frame) go through here, so the
+    (file, offset, seq) hash can never drift between them."""
+    return warc_payload_text(recs, out_col=out_col).select(
+        F.xxhash64("warc_file", "record_offset", "record_seq").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.col("warc_date").alias("fetch_date"),
+        out_col,
+    )
+
+
 def warc_to_documents(
     spark: SparkSession,
-    paths: str | list[str],
+    paths: str | list[str] | None = None,
     parallelism: int | None = None,
+    records: DataFrame | None = None,
 ) -> DataFrame:
     """The crawl front-door: WARC response records →
     ``(doc_id, url, fetch_date, html)`` ready for
@@ -569,23 +594,24 @@ def warc_to_documents(
     ``doc_id`` is the 64-bit hash of (file, offset, seq) —
     deterministic and unique for every layout incl. multi-record gzip
     members, where records share the member offset and only ``seq``
-    separates them."""
-    recs = read_warc(spark, paths, warc_types=("response",), parallelism=parallelism)
-    return (
-        warc_payload_text(recs, out_col="html")
-        .select(
-            F.xxhash64("warc_file", "record_offset", "record_seq").alias("doc_id"),
-            F.col("target_uri").alias("url"),
-            F.col("warc_date").alias("fetch_date"),
-            "html",
+    separates them. Pass ``records`` (an already-read ``read_warc``
+    frame, response records) to derive documents WITHOUT a second
+    scan — the one-parse path a caller producing multiple outputs
+    (docs + CDX sidecar) should use."""
+    if records is None:
+        if paths is None:
+            raise ValueError("need paths or records")
+        records = read_warc(
+            spark, paths, warc_types=("response",), parallelism=parallelism
         )
-    )
+    return _records_to_documents(records, out_col="html")
 
 
 def wet_to_documents(
     spark: SparkSession,
-    paths: str | list[str],
+    paths: str | list[str] | None = None,
     parallelism: int | None = None,
+    records: DataFrame | None = None,
 ) -> DataFrame:
     """The WET front-door: ``conversion`` records (the pre-extracted
     plain-text sidecar CommonCrawl publishes as ``*.warc.wet.gz`` —
@@ -602,16 +628,15 @@ def wet_to_documents(
     WARC-derived one never collide on doc_id because the hash input
     carries the file path. The leading ``warcinfo`` record every WET
     file starts with is dropped by the type filter, not by position —
-    robust to files that lack it."""
-    recs = read_warc(
-        spark, paths, warc_types=("conversion",), parallelism=parallelism
-    )
-    return warc_payload_text(recs, out_col="text").select(
-        F.xxhash64("warc_file", "record_offset", "record_seq").alias("doc_id"),
-        F.col("target_uri").alias("url"),
-        F.col("warc_date").alias("fetch_date"),
-        "text",
-    )
+    robust to files that lack it. ``records`` short-circuits the scan
+    exactly as in ``warc_to_documents``."""
+    if records is None:
+        if paths is None:
+            raise ValueError("need paths or records")
+        records = read_warc(
+            spark, paths, warc_types=("conversion",), parallelism=parallelism
+        )
+    return _records_to_documents(records, out_col="text")
 
 
 def warc_cdx_index(records: DataFrame) -> DataFrame:

@@ -296,24 +296,30 @@ def cmd_warc_ingest(args) -> None:
         if "," in args.input
         else args.input
     )
-    # doc_id construction lives in ONE place (warc_to_documents /
-    # wet_to_documents) — the CDX sidecar re-scans rather than risk
-    # the selects drifting
-    if args.wet:
-        docs = wet_to_documents(spark, paths, parallelism=args.parallelism)
-        kind = "conversion"
-    else:
-        docs = warc_to_documents(spark, paths, parallelism=args.parallelism)
-        kind = "response"
+    if not paths:
+        raise SystemExit(f"--input {args.input!r} names no paths")
+    # ONE parse: read_warc once, derive docs and the CDX sidecar from
+    # the same records frame (the doc_id recipe lives in
+    # _records_to_documents either way). With --cdx-out the frame is
+    # disk-persisted across the two writes — the gzip+WARC+HTTP parse
+    # is the expensive part; replaying it per output would double
+    # ingest CPU and could even see a different file set between
+    # listings.
+    kind = "conversion" if args.wet else "response"
+    recs = read_warc(
+        spark, paths, warc_types=(kind,), parallelism=args.parallelism
+    )
+    if args.cdx_out:
+        from pyspark import StorageLevel
+
+        recs = recs.persist(StorageLevel.DISK_ONLY)
+    to_docs = wet_to_documents if args.wet else warc_to_documents
+    docs = to_docs(spark, records=recs)
     docs.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     if args.cdx_out:
-        recs = read_warc(
-            spark, paths,
-            warc_types=("conversion",) if args.wet else ("response",),
-            parallelism=args.parallelism,
-        )
         warc_cdx_index(recs).write.mode("overwrite").parquet(args.cdx_out)
+        recs.unpersist()
         print(f"cdx -> {args.cdx_out}")
     print(f"ingested {n} {kind} records -> {args.output}")
 

@@ -34,6 +34,8 @@ def test_operator_surface_exports():
         "bm25_topk", "bm25_bulk_scores",
         "build_bm25_index", "dedup_substrings", "ngram_contamination",
         "pagerank", "save_ivf_index", "load_ivf_index",
+        "pq_fit_codebooks", "pq_encode", "pq_decode", "knn_pq",
+        "knn_ivf_pq", "pack_codes", "unpack_codes",
         "extract_image_features", "extract_audio_features",
         "extract_video_features", "sample_video_frames",
     ):

@@ -850,7 +850,7 @@ def test_shard_manifest_duckdb_oracle(spark, sf_dir, tmp_path):
                CAST(sum(chunk_tokens) AS BIGINT) AS n_tokens,
                sum(CAST(CAST(CONCAT('0x', substr(md5(
                      concat_ws('|', shard, chunk_id, doc_id,
-                               chunk_start, chunk_tokens)
+                               chunk_start, chunk_tokens, n_tok)
                    ), 1, 15)) AS BIGINT) AS DECIMAL(38, 0))) AS checksum
         FROM '{chunks_path}/*.parquet'
         GROUP BY shard
@@ -911,8 +911,14 @@ def test_shard_manifest_order_invariant_and_dup_sensitive(spark):
     )
 
 
-def test_shard_manifest_no_split_shape_and_validation(spark):
+def test_shard_manifest_no_split_shape_and_validation(spark, tmp_path):
+    """No-split manifest: totals reconcile, the checksum replays in
+    DuckDB INCLUDING the boolean oversize rendering ('true'/'false'
+    in both engines' concat_ws), and a flipped oversize flag moves
+    the digest (the tamper class the 5-column checksum missed)."""
+    import duckdb
     import pytest
+    from pyspark.sql import functions as F
 
     from hospital_stain_tracker_data_pipeline_spark.operators.packing import (
         pack_documents_no_split,
@@ -931,6 +937,41 @@ def test_shard_manifest_no_split_shape_and_validation(spark):
     assert sum(r["n_docs"] for r in rows) == 20
     with pytest.raises(ValueError, match="not a packed-chunk frame"):
         shard_manifest(docs)
+
+    packed_path = str(tmp_path / "nosplit")
+    packed.write.parquet(packed_path)
+    got = sorted(
+        tuple(r)
+        for r in shard_manifest(spark.read.parquet(packed_path)).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            f"""
+        SELECT shard,
+               count(*) AS n_rows,
+               count(DISTINCT chunk_id) AS n_chunks,
+               count(DISTINCT doc_id) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               sum(CAST(CAST(CONCAT('0x', substr(md5(
+                     concat_ws('|', shard, chunk_id, doc_id,
+                               chunk_pos, n_tok, oversize)
+                   ), 1, 15)) AS BIGINT) AS DECIMAL(38, 0))) AS checksum
+        FROM '{packed_path}/*.parquet'
+        GROUP BY shard
+        """
+        ).fetchall()
+    )
+    assert got == want
+
+    base = {r["shard"]: r["checksum"] for r in rows}
+    flipped = {
+        r["shard"]: r["checksum"]
+        for r in shard_manifest(
+            packed.withColumn("oversize", ~F.col("oversize"))
+        ).collect()
+    }
+    assert all(flipped[s] != base[s] for s in base)
 
 
 def test_verify_packed_corpus_roundtrip_and_tamper(spark, tmp_path):
