@@ -270,6 +270,26 @@ def _extras_registry():
         docs = load_fixture_table(spark, sf_dir, "documents")
         return shard_manifest(pack_token_chunks(docs, budget=2048, n_shards=32))
 
+    def pq_search(spark, sf_dir):
+        """IVF-PQ end to end at bench scale: fit coarse + product
+        quantizers, encode the embedding corpus, ADC top-10 for 16
+        probed queries — times the full byte-code ANN path (the
+        search tier the 100 TB embedding lake would run)."""
+        from pyspark.sql import functions as F2
+
+        from hospital_stain_tracker_data_pipeline_spark.operators.pq import (
+            knn_ivf_pq,
+        )
+
+        emb = load_fixture_table(spark, sf_dir, "embeddings")
+        queries = emb.orderBy("vec_id").limit(16).select(
+            F2.col("vec_id").alias("query_id"), "embedding"
+        )
+        return knn_ivf_pq(
+            emb, queries, k=10, n_clusters=16, nprobe=4, m=16,
+            n_codes=64, iters=2,
+        )
+
     def corpus_card(spark, sf_dir):
         """One-row dataset-card aggregate over the documents fixture —
         times the single-scan multi-stat shape (incl. the exact
@@ -448,6 +468,7 @@ def _extras_registry():
         "url_dedup": url_dedup,
         "gopher_pii_pass": gopher_and_pii,
         "pack_manifest": pack_manifest,
+        "pq_search": pq_search,
         "corpus_card": corpus_card,
         "warc_scan": warc_scan,
         "html_extract": html_extract,

@@ -59,10 +59,12 @@ from .packing import (  # noqa: F401
 from .pq import (  # noqa: F401
     knn_ivf_pq,
     knn_pq,
+    load_pq_index,
     pack_codes,
     pq_decode,
     pq_encode,
     pq_fit_codebooks,
+    save_pq_index,
     unpack_codes,
 )
 from .inference import (  # noqa: F401

@@ -59,6 +59,8 @@ __all__ = [
     "knn_ivf_pq",
     "pack_codes",
     "unpack_codes",
+    "save_pq_index",
+    "load_pq_index",
 ]
 
 
@@ -384,6 +386,68 @@ def knn_pq(
     return _adc_topk(
         codes, table, k, id_col, query_id_col, per_query=False
     )
+
+
+def save_pq_index(spark, codebooks: np.ndarray, path: str) -> None:
+    """Persist fitted codebooks as a tiny parquet table ``(sub int,
+    code int, pos int, val long, m int, n_codes int, dsub int)`` —
+    the same nightly-fit / load-everywhere artifact convention as
+    ``save_ivf_index``: exact 1e-6-grid integers, engine-portable,
+    versioned by path."""
+    m, k, dsub = codebooks.shape
+    rows = [
+        (int(s), int(c), int(p), int(v), int(m), int(k), int(dsub))
+        for s in range(m)
+        for c in range(k)
+        for p, v in enumerate(codebooks[s, c])
+    ]
+    spark.createDataFrame(
+        rows,
+        "sub int, code int, pos int, val long, m int, n_codes int, "
+        "dsub int",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_pq_index(spark, path: str) -> np.ndarray:
+    """Inverse of ``save_pq_index``; validates density against the
+    declared (m, n_codes, dsub) so a truncated or duplicated artifact
+    fails loudly here, not as silent wrong codes downstream (the
+    ``load_ivf_index`` contract)."""
+    df = spark.read.parquet(path)
+    val_type = df.schema["val"].dataType.simpleString()
+    if val_type not in ("bigint", "int"):
+        raise ValueError(
+            f"PQ index at {path} has non-integer val column "
+            f"({val_type}) — not a quantized-fit artifact"
+        )
+    rows = df.collect()
+    if not rows:
+        raise ValueError(f"empty PQ index at {path}")
+    m, k, dsub = (
+        int(rows[0]["m"]),
+        int(rows[0]["n_codes"]),
+        int(rows[0]["dsub"]),
+    )
+    if len(rows) != m * k * dsub:
+        raise ValueError(
+            f"PQ index at {path} is not dense: {len(rows)} cells != "
+            f"{m}x{k}x{dsub}"
+        )
+    seen = set()
+    out = np.zeros((m, k, dsub), dtype=np.int64)
+    for r in rows:
+        cell = (r["sub"], r["code"], r["pos"])
+        if (
+            not (0 <= cell[0] < m and 0 <= cell[1] < k and 0 <= cell[2] < dsub)
+            or cell in seen
+        ):
+            raise ValueError(
+                f"PQ index at {path} is not dense: cell {cell} out of "
+                "range or duplicated"
+            )
+        seen.add(cell)
+        out[cell] = r["val"]
+    return out
 
 
 def knn_ivf_pq(

@@ -36,6 +36,7 @@ def test_operator_surface_exports():
         "pagerank", "save_ivf_index", "load_ivf_index",
         "pq_fit_codebooks", "pq_encode", "pq_decode", "knn_pq",
         "knn_ivf_pq", "pack_codes", "unpack_codes",
+        "save_pq_index", "load_pq_index",
         "extract_image_features", "extract_audio_features",
         "extract_video_features", "sample_video_frames",
     ):

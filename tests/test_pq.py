@@ -166,6 +166,25 @@ def test_pq_adc_exact_numpy_replay(spark, emb, codebooks):
             assert got[(q["query_id"], vid)] == want, (q["query_id"], vid)
 
 
+def test_pq_index_roundtrip_and_corruption(spark, codebooks, tmp_path):
+    """save/load round-trips the codebook tensor bit-exactly; a
+    truncated artifact fails loudly (the load_ivf_index contract)."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.pq import (
+        load_pq_index,
+        save_pq_index,
+    )
+
+    path = str(tmp_path / "pq_index")
+    save_pq_index(spark, codebooks, path)
+    back = load_pq_index(spark, path)
+    assert np.array_equal(codebooks, back)
+
+    truncated = str(tmp_path / "pq_trunc")
+    spark.read.parquet(path).limit(100).coalesce(1).write.parquet(truncated)
+    with pytest.raises(ValueError, match="not dense"):
+        load_pq_index(spark, truncated)
+
+
 def _recall_vs_brute(spark, emb, result, k=10, n_queries=8):
     queries = emb.orderBy("vec_id").limit(n_queries).select(
         F.col("vec_id").alias("query_id"), "embedding"
