@@ -290,6 +290,37 @@ def _extras_registry():
             n_codes=64, iters=2,
         )
 
+    def corpus_refresh_diff(spark, sf_dir):
+        """Snapshot-diff the documents fixture against a mutated
+        refresh (1/7 removed, 1/5 edited, 13 added) — times the
+        hash-project + full-outer-join reconciliation a corpus
+        promotion gate runs."""
+        from pyspark.sql import functions as F2
+
+        from hospital_stain_tracker_data_pipeline_spark.operators.diffs import (
+            corpus_diff_summary,
+        )
+
+        docs = load_fixture_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        new = (
+            docs.filter(F2.col("doc_id") % 7 != 0)
+            .withColumn(
+                "text",
+                F2.when(
+                    F2.col("doc_id") % 5 == 0,
+                    F2.concat(F2.col("text"), F2.lit(" EDITED")),
+                ).otherwise(F2.col("text")),
+            )
+            .unionByName(
+                docs.select(
+                    (F2.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+                ).limit(13)
+            )
+        )
+        return corpus_diff_summary(docs, new)
+
     def corpus_card(spark, sf_dir):
         """One-row dataset-card aggregate over the documents fixture —
         times the single-scan multi-stat shape (incl. the exact
@@ -469,6 +500,7 @@ def _extras_registry():
         "gopher_pii_pass": gopher_and_pii,
         "pack_manifest": pack_manifest,
         "pq_search": pq_search,
+        "corpus_refresh_diff": corpus_refresh_diff,
         "corpus_card": corpus_card,
         "warc_scan": warc_scan,
         "html_extract": html_extract,

@@ -56,6 +56,7 @@ from .packing import (  # noqa: F401
     verify_packed_corpus,
     write_packed_corpus,
 )
+from .diffs import corpus_diff, corpus_diff_summary  # noqa: F401
 from .pq import (  # noqa: F401
     knn_ivf_pq,
     knn_pq,
@@ -76,6 +77,7 @@ from .retrieval import (  # noqa: F401
     bm25_bulk_scores,
     bm25_topk,
     build_bm25_index,
+    reciprocal_rank_fusion,
 )
 from .dedup import (  # noqa: F401
     dedup_against_corpus,

@@ -205,3 +205,83 @@ def bm25_bulk_scores(
     if round_to is not None:
         scored = scored.withColumn("score", F.round("score", round_to))
     return scored.filter(F.col("score") > min_score)
+
+
+def reciprocal_rank_fusion(
+    results: list[DataFrame],
+    id_col: str = "doc_id",
+    score_cols: list[str] | None = None,
+    k: int = 10,
+    c: int = 60,
+    weights: list[float] | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Fuse N ranked retrieval lists into one: hybrid search's standard
+    combiner (Cormack, Clarke, Buettcher, "Reciprocal Rank Fusion
+    outperforms Condorcet and individual rank learning methods",
+    SIGIR 2009). ``rrf(d) = sum_i w_i / (c + rank_i(d))`` with a
+    document absent from list i contributing 0 — rank-based, so a BM25
+    score and a cosine can fuse without calibration (the reason RRF is
+    the default fusion in production hybrid retrieval).
+
+    Inputs are score frames — ``(id_col, score_col)`` like
+    ``bm25_topk`` output or ``knn_brute_force``/``knn_pq`` output
+    filtered to one query; ``score_cols`` names each list's score
+    column (default: the first non-id column of each). Ranks are
+    derived here (score DESC, id ASC — deterministic k-boundary), so
+    callers never pre-rank.
+
+    Plan shape: each list is a top-k retrieval result — broadcast-
+    sized by construction. Ranks are per-list window functions over
+    those tiny frames; the fusion is a chain of full-outer broadcast
+    joins on the id (N lists, N-1 joins) and one pure-Column sum —
+    nothing corpus-sized moves. Exact arithmetic: ranks are integers,
+    the fused score is a fixed-order sum of N doubles evaluated per
+    row (no shuffle-order float reduction), rounded for cross-engine
+    replay — the DuckDB oracle in ``tests/test_retrieval_fusion.py``
+    reproduces it bit-for-bit.
+    """
+    if not results:
+        raise ValueError("need at least one result frame")
+    if weights is None:
+        weights = [1.0] * len(results)
+    if len(weights) != len(results):
+        raise ValueError(
+            f"{len(weights)} weights for {len(results)} result frames"
+        )
+    from pyspark.sql import Window
+
+    ranked = []
+    for i, df in enumerate(results):
+        if score_cols is not None:
+            sc = score_cols[i]
+        else:
+            others = [col for col in df.columns if col != id_col]
+            if not others:
+                raise ValueError(f"result {i} has no score column")
+            sc = others[0]
+        w = Window.orderBy(F.desc(sc), F.asc(id_col))
+        ranked.append(
+            df.select(
+                F.col(id_col),
+                F.row_number().over(w).alias(f"_rank_{i}"),
+            )
+        )
+    fused = ranked[0]
+    for r in ranked[1:]:
+        fused = fused.join(F.broadcast(r), id_col, "full_outer")
+    score = F.lit(0.0)
+    for i, wgt in enumerate(weights):
+        score = score + F.when(
+            F.col(f"_rank_{i}").isNotNull(),
+            F.lit(float(wgt)) / (F.lit(float(c)) + F.col(f"_rank_{i}")),
+        ).otherwise(F.lit(0.0))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    out_w = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return (
+        fused.select(F.col(id_col), score.alias("rrf_score"))
+        .withColumn("_rk", F.row_number().over(out_w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -37,6 +37,7 @@ def test_operator_surface_exports():
         "pq_fit_codebooks", "pq_encode", "pq_decode", "knn_pq",
         "knn_ivf_pq", "pack_codes", "unpack_codes",
         "save_pq_index", "load_pq_index",
+        "reciprocal_rank_fusion", "corpus_diff", "corpus_diff_summary",
         "extract_image_features", "extract_audio_features",
         "extract_video_features", "sample_video_frames",
     ):
