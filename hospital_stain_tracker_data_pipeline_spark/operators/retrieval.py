@@ -231,11 +231,12 @@ def reciprocal_rank_fusion(
     derived here (score DESC, id ASC — deterministic k-boundary), so
     callers never pre-rank.
 
-    Plan shape: each list is a top-k retrieval result — broadcast-
-    sized by construction. Ranks are per-list window functions over
-    those tiny frames; the fusion is a chain of full-outer broadcast
-    joins on the id (N lists, N-1 joins) and one pure-Column sum —
-    nothing corpus-sized moves. Exact arithmetic: ranks are integers,
+    Plan shape: each list is a top-k retrieval result — tiny by
+    construction. Ranks are per-list window functions over those tiny
+    frames; the fusion is a chain of full-outer equi-joins on the id
+    (N lists, N-1 joins — Spark cannot broadcast-hash a full outer, so
+    these plan as shuffle joins over k-row inputs, which is fine) and
+    one pure-Column sum — nothing corpus-sized moves. Exact arithmetic: ranks are integers,
     the fused score is a fixed-order sum of N doubles evaluated per
     row (no shuffle-order float reduction), rounded for cross-engine
     replay — the DuckDB oracle in ``tests/test_retrieval_fusion.py``
@@ -269,7 +270,7 @@ def reciprocal_rank_fusion(
         )
     fused = ranked[0]
     for r in ranked[1:]:
-        fused = fused.join(F.broadcast(r), id_col, "full_outer")
+        fused = fused.join(r, id_col, "full_outer")
     score = F.lit(0.0)
     for i, wgt in enumerate(weights):
         score = score + F.when(
