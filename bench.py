@@ -321,6 +321,29 @@ def _extras_registry():
         )
         return corpus_diff_summary(docs, new)
 
+    def hll_distinct_words(spark, sf_dir):
+        """Incremental-cardinality shape: sketch two halves of the
+        documents fixture's word stream separately (as two corpus
+        shards would), merge the register tables, estimate — times two
+        sketch scans + the KB-sized merge, never an exact distinct
+        shuffle."""
+        from pyspark.sql import functions as F2
+
+        from hospital_stain_tracker_data_pipeline_spark.operators.sketch import (
+            hll_estimate,
+            hll_merge,
+            hll_registers,
+        )
+
+        docs = load_fixture_table(spark, sf_dir, "documents")
+        words = docs.select(
+            F2.col("doc_id"),
+            F2.explode(F2.split(F2.col("text"), r"\s+")).alias("w"),
+        ).filter(F2.col("w") != "")
+        a = hll_registers(words.filter(F2.col("doc_id") % 2 == 0), "w")
+        b = hll_registers(words.filter(F2.col("doc_id") % 2 == 1), "w")
+        return hll_estimate(hll_merge(a, b))
+
     def corpus_card(spark, sf_dir):
         """One-row dataset-card aggregate over the documents fixture —
         times the single-scan multi-stat shape (incl. the exact
@@ -501,6 +524,7 @@ def _extras_registry():
         "pack_manifest": pack_manifest,
         "pq_search": pq_search,
         "corpus_refresh_diff": corpus_refresh_diff,
+        "hll_distinct_words": hll_distinct_words,
         "corpus_card": corpus_card,
         "warc_scan": warc_scan,
         "html_extract": html_extract,

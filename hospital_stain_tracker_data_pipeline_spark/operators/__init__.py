@@ -36,7 +36,17 @@ from .web import (  # noqa: F401
     filter_blocked_domains,
     parse_html_documents,
 )
-from .sketch import heavy_hitters, skew_report  # noqa: F401
+from .sketch import (  # noqa: F401
+    approx_distinct_hll,
+    cms_merge,
+    cms_query,
+    cms_sketch,
+    heavy_hitters,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+    skew_report,
+)
 from .quality import (  # noqa: F401
     compression_signals,
     corpus_report,

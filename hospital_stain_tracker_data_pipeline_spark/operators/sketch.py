@@ -21,6 +21,21 @@ aggregation.
 hot keys + a salt suggestion) so the cost of a planned groupBy/join on
 that key is visible before it runs.
 
+``hll_registers`` / ``hll_merge`` / ``hll_estimate`` are a
+deterministic HyperLogLog (Flajolet et al. 2007, with the HLL++
+linear-counting small-range correction) whose SKETCH is a first-class
+DataFrame: ≤ 2^p rows of ``(register, max_rho)``. Spark's built-in
+``approx_count_distinct`` answers one query over one frame; these
+answer the 100 TB-corpus question the built-in can't — persist a
+shard's registers next to the shard, MERGE register tables across
+shards/snapshots (``GROUP BY register → MAX(rho)``), and re-estimate
+the union's cardinality WITHOUT rescanning old data. Determinism:
+items hash through md5 (not xxhash64) so the register table replays
+bit-for-bit in pure Python/DuckDB; the estimator folds registers with
+exact integer arithmetic (powers of two as longs, one division at the
+end), so the estimate is identical regardless of partitioning or
+merge order.
+
 The batch-level Misra-Gries merge uses pandas ``value_counts`` per
 Arrow batch (vectorized) and only touches Python dicts at summary
 size, not stream size.
@@ -204,3 +219,247 @@ def skew_report(
         ).alias("skew_ratio"),
     )
     return summary.crossJoin(topk)
+
+
+def _hll_check_p(p: int) -> None:
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+
+
+def hll_registers(
+    df: DataFrame, item_col: str, p: int = 12
+) -> DataFrame:
+    """The mergeable HyperLogLog sketch of ``item_col``'s distinct
+    values as a DataFrame: ``(register int, max_rho int)``, at most
+    ``2^p`` rows (a few KB — write it next to the shard it profiles).
+
+    Hashing is md5-based so every engine replays it bit-for-bit
+    (``tests/test_hll.py`` pins a pure-Python replay): the item is
+    cast to string, the first 15 hex chars of its md5 form a 60-bit
+    value ``h``; the top ``p`` bits pick the register and
+    ``rho = (61 - p) - bit_length(h mod 2^(60-p))`` is the
+    leading-zero rank (all integer/string ops — ``conv`` base-2 gives
+    an exact bit length, no float log). NULL items are ignored, same
+    as ``COUNT(DISTINCT)``.
+
+    Plan: one projection + one ``groupBy(register).max(rho)`` — the
+    exchange carries at most ``2^p`` rows per map task (partial agg),
+    never the item stream.
+    """
+    _hll_check_p(p)
+    wbits = 60 - p
+    h = F.conv(
+        F.substring(F.md5(F.col(item_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    reg = F.shiftright(h, wbits).cast("int").alias("register")
+    w = h.bitwiseAND(F.lit((1 << wbits) - 1))
+    rho = (
+        F.when(w == 0, F.lit(wbits + 1))
+        .otherwise(
+            F.lit(wbits + 1) - F.length(F.conv(w.cast("string"), 10, 2))
+        )
+        .cast("int")
+    )
+    return (
+        df.filter(F.col(item_col).isNotNull())
+        .select(reg, rho.alias("rho"))
+        .groupBy("register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge register tables from shards/snapshots built with the SAME
+    ``p``: union then per-register max — associative, commutative,
+    idempotent, so any merge tree over any shard order yields the
+    identical sketch (pinned by test). This is the incremental path:
+    estimating corpus ∪ refresh touches only the two sketches, not the
+    data."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("register").agg(F.max("max_rho").alias("max_rho"))
+
+
+def hll_estimate(sketch: DataFrame, p: int = 12) -> DataFrame:
+    """One-row cardinality estimate from a register table:
+    ``(estimate double, method string, n_registers_set, n_zero_registers,
+    p, m)``. Flajolet et al.'s raw estimator with the HLL++
+    small-range fallback: when ``E_raw <= 2.5m`` and empty registers
+    remain, linear counting ``m * ln(m / zeros)`` is the better
+    estimator (standard error ~1.04/sqrt(m) ≈ 1.6% at p=12).
+
+    Exactness discipline: the harmonic-sum denominator is folded as
+    ``SUM(1 << (maxrho_max - max_rho))`` — exact longs, order-free —
+    plus ``zeros << maxrho_max``; floats appear only in the final
+    single-row division/log, so the estimate is one deterministic
+    number, not a shuffle-order-dependent one."""
+    _hll_check_p(p)
+    m = 1 << p
+    big_r = 61 - p  # max possible rho; 2^big_r scales the exact sum
+    if m >= 128:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    else:
+        alpha = {16: 0.673, 32: 0.697, 64: 0.709}[m]
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("n_set"),
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {big_r} - max_rho)")),
+            F.lit(0).cast("long"),
+        ).alias("z_present"),
+    )
+    zeros = F.lit(m) - F.col("n_set")
+    znum = F.col("z_present") + zeros * F.lit(1 << big_r).cast("long")
+    e_raw = (
+        F.lit(float(alpha * m * m))
+        * F.lit(float(1 << big_r))
+        / znum.cast("double")
+    )
+    use_lc = (e_raw <= F.lit(2.5 * m)) & (zeros > 0)
+    e_lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    return agg.select(
+        F.when(use_lc, e_lc).otherwise(e_raw).alias("estimate"),
+        F.when(use_lc, F.lit("linear_counting"))
+        .otherwise(F.lit("hll"))
+        .alias("method"),
+        F.col("n_set").alias("n_registers_set"),
+        zeros.cast("long").alias("n_zero_registers"),
+        F.lit(p).alias("p"),
+        F.lit(m).alias("m"),
+    )
+
+
+def approx_distinct_hll(
+    df: DataFrame, item_col: str, p: int = 12
+) -> DataFrame:
+    """``hll_estimate(hll_registers(df, item_col, p), p)`` — the
+    one-shot form, when no sketch needs persisting."""
+    return hll_estimate(hll_registers(df, item_col, p), p)
+
+
+def _cms_check(width: int, depth: int) -> None:
+    if width < 2 or width & (width - 1) != 0 or width > (1 << 26):
+        raise ValueError(
+            f"width must be a power of two in [2, 2^26], got {width}"
+        )
+    if not 1 <= depth <= 64:
+        raise ValueError(f"depth must be in [1, 64], got {depth}")
+
+
+def _cms_cells(item: "F.Column", width: int, depth: int):
+    """(h1, h2_odd) base hashes for the Kirsch-Mitzenmacher row family
+    ``col_r = (h1 + r * h2_odd) mod width`` — one md5 per item, ``h2``
+    forced odd so it is coprime with the power-of-two width and the
+    ``depth`` rows land on genuinely distinct column schedules."""
+    hx = F.md5(item.cast("string"))
+    h1 = F.conv(F.substring(hx, 1, 15), 16, 10).cast("long") % F.lit(width)
+    h2 = (
+        F.conv(F.substring(hx, 16, 15), 16, 10).cast("long")
+        % F.lit(width)
+    ).bitwiseOR(F.lit(1))
+    return h1, h2
+
+
+def cms_sketch(
+    df: DataFrame, item_col: str, width: int = 2048, depth: int = 5
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of the item
+    stream as a DataFrame of non-zero cells: ``(row int, col int,
+    cnt long)``, at most ``width * depth`` rows regardless of stream
+    size. With ``w`` columns over ``N`` total items, a point query
+    overestimates by at most ``2N/w`` with probability ``1 - 2^-depth``
+    (and NEVER underestimates).
+
+    Same discipline as ``hll_registers``: md5-based hashing (pure-
+    Python bit-exact replay pinned in ``tests/test_cms.py``), and the
+    sketch is a mergeable artifact — persist per-shard cells, then
+    ``cms_merge`` (union + cell-wise sum, exact longs) answers point
+    frequencies over the union without rescanning shards. NULL items
+    are ignored.
+
+    Plan: the base hashes are projected to bound columns BEFORE the
+    depth-row explode (Catalyst does not CSE inside HOF lambdas — the
+    md5 must not be re-evaluated per row index), then one
+    ``groupBy(row, col).count()`` whose exchange is partial-aggregated
+    cells, never the item stream."""
+    _cms_check(width, depth)
+    h1, h2 = _cms_cells(F.col(item_col), width, depth)
+    hashed = (
+        df.filter(F.col(item_col).isNotNull())
+        .select(h1.alias("_h1"), h2.alias("_h2"))
+    )
+    return (
+        hashed.select(
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+            "_h1",
+            "_h2",
+        )
+        .select(
+            F.col("row").cast("int").alias("row"),
+            ((F.col("_h1") + F.col("row") * F.col("_h2")) % F.lit(width))
+            .cast("int")
+            .alias("col"),
+        )
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum of count-min sketches built with the SAME
+    (width, depth): exact, associative, commutative — sketch(A ⊎ B) ==
+    merge(sketch(A), sketch(B)) bit-for-bit (pinned by test)."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_query(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    width: int = 2048,
+    depth: int = 5,
+) -> DataFrame:
+    """Point-frequency estimates for ``items`` (deduplicated; NULLs
+    ignored) against a sketch built with the same (width, depth):
+    ``(item_col, est long)`` where ``est = min over rows of the cell
+    count`` — an upper bound on the true frequency, within ``2N/width``
+    of it with probability ``1 - 2^-depth``. An absent cell counts as
+    0, so items never inserted estimate 0 unless every row collides.
+
+    Plan: the query side explodes to ``depth`` cells per item and
+    LEFT-joins the sketch — whose ≤ width*depth cells broadcast — then
+    one ``groupBy(item).min()``. Corpus-scale frequency lookups never
+    reread the corpus."""
+    _cms_check(width, depth)
+    h1, h2 = _cms_cells(F.col(item_col), width, depth)
+    q = (
+        items.filter(F.col(item_col).isNotNull())
+        .select(item_col)
+        .distinct()
+        .select(F.col(item_col), h1.alias("_h1"), h2.alias("_h2"))
+        .select(
+            item_col,
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+            "_h1",
+            "_h2",
+        )
+        .select(
+            item_col,
+            F.col("row").cast("int").alias("row"),
+            ((F.col("_h1") + F.col("row") * F.col("_h2")) % F.lit(width))
+            .cast("int")
+            .alias("col"),
+        )
+    )
+    return (
+        q.join(F.broadcast(sketch), ["row", "col"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
