@@ -764,3 +764,50 @@ def stream_warc_ingest(
             [], "doc_id long, url string, fetch_date string, html string"
         ),
     )
+
+
+def stream_hll_cardinality(
+    spark: SparkSession,
+    source_path: str,
+    out_dir: str,
+    item_expr: str = "explode(split(text, '\\\\s+'))",
+    schema: str = "doc_id long, text string",
+    p: int = 12,
+) -> DataFrame:
+    """Incremental distinct-counting over a document stream: each
+    micro-batch sketches its items (``operators.sketch.hll_registers``
+    reused verbatim — stream and batch registers are identical by
+    construction) and lands its ≤ 2^p-row register table in its own
+    ``_batch_id`` partition; the read-back union is max-merged into
+    ONE register table, returned ready for ``hll_estimate``.
+
+    This is the streaming answer HLL's merge algebra makes free:
+    register max is idempotent and commutative, so a REPLAYED batch
+    (same partition, dynamic overwrite) or any batch arrival order
+    yields the same merged sketch — exactly-once semantics without a
+    state store, watermark, or dedup bookkeeping. The sink stays
+    KB-sized forever: ``n_batches * 2^p`` register rows, never items.
+
+    ``item_expr`` is a SQL expression evaluated per input row to
+    produce items (default: whitespace words of ``text``); empty
+    strings are dropped like the batch word profile."""
+    from ..operators.sketch import hll_merge, hll_registers
+
+    docs = spark.readStream.schema(schema).parquet(source_path)
+
+    def _sketch(batch_df: DataFrame) -> DataFrame:
+        items = batch_df.selectExpr(f"{item_expr} AS item").filter(
+            F.col("item") != ""
+        )
+        return hll_registers(items, "item", p=p)
+
+    batches = _run_batch_sink_stream(
+        spark,
+        docs,
+        _sketch,
+        out_dir,
+        empty=lambda: spark.createDataFrame(
+            [], "register int, max_rho int"
+        ),
+    )
+    return hll_merge(batches)

@@ -530,3 +530,52 @@ def test_stream_quality_gate_matches_batch(spark, tmp_path):
     empty = stream_quality_gate(spark, src2, out2)
     assert empty.count() == 0
     assert "n_pii_email" in empty.columns
+
+
+def test_stream_hll_cardinality_matches_batch(spark, sf_dir, tmp_path):
+    """Streamed HLL registers, merged across micro-batch partitions,
+    must equal the batch sketch of the whole corpus bit-for-bit —
+    the mergeability contract makes the stream/batch split invisible.
+    A second run over the same checkpoint must be a no-op (idempotent
+    replay: dynamic overwrite + max-merge)."""
+    from pyspark.sql import functions as F
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.streaming.ingest_stream import (
+        stream_hll_cardinality,
+    )
+
+    docs = load_fixture_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "docs_in")
+    docs.repartition(3).write.parquet(src)
+    out = str(tmp_path / "sketch")
+
+    streamed = stream_hll_cardinality(spark, src, out)
+    got = {
+        r["register"]: r["max_rho"] for r in streamed.collect()
+    }
+    words = docs.select(
+        F.explode(F.split("text", r"\s+")).alias("item")
+    ).filter(F.col("item") != "")
+    want = {
+        r["register"]: r["max_rho"]
+        for r in hll_registers(words, "item").collect()
+    }
+    assert got == want and len(got) > 0
+
+    # estimates agree too (same registers -> same number)
+    [se] = hll_estimate(streamed).collect()
+    [be] = hll_estimate(hll_registers(words, "item")).collect()
+    assert se["estimate"] == be["estimate"]
+
+    # replay: second availableNow pass over the same checkpoint sees
+    # no new files and must not change the merged sketch
+    again = stream_hll_cardinality(spark, src, out)
+    assert {
+        r["register"]: r["max_rho"] for r in again.collect()
+    } == want
