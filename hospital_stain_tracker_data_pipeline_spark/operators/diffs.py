@@ -95,23 +95,31 @@ def corpus_diff_summary(
     scan."""
     d = corpus_diff(old, new, id_col, text_col, include_unchanged=True)
     is_ = lambda s: (F.col("status") == s).cast("long")  # noqa: E731
+    # every SUM coalesces to 0: two empty corpora must reconcile to an
+    # all-zero row, not NULLs (a gate asserting n_added == 0 would
+    # silently misfire on None)
+    z = lambda c: F.coalesce(c, F.lit(0).cast("long"))  # noqa: E731
     return d.agg(
-        F.sum(is_("added")).alias("n_added"),
-        F.sum(is_("removed")).alias("n_removed"),
-        F.sum(is_("changed")).alias("n_changed"),
-        F.sum(is_("unchanged")).alias("n_unchanged"),
-        F.sum(
-            F.when(F.col("status") == "added", F.col("new_tok")).otherwise(
-                F.lit(0)
+        z(F.sum(is_("added"))).alias("n_added"),
+        z(F.sum(is_("removed"))).alias("n_removed"),
+        z(F.sum(is_("changed"))).alias("n_changed"),
+        z(F.sum(is_("unchanged"))).alias("n_unchanged"),
+        z(
+            F.sum(
+                F.when(
+                    F.col("status") == "added", F.col("new_tok")
+                ).otherwise(F.lit(0))
             )
         ).alias("tok_added"),
-        F.sum(
-            F.when(F.col("status") == "removed", F.col("old_tok")).otherwise(
-                F.lit(0)
+        z(
+            F.sum(
+                F.when(
+                    F.col("status") == "removed", F.col("old_tok")
+                ).otherwise(F.lit(0))
             )
         ).alias("tok_removed"),
         (
-            F.sum(F.coalesce(F.col("new_tok"), F.lit(0)))
-            - F.sum(F.coalesce(F.col("old_tok"), F.lit(0)))
+            z(F.sum(F.coalesce(F.col("new_tok"), F.lit(0))))
+            - z(F.sum(F.coalesce(F.col("old_tok"), F.lit(0))))
         ).alias("tok_delta"),
     )

@@ -225,11 +225,15 @@ def reciprocal_rank_fusion(
     the default fusion in production hybrid retrieval).
 
     Inputs are score frames — ``(id_col, score_col)`` like
-    ``bm25_topk`` output or ``knn_brute_force``/``knn_pq`` output
-    filtered to one query; ``score_cols`` names each list's score
-    column (default: the first non-id column of each). Ranks are
-    derived here (score DESC, id ASC — deterministic k-boundary), so
-    callers never pre-rank.
+    ``bm25_topk`` output, or ``knn_brute_force``/``knn_pq`` output
+    filtered to one query and projected to (id, score); ``score_cols``
+    names each list's score column. Without ``score_cols`` each frame
+    must carry EXACTLY one non-id column — an ambiguous frame (e.g.
+    knn output still carrying ``query_id``) raises instead of silently
+    ranking by the wrong column. Ranks are derived here (score DESC,
+    id ASC — deterministic k-boundary), so callers never pre-rank; an
+    id appearing more than once in one list keeps its best (lowest)
+    rank, so duplicate ids cannot fan out the fusion join.
 
     Plan shape: each list is a top-k retrieval result — tiny by
     construction. Ranks are per-list window functions over those tiny
@@ -238,9 +242,9 @@ def reciprocal_rank_fusion(
     these plan as shuffle joins over k-row inputs, which is fine) and
     one pure-Column sum — nothing corpus-sized moves. Exact arithmetic: ranks are integers,
     the fused score is a fixed-order sum of N doubles evaluated per
-    row (no shuffle-order float reduction), rounded for cross-engine
-    replay — the DuckDB oracle in ``tests/test_retrieval_fusion.py``
-    reproduces it bit-for-bit.
+    row (no shuffle-order float reduction), rounded so the pure-python
+    replay in ``tests/test_retrieval_fusion.py`` reproduces it
+    bit-for-bit.
     """
     if not results:
         raise ValueError("need at least one result frame")
@@ -249,6 +253,10 @@ def reciprocal_rank_fusion(
     if len(weights) != len(results):
         raise ValueError(
             f"{len(weights)} weights for {len(results)} result frames"
+        )
+    if score_cols is not None and len(score_cols) != len(results):
+        raise ValueError(
+            f"{len(score_cols)} score_cols for {len(results)} result frames"
         )
     from pyspark.sql import Window
 
@@ -260,6 +268,11 @@ def reciprocal_rank_fusion(
             others = [col for col in df.columns if col != id_col]
             if not others:
                 raise ValueError(f"result {i} has no score column")
+            if len(others) > 1:
+                raise ValueError(
+                    f"result {i} has several non-id columns {others}; "
+                    "pass score_cols to pick the score explicitly"
+                )
             sc = others[0]
         w = Window.orderBy(F.desc(sc), F.asc(id_col))
         ranked.append(
@@ -267,6 +280,10 @@ def reciprocal_rank_fusion(
                 F.col(id_col),
                 F.row_number().over(w).alias(f"_rank_{i}"),
             )
+            # a duplicated id keeps its best rank — without this, one
+            # list's duplicates would fan out the full-outer chain
+            .groupBy(id_col)
+            .agg(F.min(f"_rank_{i}").alias(f"_rank_{i}"))
         )
     fused = ranked[0]
     for r in ranked[1:]:

@@ -295,7 +295,13 @@ def hll_estimate(sketch: DataFrame, p: int = 12) -> DataFrame:
     ``SUM(1 << (maxrho_max - max_rho))`` — exact longs, order-free —
     plus ``zeros << maxrho_max``; floats appear only in the final
     single-row division/log, so the estimate is one deterministic
-    number, not a shuffle-order-dependent one."""
+    number, not a shuffle-order-dependent one.
+
+    A sketch built with a LARGER ``p`` than passed here fails loudly
+    (its registers/rhos exceed this ``p``'s bounds) instead of
+    returning a silently wrong number; a smaller-``p`` sketch is
+    structurally indistinguishable from a sparse one, so carrying the
+    right ``p`` to the estimate is still the caller's contract."""
     _hll_check_p(p)
     m = 1 << p
     big_r = 61 - p  # max possible rho; 2^big_r scales the exact sum
@@ -309,7 +315,10 @@ def hll_estimate(sketch: DataFrame, p: int = 12) -> DataFrame:
             F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {big_r} - max_rho)")),
             F.lit(0).cast("long"),
         ).alias("z_present"),
+        F.max("register").alias("_max_reg"),
+        F.max("max_rho").alias("_max_rho"),
     )
+    mismatched = (F.col("_max_reg") >= m) | (F.col("_max_rho") > big_r)
     zeros = F.lit(m) - F.col("n_set")
     znum = F.col("z_present") + zeros * F.lit(1 << big_r).cast("long")
     e_raw = (
@@ -320,7 +329,20 @@ def hll_estimate(sketch: DataFrame, p: int = 12) -> DataFrame:
     use_lc = (e_raw <= F.lit(2.5 * m)) & (zeros > 0)
     e_lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
     return agg.select(
-        F.when(use_lc, e_lc).otherwise(e_raw).alias("estimate"),
+        # the guard rides the estimate column so pruning can't drop it;
+        # NULL maxes (empty sketch) make `mismatched` NULL -> otherwise
+        F.when(
+            mismatched,
+            F.raise_error(
+                F.lit(
+                    f"sketch registers exceed p={p} bounds "
+                    f"(register >= {m} or rho > {big_r}) — was the "
+                    "sketch built with a larger p?"
+                )
+            ).cast("double"),
+        )
+        .otherwise(F.when(use_lc, e_lc).otherwise(e_raw))
+        .alias("estimate"),
         F.when(use_lc, F.lit("linear_counting"))
         .otherwise(F.lit("hll"))
         .alias("method"),
@@ -436,8 +458,34 @@ def cms_query(
     Plan: the query side explodes to ``depth`` cells per item and
     LEFT-joins the sketch — whose ≤ width*depth cells broadcast — then
     one ``groupBy(item).min()``. Corpus-scale frequency lookups never
-    reread the corpus."""
+    reread the corpus.
+
+    A sketch built with a LARGER (width, depth) than passed here fails
+    loudly (its cells sit outside this geometry — a silent mismatch
+    would UNDERestimate, breaking the one guarantee CMS makes); a
+    smaller geometry is structurally indistinguishable from a sparse
+    sketch, so carrying the right parameters remains the caller's
+    contract."""
     _cms_check(width, depth)
+    oob = (
+        (F.col("col") >= width)
+        | (F.col("row") >= depth)
+        | (F.col("col") < 0)
+        | (F.col("row") < 0)
+    )
+    # the guard rides cnt (used downstream) so pruning can't drop it
+    sketch = sketch.withColumn(
+        "cnt",
+        F.when(
+            oob,
+            F.raise_error(
+                F.lit(
+                    f"sketch cell outside width={width}, depth={depth} "
+                    "— was the sketch built with larger parameters?"
+                )
+            ).cast("long"),
+        ).otherwise(F.col("cnt")),
+    )
     h1, h2 = _cms_cells(F.col(item_col), width, depth)
     q = (
         items.filter(F.col(item_col).isNotNull())

@@ -145,3 +145,16 @@ def test_cms_validation(spark):
         cms_sketch(df, "item", depth=0)
     with pytest.raises(ValueError, match="at least one"):
         cms_merge()
+
+
+def test_cms_query_rejects_larger_geometry_sketch(spark):
+    """Querying a width-4096 sketch at width 512 would UNDERestimate —
+    the one broken guarantee — so it must raise instead."""
+    from pyspark.errors import SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [(f"item-{i}",) for i in range(5000)], "item string"
+    )
+    sk = cms_sketch(df, "item", width=4096, depth=5)
+    with pytest.raises(SparkRuntimeException, match="larger parameters"):
+        cms_query(sk, df, "item", width=512, depth=5).collect()

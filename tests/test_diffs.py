@@ -133,3 +133,14 @@ def test_corpus_diff_duckdb_oracle(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert got.get("added") == 13 and got.get("removed", 0) > 0
+
+
+def test_corpus_diff_summary_empty_corpora_all_zeros(spark):
+    """Two empty corpora reconcile to an all-zero row, never NULLs —
+    a promotion gate asserting n_added == 0 must hold."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    [s] = corpus_diff_summary(empty, empty).collect()
+    assert (
+        s["n_added"], s["n_removed"], s["n_changed"], s["n_unchanged"],
+        s["tok_added"], s["tok_removed"], s["tok_delta"],
+    ) == (0, 0, 0, 0, 0, 0, 0)

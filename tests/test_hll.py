@@ -170,3 +170,16 @@ def test_hll_validation(spark):
         hll_estimate(df, p=17)
     with pytest.raises(ValueError, match="at least one"):
         hll_merge()
+
+
+def test_hll_estimate_rejects_larger_p_sketch(spark):
+    """Estimating a p=14 sketch at the default p=12 must raise, not
+    return a silently wrong number (registers exceed 2^12)."""
+    from pyspark.errors import SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [(f"item-{i}",) for i in range(20000)], "item string"
+    )
+    sk = hll_registers(df, "item", p=14)
+    with pytest.raises(SparkRuntimeException, match="larger p"):
+        hll_estimate(sk, p=12).collect()

@@ -104,3 +104,40 @@ def test_rrf_validation(spark):
         reciprocal_rank_fusion([df, df], weights=[1.0])
     with pytest.raises(ValueError, match="no score column"):
         reciprocal_rank_fusion([df.select("doc_id")])
+
+
+def test_rrf_ambiguous_frame_raises(spark):
+    """A frame still carrying extra columns (e.g. knn output with
+    query_id) must fail loudly, not silently rank by the wrong one."""
+    df = spark.createDataFrame(
+        [(0, 1, 0.9)], "query_id long, doc_id long, score double"
+    )
+    with pytest.raises(ValueError, match="several non-id columns"):
+        reciprocal_rank_fusion([df])
+    # explicit score_cols resolves it
+    rows = reciprocal_rank_fusion([df], score_cols=["score"]).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+
+
+def test_rrf_score_cols_length_mismatch_raises(spark):
+    df = spark.createDataFrame([(1, 1.0)], "doc_id long, score double")
+    with pytest.raises(ValueError, match="score_cols"):
+        reciprocal_rank_fusion([df, df], score_cols=["score"])
+
+
+def test_rrf_duplicate_id_keeps_best_rank(spark):
+    """An id duplicated within one list must not fan out the fusion
+    join: it keeps its best rank, output has one row per id."""
+    a = spark.createDataFrame(
+        [(1, 9.0), (1, 2.0), (2, 5.0)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(1, 0.5), (3, 0.9)], "doc_id long, score double"
+    )
+    rows = reciprocal_rank_fusion([a, b]).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert sorted(ids) == [1, 2, 3]          # no duplicates
+    # doc 1: rank 1 in a (best of {1, 3}), rank 2 in b
+    want = round(1 / 61 + 1 / 62, 6)
+    got = {r["doc_id"]: r["rrf_score"] for r in rows}
+    assert got[1] == want
