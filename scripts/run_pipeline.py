@@ -14,6 +14,10 @@
                                         text-free MinHash signature index)
     dedup_filter --input --index --output  (drop new docs near-duplicating
                                         the indexed corpus; corpus wins)
+    corpus_diff --old --new            (snapshot reconciliation: summary
+                                        JSON + optional per-doc ledger;
+                                        --forbid-added/--forbid-removed
+                                        make it a promotion gate)
 
 A user of the reference pipeline can run the same workflows against a
 parquet lake directory instead of Postgres:
@@ -344,6 +348,45 @@ def cmd_dedup_filter(args) -> None:
     print(f"kept {n_out}/{n_in} docs -> {args.output}")
 
 
+def cmd_corpus_diff(args) -> None:
+    """Reconcile two corpus snapshots — the promotion / takedown gate.
+    Prints the one-row summary as JSON; --ledger-out lands the per-doc
+    added/removed/changed ledger; --forbid-added / --forbid-removed
+    turn the run into a hard gate (exit 3 when the invariant a refresh
+    class promises is violated — e.g. a takedown run must add
+    nothing)."""
+    import json as _json
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.diffs import (
+        corpus_diff,
+        corpus_diff_summary,
+    )
+
+    spark = get_spark(app_name="corpus_diff")
+    old = spark.read.parquet(args.old)
+    new = spark.read.parquet(args.new)
+    if args.ledger_out:
+        corpus_diff(old, new, args.id_col, args.text_col).write.mode(
+            "overwrite"
+        ).parquet(args.ledger_out)
+    [s] = corpus_diff_summary(
+        old, new, args.id_col, args.text_col
+    ).collect()
+    summary = s.asDict()
+    print(_json.dumps(summary, sort_keys=True))
+    violations = []
+    if args.forbid_added and summary["n_added"] > 0:
+        violations.append(f"n_added={summary['n_added']}")
+    if args.forbid_removed and summary["n_removed"] > 0:
+        violations.append(f"n_removed={summary['n_removed']}")
+    if violations:
+        print(
+            f"corpus_diff gate violated: {', '.join(violations)}",
+            file=sys.stderr,
+        )
+        raise SystemExit(3)
+
+
 def main() -> None:
     p = argparse.ArgumentParser(prog="run_pipeline")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -479,6 +522,25 @@ def main() -> None:
     pdf_.add_argument("--threshold", type=float, default=0.5)
     pdf_.add_argument("--num-hashes", type=int, default=32)
     pdf_.set_defaults(fn=cmd_dedup_filter)
+
+    pcd = sub.add_parser("corpus_diff")
+    pcd.add_argument("--old", required=True, help="old snapshot parquet")
+    pcd.add_argument("--new", required=True, help="new snapshot parquet")
+    pcd.add_argument("--id-col", default="doc_id")
+    pcd.add_argument("--text-col", default="text")
+    pcd.add_argument(
+        "--ledger-out", default=None,
+        help="optional per-doc added/removed/changed ledger parquet",
+    )
+    pcd.add_argument(
+        "--forbid-added", action="store_true",
+        help="exit 3 if any doc was added (takedown-run invariant)",
+    )
+    pcd.add_argument(
+        "--forbid-removed", action="store_true",
+        help="exit 3 if any doc was removed (append-only invariant)",
+    )
+    pcd.set_defaults(fn=cmd_corpus_diff)
 
     args = p.parse_args()
     args.fn(args)

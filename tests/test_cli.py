@@ -384,3 +384,48 @@ def test_cli_warc_ingest_wet(tmp_path):
     assert {d["text"] for d in docs} == {
         f"extracted text for page {i}" for i in range(3)
     }
+
+
+def test_cli_corpus_diff_gate(tmp_path, spark, sf_dir):
+    """corpus_diff prints the summary JSON, lands the ledger, and the
+    --forbid-added gate exits 3 on a refresh that added docs."""
+    from pyspark.sql import functions as F
+
+    from hospital_stain_tracker_data_pipeline_spark.sources.tables import (
+        load_fixture_table,
+    )
+
+    docs = load_fixture_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    old_p, new_p = str(tmp_path / "old"), str(tmp_path / "new")
+    docs.write.parquet(old_p)
+    # takedown-shaped refresh: removals only
+    docs.filter(F.col("doc_id") % 3 != 0).write.parquet(new_p)
+
+    ledger = str(tmp_path / "ledger")
+    out = _run(
+        "corpus_diff", "--old", old_p, "--new", new_p,
+        "--ledger-out", ledger, "--forbid-added",
+    )
+    summary = json.loads(out.strip().splitlines()[-1])
+    assert summary["n_added"] == 0 and summary["n_removed"] > 0
+    statuses = {
+        r["status"]
+        for r in spark.read.parquet(ledger).select("status").collect()
+    }
+    assert statuses == {"removed"}
+
+    # now an add-carrying refresh must trip the gate with exit 3
+    added_p = str(tmp_path / "with_add")
+    docs.unionByName(
+        docs.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+        .limit(1)
+    ).write.parquet(added_p)
+    proc = subprocess.run(
+        [sys.executable, CLI, "corpus_diff", "--old", old_p,
+         "--new", added_p, "--forbid-added"],
+        capture_output=True, text=True, timeout=240, cwd=REPO,
+    )
+    assert proc.returncode == 3, proc.stderr[-500:]
+    assert "gate violated" in proc.stderr
