@@ -23,6 +23,7 @@ from .lm import (  # noqa: F401
 from .mixture import (  # noqa: F401
     plan_token_mixture,
     sample_exact_k,
+    sample_stratified,
     sample_token_mixture,
     source_token_stats,
     temperature_weights,

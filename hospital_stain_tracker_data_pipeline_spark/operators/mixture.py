@@ -285,3 +285,63 @@ def sample_exact_k(
         .orderBy(key.asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata_col: str,
+    k: int | None = None,
+    fraction: float | None = None,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact per-stratum sampling: ``k`` rows from EVERY stratum
+    (``min(k, n_s)`` where smaller), or ``floor(fraction * n_s)`` rows
+    per stratum — exactly one of the two. The per-language /
+    per-domain balanced draw a training-data pipeline needs for eval
+    sets and threshold tuning, with none of ``sampleBy``'s binomial
+    jitter (that can return 0 rows from a small stratum; this cannot,
+    short of the stratum being smaller than the ask).
+
+    Deterministic end to end: rows rank inside their stratum by
+    ``md5(seed:id)`` with an id tiebreak (the same keyed-permutation
+    trick as ``sample_exact_k``), so the kept set is a pure function
+    of (data, strata_col, k/fraction, seed) and replays bit-for-bit in
+    DuckDB (``row_number() over (partition by strata order by md5,
+    id)`` — pinned in ``tests/test_mixture.py``). NULL ids are
+    excluded as in ``sample_exact_k``; a NULL stratum is a REAL
+    stratum (unattributed docs deserve representation too).
+
+    Plan: one hash exchange on the stratum + per-stratum sort of
+    (key, id) pairs for the row_number — the md5 key is uniform so the
+    sort itself never skews, and fat strata split fine under AQE.
+    ``fraction`` allocates from the same window's ``count(*)`` — no
+    second scan, and double arithmetic (``floor(n_s * fraction)``)
+    matches DuckDB's IEEE semantics exactly."""
+    if (k is None) == (fraction is None):
+        raise ValueError("pass exactly one of k / fraction")
+    if k is not None and k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    if fraction is not None and not (0.0 <= fraction <= 1.0):
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    key = F.md5(
+        F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(strata_col).orderBy(
+        key.asc(), F.col(id_col).asc()
+    )
+    ranked = df.filter(F.col(id_col).isNotNull()).withColumn(
+        "_rk", F.row_number().over(w)
+    )
+    if k is not None:
+        return ranked.filter(F.col("_rk") <= F.lit(k)).drop("_rk")
+    # windows can't sit in a filter: bind the per-stratum allowance as
+    # a column first (same window frame — one exchange, no second scan)
+    n_s = F.count(F.lit(1)).over(Window.partitionBy(strata_col))
+    return (
+        ranked.withColumn(
+            "_allow", F.floor(n_s * F.lit(float(fraction)))
+        )
+        .filter(F.col("_rk") <= F.col("_allow"))
+        .drop("_rk", "_allow")
+    )

@@ -307,3 +307,109 @@ def test_sample_exact_k_duckdb_kept_set_and_plan(spark, sf_dir):
     with contextlib.redirect_stdout(buf):
         sample_exact_k(docs, 25, seed=3).explain("formatted")
     assert "TakeOrderedAndProject" in buf.getvalue()
+
+
+def test_sample_stratified_duckdb_kept_set(spark, sf_dir):
+    """Per-stratum exact counts, kept set replayed in DuckDB via the
+    same md5 window permutation, NULL stratum sampled as a real
+    stratum, fraction mode allocates floor(n_s * f) per stratum."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.mixture import (
+        sample_stratified,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(
+                F.concat(F.lit("l"), (F.col("doc_id") % 3).cast("string"))
+            ),
+        )
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in sample_stratified(docs, "lang", k=5, seed=2)
+        .select("doc_id")
+        .collect()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            f"""
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN NULL
+                          ELSE 'l' || CAST(doc_id % 3 AS VARCHAR) END AS lang
+              FROM read_parquet('{sf_dir}/documents.parquet')
+            ), r AS (
+              SELECT doc_id, row_number() OVER (
+                PARTITION BY lang
+                ORDER BY md5('2:' || CAST(doc_id AS VARCHAR)), doc_id
+              ) AS rk FROM d
+            ) SELECT doc_id FROM r WHERE rk <= 5
+            """
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+    # every stratum (3 langs + NULL) contributed exactly 5
+    per = {
+        r["lang"]: r["n"]
+        for r in sample_stratified(docs, "lang", k=5, seed=2)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(per.values()) == {5} and len(per) == 4 and None in per
+
+    # fraction mode: floor(n_s * f) rows per stratum, exactly
+    f_ = 0.25
+    sizes = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    per_f = {
+        r["lang"]: r["n"]
+        for r in sample_stratified(docs, "lang", fraction=f_, seed=2)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    import math as _math
+
+    assert per_f == {
+        lang: _math.floor(n * f_) for lang, n in sizes.items()
+    }
+
+
+def test_sample_stratified_validation_and_small_strata(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.mixture import (
+        sample_stratified,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, s string"
+    )
+    with _pytest.raises(ValueError, match="exactly one"):
+        sample_stratified(df, "s")
+    with _pytest.raises(ValueError, match="exactly one"):
+        sample_stratified(df, "s", k=1, fraction=0.5)
+    with _pytest.raises(ValueError, match="fraction"):
+        sample_stratified(df, "s", fraction=1.5)
+    # k larger than a stratum: the whole stratum, no error
+    got = sample_stratified(df, "s", k=10, seed=0)
+    assert got.count() == 3
+    # seeds draw different sets when the stratum is larger than k
+    big = spark.createDataFrame(
+        [(i, "x") for i in range(200)], "doc_id long, s string"
+    )
+    s1 = {r["doc_id"] for r in sample_stratified(big, "s", k=20, seed=1).collect()}
+    s2 = {r["doc_id"] for r in sample_stratified(big, "s", k=20, seed=2).collect()}
+    assert len(s1) == 20 and len(s2) == 20 and s1 != s2
