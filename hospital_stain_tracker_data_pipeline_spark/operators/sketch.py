@@ -226,12 +226,24 @@ def _hll_check_p(p: int) -> None:
         raise ValueError(f"p must be in [4, 16], got {p}")
 
 
+def _by_cols(by: "str | list[str] | None") -> list[str]:
+    if by is None:
+        return []
+    return [by] if isinstance(by, str) else list(by)
+
+
 def hll_registers(
-    df: DataFrame, item_col: str, p: int = 12
+    df: DataFrame,
+    item_col: str,
+    p: int = 12,
+    by: str | list[str] | None = None,
 ) -> DataFrame:
     """The mergeable HyperLogLog sketch of ``item_col``'s distinct
     values as a DataFrame: ``(register int, max_rho int)``, at most
     ``2^p`` rows (a few KB — write it next to the shard it profiles).
+    ``by`` keeps one sketch PER GROUP (``(*by, register, max_rho)``,
+    ≤ 2^p rows per group) — "distinct URLs per domain", "vocabulary
+    per language" — still mergeable across shards on the same keys.
 
     Hashing is md5-based so every engine replays it bit-for-bit
     (``tests/test_hll.py`` pins a pure-Python replay): the item is
@@ -240,13 +252,14 @@ def hll_registers(
     ``rho = (61 - p) - bit_length(h mod 2^(60-p))`` is the
     leading-zero rank (all integer/string ops — ``conv`` base-2 gives
     an exact bit length, no float log). NULL items are ignored, same
-    as ``COUNT(DISTINCT)``.
+    as ``COUNT(DISTINCT)``; a NULL group key is a real group.
 
-    Plan: one projection + one ``groupBy(register).max(rho)`` — the
-    exchange carries at most ``2^p`` rows per map task (partial agg),
+    Plan: one projection + one ``groupBy(*by, register).max(rho)`` —
+    the exchange carries at most ``2^p`` rows per (map task, group),
     never the item stream.
     """
     _hll_check_p(p)
+    keys = _by_cols(by)
     wbits = 60 - p
     h = F.conv(
         F.substring(F.md5(F.col(item_col).cast("string")), 1, 15), 16, 10
@@ -262,15 +275,18 @@ def hll_registers(
     )
     return (
         df.filter(F.col(item_col).isNotNull())
-        .select(reg, rho.alias("rho"))
-        .groupBy("register")
+        .select(*keys, reg, rho.alias("rho"))
+        .groupBy(*keys, "register")
         .agg(F.max("rho").alias("max_rho"))
     )
 
 
-def hll_merge(*sketches: DataFrame) -> DataFrame:
+def hll_merge(
+    *sketches: DataFrame, by: str | list[str] | None = None
+) -> DataFrame:
     """Merge register tables from shards/snapshots built with the SAME
-    ``p``: union then per-register max — associative, commutative,
+    ``p`` (and, for grouped sketches, the same ``by`` keys): union
+    then per-(group, register) max — associative, commutative,
     idempotent, so any merge tree over any shard order yields the
     identical sketch (pinned by test). This is the incremental path:
     estimating corpus ∪ refresh touches only the two sketches, not the
@@ -280,16 +296,23 @@ def hll_merge(*sketches: DataFrame) -> DataFrame:
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("register").agg(F.max("max_rho").alias("max_rho"))
+    return out.groupBy(*_by_cols(by), "register").agg(
+        F.max("max_rho").alias("max_rho")
+    )
 
 
-def hll_estimate(sketch: DataFrame, p: int = 12) -> DataFrame:
-    """One-row cardinality estimate from a register table:
-    ``(estimate double, method string, n_registers_set, n_zero_registers,
-    p, m)``. Flajolet et al.'s raw estimator with the HLL++
-    small-range fallback: when ``E_raw <= 2.5m`` and empty registers
-    remain, linear counting ``m * ln(m / zeros)`` is the better
-    estimator (standard error ~1.04/sqrt(m) ≈ 1.6% at p=12).
+def hll_estimate(
+    sketch: DataFrame,
+    p: int = 12,
+    by: str | list[str] | None = None,
+) -> DataFrame:
+    """One-row cardinality estimate from a register table — or one row
+    PER GROUP when ``by`` names the keys a grouped sketch carries:
+    ``(*by, estimate double, method string, n_registers_set,
+    n_zero_registers, p, m)``. Flajolet et al.'s raw estimator with the
+    HLL++ small-range fallback: when ``E_raw <= 2.5m`` and empty
+    registers remain, linear counting ``m * ln(m / zeros)`` is the
+    better estimator (standard error ~1.04/sqrt(m) ≈ 1.6% at p=12).
 
     Exactness discipline: the harmonic-sum denominator is folded as
     ``SUM(1 << (maxrho_max - max_rho))`` — exact longs, order-free —
@@ -309,7 +332,8 @@ def hll_estimate(sketch: DataFrame, p: int = 12) -> DataFrame:
         alpha = 0.7213 / (1.0 + 1.079 / m)
     else:
         alpha = {16: 0.673, 32: 0.697, 64: 0.709}[m]
-    agg = sketch.agg(
+    keys = _by_cols(by)
+    agg = sketch.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_set"),
         F.coalesce(
             F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {big_r} - max_rho)")),
@@ -329,6 +353,7 @@ def hll_estimate(sketch: DataFrame, p: int = 12) -> DataFrame:
     use_lc = (e_raw <= F.lit(2.5 * m)) & (zeros > 0)
     e_lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
     return agg.select(
+        *keys,
         # the guard rides the estimate column so pruning can't drop it;
         # NULL maxes (empty sketch) make `mismatched` NULL -> otherwise
         F.when(
@@ -354,11 +379,14 @@ def hll_estimate(sketch: DataFrame, p: int = 12) -> DataFrame:
 
 
 def approx_distinct_hll(
-    df: DataFrame, item_col: str, p: int = 12
+    df: DataFrame,
+    item_col: str,
+    p: int = 12,
+    by: str | list[str] | None = None,
 ) -> DataFrame:
-    """``hll_estimate(hll_registers(df, item_col, p), p)`` — the
-    one-shot form, when no sketch needs persisting."""
-    return hll_estimate(hll_registers(df, item_col, p), p)
+    """``hll_estimate(hll_registers(df, item_col, p, by), p, by)`` —
+    the one-shot form, when no sketch needs persisting."""
+    return hll_estimate(hll_registers(df, item_col, p, by), p, by)
 
 
 def _cms_check(width: int, depth: int) -> None:

@@ -183,3 +183,56 @@ def test_hll_estimate_rejects_larger_p_sketch(spark):
     sk = hll_registers(df, "item", p=14)
     with pytest.raises(SparkRuntimeException, match="larger p"):
         hll_estimate(sk, p=12).collect()
+
+
+def test_hll_grouped_registers_and_estimate(spark, sf_dir):
+    """Grouped sketch: per-group registers equal the per-group replay,
+    per-group estimates match the global estimator applied to each
+    group's items, NULL group key is a real group, and grouped merge
+    across shards equals the whole-corpus grouped sketch."""
+    words = _words(spark, sf_dir).withColumn(
+        "grp",
+        F.when(F.length("w") % 3 == 0, F.lit(None)).otherwise(
+            (F.length("w") % 3).cast("string")
+        ),
+    )
+    p = 10
+    got = {}
+    for r in hll_registers(words, "w", p=p, by="grp").collect():
+        got.setdefault(r["grp"], {})[r["register"]] = r["max_rho"]
+    rows = words.collect()
+    want = {}
+    for grp in {r["grp"] for r in rows}:
+        want[grp] = _replay_registers(
+            [r["w"] for r in rows if r["grp"] == grp], p
+        )
+    assert got == want
+    assert None in got and len(got) == 3
+
+    ests = {
+        r["grp"]: (r["estimate"], r["method"])
+        for r in hll_estimate(
+            hll_registers(words, "w", p=p, by="grp"), p, by="grp"
+        ).collect()
+    }
+    for grp, regs in want.items():
+        e, meth = _replay_estimate(regs, p)
+        assert ests[grp][1] == meth
+        assert ests[grp][0] == pytest.approx(e, rel=1e-12)
+
+    # grouped shard merge == grouped whole sketch
+    a = words.filter(F.col("w") <= "m")
+    b = words.filter(F.col("w") > "m")
+    merged = {
+        (r["grp"], r["register"]): r["max_rho"]
+        for r in hll_merge(
+            hll_registers(a, "w", p=p, by="grp"),
+            hll_registers(b, "w", p=p, by="grp"),
+            by="grp",
+        ).collect()
+    }
+    whole = {
+        (r["grp"], r["register"]): r["max_rho"]
+        for r in hll_registers(words, "w", p=p, by="grp").collect()
+    }
+    assert merged == whole
