@@ -676,3 +676,51 @@ def test_lake_table_schema_evolution_add_column(spark, tmp_path):
     assert got[("2026-03-01", 1)] == (11.0, None)
     assert got[("2026-03-02", 2)] == (21.0, "new")
     assert len(got) == 2
+
+
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_hll_registers_partial_agg_never_ships_items(spark, sf_dir):
+    """The sketch exchange must carry partially-aggregated registers
+    (<= 2^p rows per map task), not the exploded item stream: partial
+    max on the scan side of the exchange, final max after."""
+    from pyspark.sql import functions as F
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.sketch import (
+        hll_registers,
+    )
+
+    words = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(F.split("text", r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    plan = _explain(hll_registers(words, "w"))
+    assert "partial_max" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_cms_query_broadcasts_sketch(spark, sf_dir):
+    """Point-frequency lookup: the KB-sized cell table broadcasts; the
+    query side never sort-merges against it."""
+    from pyspark.sql import functions as F
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.sketch import (
+        cms_query,
+        cms_sketch,
+    )
+
+    words = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(F.split("text", r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    sk = cms_sketch(words, "w")
+    plan = _explain(cms_query(sk, words, "w"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
