@@ -11,6 +11,7 @@ from .repetition import (  # noqa: F401
 from .bpe import (  # noqa: F401
     bpe_encode,
     bpe_vocab,
+    tokenizer_efficiency,
     train_bpe,
     word_histogram,
 )

@@ -196,6 +196,23 @@ def bpe_vocab(
     )
 
 
+def _encode_word(word: str, ranks: dict) -> list[str]:
+    """Rank-greedy BPE application to one word (shared by
+    ``bpe_encode`` and ``tokenizer_efficiency``): repeatedly merge the
+    lowest-rank adjacent pair — the published encode algorithm."""
+    syms = list(word) + [EOW]
+    while len(syms) >= 2:
+        best_rank, best_i = None, -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
 def bpe_encode(
     docs: DataFrame,
     merges: list[tuple[str, str]],
@@ -212,17 +229,7 @@ def bpe_encode(
     ranks = {pair: i for i, pair in enumerate(merges)}
 
     def encode_word(word: str) -> list[str]:
-        syms = list(word) + [EOW]
-        while len(syms) >= 2:
-            best_rank, best_i = None, -1
-            for i in range(len(syms) - 1):
-                r = ranks.get((syms[i], syms[i + 1]))
-                if r is not None and (best_rank is None or r < best_rank):
-                    best_rank, best_i = r, i
-            if best_rank is None:
-                break
-            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
-        return syms
+        return _encode_word(word, ranks)
 
     @F.pandas_udf("array<array<string>>")
     def encode_series(texts: pd.Series) -> pd.Series:
@@ -245,3 +252,64 @@ def bpe_encode(
         return pd.Series(out)
 
     return docs.withColumn(out_col, F.flatten(encode_series(F.col(text_col))))
+
+
+def tokenizer_efficiency(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """One-row tokenizer quality report over a corpus: ``n_words``
+    (word occurrences), ``n_distinct_words``, ``n_tokens`` (subword
+    occurrences after the merges), ``n_word_bytes`` (UTF-8 bytes of
+    the word occurrences — whitespace excluded, the same
+    pre-tokenization ``word_histogram`` counts), ``bytes_per_token``
+    and ``tokens_per_word`` (both rounded to 6dp). bytes/token is THE
+    pre-training tokenizer metric — it prices a token budget in bytes
+    of corpus and makes two merge lists comparable on equal terms.
+
+    Scale shape: the corpus is aggregated ONCE into the word histogram
+    (same trick as training — distinct words, not occurrences), each
+    DISTINCT word is encoded once in an Arrow-batched UDF, and the
+    report is a count-weighted single aggregation of that
+    vocabulary-sized frame. Encoding every occurrence would do
+    corpus-scale Python work for identical answers.
+
+    Deterministic: integer sums; the two ratios are single divisions of
+    exact longs (``tests/test_bpe.py`` replays the report in pure
+    Python)."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @F.pandas_udf("int")
+    def n_subwords(words: pd.Series) -> pd.Series:
+        return pd.Series(
+            [len(_encode_word(w, ranks)) for w in words], dtype="int32"
+        )
+
+    hist = word_histogram(docs, text_col, lowercase)
+    per_word = hist.select(
+        "count",
+        F.octet_length("word").cast("long").alias("w_bytes"),
+        n_subwords("word").cast("long").alias("n_sub"),
+    )
+    return per_word.agg(
+        F.coalesce(F.sum("count"), F.lit(0).cast("long")).alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.coalesce(
+            F.sum(F.col("count") * F.col("n_sub")), F.lit(0).cast("long")
+        ).alias("n_tokens"),
+        F.coalesce(
+            F.sum(F.col("count") * F.col("w_bytes")), F.lit(0).cast("long")
+        ).alias("n_word_bytes"),
+        F.round(
+            F.coalesce(F.sum(F.col("count") * F.col("w_bytes")), F.lit(0))
+            / F.sum(F.col("count") * F.col("n_sub")),
+            6,
+        ).alias("bytes_per_token"),
+        F.round(
+            F.coalesce(F.sum(F.col("count") * F.col("n_sub")), F.lit(0))
+            / F.sum("count"),
+            6,
+        ).alias("tokens_per_word"),
+    )

@@ -152,3 +152,66 @@ def test_bpe_vocab_counts_conserve_words(spark):
     )
     n_words = sum(len(t.split()) for _, t in CORPUS)
     assert eow_total == n_words
+
+
+def test_tokenizer_efficiency_matches_python_replay(spark, sf_dir):
+    """The one-row report replays exactly in pure Python over the same
+    histogram: count-weighted sums of per-distinct-word encodes, UTF-8
+    byte totals, and the two 6dp ratios."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.bpe import (
+        tokenizer_efficiency,
+    )
+
+    docs = load_fixture_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    merges = train_bpe(docs, n_merges=12)
+    [row] = tokenizer_efficiency(docs, merges).collect()
+
+    counts = Counter()
+    for r in docs.collect():
+        for w in (r["text"] or "").lower().split():
+            if w:
+                counts[w] += 1
+    n_words = sum(counts.values())
+    n_tokens = sum(
+        c * len(_ref_encode(w, merges)) for w, c in counts.items()
+    )
+    n_bytes = sum(c * len(w.encode("utf-8")) for w, c in counts.items())
+    assert row["n_words"] == n_words
+    assert row["n_distinct_words"] == len(counts)
+    assert row["n_tokens"] == n_tokens
+    assert row["n_word_bytes"] == n_bytes
+    assert row["bytes_per_token"] == round(n_bytes / n_tokens, 6)
+    assert row["tokens_per_word"] == round(n_tokens / n_words, 6)
+    # sanity: merges compress — fewer tokens than raw chars+EOW
+    raw_tokens = sum(c * (len(w) + 1) for w, c in counts.items())
+    assert n_tokens < raw_tokens
+
+
+def test_tokenizer_efficiency_more_merges_fewer_tokens(spark, sf_dir):
+    """Monotone contract: a longer merge list can only keep or reduce
+    the corpus token count (each merge only concatenates)."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.bpe import (
+        tokenizer_efficiency,
+    )
+
+    docs = load_fixture_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    merges = train_bpe(docs, n_merges=16)
+    [small] = tokenizer_efficiency(docs, merges[:4]).collect()
+    [big] = tokenizer_efficiency(docs, merges).collect()
+    assert big["n_tokens"] <= small["n_tokens"]
+    assert big["bytes_per_token"] >= small["bytes_per_token"]
+
+
+def test_tokenizer_efficiency_empty_corpus_zero_row(spark):
+    from hospital_stain_tracker_data_pipeline_spark.operators.bpe import (
+        tokenizer_efficiency,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    [row] = tokenizer_efficiency(empty, [("a", "b")]).collect()
+    assert (row["n_words"], row["n_tokens"], row["n_word_bytes"]) == (0, 0, 0)
+    assert row["bytes_per_token"] is None  # 0/0 -> NULL under try-less div
