@@ -98,6 +98,7 @@ from .dedup import (  # noqa: F401
     minhash_signature_index,
     ngram_contamination,
     select_cluster_representatives,
+    tune_lsh_bands,
 )
 from .graph import pagerank  # noqa: F401
 from .similarity import (  # noqa: F401

@@ -1178,3 +1178,57 @@ def dedup_substrings(
             .alias("n_tokens_removed"),
         )
     )
+
+
+def tune_lsh_bands(
+    num_hashes: int,
+    threshold: float,
+    fn_weight: float = 1.0,
+    fp_weight: float = 1.0,
+) -> dict:
+    """Pick the band count for ``minhash_lsh_pairs`` /
+    ``dedup_against_corpus`` from a target Jaccard ``threshold``: the
+    banding S-curve gives a pair of similarity ``s`` candidate
+    probability ``1 - (1 - s^r)^b`` (b bands of r rows, b*r =
+    num_hashes); this searches every divisor split and keeps the one
+    minimizing the weighted false-positive + false-negative integrals
+    around the threshold (the standard MMDS §3.4 construction —
+    candidates here are VERIFIED afterwards, so false positives cost
+    compute while false negatives cost recall; raise ``fn_weight`` to
+    bias toward recall).
+
+    Pure driver-side arithmetic over ≤ num_hashes options — returns
+    ``{"bands", "rows_per_band", "s50"}`` where ``s50`` is the
+    similarity at which candidacy probability crosses 1/2
+    (``(1/b)^(1/r)`` — the curve's effective threshold). Deterministic;
+    property-pinned in ``tests/test_dedup_similarity.py``."""
+    if num_hashes < 1:
+        raise ValueError("num_hashes must be >= 1")
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if fn_weight <= 0 or fp_weight <= 0:
+        raise ValueError("weights must be positive")
+    best = None
+    steps = 1000
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b != 0:
+            continue
+        r = num_hashes // b
+        # integrate P(candidate | s) below the threshold (FP mass) and
+        # 1 - P above it (FN mass) on a fixed grid — exact enough to
+        # order divisor splits, and deterministic
+        fp = fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = 1.0 - (1.0 - s**r) ** b
+            if s < threshold:
+                fp += p
+            else:
+                fn += 1.0 - p
+        cost = (fp_weight * fp + fn_weight * fn) / steps
+        s50 = (1.0 - 0.5 ** (1.0 / b)) ** (1.0 / r)
+        cand = (cost, b, r, s50)
+        if best is None or cand[0] < best[0]:
+            best = cand
+    _, b, r, s50 = best
+    return {"bands": b, "rows_per_band": r, "s50": round(s50, 6)}

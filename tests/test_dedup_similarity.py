@@ -2219,3 +2219,37 @@ def test_connected_components_default_node_universe(spark):
         for r in connected_components_min_label(edges).collect()
     }
     assert got == {2: 2, 5: 2, 9: 2, 11: 11, 12: 11}
+
+
+def test_tune_lsh_bands_properties():
+    """The tuner's pick tracks the threshold (higher threshold -> more
+    rows per band), its s50 sits near the requested threshold, biasing
+    fn_weight up never lowers recall (bands non-decreasing), and the
+    split always multiplies back to num_hashes."""
+    import pytest as _pytest
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+        tune_lsh_bands,
+    )
+
+    lo = tune_lsh_bands(128, 0.3)
+    hi = tune_lsh_bands(128, 0.9)
+    for got in (lo, hi):
+        assert got["bands"] * got["rows_per_band"] == 128
+    # higher target similarity needs a steeper curve: more rows/band
+    assert hi["rows_per_band"] > lo["rows_per_band"]
+    # the effective threshold lands in the neighborhood of the ask
+    assert abs(lo["s50"] - 0.3) < 0.15
+    assert abs(hi["s50"] - 0.9) < 0.15
+    # recall bias: more bands (or equal), never fewer
+    recall = tune_lsh_bands(128, 0.5, fn_weight=10.0)
+    balanced = tune_lsh_bands(128, 0.5)
+    assert recall["bands"] >= balanced["bands"]
+    # the default operator geometry (32 hashes, 8 bands) is what the
+    # tuner picks near its design threshold
+    assert tune_lsh_bands(32, 0.5)["bands"] == 8
+
+    with _pytest.raises(ValueError, match="threshold"):
+        tune_lsh_bands(32, 1.0)
+    with _pytest.raises(ValueError, match="num_hashes"):
+        tune_lsh_bands(0, 0.5)

@@ -40,7 +40,7 @@ def test_operator_surface_exports():
         "reciprocal_rank_fusion", "corpus_diff", "corpus_diff_summary",
         "hll_registers", "hll_merge", "hll_estimate", "approx_distinct_hll",
         "cms_sketch", "cms_merge", "cms_query", "sample_stratified",
-        "tokenizer_efficiency",
+        "tokenizer_efficiency", "tune_lsh_bands",
         "extract_image_features", "extract_audio_features",
         "extract_video_features", "sample_video_frames",
     ):
