@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import doc_token_count
 
-__all__ = ["corpus_diff", "corpus_diff_summary"]
+__all__ = ["corpus_diff", "corpus_diff_summary", "summarize_diff"]
 
 
 def _side(df: DataFrame, id_col: str, text_col: str, prefix: str):
@@ -93,7 +93,21 @@ def corpus_diff_summary(
     reconcilable against the two corpus token totals. Same single
     join as ``corpus_diff``; conditional aggregation, no second
     scan."""
-    d = corpus_diff(old, new, id_col, text_col, include_unchanged=True)
+    return summarize_diff(
+        corpus_diff(old, new, id_col, text_col, include_unchanged=True)
+    )
+
+
+def summarize_diff(diff: DataFrame) -> DataFrame:
+    """The ``corpus_diff_summary`` aggregation over an ALREADY-BUILT
+    ``corpus_diff(..., include_unchanged=True)`` frame — for callers
+    that need both the ledger and the summary from ONE reconciliation
+    join (persist the diff, filter for the ledger, aggregate here;
+    the ``corpus_diff`` CLI does exactly this). Feeding it a
+    default-filtered diff (unchanged rows dropped) yields
+    ``n_unchanged = 0`` and a token delta over the changes only —
+    pass ``include_unchanged=True``."""
+    d = diff
     is_ = lambda s: (F.col("status") == s).cast("long")  # noqa: E731
     # every SUM coalesces to 0: two empty corpora must reconcile to an
     # all-zero row, not NULLs (a gate asserting n_added == 0 would

@@ -324,6 +324,12 @@ def sample_stratified(
         raise ValueError(f"k must be >= 0, got {k}")
     if fraction is not None and not (0.0 <= fraction <= 1.0):
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    taken = {"_rk", "_allow"} & set(df.columns)
+    if taken:
+        raise ValueError(
+            f"columns {sorted(taken)} are reserved by sample_stratified; "
+            "rename them first"
+        )
     key = F.md5(
         F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))
     )

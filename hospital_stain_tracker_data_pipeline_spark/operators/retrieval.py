@@ -232,8 +232,10 @@ def reciprocal_rank_fusion(
     knn output still carrying ``query_id``) raises instead of silently
     ranking by the wrong column. Ranks are derived here (score DESC,
     id ASC — deterministic k-boundary), so callers never pre-rank; an
-    id appearing more than once in one list keeps its best (lowest)
-    rank, so duplicate ids cannot fan out the fusion join.
+    id appearing more than once in one list is collapsed to its best
+    score BEFORE ranking, so duplicates neither fan out the fusion
+    join nor consume rank slots that would inflate every other
+    document's rank in that list.
 
     Plan shape: each list is a top-k retrieval result — tiny by
     construction. Ranks are per-list window functions over those tiny
@@ -276,14 +278,15 @@ def reciprocal_rank_fusion(
             sc = others[0]
         w = Window.orderBy(F.desc(sc), F.asc(id_col))
         ranked.append(
-            df.select(
+            # collapse duplicate ids to their best score FIRST —
+            # ranking raw rows would let duplicates occupy rank slots
+            # and push every other doc in the list down
+            df.groupBy(id_col)
+            .agg(F.max(sc).alias(sc))
+            .select(
                 F.col(id_col),
                 F.row_number().over(w).alias(f"_rank_{i}"),
             )
-            # a duplicated id keeps its best rank — without this, one
-            # list's duplicates would fan out the full-outer chain
-            .groupBy(id_col)
-            .agg(F.min(f"_rank_{i}").alias(f"_rank_{i}"))
         )
     fused = ranked[0]
     for r in ranked[1:]:

@@ -320,11 +320,15 @@ def hll_estimate(
     single-row division/log, so the estimate is one deterministic
     number, not a shuffle-order-dependent one.
 
-    A sketch built with a LARGER ``p`` than passed here fails loudly
-    (its registers/rhos exceed this ``p``'s bounds) instead of
-    returning a silently wrong number; a smaller-``p`` sketch is
-    structurally indistinguishable from a sparse one, so carrying the
-    right ``p`` to the estimate is still the caller's contract."""
+    Mismatch guard (BEST-EFFORT, not a proof): a sketch built with a
+    larger ``p``, or a grouped sketch estimated without its ``by``
+    keys, raises when its registers/rhos/row-count exceed this ``p``'s
+    bounds — which dense sketches always do, but a very sparse
+    larger-``p`` sketch can land inside the bounds by chance and a
+    smaller-``p`` sketch is structurally indistinguishable from a
+    sparse one. Carrying the right ``(p, by)`` to the estimate is the
+    caller's contract; the guard just converts the common slips into
+    loud errors."""
     _hll_check_p(p)
     m = 1 << p
     big_r = 61 - p  # max possible rho; 2^big_r scales the exact sum
@@ -342,7 +346,14 @@ def hll_estimate(
         F.max("register").alias("_max_reg"),
         F.max("max_rho").alias("_max_rho"),
     )
-    mismatched = (F.col("_max_reg") >= m) | (F.col("_max_rho") > big_r)
+    # n_set > m catches a GROUPED sketch estimated without its by=
+    # keys (register rows repeat across groups); register/rho bounds
+    # catch a larger-p sketch
+    mismatched = (
+        (F.col("_max_reg") >= m)
+        | (F.col("_max_rho") > big_r)
+        | (F.col("n_set") > m)
+    )
     zeros = F.lit(m) - F.col("n_set")
     znum = F.col("z_present") + zeros * F.lit(1 << big_r).cast("long")
     e_raw = (
@@ -361,8 +372,9 @@ def hll_estimate(
             F.raise_error(
                 F.lit(
                     f"sketch registers exceed p={p} bounds "
-                    f"(register >= {m} or rho > {big_r}) — was the "
-                    "sketch built with a larger p?"
+                    f"(register >= {m}, rho > {big_r}, or more than "
+                    f"{m} register rows) — was the sketch built with "
+                    "a larger p, or grouped (pass by=)?"
                 )
             ).cast("double"),
         )
@@ -488,12 +500,13 @@ def cms_query(
     one ``groupBy(item).min()``. Corpus-scale frequency lookups never
     reread the corpus.
 
-    A sketch built with a LARGER (width, depth) than passed here fails
-    loudly (its cells sit outside this geometry — a silent mismatch
-    would UNDERestimate, breaking the one guarantee CMS makes); a
-    smaller geometry is structurally indistinguishable from a sparse
-    sketch, so carrying the right parameters remains the caller's
-    contract."""
+    Mismatch guard (BEST-EFFORT, not a proof): a sketch built with a
+    LARGER (width, depth) raises when any cell sits outside this
+    geometry — a silent mismatch would UNDERestimate, breaking the one
+    guarantee CMS makes — but a very low-cardinality larger-geometry
+    sketch can land inside the bounds by chance, and a smaller
+    geometry is structurally indistinguishable from a sparse sketch.
+    Carrying the right parameters remains the caller's contract."""
     _cms_check(width, depth)
     oob = (
         (F.col("col") >= width)

@@ -357,21 +357,30 @@ def cmd_corpus_diff(args) -> None:
     nothing)."""
     import json as _json
 
+    from pyspark.sql import functions as F
+
     from hospital_stain_tracker_data_pipeline_spark.operators.diffs import (
         corpus_diff,
-        corpus_diff_summary,
+        summarize_diff,
     )
 
     spark = get_spark(app_name="corpus_diff")
     old = spark.read.parquet(args.old)
     new = spark.read.parquet(args.new)
+    # ONE reconciliation join feeds both outputs: persist the diff,
+    # filter for the ledger, aggregate for the summary — re-deriving
+    # each from (old, new) would scan both snapshots twice
+    d = corpus_diff(
+        old, new, args.id_col, args.text_col, include_unchanged=True
+    )
     if args.ledger_out:
-        corpus_diff(old, new, args.id_col, args.text_col).write.mode(
+        d = d.persist()
+        d.filter(F.col("status") != "unchanged").write.mode(
             "overwrite"
         ).parquet(args.ledger_out)
-    [s] = corpus_diff_summary(
-        old, new, args.id_col, args.text_col
-    ).collect()
+    [s] = summarize_diff(d).collect()
+    if args.ledger_out:
+        d.unpersist()
     summary = s.asDict()
     print(_json.dumps(summary, sort_keys=True))
     violations = []

@@ -236,3 +236,18 @@ def test_hll_grouped_registers_and_estimate(spark, sf_dir):
         for r in hll_registers(words, "w", p=p, by="grp").collect()
     }
     assert merged == whole
+
+
+def test_hll_estimate_rejects_grouped_sketch_without_by(spark):
+    """A grouped sketch estimated without its by= keys repeats
+    registers across groups (n_set > m) — must raise, not return a
+    negative/garbage estimate."""
+    from pyspark.errors import SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [(f"item-{i}", f"g{i % 40}") for i in range(20000)],
+        "item string, grp string",
+    )
+    sk = hll_registers(df, "item", p=6, by="grp")
+    with pytest.raises(SparkRuntimeException, match="grouped"):
+        hll_estimate(sk, p=6).collect()

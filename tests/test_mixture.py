@@ -413,3 +413,17 @@ def test_sample_stratified_validation_and_small_strata(spark):
     s1 = {r["doc_id"] for r in sample_stratified(big, "s", k=20, seed=1).collect()}
     s2 = {r["doc_id"] for r in sample_stratified(big, "s", k=20, seed=2).collect()}
     assert len(s1) == 20 and len(s2) == 20 and s1 != s2
+
+
+def test_sample_stratified_reserved_columns_raise(spark):
+    import pytest as _pytest
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.mixture import (
+        sample_stratified,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 9)], "doc_id long, s string, _rk long"
+    )
+    with _pytest.raises(ValueError, match="reserved"):
+        sample_stratified(df, "s", k=1)

@@ -678,13 +678,6 @@ def test_lake_table_schema_evolution_add_column(spark, tmp_path):
     assert len(got) == 2
 
 
-def _explain(df) -> str:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
-
-
 def test_hll_registers_partial_agg_never_ships_items(spark, sf_dir):
     """The sketch exchange must carry partially-aggregated registers
     (<= 2^p rows per map task), not the exploded item stream: partial

@@ -127,7 +127,8 @@ def test_rrf_score_cols_length_mismatch_raises(spark):
 
 def test_rrf_duplicate_id_keeps_best_rank(spark):
     """An id duplicated within one list must not fan out the fusion
-    join: it keeps its best rank, output has one row per id."""
+    join NOR consume a rank slot: duplicates collapse to their best
+    score before ranking, so other docs' ranks are unaffected."""
     a = spark.createDataFrame(
         [(1, 9.0), (1, 2.0), (2, 5.0)], "doc_id long, score double"
     )
@@ -137,7 +138,9 @@ def test_rrf_duplicate_id_keeps_best_rank(spark):
     rows = reciprocal_rank_fusion([a, b]).collect()
     ids = [r["doc_id"] for r in rows]
     assert sorted(ids) == [1, 2, 3]          # no duplicates
-    # doc 1: rank 1 in a (best of {1, 3}), rank 2 in b
-    want = round(1 / 61 + 1 / 62, 6)
     got = {r["doc_id"]: r["rrf_score"] for r in rows}
-    assert got[1] == want
+    # doc 1: rank 1 in a, rank 2 in b
+    assert got[1] == round(1 / 61 + 1 / 62, 6)
+    # doc 2: rank 2 in a — NOT 3; doc 1's duplicate row must not have
+    # occupied a rank slot above it
+    assert got[2] == round(1 / 62, 6)
