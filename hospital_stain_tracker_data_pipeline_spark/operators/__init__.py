@@ -68,7 +68,11 @@ from .packing import (  # noqa: F401
     verify_packed_corpus,
     write_packed_corpus,
 )
-from .diffs import corpus_diff, corpus_diff_summary  # noqa: F401
+from .diffs import (  # noqa: F401
+    corpus_diff,
+    corpus_diff_summary,
+    summarize_diff,
+)
 from .pq import (  # noqa: F401
     knn_ivf_pq,
     knn_pq,

@@ -18,6 +18,10 @@
                                         JSON + optional per-doc ledger;
                                         --forbid-added/--forbid-removed
                                         make it a promotion gate)
+    bpe_train --input --output         (learn BPE merges, save the JSON
+                                        merge artifact)
+    tokenize --input --merges --output (encode with a merge artifact +
+                                        print the bytes/token report)
 
 A user of the reference pipeline can run the same workflows against a
 parquet lake directory instead of Postgres:
@@ -396,6 +400,64 @@ def cmd_corpus_diff(args) -> None:
         raise SystemExit(3)
 
 
+def cmd_bpe_train(args) -> None:
+    """Learn BPE merges over a documents parquet and save them as a
+    JSON artifact (ordered [[left, right], ...] plus the settings that
+    produced them) — the vocabulary-learning step; `tokenize` consumes
+    the artifact."""
+    import json as _json
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.bpe import (
+        train_bpe,
+    )
+
+    spark = get_spark(app_name="bpe_train")
+    docs = spark.read.parquet(args.input)
+    merges = train_bpe(
+        docs,
+        n_merges=args.n_merges,
+        text_col=args.text_col,
+        merges_per_round=args.merges_per_round,
+    )
+    with open(args.output, "w") as f:
+        _json.dump(
+            {
+                "merges": [list(m) for m in merges],
+                "n_merges": len(merges),
+                "text_col": args.text_col,
+                "merges_per_round": args.merges_per_round,
+            },
+            f,
+        )
+    print(f"learned {len(merges)} merges -> {args.output}")
+
+
+def cmd_tokenize(args) -> None:
+    """Encode a documents parquet with a saved merge artifact: writes
+    the corpus with a `bpe_tokens` column and prints the one-row
+    tokenizer_efficiency report as JSON (bytes/token is the number a
+    token-budget plan needs)."""
+    import json as _json
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.bpe import (
+        bpe_encode,
+        tokenizer_efficiency,
+    )
+
+    spark = get_spark(app_name="tokenize")
+    with open(args.merges) as f:
+        artifact = _json.load(f)
+    merges = [tuple(m) for m in artifact["merges"]]
+    docs = spark.read.parquet(args.input)
+    bpe_encode(docs, merges, text_col=args.text_col).write.mode(
+        "overwrite"
+    ).parquet(args.output)
+    [row] = tokenizer_efficiency(
+        docs, merges, text_col=args.text_col
+    ).collect()
+    print(_json.dumps(row.asDict(), sort_keys=True))
+
+
 def main() -> None:
     p = argparse.ArgumentParser(prog="run_pipeline")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -550,6 +612,21 @@ def main() -> None:
         help="exit 3 if any doc was removed (append-only invariant)",
     )
     pcd.set_defaults(fn=cmd_corpus_diff)
+
+    pbt = sub.add_parser("bpe_train")
+    pbt.add_argument("--input", required=True, help="documents parquet")
+    pbt.add_argument("--output", required=True, help="merges JSON out")
+    pbt.add_argument("--n-merges", type=int, default=1000)
+    pbt.add_argument("--text-col", default="text")
+    pbt.add_argument("--merges-per-round", type=int, default=8)
+    pbt.set_defaults(fn=cmd_bpe_train)
+
+    ptk = sub.add_parser("tokenize")
+    ptk.add_argument("--input", required=True, help="documents parquet")
+    ptk.add_argument("--merges", required=True, help="merges JSON artifact")
+    ptk.add_argument("--output", required=True, help="tokenized parquet out")
+    ptk.add_argument("--text-col", default="text")
+    ptk.set_defaults(fn=cmd_tokenize)
 
     args = p.parse_args()
     args.fn(args)

@@ -429,3 +429,44 @@ def test_cli_corpus_diff_gate(tmp_path, spark, sf_dir):
     )
     assert proc.returncode == 3, proc.stderr[-500:]
     assert "gate violated" in proc.stderr
+
+
+def test_cli_bpe_train_and_tokenize(tmp_path, spark, sf_dir):
+    """Tokenizer lifecycle through the CLI: train merges -> JSON
+    artifact -> tokenize prints the efficiency report and lands the
+    encoded corpus; the report's token total equals the sum of the
+    encoded array lengths."""
+    from pyspark.sql import functions as F
+
+    from hospital_stain_tracker_data_pipeline_spark.sources.tables import (
+        load_fixture_table,
+    )
+
+    docs = load_fixture_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    merges_path = str(tmp_path / "merges.json")
+    out = _run(
+        "bpe_train", "--input", src, "--output", merges_path,
+        "--n-merges", "12", "--merges-per-round", "4",
+    )
+    assert "learned" in out
+    artifact = json.loads(open(merges_path).read())
+    assert 0 < artifact["n_merges"] <= 12
+    assert all(len(m) == 2 for m in artifact["merges"])
+
+    enc = str(tmp_path / "encoded")
+    out = _run(
+        "tokenize", "--input", src, "--merges", merges_path,
+        "--output", enc,
+    )
+    report = json.loads(out.strip().splitlines()[-1])
+    assert report["n_tokens"] > 0 and report["bytes_per_token"] > 0
+    got = spark.read.parquet(enc)
+    assert "bpe_tokens" in got.columns
+    [tot] = got.agg(
+        F.sum(F.size("bpe_tokens")).alias("n")
+    ).collect()
+    assert tot["n"] == report["n_tokens"]

@@ -38,6 +38,7 @@ def test_operator_surface_exports():
         "knn_ivf_pq", "pack_codes", "unpack_codes",
         "save_pq_index", "load_pq_index",
         "reciprocal_rank_fusion", "corpus_diff", "corpus_diff_summary",
+        "summarize_diff",
         "hll_registers", "hll_merge", "hll_estimate", "approx_distinct_hll",
         "cms_sketch", "cms_merge", "cms_query", "sample_stratified",
         "tokenizer_efficiency", "tune_lsh_bands",
