@@ -811,3 +811,47 @@ def stream_hll_cardinality(
         ),
     )
     return hll_merge(batches)
+
+
+def stream_cms_frequencies(
+    spark: SparkSession,
+    source_path: str,
+    out_dir: str,
+    item_expr: str = "explode(split(text, '\\\\s+'))",
+    schema: str = "doc_id long, text string",
+    width: int = 2048,
+    depth: int = 5,
+) -> DataFrame:
+    """Incremental point-frequency sketching over a document stream —
+    the count-min twin of ``stream_hll_cardinality``: each micro-batch
+    lands its ≤ width·depth-row cell table in its own ``_batch_id``
+    partition (``operators.sketch.cms_sketch`` reused verbatim), and
+    the read-back is cell-wise summed into ONE sketch ready for
+    ``cms_query``.
+
+    Exactly-once holds for SUM-merge too, but for a different reason
+    than HLL's idempotent max: a replayed batch REWRITES its own
+    partition (dynamic overwrite), so its counts enter the sum once no
+    matter how many times the batch fires. The sink stays KB-sized
+    forever (``n_batches * width * depth`` cells at most, sparse in
+    practice)."""
+    from ..operators.sketch import cms_merge, cms_sketch
+
+    docs = spark.readStream.schema(schema).parquet(source_path)
+
+    def _sketch(batch_df: DataFrame) -> DataFrame:
+        items = batch_df.selectExpr(f"{item_expr} AS item").filter(
+            F.col("item") != ""
+        )
+        return cms_sketch(items, "item", width=width, depth=depth)
+
+    batches = _run_batch_sink_stream(
+        spark,
+        docs,
+        _sketch,
+        out_dir,
+        empty=lambda: spark.createDataFrame(
+            [], "row int, col int, cnt long"
+        ),
+    )
+    return cms_merge(batches)

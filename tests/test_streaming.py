@@ -579,3 +579,43 @@ def test_stream_hll_cardinality_matches_batch(spark, sf_dir, tmp_path):
     assert {
         r["register"]: r["max_rho"] for r in again.collect()
     } == want
+
+
+def test_stream_cms_frequencies_matches_batch(spark, sf_dir, tmp_path):
+    """Streamed CMS cells, summed across micro-batch partitions, must
+    equal the batch sketch of the whole corpus bit-for-bit; a replayed
+    run over the same checkpoint is a no-op (dynamic overwrite keeps
+    each batch's counts in the sum exactly once)."""
+    from pyspark.sql import functions as F
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.sketch import (
+        cms_sketch,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.streaming.ingest_stream import (
+        stream_cms_frequencies,
+    )
+
+    docs = load_fixture_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "docs_in")
+    docs.repartition(3).write.parquet(src)
+    out = str(tmp_path / "cms")
+
+    streamed = stream_cms_frequencies(spark, src, out, width=512, depth=4)
+    got = {
+        (r["row"], r["col"]): r["cnt"] for r in streamed.collect()
+    }
+    words = docs.select(
+        F.explode(F.split("text", r"\s+")).alias("item")
+    ).filter(F.col("item") != "")
+    want = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in cms_sketch(words, "item", width=512, depth=4).collect()
+    }
+    assert got == want and len(got) > 0
+
+    again = stream_cms_frequencies(spark, src, out, width=512, depth=4)
+    assert {
+        (r["row"], r["col"]): r["cnt"] for r in again.collect()
+    } == want
