@@ -22,6 +22,9 @@
                                         merge artifact)
     tokenize --input --merges --output (encode with a merge artifact +
                                         print the bytes/token report)
+    sample --input --output --k        (deterministic exact-k sample;
+                                        --strata-col for per-stratum
+                                        k or --fraction)
 
 A user of the reference pipeline can run the same workflows against a
 parquet lake directory instead of Postgres:
@@ -458,6 +461,37 @@ def cmd_tokenize(args) -> None:
     print(_json.dumps(row.asDict(), sort_keys=True))
 
 
+def cmd_sample(args) -> None:
+    """Deterministic corpus sampling from the shell: exact-k uniform
+    (default), or per-stratum exact-k / per-stratum fraction with
+    --strata-col — the 'give me N random docs to eyeball / tune
+    thresholds on' workflow, bit-identical on re-run with the same
+    seed."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.mixture import (
+        sample_exact_k,
+        sample_stratified,
+    )
+
+    if (args.k is None) == (args.fraction is None):
+        raise SystemExit("pass exactly one of --k / --fraction")
+    if args.fraction is not None and args.strata_col is None:
+        raise SystemExit("--fraction needs --strata-col")
+
+    spark = get_spark(app_name="sample")
+    docs = spark.read.parquet(args.input)
+    if args.strata_col is not None:
+        out = sample_stratified(
+            docs, args.strata_col,
+            k=args.k, fraction=args.fraction,
+            seed=args.seed, id_col=args.id_col,
+        )
+    else:
+        out = sample_exact_k(docs, args.k, seed=args.seed, id_col=args.id_col)
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(f"sampled {n} rows -> {args.output}")
+
+
 def main() -> None:
     p = argparse.ArgumentParser(prog="run_pipeline")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -627,6 +661,19 @@ def main() -> None:
     ptk.add_argument("--output", required=True, help="tokenized parquet out")
     ptk.add_argument("--text-col", default="text")
     ptk.set_defaults(fn=cmd_tokenize)
+
+    psm = sub.add_parser("sample")
+    psm.add_argument("--input", required=True, help="documents parquet")
+    psm.add_argument("--output", required=True, help="sample parquet out")
+    psm.add_argument("--k", type=int, default=None)
+    psm.add_argument("--fraction", type=float, default=None)
+    psm.add_argument(
+        "--strata-col", default=None,
+        help="sample per-stratum (exact k or fraction per stratum)",
+    )
+    psm.add_argument("--seed", type=int, default=0)
+    psm.add_argument("--id-col", default="doc_id")
+    psm.set_defaults(fn=cmd_sample)
 
     args = p.parse_args()
     args.fn(args)

@@ -470,3 +470,48 @@ def test_cli_bpe_train_and_tokenize(tmp_path, spark, sf_dir):
         F.sum(F.size("bpe_tokens")).alias("n")
     ).collect()
     assert tot["n"] == report["n_tokens"]
+
+
+def test_cli_sample_exact_and_stratified(tmp_path, spark, sf_dir):
+    """sample: exact-k is deterministic across re-runs with one seed;
+    stratified mode draws exactly k per stratum; mispaired flags fail
+    loudly."""
+    from pyspark.sql import functions as F
+
+    from hospital_stain_tracker_data_pipeline_spark.sources.tables import (
+        load_fixture_table,
+    )
+
+    docs = load_fixture_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).withColumn("lang", (F.col("doc_id") % 3).cast("string"))
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+
+    out1 = str(tmp_path / "s1")
+    _run("sample", "--input", src, "--output", out1, "--k", "17")
+    out2 = str(tmp_path / "s2")
+    _run("sample", "--input", src, "--output", out2, "--k", "17")
+    ids1 = sorted(r["doc_id"] for r in spark.read.parquet(out1).collect())
+    ids2 = sorted(r["doc_id"] for r in spark.read.parquet(out2).collect())
+    assert ids1 == ids2 and len(ids1) == 17
+
+    out3 = str(tmp_path / "s3")
+    _run(
+        "sample", "--input", src, "--output", out3,
+        "--k", "4", "--strata-col", "lang",
+    )
+    per = {
+        r["lang"]: r["n"]
+        for r in spark.read.parquet(out3)
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(per.values()) == {4} and len(per) == 3
+
+    bad = subprocess.run(
+        [sys.executable, CLI, "sample", "--input", src,
+         "--output", str(tmp_path / "s4")],
+        capture_output=True, text=True, timeout=240, cwd=REPO,
+    )
+    assert bad.returncode != 0
+    assert "exactly one of --k / --fraction" in bad.stderr
