@@ -98,7 +98,7 @@ def corpus_diff_summary(
     )
 
 
-def summarize_diff(diff: DataFrame) -> DataFrame:
+def summarize_diff(d: DataFrame) -> DataFrame:
     """The ``corpus_diff_summary`` aggregation over an ALREADY-BUILT
     ``corpus_diff(..., include_unchanged=True)`` frame — for callers
     that need both the ledger and the summary from ONE reconciliation
@@ -107,7 +107,6 @@ def summarize_diff(diff: DataFrame) -> DataFrame:
     default-filtered diff (unchanged rows dropped) yields
     ``n_unchanged = 0`` and a token delta over the changes only —
     pass ``include_unchanged=True``."""
-    d = diff
     is_ = lambda s: (F.col("status") == s).cast("long")  # noqa: E731
     # every SUM coalesces to 0: two empty corpora must reconcile to an
     # all-zero row, not NULLs (a gate asserting n_added == 0 would

@@ -766,6 +766,40 @@ def stream_warc_ingest(
     )
 
 
+def _stream_sketch(
+    spark: SparkSession,
+    source_path: str,
+    out_dir: str,
+    item_expr: str,
+    schema: str,
+    sketch_fn,
+    merge_fn,
+    empty_schema: str,
+) -> DataFrame:
+    """Shared scaffolding for the sketch streaming twins: read the
+    document stream, sketch each micro-batch's items (``item_expr`` is
+    a SQL expression producing items per input row; empty strings are
+    dropped like the batch word profile), land each batch's sketch in
+    its own ``_batch_id`` partition, and merge the read-back into one
+    sketch frame."""
+    docs = spark.readStream.schema(schema).parquet(source_path)
+
+    def _sketch(batch_df: DataFrame) -> DataFrame:
+        items = batch_df.selectExpr(f"{item_expr} AS item").filter(
+            F.col("item") != ""
+        )
+        return sketch_fn(items)
+
+    batches = _run_batch_sink_stream(
+        spark,
+        docs,
+        _sketch,
+        out_dir,
+        empty=lambda: spark.createDataFrame([], empty_schema),
+    )
+    return merge_fn(batches)
+
+
 def stream_hll_cardinality(
     spark: SparkSession,
     source_path: str,
@@ -785,32 +819,20 @@ def stream_hll_cardinality(
     register max is idempotent and commutative, so a REPLAYED batch
     (same partition, dynamic overwrite) or any batch arrival order
     yields the same merged sketch — exactly-once semantics without a
-    state store, watermark, or dedup bookkeeping. The sink stays
-    KB-sized forever: ``n_batches * 2^p`` register rows, never items.
-
-    ``item_expr`` is a SQL expression evaluated per input row to
-    produce items (default: whitespace words of ``text``); empty
-    strings are dropped like the batch word profile."""
+    state store, watermark, or dedup bookkeeping. Max-merge is even
+    robust to a LOST CHECKPOINT over a surviving sink: re-batched
+    reprocessing leaves stale partitions behind, but max over a
+    superset of the same observations cannot change. The sink stays
+    KB-sized forever: ``n_batches * 2^p`` register rows, never
+    items."""
     from ..operators.sketch import hll_merge, hll_registers
 
-    docs = spark.readStream.schema(schema).parquet(source_path)
-
-    def _sketch(batch_df: DataFrame) -> DataFrame:
-        items = batch_df.selectExpr(f"{item_expr} AS item").filter(
-            F.col("item") != ""
-        )
-        return hll_registers(items, "item", p=p)
-
-    batches = _run_batch_sink_stream(
-        spark,
-        docs,
-        _sketch,
-        out_dir,
-        empty=lambda: spark.createDataFrame(
-            [], "register int, max_rho int"
-        ),
+    return _stream_sketch(
+        spark, source_path, out_dir, item_expr, schema,
+        sketch_fn=lambda items: hll_registers(items, "item", p=p),
+        merge_fn=hll_merge,
+        empty_schema="register int, max_rho int",
     )
-    return hll_merge(batches)
 
 
 def stream_cms_frequencies(
@@ -829,29 +851,24 @@ def stream_cms_frequencies(
     the read-back is cell-wise summed into ONE sketch ready for
     ``cms_query``.
 
-    Exactly-once holds for SUM-merge too, but for a different reason
-    than HLL's idempotent max: a replayed batch REWRITES its own
-    partition (dynamic overwrite), so its counts enter the sum once no
-    matter how many times the batch fires. The sink stays KB-sized
-    forever (``n_batches * width * depth`` cells at most, sparse in
-    practice)."""
+    Exactly-once holds for SUM-merge only WITH the checkpoint intact:
+    a replayed batch REWRITES its own partition (dynamic overwrite),
+    so its counts enter the sum once no matter how many times the
+    batch fires. Unlike the HLL twin's idempotent max, summed counts
+    are NOT robust to a lost checkpoint over a surviving sink — a
+    fresh run can re-batch the source into different partition ids,
+    leaving stale partitions that then double-count. If the checkpoint
+    is lost, delete ``out_dir`` and rebuild (the sketch is cheap; the
+    corpus is the expensive part and is untouched). The sink stays
+    KB-sized forever (``n_batches * width * depth`` cells at most,
+    sparse in practice)."""
     from ..operators.sketch import cms_merge, cms_sketch
 
-    docs = spark.readStream.schema(schema).parquet(source_path)
-
-    def _sketch(batch_df: DataFrame) -> DataFrame:
-        items = batch_df.selectExpr(f"{item_expr} AS item").filter(
-            F.col("item") != ""
-        )
-        return cms_sketch(items, "item", width=width, depth=depth)
-
-    batches = _run_batch_sink_stream(
-        spark,
-        docs,
-        _sketch,
-        out_dir,
-        empty=lambda: spark.createDataFrame(
-            [], "row int, col int, cnt long"
+    return _stream_sketch(
+        spark, source_path, out_dir, item_expr, schema,
+        sketch_fn=lambda items: cms_sketch(
+            items, "item", width=width, depth=depth
         ),
+        merge_fn=cms_merge,
+        empty_schema="row int, col int, cnt long",
     )
-    return cms_merge(batches)

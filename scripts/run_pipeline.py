@@ -451,12 +451,21 @@ def cmd_tokenize(args) -> None:
     with open(args.merges) as f:
         artifact = _json.load(f)
     merges = [tuple(m) for m in artifact["merges"]]
+    # the artifact records the column the merges were LEARNED on;
+    # default to it so mismatched-column encodes need an explicit ask
+    text_col = args.text_col or artifact.get("text_col", "text")
+    if args.text_col and args.text_col != artifact.get("text_col"):
+        print(
+            f"warning: encoding column {args.text_col!r} with merges "
+            f"learned on {artifact.get('text_col')!r}",
+            file=sys.stderr,
+        )
     docs = spark.read.parquet(args.input)
-    bpe_encode(docs, merges, text_col=args.text_col).write.mode(
+    bpe_encode(docs, merges, text_col=text_col).write.mode(
         "overwrite"
     ).parquet(args.output)
     [row] = tokenizer_efficiency(
-        docs, merges, text_col=args.text_col
+        docs, merges, text_col=text_col
     ).collect()
     print(_json.dumps(row.asDict(), sort_keys=True))
 
@@ -659,7 +668,10 @@ def main() -> None:
     ptk.add_argument("--input", required=True, help="documents parquet")
     ptk.add_argument("--merges", required=True, help="merges JSON artifact")
     ptk.add_argument("--output", required=True, help="tokenized parquet out")
-    ptk.add_argument("--text-col", default="text")
+    ptk.add_argument(
+        "--text-col", default=None,
+        help="defaults to the column the artifact was trained on",
+    )
     ptk.set_defaults(fn=cmd_tokenize)
 
     psm = sub.add_parser("sample")
