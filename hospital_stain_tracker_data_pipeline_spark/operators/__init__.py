@@ -47,6 +47,8 @@ from .sketch import (  # noqa: F401
     hll_estimate,
     hll_merge,
     hll_registers,
+    load_hll_sketch,
+    save_hll_sketch,
     skew_report,
 )
 from .quality import (  # noqa: F401

@@ -552,3 +552,51 @@ def cms_query(
         .groupBy(item_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+def save_hll_sketch(
+    sketch: DataFrame,
+    p: int,
+    path: str,
+    by: str | list[str] | None = None,
+) -> None:
+    """Persist a register table WITH its parameters: the parquet
+    carries constant ``_hll_p`` and ``_hll_by`` columns, so
+    ``load_hll_sketch`` returns the right ``(sketch, p, by)`` and the
+    whole estimate-with-the-wrong-p class of slips (the best-effort
+    runtime guard in ``hll_estimate`` only probabilistically catches
+    it) becomes structurally impossible for artifact-mediated flows.
+    A sketch is at most ``2^p`` rows per group — coalesce(1) keeps the
+    artifact a single tiny file."""
+    _hll_check_p(p)
+    keys = _by_cols(by)
+    (
+        sketch.withColumn("_hll_p", F.lit(p))
+        .withColumn("_hll_by", F.lit(",".join(keys)))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def load_hll_sketch(spark, path: str):
+    """Inverse of ``save_hll_sketch``: returns ``(sketch, p, by)``
+    ready for ``hll_merge``/``hll_estimate``. Fails loudly on a
+    parameterless parquet (not a saved sketch) or a corrupt artifact
+    mixing several ``p`` values."""
+    df = spark.read.parquet(path)
+    if "_hll_p" not in df.columns or "_hll_by" not in df.columns:
+        raise ValueError(
+            f"{path} has no _hll_p/_hll_by columns — not a "
+            "save_hll_sketch artifact"
+        )
+    metas = df.select("_hll_p", "_hll_by").distinct().collect()
+    if len(metas) != 1:
+        raise ValueError(
+            f"{path} mixes {len(metas)} parameter sets — corrupt "
+            "artifact (merge sketches via hll_merge, not file unions)"
+        )
+    p = int(metas[0]["_hll_p"])
+    _hll_check_p(p)
+    by = [c for c in metas[0]["_hll_by"].split(",") if c] or None
+    return df.drop("_hll_p", "_hll_by"), p, by

@@ -251,3 +251,56 @@ def test_hll_estimate_rejects_grouped_sketch_without_by(spark):
     sk = hll_registers(df, "item", p=6, by="grp")
     with pytest.raises(SparkRuntimeException, match="grouped"):
         hll_estimate(sk, p=6).collect()
+
+
+def test_hll_sketch_artifact_roundtrip(spark, tmp_path):
+    """save_hll_sketch carries (p, by) in the artifact, so loads can't
+    estimate with the wrong parameters; corrupt/foreign parquets fail
+    loudly."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.sketch import (
+        load_hll_sketch,
+        save_hll_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(f"u{i}", f"d{i % 3}") for i in range(500)],
+        "url string, domain string",
+    )
+    p = 9
+    sk = hll_registers(df, "url", p=p, by="domain")
+    path = str(tmp_path / "sk")
+    save_hll_sketch(sk, p, path, by="domain")
+    loaded, lp, lby = load_hll_sketch(spark, path)
+    assert (lp, lby) == (p, ["domain"])
+    assert {
+        (r["domain"], r["register"]): r["max_rho"] for r in loaded.collect()
+    } == {
+        (r["domain"], r["register"]): r["max_rho"] for r in sk.collect()
+    }
+    # loaded params drive a correct grouped estimate
+    ests = hll_estimate(loaded, lp, by=lby)
+    assert ests.count() == 3
+
+    # global (ungrouped) artifact round-trips by=None
+    gpath = str(tmp_path / "gsk")
+    save_hll_sketch(hll_registers(df, "url", p=p), p, gpath)
+    _, gp, gby = load_hll_sketch(spark, gpath)
+    assert (gp, gby) == (p, None)
+
+    # a foreign parquet is not an artifact
+    plain = str(tmp_path / "plain")
+    df.write.parquet(plain)
+    with pytest.raises(ValueError, match="not a"):
+        load_hll_sketch(spark, plain)
+
+    # mixing two artifacts' files is corrupt, not mergeable
+    import shutil
+
+    mixed = str(tmp_path / "mixed")
+    other = str(tmp_path / "other")
+    save_hll_sketch(hll_registers(df, "url", p=6), 6, other)
+    shutil.copytree(gpath, mixed)
+    for f in __import__("glob").glob(f"{other}/part-*.parquet"):
+        shutil.copy(f, f"{mixed}/copied-{f.split('/')[-1]}")
+    with pytest.raises(ValueError, match="parameter sets"):
+        load_hll_sketch(spark, mixed)

@@ -40,6 +40,7 @@ def test_operator_surface_exports():
         "reciprocal_rank_fusion", "corpus_diff", "corpus_diff_summary",
         "summarize_diff",
         "hll_registers", "hll_merge", "hll_estimate", "approx_distinct_hll",
+        "save_hll_sketch", "load_hll_sketch",
         "cms_sketch", "cms_merge", "cms_query", "sample_stratified",
         "tokenizer_efficiency", "tune_lsh_bands",
         "extract_image_features", "extract_audio_features",
