@@ -67,15 +67,20 @@ HEADLINE = [
     "ann_lsh_pairs",
 ]
 
-# The Arrow/pandas-UDF-backed family shows 3-4x run-to-run variance
-# (Python worker reuse, GC, batch boundaries); a single warm sample
-# can't distinguish a regression from noise, so these get
-# median-of-N warm reps reported separately as queries_median. The two
-# slowest (dup_clusters, dedup_jaccard_topk) swung >1.3x between
-# same-day runs even at n=3, so they get n=5. tfidf_topterms and
-# upsert_merge joined in round 7 after drifting ~1.35x r5→r6 on single
-# warm samples with no hot-path change — classic shared-VM noise band.
+# Round 8 showed ~10-30% shared-VM noise spread across nearly every
+# sub-second query (r8-vs-r6 drifts up to 1.8x with zero hot-path
+# changes), so EVERY headline query now gets median-of-3 warm reps —
+# a single warm sample can't distinguish a regression from noise.
+# The two slowest Arrow/pandas-UDF queries (dup_clusters,
+# dedup_jaccard_topk) swung >1.3x between same-day runs even at n=3,
+# so they keep n=5. The stdout line's `queries` map carries the
+# MEDIANS (queries_kind marks it); `queries_median` on stdout is
+# restricted to the historically-noisy subset below to keep the line
+# well under the driver's ~2 KB capture tail (the round-5 failure
+# mode was an overlong line) — the full 37-query median map lands in
+# BENCH_LOCAL.json.
 NOISY_UDF_FAMILY = {
+    # Arrow/pandas-UDF family (3-4x variance: worker reuse, GC)
     "dedup_simhash",
     "dedup_jaccard_topk",
     "dedup_minhash_lsh",
@@ -83,8 +88,16 @@ NOISY_UDF_FAMILY = {
     "ann_lsh_pairs",
     "tfidf_topterms",
     "upsert_merge",
+    # drifted >1.3x r6→r8 on single warm samples, no code change
+    "doc_chunks",
+    "doc_profile",
+    "train_test_split",
+    "window_lag_running",
+    "mixture_sample",
+    "rank_topn_per_group",
+    "dim_join",
 }
-NOISY_REPS_DEFAULT = 3
+WARM_REPS_DEFAULT = 3
 NOISY_REPS = {"dup_clusters": 5, "dedup_jaccard_topk": 5}
 
 # Side-channel for extras that carry structured results (e.g. the
@@ -545,6 +558,14 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
+    # SPARK_GRAFT_BENCH_SMOKE=1 trims the run to a handful of headline
+    # queries and one extra so the subprocess stdout-contract test can
+    # exercise the REAL print path (early print → extras loop →
+    # BENCH_LOCAL write → final re-print) in under two minutes —
+    # every stdout-producing statement is shared with the full run.
+    smoke = os.environ.get("SPARK_GRAFT_BENCH_SMOKE") == "1"
+    headline = HEADLINE[:4] if smoke else HEADLINE
+
     spark = get_spark(app_name="hospital_stain_tracker_bench")
 
     # Warm the JVM + parquet footers + Python UDF workers once so
@@ -568,50 +589,53 @@ def main() -> None:
     # cost a long-lived cluster session pays. Reporting both keeps
     # round-over-round regression detection meaningful.
     timings: dict[str, float] = {}
-    warm: dict[str, float] = {}
+    warm_first: dict[str, float] = {}
     medians: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = CATALOG[name].fn
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
-        reps = (
-            NOISY_REPS.get(name, NOISY_REPS_DEFAULT)
-            if name in NOISY_UDF_FAMILY
-            else 1
-        )
+        reps = NOISY_REPS.get(name, WARM_REPS_DEFAULT)
         rep_times = []
         for _ in range(reps):
             t1 = time.perf_counter()
             fn(spark, sf_dir).count()
             rep_times.append(time.perf_counter() - t1)
-        warm[name] = round(rep_times[0], 3)
-        if reps > 1:
-            medians[name] = round(statistics.median(rep_times), 3)
+        warm_first[name] = round(rep_times[0], 3)
+        medians[name] = round(statistics.median(rep_times), 3)
 
     total = round(sum(timings.values()), 3)
-    warm_total = round(sum(warm.values()), 3)
+    # the round-over-round number: sum of per-query MEDIANS (less
+    # shared-VM noise than the first-warm-rep sum used through r8)
+    warm_total = round(sum(medians.values()), 3)
 
     # The graded stdout line prints IMMEDIATELY after the headline
     # loop — round 7 lost a complete set of headline timings because
-    # an extra crashed before the (then end-of-main) print. stdout
-    # carries ONLY the driver-needed fields: the WARM per-query map
-    # (the steady-state numbers round-over-round comparisons use), the
-    # noisy-family medians, warm_total, and sf — the line must stay
-    # short enough that the driver's capture never truncates it
-    # (round-5 regression). Nothing below writes to stdout (extras
-    # failures go to stderr + BENCH_LOCAL.json), so this stays the
-    # only/last stdout line whichever way the driver parses.
+    # an extra crashed before the (then end-of-main) print — and is
+    # RE-printed as the final stdout act after the extras loop, so the
+    # driver parses it whether it takes the first JSON line or the
+    # last line of the capture (rounds 7+8 both recorded parsed:null;
+    # r8's cause — console progress bars after the line — is also
+    # killed at the session level via spark.ui.showConsoleProgress).
+    # stdout carries ONLY the driver-needed fields and must stay well
+    # under the driver's ~2 KB capture tail (round-5 regression):
+    # `queries` = per-query median-of-N warm reps (the steady-state
+    # numbers round-over-round comparisons use), `queries_median` =
+    # the historically-noisy subset only; the FULL median map (and
+    # cold/first-warm maps) go to BENCH_LOCAL.json.
     line = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": warm,
-        "queries_median": medians,
+        "queries": medians,
+        "queries_kind": "median_warm",
+        "queries_median": {k: medians[k] for k in headline if k in NOISY_UDF_FAMILY},
         "warm_total": warm_total,
         "sf": sf,
     }
-    print(json.dumps(line), flush=True)
+    line_text = json.dumps(line)
+    print(line_text, flush=True)
 
     # Full record (cold + warm + median maps) goes to BENCH_LOCAL.json —
     # written once now so a crash/kill mid-extras still leaves the
@@ -621,9 +645,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries_cold": timings,
-        "queries_warm": warm,
+        "queries_warm_first": warm_first,
         "queries_median": medians,
         "warm_total": warm_total,
+        "warm_first_total": round(sum(warm_first.values()), 3),
         "cold_total": total,
         "sf": sf,
         # sentinel so a record from a run killed mid-extras is
@@ -631,9 +656,21 @@ def main() -> None:
         # the post-extras rewrite below
         "extras_errors": {"_status": "extras did not complete"},
     }
-    local_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
-    )
+    # SPARK_GRAFT_BENCH_LOCAL redirects the full record (the smoke
+    # contract test uses it — a smoke run must never clobber the repo's
+    # sf0.1 BENCH_LOCAL.json); smoke mode without it goes to tempdir.
+    local_path = os.environ.get("SPARK_GRAFT_BENCH_LOCAL")
+    if not local_path:
+        if smoke:
+            import tempfile
+
+            local_path = os.path.join(
+                tempfile.gettempdir(), "BENCH_LOCAL_SMOKE.json"
+            )
+        else:
+            local_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+            )
 
     def _write_local() -> None:
         with open(local_path, "w") as f:
@@ -649,7 +686,11 @@ def main() -> None:
     extras_cold: dict[str, float] = {}
     extras_warm: dict[str, float] = {}
     extras_errors: dict[str, str] = {}
-    for name, fn in _extras_registry().items():
+    registry = _extras_registry()
+    if smoke:
+        first = next(iter(registry))
+        registry = {first: registry[first]}
+    for name, fn in registry.items():
         try:
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
@@ -667,6 +708,10 @@ def main() -> None:
     full["extras_info"] = EXTRAS_INFO
     _write_local()
     spark.stop()
+    # belt-and-suspenders re-print: the graded JSON line is ALSO the
+    # very last stdout line (after spark.stop(), so no JVM output can
+    # land after it) — tests/test_bench_stdout_contract.py pins this
+    print(line_text, flush=True)
 
 
 if __name__ == "__main__":

@@ -68,6 +68,12 @@ def get_spark(
         # columns exist.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # console progress bars write stage-progress lines into the
+        # captured stream of any harness that merges stdout+stderr —
+        # they corrupted two consecutive driver bench records (the
+        # graded JSON line printed fine, then progress output landed
+        # after it and the parse failed). Never useful headless.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():
