@@ -319,6 +319,7 @@ def _adc_topk(
     id_col: str,
     query_id_col: str,
     per_query: bool,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Shared ADC scoring tail: explode codes to (sub, code), broadcast
     the table join, sum the m lookups, window top-k per query (distance
@@ -340,8 +341,12 @@ def _adc_topk(
         F.sum("pdist").alias("_adc")
     )
     # self-exclusion BEFORE the window: a self-match must not consume
-    # one of the k slots (same rule as knn_ivf)
-    agg = agg.filter(F.col(query_id_col) != F.col(id_col))
+    # one of the k slots (same rule as knn_ivf). Disabled for
+    # external-query callers whose query-id domain is disjoint from the
+    # corpus — there a coincidental numeric collision would silently
+    # discard a legitimate nearest neighbor.
+    if exclude_self:
+        agg = agg.filter(F.col(query_id_col) != F.col(id_col))
     w = Window.partitionBy(query_id_col).orderBy(
         F.asc("_adc"), F.asc(id_col)
     )
@@ -365,12 +370,16 @@ def knn_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """ADC k-NN over a PQ-encoded corpus: ``(query_id, vec_id,
     adc_dist)`` with the ``k`` smallest approximate squared-L2
     distances per query (ties to the lowest id). ``corpus_codes`` is
     ``pq_encode`` output — the corpus embeddings themselves are never
-    read.
+    read. ``exclude_self=True`` (the knn_ivf convention, right when
+    queries ARE corpus rows) drops rows where query_id == vec_id; pass
+    False when the query-id domain is external/disjoint, where a
+    numeric collision would silently discard a real neighbor.
 
     Plan shape at scale: the corpus side is scan -> posexplode (m
     narrow rows per vector) -> BROADCAST hash join against the
@@ -384,7 +393,8 @@ def knn_pq(
     table = _adc_table(query, codebooks, query_id_col, vec_col)
     codes = corpus_codes.filter(F.col("pq_code").isNotNull())
     return _adc_topk(
-        codes, table, k, id_col, query_id_col, per_query=False
+        codes, table, k, id_col, query_id_col, per_query=False,
+        exclude_self=exclude_self,
     )
 
 
@@ -462,6 +472,7 @@ def knn_ivf_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF-PQ: the full Jegou-et-al composition — coarse IVF cells
     bound WHICH rows are scored, PQ/ADC bounds WHAT scoring a row
@@ -475,7 +486,8 @@ def knn_ivf_pq(
     fit keeps ONE codebook tensor shared by every cell, which is what
     makes the distance table per query, not per (query, cell)).
     Returns ``(query_id, vec_id, adc_dist)``; self-matches excluded
-    like ``knn_ivf``."""
+    like ``knn_ivf`` (``exclude_self=False`` for external-query
+    domains — see ``knn_pq``)."""
     cents = ivf_fit_centroids(corpus, n_clusters, iters, id_col, vec_col)
     cb = pq_fit_codebooks(corpus, m, n_codes, iters, id_col, vec_col)
     encoded = materialize(
@@ -503,7 +515,11 @@ def knn_ivf_pq(
         ).alias("cell"),
     )
     table = _adc_table(query, cb, query_id_col, vec_col)
-    cand = probes.join(encoded, "cell").filter(
-        F.col(query_id_col) != F.col(id_col)
-    ).select(query_id_col, id_col, "pq_code")
-    return _adc_topk(cand, table, k, id_col, query_id_col, per_query=True)
+    cand = probes.join(encoded, "cell")
+    if exclude_self:
+        cand = cand.filter(F.col(query_id_col) != F.col(id_col))
+    cand = cand.select(query_id_col, id_col, "pq_code")
+    return _adc_topk(
+        cand, table, k, id_col, query_id_col, per_query=True,
+        exclude_self=exclude_self,
+    )

@@ -425,60 +425,86 @@ def _cms_cells(item: "F.Column", width: int, depth: int):
 
 
 def cms_sketch(
-    df: DataFrame, item_col: str, width: int = 2048, depth: int = 5
+    df: DataFrame,
+    item_col: str,
+    width: int = 2048,
+    depth: int = 5,
+    by: str | list[str] | None = None,
 ) -> DataFrame:
     """Count-min sketch (Cormode & Muthukrishnan 2005) of the item
     stream as a DataFrame of non-zero cells: ``(row int, col int,
     cnt long)``, at most ``width * depth`` rows regardless of stream
     size. With ``w`` columns over ``N`` total items, a point query
     overestimates by at most ``2N/w`` with probability ``1 - 2^-depth``
-    (and NEVER underestimates).
+    (and NEVER underestimates). ``by`` keeps one sketch PER GROUP
+    (``(*by, row, col, cnt)``, ≤ width*depth cells per group) — "token
+    frequencies per domain", composing with ``hll_registers(by=)``'s
+    per-group cardinality sketches in one artifact family — still
+    mergeable across shards on the same keys.
 
     Same discipline as ``hll_registers``: md5-based hashing (pure-
     Python bit-exact replay pinned in ``tests/test_cms.py``), and the
     sketch is a mergeable artifact — persist per-shard cells, then
     ``cms_merge`` (union + cell-wise sum, exact longs) answers point
     frequencies over the union without rescanning shards. NULL items
-    are ignored.
+    are ignored; a NULL group key is a real group.
 
     Plan: the base hashes are projected to bound columns BEFORE the
     depth-row explode (Catalyst does not CSE inside HOF lambdas — the
     md5 must not be re-evaluated per row index), then one
-    ``groupBy(row, col).count()`` whose exchange is partial-aggregated
-    cells, never the item stream."""
+    ``groupBy(*by, row, col).count()`` whose exchange is
+    partial-aggregated cells, never the item stream."""
     _cms_check(width, depth)
+    keys = _by_cols(by)
     h1, h2 = _cms_cells(F.col(item_col), width, depth)
     hashed = (
         df.filter(F.col(item_col).isNotNull())
-        .select(h1.alias("_h1"), h2.alias("_h2"))
+        .select(*keys, h1.alias("_h1"), h2.alias("_h2"))
     )
     return (
         hashed.select(
+            *keys,
             F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
             "_h1",
             "_h2",
         )
         .select(
+            *keys,
             F.col("row").cast("int").alias("row"),
             ((F.col("_h1") + F.col("row") * F.col("_h2")) % F.lit(width))
             .cast("int")
             .alias("col"),
         )
-        .groupBy("row", "col")
+        .groupBy(*keys, "row", "col")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
-def cms_merge(*sketches: DataFrame) -> DataFrame:
+def cms_merge(
+    *sketches: DataFrame, by: str | list[str] | None = None
+) -> DataFrame:
     """Cell-wise sum of count-min sketches built with the SAME
-    (width, depth): exact, associative, commutative — sketch(A ⊎ B) ==
+    (width, depth) (and, for grouped sketches, the same ``by`` keys):
+    exact, associative, commutative — sketch(A ⊎ B) ==
     merge(sketch(A), sketch(B)) bit-for-bit (pinned by test)."""
     if not sketches:
         raise ValueError("need at least one sketch")
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+    return out.groupBy(*_by_cols(by), "row", "col").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+# Broadcast-hint ceiling for the sketch side of cms_query: a cell row
+# is ~16 B payload (+ Tungsten overhead), so 2^21 cells stays well
+# under the session's 64 MB autoBroadcast threshold. Geometry is
+# allowed up to width=2^26 x depth=64 (4e9 cells) — a dense merged
+# sketch that size would OOM the driver if unconditionally hinted, so
+# above the ceiling the optimizer picks the strategy (AQE will still
+# broadcast a SPARSE big-geometry sketch if its runtime size is small).
+CMS_BROADCAST_MAX_CELLS = 1 << 21
 
 
 def cms_query(
@@ -487,6 +513,7 @@ def cms_query(
     item_col: str,
     width: int = 2048,
     depth: int = 5,
+    by: str | list[str] | None = None,
 ) -> DataFrame:
     """Point-frequency estimates for ``items`` (deduplicated; NULLs
     ignored) against a sketch built with the same (width, depth):
@@ -494,11 +521,18 @@ def cms_query(
     count`` — an upper bound on the true frequency, within ``2N/width``
     of it with probability ``1 - 2^-depth``. An absent cell counts as
     0, so items never inserted estimate 0 unless every row collides.
+    For a grouped sketch pass the same ``by``: ``items`` must carry
+    the group columns and the result is ``(*by, item_col, est)`` —
+    one estimate per (group, item) pair present in ``items``; a group
+    the sketch never saw estimates 0.
 
     Plan: the query side explodes to ``depth`` cells per item and
-    LEFT-joins the sketch — whose ≤ width*depth cells broadcast — then
-    one ``groupBy(item).min()``. Corpus-scale frequency lookups never
-    reread the corpus.
+    LEFT-joins the sketch — hinted broadcast only while the declared
+    geometry is ≤ ``CMS_BROADCAST_MAX_CELLS`` cells (an unconditional
+    hint would OOM the driver on a dense 2^26-wide merged sketch;
+    grouped sketches multiply by group count, so they always leave the
+    strategy to the optimizer) — then one ``groupBy(item).min()``.
+    Corpus-scale frequency lookups never reread the corpus.
 
     Mismatch guard (BEST-EFFORT, not a proof): a sketch built with a
     LARGER (width, depth) raises when any cell sits outside this
@@ -527,19 +561,22 @@ def cms_query(
             ).cast("long"),
         ).otherwise(F.col("cnt")),
     )
+    keys = _by_cols(by)
     h1, h2 = _cms_cells(F.col(item_col), width, depth)
     q = (
         items.filter(F.col(item_col).isNotNull())
-        .select(item_col)
+        .select(*keys, item_col)
         .distinct()
-        .select(F.col(item_col), h1.alias("_h1"), h2.alias("_h2"))
+        .select(*keys, F.col(item_col), h1.alias("_h1"), h2.alias("_h2"))
         .select(
+            *keys,
             item_col,
             F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
             "_h1",
             "_h2",
         )
         .select(
+            *keys,
             item_col,
             F.col("row").cast("int").alias("row"),
             ((F.col("_h1") + F.col("row") * F.col("_h2")) % F.lit(width))
@@ -547,9 +584,11 @@ def cms_query(
             .alias("col"),
         )
     )
+    if not keys and width * depth <= CMS_BROADCAST_MAX_CELLS:
+        sketch = F.broadcast(sketch)
     return (
-        q.join(F.broadcast(sketch), ["row", "col"], "left")
-        .groupBy(item_col)
+        q.join(sketch, keys + ["row", "col"], "left")
+        .groupBy(*keys, item_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
 
@@ -567,12 +606,16 @@ def save_hll_sketch(
     runtime guard in ``hll_estimate`` only probabilistically catches
     it) becomes structurally impossible for artifact-mediated flows.
     A sketch is at most ``2^p`` rows per group — coalesce(1) keeps the
-    artifact a single tiny file."""
+    artifact a single tiny file. ``by`` key names are stored as a JSON
+    array (a comma-joined string would split a key whose NAME contains
+    a comma into two wrong keys on load)."""
+    import json
+
     _hll_check_p(p)
     keys = _by_cols(by)
     (
         sketch.withColumn("_hll_p", F.lit(p))
-        .withColumn("_hll_by", F.lit(",".join(keys)))
+        .withColumn("_hll_by", F.lit(json.dumps(keys)))
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(path)
@@ -598,5 +641,11 @@ def load_hll_sketch(spark, path: str):
         )
     p = int(metas[0]["_hll_p"])
     _hll_check_p(p)
-    by = [c for c in metas[0]["_hll_by"].split(",") if c] or None
+    raw = metas[0]["_hll_by"]
+    if raw.startswith("["):  # JSON-array encoding (current format)
+        import json
+
+        by = json.loads(raw) or None
+    else:  # legacy comma-joined artifacts (pre-JSON encoding)
+        by = [c for c in raw.split(",") if c] or None
     return df.drop("_hll_p", "_hll_by"), p, by

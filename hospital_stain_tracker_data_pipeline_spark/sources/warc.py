@@ -452,8 +452,13 @@ def read_warc(
     never silently become an empty corpus. List elements are expanded
     the same way (each may itself be a glob; each must match).
     Remote-URI globs (``s3://bucket/crawl/*.warc.gz``) list via
-    ``pyarrow.fs`` + fnmatch on the final path segment; an explicit
-    empty list is the only way to get an empty (typed) frame.
+    ``pyarrow.fs`` + fnmatch and support wildcards in the FINAL path
+    segment only — a wildcard in a directory component
+    (``s3://bucket/crawl-*/f.warc.gz``) raises ``ValueError`` up front
+    (the non-recursive listing could never match it; failing loudly
+    beats a confusing FileNotFoundError). Local paths get full
+    ``glob.glob`` semantics. An explicit empty list is the only way to
+    get an empty (typed) frame.
     """
     import fnmatch
     import glob as globmod
@@ -472,6 +477,14 @@ def read_warc(
             scheme = p.split("://", 1)[0]
             filesystem, pat = pafs.FileSystem.from_uri(p)
             dirname, base = posixpath.split(pat)
+            if any(ch in dirname for ch in "*?["):
+                raise ValueError(
+                    f"remote-URI glob {p!r} has a wildcard in a "
+                    "directory component — only the final path segment "
+                    "may contain wildcards (the listing is "
+                    "non-recursive); enumerate the directories "
+                    "explicitly or pass a path list"
+                )
             infos = filesystem.get_file_info(
                 pafs.FileSelector(dirname, recursive=False)
             )

@@ -158,3 +158,122 @@ def test_cms_query_rejects_larger_geometry_sketch(spark):
     sk = cms_sketch(df, "item", width=4096, depth=5)
     with pytest.raises(SparkRuntimeException, match="larger parameters"):
         cms_query(sk, df, "item", width=512, depth=5).collect()
+
+
+# ------------------------------------------------------- grouped (by=)
+
+
+def _grouped_words(spark):
+    rows = []
+    for dom, words in [
+        ("a.com", ["x"] * 5 + ["y"] * 2),
+        ("b.com", ["x"] * 3 + ["z"] * 7),
+    ]:
+        rows += [(dom, w) for w in words]
+    return spark.createDataFrame(rows, "domain string, w string")
+
+
+def test_cms_grouped_equals_per_group_sketches(spark):
+    """A by= sketch is exactly one independent sketch per group —
+    bit-for-bit the sketch of that group's subset."""
+    df = _grouped_words(spark)
+    width, depth = 64, 3
+    grouped = {
+        (r["domain"], r["row"], r["col"]): r["cnt"]
+        for r in cms_sketch(df, "w", width, depth, by="domain").collect()
+    }
+    for dom in ("a.com", "b.com"):
+        solo = {
+            (dom, r["row"], r["col"]): r["cnt"]
+            for r in cms_sketch(
+                df.filter(F.col("domain") == dom), "w", width, depth
+            ).collect()
+        }
+        assert solo == {k: v for k, v in grouped.items() if k[0] == dom}
+
+
+def test_cms_grouped_query_and_merge(spark):
+    """Per-(group, item) estimates never underestimate, match the
+    pure-Python replay, and a sharded grouped merge equals the
+    one-shot grouped sketch; a group the sketch never saw estimates 0."""
+    df = _grouped_words(spark)
+    width, depth = 64, 3
+    sk = cms_sketch(df, "w", width, depth, by="domain")
+
+    items = spark.createDataFrame(
+        [("a.com", "x"), ("a.com", "z"), ("b.com", "z"), ("c.com", "x")],
+        "domain string, w string",
+    )
+    got = {
+        (r["domain"], r["w"]): r["est"]
+        for r in cms_query(sk, items, "w", width, depth, by="domain").collect()
+    }
+    # replay each group's cells independently
+    truth = {("a.com", "x"): 5, ("a.com", "z"): 0, ("b.com", "z"): 7}
+    per_group = {
+        dom: _replay_cells(
+            [r["w"] for r in df.filter(F.col("domain") == dom).collect()],
+            width,
+            depth,
+        )
+        for dom in ("a.com", "b.com")
+    }
+    for (dom, w), est in got.items():
+        if dom == "c.com":
+            assert est == 0  # group never sketched
+        else:
+            assert est == _replay_query(per_group[dom], w, width, depth)
+            assert est >= truth.get((dom, w), 0)
+
+    # sharded merge == one-shot (same by keys)
+    a = cms_sketch(df.limit(8), "w", width, depth, by="domain")
+    b = cms_sketch(
+        df.exceptAll(df.limit(8)), "w", width, depth, by="domain"
+    )
+    merged = {
+        (r["domain"], r["row"], r["col"]): r["cnt"]
+        for r in cms_merge(a, b, by="domain").collect()
+    }
+    oneshot = {
+        (r["domain"], r["row"], r["col"]): r["cnt"]
+        for r in sk.collect()
+    }
+    assert merged == oneshot
+
+
+def test_cms_query_broadcast_hint_is_size_bounded(spark):
+    """The sketch side is broadcast-HINTED only while the declared
+    geometry fits CMS_BROADCAST_MAX_CELLS — a dense 2^26-wide merged
+    sketch must not be forced onto the driver (ADVICE r8). Grouped
+    sketches never get the hint (group count multiplies the size)."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.sketch import (
+        CMS_BROADCAST_MAX_CELLS,
+    )
+
+    items = spark.createDataFrame([("x",)], "w string")
+    small = cms_sketch(items, "w", 2048, 5)
+    plan_small = (
+        cms_query(small, items, "w", 2048, 5)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert "ResolvedHint" in plan_small
+    assert 2048 * 5 <= CMS_BROADCAST_MAX_CELLS
+
+    big_w, big_d = 1 << 26, 64
+    big = cms_sketch(items, "w", big_w, big_d)
+    plan_big = (
+        cms_query(big, items, "w", big_w, big_d)
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert "ResolvedHint" not in plan_big
+
+    grouped = cms_sketch(
+        items.withColumn("g", F.lit("a")), "w", 64, 3, by="g"
+    )
+    plan_grouped = (
+        cms_query(
+            grouped, items.withColumn("g", F.lit("a")), "w", 64, 3, by="g"
+        )
+        ._jdf.queryExecution().analyzed().toString()
+    )
+    assert "ResolvedHint" not in plan_grouped

@@ -304,3 +304,31 @@ def test_hll_sketch_artifact_roundtrip(spark, tmp_path):
         shutil.copy(f, f"{mixed}/copied-{f.split('/')[-1]}")
     with pytest.raises(ValueError, match="parameter sets"):
         load_hll_sketch(spark, mixed)
+
+
+def test_hll_artifact_by_key_with_comma_roundtrips(spark, tmp_path):
+    """A by-column whose NAME contains a comma must round-trip as ONE
+    key (the legacy comma-joined encoding split it into two wrong
+    names; keys are now a JSON array — ADVICE r8)."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+        load_hll_sketch,
+        save_hll_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("g1", "u1"), ("g1", "u2"), ("g2", "u1")],
+        ["site,lang", "url"],
+    )
+    p, path = 8, str(tmp_path / "comma_sketch")
+    sk = hll_registers(df, "url", p=p, by="site,lang")
+    save_hll_sketch(sk, p, path, by="site,lang")
+    loaded, lp, lby = load_hll_sketch(spark, path)
+    assert lp == p
+    assert lby == ["site,lang"]
+    est = {
+        r["site,lang"]: r["estimate"]
+        for r in hll_estimate(loaded, lp, by=lby).collect()
+    }
+    assert round(est["g1"]) == 2 and round(est["g2"]) == 1

@@ -244,3 +244,35 @@ def test_knn_ivf_pq_recall_and_shape(spark, emb):
     assert all(v == sorted(v) for v in per_q.values())
     recall = _recall_vs_brute(spark, emb, res)
     assert recall >= 0.35, recall
+
+
+def test_knn_pq_exclude_self_gate(spark, emb, codebooks):
+    """exclude_self=True (default, queries ARE corpus rows) drops the
+    query_id == vec_id row; exclude_self=False keeps it — an external
+    query domain must not lose a real neighbor to a coincidental id
+    collision (ADVICE r8)."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.pq import (
+        knn_ivf_pq,
+        knn_pq,
+        pq_encode,
+    )
+
+    codes = pq_encode(emb, codebooks)
+    # the "external" query reuses a corpus row's id + vector: under the
+    # default it can never match itself; with the gate off the encoded
+    # self row is ADC-distance 0 and must appear
+    q = emb.orderBy("vec_id").limit(2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    on = knn_pq(codes, q, codebooks, k=5)
+    off = knn_pq(codes, q, codebooks, k=5, exclude_self=False)
+    self_on = on.filter(F.col("query_id") == F.col("vec_id")).count()
+    self_off = off.filter(F.col("query_id") == F.col("vec_id")).count()
+    assert self_on == 0
+    assert self_off == 2  # each query's own row, ADC distance 0
+
+    ivf_off = knn_ivf_pq(
+        emb, q, k=5, n_clusters=4, nprobe=4, m=8, n_codes=16, iters=1,
+        exclude_self=False,
+    )
+    assert ivf_off.filter(F.col("query_id") == F.col("vec_id")).count() == 2

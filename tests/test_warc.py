@@ -521,3 +521,17 @@ def test_fetch_corrupt_member_returns_none(tmp_path):
     assert fetch_warc_record(path, offs[2]) is None   # corrupt target
     got = fetch_warc_record(path, offs[3])            # neighbors still fine
     assert got is not None and got["record_id"] == records[3]["record_id"]
+
+
+def test_read_warc_remote_glob_rejects_directory_wildcards(spark):
+    """A wildcard in a directory component of a remote-URI glob can
+    never match (the listing is non-recursive) — it must fail loudly
+    up front, not as a confusing FileNotFoundError (ADVICE r8)."""
+    import pytest as _pytest
+
+    from hospital_stain_tracker_data_pipeline_spark.sources.warc import (
+        read_warc,
+    )
+
+    with _pytest.raises(ValueError, match="directory component"):
+        read_warc(spark, "file:///nonexistent-crawl-*/f.warc.gz")
