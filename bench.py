@@ -150,7 +150,9 @@ def _extras_registry():
         """Train-and-apply a hashed-feature logistic classifier on raw
         text (langid as the stand-in label): times the featurizer's
         JVM-side gram/bucket aggregations plus 8 distributed GD passes
-        and the scoring pass."""
+        and the scoring pass. The fit (eager — GD collects scalars) is
+        sub-timed into extras_info so a regression in the
+        scale-relevant SCORING path can't hide inside fit noise."""
         from pyspark.sql import functions as F
 
         from hospital_stain_tracker_data_pipeline_spark.operators.features import (
@@ -164,7 +166,11 @@ def _extras_registry():
         docs = load_fixture_table(spark, sf_dir, "documents").withColumn(
             "label", (F.col("lang") == "en").cast("double")
         )
+        t0 = time.perf_counter()
         w, b, _ = train_text_probe(docs, dim=64, iters=8, lr=1.0)
+        EXTRAS_INFO["text_probe"] = {
+            "fit_sec": round(time.perf_counter() - t0, 3)
+        }
         return score_text_probe(docs, linear_probe_scorer(w, b), dim=64)
 
     def mixture(spark, sf_dir):
@@ -287,7 +293,9 @@ def _extras_registry():
         """IVF-PQ end to end at bench scale: fit coarse + product
         quantizers, encode the embedding corpus, ADC top-10 for 16
         probed queries — times the full byte-code ANN path (the
-        search tier the 100 TB embedding lake would run)."""
+        search tier the 100 TB embedding lake would run). fit/encode
+        are sub-timed into extras_info (the nightly phases); the
+        remaining wall time is the scale-relevant ADC search."""
         from pyspark.sql import functions as F2
 
         from hospital_stain_tracker_data_pipeline_spark.operators.pq import (
@@ -298,10 +306,13 @@ def _extras_registry():
         queries = emb.orderBy("vec_id").limit(16).select(
             F2.col("vec_id").alias("query_id"), "embedding"
         )
-        return knn_ivf_pq(
+        phases: dict = {}
+        out = knn_ivf_pq(
             emb, queries, k=10, n_clusters=16, nprobe=4, m=16,
-            n_codes=64, iters=2,
+            n_codes=64, iters=2, timings=phases,
         )
+        EXTRAS_INFO["pq_search"] = phases
+        return out
 
     def corpus_refresh_diff(spark, sf_dir):
         """Snapshot-diff the documents fixture against a mutated
@@ -479,6 +490,88 @@ def _extras_registry():
         emb = load_fixture_table(spark, sf_dir, "embeddings")
         return dequantize_embeddings(quantize_embeddings(emb))
 
+    def cms_frequencies(spark, sf_dir):
+        """Mergeable-sketch frequency shape at corpus scale: sketch two
+        halves of the word stream separately (two shards), cell-sum
+        merge, then point-query the 64 hottest words — two sketch scans
+        + a KB-sized merge + a broadcast lookup, never a full
+        vocabulary shuffle."""
+        from hospital_stain_tracker_data_pipeline_spark.operators.sketch import (
+            cms_merge,
+            cms_query,
+            cms_sketch,
+        )
+
+        docs = load_fixture_table(spark, sf_dir, "documents")
+        words = docs.select(
+            F.col("doc_id"),
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
+        ).filter(F.col("w") != "")
+        a = cms_sketch(words.filter(F.col("doc_id") % 2 == 0), "w")
+        b = cms_sketch(words.filter(F.col("doc_id") % 2 == 1), "w")
+        merged = cms_merge(a, b)
+        probe = (
+            words.groupBy("w").count().orderBy(F.desc("count"), "w").limit(64)
+        )
+        return cms_query(merged, probe, "w")
+
+    def rrf_fuse(spark, sf_dir):
+        """Hybrid retrieval fusion: a BM25 lexical top-20 fused with a
+        dense cosine top-20 over the embedding corpus — the
+        rank-derivation windows + the outer-join combine RRF runs per
+        query in production hybrid search."""
+        from hospital_stain_tracker_data_pipeline_spark.operators.retrieval import (
+            bm25_topk,
+            build_bm25_index,
+            reciprocal_rank_fusion,
+        )
+        from hospital_stain_tracker_data_pipeline_spark.operators.similarity import (
+            knn_brute_force,
+        )
+
+        docs = load_fixture_table(spark, sf_dir, "documents")
+        idx = build_bm25_index(docs)
+        lex = bm25_topk(idx, "the data of and system", k=20)
+        emb = load_fixture_table(spark, sf_dir, "embeddings")
+        q = emb.orderBy("vec_id").limit(1).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        dense = knn_brute_force(emb, q, k=20).select(
+            F.col("vec_id").alias("doc_id"), "cosine_sim"
+        )
+        return reciprocal_rank_fusion(
+            [lex, dense], score_cols=["score", "cosine_sim"], k=20
+        )
+
+    def sample_stratified_draw(spark, sf_dir):
+        """Exact per-stratum eval draw: 25 docs from every source via
+        the md5 keyed-permutation window — one partial-agg exchange on
+        the stratum key, no binomial jitter."""
+        from hospital_stain_tracker_data_pipeline_spark.operators.mixture import (
+            sample_stratified,
+        )
+
+        docs = load_fixture_table(spark, sf_dir, "documents")
+        return sample_stratified(docs, "source", k=25, seed=7)
+
+    def tokenizer_eff(spark, sf_dir):
+        """Tokenizer pricing report: 64 BPE merges applied over the
+        DISTINCT-word histogram, then the one-row bytes/token rollup.
+        The fit (eager) is sub-timed into extras_info; the report pass
+        is the scale-relevant distinct-word scan."""
+        from hospital_stain_tracker_data_pipeline_spark.operators.bpe import (
+            tokenizer_efficiency,
+            train_bpe,
+        )
+
+        docs = load_fixture_table(spark, sf_dir, "documents")
+        t0 = time.perf_counter()
+        merges = train_bpe(docs, n_merges=64, merges_per_round=8)
+        EXTRAS_INFO["tokenizer_efficiency"] = {
+            "fit_sec": round(time.perf_counter() - t0, 3)
+        }
+        return tokenizer_efficiency(docs, merges)
+
     def curate_full(spark, sf_dir):
         """The flagship composition end-to-end with EVERY optional
         stage on (cap → funnel → exact → MinHash → SemDeDup → BM25
@@ -543,6 +636,10 @@ def _extras_registry():
         "html_extract": html_extract,
         "incremental_dedup": incremental_dedup,
         "quantize_embeddings": quantize_lake,
+        "cms_frequencies": cms_frequencies,
+        "rrf_fuse": rrf_fuse,
+        "sample_stratified": sample_stratified_draw,
+        "tokenizer_efficiency": tokenizer_eff,
         # keep last: it persists its outputs; main() clears the cache
         # after the extras loop
         "curate_full": curate_full,
@@ -702,6 +799,16 @@ def main() -> None:
             extras_errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"[bench] extra {name!r} failed: {exc}", file=sys.stderr)
     spark.catalog.clearCache()  # drop curate_full's persisted outputs
+    # derive the scale-relevant residual for model-bearing extras: the
+    # EXTRAS_INFO phase timings are from the WARM call (it overwrote
+    # the cold call's), so warm_total - fit - encode = the warm
+    # search/score/report phase in isolation
+    for name, phases in EXTRAS_INFO.items():
+        if name in extras_warm and "fit_sec" in phases:
+            residual = extras_warm[name] - sum(
+                v for k, v in phases.items() if k.endswith("_sec")
+            )
+            phases["search_sec"] = round(max(residual, 0.0), 3)
     full["extras_cold"] = extras_cold
     full["extras_warm"] = extras_warm
     full["extras_errors"] = extras_errors

@@ -473,6 +473,7 @@ def knn_ivf_pq(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     exclude_self: bool = True,
+    timings: dict | None = None,
 ) -> DataFrame:
     """IVF-PQ: the full Jegou-et-al composition — coarse IVF cells
     bound WHICH rows are scored, PQ/ADC bounds WHAT scoring a row
@@ -487,9 +488,20 @@ def knn_ivf_pq(
     makes the distance table per query, not per (query, cell)).
     Returns ``(query_id, vec_id, adc_dist)``; self-matches excluded
     like ``knn_ivf`` (``exclude_self=False`` for external-query
-    domains — see ``knn_pq``)."""
+    domains — see ``knn_pq``).
+
+    ``timings``: pass a dict to receive ``fit_sec`` / ``encode_sec``
+    wall times for the eager phases (the fits collect model-sized
+    artifacts; the encode materializes the coded corpus). The returned
+    frame is only the lazy ADC-search plan, so a caller timing its own
+    action measures the scale-relevant search tier in isolation —
+    nightly fit noise no longer hides a search regression."""
+    import time as _time
+
+    t0 = _time.perf_counter()
     cents = ivf_fit_centroids(corpus, n_clusters, iters, id_col, vec_col)
     cb = pq_fit_codebooks(corpus, m, n_codes, iters, id_col, vec_col)
+    t1 = _time.perf_counter()
     encoded = materialize(
         fanout(corpus)
         .select(
@@ -503,6 +515,9 @@ def knn_ivf_pq(
             _pq_assign_udf(cb)(F.col("_qv")).alias("pq_code"),
         )
     )
+    if timings is not None:
+        timings["fit_sec"] = round(t1 - t0, 3)
+        timings["encode_sec"] = round(_time.perf_counter() - t1, 3)
     probes = query.select(
         F.col(query_id_col),
         as_double_array(F.col(vec_col)).alias("_pv"),
