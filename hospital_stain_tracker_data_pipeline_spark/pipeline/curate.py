@@ -48,6 +48,9 @@ storage, unlike localCheckpoint blocks, is releasable by unpersist.
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
@@ -106,6 +109,84 @@ class CurationReport:
     after_quality_probe: int | None = None
 
 
+def _predicate_sig(c: Column) -> str:
+    """A call-stable signature of a stage predicate Column. ``str(c)``
+    is ALMOST stable, except higher-order-function lambda variables
+    carry a session-global counter (``x_1`` vs ``x_2`` for the same
+    expression built twice) — normalize those so identical predicates
+    hash identically across invocations. Two predicates differing only
+    in lambda numbering are semantically identical, so this can't
+    cause a false artifact match."""
+    import re
+
+    return re.sub(r"\b(x|y|acc|id)_\d+\b", r"\1", str(c))
+
+
+class _StageStore:
+    """Durable per-stage curation artifacts under ``run_dir`` — the
+    restartability analog of the reference's ``pipeline_runs`` ledger
+    (``backend/app/etl/ingest_capacity.py:85-96``), applied to the
+    curation recipe: a crash at stage 9 of a 100 TB run must not
+    repeat stages 1-8's candidate generation.
+
+    Each checkpointed stage writes its product (an id-set, or the
+    span/substring text product) as parquet under
+    ``run_dir/<stage>/data`` and then — only after the write completes
+    — a ``_STAGE_OK`` marker holding the stage's CONFIG-CHAIN HASH:
+    md5 over this stage's parameters AND the hash of every
+    checkpointed stage upstream of it. A rerun with the same
+    ``run_dir`` loads any stage whose marker hash matches (resume);
+    a changed parameter invalidates that stage AND everything
+    downstream (the chain hash differs), which recomputes exactly the
+    affected suffix. A kill mid-write leaves no marker, so the partial
+    parquet is overwritten on resume — the marker is the commit point.
+
+    Loading from parquet doubles as the plan-growth truncation the
+    in-memory path gets from ``materialize`` (a parquet scan is a flat
+    leaf), so resume runs keep the linear-plan discipline for free.
+
+    Scope contract: artifacts are keyed by CONFIG, not by data — the
+    caller must use one run_dir per (corpus snapshot, side-input set).
+    Side inputs that are DataFrames or callables (the LM model, eval
+    docs, embeddings, a probe scorer) are represented in the hash only
+    by their scalar companions (thresholds, dims); swapping one for a
+    different artifact with the same thresholds requires a fresh
+    run_dir. ``run_dir`` must be on a filesystem visible to the driver
+    (local/NFS here; an object-store generalization would route the
+    marker I/O through ``pyarrow.fs``)."""
+
+    def __init__(self, spark, run_dir: str) -> None:
+        self.spark = spark
+        self.run_dir = run_dir
+        self.chain = "root"
+        os.makedirs(run_dir, exist_ok=True)
+
+    def _advance(self, name: str, params: dict) -> tuple[str, str]:
+        payload = json.dumps(
+            {"stage": name, "params": params, "upstream": self.chain},
+            sort_keys=True,
+            default=str,
+        )
+        h = hashlib.md5(payload.encode()).hexdigest()
+        self.chain = h
+        return os.path.join(self.run_dir, name), h
+
+    def load_or(self, name: str, params: dict, compute) -> DataFrame:
+        path, h = self._advance(name, params)
+        data = os.path.join(path, "data")
+        marker = os.path.join(path, "_STAGE_OK")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                if f.read() == h:
+                    return self.spark.read.parquet(data)
+            os.remove(marker)  # stale config — rebuild below
+        compute().write.mode("overwrite").parquet(data)
+        os.makedirs(path, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write(h)
+        return self.spark.read.parquet(data)
+
+
 def default_quality_stages(
     min_tokens: int = 5, min_quality: float = 0.2
 ) -> list[tuple[str, Column]]:
@@ -145,6 +226,7 @@ def curate_documents(
     substring_min_tokens: int | None = None,
     url_col: str | None = None,
     html_col: str | None = None,
+    run_dir: str | None = None,
 ) -> tuple[DataFrame, CurationReport]:
     """Run the full curation pipeline over a ``(doc_id, text)`` corpus;
     returns ``(packed_chunks, report)``.
@@ -219,6 +301,20 @@ def curate_documents(
     record it). Docs scoring under the threshold — or NULL (blank
     text: no usable signal) — are dropped.
 
+    ``run_dir`` makes the run RESUMABLE: every expensive stage product
+    (the dedup keep/drop id-sets, near-dup clusters, decon hits, LM /
+    probe keep-sets, and the span/substring text products) is written
+    to durable storage under ``run_dir`` with a config-chain hash, and
+    a rerun with the same ``run_dir`` + same configuration loads
+    completed stages instead of recomputing them — a crash at stage 9
+    of a 100 TB run repeats none of stages 1-8's candidate generation.
+    A changed parameter invalidates exactly the affected stage and its
+    downstream suffix. The resumed run's chunks are bit-identical to
+    an uninterrupted run (pinned by
+    ``test_curate_run_dir_kill_and_resume_bit_identical``). See
+    ``_StageStore`` for the scope contract (one run_dir per corpus
+    snapshot + side-input set).
+
     The returned chunk frame reads from the persisted post-dedup
     corpus; call ``unpersist_curated(chunks)`` (or
     ``spark.catalog.clearCache()``) when done with it to release
@@ -248,6 +344,30 @@ def curate_documents(
         )
     stages = stages if stages is not None else default_quality_stages()
 
+    store = (
+        _StageStore(docs.sparkSession, run_dir)
+        if run_dir is not None
+        else None
+    )
+
+    def _ids(name: str, params: dict, compute) -> DataFrame:
+        """Checkpoint an id-sized stage product: durable parquet under
+        run_dir (resumable), else eager localCheckpoint (the in-memory
+        plan-growth truncation). Either way the stage join's derived
+        side becomes a flat scan."""
+        if store is not None:
+            return store.load_or(name, params, compute)
+        return materialize(compute())
+
+    def _text(name: str, params: dict, compute) -> DataFrame:
+        """Checkpoint a corpus-TEXT stage product (span/substring
+        output): durable parquet under run_dir, else computed lazily
+        (the caller persists it — text never goes through
+        localCheckpoint, the never-payloads rule)."""
+        if store is not None:
+            return store.load_or(name, params, compute)
+        return compute()
+
     if html_col is not None:
         # crawl ingest: extract prose from raw HTML as the zeroth
         # stage — BEFORE even the URL dedup, so every text-level stage
@@ -270,17 +390,45 @@ def curate_documents(
         # pre-stage totals need their own (cheap, text-free) counts;
         # the funnel's `total` below reports the post-url/post-cap corpus
         n_before_url = docs.count()
-        # checkpoint_winners: the winner id-set joins back against the
-        # frame it derives from — truncate it so plan growth stays
-        # linear (module docstring, plan-growth discipline)
-        docs = dedup_exact_urls(
-            docs, url_col=url_col, id_col="doc_id", checkpoint_winners=True
-        )
+        if store is not None:
+            url_src = docs
+            kept_url = _ids(
+                "url_dedup",
+                {"url_col": url_col},
+                lambda: dedup_exact_urls(
+                    url_src, url_col=url_col, id_col="doc_id"
+                ).select("doc_id"),
+            )
+            docs = docs.join(kept_url, "doc_id", "left_semi")
+        else:
+            # checkpoint_winners: the winner id-set joins back against
+            # the frame it derives from — truncate it so plan growth
+            # stays linear (module docstring, plan-growth discipline)
+            docs = dedup_exact_urls(
+                docs, url_col=url_col, id_col="doc_id",
+                checkpoint_winners=True,
+            )
     if max_per_source is not None:
         total_in = docs.count()
-        docs = cap_per_group(
-            docs, source_col, max_per_source, id_col="doc_id", seed=seed
-        )
+        if store is not None:
+            cap_src = docs
+            kept_cap = _ids(
+                "source_cap",
+                {
+                    "source_col": source_col,
+                    "max": max_per_source,
+                    "seed": seed,
+                },
+                lambda: cap_per_group(
+                    cap_src, source_col, max_per_source,
+                    id_col="doc_id", seed=seed,
+                ).select("doc_id"),
+            )
+            docs = docs.join(kept_cap, "doc_id", "left_semi")
+        else:
+            docs = cap_per_group(
+                docs, source_col, max_per_source, id_col="doc_id", seed=seed
+            )
 
     # one conditional-agg scan yields total + every cumulative stage
     # count — NOT len(stages)+1 separate count() actions
@@ -320,8 +468,16 @@ def curate_documents(
     # keeps plan growth linear while the corpus-sized stage products
     # stay under persist() with progressive unpersist — storage that
     # CAN be released (localCheckpoint blocks cannot, short of GC).
-    keep = materialize(
-        exact_dedup(clean).select(F.col("keep_id").alias("doc_id"))
+    keep = _ids(
+        "exact_keep",
+        # the funnel + html config shape everything downstream of the
+        # clean corpus, so they enter the hash chain here (the url/cap
+        # stages entered when they ran)
+        {
+            "stages": [[n, _predicate_sig(c)] for n, c in stages],
+            "html_col": html_col,
+        },
+        lambda: exact_dedup(clean).select(F.col("keep_id").alias("doc_id")),
     )
     exact = clean.join(keep, "doc_id", "left_semi").persist(
         StorageLevel.MEMORY_AND_DISK
@@ -334,10 +490,14 @@ def curate_documents(
     # independently names a smaller survivor. The LSH candidate join
     # executes during this materialize — once.
     if near_dup_policy == "lowest_id":
-        drop = materialize(
-            minhash_lsh_dedup_pairs(exact, threshold=near_dup_threshold)
+        drop = _ids(
+            "near_drop",
+            {"threshold": near_dup_threshold, "policy": near_dup_policy},
+            lambda: minhash_lsh_dedup_pairs(
+                exact, threshold=near_dup_threshold
+            )
             .select(F.col("id_b").alias("doc_id"))
-            .distinct()
+            .distinct(),
         )
         deduped = exact.join(drop, "doc_id", "left_anti").persist(
             StorageLevel.MEMORY_AND_DISK
@@ -347,18 +507,23 @@ def curate_documents(
         # (iterative min-label CC — pairs only, not the corpus) and
         # keep each cluster's best-scoring member instead of its
         # lowest id. Costs the CC pass the default skips; clusters is
-        # an id-sized frame, materialized to keep plan growth linear.
+        # an id-sized frame, checkpointed to keep plan growth linear.
         # pairs materializes FIRST: CC's edge checkpoint and node set
         # both consume it, and a lazy producer would re-execute the
         # LSH candidate join once per consumer (round-8 review).
-        pairs = materialize(
-            minhash_lsh_dedup_pairs(exact, threshold=near_dup_threshold)
-        )
-        edges = pairs.select(
-            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-        )
-        clusters = materialize(
-            connected_components_min_label(edges)
+        def _cc_clusters() -> DataFrame:
+            pairs = materialize(
+                minhash_lsh_dedup_pairs(exact, threshold=near_dup_threshold)
+            )
+            edges = pairs.select(
+                F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+            )
+            return connected_components_min_label(edges)
+
+        clusters = _ids(
+            "near_clusters",
+            {"threshold": near_dup_threshold, "policy": near_dup_policy},
+            _cc_clusters,
         )
         deduped = select_cluster_representatives(exact, clusters).persist(
             StorageLevel.MEMORY_AND_DISK
@@ -374,17 +539,21 @@ def curate_documents(
         emb_alive = embeddings.join(
             deduped.select("doc_id"), "doc_id", "left_semi"
         )
-        sem_drop = (
-            semantic_dedup_pairs(
+        sem_drop = _ids(  # ids only — flat join side
+            "sem_drop",
+            {
+                "threshold": float(semantic_threshold),
+                "clusters": semantic_clusters,
+            },
+            lambda: semantic_dedup_pairs(
                 emb_alive,
                 threshold=float(semantic_threshold),
                 n_clusters=semantic_clusters,
                 id_col="doc_id",
             )
             .select(F.col("id_b").alias("doc_id"))
-            .distinct()
+            .distinct(),
         )
-        sem_drop = materialize(sem_drop)  # ids only — flat join side
         sem = deduped.join(sem_drop, "doc_id", "left_anti").persist(
             StorageLevel.MEMORY_AND_DISK
         )
@@ -399,15 +568,18 @@ def curate_documents(
         # built over survivors only (the smallest corpus available)
         from ..operators.retrieval import bm25_bulk_scores, build_bm25_index
 
-        idx = build_bm25_index(deduped)
-        hits = (
-            bm25_bulk_scores(
-                idx, decon_eval_docs, min_score=float(decon_min_score)
+        decon_src = deduped
+        hits = _ids(  # ids only — flat join side
+            "decon_hits",
+            {"min_score": float(decon_min_score)},
+            lambda: bm25_bulk_scores(
+                build_bm25_index(decon_src),
+                decon_eval_docs,
+                min_score=float(decon_min_score),
             )
             .select("doc_id")
-            .distinct()
+            .distinct(),
         )
-        hits = materialize(hits)  # ids only — flat join side
         decon = deduped.join(hits, "doc_id", "left_anti").persist(
             StorageLevel.MEMORY_AND_DISK
         )
@@ -419,14 +591,16 @@ def curate_documents(
     if span_dedup_delim is not None:
         # single reference to `deduped` (no self-join) — plan growth
         # is linear here without any truncation
-        spanned = (
-            dedup_spans(
-                deduped, delim=span_dedup_delim, min_chars=span_min_chars
+        span_src = deduped
+        spanned = _text(
+            "span_dedup",
+            {"delim": span_dedup_delim, "min_chars": span_min_chars},
+            lambda: dedup_spans(
+                span_src, delim=span_dedup_delim, min_chars=span_min_chars
             )
             .filter(F.trim(F.col("text_deduped")) != "")
-            .select("doc_id", F.col("text_deduped").alias("text"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
+            .select("doc_id", F.col("text_deduped").alias("text")),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         n_span = spanned.count()
         deduped.unpersist()
         deduped = spanned
@@ -438,10 +612,13 @@ def curate_documents(
         # occurrence; docs reduced to nothing drop
         from ..operators.dedup import dedup_substrings
 
-        sub = (
-            dedup_substrings(deduped, min_tokens=substring_min_tokens)
+        sub_src = deduped
+        sub = _text(
+            "substring_dedup",
+            {"min_tokens": substring_min_tokens},
+            lambda: dedup_substrings(sub_src, min_tokens=substring_min_tokens)
             .filter(F.col("text_deduped") != "")
-            .select("doc_id", F.col("text_deduped").alias("text"))
+            .select("doc_id", F.col("text_deduped").alias("text")),
         )
         # `sub` carries corpus-sized TEXT, so it is NOT checkpointed
         # (materialize's never-payloads rule); this one stage accepts
@@ -456,17 +633,19 @@ def curate_documents(
 
     n_ppl: int | None = None
     if ppl_lm is not None:
-        keep_ppl = (
-            score_perplexity(deduped, ppl_lm)
+        # the n-gram explode + model joins execute during this
+        # checkpoint — once; ids only, flat join side
+        ppl_src = deduped
+        keep_ppl = _ids(
+            "lm_keep",
+            {"max_perplexity": float(max_perplexity)},
+            lambda: score_perplexity(ppl_src, ppl_lm)
             .filter(
                 F.col("perplexity").isNotNull()
                 & (F.col("perplexity") <= F.lit(float(max_perplexity)))
             )
-            .select("doc_id")
+            .select("doc_id"),
         )
-        # the n-gram explode + model joins execute during this
-        # materialize — once; ids only, flat join side
-        keep_ppl = materialize(keep_ppl)
         filtered = deduped.join(keep_ppl, "doc_id", "left_semi").persist(
             StorageLevel.MEMORY_AND_DISK
         )
@@ -496,19 +675,21 @@ def curate_documents(
             # probability threshold. Fail fast instead.
             weights, bias = quality_probe
             scorer = linear_probe_scorer(weights, bias)
-        keep_probe = (
-            score_text_probe(
-                deduped.select("doc_id", "text"), scorer, dim=probe_dim
+        # featurization + scoring execute during this checkpoint —
+        # once; ids only, flat join side
+        probe_src = deduped
+        keep_probe = _ids(
+            "probe_keep",
+            {"min_probe_score": float(min_probe_score), "dim": probe_dim},
+            lambda: score_text_probe(
+                probe_src.select("doc_id", "text"), scorer, dim=probe_dim
             )
             .filter(
                 F.col("score").isNotNull()
                 & (F.col("score") >= F.lit(float(min_probe_score)))
             )
-            .select("doc_id")
+            .select("doc_id"),
         )
-        # featurization + scoring execute during this materialize —
-        # once; ids only, flat join side
-        keep_probe = materialize(keep_probe)
         filtered = deduped.join(keep_probe, "doc_id", "left_semi").persist(
             StorageLevel.MEMORY_AND_DISK
         )

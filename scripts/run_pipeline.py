@@ -251,6 +251,7 @@ def cmd_curate(args) -> None:
             min_probe_score if quality_probe is not None else None
         ),
         probe_dim=probe_dim,
+        run_dir=args.run_dir,
     )
     write_packed_corpus(chunks, args.output)
     if args.manifest_out:
@@ -605,6 +606,13 @@ def main() -> None:
     pc.add_argument("--probe-dim", type=int, default=None,
                     help="featurization dim for --probe-train "
                     "(default 128; --probe-weights carries its own)")
+    pc.add_argument(
+        "--run-dir", default=None,
+        help="durable stage-artifact directory: a rerun with the same "
+        "--run-dir and config resumes after a crash instead of "
+        "recomputing completed stages (one run-dir per corpus "
+        "snapshot + side-input set)",
+    )
     pc.set_defaults(fn=cmd_curate)
 
     pw = sub.add_parser("warc_ingest")

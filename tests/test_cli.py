@@ -515,3 +515,38 @@ def test_cli_sample_exact_and_stratified(tmp_path, spark, sf_dir):
     )
     assert bad.returncode != 0
     assert "exactly one of --k / --fraction" in bad.stderr
+
+
+def test_cli_curate_run_dir_resume(tmp_path):
+    """--run-dir writes stage artifacts and a rerun with the same
+    config resumes from them (identical report, upstream markers not
+    rewritten)."""
+    src = "/root/testdata/sf0.001/documents.parquet"
+    run_dir = str(tmp_path / "rundir")
+    args = [
+        "curate",
+        "--input", src,
+        "--output", str(tmp_path / "packed"),
+        "--budget", "256",
+        "--shards", "4",
+        "--max-per-source", "20",
+        "--run-dir", run_dir,
+    ]
+
+    def _report(stdout):
+        return dict(
+            line.split("=", 1)
+            for line in stdout.splitlines()
+            if "=" in line and not line.startswith("wrote")
+        )
+
+    rep1 = _report(_run(*args))
+    marker = os.path.join(run_dir, "exact_keep", "_STAGE_OK")
+    assert os.path.exists(marker)
+    mtime = os.path.getmtime(marker)
+
+    rep2 = _report(_run(*args))
+    assert rep2 == rep1
+    assert os.path.getmtime(marker) == mtime, (
+        "exact_keep recomputed on resume — artifact should have loaded"
+    )

@@ -676,3 +676,227 @@ def test_curate_quality_probe_stage(spark):
     chunks2, rep2 = curate_documents(corpus, budget=64, n_shards=2)
     assert rep2.after_quality_probe is None
     unpersist_curated(chunks2)
+
+
+# ------------------------------------------------------ run_dir resume
+
+
+def _resume_corpus(spark):
+    """~20 docs engineered so EVERY optional stage drops something:
+    url re-crawls, an over-cap source, funnel failures, exact + near
+    dups, shared boilerplate lines, a repeated long passage, an
+    eval-set contamination hit, and a near-identical embedding pair."""
+    long_a = (
+        "astronomy telescopes galaxies nebulae and the slow drift of "
+        "planets across northern skies through the long winter night"
+    )
+    long_b = (
+        "gardening tips for growing tomatoes peppers and squash in "
+        "raised beds with drip irrigation and weekly compost feeding"
+    )
+    boiler = "subscribe to our newsletter for weekly updates"
+    passage = (
+        "this exact passage is repeated verbatim across two documents "
+        "to trigger the substring stage"
+    )
+    rows = [
+        # (doc_id, text, source, url)
+        (1, long_a, "s1", "https://ex.com/a?utm_source=x"),
+        (2, long_b, "s1", "https://ex.com/a"),          # url dup of 1
+        (3, long_a, "s1", "https://ex.com/c"),          # exact dup of 1
+        (4, long_a.replace("winter", "summer"), "s1", "https://ex.com/d"),  # near dup
+        (5, boiler + "\n" + long_b.replace("tomatoes", "basil herbs"),
+         "s1", "https://ex.com/e"),
+        (6, boiler + "\n" + "completely different prose about sailing "
+            "boats across the bay in steady wind and calm water",
+         "s2", "https://ex.com/f"),
+        (7, passage + " first carrier document with extra words here",
+         "s2", "https://ex.com/g"),
+        (8, passage + " second carrier document with other words after",
+         "s2", "https://ex.com/h"),
+        (9, "tiny", "s2", "https://ex.com/i"),          # fails min_tokens
+        (10, "", "s2", "https://ex.com/j"),             # fails nonblank
+        (11, "the quarterly earnings report shows steady growth across "
+             "all regional markets despite currency headwinds this year",
+         "s2", "https://ex.com/k"),
+        (12, "an unrelated essay on the history of typography and the "
+             "quiet craft of letterforms through the centuries of print",
+         "s3", "https://ex.com/l"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, url string"
+    )
+    emb = spark.createDataFrame(
+        [
+            (11, [1.0, 0.0, 0.0, 0.0]),
+            (12, [0.99, 0.12, 0.0, 0.0]),  # near-identical to 11 → drop 12
+            (5, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "the quarterly earnings report shows steady growth")],
+        "eval_id long, text string",
+    )  # contaminates doc 11
+    return docs, emb, eval_docs
+
+
+def _resume_kwargs(emb, eval_docs):
+    return dict(
+        budget=32,
+        n_shards=2,
+        seed=5,
+        near_dup_threshold=0.5,
+        max_per_source=4,           # s1 has 5 docs → one capped
+        url_col="url",
+        span_dedup_delim="\n",
+        substring_min_tokens=8,
+        embeddings=emb,
+        semantic_threshold=0.3,
+        semantic_clusters=2,
+        decon_eval_docs=eval_docs,
+        decon_min_score=5.0,
+        quality_probe=([0.0] * 16, 5.0),   # sigmoid(5) ≈ .99 → keeps all
+        min_probe_score=0.5,
+        probe_dim=16,
+    )
+
+
+def _chunk_rows(chunks):
+    return sorted(
+        tuple(r) for r in chunks.select(sorted(chunks.columns)).collect()
+    )
+
+
+def test_curate_run_dir_kill_and_resume_bit_identical(spark, tmp_path):
+    import os
+    import shutil
+
+    from hospital_stain_tracker_data_pipeline_spark.pipeline.curate import (
+        unpersist_curated,
+    )
+
+    docs, emb, eval_docs = _resume_corpus(spark)
+    kw = _resume_kwargs(emb, eval_docs)
+
+    # A: uninterrupted, no run_dir — the ground truth
+    chunks_a, rep_a = curate_documents(docs, **kw)
+    rows_a = _chunk_rows(chunks_a)
+    unpersist_curated(chunks_a)
+    assert rows_a, "corpus must survive to packing"
+    # every optional stage actually dropped/transformed something
+    assert rep_a.after_url_dedup == 11
+    assert rep_a.after_source_cap == 9  # s2 has 6 docs, cap 4 drops 2
+    assert rep_a.after_exact_dedup < rep_a.after_quality
+    assert rep_a.after_near_dedup < rep_a.after_exact_dedup
+    assert rep_a.after_semantic_dedup < rep_a.after_near_dedup
+    assert rep_a.after_decontamination < rep_a.after_semantic_dedup
+
+    # B: same config, run_dir — writes artifacts, same result
+    run = str(tmp_path / "run")
+    chunks_b, rep_b = curate_documents(docs, **kw, run_dir=run)
+    assert _chunk_rows(chunks_b) == rows_a
+    assert rep_b == rep_a
+    unpersist_curated(chunks_b)
+    stage_dirs = sorted(os.listdir(run))
+    for s in [
+        "url_dedup", "source_cap", "exact_keep", "near_drop", "sem_drop",
+        "decon_hits", "span_dedup", "substring_dedup", "probe_keep",
+    ]:
+        assert s in stage_dirs, f"missing stage artifact {s}"
+
+    # simulate a crash before the LAST stages completed: nuke the late
+    # artifacts, keep everything upstream
+    early_markers = {
+        s: os.path.getmtime(os.path.join(run, s, "_STAGE_OK"))
+        for s in ("url_dedup", "source_cap", "exact_keep", "near_drop")
+    }
+    for late in ("probe_keep", "substring_dedup"):
+        shutil.rmtree(os.path.join(run, late))
+
+    # C: resume — recomputes only the killed suffix, bit-identical
+    chunks_c, rep_c = curate_documents(docs, **kw, run_dir=run)
+    assert _chunk_rows(chunks_c) == rows_a
+    assert rep_c == rep_a
+    unpersist_curated(chunks_c)
+    for s, t in early_markers.items():
+        assert os.path.getmtime(os.path.join(run, s, "_STAGE_OK")) == t, (
+            f"stage {s} was rewritten on resume — it should have loaded"
+        )
+
+
+def test_curate_run_dir_loads_artifacts_not_recompute(spark, tmp_path):
+    """Doctor a completed stage artifact (remove a survivor from the
+    final probe keep-set — the last checkpointed stage, so no stale
+    downstream text artifact can mask it) and resume: the result must
+    reflect the DOCTORED set — proof the stage was loaded, not
+    recomputed. (Doctoring an EARLIER stage's ids is outside the
+    store's contract: downstream artifacts are keyed by CONFIG, so a
+    data-only edit upstream leaves them validly loadable.)"""
+    import os
+    import shutil
+
+    from hospital_stain_tracker_data_pipeline_spark.pipeline.curate import (
+        unpersist_curated,
+    )
+
+    docs, emb, eval_docs = _resume_corpus(spark)
+    kw = _resume_kwargs(emb, eval_docs)
+    run = str(tmp_path / "run")
+    chunks, _ = curate_documents(docs, **kw, run_dir=run)
+    base_ids = {
+        r["doc_id"] for r in chunks.select("doc_id").distinct().collect()
+    }
+    unpersist_curated(chunks)
+    victim = max(base_ids)
+
+    data = os.path.join(run, "probe_keep", "data")
+    doctored = spark.read.parquet(data).filter(
+        F.col("doc_id") != victim
+    )
+    tmp_out = os.path.join(run, "probe_keep", "data_doctored")
+    doctored.write.parquet(tmp_out)
+    shutil.rmtree(data)
+    os.rename(tmp_out, data)
+
+    chunks2, _ = curate_documents(docs, **kw, run_dir=run)
+    ids2 = {
+        r["doc_id"] for r in chunks2.select("doc_id").distinct().collect()
+    }
+    unpersist_curated(chunks2)
+    assert victim not in ids2
+    assert ids2 == base_ids - {victim}
+
+
+def test_curate_run_dir_config_drift_invalidates_suffix(spark, tmp_path):
+    """Changing a mid-pipeline parameter recomputes that stage and its
+    downstream suffix (fresh-run-equivalent result) while upstream
+    artifacts stay loaded."""
+    import os
+
+    from hospital_stain_tracker_data_pipeline_spark.pipeline.curate import (
+        unpersist_curated,
+    )
+
+    docs, emb, eval_docs = _resume_corpus(spark)
+    kw = _resume_kwargs(emb, eval_docs)
+    run = str(tmp_path / "run")
+    chunks, _ = curate_documents(docs, **kw, run_dir=run)
+    unpersist_curated(chunks)
+    upstream_mtime = os.path.getmtime(
+        os.path.join(run, "exact_keep", "_STAGE_OK")
+    )
+
+    kw2 = dict(kw, near_dup_threshold=0.95)  # drops fewer near-dups
+    fresh, rep_fresh = curate_documents(docs, **kw2)
+    rows_fresh = _chunk_rows(fresh)
+    unpersist_curated(fresh)
+
+    resumed, rep_resumed = curate_documents(docs, **kw2, run_dir=run)
+    assert _chunk_rows(resumed) == rows_fresh
+    assert rep_resumed == rep_fresh
+    unpersist_curated(resumed)
+    assert (
+        os.path.getmtime(os.path.join(run, "exact_keep", "_STAGE_OK"))
+        == upstream_mtime
+    ), "upstream stage should have been loaded, not rewritten"
