@@ -47,7 +47,9 @@ from .sketch import (  # noqa: F401
     hll_estimate,
     hll_merge,
     hll_registers,
+    load_cms_sketch,
     load_hll_sketch,
+    save_cms_sketch,
     save_hll_sketch,
     skew_report,
 )

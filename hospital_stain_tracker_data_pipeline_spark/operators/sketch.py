@@ -586,11 +586,104 @@ def cms_query(
     )
     if not keys and width * depth <= CMS_BROADCAST_MAX_CELLS:
         sketch = F.broadcast(sketch)
+    if not keys:
+        joined = q.join(sketch, ["row", "col"], "left")
+    else:
+        # group keys join NULL-SAFELY: a NULL key is a real group in
+        # the sketch (groupBy semantics), so plain equality would make
+        # every NULL-group item estimate 0 — a silent underestimate,
+        # the one failure mode CMS must never have
+        cond = (q["row"] == sketch["row"]) & (q["col"] == sketch["col"])
+        for k in keys:
+            cond = cond & q[k].eqNullSafe(sketch[k])
+        joined = q.join(sketch, cond, "left").select(
+            *[q[k] for k in keys], q[item_col], sketch["cnt"]
+        )
     return (
-        q.join(sketch, keys + ["row", "col"], "left")
-        .groupBy(*keys, item_col)
+        joined.groupBy(*keys, item_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+def save_cms_sketch(
+    sketch: DataFrame,
+    width: int,
+    depth: int,
+    path: str,
+    by: str | list[str] | None = None,
+) -> None:
+    """Persist a count-min cell table WITH its parameters — the same
+    artifact convention as ``save_hll_sketch``: constant ``_cms_width``
+    / ``_cms_depth`` / ``_cms_by`` columns ride the parquet, so
+    ``load_cms_sketch`` returns the right ``(sketch, width, depth,
+    by)`` and a query with mismatched geometry (which would silently
+    UNDERestimate — breaking the one guarantee CMS makes) becomes
+    structurally impossible for artifact-mediated flows. Key names are
+    a JSON array (comma-joined would split a comma-bearing name). A
+    sketch is ≤ width*depth cells per group; coalesce(1) keeps the
+    artifact one small file.
+
+    ``by`` is validated against the sketch's actual schema — saving a
+    grouped sketch while forgetting ``by=`` would otherwise record
+    by=[] and make every later query min() across groups (a silent
+    underestimate). A NULL-``row`` sentinel meta row rides along so a
+    legitimately EMPTY sketch (all-NULL shard) still round-trips with
+    its geometry (the loader drops it)."""
+    import json
+
+    _cms_check(width, depth)
+    keys = _by_cols(by)
+    expected = {"row", "col", "cnt"} | set(keys)
+    if set(sketch.columns) != expected:
+        raise ValueError(
+            f"sketch columns {sorted(sketch.columns)} do not match "
+            f"by={keys}: expected exactly {sorted(expected)} — was the "
+            "sketch built with different group keys?"
+        )
+    sentinel = sketch.sparkSession.range(1).select(
+        *[
+            F.lit(None).cast(sketch.schema[c].dataType).alias(c)
+            for c in sketch.columns
+        ]
+    )
+    (
+        sketch.unionByName(sentinel)
+        .withColumn("_cms_width", F.lit(width))
+        .withColumn("_cms_depth", F.lit(depth))
+        .withColumn("_cms_by", F.lit(json.dumps(keys)))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def load_cms_sketch(spark, path: str):
+    """Inverse of ``save_cms_sketch``: returns ``(sketch, width,
+    depth, by)`` ready for ``cms_merge``/``cms_query``. Fails loudly
+    on a parameterless parquet or a corrupt artifact mixing parameter
+    sets."""
+    import json
+
+    df = spark.read.parquet(path)
+    needed = {"_cms_width", "_cms_depth", "_cms_by"}
+    if not needed.issubset(df.columns):
+        raise ValueError(
+            f"{path} has no _cms_width/_cms_depth/_cms_by columns — "
+            "not a save_cms_sketch artifact"
+        )
+    metas = df.select("_cms_width", "_cms_depth", "_cms_by").distinct().collect()
+    if len(metas) != 1:
+        raise ValueError(
+            f"{path} mixes {len(metas)} parameter sets — corrupt "
+            "artifact (merge sketches via cms_merge, not file unions)"
+        )
+    width, depth = int(metas[0]["_cms_width"]), int(metas[0]["_cms_depth"])
+    _cms_check(width, depth)
+    by = json.loads(metas[0]["_cms_by"]) or None
+    cells = df.drop("_cms_width", "_cms_depth", "_cms_by").filter(
+        F.col("row").isNotNull()  # drop the empty-safety sentinel row
+    )
+    return cells, width, depth, by
 
 
 def save_hll_sketch(
@@ -608,13 +701,31 @@ def save_hll_sketch(
     A sketch is at most ``2^p`` rows per group — coalesce(1) keeps the
     artifact a single tiny file. ``by`` key names are stored as a JSON
     array (a comma-joined string would split a key whose NAME contains
-    a comma into two wrong keys on load)."""
+    a comma into two wrong keys on load). ``by`` is validated against
+    the sketch's actual schema (forgetting ``by=`` on a grouped sketch
+    would record by=[] and corrupt every later grouped estimate), and
+    a NULL-``register`` sentinel row makes an EMPTY sketch (all-NULL
+    shard) round-trip with its parameters intact."""
     import json
 
     _hll_check_p(p)
     keys = _by_cols(by)
+    expected = {"register", "max_rho"} | set(keys)
+    if set(sketch.columns) != expected:
+        raise ValueError(
+            f"sketch columns {sorted(sketch.columns)} do not match "
+            f"by={keys}: expected exactly {sorted(expected)} — was the "
+            "sketch built with different group keys?"
+        )
+    sentinel = sketch.sparkSession.range(1).select(
+        *[
+            F.lit(None).cast(sketch.schema[c].dataType).alias(c)
+            for c in sketch.columns
+        ]
+    )
     (
-        sketch.withColumn("_hll_p", F.lit(p))
+        sketch.unionByName(sentinel)
+        .withColumn("_hll_p", F.lit(p))
         .withColumn("_hll_by", F.lit(json.dumps(keys)))
         .coalesce(1)
         .write.mode("overwrite")
@@ -648,4 +759,9 @@ def load_hll_sketch(spark, path: str):
         by = json.loads(raw) or None
     else:  # legacy comma-joined artifacts (pre-JSON encoding)
         by = [c for c in raw.split(",") if c] or None
-    return df.drop("_hll_p", "_hll_by"), p, by
+    registers = df.drop("_hll_p", "_hll_by").filter(
+        # drop the empty-safety sentinel row (absent in legacy
+        # artifacts — the filter is then a no-op)
+        F.col("register").isNotNull()
+    )
+    return registers, p, by

@@ -113,13 +113,30 @@ def _predicate_sig(c: Column) -> str:
     """A call-stable signature of a stage predicate Column. ``str(c)``
     is ALMOST stable, except higher-order-function lambda variables
     carry a session-global counter (``x_1`` vs ``x_2`` for the same
-    expression built twice) — normalize those so identical predicates
-    hash identically across invocations. Two predicates differing only
-    in lambda numbering are semantically identical, so this can't
-    cause a false artifact match."""
+    expression built twice) — renumber them canonically so identical
+    predicates hash identically across invocations. Only names that
+    appear as LAMBDA BINDERS (``x_1 ->`` / ``(x_1, y_2) ->``) are
+    renamed — a blanket ``\\w_\\d`` rewrite would collapse genuinely
+    different predicates over columns named like ``id_1`` vs ``id_2``
+    into one signature, silently loading the wrong artifact. Two
+    predicates differing only in binder numbering are semantically
+    identical, so canonical renumbering can't cause a false match."""
     import re
 
-    return re.sub(r"\b(x|y|acc|id)_\d+\b", r"\1", str(c))
+    s = str(c)
+    binders: list[str] = []
+    # single-arg `name_N ->` and multi-arg `(name_N, name_M) ->` forms
+    for m in re.finditer(r"(\w+_\d+)\s*->", s):
+        if m.group(1) not in binders:
+            binders.append(m.group(1))
+    for m in re.finditer(r"\(([\w\s,]+)\)\s*->", s):
+        for name in m.group(1).split(","):
+            name = name.strip()
+            if re.fullmatch(r"\w+_\d+", name) and name not in binders:
+                binders.append(name)
+    for i, b in enumerate(binders):
+        s = re.sub(rf"\b{re.escape(b)}\b", f"<λ{i}>", s)
+    return s
 
 
 class _StageStore:

@@ -453,12 +453,15 @@ def read_warc(
     the same way (each may itself be a glob; each must match).
     Remote-URI globs (``s3://bucket/crawl/*.warc.gz``) list via
     ``pyarrow.fs`` + fnmatch and support wildcards in the FINAL path
-    segment only — a wildcard in a directory component
-    (``s3://bucket/crawl-*/f.warc.gz``) raises ``ValueError`` up front
-    (the non-recursive listing could never match it; failing loudly
-    beats a confusing FileNotFoundError). Local paths get full
-    ``glob.glob`` semantics. An explicit empty list is the only way to
-    get an empty (typed) frame.
+    segment only; the directory component is always listed LITERALLY
+    (glob characters are legal in object-store key segments, so a real
+    prefix named ``crawl[2024]/`` works). When the literal listing
+    yields nothing and the directory component contains glob
+    characters, the failure is an explanatory ``ValueError``
+    ("directory-component wildcards are unsupported") instead of a
+    confusing FileNotFoundError. Local paths get full ``glob.glob``
+    semantics. An explicit empty list is the only way to get an empty
+    (typed) frame.
     """
     import fnmatch
     import glob as globmod
@@ -477,23 +480,37 @@ def read_warc(
             scheme = p.split("://", 1)[0]
             filesystem, pat = pafs.FileSystem.from_uri(p)
             dirname, base = posixpath.split(pat)
-            if any(ch in dirname for ch in "*?["):
-                raise ValueError(
-                    f"remote-URI glob {p!r} has a wildcard in a "
-                    "directory component — only the final path segment "
-                    "may contain wildcards (the listing is "
-                    "non-recursive); enumerate the directories "
-                    "explicitly or pass a path list"
+            # the dirname is listed LITERALLY (glob chars are legal in
+            # object-store key segments, so `crawl[2024]/` must keep
+            # working); only when that literal listing can't produce a
+            # match does a glob char in the dirname get the explanatory
+            # error instead of a confusing FileNotFoundError
+            def _dirname_glob_error() -> Exception:
+                if any(ch in dirname for ch in "*?["):
+                    return ValueError(
+                        f"remote-URI glob {p!r} has a wildcard in a "
+                        "directory component and no directory literally "
+                        "named that exists — directory-component "
+                        "wildcards are unsupported (the listing is "
+                        "non-recursive); enumerate the directories "
+                        "explicitly or pass a path list"
+                    )
+                return FileNotFoundError(f"no WARC files match {p!r}")
+
+            try:
+                infos = filesystem.get_file_info(
+                    pafs.FileSelector(dirname, recursive=False)
                 )
-            infos = filesystem.get_file_info(
-                pafs.FileSelector(dirname, recursive=False)
-            )
+            except (FileNotFoundError, OSError) as exc:
+                raise _dirname_glob_error() from exc
             hits = sorted(
                 f"{scheme}://{i.path}"
                 for i in infos
                 if i.is_file
                 and fnmatch.fnmatch(posixpath.basename(i.path), base)
             )
+            if not hits:
+                raise _dirname_glob_error()
         else:
             hits = sorted(globmod.glob(p))
         if not hits:

@@ -277,3 +277,126 @@ def test_cms_query_broadcast_hint_is_size_bounded(spark):
         ._jdf.queryExecution().analyzed().toString()
     )
     assert "ResolvedHint" not in plan_grouped
+
+
+def test_cms_artifact_roundtrip_and_guards(spark, tmp_path):
+    """save_cms_sketch carries (width, depth, by) in the artifact so
+    loads can't estimate with the wrong geometry — the save_hll_sketch
+    convention applied to CMS. Covers: grouped + ungrouped round-trip
+    (queries agree bit-for-bit with the in-memory sketch), the
+    not-an-artifact guard, and the mixed-parameters guard."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.sketch import (
+        load_cms_sketch,
+        save_cms_sketch,
+    )
+
+    df = _grouped_words(spark)
+    width, depth = 64, 3
+
+    # ungrouped
+    sk = cms_sketch(df, "w", width, depth)
+    path = str(tmp_path / "plain")
+    save_cms_sketch(sk, width, depth, path)
+    loaded, lw, ld, lby = load_cms_sketch(spark, path)
+    assert (lw, ld, lby) == (width, depth, None)
+    items = df.select("w").distinct()
+    want = {
+        (r["w"], r["est"])
+        for r in cms_query(sk, items, "w", width, depth).collect()
+    }
+    got = {
+        (r["w"], r["est"])
+        for r in cms_query(loaded, items, "w", lw, ld).collect()
+    }
+    assert got == want
+
+    # grouped
+    gsk = cms_sketch(df, "w", width, depth, by="domain")
+    gpath = str(tmp_path / "grouped")
+    save_cms_sketch(gsk, width, depth, gpath, by="domain")
+    gloaded, gw, gd, gby = load_cms_sketch(spark, gpath)
+    assert (gw, gd, gby) == (width, depth, ["domain"])
+    gitems = df.select("domain", "w").distinct()
+    gwant = {
+        (r["domain"], r["w"], r["est"])
+        for r in cms_query(gsk, gitems, "w", width, depth, by="domain").collect()
+    }
+    ggot = {
+        (r["domain"], r["w"], r["est"])
+        for r in cms_query(gloaded, gitems, "w", gw, gd, by=gby).collect()
+    }
+    assert ggot == gwant
+
+    # not-an-artifact guard
+    plain = str(tmp_path / "noparams")
+    sk.write.parquet(plain)
+    with pytest.raises(ValueError, match="not a save_cms_sketch"):
+        load_cms_sketch(spark, plain)
+
+    # mixed-parameters guard
+    other = str(tmp_path / "other")
+    save_cms_sketch(cms_sketch(df, "w", 32, 2), 32, 2, other)
+    mixed = str(tmp_path / "mixed")
+    spark.read.parquet(path).unionByName(
+        spark.read.parquet(other)
+    ).write.parquet(mixed)
+    with pytest.raises(ValueError, match="mixes 2 parameter sets"):
+        load_cms_sketch(spark, mixed)
+
+
+def test_cms_grouped_null_group_key_never_underestimates(spark):
+    """A NULL group key is a real group (groupBy semantics) — the
+    grouped query must join it NULL-SAFELY; plain equality would make
+    every NULL-group item estimate 0, a silent underestimate (round-9
+    review finding)."""
+    rows = [(None, "x")] * 7 + [(None, "y")] * 2 + [("a.com", "x")] * 3
+    df = spark.createDataFrame(rows, "domain string, w string")
+    width, depth = 64, 3
+    sk = cms_sketch(df, "w", width, depth, by="domain")
+    items = spark.createDataFrame(
+        [(None, "x"), (None, "y"), ("a.com", "x")], "domain string, w string"
+    )
+    got = {
+        (r["domain"], r["w"]): r["est"]
+        for r in cms_query(sk, items, "w", width, depth, by="domain").collect()
+    }
+    assert got[(None, "x")] >= 7
+    assert got[(None, "y")] >= 2
+    assert got[("a.com", "x")] >= 3
+
+
+def test_cms_artifact_empty_sketch_and_by_mismatch_guard(spark, tmp_path):
+    """An EMPTY sketch (all-NULL shard) round-trips with its geometry
+    (the sentinel meta row carries the parameters), and saving a
+    grouped sketch while forgetting by= fails loudly instead of
+    writing an artifact that silently underestimates (round-9 review
+    findings)."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.sketch import (
+        load_cms_sketch,
+        save_cms_sketch,
+    )
+
+    df = _grouped_words(spark)
+    width, depth = 64, 3
+
+    # empty stream → 0-cell sketch → still a valid artifact
+    empty = cms_sketch(df.filter(F.lit(False)), "w", width, depth)
+    path = str(tmp_path / "empty")
+    save_cms_sketch(empty, width, depth, path)
+    loaded, lw, ld, lby = load_cms_sketch(spark, path)
+    assert (lw, ld, lby) == (width, depth, None)
+    assert loaded.count() == 0
+    # and an empty sketch merges/queries like any other
+    est = cms_query(
+        cms_merge(loaded, cms_sketch(df, "w", width, depth)),
+        df.select("w").distinct(),
+        "w",
+        width,
+        depth,
+    )
+    assert est.count() > 0
+
+    # forgetting by= on a grouped sketch fails at save time
+    grouped = cms_sketch(df, "w", width, depth, by="domain")
+    with pytest.raises(ValueError, match="do not match by="):
+        save_cms_sketch(grouped, width, depth, str(tmp_path / "bad"))

@@ -900,3 +900,45 @@ def test_curate_run_dir_config_drift_invalidates_suffix(spark, tmp_path):
         os.path.getmtime(os.path.join(run, "exact_keep", "_STAGE_OK"))
         == upstream_mtime
     ), "upstream stage should have been loaded, not rewritten"
+
+
+def test_predicate_sig_is_stable_and_binder_scoped(spark):
+    """_predicate_sig must (a) hash the same predicate identically
+    across builds (Spark's HOF lambda counter is session-global), and
+    (b) NOT collapse genuinely different columns whose names look like
+    lambda counters (id_1 vs id_2) — a false match would load the
+    wrong run_dir artifact (round-9 review)."""
+    from hospital_stain_tracker_data_pipeline_spark.pipeline.curate import (
+        _predicate_sig,
+    )
+
+    # same config built twice → identical sigs (incl. the HOF stage)
+    a = [_predicate_sig(c) for _, c in default_quality_stages()]
+    b = [_predicate_sig(c) for _, c in default_quality_stages()]
+    assert a == b
+
+    # columns named like lambda counters stay distinct
+    assert _predicate_sig(F.col("id_1") > 0) != _predicate_sig(
+        F.col("id_2") > 0
+    )
+
+    # single-arg binder renumbering collapses
+    def hof():
+        return F.exists(F.split(F.col("text"), " "), lambda x: x == "a")
+
+    assert _predicate_sig(hof()) == _predicate_sig(hof())
+
+    # multi-arg binders ((x_N, y_M) ->) renumber too
+    def hof2():
+        return (
+            F.size(
+                F.zip_with(
+                    F.split(F.col("t"), " "),
+                    F.split(F.col("u"), " "),
+                    lambda x, y: F.concat(x, y),
+                )
+            )
+            > 0
+        )
+
+    assert _predicate_sig(hof2()) == _predicate_sig(hof2())

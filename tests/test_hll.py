@@ -332,3 +332,35 @@ def test_hll_artifact_by_key_with_comma_roundtrips(spark, tmp_path):
         for r in hll_estimate(loaded, lp, by=lby).collect()
     }
     assert round(est["g1"]) == 2 and round(est["g2"]) == 1
+
+
+def test_hll_artifact_empty_sketch_and_by_mismatch_guard(spark, tmp_path):
+    """HLL artifact parity with the CMS guards: an empty register
+    table round-trips with its parameters (sentinel row), and saving a
+    grouped sketch without by= fails loudly (round-9 review)."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+        load_hll_sketch,
+        save_hll_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("g1", "u1"), ("g2", "u2")], "domain string, url string"
+    )
+    p = 8
+
+    empty = hll_registers(df.filter(F.lit(False)), "url", p=p)
+    path = str(tmp_path / "empty")
+    save_hll_sketch(empty, p, path)
+    loaded, lp, lby = load_hll_sketch(spark, path)
+    assert (lp, lby) == (p, None)
+    assert loaded.count() == 0
+    merged = hll_merge(loaded, hll_registers(df, "url", p=p))
+    [row] = hll_estimate(merged, p).collect()
+    assert round(row["estimate"]) == 2
+
+    grouped = hll_registers(df, "url", p=p, by="domain")
+    with pytest.raises(ValueError, match="do not match by="):
+        save_hll_sketch(grouped, p, str(tmp_path / "bad"))

@@ -524,9 +524,9 @@ def test_fetch_corrupt_member_returns_none(tmp_path):
 
 
 def test_read_warc_remote_glob_rejects_directory_wildcards(spark):
-    """A wildcard in a directory component of a remote-URI glob can
-    never match (the listing is non-recursive) — it must fail loudly
-    up front, not as a confusing FileNotFoundError (ADVICE r8)."""
+    """A wildcard in a directory component of a remote-URI glob that
+    matches no LITERAL directory fails with the explanatory
+    ValueError, not a confusing FileNotFoundError (ADVICE r8)."""
     import pytest as _pytest
 
     from hospital_stain_tracker_data_pipeline_spark.sources.warc import (
@@ -535,3 +535,33 @@ def test_read_warc_remote_glob_rejects_directory_wildcards(spark):
 
     with _pytest.raises(ValueError, match="directory component"):
         read_warc(spark, "file:///nonexistent-crawl-*/f.warc.gz")
+
+
+def test_read_warc_remote_glob_literal_star_dirname_works(spark, tmp_path):
+    """Glob characters are LEGAL in object-store key segments: a real
+    directory literally named crawl-2024* must stay readable through
+    the remote-glob path (the dirname is listed literally; only the
+    basename is fnmatched). Brackets are a separate pre-existing
+    ceiling: pyarrow's URI parser rejects them outright."""
+    from hospital_stain_tracker_data_pipeline_spark.sources.warc import (
+        http_response_block,
+        read_warc,
+        write_warc,
+    )
+
+    d = tmp_path / "crawl-2024*"
+    d.mkdir()
+    write_warc(
+        str(d / "f.warc.gz"),
+        [
+            {
+                "warc_type": "response",
+                "target_uri": "http://ex.com/1",
+                "warc_date": "2026-01-01T00:00:00Z",
+                "content_type": "application/http; msgtype=response",
+                "block": http_response_block(b"hello bracket prefix"),
+            }
+        ],
+    )
+    df = read_warc(spark, f"file://{d}/*.warc.gz")
+    assert df.count() == 1
