@@ -572,6 +572,32 @@ def _extras_registry():
         }
         return tokenizer_efficiency(docs, merges)
 
+    def bloom_gate(spark, sf_dir):
+        """Bloom-tier incremental ingest gate: sketch the first ~2/3
+        of the corpus's content fingerprints (the 'seen' lake, ≤
+        m_bits/64 word rows), then filter_unseen the remaining third —
+        the membership pre-filter that runs BEFORE the exact
+        dedup_against_corpus tier at crawl scale (two scans + a
+        KB-sized broadcast probe, no corpus shuffle)."""
+        from hospital_stain_tracker_data_pipeline_spark.operators.sketch import (
+            bloom_sketch,
+            filter_unseen,
+        )
+
+        docs = load_fixture_table(spark, sf_dir, "documents")
+        split = docs.agg(
+            F.percentile_approx("doc_id", 0.67).alias("p")
+        ).collect()[0]["p"]
+        m_bits, k = 1 << 20, 5
+        seen = docs.filter(F.col("doc_id") <= split).select(
+            F.md5("text").alias("fp")
+        )
+        sk = bloom_sketch(seen, "fp", m_bits, k)
+        batch = docs.filter(F.col("doc_id") > split).select(
+            "doc_id", F.md5("text").alias("fp")
+        )
+        return filter_unseen(batch, sk, "fp", m_bits, k)
+
     def curate_full(spark, sf_dir):
         """The flagship composition end-to-end with EVERY optional
         stage on (cap → funnel → exact → MinHash → SemDeDup → BM25
@@ -640,6 +666,7 @@ def _extras_registry():
         "rrf_fuse": rrf_fuse,
         "sample_stratified": sample_stratified_draw,
         "tokenizer_efficiency": tokenizer_eff,
+        "bloom_gate": bloom_gate,
         # keep last: it persists its outputs; main() clears the cache
         # after the extras loop
         "curate_full": curate_full,

@@ -40,15 +40,22 @@ from .web import (  # noqa: F401
 )
 from .sketch import (  # noqa: F401
     approx_distinct_hll,
+    bloom_fpp,
+    bloom_merge,
+    bloom_query,
+    bloom_sketch,
     cms_merge,
     cms_query,
     cms_sketch,
     heavy_hitters,
     hll_estimate,
     hll_merge,
+    filter_unseen,
     hll_registers,
+    load_bloom_sketch,
     load_cms_sketch,
     load_hll_sketch,
+    save_bloom_sketch,
     save_cms_sketch,
     save_hll_sketch,
     skew_report,

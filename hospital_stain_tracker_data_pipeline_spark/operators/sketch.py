@@ -39,6 +39,19 @@ merge order.
 The batch-level Misra-Gries merge uses pandas ``value_counts`` per
 Arrow batch (vectorized) and only touches Python dicts at summary
 size, not stream size.
+
+``bloom_sketch`` / ``bloom_merge`` / ``bloom_query`` complete the
+mergeable-sketch trio (HLL = cardinality, CMS = frequency, Bloom =
+MEMBERSHIP): a deterministic Bloom filter (Bloom 1970; double hashing
+per Kirsch & Mitzenmacher 2006, same md5 discipline as CMS) whose
+sketch is a DataFrame of 64-bit WORDS — ``(word int, bits long)``, at
+most ``m_bits / 64`` rows however many items were inserted. Merge is
+union + per-word ``bit_or`` (associative, commutative, idempotent).
+The guarantee is one-sided: NO FALSE NEGATIVES — ``filter_unseen``
+therefore never lets a seen item through, which is the contract an
+incremental crawl ingest needs for its "have we fetched this
+URL/fingerprint before" gate; a false positive merely re-drops a
+genuinely new item at rate ~``(1 - e^(-k*n/m))^k`` (``bloom_fpp``).
 """
 
 from __future__ import annotations
@@ -765,3 +778,285 @@ def load_hll_sketch(spark, path: str):
         F.col("register").isNotNull()
     )
     return registers, p, by
+
+
+# --------------------------------------------------------------- bloom
+
+
+# Broadcast-hint ceiling for the sketch side of bloom_query — same
+# rationale as CMS_BROADCAST_MAX_CELLS: a word row is ~12 B payload,
+# 2^27 bits = 2^21 words stays well under the 64 MB threshold; bigger
+# (or grouped) sketches leave the join strategy to the optimizer.
+BLOOM_BROADCAST_MAX_BITS = 1 << 27
+
+
+def _bloom_check(m_bits: int, k: int) -> None:
+    if m_bits < 64 or m_bits & (m_bits - 1) != 0 or m_bits > (1 << 32):
+        raise ValueError(
+            f"m_bits must be a power of two in [64, 2^32], got {m_bits}"
+        )
+    if not 1 <= k <= 16:
+        raise ValueError(f"k must be in [1, 16], got {k}")
+
+
+def bloom_sketch(
+    df: DataFrame,
+    item_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    by: str | list[str] | None = None,
+) -> DataFrame:
+    """Bloom-filter membership sketch of ``item_col``'s values as a
+    DataFrame of non-zero 64-bit words: ``(word int, bits long)``, at
+    most ``m_bits/64`` rows regardless of stream size (``by`` keeps
+    one filter PER GROUP — "URLs seen per crawl snapshot" — still
+    mergeable on the same keys). Insertion sets ``k`` bits per item
+    via Kirsch-Mitzenmacher double hashing ``pos_i = (h1 + i*h2_odd)
+    mod m_bits`` over one md5 per item (bit-exact pure-Python replay
+    pinned in ``tests/test_bloom.py``). NULL items are ignored; a NULL
+    group key is a real group.
+
+    Size the filter with ``bloom_fpp``: ~10 bits/item and k=5 gives
+    ~1% false positives; false NEGATIVES are impossible by
+    construction, which is the useful direction for dedup gates.
+
+    Plan: base hashes projected to bound columns BEFORE the k-explode
+    (no HOF-lambda re-evaluation), then one
+    ``groupBy(*by, word).agg(bit_or(mask))`` whose exchange carries
+    partial-OR'd words, never the item stream."""
+    _bloom_check(m_bits, k)
+    keys = _by_cols(by)
+    hx = F.md5(F.col(item_col).cast("string"))
+    h1 = F.conv(F.substring(hx, 1, 15), 16, 10).cast("long") % F.lit(m_bits)
+    h2 = (
+        F.conv(F.substring(hx, 16, 15), 16, 10).cast("long")
+        % F.lit(m_bits)
+    ).bitwiseOR(F.lit(1))
+    hashed = (
+        df.filter(F.col(item_col).isNotNull())
+        .select(*keys, h1.alias("_h1"), h2.alias("_h2"))
+    )
+    pos = (F.col("_h1") + F.col("_i") * F.col("_h2")) % F.lit(m_bits)
+    return (
+        hashed.select(
+            *keys,
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_i"),
+            "_h1",
+            "_h2",
+        )
+        .select(
+            *keys,
+            F.shiftright(pos, 6).cast("int").alias("word"),
+            pos.bitwiseAND(F.lit(63)).cast("int").alias("_off"),
+        )
+        .select(
+            *keys,
+            "word",
+            F.expr("shiftleft(CAST(1 AS BIGINT), _off)").alias("_mask"),
+        )
+        .groupBy(*keys, "word")
+        .agg(F.bit_or("_mask").alias("bits"))
+    )
+
+
+def bloom_merge(
+    *sketches: DataFrame, by: str | list[str] | None = None
+) -> DataFrame:
+    """Word-wise OR of Bloom sketches built with the SAME (m_bits, k)
+    (and, for grouped sketches, the same ``by`` keys): associative,
+    commutative, idempotent — sketch(A ∪ B) == merge(sketch(A),
+    sketch(B)) bit-for-bit (pinned by test)."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*_by_cols(by), "word").agg(
+        F.bit_or("bits").alias("bits")
+    )
+
+
+def bloom_query(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    by: str | list[str] | None = None,
+) -> DataFrame:
+    """Membership probes for ``items`` (deduplicated; NULLs ignored)
+    against a sketch built with the same (m_bits, k): ``(item_col,
+    maybe_present boolean)`` — ``false`` is DEFINITE absence (no false
+    negatives), ``true`` is presence up to the ``bloom_fpp`` rate. For
+    a grouped sketch pass the same ``by``: items must carry the group
+    columns, probes are per (group, item), and group keys join
+    NULL-SAFELY (a NULL group is a real group). A group the sketch
+    never saw probes ``false``.
+
+    Plan: the query side explodes to ``k`` (word, mask) probes per
+    item and LEFT-joins the sketch — hinted broadcast only while
+    ``m_bits ≤ BLOOM_BROADCAST_MAX_BITS`` and ungrouped — then one
+    ``groupBy(item).agg(bool_and(hit))``. Absent words read as
+    all-zero (miss)."""
+    _bloom_check(m_bits, k)
+    keys = _by_cols(by)
+    hx = F.md5(F.col(item_col).cast("string"))
+    h1 = F.conv(F.substring(hx, 1, 15), 16, 10).cast("long") % F.lit(m_bits)
+    h2 = (
+        F.conv(F.substring(hx, 16, 15), 16, 10).cast("long")
+        % F.lit(m_bits)
+    ).bitwiseOR(F.lit(1))
+    pos = (F.col("_h1") + F.col("_i") * F.col("_h2")) % F.lit(m_bits)
+    q = (
+        items.filter(F.col(item_col).isNotNull())
+        .select(*keys, item_col)
+        .distinct()
+        .select(*keys, F.col(item_col), h1.alias("_h1"), h2.alias("_h2"))
+        .select(
+            *keys,
+            item_col,
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_i"),
+            "_h1",
+            "_h2",
+        )
+        .select(
+            *keys,
+            item_col,
+            F.shiftright(pos, 6).cast("int").alias("word"),
+            pos.bitwiseAND(F.lit(63)).cast("int").alias("_off"),
+        )
+        .select(
+            *keys,
+            item_col,
+            "word",
+            F.expr("shiftleft(CAST(1 AS BIGINT), _off)").alias("_mask"),
+        )
+    )
+    if not keys and m_bits <= BLOOM_BROADCAST_MAX_BITS:
+        sketch = F.broadcast(sketch)
+    if not keys:
+        joined = q.join(sketch, ["word"], "left")
+    else:
+        cond = q["word"] == sketch["word"]
+        for kcol in keys:
+            cond = cond & q[kcol].eqNullSafe(sketch[kcol])
+        joined = q.join(sketch, cond, "left").select(
+            *[q[kcol] for kcol in keys],
+            q[item_col],
+            q["_mask"],
+            sketch["bits"],
+        )
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("_mask"))
+        == F.col("_mask")
+    )
+    return (
+        joined.groupBy(*keys, item_col)
+        .agg(F.bool_and(hit).alias("maybe_present"))
+    )
+
+
+def bloom_fpp(m_bits: int, k: int, n_items: int) -> float:
+    """Expected false-positive probability after inserting ``n_items``
+    into an ``(m_bits, k)`` filter: ``(1 - e^(-k*n/m))^k``. Use it to
+    size the filter before a run (10 bits/item, k=5 → ~1%)."""
+    _bloom_check(m_bits, k)
+    if n_items < 0:
+        raise ValueError(f"n_items must be >= 0, got {n_items}")
+    return (1.0 - math.exp(-k * n_items / m_bits)) ** k
+
+
+def filter_unseen(
+    items: DataFrame,
+    sketch: DataFrame,
+    item_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """The incremental-ingest gate: rows of ``items`` whose
+    ``item_col`` is DEFINITELY not in the sketched corpus (Bloom
+    ``false`` ⇒ truly unseen — no seen item ever passes). The cost of
+    the one-sided error is that ~``bloom_fpp`` of genuinely new items
+    are conservatively dropped as maybe-seen; when new items must
+    never be lost, route the maybe-present remainder through the exact
+    ``dedup_against_corpus`` path instead of dropping it. NULL items
+    are kept (a NULL key is not a membership class; drop upstream if
+    unwanted)."""
+    probes = bloom_query(sketch, items, item_col, m_bits, k)
+    unseen = probes.filter(~F.col("maybe_present")).select(item_col)
+    return items.join(
+        F.broadcast(unseen) if m_bits <= BLOOM_BROADCAST_MAX_BITS else unseen,
+        item_col,
+        "left_semi",
+    ).unionByName(items.filter(F.col(item_col).isNull()))
+
+
+def save_bloom_sketch(
+    sketch: DataFrame,
+    m_bits: int,
+    k: int,
+    path: str,
+    by: str | list[str] | None = None,
+) -> None:
+    """Persist a Bloom word table WITH its parameters — the sketch
+    artifact convention (``save_hll_sketch``/``save_cms_sketch``):
+    constant ``_bloom_m``/``_bloom_k``/``_bloom_by`` columns ride the
+    parquet so loads can't probe with the wrong geometry (which would
+    produce false NEGATIVES — the one error class a Bloom filter must
+    never make). ``by`` is validated against the sketch's schema; a
+    NULL-``word`` sentinel row makes an empty sketch round-trip."""
+    import json
+
+    _bloom_check(m_bits, k)
+    keys = _by_cols(by)
+    expected = {"word", "bits"} | set(keys)
+    if set(sketch.columns) != expected:
+        raise ValueError(
+            f"sketch columns {sorted(sketch.columns)} do not match "
+            f"by={keys}: expected exactly {sorted(expected)} — was the "
+            "sketch built with different group keys?"
+        )
+    sentinel = sketch.sparkSession.range(1).select(
+        *[
+            F.lit(None).cast(sketch.schema[c].dataType).alias(c)
+            for c in sketch.columns
+        ]
+    )
+    (
+        sketch.unionByName(sentinel)
+        .withColumn("_bloom_m", F.lit(m_bits))
+        .withColumn("_bloom_k", F.lit(k))
+        .withColumn("_bloom_by", F.lit(json.dumps(keys)))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def load_bloom_sketch(spark, path: str):
+    """Inverse of ``save_bloom_sketch``: returns ``(sketch, m_bits, k,
+    by)`` ready for ``bloom_merge``/``bloom_query``. Fails loudly on a
+    parameterless parquet or a corrupt artifact mixing parameter
+    sets."""
+    import json
+
+    df = spark.read.parquet(path)
+    needed = {"_bloom_m", "_bloom_k", "_bloom_by"}
+    if not needed.issubset(df.columns):
+        raise ValueError(
+            f"{path} has no _bloom_m/_bloom_k/_bloom_by columns — not "
+            "a save_bloom_sketch artifact"
+        )
+    metas = df.select("_bloom_m", "_bloom_k", "_bloom_by").distinct().collect()
+    if len(metas) != 1:
+        raise ValueError(
+            f"{path} mixes {len(metas)} parameter sets — corrupt "
+            "artifact (merge sketches via bloom_merge, not file unions)"
+        )
+    m_bits, k = int(metas[0]["_bloom_m"]), int(metas[0]["_bloom_k"])
+    _bloom_check(m_bits, k)
+    by = json.loads(metas[0]["_bloom_by"]) or None
+    words = df.drop("_bloom_m", "_bloom_k", "_bloom_by").filter(
+        F.col("word").isNotNull()  # drop the empty-safety sentinel row
+    )
+    return words, m_bits, k, by

@@ -872,3 +872,38 @@ def stream_cms_frequencies(
         merge_fn=cms_merge,
         empty_schema="row int, col int, cnt long",
     )
+
+
+def stream_bloom_membership(
+    spark: SparkSession,
+    source_path: str,
+    out_dir: str,
+    item_expr: str = "explode(split(text, '\\\\s+'))",
+    schema: str = "doc_id long, text string",
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Incremental membership sketching over a document stream — the
+    Bloom twin of ``stream_hll_cardinality``: each micro-batch lands
+    its ≤ m_bits/64-row word table in its own ``_batch_id`` partition
+    (``operators.sketch.bloom_sketch`` reused verbatim), and the
+    read-back is word-wise OR-merged into ONE filter ready for
+    ``bloom_query``/``filter_unseen``.
+
+    Like the HLL twin (and unlike the CMS sum), bit-OR is IDEMPOTENT:
+    a replayed batch, any arrival order, and even a LOST CHECKPOINT
+    over a surviving sink all yield the same merged filter — OR over a
+    superset of the same observations cannot change, so the
+    no-false-negatives contract survives every failure mode. The sink
+    stays small forever (``n_batches * m_bits/64`` word rows at most,
+    sparse while the filter is under-full)."""
+    from ..operators.sketch import bloom_merge, bloom_sketch
+
+    return _stream_sketch(
+        spark, source_path, out_dir, item_expr, schema,
+        sketch_fn=lambda items: bloom_sketch(
+            items, "item", m_bits=m_bits, k=k
+        ),
+        merge_fn=bloom_merge,
+        empty_schema="word int, bits long",
+    )

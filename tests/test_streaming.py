@@ -619,3 +619,49 @@ def test_stream_cms_frequencies_matches_batch(spark, sf_dir, tmp_path):
     assert {
         (r["row"], r["col"]): r["cnt"] for r in again.collect()
     } == want
+
+
+def test_stream_bloom_membership_matches_batch(spark, sf_dir, tmp_path):
+    """Streamed Bloom words, OR-merged across micro-batch partitions,
+    must equal the batch filter of the whole corpus bit-for-bit, and a
+    replayed run over the same checkpoint is a no-op — OR shares HLL
+    max-merge's idempotence, so the no-false-negatives contract
+    survives replays."""
+    from pyspark.sql import functions as F
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.sketch import (
+        bloom_query,
+        bloom_sketch,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.streaming.ingest_stream import (
+        stream_bloom_membership,
+    )
+
+    docs = load_fixture_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "docs_in")
+    docs.repartition(3).write.parquet(src)
+    out = str(tmp_path / "bloom")
+    m_bits, k = 1 << 14, 4
+
+    streamed = stream_bloom_membership(spark, src, out, m_bits=m_bits, k=k)
+    words = docs.select(
+        F.explode(F.split("text", r"\s+")).alias("item")
+    ).filter(F.col("item") != "")
+    got = {r["word"]: r["bits"] for r in streamed.collect()}
+    want = {
+        r["word"]: r["bits"]
+        for r in bloom_sketch(words, "item", m_bits, k).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # every corpus word probes present through the streamed filter
+    misses = bloom_query(
+        streamed, words.distinct(), "item", m_bits, k
+    ).filter(~F.col("maybe_present")).count()
+    assert misses == 0
+
+    # replay over the same checkpoint: no new files, unchanged filter
+    again = stream_bloom_membership(spark, src, out, m_bits=m_bits, k=k)
+    assert {r["word"]: r["bits"] for r in again.collect()} == want
