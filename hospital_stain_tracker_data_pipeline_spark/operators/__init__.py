@@ -85,8 +85,10 @@ from .diffs import (  # noqa: F401
     summarize_diff,
 )
 from .pq import (  # noqa: F401
+    build_ann_index,
     knn_ivf_pq,
     knn_pq,
+    search_ann_index,
     load_pq_index,
     pack_codes,
     pq_decode,

@@ -48,7 +48,9 @@ from .similarity import (
     as_double_array,
     ivf_assign_udf,
     ivf_fit_centroids,
+    load_ivf_index,
     quantize_vec_long,
+    save_ivf_index,
 )
 
 __all__ = [
@@ -460,6 +462,118 @@ def load_pq_index(spark, path: str) -> np.ndarray:
     return out
 
 
+def _encode_cells(
+    corpus: DataFrame,
+    cents: np.ndarray,
+    cb: np.ndarray,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, cell, pq_code) for every corpus vector — the IVF-PQ
+    encoded form both the in-process search and the persisted index
+    build share. NULL embeddings are dropped (nothing to search)."""
+    return (
+        fanout(corpus)
+        .select(
+            F.col(id_col),
+            quantize_vec_long(F.col(vec_col)).alias("_qv"),
+        )
+        .filter(F.col("_qv").isNotNull())
+        .select(
+            id_col,
+            ivf_assign_udf(cents)(F.col("_qv")).alias("cell"),
+            _pq_assign_udf(cb)(F.col("_qv")).alias("pq_code"),
+        )
+    )
+
+
+def build_ann_index(
+    corpus: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """The nightly-fit half of a persistent IVF-PQ index: fit the
+    coarse quantizer and product codebooks ONCE per corpus version and
+    write the complete search-ready artifact under ``path`` —
+    ``path/ivf`` (centroids, ``save_ivf_index``), ``path/pq``
+    (codebooks, ``save_pq_index``), and ``path/codes`` (the encoded
+    corpus ``(id, cell, pq_code)``, ~``m`` bytes + an id per vector).
+    ``search_ann_index`` then answers queries WITHOUT touching the raw
+    embedding lake — the artifact is the 100 TB serving shape: raw
+    embeddings are read exactly once (here), every later search scans
+    only the byte codes of the probed cells."""
+    spark = corpus.sparkSession
+    cents = ivf_fit_centroids(corpus, n_clusters, iters, id_col, vec_col)
+    cb = pq_fit_codebooks(corpus, m, n_codes, iters, id_col, vec_col)
+    save_ivf_index(spark, cents, f"{path}/ivf")
+    save_pq_index(spark, cb, f"{path}/pq")
+    _encode_cells(corpus, cents, cb, id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/codes")
+
+
+def search_ann_index(
+    spark,
+    path: str,
+    query: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """The serving half of ``build_ann_index``: load the persisted
+    centroids/codebooks/codes from ``path`` and ADC-search the query
+    frame — ``(query_id, <id>, adc_dist)``, the ``k`` nearest per
+    query. Identical results to an in-process ``knn_ivf_pq`` with the
+    same parameters (the fits are deterministic; pinned by test). The
+    raw corpus embeddings are never read. ``exclude_self`` defaults
+    OFF here — index queries usually come from an external id domain
+    (see ``knn_pq``); turn it on when querying the corpus with itself.
+
+    The corpus id column is whatever ``build_ann_index`` encoded (the
+    codes table's non-``cell``/``pq_code`` column)."""
+    cents = load_ivf_index(spark, f"{path}/ivf")
+    cb = load_pq_index(spark, f"{path}/pq")
+    codes = spark.read.parquet(f"{path}/codes")
+    rest = [c for c in codes.columns if c not in ("cell", "pq_code")]
+    if (
+        len(rest) != 1
+        or "cell" not in codes.columns
+        or "pq_code" not in codes.columns
+    ):
+        raise ValueError(
+            f"{path}/codes has columns {codes.columns} — expected "
+            "exactly (id, cell, pq_code) from build_ann_index"
+        )
+    id_col = rest[0]
+    probes = query.select(
+        F.col(query_id_col),
+        as_double_array(F.col(vec_col)).alias("_pv"),
+    ).select(
+        query_id_col,
+        F.explode(
+            ivf_assign_udf(cents, nprobe=nprobe)(
+                quantize_vec_long(F.col("_pv"))
+            )
+        ).alias("cell"),
+    )
+    table = _adc_table(query, cb, query_id_col, vec_col)
+    cand = probes.join(codes, "cell")
+    if exclude_self:
+        cand = cand.filter(F.col(query_id_col) != F.col(id_col))
+    cand = cand.select(query_id_col, id_col, "pq_code")
+    return _adc_topk(
+        cand, table, k, id_col, query_id_col, per_query=True,
+        exclude_self=exclude_self,
+    )
+
+
 def knn_ivf_pq(
     corpus: DataFrame,
     query: DataFrame,
@@ -502,19 +616,7 @@ def knn_ivf_pq(
     cents = ivf_fit_centroids(corpus, n_clusters, iters, id_col, vec_col)
     cb = pq_fit_codebooks(corpus, m, n_codes, iters, id_col, vec_col)
     t1 = _time.perf_counter()
-    encoded = materialize(
-        fanout(corpus)
-        .select(
-            F.col(id_col),
-            quantize_vec_long(F.col(vec_col)).alias("_qv"),
-        )
-        .filter(F.col("_qv").isNotNull())
-        .select(
-            id_col,
-            ivf_assign_udf(cents)(F.col("_qv")).alias("cell"),
-            _pq_assign_udf(cb)(F.col("_qv")).alias("pq_code"),
-        )
-    )
+    encoded = materialize(_encode_cells(corpus, cents, cb, id_col, vec_col))
     if timings is not None:
         timings["fit_sec"] = round(t1 - t0, 3)
         timings["encode_sec"] = round(_time.perf_counter() - t1, 3)

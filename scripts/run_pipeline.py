@@ -286,6 +286,56 @@ def cmd_dedup_index(args) -> None:
     print(f"indexed {idx.count()} docs -> {args.output}")
 
 
+def cmd_ann_index(args) -> None:
+    """Fit and persist the complete IVF-PQ search artifact (coarse
+    centroids + product codebooks + the encoded corpus) — the
+    nightly-fit half; `ann_search` serves queries from it without ever
+    rereading the raw embedding lake."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.pq import (
+        build_ann_index,
+    )
+
+    spark = get_spark(app_name="ann_index")
+    emb = spark.read.parquet(args.embeddings)
+    build_ann_index(
+        emb,
+        args.output,
+        n_clusters=args.clusters,
+        m=args.m,
+        n_codes=args.codes,
+        iters=args.iters,
+        id_col=args.id_col,
+        vec_col=args.vec_col,
+    )
+    n = spark.read.parquet(f"{args.output}/codes").count()
+    print(f"indexed {n} vectors -> {args.output}")
+
+
+def cmd_ann_search(args) -> None:
+    """ADC top-k search against a persisted `ann_index` artifact:
+    queries parquet (query_id, embedding) in, (query_id, id, adc_dist)
+    parquet out."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.pq import (
+        search_ann_index,
+    )
+
+    spark = get_spark(app_name="ann_search")
+    queries = spark.read.parquet(args.queries)
+    out = search_ann_index(
+        spark,
+        args.index,
+        queries,
+        k=args.k,
+        nprobe=args.nprobe,
+        query_id_col=args.query_id_col,
+        vec_col=args.vec_col,
+        exclude_self=args.exclude_self,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(f"wrote {n} result rows -> {args.output}")
+
+
 def cmd_warc_ingest(args) -> None:
     """Crawl front-door: parse WARC file(s) (path, glob, or
     comma-separated list) into a (doc_id, url, fetch_date, html)
@@ -644,6 +694,34 @@ def main() -> None:
     pdf_.add_argument("--threshold", type=float, default=0.5)
     pdf_.add_argument("--num-hashes", type=int, default=32)
     pdf_.set_defaults(fn=cmd_dedup_filter)
+
+    pai = sub.add_parser("ann_index")
+    pai.add_argument("--embeddings", required=True,
+                     help="embeddings parquet (id + vector columns)")
+    pai.add_argument("--output", required=True, help="index artifact dir")
+    pai.add_argument("--clusters", type=int, default=16)
+    pai.add_argument("--m", type=int, default=8,
+                     help="PQ subspaces (bytes per vector)")
+    pai.add_argument("--codes", type=int, default=16,
+                     help="codewords per subspace")
+    pai.add_argument("--iters", type=int, default=3)
+    pai.add_argument("--id-col", default="vec_id")
+    pai.add_argument("--vec-col", default="embedding")
+    pai.set_defaults(fn=cmd_ann_index)
+
+    pas = sub.add_parser("ann_search")
+    pas.add_argument("--index", required=True, help="ann_index artifact dir")
+    pas.add_argument("--queries", required=True,
+                     help="queries parquet (query_id + vector)")
+    pas.add_argument("--output", required=True, help="results parquet out")
+    pas.add_argument("--k", type=int, default=10)
+    pas.add_argument("--nprobe", type=int, default=4)
+    pas.add_argument("--query-id-col", default="query_id")
+    pas.add_argument("--vec-col", default="embedding")
+    pas.add_argument("--exclude-self", action="store_true",
+                     help="drop query_id == corpus id matches (corpus "
+                     "self-query mode)")
+    pas.set_defaults(fn=cmd_ann_search)
 
     pcd = sub.add_parser("corpus_diff")
     pcd.add_argument("--old", required=True, help="old snapshot parquet")

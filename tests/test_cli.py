@@ -550,3 +550,40 @@ def test_cli_curate_run_dir_resume(tmp_path):
     assert os.path.getmtime(marker) == mtime, (
         "exact_keep recomputed on resume — artifact should have loaded"
     )
+
+
+def test_cli_ann_index_and_search(tmp_path):
+    """ann_index persists the IVF-PQ artifact; ann_search serves top-k
+    from it — k rows per query, distances ascending per query."""
+    import duckdb
+
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    idx = str(tmp_path / "ann")
+    out = str(tmp_path / "hits")
+    _run(
+        "ann_index", "--embeddings", emb, "--output", idx,
+        "--clusters", "4", "--m", "8", "--codes", "16", "--iters", "1",
+    )
+    assert os.path.isdir(os.path.join(idx, "codes"))
+
+    queries = str(tmp_path / "queries")
+    duckdb.sql(
+        f"COPY (SELECT vec_id AS query_id, embedding FROM '{emb}' "
+        f"ORDER BY vec_id LIMIT 3) TO '{queries}' (FORMAT PARQUET)"
+    )
+    # duckdb writes a single file; the CLI reads a parquet path
+    _run(
+        "ann_search", "--index", idx, "--queries", queries,
+        "--output", out, "--k", "5", "--nprobe", "4",
+    )
+    rows = duckdb.sql(
+        f"SELECT query_id, count(*) AS n FROM '{out}/*.parquet' "
+        f"GROUP BY query_id"
+    ).fetchall()
+    assert len(rows) == 3 and all(n == 5 for _, n in rows)
+    ordered = duckdb.sql(
+        f"SELECT count(*) FROM (SELECT *, lag(adc_dist) OVER "
+        f"(PARTITION BY query_id ORDER BY adc_dist) AS prev "
+        f"FROM '{out}/*.parquet') WHERE prev > adc_dist"
+    ).fetchone()[0]
+    assert ordered == 0

@@ -276,3 +276,55 @@ def test_knn_pq_exclude_self_gate(spark, emb, codebooks):
         exclude_self=False,
     )
     assert ivf_off.filter(F.col("query_id") == F.col("vec_id")).count() == 2
+
+
+def test_ann_index_build_search_matches_in_process(spark, emb, tmp_path):
+    """A persisted build_ann_index artifact searched via
+    search_ann_index must return EXACTLY what an in-process knn_ivf_pq
+    with the same parameters returns (the fits are deterministic —
+    md5-ordered seeds, exact-integer Lloyd), and the search path must
+    never read the raw embedding lake (it only gets the artifact
+    path)."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.pq import (
+        build_ann_index,
+        knn_ivf_pq,
+        search_ann_index,
+    )
+
+    params = dict(n_clusters=4, m=8, n_codes=16, iters=2)
+    idx = str(tmp_path / "ann")
+    build_ann_index(emb, idx, **params)
+
+    q = emb.orderBy("vec_id").limit(4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(
+        map(tuple, search_ann_index(
+            spark, idx, q, k=5, nprobe=2, exclude_self=True
+        ).collect())
+    )
+    want = sorted(
+        map(tuple, knn_ivf_pq(
+            emb, q, k=5, nprobe=2, exclude_self=True, **params
+        ).collect())
+    )
+    assert got == want and len(got) > 0
+
+    # external-query default: self ids are NOT dropped
+    ext = search_ann_index(spark, idx, q, k=5, nprobe=2)
+    assert ext.filter(F.col("query_id") == F.col("vec_id")).count() == 4
+
+    # a non-artifact codes dir fails loudly
+    import pytest as _pytest
+
+    bad = str(tmp_path / "bad")
+    build_ann_index(emb, bad, **params)
+    spark.read.parquet(f"{bad}/codes").drop("cell").write.mode(
+        "overwrite"
+    ).parquet(f"{bad}/codes2")
+    import shutil
+
+    shutil.rmtree(f"{bad}/codes")
+    shutil.move(f"{bad}/codes2", f"{bad}/codes")
+    with _pytest.raises(ValueError, match="expected"):
+        search_ann_index(spark, bad, q)
