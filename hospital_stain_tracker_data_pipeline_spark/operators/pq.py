@@ -63,6 +63,8 @@ __all__ = [
     "unpack_codes",
     "save_pq_index",
     "load_pq_index",
+    "build_ann_index",
+    "search_ann_index",
 ]
 
 
@@ -506,8 +508,22 @@ def build_ann_index(
     ``search_ann_index`` then answers queries WITHOUT touching the raw
     embedding lake — the artifact is the 100 TB serving shape: raw
     embeddings are read exactly once (here), every later search scans
-    only the byte codes of the probed cells."""
+    only the byte codes of the probed cells.
+
+    The three sub-artifacts are mutually dependent (codes are only
+    meaningful under THEIR centroids/codebooks), so the build is
+    marker-committed: the ``_INDEX_OK`` marker is removed before any
+    overwrite and written only after all three land — a crash
+    mid-rebuild leaves a loudly-rejected torn artifact instead of a
+    silently-wrong mixed one (``path`` must be driver-visible
+    local/NFS, the ``_StageStore`` contract)."""
+    import json
+    import os
+
     spark = corpus.sparkSession
+    marker = os.path.join(path, "_INDEX_OK")
+    if os.path.exists(marker):
+        os.remove(marker)
     cents = ivf_fit_centroids(corpus, n_clusters, iters, id_col, vec_col)
     cb = pq_fit_codebooks(corpus, m, n_codes, iters, id_col, vec_col)
     save_ivf_index(spark, cents, f"{path}/ivf")
@@ -515,6 +531,18 @@ def build_ann_index(
     _encode_cells(corpus, cents, cb, id_col, vec_col).write.mode(
         "overwrite"
     ).parquet(f"{path}/codes")
+    os.makedirs(path, exist_ok=True)
+    with open(marker, "w") as f:
+        json.dump(
+            {
+                "n_clusters": n_clusters,
+                "m": m,
+                "n_codes": n_codes,
+                "iters": iters,
+                "id_col": id_col,
+            },
+            f,
+        )
 
 
 def search_ann_index(
@@ -538,6 +566,14 @@ def search_ann_index(
 
     The corpus id column is whatever ``build_ann_index`` encoded (the
     codes table's non-``cell``/``pq_code`` column)."""
+    import os
+
+    if not os.path.exists(os.path.join(path, "_INDEX_OK")):
+        raise ValueError(
+            f"{path} has no _INDEX_OK marker — the index build did not "
+            "complete (a torn ivf/pq/codes mix would search silently "
+            "wrong); rebuild with build_ann_index"
+        )
     cents = load_ivf_index(spark, f"{path}/ivf")
     cb = load_pq_index(spark, f"{path}/pq")
     codes = spark.read.parquet(f"{path}/codes")

@@ -414,13 +414,26 @@ def approx_distinct_hll(
     return hll_estimate(hll_registers(df, item_col, p, by), p, by)
 
 
-def _cms_check(width: int, depth: int) -> None:
+def _cms_check(
+    width: int,
+    depth: int,
+    item_col: str | None = None,
+    keys: list[str] = (),
+) -> None:
     if width < 2 or width & (width - 1) != 0 or width > (1 << 26):
         raise ValueError(
             f"width must be a power of two in [2, 2^26], got {width}"
         )
     if not 1 <= depth <= 64:
         raise ValueError(f"depth must be in [1, 64], got {depth}")
+    if item_col is not None:
+        clash = {item_col, *keys} & {"row", "col", "cnt"}
+        if clash:
+            raise ValueError(
+                f"column name(s) {sorted(clash)} collide with the "
+                "sketch's internal row/col/cnt columns — rename "
+                "(alias) them first"
+            )
 
 
 def _cms_cells(item: "F.Column", width: int, depth: int):
@@ -467,8 +480,8 @@ def cms_sketch(
     md5 must not be re-evaluated per row index), then one
     ``groupBy(*by, row, col).count()`` whose exchange is
     partial-aggregated cells, never the item stream."""
-    _cms_check(width, depth)
     keys = _by_cols(by)
+    _cms_check(width, depth, item_col, keys)
     h1, h2 = _cms_cells(F.col(item_col), width, depth)
     hashed = (
         df.filter(F.col(item_col).isNotNull())
@@ -554,7 +567,7 @@ def cms_query(
     sketch can land inside the bounds by chance, and a smaller
     geometry is structurally indistinguishable from a sparse sketch.
     Carrying the right parameters remains the caller's contract."""
-    _cms_check(width, depth)
+    _cms_check(width, depth, item_col, _by_cols(by))
     oob = (
         (F.col("col") >= width)
         | (F.col("row") >= depth)
@@ -790,13 +803,69 @@ def load_hll_sketch(spark, path: str):
 BLOOM_BROADCAST_MAX_BITS = 1 << 27
 
 
-def _bloom_check(m_bits: int, k: int) -> None:
+def _bloom_check(
+    m_bits: int,
+    k: int,
+    item_col: str | None = None,
+    keys: list[str] = (),
+) -> None:
     if m_bits < 64 or m_bits & (m_bits - 1) != 0 or m_bits > (1 << 32):
         raise ValueError(
             f"m_bits must be a power of two in [64, 2^32], got {m_bits}"
         )
     if not 1 <= k <= 16:
         raise ValueError(f"k must be in [1, 16], got {k}")
+    if item_col is not None:
+        clash = {item_col, *keys} & {"word", "bits"}
+        if clash:
+            raise ValueError(
+                f"column name(s) {sorted(clash)} collide with the "
+                "sketch's internal word/bits columns — rename (alias) "
+                "them first"
+            )
+
+
+def _bloom_words(
+    df: DataFrame,
+    item_col: str,
+    m_bits: int,
+    k: int,
+    carry: list[str],
+) -> DataFrame:
+    """The ONE derivation of Bloom probe cells — ``(carry..., word,
+    _mask)``, ``k`` rows per input row — shared by sketch (insert) and
+    query (probe) so the double-hashing scheme (the bit-exactness
+    contract the tests pin) cannot silently diverge between them:
+    Kirsch-Mitzenmacher ``pos_i = (h1 + i*h2_odd) mod m_bits`` over one
+    md5 per item, base hashes projected to bound columns BEFORE the
+    k-explode (no HOF-lambda re-evaluation). NULL items are dropped."""
+    hx = F.md5(F.col(item_col).cast("string"))
+    h1 = F.conv(F.substring(hx, 1, 15), 16, 10).cast("long") % F.lit(m_bits)
+    h2 = (
+        F.conv(F.substring(hx, 16, 15), 16, 10).cast("long")
+        % F.lit(m_bits)
+    ).bitwiseOR(F.lit(1))
+    pos = (F.col("_h1") + F.col("_i") * F.col("_h2")) % F.lit(m_bits)
+    return (
+        df.filter(F.col(item_col).isNotNull())
+        .select(*carry, h1.alias("_h1"), h2.alias("_h2"))
+        .select(
+            *carry,
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_i"),
+            "_h1",
+            "_h2",
+        )
+        .select(
+            *carry,
+            F.shiftright(pos, 6).cast("int").alias("word"),
+            pos.bitwiseAND(F.lit(63)).cast("int").alias("_off"),
+        )
+        .select(
+            *carry,
+            "word",
+            F.expr("shiftleft(CAST(1 AS BIGINT), _off)").alias("_mask"),
+        )
+    )
 
 
 def bloom_sketch(
@@ -820,40 +889,14 @@ def bloom_sketch(
     ~1% false positives; false NEGATIVES are impossible by
     construction, which is the useful direction for dedup gates.
 
-    Plan: base hashes projected to bound columns BEFORE the k-explode
-    (no HOF-lambda re-evaluation), then one
+    Plan: ``_bloom_words`` derives the probe cells (shared with
+    ``bloom_query`` — insert and probe cannot diverge), then one
     ``groupBy(*by, word).agg(bit_or(mask))`` whose exchange carries
     partial-OR'd words, never the item stream."""
-    _bloom_check(m_bits, k)
     keys = _by_cols(by)
-    hx = F.md5(F.col(item_col).cast("string"))
-    h1 = F.conv(F.substring(hx, 1, 15), 16, 10).cast("long") % F.lit(m_bits)
-    h2 = (
-        F.conv(F.substring(hx, 16, 15), 16, 10).cast("long")
-        % F.lit(m_bits)
-    ).bitwiseOR(F.lit(1))
-    hashed = (
-        df.filter(F.col(item_col).isNotNull())
-        .select(*keys, h1.alias("_h1"), h2.alias("_h2"))
-    )
-    pos = (F.col("_h1") + F.col("_i") * F.col("_h2")) % F.lit(m_bits)
+    _bloom_check(m_bits, k, item_col, keys)
     return (
-        hashed.select(
-            *keys,
-            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_i"),
-            "_h1",
-            "_h2",
-        )
-        .select(
-            *keys,
-            F.shiftright(pos, 6).cast("int").alias("word"),
-            pos.bitwiseAND(F.lit(63)).cast("int").alias("_off"),
-        )
-        .select(
-            *keys,
-            "word",
-            F.expr("shiftleft(CAST(1 AS BIGINT), _off)").alias("_mask"),
-        )
+        _bloom_words(df, item_col, m_bits, k, carry=keys)
         .groupBy(*keys, "word")
         .agg(F.bit_or("_mask").alias("bits"))
     )
@@ -897,40 +940,16 @@ def bloom_query(
     item and LEFT-joins the sketch — hinted broadcast only while
     ``m_bits ≤ BLOOM_BROADCAST_MAX_BITS`` and ungrouped — then one
     ``groupBy(item).agg(bool_and(hit))``. Absent words read as
-    all-zero (miss)."""
-    _bloom_check(m_bits, k)
+    all-zero (miss). The probe-cell derivation is ``_bloom_words`` —
+    the same code the sketch inserts with."""
     keys = _by_cols(by)
-    hx = F.md5(F.col(item_col).cast("string"))
-    h1 = F.conv(F.substring(hx, 1, 15), 16, 10).cast("long") % F.lit(m_bits)
-    h2 = (
-        F.conv(F.substring(hx, 16, 15), 16, 10).cast("long")
-        % F.lit(m_bits)
-    ).bitwiseOR(F.lit(1))
-    pos = (F.col("_h1") + F.col("_i") * F.col("_h2")) % F.lit(m_bits)
-    q = (
-        items.filter(F.col(item_col).isNotNull())
-        .select(*keys, item_col)
-        .distinct()
-        .select(*keys, F.col(item_col), h1.alias("_h1"), h2.alias("_h2"))
-        .select(
-            *keys,
-            item_col,
-            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_i"),
-            "_h1",
-            "_h2",
-        )
-        .select(
-            *keys,
-            item_col,
-            F.shiftright(pos, 6).cast("int").alias("word"),
-            pos.bitwiseAND(F.lit(63)).cast("int").alias("_off"),
-        )
-        .select(
-            *keys,
-            item_col,
-            "word",
-            F.expr("shiftleft(CAST(1 AS BIGINT), _off)").alias("_mask"),
-        )
+    _bloom_check(m_bits, k, item_col, keys)
+    q = _bloom_words(
+        items.select(*keys, item_col).distinct(),
+        item_col,
+        m_bits,
+        k,
+        carry=keys + [item_col],
     )
     if not keys and m_bits <= BLOOM_BROADCAST_MAX_BITS:
         sketch = F.broadcast(sketch)
@@ -981,14 +1000,20 @@ def filter_unseen(
     never be lost, route the maybe-present remainder through the exact
     ``dedup_against_corpus`` path instead of dropping it. NULL items
     are kept (a NULL key is not a membership class; drop upstream if
-    unwanted)."""
+    unwanted).
+
+    The semi-join's right side (the unseen item set) is BATCH-sized —
+    bounded by the batch's distinct items, not by the filter — so it
+    carries no broadcast hint: on a mostly-new crawl batch it is
+    nearly the whole batch, and forcing it onto the driver would OOM
+    exactly at crawl scale (AQE still broadcasts it when its runtime
+    size turns out small). Only the sketch side inside ``bloom_query``
+    is the ≤ m_bits/64-row broadcast."""
     probes = bloom_query(sketch, items, item_col, m_bits, k)
     unseen = probes.filter(~F.col("maybe_present")).select(item_col)
-    return items.join(
-        F.broadcast(unseen) if m_bits <= BLOOM_BROADCAST_MAX_BITS else unseen,
-        item_col,
-        "left_semi",
-    ).unionByName(items.filter(F.col(item_col).isNull()))
+    return items.join(unseen, item_col, "left_semi").unionByName(
+        items.filter(F.col(item_col).isNull())
+    )
 
 
 def save_bloom_sketch(

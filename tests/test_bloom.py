@@ -139,7 +139,6 @@ def test_bloom_grouped_semantics_and_null_group(spark):
     assert got[("c", "q")] is False       # unseen group
 
     # grouped merge == grouped one-shot
-    a = bloom_sketch(df.limit(2), "g", m_bits, k)  # smoke different col
     merged = bloom_merge(
         bloom_sketch(df.limit(1), "w", m_bits, k, by="g"),
         bloom_sketch(df.exceptAll(df.limit(1)), "w", m_bits, k, by="g"),
@@ -248,3 +247,17 @@ def test_bloom_validation_and_plan_shape(spark):
         ._jdf.queryExecution().analyzed().toString()
     )
     assert "ResolvedHint" not in plan_big
+
+
+def test_bloom_reserved_column_names_rejected(spark):
+    """item/key columns named after the sketch's internal word/bits
+    columns would make the probe join ambiguous — fail loudly up front
+    (round-9 review)."""
+    df = spark.createDataFrame([("x", "g")], "word string, bits string")
+    with pytest.raises(ValueError, match="collide"):
+        bloom_sketch(df, "word")
+    with pytest.raises(ValueError, match="collide"):
+        bloom_query(bloom_sketch(df.selectExpr("word AS w"), "w"),
+                    df, "bits")
+    with pytest.raises(ValueError, match="collide"):
+        bloom_sketch(df.selectExpr("word AS w", "bits"), "w", by="bits")

@@ -400,3 +400,15 @@ def test_cms_artifact_empty_sketch_and_by_mismatch_guard(spark, tmp_path):
     grouped = cms_sketch(df, "w", width, depth, by="domain")
     with pytest.raises(ValueError, match="do not match by="):
         save_cms_sketch(grouped, width, depth, str(tmp_path / "bad"))
+
+
+def test_cms_reserved_column_names_rejected(spark):
+    """item/key columns named row/col/cnt collide with the sketch's
+    internal columns — fail loudly up front (round-9 review)."""
+    df = spark.createDataFrame([("x", "g")], "row string, col string")
+    with pytest.raises(ValueError, match="collide"):
+        cms_sketch(df, "row")
+    with pytest.raises(ValueError, match="collide"):
+        cms_query(
+            cms_sketch(df.selectExpr("row AS w"), "w"), df, "col"
+        )

@@ -328,3 +328,27 @@ def test_ann_index_build_search_matches_in_process(spark, emb, tmp_path):
     shutil.move(f"{bad}/codes2", f"{bad}/codes")
     with _pytest.raises(ValueError, match="expected"):
         search_ann_index(spark, bad, q)
+
+
+def test_ann_index_torn_artifact_rejected(spark, emb, tmp_path):
+    """The three ANN sub-artifacts are mutually dependent; a build
+    that did not reach the _INDEX_OK marker (crash mid-rebuild) must
+    be rejected loudly, not served as a silently-wrong ivf/pq/codes
+    mix (round-9 review)."""
+    import os
+
+    import pytest as _pytest
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.pq import (
+        build_ann_index,
+        search_ann_index,
+    )
+
+    idx = str(tmp_path / "ann")
+    build_ann_index(emb, idx, n_clusters=4, m=8, n_codes=16, iters=1)
+    q = emb.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
+    assert search_ann_index(spark, idx, q, k=3, nprobe=2).count() == 3
+
+    os.remove(os.path.join(idx, "_INDEX_OK"))
+    with _pytest.raises(ValueError, match="_INDEX_OK"):
+        search_ann_index(spark, idx, q)
