@@ -9,3 +9,8 @@ from .warc import (  # noqa: F401
     wet_to_documents,
     write_warc,
 )
+from .xml_source import (  # noqa: F401
+    read_sitemap,
+    read_sitemap_index,
+    read_xml,
+)
