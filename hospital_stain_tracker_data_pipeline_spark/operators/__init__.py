@@ -37,6 +37,7 @@ from .web import (  # noqa: F401
     extract_text_from_html,
     filter_blocked_domains,
     parse_html_documents,
+    plan_recrawl,
 )
 from .sketch import (  # noqa: F401
     approx_distinct_hll,

@@ -373,3 +373,82 @@ def parse_html_documents(
     return df.withColumn(
         text_col, extract_text_from_html(F.col(html_col))
     )
+
+
+def plan_recrawl(
+    frontier: DataFrame,
+    fetched: DataFrame,
+    url_col: str = "url",
+    lastmod_col: str = "lastmod",
+    fetched_url_col: str = "url",
+    fetch_ts_col: str = "fetch_ts",
+) -> DataFrame:
+    """The crawl scheduler's decision table: reconcile a sitemap
+    frontier (``sources.xml_source.read_sitemap`` output) against the
+    lake's fetch history into ``(url, status, lastmod_ts,
+    last_fetch_ts)`` with one row per CANONICAL url and status:
+
+    - ``new``   — in the frontier, never fetched;
+    - ``stale`` — fetched, and the frontier's ``lastmod`` is later
+      than the last fetch (the page changed — refetch);
+    - ``fresh`` — fetched and not provably newer (missing/unparseable
+      ``lastmod`` counts as fresh: no EVIDENCE of change; an age-based
+      refetch policy composes downstream on ``last_fetch_ts``);
+    - ``gone``  — fetched before but absent from the frontier (the
+      publisher delisted it — a deletion-propagation candidate).
+
+    Both sides pass through ``canonicalize_url`` first, so
+    tracking-param/port/fragment variants reconcile as one page;
+    duplicate frontier entries keep their max ``lastmod``, repeated
+    fetches their max ``fetch_ts``. ``lastmod`` accepts both sitemap
+    forms (date-only and W3C datetime) via ``try_to_timestamp`` —
+    unparseable values degrade to NULL (⇒ fresh), never an ANSI abort.
+    Rows whose URL fails to canonicalize (NULL) are dropped from the
+    plan: they can't be fetched.
+
+    Plan shape at scale: two per-url partial aggregations + ONE
+    full-outer equi-join on the canonical url — both sides reduce to
+    (url, ts) before the shuffle, so the exchange carries ~tens of
+    bytes per url regardless of frontier metadata width."""
+    lastmod_ts = F.coalesce(
+        F.try_to_timestamp(F.col(lastmod_col)),
+        F.try_to_timestamp(F.col(lastmod_col), F.lit("yyyy-MM-dd")),
+    )
+    want = (
+        frontier.select(
+            canonicalize_url(F.col(url_col)).alias("url"),
+            lastmod_ts.alias("lastmod_ts"),
+        )
+        .filter(F.col("url").isNotNull())
+        .groupBy("url")
+        .agg(F.max("lastmod_ts").alias("lastmod_ts"))
+    )
+    have = (
+        fetched.select(
+            canonicalize_url(F.col(fetched_url_col)).alias("url"),
+            F.col(fetch_ts_col).cast("timestamp").alias("last_fetch_ts"),
+        )
+        .filter(F.col("url").isNotNull())
+        .groupBy("url")
+        .agg(F.max("last_fetch_ts").alias("last_fetch_ts"))
+    )
+    # `gone` needs to know the row came only from the fetched side —
+    # mark frontier membership before the join columns coalesce
+    return (
+        want.withColumn("_in_frontier", F.lit(True))
+        .join(have, "url", "full_outer")
+        .select(
+            "url",
+            F.when(F.col("last_fetch_ts").isNull(), F.lit("new"))
+            .when(F.col("_in_frontier").isNull(), F.lit("gone"))
+            .when(
+                F.col("lastmod_ts").isNotNull()
+                & (F.col("lastmod_ts") > F.col("last_fetch_ts")),
+                F.lit("stale"),
+            )
+            .otherwise(F.lit("fresh"))
+            .alias("status"),
+            "lastmod_ts",
+            "last_fetch_ts",
+        )
+    )

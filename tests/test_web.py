@@ -492,3 +492,114 @@ def test_extract_text_from_html_duckdb_replay(spark):
     want = {int(r[0]): r[1] for r in con.execute(sql, params).fetchall()}
     con.close()
     assert got == want
+
+
+def test_plan_recrawl_four_way_split(spark):
+    """new / stale / fresh / gone classification over canonicalized
+    urls, with max-lastmod / max-fetch collapsing of duplicates and
+    unparseable lastmod degrading to fresh (no evidence of change)."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.web import (
+        plan_recrawl,
+    )
+
+    frontier = spark.createDataFrame(
+        [
+            # never fetched -> new
+            ("https://ex.com/new", "2026-01-01"),
+            # fetched 2026-01-10, lastmod later -> stale; the W3C
+            # datetime form and a tracking-param variant both count,
+            # max lastmod wins
+            ("https://ex.com/page?utm_source=x", "2026-01-05"),
+            ("https://ex.com/page", "2026-02-01T10:00:00+00:00"),
+            # fetched after lastmod -> fresh
+            ("https://ex.com/old", "2026-01-01"),
+            # unparseable lastmod -> fresh (fetched), never an abort
+            ("https://ex.com/odd", "sometime"),
+            # authority-less URI canonicalizes to NULL -> dropped
+            ("mailto:someone@example.com", "2026-01-01"),
+        ],
+        "url string, lastmod string",
+    )
+    fetched = spark.createDataFrame(
+        [
+            ("https://ex.com/page#frag", "2026-01-10 00:00:00"),
+            ("https://ex.com/page", "2026-01-02 00:00:00"),
+            ("https://ex.com/old", "2026-03-01 00:00:00"),
+            ("https://ex.com/odd", "2026-01-01 00:00:00"),
+            # fetched but delisted from the frontier -> gone
+            ("https://ex.com/removed", "2026-01-01 00:00:00"),
+        ],
+        "url string, fetch_ts string",
+    )
+    plan = plan_recrawl(frontier, fetched)
+    got = {r["url"]: r["status"] for r in plan.collect()}
+    assert got == {
+        "https://ex.com/new": "new",
+        "https://ex.com/page": "stale",
+        "https://ex.com/old": "fresh",
+        "https://ex.com/odd": "fresh",
+        "https://ex.com/removed": "gone",
+    }
+    [page] = plan.filter(F.col("url") == "https://ex.com/page").collect()
+    # max lastmod (Feb) and max fetch (Jan 10) survived the collapses
+    assert str(page["lastmod_ts"]).startswith("2026-02-01")
+    assert str(page["last_fetch_ts"]).startswith("2026-01-10")
+
+
+def test_plan_recrawl_duckdb_replay(spark, duckdb_con=None):
+    """Cross-engine pin: the same reconciliation in DuckDB SQL over
+    the same rows (canonical urls precomputed — the canonicalizer has
+    its own urllib-reference pins) yields the identical plan."""
+    import duckdb
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.web import (
+        plan_recrawl,
+    )
+
+    frontier_rows = [
+        ("https://ex.com/a", "2026-01-05"),
+        ("https://ex.com/a", "2026-03-01T00:00:00+00:00"),
+        ("https://ex.com/b", None),
+        ("https://ex.com/c", "2026-01-01"),
+    ]
+    fetched_rows = [
+        ("https://ex.com/a", "2026-02-01 00:00:00"),
+        ("https://ex.com/b", "2026-01-01 00:00:00"),
+        ("https://ex.com/d", "2026-01-01 00:00:00"),
+    ]
+    plan = plan_recrawl(
+        spark.createDataFrame(frontier_rows, "url string, lastmod string"),
+        spark.createDataFrame(fetched_rows, "url string, fetch_ts string"),
+    )
+    got = sorted(
+        (r["url"], r["status"]) for r in plan.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE f (url TEXT, lastmod TEXT); "
+        "CREATE TABLE h (url TEXT, fetch_ts TIMESTAMP)"
+    )
+    con.executemany("INSERT INTO f VALUES (?, ?)", frontier_rows)
+    con.executemany("INSERT INTO h VALUES (?, ?)", fetched_rows)
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                """
+        WITH want AS (
+          SELECT url, max(TRY_CAST(lastmod AS TIMESTAMP)) AS lm
+          FROM f GROUP BY url
+        ), have AS (
+          SELECT url, max(fetch_ts) AS ft FROM h GROUP BY url
+        )
+        SELECT coalesce(want.url, have.url) AS url,
+               CASE WHEN ft IS NULL THEN 'new'
+                    WHEN want.url IS NULL THEN 'gone'
+                    WHEN lm IS NOT NULL AND lm > ft THEN 'stale'
+                    ELSE 'fresh' END AS status
+        FROM want FULL OUTER JOIN have ON want.url = have.url
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == want
