@@ -600,10 +600,9 @@ def search_ann_index(
         ).alias("cell"),
     )
     table = _adc_table(query, cb, query_id_col, vec_col)
-    cand = probes.join(codes, "cell")
-    if exclude_self:
-        cand = cand.filter(F.col(query_id_col) != F.col(id_col))
-    cand = cand.select(query_id_col, id_col, "pq_code")
+    # self-exclusion happens once, inside _adc_topk (before its top-k
+    # window) — no duplicate pre-filter on the candidate join
+    cand = probes.join(codes, "cell").select(query_id_col, id_col, "pq_code")
     return _adc_topk(
         cand, table, k, id_col, query_id_col, per_query=True,
         exclude_self=exclude_self,
@@ -668,10 +667,8 @@ def knn_ivf_pq(
         ).alias("cell"),
     )
     table = _adc_table(query, cb, query_id_col, vec_col)
-    cand = probes.join(encoded, "cell")
-    if exclude_self:
-        cand = cand.filter(F.col(query_id_col) != F.col(id_col))
-    cand = cand.select(query_id_col, id_col, "pq_code")
+    # self-exclusion happens once, inside _adc_topk (see search_ann_index)
+    cand = probes.join(encoded, "cell").select(query_id_col, id_col, "pq_code")
     return _adc_topk(
         cand, table, k, id_col, query_id_col, per_query=True,
         exclude_self=exclude_self,

@@ -426,7 +426,12 @@ def plan_recrawl(
     have = (
         fetched.select(
             canonicalize_url(F.col(fetched_url_col)).alias("url"),
-            F.col(fetch_ts_col).cast("timestamp").alias("last_fetch_ts"),
+            # try_to_timestamp, matching lastmod's treatment: one
+            # malformed fetch-history value degrades to NULL instead of
+            # aborting a corpus-scale reconcile under ANSI mode.
+            F.try_to_timestamp(F.col(fetch_ts_col).cast("string")).alias(
+                "last_fetch_ts"
+            ),
         )
         .filter(F.col("url").isNotNull())
         .groupBy("url")
@@ -439,8 +444,11 @@ def plan_recrawl(
         .join(have, "url", "full_outer")
         .select(
             "url",
-            F.when(F.col("last_fetch_ts").isNull(), F.lit("new"))
-            .when(F.col("_in_frontier").isNull(), F.lit("gone"))
+            # frontier membership decides first: a fetched-only row
+            # whose every fetch_ts failed to parse (NULL max) is still
+            # "gone", not "new" — it must stay a deletion candidate.
+            F.when(F.col("_in_frontier").isNull(), F.lit("gone"))
+            .when(F.col("last_fetch_ts").isNull(), F.lit("new"))
             .when(
                 F.col("lastmod_ts").isNotNull()
                 & (F.col("lastmod_ts") > F.col("last_fetch_ts")),

@@ -452,16 +452,19 @@ def read_warc(
     never silently become an empty corpus. List elements are expanded
     the same way (each may itself be a glob; each must match).
     Remote-URI globs (``s3://bucket/crawl/*.warc.gz``) list via
-    ``pyarrow.fs`` + fnmatch and support wildcards in the FINAL path
-    segment only; the directory component is always listed LITERALLY
-    (glob characters are legal in object-store key segments, so a real
-    prefix named ``crawl[2024]/`` works). When the literal listing
-    yields nothing and the directory component contains glob
-    characters, the failure is an explanatory ``ValueError``
-    ("directory-component wildcards are unsupported") instead of a
-    confusing FileNotFoundError. Local paths get full ``glob.glob``
-    semantics. An explicit empty list is the only way to get an empty
-    (typed) frame.
+    ``pyarrow.fs`` + fnmatch and support ``*``/``?`` wildcards in the
+    FINAL path segment only; the directory component is always listed
+    LITERALLY where the URI parses (``*``/``?`` are legal in
+    object-store key segments, so a prefix named ``crawl-*/`` still
+    lists literally — but ``[`` is rejected by pyarrow's URI parser
+    itself, so bracket-named prefixes are unreachable through the URI
+    form; pass an explicit path list for those). When the literal
+    listing yields nothing (or the URI won't parse) and the path
+    contains glob characters, the failure is an explanatory
+    ``ValueError`` ("directory-component wildcards are unsupported")
+    instead of an opaque FileNotFoundError/ArrowInvalid. Local paths
+    get full ``glob.glob`` semantics. An explicit empty list is the
+    only way to get an empty (typed) frame.
     """
     import fnmatch
     import glob as globmod
@@ -478,7 +481,16 @@ def read_warc(
             from pyarrow import fs as pafs
 
             scheme = p.split("://", 1)[0]
-            filesystem, pat = pafs.FileSystem.from_uri(p)
+            try:
+                filesystem, pat = pafs.FileSystem.from_uri(p)
+            except Exception as exc:  # pyarrow raises ArrowInvalid on '['
+                raise ValueError(
+                    f"remote-URI glob {p!r} does not parse as a URI "
+                    "(pyarrow rejects '[' anywhere in a URI path) — "
+                    "only '*'/'?' wildcards are supported in the final "
+                    "segment; enumerate bracket-named prefixes via an "
+                    "explicit path list"
+                ) from exc
             dirname, base = posixpath.split(pat)
             # the dirname is listed LITERALLY (glob chars are legal in
             # object-store key segments, so `crawl[2024]/` must keep

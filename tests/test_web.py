@@ -593,8 +593,8 @@ def test_plan_recrawl_duckdb_replay(spark, duckdb_con=None):
           SELECT url, max(fetch_ts) AS ft FROM h GROUP BY url
         )
         SELECT coalesce(want.url, have.url) AS url,
-               CASE WHEN ft IS NULL THEN 'new'
-                    WHEN want.url IS NULL THEN 'gone'
+               CASE WHEN want.url IS NULL THEN 'gone'
+                    WHEN ft IS NULL THEN 'new'
                     WHEN lm IS NOT NULL AND lm > ft THEN 'stale'
                     ELSE 'fresh' END AS status
         FROM want FULL OUTER JOIN have ON want.url = have.url
@@ -603,3 +603,38 @@ def test_plan_recrawl_duckdb_replay(spark, duckdb_con=None):
         )
     )
     assert got == want
+
+
+def test_plan_recrawl_null_fetch_ts_is_gone_not_new(spark):
+    """Two round-10 advisor pins in one: (a) a malformed fetch_ts
+    string degrades to NULL via try_to_timestamp instead of aborting
+    the whole reconcile under ANSI mode; (b) a fetched-only (delisted)
+    url whose every fetch_ts failed to parse still classifies 'gone' —
+    frontier membership decides before the NULL-fetch check, so a
+    deletion-propagation candidate can't masquerade as 'new'."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.web import (
+        plan_recrawl,
+    )
+
+    frontier = spark.createDataFrame(
+        [("https://ex.com/in-frontier", "2026-01-01")],
+        "url string, lastmod string",
+    )
+    fetched = spark.createDataFrame(
+        [
+            # delisted url, garbage fetch_ts: must be gone, not new
+            ("https://ex.com/delisted", "not-a-timestamp"),
+            # in-frontier url, garbage fetch_ts: no parseable evidence
+            # it was ever fetched -> new (refetch is the safe action)
+            ("https://ex.com/in-frontier", "also-garbage"),
+        ],
+        "url string, fetch_ts string",
+    )
+    got = {
+        r["url"]: r["status"]
+        for r in plan_recrawl(frontier, fetched).collect()
+    }
+    assert got == {
+        "https://ex.com/delisted": "gone",
+        "https://ex.com/in-frontier": "new",
+    }
