@@ -22,6 +22,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from hospital_stain_tracker_data_pipeline_spark.session import get_spark
 from hospital_stain_tracker_data_pipeline_spark.plans import CATALOG
+from hospital_stain_tracker_data_pipeline_spark.plans.catalog import DEMOTED
+
+# The benchmark set predates the round-10 catalog rotation; resolving
+# names against CATALOG | DEMOTED keeps HEADLINE (and warm_total's
+# round-over-round comparability) unchanged when entries rotate out of
+# the driver-graded 50.
+BENCH_QUERIES = {**CATALOG, **DEMOTED}
 
 # Headline set: the reference's flagship read paths (compare/lag, coverage,
 # upsert, dim join) + the heavy Phase-4 training-data operators. Streaming
@@ -716,7 +723,7 @@ def main() -> None:
     warm_first: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name in headline:
-        fn = CATALOG[name].fn
+        fn = BENCH_QUERIES[name].fn
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -431,8 +431,12 @@ def corpus_report(
     blank = F.trim(text) == ""
     per_doc = df.select(
         doc_token_count(text).alias("_nt"),
+        # quality is round(·, 4), so ×10⁴ is an exact integer — summing
+        # LONGs makes mean_quality order-invariant (a float sum across
+        # partitions drifts in the last ulp with partition order, which
+        # a 6-dp round can't always hide from a cross-engine hash)
         F.when(blank, F.lit(None)).otherwise(
-            quality_score(text)
+            F.round(quality_score(text) * 10000).cast("long")
         ).alias("_q"),
         fingerprint64_hex(text).alias("_fp"),
         blank.alias("_blank"),
@@ -447,7 +451,11 @@ def corpus_report(
         F.round(F.expr("percentile(_nt, 0.9)"), 4).alias("p90_tokens"),
         F.round(F.expr("percentile(_nt, 0.99)"), 4).alias("p99_tokens"),
         F.max("_nt").alias("max_tokens"),
-        _round6(F.avg("_q")).alias("mean_quality"),
+        _round6(
+            F.sum("_q").cast("double")
+            / F.lit(10000.0)
+            / F.count("_q").cast("double")
+        ).alias("mean_quality"),
         _round6(
             F.lit(1.0)
             - F.try_divide(

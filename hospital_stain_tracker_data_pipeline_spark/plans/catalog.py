@@ -13,6 +13,7 @@ from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
+from . import corpus as C
 from . import relational as R
 from . import text as X
 from . import vectors as V
@@ -38,7 +39,6 @@ CATALOG: dict[str, QuerySpec] = {
     "dim_get_or_create": QuerySpec(R.q_dim_get_or_create, R.SQL_DIM_GET_OR_CREATE),
     "upsert_merge": QuerySpec(R.q_upsert_merge, R.SQL_UPSERT_MERGE),
     "asof_join": QuerySpec(R.q_asof_join, R.SQL_ASOF_JOIN),
-    "pivot_status": QuerySpec(R.q_pivot_status, R.SQL_PIVOT_STATUS),
     # --- §2.4 aggregations (merged families) ---
     "scalar_summary": QuerySpec(R.q_scalar_summary, R.SQL_SCALAR_SUMMARY),
     "dates_coverage": QuerySpec(R.q_dates_coverage, R.SQL_DATES_COVERAGE),
@@ -54,12 +54,7 @@ CATALOG: dict[str, QuerySpec] = {
     "rank_topn_per_group": QuerySpec(
         R.q_rank_topn_per_group, R.SQL_RANK_TOPN_PER_GROUP
     ),
-    "gap_fill": QuerySpec(R.q_gap_fill, R.SQL_GAP_FILL),
-    "window_value_family": QuerySpec(
-        R.q_window_value_family, R.SQL_WINDOW_VALUE_FAMILY
-    ),
     # --- §2.6 sorts / limits / top-k ---
-    "sort_limit": QuerySpec(R.q_sort_limit, R.SQL_SORT_LIMIT),
     "topk": QuerySpec(R.q_topk, R.SQL_TOPK),
     # --- §2.7 set ops / grouping sets ---
     "set_membership_ops": QuerySpec(
@@ -69,10 +64,6 @@ CATALOG: dict[str, QuerySpec] = {
     "range_join_binned": QuerySpec(R.q_range_join_binned, R.SQL_RANGE_JOIN_BINNED),
     # --- §2.8 scalar functions ---
     "strain_formula": QuerySpec(R.q_strain_formula, R.SQL_STRAIN_FORMULA),
-    "div_guard_variants": QuerySpec(R.q_div_guard_variants, R.SQL_DIV_GUARD_VARIANTS),
-    "json_extract": QuerySpec(R.q_json_extract, R.SQL_JSON_EXTRACT),
-    "scalar_subquery": QuerySpec(R.q_scalar_subquery, R.SQL_SCALAR_SUBQUERY),
-    "date_format_rollup": QuerySpec(R.q_date_format_rollup, R.SQL_DATE_FORMAT_ROLLUP),
     # --- headline aggregations (bench) ---
     "pricing_summary": QuerySpec(R.q_pricing_summary, R.SQL_PRICING_SUMMARY),
     "top_unshipped": QuerySpec(R.q_top_unshipped, R.SQL_TOP_UNSHIPPED),
@@ -91,6 +82,22 @@ CATALOG: dict[str, QuerySpec] = {
     "train_test_split": QuerySpec(X.q_train_test_split, X.SQL_TRAIN_TEST_SPLIT),
     "vocab_topk": QuerySpec(X.q_vocab_topk, X.SQL_VOCAB_TOPK),
     "mixture_sample": QuerySpec(X.q_mixture_sample, X.SQL_MIXTURE_SAMPLE),
+    # --- corpus-pipeline rotation (round 10: previously pytest-only
+    # under the 50-entry cap; see plans/corpus.py + COVERAGE.md) ---
+    "pack_token_chunks": QuerySpec(
+        C.q_pack_token_chunks, C.SQL_PACK_TOKEN_CHUNKS
+    ),
+    "heavy_hitters": QuerySpec(C.q_heavy_hitters, C.SQL_HEAVY_HITTERS),
+    "dedup_spans": QuerySpec(C.q_dedup_spans, C.SQL_DEDUP_SPANS),
+    "dedup_substrings": QuerySpec(
+        C.q_dedup_substrings, C.SQL_DEDUP_SUBSTRINGS
+    ),
+    "corpus_report": QuerySpec(C.q_corpus_report, C.SQL_CORPUS_REPORT),
+    "bm25_topk": QuerySpec(C.q_bm25_topk, C.SQL_BM25_TOPK),
+    "gopher_quality_kept": QuerySpec(
+        C.q_gopher_quality_kept, C.SQL_GOPHER_QUALITY_KEPT
+    ),
+    "rrf_fuse": QuerySpec(C.q_rrf_fuse, C.SQL_RRF_FUSE),
     # --- multimodal plumbing (Phase 4) ---
     "multimodal_profile": QuerySpec(
         X.q_multimodal_profile, X.SQL_MULTIMODAL_PROFILE
@@ -116,8 +123,35 @@ CATALOG: dict[str, QuerySpec] = {
     "stream_dedup": QuerySpec(S.q_stream_dedup, S.SQL_STREAM_DEDUP),
 }
 
+# Round-10 rotation: eight near-duplicate relational one-liners leave
+# the driver-graded 50 to make room for the corpus-pipeline operators
+# above. They keep their full DuckDB oracles and are replayed by pytest
+# (tests/test_catalog_rotation.py), so no op-id loses a correctness
+# check — COVERAGE.md maps each demoted entry's op-ids to the surviving
+# driver entries that still carry them. bench.py resolves HEADLINE names
+# against CATALOG | DEMOTED so the benchmark set (and warm_total's
+# round-over-round comparability) is unchanged by the rotation.
+DEMOTED: dict[str, QuerySpec] = {
+    "pivot_status": QuerySpec(R.q_pivot_status, R.SQL_PIVOT_STATUS),
+    "gap_fill": QuerySpec(R.q_gap_fill, R.SQL_GAP_FILL),
+    "window_value_family": QuerySpec(
+        R.q_window_value_family, R.SQL_WINDOW_VALUE_FAMILY
+    ),
+    "sort_limit": QuerySpec(R.q_sort_limit, R.SQL_SORT_LIMIT),
+    "div_guard_variants": QuerySpec(
+        R.q_div_guard_variants, R.SQL_DIV_GUARD_VARIANTS
+    ),
+    "json_extract": QuerySpec(R.q_json_extract, R.SQL_JSON_EXTRACT),
+    "scalar_subquery": QuerySpec(R.q_scalar_subquery, R.SQL_SCALAR_SUBQUERY),
+    "date_format_rollup": QuerySpec(
+        R.q_date_format_rollup, R.SQL_DATE_FORMAT_ROLLUP
+    ),
+}
+
 # explicit raise (not assert — stripped under python -O): the grading
 # driver truncates to the first 50 entries, so a 51st would silently
 # get no correctness row.
 if len(CATALOG) != 50:
     raise RuntimeError(f"driver grades first 50 entries; got {len(CATALOG)}")
+if set(CATALOG) & set(DEMOTED):
+    raise RuntimeError("a query must not be both graded and demoted")

@@ -14,10 +14,11 @@ import io
 import pytest
 
 from hospital_stain_tracker_data_pipeline_spark.plans import CATALOG
+from hospital_stain_tracker_data_pipeline_spark.plans.catalog import DEMOTED
 
 
 def plan_of(spark, sf_dir, name: str) -> str:
-    df = CATALOG[name].fn(spark, sf_dir)
+    df = {**CATALOG, **DEMOTED}[name].fn(spark, sf_dir)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")

@@ -445,7 +445,8 @@ def test_corpus_report_duckdb_replay(spark, sf_dir, tmp_path):
                round(quantile_cont(nt, 0.9), 4) AS p90_tokens,
                round(quantile_cont(nt, 0.99), 4) AS p99_tokens,
                max(nt) AS max_tokens,
-               round(avg(q), 6) AS mean_quality,
+               round(CAST(sum(CAST(round(q * 10000) AS BIGINT)) AS DOUBLE)
+                     / 10000.0 / CAST(count(q) AS DOUBLE), 6) AS mean_quality,
                round(1.0 - count(DISTINCT fp) * 1.0 / count(*), 6)
                  AS exact_dup_rate
         FROM per

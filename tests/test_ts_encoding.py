@@ -144,14 +144,16 @@ def test_queries_survive_vanilla_caller_session(spark, sf_dir):
     regression class that cost round 4: assumptions about the caller's
     session configuration."""
     from hospital_stain_tracker_data_pipeline_spark.plans import CATALOG
+    from hospital_stain_tracker_data_pipeline_spark.plans.catalog import DEMOTED
 
+    qmap = {**CATALOG, **DEMOTED}
     s2 = spark.newSession()
     s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
     s2.conf.set("spark.sql.session.timeZone", "America/New_York")
     try:
         for q in ("sessionize", "range_join_binned", "date_format_rollup"):
-            got = sorted(map(tuple, CATALOG[q].fn(s2, sf_dir).collect()))
-            want = sorted(map(tuple, CATALOG[q].fn(spark, sf_dir).collect()))
+            got = sorted(map(tuple, qmap[q].fn(s2, sf_dir).collect()))
+            want = sorted(map(tuple, qmap[q].fn(spark, sf_dir).collect()))
             assert got == want and len(got) > 0, q
     finally:
         # newSession state is isolated, but reset anyway for hygiene
