@@ -321,6 +321,51 @@ def _extras_registry():
         EXTRAS_INFO["pq_search"] = phases
         return out
 
+    def ann_append(spark, sf_dir):
+        """Incremental ANN refresh vs full rebuild: build the
+        persistent IVF-PQ artifact over 90% of the embedding lake
+        (build_sec — the nightly full-rebuild cost: fit + encode
+        everything), then append the held-out 10% as a delta
+        (append_sec — the O(delta) path a daily crawl takes: encode
+        only the batch under the frozen fits). The build/append gap is
+        the operational win the incremental index exists for; the
+        drift numbers ride along so the report path is also timed."""
+        import shutil
+        import tempfile
+        import time as _t
+
+        from pyspark.sql import functions as F2
+
+        from hospital_stain_tracker_data_pipeline_spark.operators.pq import (
+            append_ann_index,
+            build_ann_index,
+        )
+
+        emb = load_fixture_table(spark, sf_dir, "embeddings")
+        base = emb.filter(F2.col("vec_id") % 10 != 0)
+        delta = emb.filter(F2.col("vec_id") % 10 == 0)
+        d = tempfile.mkdtemp(prefix="annappend_")
+        try:
+            t0 = _t.perf_counter()
+            build_ann_index(
+                base, f"{d}/idx", n_clusters=16, m=16, n_codes=64,
+                iters=2,
+            )
+            t1 = _t.perf_counter()
+            report = append_ann_index(spark, f"{d}/idx", delta)
+            t2 = _t.perf_counter()
+            EXTRAS_INFO["ann_append"] = {
+                "build_sec": round(t1 - t0, 3),
+                "append_sec": round(t2 - t1, 3),
+                "appended": report["appended"],
+                "occupancy_shift_tv": report["occupancy_shift_tv"],
+                "err_ratio": report["err_ratio"],
+            }
+            n = spark.read.parquet(f"{d}/idx/codes").count()
+            return spark.createDataFrame([(n,)], "n long")
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
     def corpus_refresh_diff(spark, sf_dir):
         """Snapshot-diff the documents fixture against a mutated
         refresh (1/7 removed, 1/5 edited, 13 added) — times the
@@ -662,6 +707,7 @@ def _extras_registry():
         "gopher_pii_pass": gopher_and_pii,
         "pack_manifest": pack_manifest,
         "pq_search": pq_search,
+        "ann_append": ann_append,
         "corpus_refresh_diff": corpus_refresh_diff,
         "hll_distinct_words": hll_distinct_words,
         "corpus_card": corpus_card,

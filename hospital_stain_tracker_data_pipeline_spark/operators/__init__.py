@@ -86,6 +86,7 @@ from .diffs import (  # noqa: F401
     summarize_diff,
 )
 from .pq import (  # noqa: F401
+    append_ann_index,
     build_ann_index,
     knn_ivf_pq,
     knn_pq,

@@ -64,6 +64,7 @@ __all__ = [
     "save_pq_index",
     "load_pq_index",
     "build_ann_index",
+    "append_ann_index",
     "search_ann_index",
 ]
 
@@ -464,6 +465,67 @@ def load_pq_index(spark, path: str) -> np.ndarray:
     return out
 
 
+def _pq_error_udf(codebooks: np.ndarray):
+    """Arrow-batched PQ quantization error: QUANTIZED vectors
+    (array<long>) -> per-row total squared L2 between the vector and
+    its codeword reconstruction, summed over all ``m`` subspaces, in
+    1e-12 grid units (LONG). Exact integer arithmetic: per subspace
+    ``min_c(|c|^2 - 2 x.c) + |x_s|^2`` — the same gemm as
+    ``_pq_assign_udf`` plus the row-norm term the argmin drops. Grid
+    components are <= ~1e6 so a per-row error tops out around
+    ``dim * (2e6)^2`` ~ 2.6e14 for dim 64 — far below 2^63."""
+    from pyspark.sql.functions import pandas_udf
+
+    cb = np.ascontiguousarray(codebooks, dtype=np.int64)
+    m, _, dsub = cb.shape
+    cnorm2 = (cb * cb).sum(axis=2)  # (m, k) int64, exact
+
+    @pandas_udf("long")
+    def _err(emb: pd.Series) -> pd.Series:
+        arrs = emb.to_numpy()
+        if not len(arrs):
+            return pd.Series([], dtype="Int64")
+        mask = np.array([a is not None for a in arrs])
+        out = np.full(len(arrs), None, dtype=object)
+        if mask.any():
+            x = np.stack(arrs[mask]).astype(np.int64).reshape(-1, m, dsub)
+            tot = np.zeros(x.shape[0], dtype=np.int64)
+            for s in range(m):
+                score = cnorm2[s][None, :] - 2 * (x[:, s, :] @ cb[s].T)
+                tot += score.min(axis=1) + (x[:, s, :] ** 2).sum(axis=1)
+            for j, i in enumerate(np.nonzero(mask)[0]):
+                out[i] = int(tot[j])
+        return pd.Series(out, dtype="Int64")
+
+    return _err
+
+
+def _cell_stats(
+    df: DataFrame,
+    cents: np.ndarray,
+    cb: np.ndarray,
+    vec_col: str,
+) -> DataFrame:
+    """Per-IVF-cell ``(cell, n, err_sum)`` over a vector frame: row
+    count and exact total PQ quantization error (decimal(38,0) sum of
+    the per-row LONG error, order-invariant). Model-sized output —
+    at most ``n_clusters`` rows."""
+    return (
+        fanout(df)
+        .select(quantize_vec_long(F.col(vec_col)).alias("_qv"))
+        .filter(F.col("_qv").isNotNull())
+        .select(
+            ivf_assign_udf(cents)(F.col("_qv")).alias("cell"),
+            _pq_error_udf(cb)(F.col("_qv")).alias("_err"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("_err").cast("decimal(38,0)")).alias("err_sum"),
+        )
+    )
+
+
 def _encode_cells(
     corpus: DataFrame,
     cents: np.ndarray,
@@ -531,6 +593,11 @@ def build_ann_index(
     _encode_cells(corpus, cents, cb, id_col, vec_col).write.mode(
         "overwrite"
     ).parquet(f"{path}/codes")
+    # fit-time per-cell occupancy + quantization error — the drift
+    # baseline every later append_ann_index compares its batch against
+    _cell_stats(corpus, cents, cb, vec_col).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/stats")
     os.makedirs(path, exist_ok=True)
     with open(marker, "w") as f:
         json.dump(
@@ -540,9 +607,139 @@ def build_ann_index(
                 "n_codes": n_codes,
                 "iters": iters,
                 "id_col": id_col,
+                "appends": 0,
             },
             f,
         )
+
+
+def append_ann_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    vec_col: str = "embedding",
+    err_ratio_threshold: float = 2.0,
+    occupancy_shift_threshold: float = 0.25,
+) -> dict:
+    """Incremental half of the persistent IVF-PQ index: encode a delta
+    batch (a daily crawl's new embeddings) under the EXISTING
+    centroids/codebooks and append it to ``path/codes`` — the whole
+    embedding lake is never re-read, which is the difference between
+    O(delta) and O(100 TB) for a nightly refresh. ``search_ann_index``
+    then serves (build + appends) transparently: the codes table just
+    has more rows.
+
+    Because the fits are frozen, append quality decays as the corpus
+    distribution drifts away from fit time. The returned DRIFT REPORT
+    quantifies that against the fit-time baseline ``build_ann_index``
+    persisted under ``path/stats``:
+
+    - ``occupancy_shift_tv``: total-variation distance between the
+      fit-time per-cell occupancy distribution and the delta batch's
+      (0 = identical routing, 1 = disjoint cells);
+    - ``err_ratio``: the delta's mean PQ quantization error over the
+      fit-time mean — new content the codebooks can't represent shows
+      up here before recall visibly degrades;
+    - ``refit_recommended``: True when either exceeds its threshold —
+      the operator's signal to schedule a full ``build_ann_index``.
+
+    Marker discipline matches the build: the delta is fully validated
+    and its stats computed BEFORE ``_INDEX_OK`` is removed, so bad
+    input never tears the artifact; the marker is rewritten (with
+    ``appends`` incremented) only after the codes append lands — a
+    crash mid-append leaves a loudly-rejected torn artifact.
+
+    The delta frame must carry the id column the index was built with
+    (the marker records it) plus ``vec_col``. Appended ids are NOT
+    dedup'd against existing codes — run the corpus dedup tier first
+    (`dedup_against_corpus`), same as the build's contract."""
+    import json
+    import os
+
+    marker = os.path.join(path, "_INDEX_OK")
+    if not os.path.exists(marker):
+        raise ValueError(
+            f"{path} has no _INDEX_OK marker — cannot append to an "
+            "incomplete or torn index; rebuild with build_ann_index"
+        )
+    with open(marker) as f:
+        meta = json.load(f)
+    id_col = meta["id_col"]
+    missing = [c for c in (id_col, vec_col) if c not in new_vectors.columns]
+    if missing:
+        raise ValueError(
+            f"delta frame lacks column(s) {missing} — the index at "
+            f"{path} was built with id_col={id_col!r}"
+        )
+    if not os.path.isdir(os.path.join(path, "stats")):
+        raise ValueError(
+            f"{path} has no fit-time stats (pre-append-era artifact) — "
+            "rebuild with build_ann_index to enable appends"
+        )
+    cents = load_ivf_index(spark, f"{path}/ivf")
+    cb = load_pq_index(spark, f"{path}/pq")
+    # stats of the delta FIRST: this forces the whole batch through the
+    # assign/error UDFs, so wrong-dim or corrupt vectors fail here —
+    # before the marker comes off (model-sized collect: <= n_clusters rows)
+    new_stats = {
+        int(r["cell"]): (int(r["n"]), int(r["err_sum"]))
+        for r in _cell_stats(new_vectors, cents, cb, vec_col).collect()
+    }
+    fit_stats = {
+        int(r["cell"]): (int(r["n"]), int(r["err_sum"]))
+        for r in spark.read.parquet(f"{path}/stats").collect()
+    }
+    n_new = sum(n for n, _ in new_stats.values())
+    n_fit = sum(n for n, _ in fit_stats.values())
+    if n_new:
+        os.remove(marker)
+        _encode_cells(new_vectors, cents, cb, id_col, vec_col).write.mode(
+            "append"
+        ).parquet(f"{path}/codes")
+        meta["appends"] = int(meta.get("appends", 0)) + 1
+        with open(marker, "w") as f:
+            json.dump(meta, f)
+    cells = sorted(set(fit_stats) | set(new_stats))
+    tv = 0.0
+    per_cell = []
+    for c in cells:
+        fit_frac = fit_stats.get(c, (0, 0))[0] / n_fit if n_fit else 0.0
+        new_frac = new_stats.get(c, (0, 0))[0] / n_new if n_new else 0.0
+        tv += abs(fit_frac - new_frac)
+        per_cell.append(
+            {
+                "cell": c,
+                "fit_frac": round(fit_frac, 6),
+                "append_frac": round(new_frac, 6),
+            }
+        )
+    tv = round(tv / 2.0, 6)
+    fit_err = (
+        sum(e for _, e in fit_stats.values()) / n_fit if n_fit else 0.0
+    )
+    new_err = (
+        sum(e for _, e in new_stats.values()) / n_new if n_new else 0.0
+    )
+    # err_ratio is None when the fit baseline is exactly 0 (corpus ==
+    # codewords, degenerate); any nonzero delta error then recommends
+    # a refit outright
+    err_ratio = round(new_err / fit_err, 6) if fit_err else None
+    refit = n_new > 0 and (
+        tv > occupancy_shift_threshold
+        or (err_ratio is not None and err_ratio > err_ratio_threshold)
+        or (err_ratio is None and new_err > 0)
+    )
+    return {
+        "appended": n_new,
+        "fit_n": n_fit,
+        "appends": int(meta.get("appends", 0)),
+        "fit_mean_err": round(fit_err, 3),
+        "append_mean_err": round(new_err, 3),
+        "err_ratio": err_ratio,
+        "occupancy_shift_tv": tv,
+        "cells": per_cell,
+        "refit_recommended": refit,
+    }
 
 
 def search_ann_index(

@@ -290,13 +290,27 @@ def cmd_ann_index(args) -> None:
     """Fit and persist the complete IVF-PQ search artifact (coarse
     centroids + product codebooks + the encoded corpus) — the
     nightly-fit half; `ann_search` serves queries from it without ever
-    rereading the raw embedding lake."""
+    rereading the raw embedding lake. With --append, `--embeddings` is
+    a DELTA batch encoded under the EXISTING fits and appended to the
+    codes table (O(delta), the lake is never re-read); the drift
+    report (occupancy shift + quantization-error ratio vs fit time)
+    prints as JSON so an operator/cron can gate a full rebuild on
+    `refit_recommended`."""
+    import json as _json
+
     from hospital_stain_tracker_data_pipeline_spark.operators.pq import (
+        append_ann_index,
         build_ann_index,
     )
 
     spark = get_spark(app_name="ann_index")
     emb = spark.read.parquet(args.embeddings)
+    if args.append:
+        report = append_ann_index(
+            spark, args.output, emb, vec_col=args.vec_col
+        )
+        print(_json.dumps(report))
+        return
     build_ann_index(
         emb,
         args.output,
@@ -707,6 +721,12 @@ def main() -> None:
     pai.add_argument("--iters", type=int, default=3)
     pai.add_argument("--id-col", default="vec_id")
     pai.add_argument("--vec-col", default="embedding")
+    pai.add_argument("--append", action="store_true",
+                     help="treat --embeddings as a DELTA batch: encode "
+                     "it under the existing index's centroids/codebooks "
+                     "and append to --output (which must already hold a "
+                     "completed build); prints the drift report JSON. "
+                     "--clusters/--m/--codes/--iters are ignored")
     pai.set_defaults(fn=cmd_ann_index)
 
     pas = sub.add_parser("ann_search")

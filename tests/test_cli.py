@@ -587,3 +587,48 @@ def test_cli_ann_index_and_search(tmp_path):
         f"FROM '{out}/*.parquet') WHERE prev > adc_dist"
     ).fetchone()[0]
     assert ordered == 0
+
+
+def test_cli_ann_index_append(tmp_path):
+    """`ann_index --append` encodes a delta under the existing fits,
+    grows the codes table by exactly the delta, and prints the drift
+    report JSON (the refit gate a nightly cron reads)."""
+    import json
+
+    import duckdb
+
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    idx = str(tmp_path / "ann")
+    base = str(tmp_path / "base")
+    delta = str(tmp_path / "delta")
+    duckdb.sql(
+        f"COPY (SELECT * FROM '{emb}' WHERE vec_id % 10 != 0) "
+        f"TO '{base}' (FORMAT PARQUET)"
+    )
+    duckdb.sql(
+        f"COPY (SELECT * FROM '{emb}' WHERE vec_id % 10 = 0) "
+        f"TO '{delta}' (FORMAT PARQUET)"
+    )
+    _run(
+        "ann_index", "--embeddings", base, "--output", idx,
+        "--clusters", "4", "--m", "8", "--codes", "16", "--iters", "1",
+    )
+    n0 = duckdb.sql(
+        f"SELECT count(*) FROM '{idx}/codes/*.parquet'"
+    ).fetchone()[0]
+    out = _run(
+        "ann_index", "--embeddings", delta, "--output", idx, "--append",
+    )
+    report = json.loads(
+        [ln for ln in out.splitlines() if ln.startswith("{")][-1]
+    )
+    n_delta = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{delta}') "
+        f"WHERE embedding IS NOT NULL"
+    ).fetchone()[0]
+    assert report["appended"] == n_delta
+    assert isinstance(report["refit_recommended"], bool)
+    n1 = duckdb.sql(
+        f"SELECT count(*) FROM '{idx}/codes/*.parquet'"
+    ).fetchone()[0]
+    assert n1 == n0 + n_delta

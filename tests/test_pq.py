@@ -352,3 +352,152 @@ def test_ann_index_torn_artifact_rejected(spark, emb, tmp_path):
     os.remove(os.path.join(idx, "_INDEX_OK"))
     with _pytest.raises(ValueError, match="_INDEX_OK"):
         search_ann_index(spark, idx, q)
+
+
+def test_ann_index_append_equals_full_encode(spark, emb, tmp_path):
+    """build(base) + append(delta) must serve EXACTLY what a full
+    re-encode of base ∪ delta under the SAME frozen fits serves — the
+    append is pure O(delta) encoding, never a semantic shortcut. (A
+    full re-FIT would move the centroids; the contract is equality at
+    identical centroids/codebooks, per the incremental-index design.)"""
+    from hospital_stain_tracker_data_pipeline_spark.operators.pq import (
+        _encode_cells,
+        append_ann_index,
+        build_ann_index,
+        load_ivf_index,
+        load_pq_index,
+        search_ann_index,
+    )
+
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    params = dict(n_clusters=4, m=8, n_codes=16, iters=2)
+
+    inc = str(tmp_path / "inc")
+    build_ann_index(base, inc, **params)
+    report = append_ann_index(spark, inc, delta)
+    assert report["appended"] == delta.filter(
+        F.col("embedding").isNotNull()
+    ).count()
+    assert report["appends"] == 1
+
+    # reference artifact: same deterministic fits (built on base), codes
+    # overwritten with a full encode of base ∪ delta under those fits
+    full = str(tmp_path / "full")
+    build_ann_index(base, full, **params)
+    cents = load_ivf_index(spark, f"{full}/ivf")
+    cb = load_pq_index(spark, f"{full}/pq")
+    _encode_cells(emb, cents, cb, "vec_id", "embedding").write.mode(
+        "overwrite"
+    ).parquet(f"{full}/codes")
+
+    q = emb.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(map(tuple, search_ann_index(
+        spark, inc, q, k=5, nprobe=2, exclude_self=True
+    ).collect()))
+    want = sorted(map(tuple, search_ann_index(
+        spark, full, q, k=5, nprobe=2, exclude_self=True
+    ).collect()))
+    assert got == want and len(got) > 0
+    # appended ids are genuinely searchable: query a delta vector for
+    # itself with self-matches kept
+    dq = delta.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hit = search_ann_index(spark, inc, dq, k=1, nprobe=4)
+    assert hit.filter(F.col("query_id") == F.col("vec_id")).count() == 1
+
+
+def test_ann_index_append_drift_report(spark, emb, tmp_path):
+    """The drift report separates a same-distribution delta (no refit)
+    from a shifted one (refit recommended): quantization error of a
+    3x-scaled batch under codebooks fit at 1x must blow past the 2x
+    ratio threshold, while a uniform slice of the fit corpus stays
+    near ratio 1 and near-zero occupancy shift."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.pq import (
+        append_ann_index,
+        build_ann_index,
+    )
+
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    same = emb.filter(F.col("vec_id") % 10 == 0)
+    idx = str(tmp_path / "ann")
+    build_ann_index(base, idx, n_clusters=4, m=8, n_codes=16, iters=2)
+
+    rep_same = append_ann_index(spark, idx, same)
+    assert rep_same["refit_recommended"] is False
+    assert rep_same["err_ratio"] is not None
+    assert 0.5 < rep_same["err_ratio"] < 2.0
+    assert rep_same["occupancy_shift_tv"] < 0.25
+    assert abs(
+        sum(c["append_frac"] for c in rep_same["cells"]) - 1.0
+    ) < 1e-4
+
+    shifted = same.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(3.0)).alias(
+            "embedding"
+        ),
+    )
+    rep_shift = append_ann_index(spark, idx, shifted)
+    assert rep_shift["err_ratio"] > 2.0
+    assert rep_shift["refit_recommended"] is True
+    assert rep_shift["appends"] == 2
+
+
+def test_ann_index_append_guards(spark, emb, tmp_path):
+    """Append validation never tears the artifact: a bad delta fails
+    BEFORE the marker comes off (the index stays servable); appending
+    to a markerless or pre-append-era (no stats) artifact is rejected;
+    a crash inside the codes append itself leaves the loudly-rejected
+    torn state."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from hospital_stain_tracker_data_pipeline_spark.operators import pq
+
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    idx = str(tmp_path / "ann")
+    pq.build_ann_index(base, idx, n_clusters=4, m=8, n_codes=16, iters=1)
+    q = emb.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
+
+    # wrong id column: rejected up front, marker intact, still servable
+    with _pytest.raises(ValueError, match="lacks column"):
+        pq.append_ann_index(
+            spark, idx, delta.withColumnRenamed("vec_id", "doc_id")
+        )
+    assert os.path.exists(os.path.join(idx, "_INDEX_OK"))
+    assert pq.search_ann_index(spark, idx, q, k=3, nprobe=2).count() == 3
+
+    # no marker at all
+    with _pytest.raises(ValueError, match="_INDEX_OK"):
+        pq.append_ann_index(spark, str(tmp_path / "nope"), delta)
+
+    # pre-append-era artifact (no fit-time stats)
+    old = str(tmp_path / "old")
+    pq.build_ann_index(base, old, n_clusters=4, m=8, n_codes=16, iters=1)
+    shutil.rmtree(os.path.join(old, "stats"))
+    with _pytest.raises(ValueError, match="stats"):
+        pq.append_ann_index(spark, old, delta)
+
+    # crash INSIDE the codes append (after validation) => torn, rejected
+    torn = str(tmp_path / "torn")
+    pq.build_ann_index(base, torn, n_clusters=4, m=8, n_codes=16, iters=1)
+    real = pq._encode_cells
+    try:
+        def _boom(*a, **k):
+            raise RuntimeError("simulated executor loss")
+
+        pq._encode_cells = _boom
+        with _pytest.raises(RuntimeError, match="simulated"):
+            pq.append_ann_index(spark, torn, delta)
+    finally:
+        pq._encode_cells = real
+    assert not os.path.exists(os.path.join(torn, "_INDEX_OK"))
+    with _pytest.raises(ValueError, match="_INDEX_OK"):
+        pq.search_ann_index(spark, torn, q)
