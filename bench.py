@@ -321,6 +321,47 @@ def _extras_registry():
         EXTRAS_INFO["pq_search"] = phases
         return out
 
+    def image_near_dup(spark, sf_dir):
+        """Visual near-dup dedup at bench scale: render a deterministic
+        32x32 BMP per document (seeded by doc_id mod 401, so ~12-doc
+        families share a base pattern; two per-doc pixel tweaks make
+        family members NEAR dups, not exact), perceptually hash the
+        payloads (real BMP pixel decode, Arrow-batched), and generate
+        Hamming-banded pairs. Times the full image-dedup path: decode +
+        dHash in mapInPandas, then the fingerprint-only banding join —
+        pixels never cross a shuffle."""
+        import numpy as np2
+        import pandas as pd2
+
+        from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (  # noqa: E501
+            encode_bmp,
+            image_dup_pairs,
+            to_media_table,
+        )
+
+        docs = load_fixture_table(spark, sf_dir, "documents").select("doc_id")
+
+        def render(batches):
+            for pdf in batches:
+                ids = pdf["doc_id"].astype("int64")
+                payloads = []
+                for i in ids:
+                    rng = np2.random.RandomState(int(i) % 401)
+                    px = rng.randint(0, 256, size=(32, 32, 3)).astype(
+                        "uint8"
+                    )
+                    tweak = np2.random.RandomState(int(i))
+                    for _ in range(2):
+                        px[tweak.randint(32), tweak.randint(32)] = (
+                            tweak.randint(0, 256, size=3)
+                        )
+                    payloads.append(encode_bmp(px))
+                yield pd2.DataFrame({"doc_id": ids, "payload": payloads})
+
+        rendered = docs.mapInPandas(render, "doc_id long, payload binary")
+        media = to_media_table(rendered, "doc_id", "payload", source="bench")
+        return image_dup_pairs(media, max_hamming=3)
+
     def ann_append(spark, sf_dir):
         """Incremental ANN refresh vs full rebuild: build the
         persistent IVF-PQ artifact over 90% of the embedding lake
@@ -707,6 +748,7 @@ def _extras_registry():
         "gopher_pii_pass": gopher_and_pii,
         "pack_manifest": pack_manifest,
         "pq_search": pq_search,
+        "image_near_dup": image_near_dup,
         "ann_append": ann_append,
         "corpus_refresh_diff": corpus_refresh_diff,
         "hll_distinct_words": hll_distinct_words,

@@ -114,6 +114,7 @@ from .dedup import (  # noqa: F401
     dedup_against_corpus,
     dedup_pairs_against_corpus,
     dedup_substrings,
+    hamming_pairs,
     minhash_signature_index,
     ngram_contamination,
     select_cluster_representatives,
@@ -132,6 +133,8 @@ from .multimodal import (  # noqa: F401
     extract_audio_features,
     extract_image_features,
     extract_video_features,
+    image_dup_pairs,
+    image_phash,
     sample_video_frames,
 )
 from .features import (  # noqa: F401

@@ -756,6 +756,62 @@ def simhash_band_candidates(
     ).select("id_a", "id_b")
 
 
+def hamming_pairs(
+    df: DataFrame,
+    hash_col: str,
+    id_col: str,
+    nbits: int = 64,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """All pairs whose PRECOMPUTED ``nbits``-bit fingerprints are within
+    Hamming distance ``max_hamming`` — the ``simhash_pairs`` engine
+    with the hashing step factored out, so any fingerprint family
+    (image dHash/aHash from ``multimodal.image_phash``, externally
+    computed signatures) rides the same pigeonhole-banded blocking:
+    ``max_hamming + 1`` contiguous bit bands, bucket equi-join on
+    (band, value), exact-Hamming verify. Recall is exact for distance
+    <= max_hamming (pigeonhole — see ``simhash_banded``), candidates
+    are band-bucket-sized, never C(n,2). Negative LONG fingerprints are
+    fine: the band slice is arithmetic-shift + mask, which extracts the
+    same bits regardless of sign.
+
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``; NULL
+    fingerprints never pair."""
+    h = df.select(
+        F.col(id_col), F.col(hash_col).cast("long").alias("_h")
+    ).filter(F.col("_h").isNotNull())
+    banded = h.select(
+        F.col(id_col),
+        "_h",
+        F.explode(simhash_banded(F.col("_h"), nbits, max_hamming)).alias("bb"),
+    ).select(
+        id_col,
+        "_h",
+        F.col("bb.band").alias("band"),
+        F.col("bb.val").alias("val"),
+    )
+    a = banded.select(
+        "band", "val", F.col(id_col).alias("id_a"), F.col("_h").alias("h_a")
+    )
+    b = banded.select(
+        "band", "val", F.col(id_col).alias("id_b"), F.col("_h").alias("h_b")
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def ngram_contamination(
     corpus: DataFrame,
     eval_set: DataFrame,

@@ -1129,6 +1129,184 @@ def extract_pixel_stats(media: DataFrame, fake_decode: bool = False) -> DataFram
     )
 
 
+IMAGE_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("phash", T.LongType(), True),
+        T.StructField("decoded", T.BooleanType(), False),
+    ]
+)
+
+
+def _decode_any_pixels(raw: bytes) -> np.ndarray | None:
+    """One dispatch for every native pixel decoder (BMP → PNG → JPEG →
+    GIF), the decode chain ``extract_pixel_stats`` runs."""
+    from .jpeg import decode_jpeg_pixels
+
+    px = decode_bmp_pixels(raw)
+    if px is None:
+        px = decode_png_pixels(raw)
+    if px is None:
+        px = decode_jpeg_pixels(raw)
+    if px is None:
+        px = decode_gif_pixels(raw)
+    return px
+
+
+def _phash_bits(px: np.ndarray, algo: str, hash_size: int) -> int:
+    """Perceptual hash of an ``(h, w, 3)`` uint8 array as an UNSIGNED
+    ``hash_size**2``-bit int, exact integer arithmetic end to end so
+    the hash is bit-replayable anywhere:
+
+    - luma is the integer BT.601 vote ``299 R + 587 G + 114 B``
+      (x1000, never divided — only compared);
+    - resampling is ``resize_rgb_nearest`` (integer index maps), not
+      an area filter: deterministic without float kernels. Documented
+      divergence from the classic dHash writeup's bilinear shrink —
+      neighborhood ordering survives nearest sampling well enough for
+      near-dup blocking, and determinism is the contract here;
+    - dhash: bit (r, c) = 1 iff luma[r, c+1] > luma[r, c] on the
+      (hash_size+1) x hash_size grid (horizontal gradient direction);
+    - ahash: bit i = 1 iff luma_i * n > sum(luma) on the hash_size²
+      grid (integer cross-multiplied mean compare, no division).
+
+    Bits pack row-major, bit i at position i (LSB first)."""
+    if algo == "dhash":
+        g = resize_rgb_nearest(px, hash_size + 1, hash_size)
+        luma = (
+            299 * g[..., 0].astype(np.int64)
+            + 587 * g[..., 1].astype(np.int64)
+            + 114 * g[..., 2].astype(np.int64)
+        )
+        bits = (luma[:, 1:] > luma[:, :-1]).flatten()
+    else:
+        g = resize_rgb_nearest(px, hash_size, hash_size)
+        luma = (
+            299 * g[..., 0].astype(np.int64)
+            + 587 * g[..., 1].astype(np.int64)
+            + 114 * g[..., 2].astype(np.int64)
+        )
+        bits = (luma * luma.size > int(luma.sum())).flatten()
+    h = 0
+    for i in np.nonzero(bits)[0]:
+        h |= 1 << int(i)
+    return h
+
+
+def image_phash(
+    media: DataFrame,
+    algo: str = "dhash",
+    hash_size: int = 8,
+    fake_decode: bool = False,
+) -> DataFrame:
+    """Perceptual image hash over the media table — the visual analog
+    of the text corpus's SimHash tier: visually-near-identical images
+    (re-encodes, minor crops/banner swaps, brightness tweaks) land
+    within a few bits of each other, so Hamming-banded blocking
+    (``dedup.hamming_pairs``) finds near-dup pairs without all-pairs
+    pixel comparison. ``(media_id, mime, phash, decoded)`` out;
+    ``hash_size=8`` packs 64 bits into one LONG (two's complement —
+    band extraction is sign-safe).
+
+    Decode policy is the module standard: real pixels for the native
+    codecs (BMP/PNG/JPEG/GIF — same chain as ``extract_pixel_stats``),
+    deterministic payload-hash stand-in bits with ``decoded=False``
+    under ``fake_decode=True``, loud NotImplementedError otherwise.
+    NULL payloads hash to NULL (they cannot pair).
+
+    Scale shape: Arrow-batched ``mapInPandas``, one decode per payload,
+    binary column dropped on the way out — downstream pair generation
+    shuffles only (id, 8-byte hash)."""
+    if algo not in ("dhash", "ahash"):
+        raise ValueError(f"unknown phash algo {algo!r} (dhash|ahash)")
+    nbits = hash_size * hash_size
+    if nbits > 64:
+        raise ValueError(
+            f"hash_size={hash_size} needs {nbits} bits; the LONG "
+            "fingerprint caps at 64 (hash_size <= 8)"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "mime": None,
+                            "phash": None,
+                            "decoded": False,
+                        }
+                    )
+                    continue
+                raw = bytes(payload)
+                sniffed = sniff_image(raw)
+                mime = sniffed[0] if sniffed else None
+                px = _decode_any_pixels(raw)
+                if px is not None:
+                    h = _phash_bits(px, algo, hash_size)
+                    decoded = True
+                elif fake_decode:
+                    h = int(hashlib.sha256(raw).hexdigest()[:16], 16) & (
+                        (1 << nbits) - 1
+                    )
+                    decoded = False
+                else:
+                    raise NotImplementedError(
+                        "image_phash needs a decodable payload "
+                        "(BMP/PNG/JPEG/GIF are native); this payload "
+                        "requires PIL/cv2, not available in this "
+                        "environment — pass fake_decode=True for the "
+                        "deterministic stand-in"
+                    )
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "mime": mime,
+                        "phash": h,
+                        "decoded": decoded,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_PHASH_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=IMAGE_PHASH_SCHEMA
+    )
+
+
+def image_dup_pairs(
+    media: DataFrame,
+    algo: str = "dhash",
+    hash_size: int = 8,
+    max_hamming: int = 3,
+    fake_decode: bool = False,
+) -> DataFrame:
+    """Image near-duplicate pairs: ``image_phash`` + the pigeonhole
+    Hamming banding ``simhash_pairs`` uses (``dedup.hamming_pairs``) —
+    ``(id_a, id_b, hamming)`` for every pair of images whose
+    perceptual hashes differ in <= ``max_hamming`` of the
+    ``hash_size²`` bits. Exact recall at the hash level (banding is
+    pigeonhole, not probabilistic); the pixel payloads never enter a
+    shuffle — candidate generation and verify run on the 8-byte
+    fingerprints alone, the 100 TB image-dedup shape."""
+    from .dedup import hamming_pairs
+
+    hashes = image_phash(media, algo, hash_size, fake_decode)
+    return hamming_pairs(
+        hashes,
+        hash_col="phash",
+        id_col="media_id",
+        nbits=hash_size * hash_size,
+        max_hamming=max_hamming,
+    )
+
+
 def _gif_lzw_decode(data: bytes, mcs: int, n_pixels: int) -> bytes | None:
     """GIF-variant LZW: LSB-first bit packing, dynamic code size from
     ``mcs+1`` to 12 bits, clear/EOI control codes. Decoder grows the
