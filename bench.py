@@ -786,6 +786,12 @@ def main() -> None:
     headline = HEADLINE[:4] if smoke else HEADLINE
 
     spark = get_spark(app_name="hospital_stain_tracker_bench")
+    # ERROR-only logging for the bench run: the benign post-reduction
+    # single-partition windows (allowlisted + subtree-pinned by
+    # tests/test_plan_shapes.py::test_unpartitioned_windows_are_allowlisted_and_post_reduction)
+    # would otherwise flood stderr with WindowExec warnings and mask a
+    # real one; the pin is the detector now, not the warning spam
+    spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM + parquet footers + Python UDF workers once so
     # per-query numbers measure the query, not first-touch session setup

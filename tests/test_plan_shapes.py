@@ -718,3 +718,150 @@ def test_cms_query_broadcasts_sketch(spark, sf_dir):
     plan = _explain(cms_query(sk, words, "w"))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Single-partition window allowlist (round-10 pin)
+# ---------------------------------------------------------------------------
+
+def _top_level_groups(s: str) -> int:
+    """Count top-level [..] groups in a formatted-explain Arguments
+    line: a physical Window prints `[exprs], [partition], [order]`
+    (3 groups) or, unpartitioned, `[exprs], [order]` (2 groups)."""
+    g, depth = 0, 0
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                g += 1
+        elif ch == "]":
+            depth -= 1
+    return g
+
+
+def _parse_formatted(plan: str):
+    """(tree, details): tree = [(depth, name, node_id)] of the MAIN
+    plan section; details = node_id -> {label: text} over the whole
+    output (subquery sections included for window counting)."""
+    import re
+
+    main = plan.split("===== Subqueries =====")[0]
+    tree = []
+    for line in main.splitlines():
+        m = re.match(r"^([ :+\-*]*)([A-Za-z][A-Za-z0-9 ]*?) \((\d+)\)\s*$", line)
+        if m:
+            tree.append((len(m.group(1)), m.group(2), int(m.group(3))))
+    details: dict[int, dict[str, str]] = {}
+    cur = None
+    for line in plan.splitlines():
+        m = re.match(r"^\((\d+)\) ([A-Za-z][A-Za-z0-9 ]*)$", line)
+        if m:
+            cur = details.setdefault(int(m.group(1)), {"_name": m.group(2)})
+            continue
+        if cur is not None:
+            dm = re.match(r"^([A-Za-z][A-Za-z ]*?)\s*: (.*)$", line)
+            if dm:
+                cur[dm.group(1)] = dm.group(2)
+            elif not line.strip():
+                cur = None
+    return tree, details
+
+
+def _unpartitioned_window_ids(details) -> list[int]:
+    return [
+        nid
+        for nid, d in details.items()
+        if d.get("_name") == "Window"
+        and _top_level_groups(d.get("Arguments", "")) == 2
+    ]
+
+
+# Every benign single-partition window in the driver catalog, by
+# design (each runs over a post-reduction frame — docstrings at the
+# plan sites explain why). A NEW unpartitioned window anywhere in the
+# catalog fails this pin instead of hiding in WindowExec warning spam
+# (bench runs at ERROR log level now; this test is the detector).
+ALLOWED_UNPARTITIONED_WINDOWS = {
+    "rolling_trend": 1,        # global date window over the daily rollup
+    "rank_topn_per_group": 1,  # global ntile AFTER the top-3 rank filter
+    "vocab_topk": 1,           # token-id assignment after limit(200)
+    "rrf_fuse": 3,             # per-list ranks + fusion over top-k lists
+}
+
+# Row-boundedness evidence required in an allowlisted window's subtree
+_REDUCTION_NODES = {
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "TakeOrderedAndProject",
+    "GlobalLimit",
+    "LocalLimit",
+}
+
+
+def test_unpartitioned_windows_are_allowlisted_and_post_reduction(
+    spark, sf_dir
+):
+    """Enumerate every single-partition WindowExec across the WHOLE
+    catalog (driver-graded + demoted; streaming entries excluded —
+    their fns execute a stream on construction and their read-back
+    frames are plain scans) and pin (a) exactly which queries carry
+    one and how many, and (b) that each sits over a post-reduction
+    frame: its subtree contains an aggregate/limit, or a rank-filter
+    over a PARTITIONED window computed below it (the top-N-per-group
+    shape, <= N x |groups| rows)."""
+    import re
+
+    found: dict[str, int] = {}
+    for name, spec in {**CATALOG, **DEMOTED}.items():
+        if name.startswith("stream"):
+            continue
+        plan = plan_of(spark, sf_dir, name)
+        tree, details = _parse_formatted(plan)
+        win_ids = _unpartitioned_window_ids(details)
+        if not win_ids:
+            continue
+        found[name] = len(win_ids)
+
+        pos = {nid: i for i, (_, _, nid) in enumerate(tree)}
+        for wid in win_ids:
+            if wid not in pos:  # window inside a subquery section
+                continue
+            i = pos[wid]
+            wdepth = tree[i][0]
+            subtree = []
+            for depth, nname, nid in tree[i + 1:]:
+                if depth <= wdepth:
+                    break
+                subtree.append((nname, nid))
+            names = {n for n, _ in subtree}
+            if names & _REDUCTION_NODES:
+                continue
+            # rank-filter evidence: a Filter in the subtree whose
+            # condition references an alias produced by a deeper
+            # PARTITIONED window
+            ok = False
+            for nname, nid in subtree:
+                if nname != "Filter":
+                    continue
+                cond = details.get(nid, {}).get("Condition", "")
+                for wname, wnid in subtree:
+                    if wname != "Window" or wnid == nid:
+                        continue
+                    args = details.get(wnid, {}).get("Arguments", "")
+                    if _top_level_groups(args) != 3:
+                        continue
+                    aliases = re.findall(r"AS (\w+#\d+)", args)
+                    if any(a in cond for a in aliases):
+                        ok = True
+            assert ok, (
+                f"{name}: single-partition Window ({wid}) has no "
+                f"row-bounding evidence in its subtree {sorted(names)} "
+                "— a global window over an unreduced frame moves ALL "
+                "data to one task; partition it or reduce first"
+            )
+    assert found == ALLOWED_UNPARTITIONED_WINDOWS, (
+        "single-partition window census changed — if the new window is "
+        "genuinely post-reduction, document it at the plan site and "
+        "update ALLOWED_UNPARTITIONED_WINDOWS; if not, partition it"
+    )
