@@ -210,6 +210,86 @@ class LakeTable:
         return fragmented
 
 
+    def vacuum(
+        self,
+        before: str | None = None,
+        keep: Sequence[str] | None = None,
+        dry_run: bool = False,
+    ) -> dict[str, int]:
+        """Partition-level retention — the third lake maintenance
+        primitive beside ``upsert`` and ``compact``: drop whole
+        partition directories whose value falls out of the retention
+        policy. At 100 TB a date-partitioned lake grows one partition
+        per day forever; retention is a metadata-cheap directory drop,
+        never a row-level rewrite (the reference has no analog — its
+        rejects dir grows unboundedly, ingest_capacity.py:140-153).
+
+        Exactly one of:
+
+        - ``before``: drop partitions with value < ``before`` (string
+          compare on the unescaped directory value — for ISO dates
+          lexicographic == chronological, which is why the lake
+          partitions by ISO strings);
+        - ``keep``: drop partitions NOT in the explicit keep-set.
+
+        ``dry_run=True`` returns the would-be victims without touching
+        anything. Returns ``{partition_value: data_file_count}`` for
+        the partitions dropped (or selected, under dry-run).
+
+        The Hive NULL-partition sentinel is never dropped (its rows
+        are invisible to value predicates either way).
+
+        Crash discipline: the victim list is marker-committed — a
+        ``_VACUUM_PENDING`` file (JSON victim list) lands before the
+        first directory drop and is removed after the last, so an
+        interrupted vacuum is DETECTABLE (the marker names what was in
+        flight) and safely resumable: deletes are idempotent, and a
+        leftover marker is overwritten by the rerun. Readers are
+        unaffected mid-vacuum — they simply stop seeing dropped
+        partitions; untouched partitions never change (pinned by the
+        pruned-query-equality test)."""
+        if (before is None) == (keep is None):
+            raise ValueError("vacuum needs exactly one of before= / keep=")
+        counts = self.partition_file_counts()
+        if keep is not None:
+            keep_set = {str(k) for k in keep}
+            victims = {
+                p: n
+                for p, n in counts.items()
+                if p != self._NULL_PARTITION and p not in keep_set
+            }
+        else:
+            victims = {
+                p: n
+                for p, n in counts.items()
+                if p != self._NULL_PARTITION and p < before
+            }
+        if dry_run or not victims:
+            return victims
+
+        import json
+
+        fs, root = self._hadoop_fs()
+        jvm_path = self.spark._jvm.org.apache.hadoop.fs.Path
+        marker = jvm_path(root, "_VACUUM_PENDING")
+        out = fs.create(marker, True)
+        out.write(bytearray(json.dumps(sorted(victims)).encode()))
+        out.close()
+        from urllib.parse import unquote
+
+        prefix = f"{self.partition_col}="
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if (
+                st.isDirectory()
+                and name.startswith(prefix)
+                and unquote(name[len(prefix):]) in victims
+            ):
+                fs.delete(st.getPath(), True)
+        fs.delete(marker, False)
+        return victims
+
+
 def write_bucketed_table(
     df, table: str, key: str, buckets: int = 32
 ) -> None:

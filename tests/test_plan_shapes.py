@@ -865,3 +865,70 @@ def test_unpartitioned_windows_are_allowlisted_and_post_reduction(
         "genuinely post-reduction, document it at the plan site and "
         "update ALLOWED_UNPARTITIONED_WINDOWS; if not, partition it"
     )
+
+
+def test_lake_vacuum_retention(spark, tmp_path):
+    """vacuum(before=) drops only out-of-retention partition
+    directories: victims gone from disk, pruned queries over untouched
+    dates return byte-identical results, dry-run touches nothing,
+    keep= mode is the explicit inverse, and the pending marker is gone
+    after a clean vacuum."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from hospital_stain_tracker_data_pipeline_spark.pipeline.lake import LakeTable
+
+    root = str(tmp_path / "ret")
+    t = LakeTable(
+        spark, root, keys=["date", "k"], partition_col="date",
+        version_col="v",
+    )
+    dates = ["2026-01-01", "2026-01-02", "2026-01-03", "2026-01-04"]
+    df = spark.range(400).select(
+        F.element_at(
+            F.array(*[F.lit(d) for d in dates]),
+            (F.col("id") % 4 + 1).cast("int"),
+        ).alias("date"),
+        F.col("id").alias("k"),
+        (F.col("id") * 1.5).alias("x"),
+        F.lit(0).alias("v"),
+    )
+    t.overwrite(df)
+    kept_query_before = sorted(
+        tuple(r)
+        for r in t.read().filter(F.col("date") >= "2026-01-03").collect()
+    )
+
+    # dry run: reports victims, deletes nothing
+    dry = t.vacuum(before="2026-01-03", dry_run=True)
+    assert sorted(dry) == ["2026-01-01", "2026-01-02"]
+    assert sorted(t.partition_file_counts()) == dates
+
+    gone = t.vacuum(before="2026-01-03")
+    assert sorted(gone) == ["2026-01-01", "2026-01-02"]
+    assert sorted(t.partition_file_counts()) == ["2026-01-03", "2026-01-04"]
+    assert not os.path.exists(os.path.join(root, "_VACUUM_PENDING"))
+    # untouched partitions byte-identical through the vacuum
+    assert (
+        sorted(
+            tuple(r)
+            for r in t.read().filter(F.col("date") >= "2026-01-03").collect()
+        )
+        == kept_query_before
+    )
+    # idempotent rerun: nothing left to drop
+    assert t.vacuum(before="2026-01-03") == {}
+
+    # keep= mode drops everything not named
+    gone2 = t.vacuum(keep=["2026-01-04"])
+    assert sorted(gone2) == ["2026-01-03"]
+    assert sorted(t.partition_file_counts()) == ["2026-01-04"]
+
+    # exactly one policy argument
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        t.vacuum()
+    with _pytest.raises(ValueError, match="exactly one"):
+        t.vacuum(before="2026-01-01", keep=["2026-01-04"])
