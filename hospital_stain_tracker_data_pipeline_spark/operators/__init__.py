@@ -38,6 +38,8 @@ from .web import (  # noqa: F401
     filter_blocked_domains,
     parse_html_documents,
     plan_recrawl,
+    robots_filter,
+    robots_rules,
 )
 from .sketch import (  # noqa: F401
     approx_distinct_hll,

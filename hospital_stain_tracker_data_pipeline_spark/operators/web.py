@@ -6,7 +6,10 @@ caps, and domain blocklist filtering.
 Spark-first shape: domain extraction is a pure regexp Column (JVM-side,
 whole-stage codegen); the cap is one ranked window per group keyed by a
 deterministic hash order; the blocklist is a broadcast anti-join. No
-Python anywhere.
+Python in any per-document path — the one deliberate exception is the
+robots.txt parser (an Arrow-batched pandas UDF over the tiny per-domain
+rule bodies; the per-URL politeness verdict itself is pure Columns over
+a broadcast rules table).
 
 At 100 TB: the cap's window shuffles on the group column — exactly one
 exchange, and the heavy tail of the web (millions of single-page
@@ -22,6 +25,7 @@ cheap count + filter is the scale-correct order of operations —
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -459,4 +463,193 @@ def plan_recrawl(
             "lastmod_ts",
             "last_fetch_ts",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt (RFC 9309) — the crawl-politeness gate
+# ---------------------------------------------------------------------------
+
+# Parsed-rule row shape emitted per robots.txt body. The regex is
+# precomputed at PARSE time (rules tables are tiny — tens of rows per
+# domain), so the frontier-side match is a single regexp_like over a
+# broadcast rules table: the per-URL work never re-derives patterns.
+_ROBOTS_RULES_TYPE = (
+    "array<struct<agent:string,allow:boolean,pattern:string,regex:string>>"
+)
+
+
+def _robots_pattern_regex(pattern: str) -> str:
+    """RFC 9309 path pattern → anchored regex: literal except ``*``
+    (any char run) and a TRAILING ``$`` (end anchor; ``$`` elsewhere is
+    literal per the RFC's grammar). ``re.escape`` output is valid in
+    Java regex and RE2 alike (only punctuation ever gets escaped), so
+    the same regex replays in DuckDB."""
+    import re as _re
+
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    return (
+        "^"
+        + ".*".join(_re.escape(seg) for seg in body.split("*"))
+        + ("$" if anchored else "")
+    )
+
+
+def _parse_robots_txt(text: str) -> list[tuple[str, bool, str, str]]:
+    """One robots.txt body → [(agent, allow, pattern, regex)].
+
+    RFC 9309 group semantics: consecutive ``User-agent`` lines stack
+    onto the rule block that follows; a ``User-agent`` after rules
+    starts a new group; rules before any group are undefined and
+    ignored; an EMPTY pattern matches nothing (``Disallow:`` alone =
+    no restriction) and is dropped; unrecognized fields (``Sitemap``,
+    ``Crawl-delay``, ...) are ignored WITHOUT ending a group (the
+    reference-parser behavior). Comments (#) strip to end of line;
+    field names are case-insensitive; agent tokens lowercase."""
+    rules: list[tuple[str, bool, str, str]] = []
+    agents: list[str] = []
+    stacking = False
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if not stacking:
+                agents = []
+            if val:
+                agents.append(val.lower())
+            stacking = True
+        elif key in ("allow", "disallow"):
+            stacking = False
+            if not agents or not val:
+                continue
+            for a in agents:
+                rules.append(
+                    (a, key == "allow", val, _robots_pattern_regex(val))
+                )
+        # other fields: neutral — neither rules nor group breaks
+    return rules
+
+
+def robots_rules(
+    robots: DataFrame,
+    domain_col: str = "domain",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """Parse fetched robots.txt bodies into the flat per-domain rules
+    table ``(domain, agent, allow, pattern, pattern_len, regex)`` that
+    ``robots_filter`` broadcast-joins onto a frontier. One Arrow-batched
+    parse per body (bodies are small and the output is rule-sized);
+    ``pattern_len`` is the RFC's specificity measure (octet length of
+    the pattern), precomputed so the filter's longest-match argmax is a
+    plain struct max."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(_ROBOTS_RULES_TYPE)
+    def _parse(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: _parse_robots_txt(t) if t is not None else []
+        )
+
+    return robots.select(
+        F.col(domain_col).alias("domain"),
+        F.explode(_parse(F.col(robots_col))).alias("r"),
+    ).select(
+        "domain",
+        F.col("r.agent").alias("agent"),
+        F.col("r.allow").alias("allow"),
+        F.col("r.pattern").alias("pattern"),
+        F.octet_length("r.pattern").alias("pattern_len"),
+        F.col("r.regex").alias("regex"),
+    )
+
+
+def _robots_path(url: Column) -> Column:
+    """The path-and-query a robots rule matches against: everything
+    from the first ``/`` after the authority through the end, fragment
+    stripped; a URL with no path matches as ``/``."""
+    path = F.regexp_extract(
+        F.trim(url), _AUTH_PREFIX + r"[^/?#]*(/[^#]*|\?[^#]*)", 1
+    )
+    # a bare "?query" still matches rules as "/?query"
+    return F.when(path == "", F.lit("/")).otherwise(
+        F.when(path.startswith("?"), F.concat(F.lit("/"), path)).otherwise(
+            path
+        )
+    )
+
+
+def robots_filter(
+    frontier: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    user_agent: str = "*",
+) -> DataFrame:
+    """Crawl-politeness verdict per frontier URL — the gate between
+    ``plan_recrawl``'s fetch list and the fetcher (real crawls cannot
+    fetch without it): appends ``robots_allowed`` (boolean) and
+    ``robots_rule`` (the winning ``allow:``/``disallow:`` pattern, NULL
+    when no rule matched) to the frontier, RFC 9309 semantics:
+
+    - group selection: the rules whose agent token equals
+      ``user_agent`` (case-insensitive product token) when the domain
+      defines such a group, else the ``*`` group;
+    - longest match wins among the selected group's rules that match
+      the URL's path+query (specificity = pattern octet length); a
+      length tie goes to ``allow``;
+    - no matching rule, no rules for the domain, or no robots.txt at
+      all ⇒ allowed (the RFC default).
+
+    Plan shape at scale: rule selection happens on the (tiny) rules
+    side only; per-URL work is ONE broadcast join domain→rules + one
+    precompiled-regex match + one struct-max argmax keyed on the URL.
+    The frontier is keyed by ``url_col`` (``plan_recrawl`` output
+    already is); duplicate URLs receive identical verdicts."""
+    ua = user_agent.lower()
+    spec = rules.filter(F.col("agent") == ua)
+    star = rules.filter(F.col("agent") == "*").join(
+        spec.select("domain").distinct(), "domain", "left_anti"
+    )
+    selected = spec.unionByName(star)
+
+    urls = (
+        frontier.select(F.col(url_col).alias("_rb_url"))
+        .distinct()
+        .select(
+            "_rb_url",
+            extract_domain(F.col("_rb_url")).alias("_rb_domain"),
+            _robots_path(F.col("_rb_url")).alias("_rb_path"),
+        )
+    )
+    wins = (
+        urls.join(
+            F.broadcast(selected),
+            urls["_rb_domain"] == selected["domain"],
+        )
+        .filter(F.expr("regexp_like(_rb_path, regex)"))
+        .groupBy("_rb_url")
+        .agg(
+            F.max(F.struct("pattern_len", "allow", "pattern")).alias("_rb_w")
+        )
+    )
+    out = frontier.join(
+        wins, frontier[url_col] == wins["_rb_url"], "left"
+    )
+    return out.select(
+        *[frontier[c] for c in frontier.columns],
+        F.coalesce(F.col("_rb_w.allow"), F.lit(True)).alias(
+            "robots_allowed"
+        ),
+        F.when(
+            F.col("_rb_w").isNotNull(),
+            F.concat(
+                F.when(F.col("_rb_w.allow"), F.lit("allow:")).otherwise(
+                    F.lit("disallow:")
+                ),
+                F.col("_rb_w.pattern"),
+            ),
+        ).alias("robots_rule"),
     )
