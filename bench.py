@@ -350,7 +350,8 @@ def _extras_registry():
                     px = rng.randint(0, 256, size=(32, 32, 3)).astype(
                         "uint8"
                     )
-                    tweak = np2.random.RandomState(int(i))
+                    # RandomState seeds cap at 2**32-1; doc_ids may not
+                    tweak = np2.random.RandomState(int(i) & 0xFFFFFFFF)
                     for _ in range(2):
                         px[tweak.randint(32), tweak.randint(32)] = (
                             tweak.randint(0, 256, size=3)

@@ -702,35 +702,31 @@ def simhash_pairs(
     ).filter(F.col("hamming") <= max_hamming)
 
 
-def _simhash_band_candidate_pairs(
-    df: DataFrame, text_col: str, id_col: str, nbits: int, max_hamming: int
+def _banded_candidate_pairs(
+    h: DataFrame, id_col: str, hash_col: str, nbits: int, max_hamming: int
 ) -> DataFrame:
     """(id_a, id_b, h_a, h_b) candidates sharing ≥ 1 band — the ONE
-    simhash banding implementation, shared by the production pair path
-    and the test/introspection hook so they cannot diverge."""
-    hashed = fanout(df).select(
-        F.col(id_col), token_hashes(F.col(text_col)).alias("_th")
-    )
-    h = materialize(
-        hashed.select(
-            F.col(id_col), simhash_udf(nbits)(F.col("_th")).alias("simhash")
-        )
-    )
+    pigeonhole banding implementation, shared by the simhash text
+    path, the generic ``hamming_pairs`` entry point, and the
+    test/introspection hook so they cannot diverge. ``h`` must be a
+    MATERIALIZED (id, hash) frame: both sides of the self-join
+    re-execute the producing subplan otherwise (the ``materialize``
+    contract — for image hashes that subplan is a full pixel decode)."""
     banded = h.select(
         F.col(id_col),
-        "simhash",
-        F.explode(simhash_banded(F.col("simhash"), nbits, max_hamming)).alias("bb"),
+        F.col(hash_col).alias("_h"),
+        F.explode(simhash_banded(F.col(hash_col), nbits, max_hamming)).alias("bb"),
     ).select(
         id_col,
-        "simhash",
+        "_h",
         F.col("bb.band").alias("band"),
         F.col("bb.val").alias("val"),
     )
     a = banded.select(
-        "band", "val", F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a")
+        "band", "val", F.col(id_col).alias("id_a"), F.col("_h").alias("h_a")
     )
     b = banded.select(
-        "band", "val", F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b")
+        "band", "val", F.col(id_col).alias("id_b"), F.col("_h").alias("h_b")
     )
     return (
         a.join(b, ["band", "val"])
@@ -739,6 +735,21 @@ def _simhash_band_candidate_pairs(
         .select("id_a", "id_b", "h_a", "h_b")
         .distinct()
     )
+
+
+def _simhash_band_candidate_pairs(
+    df: DataFrame, text_col: str, id_col: str, nbits: int, max_hamming: int
+) -> DataFrame:
+    """Simhash-from-text front end of ``_banded_candidate_pairs``."""
+    hashed = fanout(df).select(
+        F.col(id_col), token_hashes(F.col(text_col)).alias("_th")
+    )
+    h = materialize(
+        hashed.select(
+            F.col(id_col), simhash_udf(nbits)(F.col("_th")).alias("simhash")
+        )
+    )
+    return _banded_candidate_pairs(h, id_col, "simhash", nbits, max_hamming)
 
 
 def simhash_band_candidates(
@@ -776,31 +787,17 @@ def hamming_pairs(
     same bits regardless of sign.
 
     Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``; NULL
-    fingerprints never pair."""
-    h = df.select(
-        F.col(id_col), F.col(hash_col).cast("long").alias("_h")
-    ).filter(F.col("_h").isNotNull())
-    banded = h.select(
-        F.col(id_col),
-        "_h",
-        F.explode(simhash_banded(F.col("_h"), nbits, max_hamming)).alias("bb"),
-    ).select(
-        id_col,
-        "_h",
-        F.col("bb.band").alias("band"),
-        F.col("bb.val").alias("val"),
-    )
-    a = banded.select(
-        "band", "val", F.col(id_col).alias("id_a"), F.col("_h").alias("h_a")
-    )
-    b = banded.select(
-        "band", "val", F.col(id_col).alias("id_b"), F.col("_h").alias("h_b")
+    fingerprints never pair. The (id, hash) projection is materialized
+    before the banding self-join — both join sides would otherwise
+    re-execute the fingerprint producer (for ``image_dup_pairs`` that
+    is the full pixel decode of every payload)."""
+    h = materialize(
+        df.select(
+            F.col(id_col), F.col(hash_col).cast("long").alias("_fp")
+        ).filter(F.col("_fp").isNotNull())
     )
     return (
-        a.join(b, ["band", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "h_a", "h_b")
-        .distinct()
+        _banded_candidate_pairs(h, id_col, "_fp", nbits, max_hamming)
         .select(
             "id_a",
             "id_b",

@@ -713,7 +713,10 @@ def append_ann_index(
                 "append_frac": round(new_frac, 6),
             }
         )
-    tv = round(tv / 2.0, 6)
+    # an empty delta routed nothing: its occupancy shift is 0 by
+    # definition, not the 0.5 the raw formula would report (which would
+    # trip a dashboard alerting on the 0.25 threshold for a no-op append)
+    tv = round(tv / 2.0, 6) if n_new else 0.0
     fit_err = (
         sum(e for _, e in fit_stats.values()) / n_fit if n_fit else 0.0
     )

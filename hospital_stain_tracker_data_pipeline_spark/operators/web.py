@@ -507,8 +507,10 @@ def _parse_robots_txt(text: str) -> list[tuple[str, bool, str, str]]:
     ``Crawl-delay``, ...) are ignored WITHOUT ending a group (the
     reference-parser behavior). Comments (#) strip to end of line;
     field names are case-insensitive; agent tokens lowercase."""
-    rules: list[tuple[str, bool, str, str]] = []
+    rules: list[tuple[str, bool, str | None, str | None]] = []
     agents: list[str] = []
+    seen_agents: set[str] = set()
+    ruled_agents: set[str] = set()
     stacking = False
     for raw in (text or "").splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -521,16 +523,29 @@ def _parse_robots_txt(text: str) -> list[tuple[str, bool, str, str]]:
                 agents = []
             if val:
                 agents.append(val.lower())
+                seen_agents.add(val.lower())
             stacking = True
         elif key in ("allow", "disallow"):
             stacking = False
             if not agents or not val:
+                # empty pattern matches nothing ("Disallow:" = no
+                # restriction) — but the GROUP still exists (sentinel
+                # below), so a named bot with an all-permissive group
+                # must not fall back to '*'
                 continue
             for a in agents:
+                ruled_agents.add(a)
                 rules.append(
                     (a, key == "allow", val, _robots_pattern_regex(val))
                 )
         # other fields: neutral — neither rules nor group breaks
+    # group-presence sentinel (NULL pattern, never matches a path) for
+    # agents whose every rule was empty-pattern: the canonical
+    # "User-agent: goodbot\nDisallow:\n" welcome idiom defines a group
+    # with NO restrictions — RFC 9309 group selection must use it and
+    # ignore '*', not treat the bot as ungrouped
+    for a in sorted(seen_agents - ruled_agents):
+        rules.append((a, True, None, None))
     return rules
 
 
@@ -545,7 +560,10 @@ def robots_rules(
     parse per body (bodies are small and the output is rule-sized);
     ``pattern_len`` is the RFC's specificity measure (octet length of
     the pattern), precomputed so the filter's longest-match argmax is a
-    plain struct max."""
+    plain struct max. A group whose rules were all empty-pattern
+    (no restrictions) appears as a NULL-pattern sentinel row: it can
+    never match a path but marks the group as DEFINED for agent
+    selection."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(_ROBOTS_RULES_TYPE)

@@ -250,6 +250,14 @@ class LakeTable:
         pruned-query-equality test)."""
         if (before is None) == (keep is None):
             raise ValueError("vacuum needs exactly one of before= / keep=")
+        if isinstance(keep, str):
+            # a plain string satisfies Sequence[str] by iterating its
+            # CHARACTERS — which would mark every partition a victim
+            # and drop the whole table; refuse the footgun loudly
+            raise ValueError(
+                "keep= must be a collection of partition values, not a "
+                f"string (got {keep!r}) — wrap it: keep=[{keep!r}]"
+            )
         counts = self.partition_file_counts()
         if keep is not None:
             keep_set = {str(k) for k in keep}
@@ -264,7 +272,7 @@ class LakeTable:
                 for p, n in counts.items()
                 if p != self._NULL_PARTITION and p < before
             }
-        if dry_run or not victims:
+        if dry_run:
             return victims
 
         import json
@@ -272,6 +280,14 @@ class LakeTable:
         fs, root = self._hadoop_fs()
         jvm_path = self.spark._jvm.org.apache.hadoop.fs.Path
         marker = jvm_path(root, "_VACUUM_PENDING")
+        if not victims:
+            # finish an interrupted vacuum that deleted its last victim
+            # but died before removing the marker — otherwise the stale
+            # marker would signal "torn vacuum" forever, since the
+            # no-victims rerun would never reach the marker logic
+            if fs.exists(marker):
+                fs.delete(marker, False)
+            return victims
         out = fs.create(marker, True)
         out.write(bytearray(json.dumps(sorted(victims)).encode()))
         out.close()

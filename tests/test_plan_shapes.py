@@ -932,3 +932,43 @@ def test_lake_vacuum_retention(spark, tmp_path):
         t.vacuum()
     with _pytest.raises(ValueError, match="exactly one"):
         t.vacuum(before="2026-01-01", keep=["2026-01-04"])
+
+
+def test_lake_vacuum_guards_and_stale_marker(spark, tmp_path):
+    """Review-finding pins: keep= as a plain string (which would
+    iterate characters and drop the whole table) is refused loudly;
+    a leftover _VACUUM_PENDING from a vacuum that died after its last
+    delete is cleaned up by the no-victims rerun."""
+    import os
+
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from hospital_stain_tracker_data_pipeline_spark.pipeline.lake import LakeTable
+
+    root = str(tmp_path / "g")
+    t = LakeTable(
+        spark, root, keys=["date", "k"], partition_col="date",
+        version_col="v",
+    )
+    t.overwrite(
+        spark.range(10).select(
+            F.lit("2026-01-01").alias("date"),
+            F.col("id").alias("k"),
+            F.lit(0).alias("v"),
+        )
+    )
+    with _pytest.raises(ValueError, match="not a string"):
+        t.vacuum(keep="2026-01-01")
+    assert sorted(t.partition_file_counts()) == ["2026-01-01"]
+
+    # stale marker from an interrupted final delete: rerun removes it
+    marker = os.path.join(root, "_VACUUM_PENDING")
+    open(marker, "w").write('["2025-12-31"]')
+    assert t.vacuum(before="2026-01-01") == {}
+    assert not os.path.exists(marker)
+    # dry-run never touches a marker
+    open(marker, "w").write('["2025-12-31"]')
+    assert t.vacuum(before="2026-01-01", dry_run=True) == {}
+    assert os.path.exists(marker)
+    os.remove(marker)

@@ -446,6 +446,14 @@ def test_ann_index_append_drift_report(spark, emb, tmp_path):
     assert rep_shift["refit_recommended"] is True
     assert rep_shift["appends"] == 2
 
+    # an EMPTY delta is a no-op with a quiet drift report: shift 0.0
+    # (not the raw formula's 0.5), no refit, appends counter unmoved
+    rep_empty = append_ann_index(spark, idx, same.filter("vec_id < 0"))
+    assert rep_empty["appended"] == 0
+    assert rep_empty["occupancy_shift_tv"] == 0.0
+    assert rep_empty["refit_recommended"] is False
+    assert rep_empty["appends"] == 2
+
 
 def test_ann_index_append_guards(spark, emb, tmp_path):
     """Append validation never tears the artifact: a bad delta fails

@@ -933,3 +933,25 @@ def test_plan_recrawl_robots_composition(spark):
     assert [r["url"] for r in blocked] == [
         "https://site.example/private/new-secret"
     ]
+
+
+def test_robots_empty_group_blocks_star_fallback(spark):
+    """The canonical welcome idiom — 'User-agent: goodbot / Disallow:'
+    (empty pattern = no restrictions) followed by a blanket '*' block —
+    must select goodbot's PERMISSIVE group, not fall back to '*'
+    (review finding: the group-presence sentinel). The sentinel itself
+    never matches a path."""
+    bodies = {
+        "welcome.example": (
+            "User-agent: goodbot\nDisallow:\n\nUser-agent: *\nDisallow: /\n"
+        ),
+    }
+    urls = ["https://welcome.example/anything", "https://welcome.example/"]
+    good = _verdicts(spark, bodies, urls, ua="GoodBot")
+    assert good["https://welcome.example/anything"] == (True, None)
+    assert good["https://welcome.example/"] == (True, None)
+    other = _verdicts(spark, bodies, urls, ua="otherbot")
+    assert other["https://welcome.example/anything"] == (
+        False,
+        "disallow:/",
+    )
