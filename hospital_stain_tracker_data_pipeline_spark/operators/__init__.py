@@ -88,6 +88,7 @@ from .diffs import (  # noqa: F401
     summarize_diff,
 )
 from .pq import (  # noqa: F401
+    ann_index_drift,
     append_ann_index,
     build_ann_index,
     knn_ivf_pq,

@@ -54,6 +54,7 @@ from .similarity import (
 )
 
 __all__ = [
+    "ann_index_drift",
     "pq_fit_codebooks",
     "pq_encode",
     "pq_decode",
@@ -699,6 +700,25 @@ def append_ann_index(
         meta["appends"] = int(meta.get("appends", 0)) + 1
         with open(marker, "w") as f:
             json.dump(meta, f)
+    report = _drift_report(
+        fit_stats, new_stats, err_ratio_threshold, occupancy_shift_threshold
+    )
+    report["appended"] = n_new
+    report["appends"] = int(meta.get("appends", 0))
+    return report
+
+
+def _drift_report(
+    fit_stats: dict,
+    new_stats: dict,
+    err_ratio_threshold: float,
+    occupancy_shift_threshold: float,
+) -> dict:
+    """Assemble the drift report ``append_ann_index`` and
+    ``ann_index_drift`` share, from two ``{cell: (n, err_sum)}``
+    maps (fit-time baseline vs the probed batch)."""
+    n_new = sum(n for n, _ in new_stats.values())
+    n_fit = sum(n for n, _ in fit_stats.values())
     cells = sorted(set(fit_stats) | set(new_stats))
     tv = 0.0
     per_cell = []
@@ -713,7 +733,7 @@ def append_ann_index(
                 "append_frac": round(new_frac, 6),
             }
         )
-    # an empty delta routed nothing: its occupancy shift is 0 by
+    # an empty batch routed nothing: its occupancy shift is 0 by
     # definition, not the 0.5 the raw formula would report (which would
     # trip a dashboard alerting on the 0.25 threshold for a no-op append)
     tv = round(tv / 2.0, 6) if n_new else 0.0
@@ -724,7 +744,7 @@ def append_ann_index(
         sum(e for _, e in new_stats.values()) / n_new if n_new else 0.0
     )
     # err_ratio is None when the fit baseline is exactly 0 (corpus ==
-    # codewords, degenerate); any nonzero delta error then recommends
+    # codewords, degenerate); any nonzero batch error then recommends
     # a refit outright
     err_ratio = round(new_err / fit_err, 6) if fit_err else None
     refit = n_new > 0 and (
@@ -733,9 +753,7 @@ def append_ann_index(
         or (err_ratio is None and new_err > 0)
     )
     return {
-        "appended": n_new,
         "fit_n": n_fit,
-        "appends": int(meta.get("appends", 0)),
         "fit_mean_err": round(fit_err, 3),
         "append_mean_err": round(new_err, 3),
         "err_ratio": err_ratio,
@@ -743,6 +761,58 @@ def append_ann_index(
         "cells": per_cell,
         "refit_recommended": refit,
     }
+
+
+def ann_index_drift(
+    spark,
+    path: str,
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    err_ratio_threshold: float = 2.0,
+    occupancy_shift_threshold: float = 0.25,
+) -> dict:
+    """Read-only drift probe: the ``append_ann_index`` drift report
+    WITHOUT mutating the index — route a sample of current vectors
+    through the frozen centroids/codebooks and compare per-cell
+    occupancy + quantization error against the fit-time baseline. The
+    monitoring half of the refit loop: a cron probes yesterday's
+    embeddings nightly and schedules a full ``build_ann_index`` when
+    ``refit_recommended`` flips, without waiting for an append to
+    notice. Needs only ``vec_col`` on the input (no ids — nothing is
+    encoded or written); ``appended`` in the report counts the probed
+    vectors."""
+    import json
+    import os
+
+    marker = os.path.join(path, "_INDEX_OK")
+    if not os.path.exists(marker):
+        raise ValueError(
+            f"{path} has no _INDEX_OK marker — cannot probe an "
+            "incomplete or torn index; rebuild with build_ann_index"
+        )
+    if not os.path.isdir(os.path.join(path, "stats")):
+        raise ValueError(
+            f"{path} has no fit-time stats (pre-append-era artifact) — "
+            "rebuild with build_ann_index to enable drift probes"
+        )
+    with open(marker) as f:
+        meta = json.load(f)
+    cents = load_ivf_index(spark, f"{path}/ivf")
+    cb = load_pq_index(spark, f"{path}/pq")
+    new_stats = {
+        int(r["cell"]): (int(r["n"]), int(r["err_sum"]))
+        for r in _cell_stats(vectors, cents, cb, vec_col).collect()
+    }
+    fit_stats = {
+        int(r["cell"]): (int(r["n"]), int(r["err_sum"]))
+        for r in spark.read.parquet(f"{path}/stats").collect()
+    }
+    report = _drift_report(
+        fit_stats, new_stats, err_ratio_threshold, occupancy_shift_threshold
+    )
+    report["appended"] = sum(n for n, _ in new_stats.values())
+    report["appends"] = int(meta.get("appends", 0))
+    return report
 
 
 def search_ann_index(

@@ -25,6 +25,11 @@
     sample --input --output --k        (deterministic exact-k sample;
                                         --strata-col for per-stratum
                                         k or --fraction)
+    plan_crawl --sitemap --fetched --robots --output
+                                       (the frontier trio in one shot:
+                                        sitemap parse -> recrawl
+                                        reconciliation -> robots gate ->
+                                        fetch-plan parquet)
 
 A user of the reference pipeline can run the same workflows against a
 parquet lake directory instead of Postgres:
@@ -295,16 +300,24 @@ def cmd_ann_index(args) -> None:
     codes table (O(delta), the lake is never re-read); the drift
     report (occupancy shift + quantization-error ratio vs fit time)
     prints as JSON so an operator/cron can gate a full rebuild on
-    `refit_recommended`."""
+    `refit_recommended`. With --drift the same report prints WITHOUT
+    mutating the index (read-only monitoring probe)."""
     import json as _json
 
     from hospital_stain_tracker_data_pipeline_spark.operators.pq import (
+        ann_index_drift,
         append_ann_index,
         build_ann_index,
     )
 
     spark = get_spark(app_name="ann_index")
     emb = spark.read.parquet(args.embeddings)
+    if args.drift:
+        report = ann_index_drift(
+            spark, args.output, emb, vec_col=args.vec_col
+        )
+        print(_json.dumps(report))
+        return
     if args.append:
         report = append_ann_index(
             spark, args.output, emb, vec_col=args.vec_col
@@ -348,6 +361,57 @@ def cmd_ann_search(args) -> None:
     out.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     print(f"wrote {n} result rows -> {args.output}")
+
+
+def cmd_plan_crawl(args) -> None:
+    """The crawl frontier trio as ONE command: parse the sitemap(s),
+    reconcile against the lake's fetch history (`plan_recrawl`), gate
+    by robots.txt (`robots_filter`) — writes the fetch-plan parquet
+    (url, status, lastmod_ts, last_fetch_ts, robots_allowed,
+    robots_rule) and prints the status x allowed census. The fetcher
+    consumes `status IN ('new','stale') AND robots_allowed`."""
+    from pyspark.sql import functions as F
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.web import (
+        plan_recrawl,
+        robots_filter,
+        robots_rules,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.sources.xml_source import (
+        read_sitemap,
+    )
+
+    spark = get_spark(app_name="plan_crawl")
+    frontier, rejected = read_sitemap(spark, args.sitemap)
+    n_rejected = rejected.count()
+    if args.fetched:
+        fetched = spark.read.parquet(args.fetched)
+    else:
+        fetched = spark.createDataFrame(
+            [], "url string, fetch_ts timestamp"
+        )
+    plan = plan_recrawl(frontier, fetched)
+    if args.robots:
+        rules = robots_rules(spark.read.parquet(args.robots))
+        plan = robots_filter(plan, rules, user_agent=args.user_agent)
+    else:
+        plan = plan.withColumn("robots_allowed", F.lit(True)).withColumn(
+            "robots_rule", F.lit(None).cast("string")
+        )
+    plan.write.mode("overwrite").parquet(args.output)
+    back = spark.read.parquet(args.output)
+    for r in back.groupBy("status", "robots_allowed").count().orderBy(
+        "status", "robots_allowed"
+    ).collect():
+        print(
+            f"status={r['status']} allowed={r['robots_allowed']} "
+            f"count={r['count']}"
+        )
+    print(f"sitemap_rejects={n_rejected}")
+    n_fetch = back.filter(
+        F.col("robots_allowed") & F.col("status").isin("new", "stale")
+    ).count()
+    print(f"fetch_list={n_fetch} -> {args.output}")
 
 
 def cmd_warc_ingest(args) -> None:
@@ -727,6 +791,11 @@ def main() -> None:
                      "and append to --output (which must already hold a "
                      "completed build); prints the drift report JSON. "
                      "--clusters/--m/--codes/--iters are ignored")
+    pai.add_argument("--drift", action="store_true",
+                     help="READ-ONLY drift probe: route --embeddings "
+                     "through the existing index's fits and print the "
+                     "drift report JSON without appending anything — "
+                     "the nightly refit-or-not monitoring check")
     pai.set_defaults(fn=cmd_ann_index)
 
     pas = sub.add_parser("ann_search")
@@ -742,6 +811,22 @@ def main() -> None:
                      help="drop query_id == corpus id matches (corpus "
                      "self-query mode)")
     pas.set_defaults(fn=cmd_ann_search)
+
+    ppc = sub.add_parser("plan_crawl")
+    ppc.add_argument("--sitemap", required=True,
+                     help="sitemap xml(.gz) file, glob, or directory")
+    ppc.add_argument("--fetched",
+                     help="fetch-history parquet (url, fetch_ts); omit "
+                     "for a first crawl (everything is 'new')")
+    ppc.add_argument("--robots",
+                     help="robots.txt bodies parquet (domain, "
+                     "robots_txt); omit to skip the politeness gate")
+    ppc.add_argument("--user-agent", default="*",
+                     help="our crawler's product token for robots group "
+                     "selection")
+    ppc.add_argument("--output", required=True,
+                     help="fetch-plan parquet out")
+    ppc.set_defaults(fn=cmd_plan_crawl)
 
     pcd = sub.add_parser("corpus_diff")
     pcd.add_argument("--old", required=True, help="old snapshot parquet")

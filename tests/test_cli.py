@@ -632,3 +632,83 @@ def test_cli_ann_index_append(tmp_path):
         f"SELECT count(*) FROM '{idx}/codes/*.parquet'"
     ).fetchone()[0]
     assert n1 == n0 + n_delta
+
+
+def test_cli_plan_crawl(tmp_path):
+    """plan_crawl composes sitemap parse -> recrawl reconciliation ->
+    robots gate into one fetch-plan parquet, with the census printed
+    and sitemap rejects surfaced, not swallowed."""
+    import duckdb
+
+    sitemap = tmp_path / "sitemap.xml"
+    sitemap.write_text(
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        "  <url><loc>https://site.example/new-page</loc></url>\n"
+        "  <url><loc>https://site.example/stale-page</loc>"
+        "<lastmod>2026-02-01T00:00:00+00:00</lastmod></url>\n"
+        "  <url><loc>https://site.example/private/new-secret</loc></url>\n"
+        "  <url><lastmod>2026-03-01</lastmod></url>\n"  # loc-less: reject
+        "</urlset>\n"
+    )
+    fetched = str(tmp_path / "fetched")
+    duckdb.sql(
+        "COPY (SELECT * FROM (VALUES "
+        "('https://site.example/stale-page', TIMESTAMP '2026-01-15'), "
+        "('https://site.example/gone-page', TIMESTAMP '2026-01-15')"
+        ") t(url, fetch_ts)) TO '" + fetched + "' (FORMAT PARQUET)"
+    )
+    robots = str(tmp_path / "robots")
+    duckdb.sql(
+        "COPY (SELECT * FROM (VALUES ('site.example', "
+        "'User-agent: *' || chr(10) || 'Disallow: /private/' || chr(10))"
+        ") t(domain, robots_txt)) TO '" + robots + "' (FORMAT PARQUET)"
+    )
+    out = str(tmp_path / "plan")
+    text = _run(
+        "plan_crawl", "--sitemap", str(sitemap), "--fetched", fetched,
+        "--robots", robots, "--output", out,
+    )
+    assert "sitemap_rejects=1" in text
+    assert "fetch_list=2" in text
+    rows = {
+        r[0]: (r[1], r[2])
+        for r in duckdb.sql(
+            f"SELECT url, status, robots_allowed FROM '{out}/*.parquet'"
+        ).fetchall()
+    }
+    assert rows["https://site.example/new-page"] == ("new", True)
+    assert rows["https://site.example/stale-page"] == ("stale", True)
+    assert rows["https://site.example/private/new-secret"] == (
+        "new",
+        False,
+    )
+    assert rows["https://site.example/gone-page"] == ("gone", True)
+
+
+def test_cli_ann_index_drift(tmp_path):
+    """`ann_index --drift` prints the drift report without growing the
+    codes table — the read-only monitoring probe."""
+    import json
+
+    import duckdb
+
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    idx = str(tmp_path / "ann")
+    _run(
+        "ann_index", "--embeddings", emb, "--output", idx,
+        "--clusters", "4", "--m", "8", "--codes", "16", "--iters", "1",
+    )
+    n0 = duckdb.sql(
+        f"SELECT count(*) FROM '{idx}/codes/*.parquet'"
+    ).fetchone()[0]
+    out = _run("ann_index", "--embeddings", emb, "--output", idx, "--drift")
+    report = json.loads(
+        [ln for ln in out.splitlines() if ln.startswith("{")][-1]
+    )
+    assert report["appended"] == n0  # probed the same corpus
+    assert report["refit_recommended"] is False
+    n1 = duckdb.sql(
+        f"SELECT count(*) FROM '{idx}/codes/*.parquet'"
+    ).fetchone()[0]
+    assert n1 == n0

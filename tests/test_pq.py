@@ -509,3 +509,48 @@ def test_ann_index_append_guards(spark, emb, tmp_path):
     assert not os.path.exists(os.path.join(torn, "_INDEX_OK"))
     with _pytest.raises(ValueError, match="_INDEX_OK"):
         pq.search_ann_index(spark, torn, q)
+
+
+def test_ann_index_drift_probe_is_read_only(spark, emb, tmp_path):
+    """ann_index_drift reports exactly what append_ann_index would
+    (same stats, same thresholds) while mutating NOTHING — the
+    monitoring half of the refit loop: probe first, append (or refit)
+    on the verdict."""
+    import os
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.pq import (
+        ann_index_drift,
+        append_ann_index,
+        build_ann_index,
+    )
+
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    idx = str(tmp_path / "ann")
+    build_ann_index(base, idx, n_clusters=4, m=8, n_codes=16, iters=1)
+    n0 = spark.read.parquet(f"{idx}/codes").count()
+
+    probe = ann_index_drift(spark, idx, delta.select("embedding"))
+    assert probe["appends"] == 0
+    assert spark.read.parquet(f"{idx}/codes").count() == n0  # untouched
+    assert os.path.exists(os.path.join(idx, "_INDEX_OK"))
+
+    applied = append_ann_index(spark, idx, delta)
+    for k in (
+        "appended",
+        "fit_n",
+        "fit_mean_err",
+        "append_mean_err",
+        "err_ratio",
+        "occupancy_shift_tv",
+        "cells",
+        "refit_recommended",
+    ):
+        assert probe[k] == applied[k], k
+    assert applied["appends"] == 1
+
+    # probing a markerless dir is rejected like every other artifact op
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="_INDEX_OK"):
+        ann_index_drift(spark, str(tmp_path / "nope"), delta)
