@@ -118,6 +118,7 @@ from .dedup import (  # noqa: F401
     dedup_pairs_against_corpus,
     dedup_substrings,
     hamming_pairs,
+    hamming_pairs_against_corpus,
     minhash_signature_index,
     ngram_contamination,
     select_cluster_representatives,
@@ -133,6 +134,7 @@ from .similarity import (  # noqa: F401
     semantic_dedup_pairs,
 )
 from .multimodal import (  # noqa: F401
+    dedup_images_against_corpus,
     extract_audio_features,
     extract_image_features,
     extract_video_features,

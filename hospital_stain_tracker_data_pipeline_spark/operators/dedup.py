@@ -809,6 +809,76 @@ def hamming_pairs(
     )
 
 
+def hamming_pairs_against_corpus(
+    new_hashes: DataFrame,
+    corpus_index: DataFrame,
+    hash_col: str = "phash",
+    id_col: str = "media_id",
+    nbits: int = 64,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Cross-set Hamming matches of NEW fingerprints against an
+    EXISTING fingerprint index — the ``dedup_pairs_against_corpus``
+    shape for the Hamming family: an incremental pipeline persists the
+    (id, hash) table once per corpus version (8 B + an id per item,
+    text/pixels never stored) and gates every new batch against it
+    without re-reading old payloads. Pigeonhole banding on BOTH sides,
+    (band, value) equi-join — the new batch is typically ≪ corpus, so
+    the probe side broadcasts — then the exact-Hamming verify. Returns
+    ``(new_id, corpus_id, hamming)`` with hamming <= ``max_hamming``.
+
+    Both sides must carry fingerprints of the same family and width
+    (same ``image_phash`` algo + hash_size, or the same simhash
+    config); for ``nbits < 64`` any out-of-range hash on either side
+    fails fast — a 64-bit hash probed against a 16-bit index would
+    band on garbage slices silently."""
+    def prep(df: DataFrame, out_id: str):
+        h = materialize(
+            df.select(
+                F.col(id_col), F.col(hash_col).cast("long").alias("_fp")
+            ).filter(F.col("_fp").isNotNull())
+        )
+        if nbits < 64:
+            bad = h.filter(
+                (F.col("_fp") < 0) | (F.col("_fp") >= (1 << nbits))
+            ).take(1)
+            if bad:
+                raise ValueError(
+                    f"fingerprint {bad[0]['_fp']} does not fit nbits="
+                    f"{nbits} — the {out_id} side was hashed with a "
+                    "different width than this probe expects"
+                )
+        banded = h.select(
+            F.col(id_col).alias(out_id),
+            F.col("_fp").alias(f"h_{out_id}"),
+            F.explode(
+                simhash_banded(F.col("_fp"), nbits, max_hamming)
+            ).alias("bb"),
+        ).select(
+            out_id,
+            f"h_{out_id}",
+            F.col("bb.band").alias("band"),
+            F.col("bb.val").alias("val"),
+        )
+        return banded
+
+    nb = prep(new_hashes, "new_id")
+    cb = prep(corpus_index, "corpus_id")
+    return (
+        nb.join(cb, ["band", "val"])
+        .select("new_id", "corpus_id", "h_new_id", "h_corpus_id")
+        .distinct()
+        .select(
+            "new_id",
+            "corpus_id",
+            F.bit_count(
+                F.col("h_new_id").bitwiseXOR(F.col("h_corpus_id"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def ngram_contamination(
     corpus: DataFrame,
     eval_set: DataFrame,

@@ -1307,6 +1307,50 @@ def image_dup_pairs(
     )
 
 
+def dedup_images_against_corpus(
+    new_media: DataFrame,
+    corpus_index: DataFrame,
+    algo: str = "dhash",
+    hash_size: int = 8,
+    max_hamming: int = 3,
+    fake_decode: bool = False,
+) -> DataFrame:
+    """Incremental image dedup: drop new media whose perceptual hash is
+    within ``max_hamming`` bits of anything ALREADY INDEXED (the corpus
+    wins — ``dedup_against_corpus`` semantics for the visual tier). The
+    index is simply a persisted ``image_phash`` output ``(media_id,
+    phash)`` — 8 bytes + an id per image, pixels never stored — written
+    as plain parquet once per corpus version like the MinHash signature
+    index. A daily crawl batch decodes + hashes ONLY its own payloads,
+    band-joins the tiny hash table against the index
+    (``dedup.hamming_pairs_against_corpus``), and survivors append
+    their hashes to the index.
+
+    Does NOT dedup the new batch against itself — compose with
+    ``image_dup_pairs`` for that. The index and the probe must share
+    ``algo`` + ``hash_size`` (the cross-set gate fail-fasts on a width
+    mismatch when ``hash_size < 8``). Returns surviving ``new_media``
+    rows unchanged; the binary payload never enters a shuffle. The same
+    call works per micro-batch inside ``foreachBatch`` for a streaming
+    landing directory (the ``stream_dedup_against_corpus`` pattern)."""
+    from .dedup import hamming_pairs_against_corpus
+
+    hashes = image_phash(new_media, algo, hash_size, fake_decode)
+    matched = (
+        hamming_pairs_against_corpus(
+            hashes,
+            corpus_index,
+            hash_col="phash",
+            id_col="media_id",
+            nbits=hash_size * hash_size,
+            max_hamming=max_hamming,
+        )
+        .select(F.col("new_id").alias("media_id"))
+        .distinct()
+    )
+    return new_media.join(matched, "media_id", "left_anti")
+
+
 def _gif_lzw_decode(data: bytes, mcs: int, n_pixels: int) -> bytes | None:
     """GIF-variant LZW: LSB-first bit packing, dynamic code size from
     ``mcs+1`` to 12 bits, clear/EOI control codes. Decoder grows the

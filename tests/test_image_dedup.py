@@ -216,3 +216,81 @@ def test_image_phash_decode_policy(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|PIL"):
         image_phash(media).collect()
+
+
+def test_dedup_images_against_corpus(spark, tmp_path):
+    """Incremental visual dedup: persist the phash index for a corpus,
+    gate a new batch — a cross-CODEC re-encode of an indexed image
+    drops (hamming 0), a one-bit near-dup drops, a far image and a
+    within-batch-only duplicate pair both survive (corpus wins; the
+    gate does not dedup the batch against itself)."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+        dedup_images_against_corpus,
+    )
+
+    base = np.zeros((8, 9, 3), dtype=np.uint8)
+    for c in range(9):
+        base[:, c] = c * 10
+    near = base.copy()
+    near[0, 1] = base[0, 0]  # hamming 1 from base
+    far = 255 - base  # hamming 64
+    other = _gradient_px(seed=42)
+
+    corpus = _media(spark, [encode_bmp(base), encode_bmp(other)])
+    idx_path = str(tmp_path / "phash_index")
+    image_phash(corpus).select("media_id", "phash").write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    # new batch ids offset so survivors are unambiguous
+    new_payloads = [
+        encode_png(base),   # 100: same pixels, different codec -> dup
+        encode_bmp(near),   # 101: 1-bit near-dup -> dup
+        encode_bmp(far),    # 102: far -> survives
+        encode_bmp(far),    # 103: exact dup of 102 WITHIN the batch ->
+    ]                       #      still survives (corpus wins only)
+    pdf = pd.DataFrame(
+        {"media_id": [100, 101, 102, 103], "payload": new_payloads}
+    )
+    new_media = to_media_table(
+        spark.createDataFrame(pdf), "media_id", "payload", source="t"
+    )
+    kept = sorted(
+        r["media_id"]
+        for r in dedup_images_against_corpus(
+            new_media, index, max_hamming=3
+        ).collect()
+    )
+    assert kept == [102, 103]
+
+    # cross-set pairs replay in DuckDB (brute force over both hash sets)
+    from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+        hamming_pairs_against_corpus,
+    )
+
+    new_hashes = image_phash(new_media)
+    got = sorted(
+        (r["new_id"], r["corpus_id"], r["hamming"])
+        for r in hamming_pairs_against_corpus(
+            new_hashes, index, max_hamming=3
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register("n", new_hashes.select("media_id", "phash").toPandas())
+    con.register("c", index.toPandas())
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                "SELECT n.media_id, c.media_id, "
+                "bit_count(xor(n.phash, c.phash)) FROM n, c "
+                "WHERE bit_count(xor(n.phash, c.phash)) <= 3"
+            ).fetchall(),
+        )
+    )
+    assert got == want and len(got) == 2
+
+    # width-mismatch fail-fast: a 64-bit hash probed at nbits=16
+    with pytest.raises(ValueError, match="nbits"):
+        hamming_pairs_against_corpus(
+            new_hashes, index, nbits=16, max_hamming=3
+        ).collect()
