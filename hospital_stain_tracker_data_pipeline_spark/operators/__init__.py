@@ -38,8 +38,10 @@ from .web import (  # noqa: F401
     filter_blocked_domains,
     parse_html_documents,
     plan_recrawl,
+    robots_crawl_delays,
     robots_filter,
     robots_rules,
+    schedule_fetch,
 )
 from .sketch import (  # noqa: F401
     approx_distinct_hll,

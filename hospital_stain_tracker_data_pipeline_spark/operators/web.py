@@ -671,3 +671,100 @@ def robots_filter(
             ),
         ).alias("robots_rule"),
     )
+
+
+def robots_crawl_delays(
+    robots: DataFrame,
+    domain_col: str = "domain",
+    robots_col: str = "robots_txt",
+    user_agent: str = "*",
+) -> DataFrame:
+    """Per-domain ``Crawl-delay`` seconds for our product token —
+    ``(domain, crawl_delay_s)``. Crawl-delay is not part of RFC 9309
+    but is the de-facto pacing directive large crawlers honor; the
+    main parser deliberately ignores it (unknown fields are neutral),
+    so this is a separate pure-Column extraction: the LAST
+    ``Crawl-delay`` under the agent's group wins is overkill for a
+    pacing hint — any declared delay for (agent | *) is taken, max
+    wins when both appear. Compose with ``schedule_fetch``: waves for
+    bounded concurrency, delays for inter-wave sleep."""
+    import re as _re
+
+    ua = user_agent.lower()
+    # one regexp per (agent, delay) adjacency: find "user-agent: <ua>"
+    # then "crawl-delay: N" before the next user-agent line (i.e.
+    # within the same group block). Bodies are small; both extractions
+    # (ua + star) stay JVM-side. (?ism): case-insensitive, per-line
+    # anchors, dot-crosses-newlines for the lazy between-lines gap.
+    def delay_for(agent_re: str):
+        pat = (
+            r"(?ism)^[ \t]*user-agent[ \t]*:[ \t]*"
+            + agent_re
+            + r"[ \t]*(?:#[^\n]*)?$"
+            + r"(?:(?!^[ \t]*user-agent[ \t]*:).)*?"
+            + r"^[ \t]*crawl-delay[ \t]*:[ \t]*([0-9]+(?:\.[0-9]+)?)"
+        )
+        return F.regexp_extract(F.col(robots_col), pat, 1)
+
+    star = delay_for(r"\*")
+    spec = delay_for(_re.escape(ua))
+    return (
+        robots.select(
+            F.col(domain_col).alias("domain"),
+            F.when(spec != "", spec).otherwise(None).cast("double").alias(
+                "_d_ua"
+            ),
+            F.when(star != "", star).otherwise(None).cast("double").alias(
+                "_d_star"
+            ),
+        )
+        .select(
+            "domain",
+            F.greatest(
+                F.coalesce(F.col("_d_ua"), F.col("_d_star")),
+                F.coalesce(F.col("_d_star"), F.col("_d_ua")),
+            ).alias("crawl_delay_s"),
+        )
+        .filter(F.col("crawl_delay_s").isNotNull())
+    )
+
+
+def schedule_fetch(
+    frontier: DataFrame,
+    url_col: str = "url",
+    per_domain_per_wave: int = 1,
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Politeness scheduling: assign every frontier URL a ``wave``
+    number such that no domain appears more than
+    ``per_domain_per_wave`` times per wave — the fetcher executes wave
+    0 across ALL domains in parallel, sleeps each domain's crawl
+    delay, then wave 1, ... Robots answers MAY-fetch
+    (``robots_filter``); this answers WHEN: per-host concurrency is
+    the politeness constraint a distributed fetcher must bound,
+    and wave numbering turns it into embarrassing parallelism across
+    hosts.
+
+    Within a domain, URLs order by ``priority_col`` DESCENDING when
+    given (sitemap <priority>, PageRank, ...), then by URL for a
+    deterministic total order. One window shuffle on domain; the long
+    tail of single-page hosts all lands in wave 0. Appends ``domain``
+    and ``wave`` (0-based) to the frontier columns."""
+    if per_domain_per_wave < 1:
+        raise ValueError("per_domain_per_wave must be >= 1")
+    order = (
+        [F.desc(priority_col)] if priority_col else []
+    ) + [F.asc(url_col)]
+    w = Window.partitionBy("domain").orderBy(*order)
+    return (
+        frontier.withColumn("domain", extract_domain(F.col(url_col)))
+        .withColumn(
+            "wave",
+            # explicit floor (not cast-truncation) so the expression is
+            # portable verbatim: DuckDB CAST rounds half-even, Spark
+            # CAST truncates — floor agrees everywhere for rn >= 1
+            F.floor(
+                (F.row_number().over(w) - 1) / per_domain_per_wave
+            ).cast("int"),
+        )
+    )

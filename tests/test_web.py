@@ -955,3 +955,75 @@ def test_robots_empty_group_blocks_star_fallback(spark):
         False,
         "disallow:/",
     )
+
+
+def test_robots_crawl_delays(spark):
+    """Crawl-delay extraction: agent-specific beats absent, * fallback
+    works, max wins when both declare, undeclared domains drop out,
+    decimals parse."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.web import (
+        robots_crawl_delays,
+    )
+
+    bodies = {
+        "both.example": (
+            "User-agent: examplebot\nCrawl-delay: 2\nDisallow: /x\n\n"
+            "User-agent: *\nCrawl-delay: 7\n"
+        ),
+        "star.example": "User-agent: *\nCrawl-delay: 1.5\n",
+        "none.example": "User-agent: *\nDisallow: /\n",
+        "other.example": "User-agent: mystery\nCrawl-delay: 9\n",
+    }
+    df = spark.createDataFrame(
+        list(bodies.items()), "domain string, robots_txt string"
+    )
+    got = {
+        r["domain"]: r["crawl_delay_s"]
+        for r in robots_crawl_delays(df, user_agent="ExampleBot").collect()
+    }
+    assert got == {"both.example": 7.0, "star.example": 1.5}
+
+
+def test_schedule_fetch_waves(spark):
+    """Wave assignment: <= per_domain_per_wave URLs per (domain, wave),
+    waves dense from 0 per domain, priority orders within a domain,
+    single-page hosts all land in wave 0; DuckDB window replay."""
+    import duckdb as _duckdb
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.web import (
+        schedule_fetch,
+    )
+
+    rows = [(f"https://big.example/p{i:02d}", float(i % 3)) for i in range(7)]
+    rows += [(f"https://tiny{i}.example/", 0.0) for i in range(5)]
+    frontier = spark.createDataFrame(rows, "url string, priority double")
+
+    out = schedule_fetch(
+        frontier, per_domain_per_wave=2, priority_col="priority"
+    )
+    pdf = out.toPandas()
+    # cap holds per (domain, wave); waves dense
+    sizes = pdf.groupby(["domain", "wave"]).size()
+    assert sizes.max() <= 2
+    for d, grp in pdf.groupby("domain"):
+        assert sorted(grp["wave"].unique()) == list(
+            range(grp["wave"].max() + 1)
+        )
+    assert set(pdf[pdf["domain"] != "big.example"]["wave"]) == {0}
+
+    con = _duckdb.connect()
+    con.register("f", pdf[["url", "priority", "domain"]])
+    want = dict(
+        con.execute(
+            "SELECT url, CAST(floor((row_number() OVER (PARTITION BY "
+            "domain ORDER BY priority DESC, url ASC) - 1) / 2) AS INT) "
+            "FROM f"
+        ).fetchall()
+    )
+    got = dict(zip(pdf["url"], pdf["wave"]))
+    assert got == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match=">= 1"):
+        schedule_fetch(frontier, per_domain_per_wave=0)
