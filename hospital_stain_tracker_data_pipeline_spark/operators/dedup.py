@@ -702,6 +702,32 @@ def simhash_pairs(
     ).filter(F.col("hamming") <= max_hamming)
 
 
+def _band_explode(
+    h: DataFrame,
+    id_col: str,
+    hash_col: str,
+    nbits: int,
+    max_hamming: int,
+    id_out: str,
+    hash_out: str,
+) -> DataFrame:
+    """``(band, val, <id_out>, <hash_out>)`` — one row per (item,
+    band): THE pigeonhole banding projection, shared by the self-join
+    (``_banded_candidate_pairs``) and cross-set
+    (``hamming_pairs_against_corpus``) paths so the band layout cannot
+    diverge between them."""
+    return h.select(
+        F.col(id_col).alias(id_out),
+        F.col(hash_col).alias(hash_out),
+        F.explode(simhash_banded(F.col(hash_col), nbits, max_hamming)).alias("bb"),
+    ).select(
+        id_out,
+        hash_out,
+        F.col("bb.band").alias("band"),
+        F.col("bb.val").alias("val"),
+    )
+
+
 def _banded_candidate_pairs(
     h: DataFrame, id_col: str, hash_col: str, nbits: int, max_hamming: int
 ) -> DataFrame:
@@ -712,22 +738,8 @@ def _banded_candidate_pairs(
     MATERIALIZED (id, hash) frame: both sides of the self-join
     re-execute the producing subplan otherwise (the ``materialize``
     contract — for image hashes that subplan is a full pixel decode)."""
-    banded = h.select(
-        F.col(id_col),
-        F.col(hash_col).alias("_h"),
-        F.explode(simhash_banded(F.col(hash_col), nbits, max_hamming)).alias("bb"),
-    ).select(
-        id_col,
-        "_h",
-        F.col("bb.band").alias("band"),
-        F.col("bb.val").alias("val"),
-    )
-    a = banded.select(
-        "band", "val", F.col(id_col).alias("id_a"), F.col("_h").alias("h_a")
-    )
-    b = banded.select(
-        "band", "val", F.col(id_col).alias("id_b"), F.col("_h").alias("h_b")
-    )
+    a = _band_explode(h, id_col, hash_col, nbits, max_hamming, "id_a", "h_a")
+    b = _band_explode(h, id_col, hash_col, nbits, max_hamming, "id_b", "h_b")
     return (
         a.join(b, ["band", "val"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -831,13 +843,17 @@ def hamming_pairs_against_corpus(
     (same ``image_phash`` algo + hash_size, or the same simhash
     config); for ``nbits < 64`` any out-of-range hash on either side
     fails fast — a 64-bit hash probed against a 16-bit index would
-    band on garbage slices silently."""
-    def prep(df: DataFrame, out_id: str):
-        h = materialize(
-            df.select(
-                F.col(id_col), F.col(hash_col).cast("long").alias("_fp")
-            ).filter(F.col("_fp").isNotNull())
-        )
+    band on garbage slices silently. Only the NEW side is materialized
+    (its producer is the expensive decode+hash of the batch and it
+    feeds two jobs: the width probe and the join); the corpus index is
+    a cheap parquet scan a localCheckpoint would pointlessly copy —
+    the ``dedup_pairs_against_corpus`` discipline."""
+    def prep(df: DataFrame, out_id: str, mat: bool):
+        h = df.select(
+            F.col(id_col), F.col(hash_col).cast("long").alias("_fp")
+        ).filter(F.col("_fp").isNotNull())
+        if mat:
+            h = materialize(h)
         if nbits < 64:
             bad = h.filter(
                 (F.col("_fp") < 0) | (F.col("_fp") >= (1 << nbits))
@@ -848,22 +864,12 @@ def hamming_pairs_against_corpus(
                     f"{nbits} — the {out_id} side was hashed with a "
                     "different width than this probe expects"
                 )
-        banded = h.select(
-            F.col(id_col).alias(out_id),
-            F.col("_fp").alias(f"h_{out_id}"),
-            F.explode(
-                simhash_banded(F.col("_fp"), nbits, max_hamming)
-            ).alias("bb"),
-        ).select(
-            out_id,
-            f"h_{out_id}",
-            F.col("bb.band").alias("band"),
-            F.col("bb.val").alias("val"),
+        return _band_explode(
+            h, id_col, "_fp", nbits, max_hamming, out_id, f"h_{out_id}"
         )
-        return banded
 
-    nb = prep(new_hashes, "new_id")
-    cb = prep(corpus_index, "corpus_id")
+    nb = prep(new_hashes, "new_id", mat=True)
+    cb = prep(corpus_index, "corpus_id", mat=False)
     return (
         nb.join(cb, ["band", "val"])
         .select("new_id", "corpus_id", "h_new_id", "h_corpus_id")

@@ -797,6 +797,11 @@ def ann_index_drift(
         )
     with open(marker) as f:
         meta = json.load(f)
+    if vec_col not in vectors.columns:
+        raise ValueError(
+            f"probe frame lacks column {vec_col!r} — pass vec_col= "
+            "matching your embedding column (the append-path contract)"
+        )
     cents = load_ivf_index(spark, f"{path}/ivf")
     cb = load_pq_index(spark, f"{path}/pq")
     new_stats = {

@@ -496,18 +496,26 @@ def _robots_pattern_regex(pattern: str) -> str:
     )
 
 
-def _parse_robots_txt(text: str) -> list[tuple[str, bool, str, str]]:
-    """One robots.txt body → [(agent, allow, pattern, regex)].
+def _parse_robots(
+    text: str,
+) -> tuple[list[tuple[str, bool, str, str]], list[tuple[str, float]]]:
+    """One robots.txt body → (rules, delays): the ONE group walker
+    behind both ``robots_rules`` and ``robots_crawl_delays`` so path
+    rules and pacing directives cannot disagree about group membership.
 
     RFC 9309 group semantics: consecutive ``User-agent`` lines stack
-    onto the rule block that follows; a ``User-agent`` after rules
-    starts a new group; rules before any group are undefined and
-    ignored; an EMPTY pattern matches nothing (``Disallow:`` alone =
-    no restriction) and is dropped; unrecognized fields (``Sitemap``,
-    ``Crawl-delay``, ...) are ignored WITHOUT ending a group (the
-    reference-parser behavior). Comments (#) strip to end of line;
-    field names are case-insensitive; agent tokens lowercase."""
+    onto the rule block that follows (a stacked group's rules AND its
+    crawl-delay apply to every stacked agent); a ``User-agent`` after
+    any group-member line starts a new group; rules before any group
+    are undefined and ignored; an EMPTY pattern matches nothing
+    (``Disallow:`` alone = no restriction) and is dropped;
+    ``Crawl-delay`` (de-facto, not in the RFC) is treated as a
+    group-member line; other unrecognized fields (``Sitemap``, ...)
+    are ignored WITHOUT ending a group (the reference-parser
+    behavior). Comments (#) strip to end of line; field names are
+    case-insensitive; agent tokens lowercase."""
     rules: list[tuple[str, bool, str | None, str | None]] = []
+    delays: list[tuple[str, float]] = []
     agents: list[str] = []
     seen_agents: set[str] = set()
     ruled_agents: set[str] = set()
@@ -538,6 +546,14 @@ def _parse_robots_txt(text: str) -> list[tuple[str, bool, str, str]]:
                 rules.append(
                     (a, key == "allow", val, _robots_pattern_regex(val))
                 )
+        elif key == "crawl-delay":
+            stacking = False
+            try:
+                d = float(val)
+            except ValueError:
+                continue
+            for a in agents:
+                delays.append((a, d))
         # other fields: neutral — neither rules nor group breaks
     # group-presence sentinel (NULL pattern, never matches a path) for
     # agents whose every rule was empty-pattern: the canonical
@@ -546,7 +562,12 @@ def _parse_robots_txt(text: str) -> list[tuple[str, bool, str, str]]:
     # ignore '*', not treat the bot as ungrouped
     for a in sorted(seen_agents - ruled_agents):
         rules.append((a, True, None, None))
-    return rules
+    return rules, delays
+
+
+def _parse_robots_txt(text: str) -> list[tuple[str, bool, str, str]]:
+    """Rules half of ``_parse_robots`` (see there for semantics)."""
+    return _parse_robots(text)[0]
 
 
 def robots_rules(
@@ -680,52 +701,50 @@ def robots_crawl_delays(
     user_agent: str = "*",
 ) -> DataFrame:
     """Per-domain ``Crawl-delay`` seconds for our product token —
-    ``(domain, crawl_delay_s)``. Crawl-delay is not part of RFC 9309
-    but is the de-facto pacing directive large crawlers honor; the
-    main parser deliberately ignores it (unknown fields are neutral),
-    so this is a separate pure-Column extraction: the LAST
-    ``Crawl-delay`` under the agent's group wins is overkill for a
-    pacing hint — any declared delay for (agent | *) is taken, max
-    wins when both appear. Compose with ``schedule_fetch``: waves for
-    bounded concurrency, delays for inter-wave sleep."""
-    import re as _re
+    ``(domain, crawl_delay_s)``; domains declaring no applicable delay
+    drop out. Crawl-delay is not part of RFC 9309 but is the de-facto
+    pacing directive large crawlers honor. Extraction rides the SAME
+    group walker as ``robots_rules`` (``_parse_robots``) so stacked
+    user-agent groups and group boundaries behave identically, and
+    group selection mirrors ``robots_filter``: the agent-specific
+    group EXCLUDES ``*`` when defined — a host that granted our bot a
+    faster rate gets that rate. Multiple declarations in the selected
+    scope keep the max (conservative politeness). Compose with
+    ``schedule_fetch``: waves for bounded concurrency, delays for
+    inter-wave sleep."""
+    from pyspark.sql.functions import pandas_udf
 
     ua = user_agent.lower()
-    # one regexp per (agent, delay) adjacency: find "user-agent: <ua>"
-    # then "crawl-delay: N" before the next user-agent line (i.e.
-    # within the same group block). Bodies are small; both extractions
-    # (ua + star) stay JVM-side. (?ism): case-insensitive, per-line
-    # anchors, dot-crosses-newlines for the lazy between-lines gap.
-    def delay_for(agent_re: str):
-        pat = (
-            r"(?ism)^[ \t]*user-agent[ \t]*:[ \t]*"
-            + agent_re
-            + r"[ \t]*(?:#[^\n]*)?$"
-            + r"(?:(?!^[ \t]*user-agent[ \t]*:).)*?"
-            + r"^[ \t]*crawl-delay[ \t]*:[ \t]*([0-9]+(?:\.[0-9]+)?)"
-        )
-        return F.regexp_extract(F.col(robots_col), pat, 1)
 
-    star = delay_for(r"\*")
-    spec = delay_for(_re.escape(ua))
+    @pandas_udf("array<struct<agent:string,delay:double>>")
+    def _delays(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: [
+                {"agent": a, "delay": d}
+                for a, d in (_parse_robots(t)[1] if t is not None else [])
+            ]
+        )
+
+    parsed = robots.select(
+        F.col(domain_col).alias("domain"),
+        F.explode(_delays(F.col(robots_col))).alias("d"),
+    ).select(
+        "domain",
+        F.col("d.agent").alias("agent"),
+        F.col("d.delay").alias("delay"),
+    )
+    # group selection mirrors robots_filter exactly: the agent-specific
+    # group EXCLUDES '*' when defined (a host that granted our bot a
+    # faster rate must get that rate, not max(ours, star)); multiple
+    # declarations within the selected scope keep the max
+    spec = parsed.filter(F.col("agent") == ua)
+    star = parsed.filter(F.col("agent") == "*").join(
+        spec.select("domain").distinct(), "domain", "left_anti"
+    )
     return (
-        robots.select(
-            F.col(domain_col).alias("domain"),
-            F.when(spec != "", spec).otherwise(None).cast("double").alias(
-                "_d_ua"
-            ),
-            F.when(star != "", star).otherwise(None).cast("double").alias(
-                "_d_star"
-            ),
-        )
-        .select(
-            "domain",
-            F.greatest(
-                F.coalesce(F.col("_d_ua"), F.col("_d_star")),
-                F.coalesce(F.col("_d_star"), F.col("_d_ua")),
-            ).alias("crawl_delay_s"),
-        )
-        .filter(F.col("crawl_delay_s").isNotNull())
+        spec.unionByName(star)
+        .groupBy("domain")
+        .agg(F.max("delay").alias("crawl_delay_s"))
     )
 
 

@@ -310,6 +310,11 @@ def cmd_ann_index(args) -> None:
         build_ann_index,
     )
 
+    if args.append and args.drift:
+        raise SystemExit(
+            "ann_index: --append and --drift are mutually exclusive — "
+            "--drift is the read-only probe, --append mutates the index"
+        )
     spark = get_spark(app_name="ann_index")
     emb = spark.read.parquet(args.embeddings)
     if args.drift:
@@ -399,18 +404,26 @@ def cmd_plan_crawl(args) -> None:
             "robots_rule", F.lit(None).cast("string")
         )
     plan.write.mode("overwrite").parquet(args.output)
-    back = spark.read.parquet(args.output)
-    for r in back.groupBy("status", "robots_allowed").count().orderBy(
-        "status", "robots_allowed"
-    ).collect():
+    census = (
+        spark.read.parquet(args.output)
+        .groupBy("status", "robots_allowed")
+        .count()
+        .orderBy("status", "robots_allowed")
+        .collect()
+    )
+    for r in census:
         print(
             f"status={r['status']} allowed={r['robots_allowed']} "
             f"count={r['count']}"
         )
     print(f"sitemap_rejects={n_rejected}")
-    n_fetch = back.filter(
-        F.col("robots_allowed") & F.col("status").isin("new", "stale")
-    ).count()
+    # the collected census already carries the fetch-list size — no
+    # second job over the written parquet
+    n_fetch = sum(
+        r["count"]
+        for r in census
+        if r["robots_allowed"] and r["status"] in ("new", "stale")
+    )
     print(f"fetch_list={n_fetch} -> {args.output}")
 
 

@@ -958,9 +958,11 @@ def test_robots_empty_group_blocks_star_fallback(spark):
 
 
 def test_robots_crawl_delays(spark):
-    """Crawl-delay extraction: agent-specific beats absent, * fallback
-    works, max wins when both declare, undeclared domains drop out,
-    decimals parse."""
+    """Crawl-delay extraction rides the robots group walker: the
+    agent-specific group EXCLUDES '*' when defined (our granted faster
+    rate wins, mirroring robots_filter's group selection), '*' is the
+    fallback, stacked user-agent lines share the group's delay,
+    undeclared domains drop out, decimals parse, junk values skip."""
     from hospital_stain_tracker_data_pipeline_spark.operators.web import (
         robots_crawl_delays,
     )
@@ -973,6 +975,11 @@ def test_robots_crawl_delays(spark):
         "star.example": "User-agent: *\nCrawl-delay: 1.5\n",
         "none.example": "User-agent: *\nDisallow: /\n",
         "other.example": "User-agent: mystery\nCrawl-delay: 9\n",
+        "stacked.example": (
+            "User-agent: examplebot\nUser-agent: friendbot\n"
+            "Crawl-delay: 5\nDisallow: /x\n"
+        ),
+        "junk.example": "User-agent: *\nCrawl-delay: soon\n",
     }
     df = spark.createDataFrame(
         list(bodies.items()), "domain string, robots_txt string"
@@ -981,7 +988,11 @@ def test_robots_crawl_delays(spark):
         r["domain"]: r["crawl_delay_s"]
         for r in robots_crawl_delays(df, user_agent="ExampleBot").collect()
     }
-    assert got == {"both.example": 7.0, "star.example": 1.5}
+    assert got == {
+        "both.example": 2.0,       # agent group EXCLUDES the * group
+        "star.example": 1.5,
+        "stacked.example": 5.0,    # stacked UA lines share the delay
+    }
 
 
 def test_schedule_fetch_waves(spark):
