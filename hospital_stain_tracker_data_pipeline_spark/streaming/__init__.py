@@ -4,6 +4,7 @@ from .ingest_stream import (  # noqa: F401
     stream_bloom_membership,
     stream_cms_frequencies,
     stream_hll_cardinality,
+    stream_image_dedup_ingest,
     stream_ingest_events,
     stream_quality_gate,
     stream_warc_ingest,

@@ -907,3 +907,88 @@ def stream_bloom_membership(
         merge_fn=bloom_merge,
         empty_schema="word int, bits long",
     )
+
+
+def stream_image_dedup_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    corpus_index: DataFrame,
+    out_dir: str,
+    path_glob: str = "*",
+    algo: str = "dhash",
+    hash_size: int = 8,
+    max_hamming: int = 3,
+    fake_decode: bool = False,
+) -> DataFrame:
+    """Incremental VISUAL ingest: image files land continuously in
+    ``source_dir``; each new file is decoded + perceptually hashed
+    exactly once and dropped when it near-dups anything in the
+    EXISTING corpus's phash index (corpus wins — the streaming twin of
+    ``operators.multimodal.dedup_images_against_corpus``, same gate
+    per micro-batch). Sink rows are the SURVIVORS' ``(media_id, path,
+    mime, phash, decoded)`` — hash included so the operator appends
+    survivors straight onto the index after the run; pixels never
+    reach the sink.
+
+    Spark shape: unlike the WARC twin, file BYTES do enter the stream
+    (``binaryFile`` content) — an image is ONE record with no
+    within-file structure to re-scan, so the file source's
+    checkpointed tracking replaces a listing+parse layer outright, and
+    the decode runs executor-side where the bytes already are. Each
+    batch is hashed ONCE: the gate joins the tiny (id, hash) frame
+    against the index (``hamming_pairs_against_corpus``), never
+    re-decoding survivors. ``media_id = xxhash64(path)`` —
+    deterministic across replays, so the per-batch dynamic-overwrite
+    sink stays effectively exactly-once. The WARC twin's atomic-landing
+    contract applies verbatim (temp-then-rename; dot-prefixed names
+    are invisible)."""
+    from ..operators.dedup import hamming_pairs_against_corpus
+    from ..operators.multimodal import image_phash
+
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", path_glob)
+        .load(source_dir)
+        .select("path", "content")
+    )
+
+    def _gate(batch_df: DataFrame) -> DataFrame | None:
+        media = batch_df.select(
+            F.xxhash64("path").alias("media_id"),
+            "path",
+            F.col("content").alias("payload"),
+        )
+        hashes = image_phash(media, algo, hash_size, fake_decode)
+        matched = (
+            hamming_pairs_against_corpus(
+                hashes,
+                corpus_index,
+                hash_col="phash",
+                id_col="media_id",
+                nbits=hash_size * hash_size,
+                max_hamming=max_hamming,
+            )
+            .select(F.col("new_id").alias("media_id"))
+            .distinct()
+        )
+        return (
+            hashes.join(matched, "media_id", "left_anti")
+            .join(media.select("media_id", "path"), "media_id")
+            .select("media_id", "path", "mime", "phash", "decoded")
+        )
+
+    return _run_batch_sink_stream(
+        spark,
+        files,
+        _gate,
+        out_dir,
+        empty=lambda: spark.createDataFrame(
+            [],
+            "media_id long, path string, mime string, phash long, "
+            "decoded boolean",
+        ),
+    )

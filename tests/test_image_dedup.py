@@ -294,3 +294,80 @@ def test_dedup_images_against_corpus(spark, tmp_path):
         hamming_pairs_against_corpus(
             new_hashes, index, nbits=16, max_hamming=3
         ).collect()
+
+
+def test_stream_image_dedup_ingest(spark, tmp_path):
+    """Streaming twin == batch gate: images land as files, each is
+    decoded+hashed once, corpus near-dups drop, survivors' hashes land
+    in the sink; a second pass with NEW files processes ONLY the new
+    files (checkpointed exactly-once) and the verdicts match the batch
+    operator's."""
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+        dedup_images_against_corpus,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.streaming.ingest_stream import (
+        stream_image_dedup_ingest,
+    )
+
+    base = np.zeros((8, 9, 3), dtype=np.uint8)
+    for c in range(9):
+        base[:, c] = c * 10
+    near = base.copy()
+    near[0, 1] = base[0, 0]
+    far = 255 - base
+
+    corpus = _media(spark, [encode_bmp(base)])
+    index = image_phash(corpus).select("media_id", "phash")
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    sink = str(tmp_path / "sink")
+    (land / "dup.bmp").write_bytes(encode_png(base))  # cross-codec dup
+    (land / "near.bmp").write_bytes(encode_bmp(near))
+    (land / "keep.bmp").write_bytes(encode_bmp(far))
+
+    out1 = stream_image_dedup_ingest(
+        spark, str(land), index, sink, max_hamming=3
+    )
+    kept1 = {os.path.basename(r["path"]) for r in out1.collect()}
+    assert kept1 == {"keep.bmp"}
+    [row] = out1.collect()
+    assert row["decoded"] is True and row["mime"] == "image/bmp"
+
+    # second landing wave: one fresh image + one more corpus dup — the
+    # checkpoint processes only the new files; earlier sink rows survive
+    other = _gradient_px(seed=5)
+    (land / "wave2_keep.bmp").write_bytes(encode_bmp(other))
+    (land / "wave2_dup.bmp").write_bytes(encode_bmp(base))
+    out2 = stream_image_dedup_ingest(
+        spark, str(land), index, sink, max_hamming=3
+    )
+    kept2 = {os.path.basename(r["path"]) for r in out2.collect()}
+    assert kept2 == {"keep.bmp", "wave2_keep.bmp"}
+
+    # stream verdicts == batch operator verdicts over the same payloads
+    all_payloads = [encode_png(base), encode_bmp(near), encode_bmp(far),
+                    encode_bmp(other), encode_bmp(base)]
+    batch_kept = dedup_images_against_corpus(
+        _media(spark, all_payloads), index, max_hamming=3
+    )
+    assert batch_kept.count() == 2
+    stream_hashes = {r["phash"] for r in out2.collect()}
+    batch_hashes = {
+        r["phash"] for r in image_phash(batch_kept).collect()
+    }
+    assert stream_hashes == batch_hashes
+
+    # survivors' hashes append straight onto the index: rerunning the
+    # batch gate with the grown index drops everything already ingested
+    grown = index.unionByName(
+        out2.select(F2.col("media_id"), "phash")
+    )
+    regate = dedup_images_against_corpus(
+        _media(spark, all_payloads), grown, max_hamming=3
+    )
+    assert regate.count() == 0
