@@ -843,27 +843,39 @@ def hamming_pairs_against_corpus(
     (same ``image_phash`` algo + hash_size, or the same simhash
     config); for ``nbits < 64`` any out-of-range hash on either side
     fails fast — a 64-bit hash probed against a 16-bit index would
-    band on garbage slices silently. Only the NEW side is materialized
-    (its producer is the expensive decode+hash of the batch and it
-    feeds two jobs: the width probe and the join); the corpus index is
-    a cheap parquet scan a localCheckpoint would pointlessly copy —
-    the ``dedup_pairs_against_corpus`` discipline."""
+    band on garbage slices silently. The width guard is an IN-ROW
+    ``raise_error`` expression evaluated during the one pass each side
+    already makes (no separate probe job — an expensive corpus
+    producer would otherwise run twice per call). Only the NEW side is
+    materialized (its producer — the batch's decode+hash — feeds both
+    the join and the caller's anti-join); the corpus index is
+    typically a cheap parquet scan a localCheckpoint would pointlessly
+    copy — the ``dedup_pairs_against_corpus`` discipline."""
     def prep(df: DataFrame, out_id: str, mat: bool):
-        h = df.select(
-            F.col(id_col), F.col(hash_col).cast("long").alias("_fp")
-        ).filter(F.col("_fp").isNotNull())
+        fp = F.col(hash_col).cast("long")
+        if nbits < 64:
+            # NULL passes through (dropped by the isNotNull filter);
+            # only a genuinely out-of-range value raises
+            fp = F.when(
+                fp.isNull() | ((fp >= 0) & (fp < (1 << nbits))), fp
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("fingerprint "),
+                        fp.cast("string"),
+                        F.lit(
+                            f" does not fit nbits={nbits} — the "
+                            f"{out_id} side was hashed with a "
+                            "different width than this probe expects"
+                        ),
+                    )
+                )
+            )
+        h = df.select(F.col(id_col), fp.alias("_fp")).filter(
+            F.col("_fp").isNotNull()
+        )
         if mat:
             h = materialize(h)
-        if nbits < 64:
-            bad = h.filter(
-                (F.col("_fp") < 0) | (F.col("_fp") >= (1 << nbits))
-            ).take(1)
-            if bad:
-                raise ValueError(
-                    f"fingerprint {bad[0]['_fp']} does not fit nbits="
-                    f"{nbits} — the {out_id} side was hashed with a "
-                    "different width than this probe expects"
-                )
         return _band_explode(
             h, id_col, "_fp", nbits, max_hamming, out_id, f"h_{out_id}"
         )

@@ -552,6 +552,14 @@ def _parse_robots(
                 d = float(val)
             except ValueError:
                 continue
+            # the old digit-only regex could not produce nan/inf/
+            # negative; float() can — a single 'Crawl-delay: nan' body
+            # would otherwise win every max() (Spark orders NaN above
+            # all doubles) and poison the fetcher's sleep
+            import math
+
+            if not math.isfinite(d) or d < 0:
+                continue
             for a in agents:
                 delays.append((a, d))
         # other fields: neutral — neither rules nor group breaks
@@ -718,12 +726,23 @@ def robots_crawl_delays(
 
     @pandas_udf("array<struct<agent:string,delay:double>>")
     def _delays(texts: pd.Series) -> pd.Series:
-        return texts.map(
-            lambda t: [
-                {"agent": a, "delay": d}
-                for a, d in (_parse_robots(t)[1] if t is not None else [])
+        def one(t):
+            if t is None:
+                return []
+            rules, delays = _parse_robots(t)
+            out = [{"agent": a, "delay": d} for a, d in delays]
+            # group-PRESENCE rows (NULL delay) for agents whose group
+            # declares rules but no Crawl-delay: group selection must
+            # key on group existence, exactly like robots_filter — an
+            # examplebot group without a delay still excludes '*'
+            declared = {a for a, _ in delays}
+            out += [
+                {"agent": a, "delay": None}
+                for a in sorted({r[0] for r in rules} - declared)
             ]
-        )
+            return out
+
+        return texts.map(one)
 
     parsed = robots.select(
         F.col(domain_col).alias("domain"),
@@ -734,9 +753,10 @@ def robots_crawl_delays(
         F.col("d.delay").alias("delay"),
     )
     # group selection mirrors robots_filter exactly: the agent-specific
-    # group EXCLUDES '*' when defined (a host that granted our bot a
-    # faster rate must get that rate, not max(ours, star)); multiple
-    # declarations within the selected scope keep the max
+    # GROUP (not merely an agent-specific delay) excludes '*' when
+    # defined; multiple declarations within the selected scope keep the
+    # max; a selected group with no declared delay drops the domain
+    # (max over NULLs) — no applicable pacing directive
     spec = parsed.filter(F.col("agent") == ua)
     star = parsed.filter(F.col("agent") == "*").join(
         spec.select("domain").distinct(), "domain", "left_anti"
@@ -745,6 +765,7 @@ def robots_crawl_delays(
         spec.unionByName(star)
         .groupBy("domain")
         .agg(F.max("delay").alias("crawl_delay_s"))
+        .filter(F.col("crawl_delay_s").isNotNull())
     )
 
 

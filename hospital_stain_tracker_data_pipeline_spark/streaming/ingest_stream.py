@@ -942,7 +942,7 @@ def stream_image_dedup_ingest(
     sink stays effectively exactly-once. The WARC twin's atomic-landing
     contract applies verbatim (temp-then-rename; dot-prefixed names
     are invisible)."""
-    from ..operators.dedup import hamming_pairs_against_corpus
+    from ..operators.dedup import hamming_pairs_against_corpus, materialize
     from ..operators.multimodal import image_phash
 
     files = (
@@ -962,7 +962,11 @@ def stream_image_dedup_ingest(
             "path",
             F.col("content").alias("payload"),
         )
-        hashes = image_phash(media, algo, hash_size, fake_decode)
+        # materialize the slim hash frame HERE: it feeds both the gate
+        # join and the sink write — without this the image_phash
+        # mapInPandas plan (full pixel decode of the batch) would
+        # re-execute for the sink, decoding every file twice
+        hashes = materialize(image_phash(media, algo, hash_size, fake_decode))
         matched = (
             hamming_pairs_against_corpus(
                 hashes,

@@ -289,8 +289,10 @@ def test_dedup_images_against_corpus(spark, tmp_path):
     )
     assert got == want and len(got) == 2
 
-    # width-mismatch fail-fast: a 64-bit hash probed at nbits=16
-    with pytest.raises(ValueError, match="nbits"):
+    # width-mismatch fail-fast: a 64-bit hash probed at nbits=16 — an
+    # in-row raise_error during the join pass itself (no separate
+    # probe job), so it surfaces as a Spark execution error
+    with pytest.raises(Exception, match="nbits"):
         hamming_pairs_against_corpus(
             new_hashes, index, nbits=16, max_hamming=3
         ).collect()

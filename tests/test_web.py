@@ -980,6 +980,19 @@ def test_robots_crawl_delays(spark):
             "Crawl-delay: 5\nDisallow: /x\n"
         ),
         "junk.example": "User-agent: *\nCrawl-delay: soon\n",
+        # float() parses nan/inf/negative — all must be rejected, or a
+        # single nan would win every max() (Spark orders NaN highest)
+        "poison.example": (
+            "User-agent: *\nCrawl-delay: nan\nCrawl-delay: inf\n"
+            "Crawl-delay: -1\n"
+        ),
+        # the examplebot GROUP exists (rules, no delay): it excludes
+        # the '*' group entirely — robots_filter's selection — so the
+        # domain has NO applicable delay and drops out
+        "grouponly.example": (
+            "User-agent: examplebot\nDisallow: /private\n\n"
+            "User-agent: *\nCrawl-delay: 30\n"
+        ),
     }
     df = spark.createDataFrame(
         list(bodies.items()), "domain string, robots_txt string"
