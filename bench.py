@@ -111,6 +111,59 @@ NOISY_REPS = {"dup_clusters": 5, "dedup_jaccard_topk": 5}
 # curate_full per-stage attrition report) into BENCH_LOCAL.json.
 EXTRAS_INFO: dict[str, dict] = {}
 
+CALIBRATION_REPS = 3
+
+
+def calibration_probe(spark) -> dict[str, float]:
+    """Machine-speed yardstick: two CONSTANT-WORK micro-tasks (scale-
+    factor independent, data generated in-memory) timed median-of-N
+    before the headline loop. Round 10's driver record moved 16.6 →
+    22.6 s with zero code cause — on a shared VM a real 1.4x regression
+    is indistinguishable from idle-steal drift unless the record carries
+    its own speedometer. The judge divides warm_total by
+    ``calibration_sec`` to normalize round-over-round comparisons.
+
+    - ``jvm_shuffle_sec``: whole-stage-codegen arithmetic over 8M rows
+      + one 32-partition hash-aggregate exchange — the JVM CPU +
+      shuffle path every headline query rides;
+    - ``arrow_udf_sec``: a pandas-UDF pass over 2M rows — the Python
+      worker + Arrow transfer path the NOISY_UDF_FAMILY rides (its
+      variance historically diverges from the JVM's).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cal_udf(x: pd.Series) -> pd.Series:
+        return (x * 1.0000001 + 1.5) % 97.0
+
+    def jvm() -> None:
+        (
+            spark.range(0, 8_000_000, 1, 32)
+            .select(((F.col("id") * 2654435761) % 1_000_003).alias("k"))
+            .groupBy((F.col("k") % 1024).alias("b"))
+            .agg(F.count("*").alias("n"), F.sum("k").alias("s"))
+            .count()
+        )
+
+    def udf() -> None:
+        (
+            spark.range(0, 2_000_000, 1, 32)
+            .select(_cal_udf(F.col("id").cast("double")).alias("v"))
+            .agg(F.sum("v"))
+            .count()
+        )
+
+    out: dict[str, float] = {}
+    for name, fn in (("jvm_shuffle_sec", jvm), ("arrow_udf_sec", udf)):
+        reps = []
+        for _ in range(CALIBRATION_REPS):
+            t0 = time.perf_counter()
+            fn()
+            reps.append(time.perf_counter() - t0)
+        out[name] = round(statistics.median(reps), 3)
+    return out
+
 
 def _extras_registry():
     """Round-6 training-data operators timed OUTSIDE the headline set:
@@ -261,6 +314,56 @@ def _extras_registry():
             ),
         )
         return dedup_exact_urls(urls)
+
+    def robots_gate(spark, sf_dir):
+        """Crawl-politeness gate at frontier scale: 50 synthetic
+        domains each publishing a 6-rule robots.txt (allow/disallow
+        mix, wildcard + $-anchored patterns, a bot-specific group on
+        half of them), a frontier of one URL per document routed
+        across those domains, then robots_rules → robots_filter —
+        times the parse (Arrow-batched, rule-sized), the broadcast
+        join, and the Arrow-batched cached-regex match that replaced
+        the per-row RLike recompile."""
+        from hospital_stain_tracker_data_pipeline_spark.operators.web import (
+            robots_filter,
+            robots_rules,
+        )
+
+        body = (
+            "User-agent: examplebot\nDisallow: /private/\n"
+            "Allow: /private/ok/\n\n"
+            "User-agent: *\nDisallow: /*.php\nAllow: /pub/\n"
+            "Disallow: /tmp/$\nDisallow: /search?\n"
+        )
+        star_only = (
+            "User-agent: *\nDisallow: /admin/\nAllow: /\n"
+            "Disallow: /*.cgi\nDisallow: /old/*archive$\n"
+        )
+        robots = spark.range(50).select(
+            F.concat(F.lit("crawl"), F.col("id"), F.lit(".example")).alias(
+                "domain"
+            ),
+            F.when(F.col("id") % 2 == 0, F.lit(body))
+            .otherwise(F.lit(star_only))
+            .alias("robots_txt"),
+        )
+        docs = load_fixture_table(spark, sf_dir, "documents")
+        frontier = docs.select(
+            F.concat(
+                F.lit("https://crawl"),
+                (F.col("doc_id") % 50).cast("string"),
+                F.lit(".example"),
+                F.when(F.col("doc_id") % 5 == 0, F.lit("/private/p/"))
+                .when(F.col("doc_id") % 5 == 1, F.lit("/pub/a/"))
+                .when(F.col("doc_id") % 5 == 2, F.lit("/admin/x/"))
+                .when(F.col("doc_id") % 5 == 3, F.lit("/page/"))
+                .otherwise(F.lit("/files/run.php?id=")),
+                F.col("doc_id").cast("string"),
+            ).alias("url")
+        )
+        return robots_filter(
+            frontier, robots_rules(robots), user_agent="examplebot"
+        )
 
     def gopher_and_pii(spark, sf_dir):
         from hospital_stain_tracker_data_pipeline_spark.operators.quality import (
@@ -746,6 +849,7 @@ def _extras_registry():
         "dedup_substrings": substr_dedup,
         "heavy_hitter_words": heavy_ngrams,
         "url_dedup": url_dedup,
+        "robots_gate": robots_gate,
         "gopher_pii_pass": gopher_and_pii,
         "pack_manifest": pack_manifest,
         "pq_search": pq_search,
@@ -809,6 +913,10 @@ def main() -> None:
         _warm(_F.col("id").cast("double"))
     ).count()
 
+    # Machine-speed yardstick FIRST (constant work, sf-independent):
+    # lets the judge normalize warm_total against shared-VM drift.
+    calibration = calibration_probe(spark)
+
     # Each query runs twice in-process: the COLD number carries
     # first-touch overhead (codegen compile, parquet footers — ~60% of
     # a sub-second query at sf0.1), the WARM number is the steady-state
@@ -817,6 +925,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     warm_first: dict[str, float] = {}
     medians: dict[str, float] = {}
+    mins: dict[str, float] = {}
+    maxs: dict[str, float] = {}
     for name in headline:
         fn = BENCH_QUERIES[name].fn
         t0 = time.perf_counter()
@@ -830,6 +940,8 @@ def main() -> None:
             rep_times.append(time.perf_counter() - t1)
         warm_first[name] = round(rep_times[0], 3)
         medians[name] = round(statistics.median(rep_times), 3)
+        mins[name] = round(min(rep_times), 3)
+        maxs[name] = round(max(rep_times), 3)
 
     total = round(sum(timings.values()), 3)
     # the round-over-round number: sum of per-query MEDIANS (less
@@ -847,16 +959,23 @@ def main() -> None:
     # stdout carries ONLY the driver-needed fields and must stay well
     # under the driver's ~2 KB capture tail (round-5 regression):
     # `queries` = per-query median-of-N warm reps (the steady-state
-    # numbers round-over-round comparisons use), `queries_median` =
-    # the historically-noisy subset only; the FULL median map (and
-    # cold/first-warm maps) go to BENCH_LOCAL.json.
+    # numbers round-over-round comparisons use); per-query SPREAD rides
+    # as the compact parallel arrays `q_min`/`q_max` (same key order as
+    # `queries` — full named maps land in BENCH_LOCAL.json) so a noisy
+    # median is visibly noisy in the driver record; `calibration_sec`
+    # (constant-work probe) is the machine-speed normalizer. The old
+    # `queries_median` noisy-subset duplicate was dropped to fund the
+    # spread bytes — `queries` IS the median map.
     line = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": medians,
         "queries_kind": "median_warm",
-        "queries_median": {k: medians[k] for k in headline if k in NOISY_UDF_FAMILY},
+        "q_min": [mins[k] for k in medians],
+        "q_max": [maxs[k] for k in medians],
+        "q_spread_kind": "minmax_parallel_to_queries",
+        "calibration_sec": calibration["jvm_shuffle_sec"],
         "warm_total": warm_total,
         "sf": sf,
     }
@@ -873,6 +992,9 @@ def main() -> None:
         "queries_cold": timings,
         "queries_warm_first": warm_first,
         "queries_median": medians,
+        "queries_min": mins,
+        "queries_max": maxs,
+        "calibration": calibration,
         "warm_total": warm_total,
         "warm_first_total": round(sum(warm_first.values()), 3),
         "cold_total": total,

@@ -35,6 +35,7 @@ from .web import (  # noqa: F401
     dedup_exact_urls,
     extract_domain,
     extract_text_from_html,
+    fetch_timeline,
     filter_blocked_domains,
     parse_html_documents,
     plan_recrawl,

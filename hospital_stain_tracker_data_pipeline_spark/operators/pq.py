@@ -679,6 +679,12 @@ def append_ann_index(
         )
     cents = load_ivf_index(spark, f"{path}/ivf")
     cb = load_pq_index(spark, f"{path}/pq")
+    # pin the delta to one snapshot: stats and the later encode pass must
+    # read the SAME rows, or a non-deterministic / concurrently-mutated
+    # source could append codes that differ from what was validated
+    new_vectors = new_vectors.select(id_col, vec_col).localCheckpoint(
+        eager=True
+    )
     # stats of the delta FIRST: this forces the whole batch through the
     # assign/error UDFs, so wrong-dim or corrupt vectors fail here —
     # before the marker comes off (model-sized collect: <= n_clusters rows)
@@ -691,7 +697,6 @@ def append_ann_index(
         for r in spark.read.parquet(f"{path}/stats").collect()
     }
     n_new = sum(n for n, _ in new_stats.values())
-    n_fit = sum(n for n, _ in fit_stats.values())
     if n_new:
         os.remove(marker)
         _encode_cells(new_vectors, cents, cb, id_col, vec_col).write.mode(

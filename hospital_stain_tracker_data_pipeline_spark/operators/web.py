@@ -498,7 +498,10 @@ def _robots_pattern_regex(pattern: str) -> str:
 
 def _parse_robots(
     text: str,
-) -> tuple[list[tuple[str, bool, str, str]], list[tuple[str, float]]]:
+) -> tuple[
+    list[tuple[str, bool, str | None, str | None]],
+    list[tuple[str, float]],
+]:
     """One robots.txt body → (rules, delays): the ONE group walker
     behind both ``robots_rules`` and ``robots_crawl_delays`` so path
     rules and pacing directives cannot disagree about group membership.
@@ -573,8 +576,11 @@ def _parse_robots(
     return rules, delays
 
 
-def _parse_robots_txt(text: str) -> list[tuple[str, bool, str, str]]:
-    """Rules half of ``_parse_robots`` (see there for semantics)."""
+def _parse_robots_txt(
+    text: str,
+) -> list[tuple[str, bool, str | None, str | None]]:
+    """Rules half of ``_parse_robots`` (see there for semantics);
+    group-presence sentinel rows carry ``None`` pattern/regex."""
     return _parse_robots(text)[0]
 
 
@@ -612,6 +618,39 @@ def robots_rules(
         F.octet_length("r.pattern").alias("pattern_len"),
         F.col("r.regex").alias("regex"),
     )
+
+
+def _robots_regex_cached(regex: str):
+    """Process-wide compiled-pattern cache for the robots match. The
+    rules table is tiny (tens of patterns per domain), so every pattern
+    a crawl selects fits here; per frontier row the match is one dict
+    hit + one compiled search instead of a recompile. Module-level (not
+    a closure) so the cache survives across Arrow batches and across
+    ``robots_filter`` calls within an executor process."""
+    import re as _re
+
+    pat = _ROBOTS_REGEX_CACHE.get(regex)
+    if pat is None:
+        pat = _ROBOTS_REGEX_CACHE[regex] = _re.compile(regex)
+    return pat
+
+
+_ROBOTS_REGEX_CACHE: dict = {}
+
+
+def _robots_match_batch(paths: pd.Series, regexes: pd.Series) -> pd.Series:
+    """Arrow-batched (path, regex) → matched?, `regexp_like` semantics
+    (unanchored search — our generated patterns carry their own ``^``).
+    NULL regex (the group-presence sentinel) and NULL path match
+    nothing, exactly as the SQL `regexp_like` NULL-propagation filtered
+    them before."""
+    out = []
+    for p, r in zip(paths, regexes):
+        if p is None or r is None:
+            out.append(False)
+        else:
+            out.append(_robots_regex_cached(r).search(p) is not None)
+    return pd.Series(out)
 
 
 def _robots_path(url: Column) -> Column:
@@ -671,12 +710,20 @@ def robots_filter(
             _robots_path(F.col("_rb_url")).alias("_rb_path"),
         )
     )
+    # the match is Arrow-batched with a process-wide compiled-pattern
+    # cache (NOT regexp_like with a non-foldable pattern column: Spark's
+    # RLike caches only the last compiled pattern per expression
+    # instance, and the joined stream interleaves a URL's rules
+    # row-to-row, so a billion-URL frontier would recompile per row)
+    from pyspark.sql.functions import pandas_udf
+
+    _match = pandas_udf(_robots_match_batch, "boolean")
     wins = (
         urls.join(
             F.broadcast(selected),
             urls["_rb_domain"] == selected["domain"],
         )
-        .filter(F.expr("regexp_like(_rb_path, regex)"))
+        .filter(_match(F.col("_rb_path"), F.col("regex")))
         .groupBy("_rb_url")
         .agg(
             F.max(F.struct("pattern_len", "allow", "pattern")).alias("_rb_w")
@@ -807,4 +854,56 @@ def schedule_fetch(
                 (F.row_number().over(w) - 1) / per_domain_per_wave
             ).cast("int"),
         )
+    )
+
+
+def fetch_timeline(
+    frontier: DataFrame,
+    delays: DataFrame,
+    default_delay_s: float = 1.0,
+) -> DataFrame:
+    """The EXECUTABLE crawl schedule: compose ``schedule_fetch``'s wave
+    numbers with ``robots_crawl_delays``' per-domain pacing into a
+    per-URL earliest-start offset — ``earliest_fetch_offset_s = wave *
+    coalesce(crawl_delay_s, default_delay_s)``. Waves answer "how many
+    rounds before this URL's turn on its host"; delays answer "how long
+    each round on that host must wait"; the product is the soonest
+    second (relative to crawl start) a polite fetcher may issue the
+    request. A distributed fetcher sorts each task's URLs by the offset
+    and sleeps the gaps — no cross-host coordination needed, because
+    politeness is per-host by construction.
+
+    ``frontier`` must carry ``domain`` + ``wave`` (``schedule_fetch``
+    output shape — fail-fast otherwise); ``delays`` is the
+    ``robots_crawl_delays`` table ``(domain, crawl_delay_s)``. Appends
+    ``crawl_delay_s`` (the delay actually applied — the coalesced
+    value, so the plan is self-documenting) and
+    ``earliest_fetch_offset_s``. Pure Columns after ONE broadcast join
+    (the delays side is domains-sized); the frontier never reshuffles.
+    ``default_delay_s`` must be >= 0 — a 0 default means undeclared
+    hosts are paced only by wave concurrency."""
+    missing = [c for c in ("domain", "wave") if c not in frontier.columns]
+    if missing:
+        raise ValueError(
+            f"frontier lacks column(s) {missing} — run schedule_fetch "
+            "first (fetch_timeline composes waves x delays)"
+        )
+    if default_delay_s < 0:
+        raise ValueError(
+            f"default_delay_s must be >= 0, got {default_delay_s}"
+        )
+    d = delays.select(
+        F.col("domain").alias("_ft_domain"),
+        F.col("crawl_delay_s").alias("_ft_delay"),
+    )
+    out = frontier.join(
+        F.broadcast(d), frontier["domain"] == d["_ft_domain"], "left"
+    )
+    applied = F.coalesce(
+        F.col("_ft_delay"), F.lit(float(default_delay_s))
+    )
+    return out.select(
+        *[frontier[c] for c in frontier.columns],
+        applied.alias("crawl_delay_s"),
+        (F.col("wave") * applied).alias("earliest_fetch_offset_s"),
     )

@@ -967,6 +967,23 @@ def stream_image_dedup_ingest(
         # mapInPandas plan (full pixel decode of the batch) would
         # re-execute for the sink, decoding every file twice
         hashes = materialize(image_phash(media, algo, hash_size, fake_decode))
+        # media_id is xxhash64(path): a 64-bit collision between two
+        # distinct paths would silently alias them through the gate and
+        # the survivor join — surface it instead (one agg over the
+        # already-materialized slim frame; a real collision is a stop
+        # ship, not a merge)
+        collided = (
+            hashes.groupBy("media_id")
+            .count()
+            .filter(F.col("count") > 1)
+            .first()
+        )
+        if collided is not None:
+            raise ValueError(
+                "xxhash64(path) collision within batch on media_id="
+                f"{collided['media_id']} — distinct files would alias in "
+                "the dedup gate; rename one or switch the id scheme"
+            )
         matched = (
             hamming_pairs_against_corpus(
                 hashes,

@@ -374,13 +374,23 @@ def cmd_plan_crawl(args) -> None:
     by robots.txt (`robots_filter`) — writes the fetch-plan parquet
     (url, status, lastmod_ts, last_fetch_ts, robots_allowed,
     robots_rule) and prints the status x allowed census. The fetcher
-    consumes `status IN ('new','stale') AND robots_allowed`."""
+    consumes `status IN ('new','stale') AND robots_allowed`.
+
+    `--schedule` additionally assigns the fetchable rows their
+    politeness timeline (`schedule_fetch` waves x `robots_crawl_delays`
+    via `fetch_timeline`): columns domain, wave, crawl_delay_s,
+    earliest_fetch_offset_s — NULL on rows the fetcher must skip
+    (blocked / fresh / gone), so one parquet carries plan AND
+    schedule."""
     from pyspark.sql import functions as F
 
     from hospital_stain_tracker_data_pipeline_spark.operators.web import (
+        fetch_timeline,
         plan_recrawl,
+        robots_crawl_delays,
         robots_filter,
         robots_rules,
+        schedule_fetch,
     )
     from hospital_stain_tracker_data_pipeline_spark.sources.xml_source import (
         read_sitemap,
@@ -402,6 +412,31 @@ def cmd_plan_crawl(args) -> None:
     else:
         plan = plan.withColumn("robots_allowed", F.lit(True)).withColumn(
             "robots_rule", F.lit(None).cast("string")
+        )
+    if args.schedule:
+        fetchable = F.col("robots_allowed") & F.col("status").isin(
+            "new", "stale"
+        )
+        if args.robots:
+            delays = robots_crawl_delays(
+                spark.read.parquet(args.robots), user_agent=args.user_agent
+            )
+        else:
+            delays = spark.createDataFrame(
+                [], "domain string, crawl_delay_s double"
+            )
+        timed = fetch_timeline(
+            schedule_fetch(
+                plan.filter(fetchable),
+                per_domain_per_wave=args.per_domain_per_wave,
+            ),
+            delays,
+            default_delay_s=args.default_delay_s,
+        )
+        # skipped rows keep NULL schedule columns — unionByName fills
+        # the missing columns; no frontier-sized join
+        plan = plan.filter(~fetchable).unionByName(
+            timed, allowMissingColumns=True
         )
     plan.write.mode("overwrite").parquet(args.output)
     census = (
@@ -839,6 +874,15 @@ def main() -> None:
                      "selection")
     ppc.add_argument("--output", required=True,
                      help="fetch-plan parquet out")
+    ppc.add_argument("--schedule", action="store_true",
+                     help="also assign the fetchable rows wave + "
+                     "earliest_fetch_offset_s (schedule_fetch x "
+                     "robots_crawl_delays via fetch_timeline)")
+    ppc.add_argument("--per-domain-per-wave", type=int, default=1,
+                     help="per-host concurrency bound for --schedule")
+    ppc.add_argument("--default-delay-s", type=float, default=1.0,
+                     help="inter-wave seconds for hosts declaring no "
+                     "Crawl-delay (--schedule)")
     ppc.set_defaults(fn=cmd_plan_crawl)
 
     pcd = sub.add_parser("corpus_diff")

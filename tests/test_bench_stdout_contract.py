@@ -64,6 +64,16 @@ def test_bench_last_stdout_line_is_the_graded_json(tmp_path):
     assert rec["queries"] and all(v >= 0 for v in rec["queries"].values())
     assert rec["sf"] == 0.001
 
+    # the machine-speed normalizer + per-query spread (round-11): the
+    # calibration probe is constant work so it must be positive, and
+    # q_min/q_max are parallel to the queries map with min <= median
+    # <= max pointwise
+    assert rec["calibration_sec"] > 0
+    meds = list(rec["queries"].values())
+    assert len(rec["q_min"]) == len(meds) == len(rec["q_max"])
+    for lo, mid, hi in zip(rec["q_min"], meds, rec["q_max"]):
+        assert lo <= mid <= hi
+
     # belt-and-suspenders: the early print emitted the SAME line, so a
     # driver that takes the FIRST parseable line agrees with one that
     # takes the last
@@ -71,15 +81,14 @@ def test_bench_last_stdout_line_is_the_graded_json(tmp_path):
 
     # (2) tail-safety: the line fits a 2 KB capture tail with margin.
     # The smoke line is shorter than the full 37-query one, so project
-    # the full-run length entry-by-entry: each map entry costs
-    # len(name) + ~12 chars of quotes/colon/number/comma.
+    # the full-run length entry-by-entry: each `queries` map entry
+    # costs len(name) + ~12 chars of quotes/colon/number/comma, and
+    # each headline query adds ~7 chars to EACH of the q_min/q_max
+    # parallel arrays ("0.123,").
     import bench
 
     base = len(last)  # scaffolding + the smoke entries (overcounts base: fine)
-    full_entries = list(bench.HEADLINE) + [
-        n for n in bench.HEADLINE if n in bench.NOISY_UDF_FAMILY
-    ]
-    projected_full = base + sum(len(n) + 12 for n in full_entries)
+    projected_full = base + sum(len(n) + 12 + 14 for n in bench.HEADLINE)
     assert projected_full < 1900, (
         f"projected full-run stdout line ~{projected_full} chars — "
         "the driver tail keeps 2000; shrink the line"

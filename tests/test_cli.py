@@ -686,6 +686,57 @@ def test_cli_plan_crawl(tmp_path):
     assert rows["https://site.example/gone-page"] == ("gone", True)
 
 
+def test_cli_plan_crawl_schedule(tmp_path):
+    """`plan_crawl --schedule` appends the politeness timeline to the
+    FETCHABLE rows (wave x Crawl-delay via fetch_timeline) and leaves
+    NULL schedule columns on blocked/fresh/gone rows — one parquet
+    carries plan AND executable schedule."""
+    import duckdb
+
+    sitemap = tmp_path / "sitemap.xml"
+    sitemap.write_text(
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        "  <url><loc>https://site.example/a</loc></url>\n"
+        "  <url><loc>https://site.example/b</loc></url>\n"
+        "  <url><loc>https://site.example/c</loc></url>\n"
+        "  <url><loc>https://site.example/private/x</loc></url>\n"
+        "  <url><loc>https://quiet.example/only</loc></url>\n"
+        "</urlset>\n"
+    )
+    robots = str(tmp_path / "robots")
+    duckdb.sql(
+        "COPY (SELECT * FROM (VALUES ('site.example', "
+        "'User-agent: *' || chr(10) || 'Disallow: /private/' || chr(10)"
+        " || 'Crawl-delay: 4' || chr(10))"
+        ") t(domain, robots_txt)) TO '" + robots + "' (FORMAT PARQUET)"
+    )
+    out = str(tmp_path / "plan")
+    text = _run(
+        "plan_crawl", "--sitemap", str(sitemap), "--robots", robots,
+        "--output", out, "--schedule", "--default-delay-s", "1.5",
+    )
+    assert "fetch_list=4" in text
+    rows = {
+        r[0]: r[1:]
+        for r in duckdb.sql(
+            "SELECT url, robots_allowed, wave, crawl_delay_s, "
+            f"earliest_fetch_offset_s FROM '{out}/*.parquet'"
+        ).fetchall()
+    }
+    # fetchable site.example rows: waves 0..2 (per_domain_per_wave=1,
+    # url-ordered), offsets pace by the declared Crawl-delay
+    assert rows["https://site.example/a"] == (True, 0, 4.0, 0.0)
+    assert rows["https://site.example/b"] == (True, 1, 4.0, 4.0)
+    assert rows["https://site.example/c"] == (True, 2, 4.0, 8.0)
+    # undeclared-delay host paces by the default (single URL -> wave 0)
+    assert rows["https://quiet.example/only"] == (True, 0, 1.5, 0.0)
+    # blocked row carries NO schedule — the fetcher must skip it
+    assert rows["https://site.example/private/x"] == (
+        False, None, None, None,
+    )
+
+
 def test_cli_ann_index_drift(tmp_path):
     """`ann_index --drift` prints the drift report without growing the
     codes table — the read-only monitoring probe."""

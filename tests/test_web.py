@@ -801,6 +801,14 @@ def test_robots_filter_group_selection_and_broadcast(spark):
         frontier, _rules_df(spark, bodies)
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+    # the per-(path, rule) match must be Arrow-batched (process-wide
+    # compiled-pattern cache) — NOT an RLike over the non-foldable
+    # `regex` column: Spark's RLike caches only the LAST compiled
+    # pattern per expression instance, and the joined stream
+    # interleaves a URL's rules row-to-row, so a billion-URL frontier
+    # would recompile a pattern per candidate row
+    assert "ArrowEvalPython" in plan
+    assert "RLike" not in plan
 
 
 def test_robots_filter_duckdb_replay(spark):
@@ -1051,3 +1059,88 @@ def test_schedule_fetch_waves(spark):
 
     with _pytest.raises(ValueError, match=">= 1"):
         schedule_fetch(frontier, per_domain_per_wave=0)
+
+
+def test_fetch_timeline_composes_waves_and_delays(spark):
+    """waves x delays -> the executable schedule: offset = wave *
+    coalesce(declared delay, default); undeclared hosts pace by the
+    default; the delays side reaches the frontier via ONE broadcast
+    join; full DuckDB replay of the composition; missing schedule
+    columns and negative defaults fail fast."""
+    import duckdb as _duckdb
+    import pytest as _pytest
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.web import (
+        fetch_timeline,
+        schedule_fetch,
+    )
+
+    rows = [(f"https://slow.example/p{i:02d}",) for i in range(5)]
+    rows += [(f"https://fast.example/p{i:02d}",) for i in range(4)]
+    rows += [("https://nodelay.example/only",)]
+    frontier = spark.createDataFrame(rows, "url string")
+    delays = spark.createDataFrame(
+        [("slow.example", 10.0), ("fast.example", 0.5)],
+        "domain string, crawl_delay_s double",
+    )
+    timed = fetch_timeline(
+        schedule_fetch(frontier, per_domain_per_wave=2),
+        delays,
+        default_delay_s=1.5,
+    )
+    pdf = timed.toPandas()
+    assert list(pdf.columns) == [
+        "url", "domain", "wave", "crawl_delay_s",
+        "earliest_fetch_offset_s",
+    ]
+    got = {
+        r.url: (r.crawl_delay_s, r.earliest_fetch_offset_s)
+        for r in pdf.itertuples()
+    }
+    # wave 0 always starts at 0; later waves pace by the HOST's delay
+    assert got["https://slow.example/p00"] == (10.0, 0.0)
+    assert got["https://slow.example/p04"] == (10.0, 20.0)  # wave 2
+    assert got["https://fast.example/p03"] == (0.5, 0.5)    # wave 1
+    # undeclared host: the default paces it (single URL -> wave 0)
+    assert got["https://nodelay.example/only"] == (1.5, 0.0)
+
+    # DuckDB replay of the whole composition (domain re-derived
+    # arithmetically from the synthetic URL shape)
+    con = _duckdb.connect()
+    want = dict(
+        con.execute(
+            """
+            WITH f AS (
+              SELECT url,
+                     string_split(string_split(url, '//')[2], '/')[1]
+                       AS domain
+              FROM (SELECT unnest(?) AS url)
+            ), d AS (
+              SELECT * FROM (VALUES ('slow.example', 10.0),
+                                    ('fast.example', 0.5))
+                t(domain, crawl_delay_s)
+            ), w AS (
+              SELECT url, f.domain,
+                     CAST(floor((row_number() OVER (PARTITION BY f.domain
+                       ORDER BY url ASC) - 1) / 2) AS INT) AS wave
+              FROM f
+            )
+            SELECT url, wave * coalesce(crawl_delay_s, 1.5)
+            FROM w LEFT JOIN d USING (domain)
+            """,
+            [[r[0] for r in rows]],
+        ).fetchall()
+    )
+    con.close()
+    assert {u: o for u, (_, o) in got.items()} == want
+
+    # one broadcast join: the frontier never reshuffles on the compose
+    plan = timed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    with _pytest.raises(ValueError, match="schedule_fetch first"):
+        fetch_timeline(frontier, delays)
+    with _pytest.raises(ValueError, match=">= 0"):
+        fetch_timeline(
+            schedule_fetch(frontier), delays, default_delay_s=-1.0
+        )
