@@ -466,3 +466,147 @@ SELECT doc_id, round(sum(c), 6) AS rrf_score
 FROM united GROUP BY doc_id
 ORDER BY rrf_score DESC, doc_id LIMIT 15
 """
+
+
+# ---------------------------------------------------------------------------
+# round-11 rotation: repetition profile, stratified sampling, filter funnel
+# ---------------------------------------------------------------------------
+
+
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document repetition profile
+    (`operators/repetition.py::doc_repetition_profile`): duplicate-line
+    stats computed IN-ROW (zero shuffle) + repeated-n-gram character
+    mass via explode → (doc, gram) partial count → per-doc aggregate —
+    the MassiveText/FineWeb boilerplate signal, linear in corpus
+    tokens. Promoted to the driver catalog in round 11 (previously the
+    pytest DuckDB oracle in tests/test_repetition.py)."""
+    from ..operators.repetition import doc_repetition_profile
+
+    return doc_repetition_profile(
+        load_fixture_table(spark, sf_dir, "documents"),
+        top_ns=(2, 3),
+        dup_ns=(5,),
+    )
+
+
+_GRAM_CTE = r"""
+  SELECT doc_id, unnest(
+    CASE WHEN len(t) >= {n} THEN
+      list_transform(range(1, len(t) - {m} + 1),
+                     i -> array_to_string(t[i:i+{m}], ' '))
+    ELSE [] END) AS g
+  FROM toks
+"""
+
+SQL_REPETITION_PROFILE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(text)), '\s+') AS t,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), linestats AS (
+  SELECT doc_id,
+    CAST(len(lines) AS INT) AS n_lines,
+    ROUND(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+          / len(lines), 6) AS dup_line_frac,
+    ROUND(CASE WHEN list_sum(list_transform(lines, l -> length(l))) = 0
+          THEN 0.0 ELSE
+          CAST(list_sum(list_transform(lines, l -> length(l)))
+               - list_sum(list_transform(list_distinct(lines),
+                                         l -> length(l))) AS DOUBLE)
+          / list_sum(list_transform(lines, l -> length(l))) END, 6)
+      AS dup_line_char_frac
+  FROM toks
+), g2 AS ({g2}), g3 AS ({g3}), g5 AS ({g5}),
+a2 AS (
+  SELECT doc_id, ROUND(CAST(max(c * glen) AS DOUBLE) / sum(c * glen), 6)
+           AS top_2gram_char_frac
+  FROM (SELECT doc_id, g, count(*) AS c, length(g) AS glen
+        FROM g2 GROUP BY doc_id, g) GROUP BY doc_id
+), a3 AS (
+  SELECT doc_id, ROUND(CAST(max(c * glen) AS DOUBLE) / sum(c * glen), 6)
+           AS top_3gram_char_frac
+  FROM (SELECT doc_id, g, count(*) AS c, length(g) AS glen
+        FROM g3 GROUP BY doc_id, g) GROUP BY doc_id
+), a5 AS (
+  SELECT doc_id,
+         ROUND(CAST(sum(CASE WHEN c > 1 THEN c * glen ELSE 0 END)
+               AS DOUBLE) / sum(c * glen), 6) AS dup_5gram_char_frac
+  FROM (SELECT doc_id, g, count(*) AS c, length(g) AS glen
+        FROM g5 GROUP BY doc_id, g) GROUP BY doc_id
+)
+SELECT l.doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+       top_2gram_char_frac, top_3gram_char_frac, dup_5gram_char_frac
+FROM linestats l
+LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+LEFT JOIN a5 USING (doc_id)
+""".format(
+    g2=_GRAM_CTE.format(n=2, m=1),
+    g3=_GRAM_CTE.format(n=3, m=2),
+    g5=_GRAM_CTE.format(n=5, m=4),
+)
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-stratum eval draw (`operators/mixture.py::
+    sample_stratified`): 25 documents from EVERY source via the
+    md5(seed:id) keyed-permutation window — deterministic, no binomial
+    jitter, one stratum-keyed exchange. Promoted round 11 (previously
+    the pytest DuckDB replay in tests/test_mixture.py)."""
+    from ..operators.mixture import sample_stratified
+
+    return sample_stratified(
+        load_fixture_table(spark, sf_dir, "documents"),
+        "source",
+        k=25,
+        seed=7,
+    )
+
+
+SQL_SAMPLE_STRATIFIED = r"""
+WITH r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY source
+    ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id
+  ) AS rk
+  FROM documents
+  WHERE doc_id IS NOT NULL
+)
+SELECT doc_id, text, lang, source, n_chars FROM r WHERE rk <= 25
+"""
+
+
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-cleaning funnel census (`operators/packing.py::
+    filter_funnel`): cumulative survivor counts for four ordered
+    stages in ONE conditional-aggregation scan — the C4/RefinedWeb
+    attrition report without N corpus passes. Promoted round 11."""
+    from ..operators.packing import filter_funnel
+
+    docs = load_fixture_table(spark, sf_dir, "documents")
+    return filter_funnel(
+        docs,
+        [
+            ("lang_en", F.col("lang") == "en"),
+            ("min_chars", F.col("n_chars") >= 200),
+            ("max_chars", F.col("n_chars") <= 2000),
+            ("has_period", F.col("text").contains(".")),
+        ],
+    )
+
+
+SQL_FILTER_FUNNEL = r"""
+SELECT CAST(count(*) AS BIGINT) AS total,
+  CAST(coalesce(sum(CASE WHEN lang = 'en'
+    THEN 1 ELSE 0 END), 0) AS BIGINT) AS after_lang_en,
+  CAST(coalesce(sum(CASE WHEN lang = 'en' AND n_chars >= 200
+    THEN 1 ELSE 0 END), 0) AS BIGINT) AS after_min_chars,
+  CAST(coalesce(sum(CASE WHEN lang = 'en' AND n_chars >= 200
+    AND n_chars <= 2000 THEN 1 ELSE 0 END), 0) AS BIGINT)
+    AS after_max_chars,
+  CAST(coalesce(sum(CASE WHEN lang = 'en' AND n_chars >= 200
+    AND n_chars <= 2000 AND contains(text, '.')
+    THEN 1 ELSE 0 END), 0) AS BIGINT) AS after_has_period
+FROM documents
+"""

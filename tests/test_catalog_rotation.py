@@ -1,13 +1,13 @@
-"""Round-10 catalog rotation pins.
+"""Catalog rotation pins (rounds 10 + 11).
 
-Two invariants the rotation must not break:
+Two invariants every rotation must not break:
 
-1. The eight DEMOTED relational one-liners keep full DuckDB-oracle
-   correctness even though the grading driver no longer sees them —
-   exact value-level replay here (the same compare discipline the
-   driver applies to the 50 graded entries).
-2. The eight promoted corpus-pipeline entries (plans/corpus.py) match
-   their oracles value-exactly at the driver's grading scale semantics
+1. Every DEMOTED entry keeps full DuckDB-oracle correctness even
+   though the grading driver no longer sees it — exact value-level
+   replay here (the same compare discipline the driver applies to the
+   50 graded entries).
+2. Every promoted entry (plans/corpus.py, plans/crawl.py) matches its
+   oracle value-exactly at the driver's grading scale semantics
    (sorted rows, sorted columns, repr-exact floats) — a rounding or
    summation-order drift fails HERE before it fails a driver round.
 """
@@ -23,6 +23,7 @@ from hospital_stain_tracker_data_pipeline_spark.plans import CATALOG
 from hospital_stain_tracker_data_pipeline_spark.plans.catalog import DEMOTED
 
 PROMOTED = [
+    # round 10
     "pack_token_chunks",
     "heavy_hitters",
     "dedup_spans",
@@ -31,6 +32,11 @@ PROMOTED = [
     "bm25_topk",
     "gopher_quality_kept",
     "rrf_fuse",
+    # round 11
+    "repetition_profile",
+    "sample_stratified",
+    "filter_funnel",
+    "fetch_schedule",
 ]
 
 _TABLES = [
