@@ -467,14 +467,19 @@ def _extras_registry():
         return image_dup_pairs(media, max_hamming=3)
 
     def ann_append(spark, sf_dir):
-        """Incremental ANN refresh vs full rebuild: build the
+        """The full incremental-ANN lifecycle, phase-timed: build the
         persistent IVF-PQ artifact over 90% of the embedding lake
         (build_sec — the nightly full-rebuild cost: fit + encode
-        everything), then append the held-out 10% as a delta
-        (append_sec — the O(delta) path a daily crawl takes: encode
-        only the batch under the frozen fits). The build/append gap is
-        the operational win the incremental index exists for; the
-        drift numbers ride along so the report path is also timed."""
+        everything), append the held-out 10% as a delta (append_sec —
+        the O(delta) path a daily crawl takes: encode only the batch
+        under the frozen fits), tombstone 1/7 of the ids (remove_sec —
+        the takedown path: id-sized write, codes untouched), search
+        with the tombstones live (search_tombstoned_sec — the anti-join
+        overhead a pre-compaction serving window pays), then fold them
+        in (compact_sec — the deferred rewrite). The build/append and
+        rewrite/tombstone gaps are the operational wins the lifecycle
+        exists for; the drift numbers ride along so the report path is
+        also timed."""
         import shutil
         import tempfile
         import time as _t
@@ -484,6 +489,9 @@ def _extras_registry():
         from hospital_stain_tracker_data_pipeline_spark.operators.pq import (
             append_ann_index,
             build_ann_index,
+            compact_ann_index,
+            remove_from_ann_index,
+            search_ann_index,
         )
 
         emb = load_fixture_table(spark, sf_dir, "embeddings")
@@ -499,10 +507,26 @@ def _extras_registry():
             t1 = _t.perf_counter()
             report = append_ann_index(spark, f"{d}/idx", delta)
             t2 = _t.perf_counter()
+            rm = remove_from_ann_index(
+                spark, f"{d}/idx", emb.filter(F2.col("vec_id") % 7 == 0)
+            )
+            t3 = _t.perf_counter()
+            q = emb.orderBy("vec_id").limit(16).select(
+                F2.col("vec_id").alias("query_id"), "embedding"
+            )
+            search_ann_index(spark, f"{d}/idx", q, k=10, nprobe=4).count()
+            t4 = _t.perf_counter()
+            crep = compact_ann_index(spark, f"{d}/idx", min_ratio=0.1)
+            t5 = _t.perf_counter()
             EXTRAS_INFO["ann_append"] = {
                 "build_sec": round(t1 - t0, 3),
                 "append_sec": round(t2 - t1, 3),
+                "remove_sec": round(t3 - t2, 3),
+                "search_tombstoned_sec": round(t4 - t3, 3),
+                "compact_sec": round(t5 - t4, 3),
                 "appended": report["appended"],
+                "removed": rm["tombstones_total"],
+                "compacted_rows": crep.get("codes_rows_after"),
                 "occupancy_shift_tv": report["occupancy_shift_tv"],
                 "err_ratio": report["err_ratio"],
             }

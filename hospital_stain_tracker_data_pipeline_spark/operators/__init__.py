@@ -94,8 +94,10 @@ from .pq import (  # noqa: F401
     ann_index_drift,
     append_ann_index,
     build_ann_index,
+    compact_ann_index,
     knn_ivf_pq,
     knn_pq,
+    remove_from_ann_index,
     search_ann_index,
     load_pq_index,
     pack_codes,

@@ -825,6 +825,161 @@ def ann_index_drift(
     return report
 
 
+def remove_from_ann_index(
+    spark,
+    path: str,
+    ids: DataFrame,
+    compact_ratio_threshold: float = 0.1,
+) -> dict:
+    """Deletions for the persistent index — the lifecycle piece
+    takedowns and dedup-driven retractions need at 100 TB, where
+    "rebuild the index" is a night of cluster time but "stop serving
+    these ids" must land in minutes. Appends the ids to a TOMBSTONE
+    parquet beside ``codes``; ``search_ann_index`` anti-joins it, so
+    removed ids stop appearing immediately while the (expensive) codes
+    table is untouched — the vacuum-analog write-amplification
+    deferral. ``compact_ann_index`` later folds tombstones into codes
+    when the ratio passes a threshold.
+
+    ``ids`` is a DataFrame carrying the index's id column (the marker
+    records its name — fail-fast otherwise); unknown ids tombstone
+    harmlessly (the anti-join ignores them) but inflate the reported
+    ratio, so feed takedown lists already intersected with the corpus
+    where possible. Ids are distinct-ed and snapshot-pinned
+    (localCheckpoint) BEFORE the marker comes off — the
+    ``append_ann_index`` discipline: bad input never tears the
+    artifact, and a crash mid-write leaves a loudly-rejected torn
+    index, not a silently-partial one.
+
+    Contract note: a tombstone suppresses its id even if the same id
+    is APPENDED again later — compaction would fold the re-append away
+    too. Re-adding a previously removed id requires compacting first
+    (tombstones then clear). The returned report carries
+    ``tombstones_total`` / ``codes_rows`` / ``tombstone_ratio`` /
+    ``compact_recommended`` so a cron can chain the compaction."""
+    import json
+    import os
+
+    marker = os.path.join(path, "_INDEX_OK")
+    if not os.path.exists(marker):
+        raise ValueError(
+            f"{path} has no _INDEX_OK marker — cannot remove from an "
+            "incomplete or torn index; rebuild with build_ann_index"
+        )
+    with open(marker) as f:
+        meta = json.load(f)
+    id_col = meta["id_col"]
+    if id_col not in ids.columns:
+        raise ValueError(
+            f"ids frame lacks column {id_col!r} (has {ids.columns}) — "
+            f"the index at {path} was built with id_col={id_col!r}"
+        )
+    # pin + validate BEFORE the marker comes off (forces the frame; a
+    # broken producer fails here, leaving the artifact intact)
+    tomb = ids.select(id_col).distinct().localCheckpoint(eager=True)
+    n_req = tomb.count()
+    if n_req:
+        os.remove(marker)
+        tomb.write.mode("append").parquet(os.path.join(path, "tombstones"))
+        meta["removes"] = int(meta.get("removes", 0)) + 1
+        with open(marker, "w") as f:
+            json.dump(meta, f)
+    n_tomb = (
+        spark.read.parquet(os.path.join(path, "tombstones"))
+        .distinct()
+        .count()
+        if os.path.isdir(os.path.join(path, "tombstones"))
+        else 0
+    )
+    n_codes = spark.read.parquet(f"{path}/codes").count()
+    ratio = round(n_tomb / n_codes, 6) if n_codes else 0.0
+    return {
+        "requested": n_req,
+        "tombstones_total": n_tomb,
+        "codes_rows": n_codes,
+        "tombstone_ratio": ratio,
+        "compact_recommended": ratio >= compact_ratio_threshold,
+        "removes": int(meta.get("removes", 0)),
+    }
+
+
+def compact_ann_index(
+    spark,
+    path: str,
+    min_ratio: float = 0.1,
+    force: bool = False,
+) -> dict:
+    """Fold tombstones into the codes table — the index's vacuum:
+    rewrite ``codes`` minus tombstoned ids, clear the tombstone file,
+    and return the before/after accounting. Deferred by default: the
+    rewrite costs a full codes-table pass, so it only runs when the
+    tombstone ratio has reached ``min_ratio`` (or ``force=True``) —
+    below that, the per-search anti-join is cheaper than the rewrite.
+
+    Marker discipline: the compacted codes land in a sibling directory
+    and are COUNT-VALIDATED before ``_INDEX_OK`` comes off; only then
+    does the directory swap + tombstone clear happen, and the marker
+    is rewritten last — a crash mid-swap leaves a loudly-rejected torn
+    artifact (the ``build_ann_index`` contract). Search results are
+    identical before and after (pinned by test): compaction changes
+    storage, never semantics."""
+    import json
+    import os
+    import shutil
+
+    marker = os.path.join(path, "_INDEX_OK")
+    if not os.path.exists(marker):
+        raise ValueError(
+            f"{path} has no _INDEX_OK marker — cannot compact an "
+            "incomplete or torn index; rebuild with build_ann_index"
+        )
+    with open(marker) as f:
+        meta = json.load(f)
+    id_col = meta["id_col"]
+    tomb_dir = os.path.join(path, "tombstones")
+    codes_dir = os.path.join(path, "codes")
+    n_codes = spark.read.parquet(codes_dir).count()
+    if not os.path.isdir(tomb_dir):
+        return {
+            "compacted": False,
+            "reason": "no tombstones",
+            "codes_rows": n_codes,
+        }
+    tomb = spark.read.parquet(tomb_dir).distinct()
+    n_tomb = tomb.count()
+    ratio = round(n_tomb / n_codes, 6) if n_codes else 0.0
+    if not force and ratio < min_ratio:
+        return {
+            "compacted": False,
+            "reason": f"tombstone_ratio {ratio} < min_ratio {min_ratio}",
+            "codes_rows": n_codes,
+            "tombstones_total": n_tomb,
+            "tombstone_ratio": ratio,
+        }
+    compact_dir = os.path.join(path, "codes_compacting")
+    if os.path.isdir(compact_dir):
+        shutil.rmtree(compact_dir)  # leftover from a pre-marker crash
+    live = spark.read.parquet(codes_dir).join(tomb, id_col, "left_anti")
+    live.write.mode("overwrite").parquet(compact_dir)
+    # validate the rewrite BEFORE the marker comes off
+    n_live = spark.read.parquet(compact_dir).count()
+    os.remove(marker)
+    shutil.rmtree(codes_dir)
+    os.rename(compact_dir, codes_dir)
+    shutil.rmtree(tomb_dir)
+    meta["compactions"] = int(meta.get("compactions", 0)) + 1
+    with open(marker, "w") as f:
+        json.dump(meta, f)
+    return {
+        "compacted": True,
+        "codes_rows_before": n_codes,
+        "codes_rows_after": n_live,
+        "folded_tombstones": n_tomb,
+        "tombstone_ratio": ratio,
+        "compactions": meta["compactions"],
+    }
+
+
 def search_ann_index(
     spark,
     path: str,
@@ -845,7 +1000,10 @@ def search_ann_index(
     (see ``knn_pq``); turn it on when querying the corpus with itself.
 
     The corpus id column is whatever ``build_ann_index`` encoded (the
-    codes table's non-``cell``/``pq_code`` column)."""
+    codes table's non-``cell``/``pq_code`` column). Ids tombstoned by
+    ``remove_from_ann_index`` are anti-joined out of the candidate set
+    here (takedowns stop serving immediately, before any
+    ``compact_ann_index`` folds them into the codes table)."""
     import os
 
     if not os.path.exists(os.path.join(path, "_INDEX_OK")):
@@ -868,6 +1026,11 @@ def search_ann_index(
             "exactly (id, cell, pq_code) from build_ann_index"
         )
     id_col = rest[0]
+    tomb_dir = os.path.join(path, "tombstones")
+    if os.path.isdir(tomb_dir):
+        codes = codes.join(
+            spark.read.parquet(tomb_dir), id_col, "left_anti"
+        )
     probes = query.select(
         F.col(query_id_col),
         as_double_array(F.col(vec_col)).alias("_pv"),

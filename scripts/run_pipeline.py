@@ -308,14 +308,41 @@ def cmd_ann_index(args) -> None:
         ann_index_drift,
         append_ann_index,
         build_ann_index,
+        compact_ann_index,
+        remove_from_ann_index,
     )
 
-    if args.append and args.drift:
+    modes = [
+        m for m, on in [
+            ("--append", args.append), ("--drift", args.drift),
+            ("--remove", bool(args.remove)), ("--compact", args.compact),
+        ] if on
+    ]
+    if len(modes) > 1:
         raise SystemExit(
-            "ann_index: --append and --drift are mutually exclusive — "
-            "--drift is the read-only probe, --append mutates the index"
+            f"ann_index: {' and '.join(modes)} are mutually exclusive — "
+            "one lifecycle action per invocation"
         )
     spark = get_spark(app_name="ann_index")
+    if args.remove:
+        report = remove_from_ann_index(
+            spark, args.output, spark.read.parquet(args.remove)
+        )
+        print(_json.dumps(report))
+        return
+    if args.compact:
+        report = compact_ann_index(
+            spark, args.output,
+            min_ratio=args.compact_min_ratio,
+            force=args.compact_force,
+        )
+        print(_json.dumps(report))
+        return
+    if not args.embeddings:
+        raise SystemExit(
+            "ann_index: --embeddings is required (only --remove/"
+            "--compact operate without a vector batch)"
+        )
     emb = spark.read.parquet(args.embeddings)
     if args.drift:
         report = ann_index_drift(
@@ -822,8 +849,9 @@ def main() -> None:
     pdf_.set_defaults(fn=cmd_dedup_filter)
 
     pai = sub.add_parser("ann_index")
-    pai.add_argument("--embeddings", required=True,
-                     help="embeddings parquet (id + vector columns)")
+    pai.add_argument("--embeddings",
+                     help="embeddings parquet (id + vector columns); "
+                     "required except with --remove/--compact")
     pai.add_argument("--output", required=True, help="index artifact dir")
     pai.add_argument("--clusters", type=int, default=16)
     pai.add_argument("--m", type=int, default=8,
@@ -844,6 +872,21 @@ def main() -> None:
                      "through the existing index's fits and print the "
                      "drift report JSON without appending anything — "
                      "the nightly refit-or-not monitoring check")
+    pai.add_argument("--remove",
+                     help="ids parquet (the index's id column): "
+                     "tombstone these ids — search stops serving them "
+                     "immediately, codes untouched; prints the "
+                     "tombstone-ratio report JSON")
+    pai.add_argument("--compact", action="store_true",
+                     help="fold tombstones into the codes table "
+                     "(rewrite codes minus removed ids, clear "
+                     "tombstones) when the ratio warrants it; prints "
+                     "the accounting JSON")
+    pai.add_argument("--compact-min-ratio", type=float, default=0.1,
+                     help="minimum tombstones/codes ratio before "
+                     "--compact actually rewrites")
+    pai.add_argument("--compact-force", action="store_true",
+                     help="compact regardless of ratio")
     pai.set_defaults(fn=cmd_ann_index)
 
     pas = sub.add_parser("ann_search")

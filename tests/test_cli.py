@@ -763,3 +763,51 @@ def test_cli_ann_index_drift(tmp_path):
         f"SELECT count(*) FROM '{idx}/codes/*.parquet'"
     ).fetchone()[0]
     assert n1 == n0
+
+
+def test_cli_ann_index_remove_and_compact(tmp_path):
+    """`ann_index --remove` tombstones ids (search census shrinks, codes
+    untouched) and `--compact` folds them into the codes table — the
+    takedown lifecycle end to end through the CLI."""
+    import json
+
+    import duckdb
+
+    emb = "/root/testdata/sf0.001/embeddings.parquet"
+    idx = str(tmp_path / "ann")
+    _run(
+        "ann_index", "--embeddings", emb, "--output", idx,
+        "--clusters", "4", "--m", "8", "--codes", "16", "--iters", "1",
+    )
+    n0 = duckdb.sql(
+        f"SELECT count(*) FROM '{idx}/codes/*.parquet'"
+    ).fetchone()[0]
+    ids = str(tmp_path / "takedown")
+    duckdb.sql(
+        f"COPY (SELECT vec_id FROM read_parquet('{emb}') "
+        "WHERE vec_id % 5 = 0) TO '" + ids + "' (FORMAT PARQUET)"
+    )
+    n_rm = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{emb}') WHERE vec_id % 5 = 0"
+    ).fetchone()[0]
+
+    out = _run("ann_index", "--output", idx, "--remove", ids)
+    rep = json.loads(
+        [ln for ln in out.splitlines() if ln.startswith("{")][-1]
+    )
+    assert rep["tombstones_total"] == n_rm
+    assert rep["compact_recommended"] is True  # 1/5 >= 0.1
+    # codes untouched by the tombstone write
+    assert duckdb.sql(
+        f"SELECT count(*) FROM '{idx}/codes/*.parquet'"
+    ).fetchone()[0] == n0
+
+    out = _run("ann_index", "--output", idx, "--compact")
+    crep = json.loads(
+        [ln for ln in out.splitlines() if ln.startswith("{")][-1]
+    )
+    assert crep["compacted"] is True
+    assert crep["codes_rows_after"] == n0 - n_rm
+    assert duckdb.sql(
+        f"SELECT count(*) FROM '{idx}/codes/*.parquet'"
+    ).fetchone()[0] == n0 - n_rm

@@ -554,3 +554,135 @@ def test_ann_index_drift_probe_is_read_only(spark, emb, tmp_path):
 
     with _pytest.raises(ValueError, match="_INDEX_OK"):
         ann_index_drift(spark, str(tmp_path / "nope"), delta)
+
+
+def test_ann_index_remove_matches_rebuild_without_ids(spark, emb, tmp_path):
+    """Tombstone semantics: search-after-remove serves EXACTLY what an
+    index whose codes were re-encoded WITHOUT the removed ids (same
+    frozen fits) serves — a takedown changes the candidate set, never
+    the ranking math. Unknown ids tombstone harmlessly."""
+    import os
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.pq import (
+        _encode_cells,
+        build_ann_index,
+        load_ivf_index,
+        load_pq_index,
+        remove_from_ann_index,
+        search_ann_index,
+    )
+
+    params = dict(n_clusters=4, m=8, n_codes=16, iters=2)
+    idx = str(tmp_path / "ann")
+    build_ann_index(emb, idx, **params)
+    removed = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    n_removed = removed.count()
+
+    rep = remove_from_ann_index(spark, idx, removed)
+    assert rep["requested"] == n_removed
+    assert rep["tombstones_total"] == n_removed
+    assert rep["removes"] == 1
+    assert rep["compact_recommended"] == (rep["tombstone_ratio"] >= 0.1)
+    assert os.path.exists(os.path.join(idx, "_INDEX_OK"))
+
+    q = emb.orderBy("vec_id").limit(6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got_df = search_ann_index(spark, idx, q, k=5, nprobe=2)
+    assert (
+        got_df.join(removed, got_df["vec_id"] == removed["vec_id"]).count()
+        == 0
+    )
+    got = sorted(map(tuple, got_df.collect()))
+
+    # reference: identical deterministic fits, codes re-encoded minus ids
+    ref = str(tmp_path / "ref")
+    build_ann_index(emb, ref, **params)
+    cents = load_ivf_index(spark, f"{ref}/ivf")
+    cb = load_pq_index(spark, f"{ref}/pq")
+    _encode_cells(
+        emb.join(removed, "vec_id", "left_anti"), cents, cb,
+        "vec_id", "embedding",
+    ).write.mode("overwrite").parquet(f"{ref}/codes")
+    want = sorted(map(tuple, search_ann_index(
+        spark, ref, q, k=5, nprobe=2
+    ).collect()))
+    assert got == want and len(got) > 0
+
+    # unknown ids: harmless tombstones (results unchanged), ratio grows
+    ghost = spark.range(3).select((F.col("id") + 10_000_000).alias("vec_id"))
+    rep2 = remove_from_ann_index(spark, idx, ghost)
+    assert rep2["removes"] == 2
+    assert rep2["tombstones_total"] == n_removed + 3
+    still = sorted(map(tuple, search_ann_index(
+        spark, idx, q, k=5, nprobe=2
+    ).collect()))
+    assert still == got
+
+
+def test_ann_index_compact_folds_tombstones(spark, emb, tmp_path):
+    """Compaction is storage-only: identical search results before and
+    after, codes rows shrink by the live tombstone count, the
+    tombstone dir clears, the ratio gate defers a premature rewrite,
+    and remove/compact refuse a torn artifact."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.pq import (
+        build_ann_index,
+        compact_ann_index,
+        remove_from_ann_index,
+        search_ann_index,
+    )
+
+    params = dict(n_clusters=4, m=8, n_codes=16, iters=2)
+    idx = str(tmp_path / "ann")
+    build_ann_index(emb, idx, **params)
+    n_all = spark.read.parquet(f"{idx}/codes").count()
+    removed = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    n_removed = removed.count()
+    remove_from_ann_index(spark, idx, removed)
+
+    q = emb.orderBy("vec_id").limit(6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    before = sorted(map(tuple, search_ann_index(
+        spark, idx, q, k=5, nprobe=2
+    ).collect()))
+
+    # ratio gate: ~1/7 of ids tombstoned — a 0.5 floor must defer
+    deferred = compact_ann_index(spark, idx, min_ratio=0.5)
+    assert deferred["compacted"] is False
+    assert os.path.isdir(os.path.join(idx, "tombstones"))
+
+    crep = compact_ann_index(spark, idx, min_ratio=0.1)
+    assert crep["compacted"] is True
+    assert crep["codes_rows_before"] == n_all
+    assert crep["codes_rows_after"] == n_all - n_removed
+    assert not os.path.isdir(os.path.join(idx, "tombstones"))
+    with open(os.path.join(idx, "_INDEX_OK")) as f:
+        assert json.load(f)["compactions"] == 1
+
+    after = sorted(map(tuple, search_ann_index(
+        spark, idx, q, k=5, nprobe=2
+    ).collect()))
+    assert after == before
+
+    # nothing left to fold: explicit no-op, not an error
+    noop = compact_ann_index(spark, idx, force=True)
+    assert noop["compacted"] is False and noop["reason"] == "no tombstones"
+
+    # torn artifact: both lifecycle ops refuse; a bad ids frame fails
+    # BEFORE the marker comes off (artifact stays intact)
+    with _pytest.raises(ValueError, match="lacks column"):
+        remove_from_ann_index(
+            spark, idx, spark.range(1).select(F.col("id").alias("wrong"))
+        )
+    assert os.path.exists(os.path.join(idx, "_INDEX_OK"))
+    os.remove(os.path.join(idx, "_INDEX_OK"))
+    with _pytest.raises(ValueError, match="_INDEX_OK"):
+        remove_from_ann_index(spark, idx, removed)
+    with _pytest.raises(ValueError, match="_INDEX_OK"):
+        compact_ann_index(spark, idx)
