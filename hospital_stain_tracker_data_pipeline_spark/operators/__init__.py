@@ -140,6 +140,8 @@ from .similarity import (  # noqa: F401
 )
 from .multimodal import (  # noqa: F401
     dedup_images_against_corpus,
+    load_phash_index,
+    save_phash_index,
     extract_audio_features,
     extract_image_features,
     extract_video_features,

@@ -1351,6 +1351,84 @@ def dedup_images_against_corpus(
     return new_media.join(matched, "media_id", "left_anti")
 
 
+def save_phash_index(
+    index: DataFrame, algo: str, hash_size: int, path: str
+) -> None:
+    """Persist a perceptual-hash index WITH its parameters — the
+    ``save_cms_sketch`` artifact discipline for the visual dedup tier:
+    constant ``_phash_algo`` / ``_phash_size`` columns ride the
+    parquet, so ``load_phash_index`` returns the right ``(index, algo,
+    hash_size)`` and probing a dHash index with aHash probes (which
+    would silently match nothing meaningful) becomes structurally
+    impossible for artifact-mediated flows. ``index`` is any frame
+    carrying ``media_id`` + ``phash`` (an ``image_phash`` output or
+    its survivors projection); only those two columns persist — 8 B +
+    an id per image, pixels never stored. NULL-hash rows (undecodable
+    payloads) are dropped: they can never pair, and keeping them would
+    only bloat the band join. A NULL-id sentinel row rides along so a
+    legitimately EMPTY index still round-trips with its parameters
+    (the loader drops it)."""
+    if algo not in ("dhash", "ahash"):
+        raise ValueError(f"unknown phash algo {algo!r} (dhash|ahash)")
+    if not (1 <= hash_size <= 8):
+        raise ValueError(
+            f"hash_size={hash_size} out of range — the LONG fingerprint "
+            "caps at 64 bits (1 <= hash_size <= 8)"
+        )
+    missing = [c for c in ("media_id", "phash") if c not in index.columns]
+    if missing:
+        raise ValueError(
+            f"index frame lacks column(s) {missing} — pass an "
+            "image_phash output (media_id, phash)"
+        )
+    slim = index.select("media_id", "phash").filter(
+        F.col("phash").isNotNull()
+    )
+    sentinel = index.sparkSession.range(1).select(
+        F.lit(None).cast("long").alias("media_id"),
+        F.lit(None).cast("long").alias("phash"),
+    )
+    (
+        slim.unionByName(sentinel)
+        .withColumn("_phash_algo", F.lit(algo))
+        .withColumn("_phash_size", F.lit(hash_size))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def load_phash_index(spark, path: str):
+    """Inverse of ``save_phash_index``: returns ``(index, algo,
+    hash_size)`` ready for ``dedup_images_against_corpus`` /
+    ``hamming_pairs_against_corpus``. Fails loudly on a parameterless
+    parquet or a corrupt artifact mixing parameter sets (append
+    survivors with MATCHING parameters, never mix files)."""
+    df = spark.read.parquet(path)
+    needed = {"_phash_algo", "_phash_size"}
+    if not needed.issubset(df.columns):
+        raise ValueError(
+            f"{path} has no _phash_algo/_phash_size columns — not a "
+            "save_phash_index artifact"
+        )
+    metas = df.select("_phash_algo", "_phash_size").distinct().collect()
+    if len(metas) != 1:
+        raise ValueError(
+            f"{path} mixes {len(metas)} parameter sets — corrupt "
+            "artifact (append survivors with matching algo/hash_size, "
+            "never mix files)"
+        )
+    algo, hash_size = metas[0]["_phash_algo"], int(metas[0]["_phash_size"])
+    if algo not in ("dhash", "ahash") or not (1 <= hash_size <= 8):
+        raise ValueError(
+            f"{path} records algo={algo!r} hash_size={hash_size} — "
+            "corrupt artifact"
+        )
+    index = df.drop("_phash_algo", "_phash_size").filter(
+        F.col("media_id").isNotNull()  # drop the empty-safety sentinel
+    )
+    return index, algo, hash_size
+
+
 def _gif_lzw_decode(data: bytes, mcs: int, n_pixels: int) -> bytes | None:
     """GIF-variant LZW: LSB-first bit packing, dynamic code size from
     ``mcs+1`` to 12 bits, clear/EOI control codes. Decoder grows the

@@ -559,6 +559,91 @@ def cmd_dedup_filter(args) -> None:
     print(f"kept {n_out}/{n_in} docs -> {args.output}")
 
 
+def cmd_image_index(args) -> None:
+    """Build (or refresh) the perceptual-hash index for a media corpus
+    — the visual analog of `dedup_index`: decode + dHash/aHash every
+    payload once, persist (media_id, phash) with the algo/hash_size
+    parameters riding the artifact (`save_phash_index`), 8 B + an id
+    per image. `image_filter` probes it without re-reading old
+    pixels."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+        image_phash,
+        save_phash_index,
+    )
+
+    spark = get_spark(app_name="image_index")
+    media = spark.read.parquet(args.input)
+    hashes = image_phash(
+        media, args.algo, args.hash_size, fake_decode=args.fake_decode
+    )
+    save_phash_index(hashes, args.algo, args.hash_size, args.output)
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+        load_phash_index,
+    )
+
+    n = load_phash_index(spark, args.output)[0].count()
+    print(f"indexed {n} images -> {args.output}")
+
+
+def cmd_image_filter(args) -> None:
+    """Drop new media whose perceptual hash near-dups anything in an
+    existing phash index (corpus wins), writing the survivors — the
+    visual incremental-ingest gate, mirroring `dedup_filter`. algo and
+    hash_size come FROM the artifact (mismatch impossible); the batch
+    is hashed exactly once. --append-survivors appends the survivors'
+    hashes to the index so the next batch dedups against them too —
+    the full survivors-append deployment flow in one command."""
+    from pyspark.sql import functions as F
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+        hamming_pairs_against_corpus,
+        materialize,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+        image_phash,
+        load_phash_index,
+    )
+
+    spark = get_spark(app_name="image_filter")
+    media = spark.read.parquet(args.input)
+    index, algo, hash_size = load_phash_index(spark, args.index)
+    # materialize the slim hash frame: it feeds the gate join, the
+    # survivor anti-join, and (optionally) the index append — without
+    # this the mapInPandas decode would re-run per consumer
+    hashes = materialize(
+        image_phash(media, algo, hash_size, fake_decode=args.fake_decode)
+    )
+    matched = (
+        hamming_pairs_against_corpus(
+            hashes, index,
+            hash_col="phash", id_col="media_id",
+            nbits=hash_size * hash_size, max_hamming=args.max_hamming,
+        )
+        .select(F.col("new_id").alias("media_id"))
+        .distinct()
+    )
+    survivors = media.join(matched, "media_id", "left_anti")
+    survivors.write.mode("overwrite").parquet(args.output)
+    n_in = media.count()
+    n_out = spark.read.parquet(args.output).count()
+    if args.append_survivors:
+        surv_hashes = (
+            hashes.join(matched, "media_id", "left_anti")
+            .select("media_id", "phash")
+            .filter(F.col("phash").isNotNull())
+        )
+        n_app = surv_hashes.count()
+        (
+            surv_hashes
+            .withColumn("_phash_algo", F.lit(algo))
+            .withColumn("_phash_size", F.lit(hash_size))
+            .write.mode("append")
+            .parquet(args.index)
+        )
+        print(f"appended {n_app} survivor hashes -> {args.index}")
+    print(f"kept {n_out}/{n_in} images -> {args.output}")
+
+
 def cmd_corpus_diff(args) -> None:
     """Reconcile two corpus snapshots — the promotion / takedown gate.
     Prints the one-row summary as JSON; --ledger-out lands the per-doc
@@ -839,6 +924,33 @@ def main() -> None:
     pdi.add_argument("--output", required=True, help="signature index out")
     pdi.add_argument("--num-hashes", type=int, default=32)
     pdi.set_defaults(fn=cmd_dedup_index)
+
+    pii_ = sub.add_parser("image_index")
+    pii_.add_argument("--input", required=True,
+                      help="media parquet (media_id, payload binary)")
+    pii_.add_argument("--output", required=True,
+                      help="phash index artifact dir")
+    pii_.add_argument("--algo", default="dhash", choices=["dhash", "ahash"])
+    pii_.add_argument("--hash-size", type=int, default=8)
+    pii_.add_argument("--fake-decode", action="store_true",
+                      help="deterministic payload-hash stand-in bits for "
+                      "formats the stdlib codecs cannot decode")
+    pii_.set_defaults(fn=cmd_image_index)
+
+    pif_ = sub.add_parser("image_filter")
+    pif_.add_argument("--input", required=True,
+                      help="NEW media parquet (media_id, payload)")
+    pif_.add_argument("--index", required=True,
+                      help="phash index dir from image_index (algo + "
+                      "hash_size come from the artifact)")
+    pif_.add_argument("--output", required=True,
+                      help="survivors parquet out")
+    pif_.add_argument("--max-hamming", type=int, default=3)
+    pif_.add_argument("--fake-decode", action="store_true")
+    pif_.add_argument("--append-survivors", action="store_true",
+                      help="append the survivors' hashes to --index so "
+                      "the next batch dedups against them too")
+    pif_.set_defaults(fn=cmd_image_filter)
 
     pdf_ = sub.add_parser("dedup_filter")
     pdf_.add_argument("--input", required=True, help="NEW documents parquet")

@@ -811,3 +811,68 @@ def test_cli_ann_index_remove_and_compact(tmp_path):
     assert duckdb.sql(
         f"SELECT count(*) FROM '{idx}/codes/*.parquet'"
     ).fetchone()[0] == n0 - n_rm
+
+
+def test_cli_image_index_and_filter(tmp_path):
+    """Visual incremental-dedup deployment flow, mirroring the text
+    dedup_index/dedup_filter pair: build the phash index over a media
+    corpus, gate a new batch (one PNG re-encode of an indexed image +
+    one fresh image) against it — the re-encode drops, the fresh image
+    survives and its hash appends to the index, so a SECOND batch
+    containing the same fresh image now drops too."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+    )
+
+    def px(seed):
+        return np.random.RandomState(seed).randint(
+            0, 256, size=(16, 18, 3)
+        ).astype(np.uint8)
+
+    corpus = tmp_path / "corpus.parquet"
+    pq.write_table(
+        pa.table({
+            "media_id": [1, 2, 3],
+            "payload": [encode_bmp(px(s)) for s in range(3)],
+        }),
+        corpus,
+    )
+    idx = str(tmp_path / "phidx")
+    out = _run("image_index", "--input", str(corpus), "--output", idx)
+    assert "indexed 3 images" in out
+
+    new = tmp_path / "new.parquet"
+    pq.write_table(
+        pa.table({
+            "media_id": [10, 11],
+            "payload": [encode_png(px(1)), encode_bmp(px(99))],
+        }),
+        new,
+    )
+    kept_dir = str(tmp_path / "kept")
+    out = _run(
+        "image_filter", "--input", str(new), "--index", idx,
+        "--output", kept_dir, "--append-survivors",
+    )
+    assert "kept 1/2 images" in out
+    assert "appended 1 survivor hashes" in out
+    kept = pq.read_table(glob.glob(os.path.join(kept_dir, "*.parquet"))[0])
+    assert kept.column("media_id").to_pylist() == [11]
+
+    # the appended survivor now gates a re-submission of itself
+    again = tmp_path / "again.parquet"
+    pq.write_table(
+        pa.table({"media_id": [20], "payload": [encode_png(px(99))]}),
+        again,
+    )
+    kept2 = str(tmp_path / "kept2")
+    out = _run(
+        "image_filter", "--input", str(again), "--index", idx,
+        "--output", kept2,
+    )
+    assert "kept 0/1 images" in out

@@ -373,3 +373,93 @@ def test_stream_image_dedup_ingest(spark, tmp_path):
         _media(spark, all_payloads), grown, max_hamming=3
     )
     assert regate.count() == 0
+
+
+def test_phash_index_save_load_roundtrip_and_guards(spark, tmp_path):
+    """The phash artifact discipline (save_cms_sketch pattern): params
+    ride the parquet and come back from load; NULL-hash rows drop at
+    save; an EMPTY index round-trips via the sentinel; parameterless /
+    mixed-param artifacts and bad params fail loudly."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+        load_phash_index,
+        save_phash_index,
+    )
+
+    payloads = [encode_bmp(_gradient_px(seed=s)) for s in range(4)]
+    media = _media(spark, payloads + [None])  # one undecodable (NULL hash)
+    hashes = image_phash(media, algo="ahash", hash_size=4)
+    path = str(tmp_path / "phidx")
+    save_phash_index(hashes, "ahash", 4, path)
+
+    idx, algo, hs = load_phash_index(spark, path)
+    assert (algo, hs) == ("ahash", 4)
+    assert sorted(idx.columns) == ["media_id", "phash"]
+    got = {r["media_id"]: r["phash"] for r in idx.collect()}
+    want = {
+        r["media_id"]: r["phash"]
+        for r in hashes.collect()
+        if r["phash"] is not None
+    }
+    assert got == want and len(got) == 4  # NULL-hash row dropped
+
+    # empty index: params survive the round-trip via the sentinel row
+    empty = str(tmp_path / "empty")
+    save_phash_index(hashes.filter("media_id < 0"), "dhash", 8, empty)
+    idx2, algo2, hs2 = load_phash_index(spark, empty)
+    assert (algo2, hs2, idx2.count()) == ("dhash", 8, 0)
+
+    # guards
+    with pytest.raises(ValueError, match="algo"):
+        save_phash_index(hashes, "md5", 8, str(tmp_path / "x1"))
+    with pytest.raises(ValueError, match="hash_size"):
+        save_phash_index(hashes, "dhash", 9, str(tmp_path / "x2"))
+    with pytest.raises(ValueError, match="lacks column"):
+        save_phash_index(
+            hashes.drop("phash"), "dhash", 8, str(tmp_path / "x3")
+        )
+    plain = str(tmp_path / "plain")
+    hashes.select("media_id", "phash").write.parquet(plain)
+    with pytest.raises(ValueError, match="not a save_phash_index"):
+        load_phash_index(spark, plain)
+    # mixed parameter sets = corrupt artifact
+    save_phash_index(hashes, "dhash", 8, str(tmp_path / "mix"))
+    spark.read.parquet(path).write.mode("append").parquet(
+        str(tmp_path / "mix")
+    )
+    with pytest.raises(ValueError, match="mixes"):
+        load_phash_index(spark, str(tmp_path / "mix"))
+
+
+def test_phash_index_feeds_corpus_gate(spark, tmp_path):
+    """load_phash_index output drives dedup_images_against_corpus with
+    the artifact's own parameters: a re-encode of an indexed image
+    drops, fresh content survives."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+        dedup_images_against_corpus,
+        load_phash_index,
+        save_phash_index,
+    )
+
+    corpus_px = [_gradient_px(seed=s) for s in range(3)]
+    corpus = _media(spark, [encode_bmp(px) for px in corpus_px])
+    path = str(tmp_path / "phidx")
+    save_phash_index(image_phash(corpus), "dhash", 8, path)
+    idx, algo, hs = load_phash_index(spark, path)
+
+    new_pdf = pd.DataFrame(
+        {
+            "media_id": [100, 101],
+            # PNG re-encode of an indexed image (same pixels) + fresh
+            "payload": [
+                encode_png(corpus_px[1]),
+                encode_bmp(_gradient_px(seed=77)),
+            ],
+        }
+    )
+    new_media = to_media_table(
+        spark.createDataFrame(new_pdf), "media_id", "payload", source="new"
+    )
+    kept = dedup_images_against_corpus(
+        new_media, idx, algo=algo, hash_size=hs, max_hamming=3
+    )
+    assert [r["media_id"] for r in kept.select("media_id").collect()] == [101]
