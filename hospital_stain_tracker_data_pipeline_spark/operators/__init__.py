@@ -139,6 +139,7 @@ from .similarity import (  # noqa: F401
     semantic_dedup_pairs,
 )
 from .multimodal import (  # noqa: F401
+    append_phash_index,
     dedup_images_against_corpus,
     load_phash_index,
     save_phash_index,

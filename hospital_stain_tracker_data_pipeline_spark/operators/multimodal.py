@@ -1365,9 +1365,12 @@ def save_phash_index(
     its survivors projection); only those two columns persist — 8 B +
     an id per image, pixels never stored. NULL-hash rows (undecodable
     payloads) are dropped: they can never pair, and keeping them would
-    only bloat the band join. A NULL-id sentinel row rides along so a
-    legitimately EMPTY index still round-trips with its parameters
-    (the loader drops it)."""
+    only bloat the band join. NULL-id rows are dropped too — the
+    loader treats NULL ``media_id`` as the empty-index sentinel, so
+    persisting them would silently lose their hashes on load; an id-less
+    hash can't anchor a dedup verdict anyway. A NULL-id sentinel row
+    rides along so a legitimately EMPTY index still round-trips with
+    its parameters (the loader drops it)."""
     if algo not in ("dhash", "ahash"):
         raise ValueError(f"unknown phash algo {algo!r} (dhash|ahash)")
     if not (1 <= hash_size <= 8):
@@ -1382,7 +1385,7 @@ def save_phash_index(
             "image_phash output (media_id, phash)"
         )
     slim = index.select("media_id", "phash").filter(
-        F.col("phash").isNotNull()
+        F.col("phash").isNotNull() & F.col("media_id").isNotNull()
     )
     sentinel = index.sparkSession.range(1).select(
         F.lit(None).cast("long").alias("media_id"),
@@ -1395,6 +1398,42 @@ def save_phash_index(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def append_phash_index(spark, path: str, hashes: DataFrame) -> int:
+    """Append survivor hashes to an EXISTING ``save_phash_index``
+    artifact under the artifact's OWN recorded parameters — the
+    incremental half of the visual index (the next batch then dedups
+    against these survivors too). The artifact schema lives only here
+    and in ``save_phash_index``: callers never hand-write the meta
+    columns, so a format change cannot fork the on-disk layout.
+    Returns the number of rows appended. ``hashes`` must carry
+    ``media_id`` + ``phash`` computed with the SAME algo/hash_size the
+    artifact records (feed ``load_phash_index``'s returned params into
+    ``image_phash`` — artifact-mediated flows can't mismatch); NULL
+    id/hash rows drop exactly as in ``save_phash_index``."""
+    # loading validates the artifact (params present, single set)
+    _, algo, hash_size = load_phash_index(spark, path)
+    missing = [c for c in ("media_id", "phash") if c not in hashes.columns]
+    if missing:
+        raise ValueError(
+            f"hashes frame lacks column(s) {missing} — pass an "
+            "image_phash output (media_id, phash)"
+        )
+    slim = (
+        hashes.select("media_id", "phash")
+        .filter(F.col("phash").isNotNull() & F.col("media_id").isNotNull())
+        .localCheckpoint(eager=True)  # count and write read one snapshot
+    )
+    n = slim.count()
+    if n:
+        (
+            slim.withColumn("_phash_algo", F.lit(algo))
+            .withColumn("_phash_size", F.lit(hash_size))
+            .write.mode("append")
+            .parquet(path)
+        )
+    return n
 
 
 def load_phash_index(spark, path: str):

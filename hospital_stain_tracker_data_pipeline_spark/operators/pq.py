@@ -917,12 +917,18 @@ def compact_ann_index(
     below that, the per-search anti-join is cheaper than the rewrite.
 
     Marker discipline: the compacted codes land in a sibling directory
-    and are COUNT-VALIDATED before ``_INDEX_OK`` comes off; only then
-    does the directory swap + tombstone clear happen, and the marker
-    is rewritten last — a crash mid-swap leaves a loudly-rejected torn
-    artifact (the ``build_ann_index`` contract). Search results are
-    identical before and after (pinned by test): compaction changes
-    storage, never semantics."""
+    and are COUNT-VALIDATED before ``_INDEX_OK`` comes off — the
+    rewritten row count must equal the codes rows minus the tombstones
+    that actually intersect the codes table (computed independently
+    via a semi-join), so a rewrite that loses or duplicates rows
+    raises with the artifact still intact; only then does the
+    directory swap + tombstone clear happen, and the marker is
+    rewritten last — a crash mid-swap leaves a loudly-rejected torn
+    artifact (the ``build_ann_index`` contract). Single-writer
+    contract (shared with append/remove): a concurrent append between
+    the read and the swap is NOT detected — serialize lifecycle ops
+    per artifact. Search results are identical before and after
+    (pinned by test): compaction changes storage, never semantics."""
     import json
     import os
     import shutil
@@ -959,10 +965,24 @@ def compact_ann_index(
     compact_dir = os.path.join(path, "codes_compacting")
     if os.path.isdir(compact_dir):
         shutil.rmtree(compact_dir)  # leftover from a pre-marker crash
-    live = spark.read.parquet(codes_dir).join(tomb, id_col, "left_anti")
-    live.write.mode("overwrite").parquet(compact_dir)
-    # validate the rewrite BEFORE the marker comes off
+    codes = spark.read.parquet(codes_dir)
+    # expected survivor count, derived independently of the rewrite:
+    # only tombstones that actually intersect the codes table remove rows
+    n_dead = codes.join(tomb, id_col, "left_semi").count()
+    codes.join(tomb, id_col, "left_anti").write.mode("overwrite").parquet(
+        compact_dir
+    )
+    # validate the rewrite BEFORE the marker comes off: a readable-but-
+    # wrong codes table (lost or duplicated rows) must raise here, with
+    # the original artifact untouched
     n_live = spark.read.parquet(compact_dir).count()
+    if n_live != n_codes - n_dead:
+        raise ValueError(
+            f"compaction rewrite produced {n_live} rows, expected "
+            f"{n_codes} - {n_dead} = {n_codes - n_dead} — aborting with "
+            f"the original artifact intact (stale files under "
+            f"{compact_dir}?)"
+        )
     os.remove(marker)
     shutil.rmtree(codes_dir)
     os.rename(compact_dir, codes_dir)

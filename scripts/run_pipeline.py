@@ -627,18 +627,12 @@ def cmd_image_filter(args) -> None:
     n_in = media.count()
     n_out = spark.read.parquet(args.output).count()
     if args.append_survivors:
-        surv_hashes = (
-            hashes.join(matched, "media_id", "left_anti")
-            .select("media_id", "phash")
-            .filter(F.col("phash").isNotNull())
+        from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (  # noqa: E501
+            append_phash_index,
         )
-        n_app = surv_hashes.count()
-        (
-            surv_hashes
-            .withColumn("_phash_algo", F.lit(algo))
-            .withColumn("_phash_size", F.lit(hash_size))
-            .write.mode("append")
-            .parquet(args.index)
+
+        n_app = append_phash_index(
+            spark, args.index, hashes.join(matched, "media_id", "left_anti")
         )
         print(f"appended {n_app} survivor hashes -> {args.index}")
     print(f"kept {n_out}/{n_in} images -> {args.output}")

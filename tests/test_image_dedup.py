@@ -429,6 +429,40 @@ def test_phash_index_save_load_roundtrip_and_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="mixes"):
         load_phash_index(spark, str(tmp_path / "mix"))
 
+    # NULL-id rows drop at SAVE (the loader treats NULL id as the
+    # empty-index sentinel — persisting them would lose hashes on load)
+    with_null_id = hashes.unionByName(
+        hashes.limit(1).select(
+            F.lit(None).cast("long").alias("media_id"),
+            F.lit(42).cast("long").alias("phash"),
+            *[
+                F.col(c)
+                for c in hashes.columns
+                if c not in ("media_id", "phash")
+            ],
+        )
+    )
+    nid = str(tmp_path / "nullid")
+    save_phash_index(with_null_id, "ahash", 4, nid)
+    assert load_phash_index(spark, nid)[0].count() == 4
+
+    # append: same artifact discipline, params come FROM the artifact
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (  # noqa: E501
+        append_phash_index,
+    )
+
+    extra = _media(spark, [encode_bmp(_gradient_px(seed=50))])
+    n_app = append_phash_index(
+        spark, path, image_phash(extra, algo="ahash", hash_size=4)
+    )
+    assert n_app == 1
+    idx3, algo3, hs3 = load_phash_index(spark, path)
+    assert (algo3, hs3, idx3.count()) == ("ahash", 4, 5)
+    with pytest.raises(ValueError, match="not a save_phash_index"):
+        append_phash_index(spark, plain, hashes)
+    with pytest.raises(ValueError, match="lacks column"):
+        append_phash_index(spark, path, hashes.drop("phash"))
+
 
 def test_phash_index_feeds_corpus_gate(spark, tmp_path):
     """load_phash_index output drives dedup_images_against_corpus with
