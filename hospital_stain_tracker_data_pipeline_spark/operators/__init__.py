@@ -34,6 +34,7 @@ from .web import (  # noqa: F401
     cap_per_group,
     dedup_exact_urls,
     extract_domain,
+    audit_fetch_log,
     extract_text_from_html,
     fetch_timeline,
     filter_blocked_domains,
@@ -42,6 +43,7 @@ from .web import (  # noqa: F401
     robots_crawl_delays,
     robots_filter,
     robots_rules,
+    robots_sitemaps,
     schedule_fetch,
 )
 from .sketch import (  # noqa: F401

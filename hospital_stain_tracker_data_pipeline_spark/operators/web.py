@@ -907,3 +907,107 @@ def fetch_timeline(
         applied.alias("crawl_delay_s"),
         (F.col("wave") * applied).alias("earliest_fetch_offset_s"),
     )
+
+
+def robots_sitemaps(
+    robots: DataFrame,
+    domain_col: str = "domain",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """Sitemap discovery from fetched robots.txt bodies — the frontier
+    bootstrap that precedes ``plan_recrawl``: ``Sitemap:`` directives
+    (sitemaps.org protocol; RFC 9309 treats them as neutral
+    other-records) are GLOBAL, not per-group, so extraction ignores
+    user-agent grouping entirely. Returns distinct ``(domain,
+    sitemap_url)``; values must be absolute http(s) URLs per the
+    protocol — anything else (relative paths, ftp, junk) drops.
+
+    Pure Column implementation (split → per-line regexp_extract via a
+    higher-order ``transform`` → explode): zero Python in the path, the
+    work rides the robots-fetch scan, no shuffle beyond the final
+    distinct (bodies per domain are tiny — the distinct is robots-table
+    -sized, never frontier-sized). Comments (#) strip to end of line;
+    the field name is case-insensitive; surrounding whitespace trims."""
+    lines = F.split(F.col(robots_col), r"\r?\n")
+    urls = F.filter(
+        F.transform(
+            lines,
+            lambda l: F.trim(
+                F.regexp_extract(
+                    l, r"(?i)^\s*sitemap\s*:\s*([^#]*)", 1
+                )
+            ),
+        ),
+        lambda v: v.rlike(r"(?i)^https?://\S+$"),
+    )
+    return (
+        robots.select(
+            F.col(domain_col).alias("domain"),
+            F.explode(urls).alias("sitemap_url"),
+        )
+        .distinct()
+    )
+
+
+def audit_fetch_log(
+    log: DataFrame,
+    delays: DataFrame,
+    default_delay_s: float = 0.0,
+    url_col: str = "url",
+    ts_col: str = "fetch_ts",
+) -> DataFrame:
+    """Politeness COMPLIANCE audit over an executed fetch log — the
+    closing half of the schedule loop (``fetch_timeline`` plans, this
+    verifies): for every consecutive same-host fetch pair, the gap must
+    be >= the host's ``crawl_delay_s`` (``robots_crawl_delays`` output;
+    hosts without a declared delay audit against ``default_delay_s``,
+    0 = only ordering is checked). Returns the VIOLATIONS —
+    ``(domain, url, fetch_ts, prev_fetch_ts, gap_s, required_s)`` —
+    empty means the crawler behaved; a scheduled-but-rowdy fetcher
+    (clock skew, retry storms, a worker ignoring the plan) shows up
+    here before the host's ops team notices.
+
+    One window shuffle on domain (lag over fetch order) + one broadcast
+    join for the delays — audit cost is a linear pass over the log,
+    independent of frontier size. Ties (two fetches at the identical
+    timestamp against a positive required delay) are violations by
+    construction: gap 0 < required."""
+    if default_delay_s < 0:
+        raise ValueError(
+            f"default_delay_s must be >= 0, got {default_delay_s}"
+        )
+    d = delays.select(
+        F.col("domain").alias("_au_domain"),
+        F.col("crawl_delay_s").alias("_au_delay"),
+    )
+    w = Window.partitionBy("domain").orderBy(
+        F.col(ts_col).asc(), F.col(url_col).asc()
+    )
+    fetched = log.select(
+        extract_domain(F.col(url_col)).alias("domain"),
+        F.col(url_col).alias("url"),
+        F.col(ts_col).cast("timestamp").alias("fetch_ts"),
+    ).withColumn("prev_fetch_ts", F.lag("fetch_ts").over(w))
+    joined = fetched.join(
+        F.broadcast(d), fetched["domain"] == d["_au_domain"], "left"
+    )
+    required = F.coalesce(
+        F.col("_au_delay"), F.lit(float(default_delay_s))
+    )
+    gap = (
+        F.col("fetch_ts").cast("double")
+        - F.col("prev_fetch_ts").cast("double")
+    )
+    return (
+        joined.filter(
+            F.col("prev_fetch_ts").isNotNull() & (gap < required)
+        )
+        .select(
+            "domain",
+            "url",
+            "fetch_ts",
+            "prev_fetch_ts",
+            gap.alias("gap_s"),
+            required.alias("required_s"),
+        )
+    )

@@ -156,7 +156,12 @@ def test_stream_stream_join_matches_batch_range_join(spark, staged, sf_dir):
     the batch binned-range-join result (same per-purchase view counts)
     — one availableNow batch contains all data, so no eviction hides
     matches and the equivalence is exact."""
+    # range_join_binned was demoted from the driver catalog in the
+    # round-11 rotation; resolve via the combined map like bench.py
     from hospital_stain_tracker_data_pipeline_spark.plans import CATALOG
+    from hospital_stain_tracker_data_pipeline_spark.plans.catalog import (
+        DEMOTED,
+    )
     from hospital_stain_tracker_data_pipeline_spark.streaming.ingest_stream import (
         stream_stream_attribution_join,
     )
@@ -171,7 +176,9 @@ def test_stream_stream_join_matches_batch_range_join(spark, staged, sf_dir):
     }
     expect = {
         r.purchase_id: r.n_views
-        for r in CATALOG["range_join_binned"].fn(spark, sf_dir).collect()
+        for r in {**CATALOG, **DEMOTED}["range_join_binned"]
+        .fn(spark, sf_dir)
+        .collect()
     }
     assert got == expect and len(got) > 0
 

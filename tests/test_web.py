@@ -1144,3 +1144,135 @@ def test_fetch_timeline_composes_waves_and_delays(spark):
         fetch_timeline(
             schedule_fetch(frontier), delays, default_delay_s=-1.0
         )
+
+
+def test_robots_sitemaps_extraction(spark):
+    """Sitemap: directives extract globally (group-independent),
+    case-insensitively, comment-stripped, absolute-http(s)-only,
+    deduplicated; bodies with none contribute nothing; the path is
+    pure Columns (no Python eval in the plan)."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.web import (
+        robots_sitemaps,
+    )
+
+    bodies = {
+        "a.example": (
+            "User-agent: *\nDisallow: /x\n"
+            "Sitemap: https://a.example/sitemap.xml\n"
+            "SITEMAP:   https://a.example/news.xml   # comment\n"
+            "sitemap: https://cdn.example/a/other.xml.gz\n"
+            # duplicates collapse
+            "Sitemap: https://a.example/sitemap.xml\n"
+        ),
+        "b.example": (
+            "Sitemap: /relative/path.xml\n"      # not absolute: drop
+            "Sitemap: ftp://b.example/s.xml\n"   # not http(s): drop
+            "Sitemap:\n"                          # empty: drop
+            "User-agent: *\nAllow: /\n"
+        ),
+        "c.example": None,
+    }
+    df = spark.createDataFrame(
+        list(bodies.items()), "domain string, robots_txt string"
+    )
+    got = sorted(
+        (r["domain"], r["sitemap_url"])
+        for r in robots_sitemaps(df).collect()
+    )
+    assert got == [
+        ("a.example", "https://a.example/news.xml"),
+        ("a.example", "https://a.example/sitemap.xml"),
+        ("a.example", "https://cdn.example/a/other.xml.gz"),
+    ]
+    plan = (
+        robots_sitemaps(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan  # zero Python in the path
+
+
+def test_audit_fetch_log_violations(spark):
+    """The compliance audit flags exactly the same-host consecutive
+    pairs whose gap undercuts the host's crawl delay (default for
+    undeclared hosts), first fetches never flag, and DuckDB replays
+    the whole window + join computation."""
+    import duckdb as _duckdb
+    import pytest as _pytest
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.web import (
+        audit_fetch_log,
+    )
+
+    rows = [
+        # slow.example declares 10s: gaps 5s (violation) and 15s (ok)
+        ("https://slow.example/a", "2026-01-01 00:00:00"),
+        ("https://slow.example/b", "2026-01-01 00:00:05"),
+        ("https://slow.example/c", "2026-01-01 00:00:20"),
+        # fast.example declares 0.5s: 1s gaps are fine
+        ("https://fast.example/a", "2026-01-01 00:00:00"),
+        ("https://fast.example/b", "2026-01-01 00:00:01"),
+        # nodelay.example audits against the default (2s): 1s gap flags
+        ("https://nodelay.example/a", "2026-01-01 00:00:00"),
+        ("https://nodelay.example/b", "2026-01-01 00:00:01"),
+    ]
+    log = spark.createDataFrame(rows, "url string, fetch_ts string")
+    delays = spark.createDataFrame(
+        [("slow.example", 10.0), ("fast.example", 0.5)],
+        "domain string, crawl_delay_s double",
+    )
+    out = audit_fetch_log(log, delays, default_delay_s=2.0)
+    got = sorted(
+        (r["url"], r["gap_s"], r["required_s"]) for r in out.collect()
+    )
+    assert got == [
+        ("https://nodelay.example/b", 1.0, 2.0),
+        ("https://slow.example/b", 5.0, 10.0),
+    ]
+
+    con = _duckdb.connect()
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                """
+                WITH f AS (
+                  SELECT url,
+                         string_split(string_split(url, '//')[2], '/')[1]
+                           AS domain,
+                         CAST(fetch_ts AS TIMESTAMP) AS ts
+                  FROM (SELECT unnest($rows, recursive := true))
+                ), lagged AS (
+                  SELECT url, domain, ts,
+                         lag(ts) OVER (PARTITION BY domain
+                                       ORDER BY ts, url) AS prev
+                  FROM f
+                ), d AS (
+                  SELECT * FROM (VALUES ('slow.example', 10.0),
+                                        ('fast.example', 0.5))
+                    t(domain, delay)
+                )
+                SELECT url,
+                       epoch(ts) - epoch(prev) AS gap_s,
+                       coalesce(delay, 2.0) AS required_s
+                FROM lagged LEFT JOIN d USING (domain)
+                WHERE prev IS NOT NULL
+                  AND epoch(ts) - epoch(prev) < coalesce(delay, 2.0)
+                """,
+                {"rows": [
+                    {"url": u, "fetch_ts": t} for u, t in rows
+                ]},
+            ).fetchall(),
+        )
+    )
+    con.close()
+    assert got == want
+
+    with _pytest.raises(ValueError, match=">= 0"):
+        audit_fetch_log(log, delays, default_delay_s=-1.0)
+
+    # a compliant log audits clean
+    assert audit_fetch_log(log, delays, default_delay_s=0.5).filter(
+        F.col("domain") != "slow.example"
+    ).count() == 0
