@@ -126,8 +126,10 @@ from .dedup import (  # noqa: F401
     dedup_substrings,
     hamming_pairs,
     hamming_pairs_against_corpus,
+    load_dedup_index,
     minhash_signature_index,
     ngram_contamination,
+    save_dedup_index,
     select_cluster_representatives,
     tune_lsh_bands,
 )

@@ -450,6 +450,82 @@ def minhash_signature_index(
     )
 
 
+def save_dedup_index(
+    index: DataFrame, num_hashes: int, k: int, path: str,
+    id_col: str = "doc_id",
+) -> None:
+    """Persist a MinHash signature index WITH its parameters — the
+    artifact discipline the phash/CMS/HLL tiers follow, applied to the
+    text tier: constant ``_mh_num_hashes`` / ``_mh_k`` columns ride the
+    parquet so ``load_dedup_index`` returns ``(index, num_hashes, k)``
+    and a probe with mismatched parameters becomes structurally
+    impossible for artifact-mediated flows. The num_hashes half was
+    already runtime-detectable (signature length probe in
+    ``dedup_pairs_against_corpus``); the SHINGLE size ``k`` was not —
+    shingles are hashed away in the signatures, so a k=3 index probed
+    with k=5 silently estimates garbage Jaccard. Recording both closes
+    the gap. NULL-signature rows drop (they can never band); a NULL-id
+    sentinel row rides along so an empty index round-trips with its
+    parameters (the loader drops it)."""
+    if num_hashes < 1 or k < 1:
+        raise ValueError(
+            f"num_hashes={num_hashes} and k={k} must both be >= 1"
+        )
+    missing = [c for c in (id_col, "sig") if c not in index.columns]
+    if missing:
+        raise ValueError(
+            f"index frame lacks column(s) {missing} — pass a "
+            f"minhash_signature_index output ({id_col}, sig)"
+        )
+    slim = index.select(id_col, "sig").filter(
+        F.col("sig").isNotNull() & F.col(id_col).isNotNull()
+    )
+    sentinel = index.sparkSession.range(1).select(
+        F.lit(None).cast(index.schema[id_col].dataType).alias(id_col),
+        F.lit(None).cast("array<long>").alias("sig"),
+    )
+    (
+        slim.unionByName(sentinel)
+        .withColumn("_mh_num_hashes", F.lit(num_hashes))
+        .withColumn("_mh_k", F.lit(k))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def load_dedup_index(spark, path: str, id_col: str = "doc_id"):
+    """Inverse of ``save_dedup_index``: returns ``(index, num_hashes,
+    k)`` ready for ``dedup_against_corpus`` /
+    ``dedup_pairs_against_corpus`` (feed the returned params into the
+    probe so index and probe cannot disagree). Fails loudly on a
+    parameterless parquet or an artifact mixing parameter sets."""
+    df = spark.read.parquet(path)
+    needed = {"_mh_num_hashes", "_mh_k"}
+    if not needed.issubset(df.columns):
+        raise ValueError(
+            f"{path} has no _mh_num_hashes/_mh_k columns — not a "
+            "save_dedup_index artifact (legacy plain-parquet indexes "
+            "carry no k: rebuild with save_dedup_index)"
+        )
+    metas = df.select("_mh_num_hashes", "_mh_k").distinct().collect()
+    if len(metas) != 1:
+        raise ValueError(
+            f"{path} mixes {len(metas)} parameter sets — corrupt "
+            "artifact (rebuild, never mix index files)"
+        )
+    num_hashes = int(metas[0]["_mh_num_hashes"])
+    k = int(metas[0]["_mh_k"])
+    if num_hashes < 1 or k < 1:
+        raise ValueError(
+            f"{path} records num_hashes={num_hashes} k={k} — corrupt "
+            "artifact"
+        )
+    index = df.drop("_mh_num_hashes", "_mh_k").filter(
+        F.col(id_col).isNotNull()  # drop the empty-safety sentinel
+    )
+    return index, num_hashes, k
+
+
 def dedup_pairs_against_corpus(
     new_docs: DataFrame,
     corpus_index: DataFrame,

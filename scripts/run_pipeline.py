@@ -279,16 +279,25 @@ def cmd_curate(args) -> None:
 def cmd_dedup_index(args) -> None:
     """Build (or refresh) the text-free MinHash signature index for a
     corpus — the artifact `dedup_filter` probes. Run nightly / per
-    corpus version; the index is ~256 B/doc regardless of text size."""
+    corpus version; the index is ~256 B/doc regardless of text size.
+    num_hashes AND the shingle size k ride the artifact
+    (`save_dedup_index`), so the probe side can't silently mismatch —
+    a k=3 index probed with k=5 would estimate garbage Jaccard with no
+    runtime signal."""
     from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+        load_dedup_index,
         minhash_signature_index,
+        save_dedup_index,
     )
 
     spark = get_spark(app_name="dedup_index")
     docs = spark.read.parquet(args.input)
-    idx = minhash_signature_index(docs, num_hashes=args.num_hashes)
-    idx.write.mode("overwrite").parquet(args.output)
-    print(f"indexed {idx.count()} docs -> {args.output}")
+    idx = minhash_signature_index(
+        docs, num_hashes=args.num_hashes, k=args.shingle_k
+    )
+    save_dedup_index(idx, args.num_hashes, args.shingle_k, args.output)
+    n = load_dedup_index(spark, args.output)[0].count()
+    print(f"indexed {n} docs -> {args.output}")
 
 
 def cmd_ann_index(args) -> None:
@@ -542,17 +551,25 @@ def cmd_warc_ingest(args) -> None:
 def cmd_dedup_filter(args) -> None:
     """Drop new documents that near-dup anything in an existing corpus
     index (corpus always wins), writing the survivors. The incremental
-    ingest gate: old corpus text is never re-read."""
+    ingest gate: old corpus text is never re-read. A `save_dedup_index`
+    artifact supplies its own num_hashes + shingle k (--num-hashes is
+    ignored then — the artifact is authoritative); a legacy plain
+    signature parquet falls back to the flags."""
     from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
         dedup_against_corpus,
+        load_dedup_index,
     )
 
     spark = get_spark(app_name="dedup_filter")
     new_docs = spark.read.parquet(args.input)
-    index = spark.read.parquet(args.index)
+    raw = spark.read.parquet(args.index)
+    if {"_mh_num_hashes", "_mh_k"}.issubset(raw.columns):
+        index, num_hashes, k = load_dedup_index(spark, args.index)
+    else:
+        index, num_hashes, k = raw, args.num_hashes, 3
     kept = dedup_against_corpus(
         new_docs, index,
-        threshold=args.threshold, num_hashes=args.num_hashes,
+        threshold=args.threshold, num_hashes=num_hashes, k=k,
     )
     kept.write.mode("overwrite").parquet(args.output)
     n_in, n_out = new_docs.count(), spark.read.parquet(args.output).count()
@@ -917,6 +934,9 @@ def main() -> None:
     pdi.add_argument("--input", required=True, help="documents parquet path")
     pdi.add_argument("--output", required=True, help="signature index out")
     pdi.add_argument("--num-hashes", type=int, default=32)
+    pdi.add_argument("--shingle-k", type=int, default=3,
+                     help="word-shingle size; recorded on the artifact "
+                     "so dedup_filter probes with the same k")
     pdi.set_defaults(fn=cmd_dedup_index)
 
     pii_ = sub.add_parser("image_index")

@@ -2253,3 +2253,95 @@ def test_tune_lsh_bands_properties():
         tune_lsh_bands(32, 1.0)
     with _pytest.raises(ValueError, match="num_hashes"):
         tune_lsh_bands(0, 0.5)
+
+
+def test_dedup_index_artifact_roundtrip_and_guards(spark, tmp_path):
+    """save_dedup_index/load_dedup_index: num_hashes AND shingle k ride
+    the artifact (k is NOT recoverable from the signatures — the
+    runtime length probe only catches num_hashes), params round-trip,
+    a probe via the loaded params equals a direct call, legacy plain
+    parquet / mixed params / bad params fail loudly, NULL-sig and
+    NULL-id rows drop, an empty index round-trips via the sentinel."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+        dedup_against_corpus,
+        load_dedup_index,
+        minhash_signature_index,
+        save_dedup_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different sentence about spark physical plans"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = minhash_signature_index(corpus, num_hashes=16, k=2)
+    path = str(tmp_path / "sig")
+    save_dedup_index(idx, 16, 2, path)
+    loaded, num_hashes, k = load_dedup_index(spark, path)
+    assert (num_hashes, k) == (16, 2)
+    assert sorted(loaded.columns) == ["doc_id", "sig"]
+    assert loaded.count() == 2
+
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),
+            (11, "entirely fresh unseen content with novel phrasing"),
+        ],
+        "doc_id long, text string",
+    )
+    via_artifact = sorted(
+        r["doc_id"]
+        for r in dedup_against_corpus(
+            new, loaded, threshold=0.5, num_hashes=num_hashes, k=k
+        ).collect()
+    )
+    direct = sorted(
+        r["doc_id"]
+        for r in dedup_against_corpus(
+            new, idx, threshold=0.5, num_hashes=16, k=2
+        ).collect()
+    )
+    assert via_artifact == direct == [11]
+
+    # empty index round-trips its params via the sentinel
+    empty = str(tmp_path / "empty")
+    save_dedup_index(idx.filter("doc_id < 0"), 32, 3, empty)
+    e, nh, kk = load_dedup_index(spark, empty)
+    assert (nh, kk, e.count()) == (32, 3, 0)
+
+    # guards
+    with _pytest.raises(ValueError, match="not a save_dedup_index"):
+        load_dedup_index(
+            spark, _plain_parquet(spark, idx, str(tmp_path / "plain"))
+        )
+    with _pytest.raises(ValueError, match=">= 1"):
+        save_dedup_index(idx, 0, 3, str(tmp_path / "x1"))
+    with _pytest.raises(ValueError, match="lacks column"):
+        save_dedup_index(idx.drop("sig"), 16, 2, str(tmp_path / "x2"))
+    save_dedup_index(idx, 8, 4, str(tmp_path / "mix"))
+    spark.read.parquet(path).write.mode("append").parquet(
+        str(tmp_path / "mix")
+    )
+    with _pytest.raises(ValueError, match="mixes"):
+        load_dedup_index(spark, str(tmp_path / "mix"))
+
+    # NULL id / NULL sig rows drop at save
+    dirty = idx.unionByName(
+        spark.createDataFrame(
+            [(None, [1, 2]), (99, None)],
+            "doc_id long, sig array<long>",
+        )
+    )
+    nd = str(tmp_path / "dirty")
+    save_dedup_index(dirty, 16, 2, nd)
+    assert load_dedup_index(spark, nd)[0].count() == 2
+
+
+def _plain_parquet(spark, idx, path):
+    idx.write.parquet(path)
+    return path
