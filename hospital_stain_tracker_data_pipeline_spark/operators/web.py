@@ -980,8 +980,11 @@ def audit_fetch_log(
         F.col("domain").alias("_au_domain"),
         F.col("crawl_delay_s").alias("_au_delay"),
     )
+    # the window runs over the POST-rename frame — order by the
+    # canonical names, not the caller's (a custom ts_col/url_col would
+    # otherwise fail to resolve)
     w = Window.partitionBy("domain").orderBy(
-        F.col(ts_col).asc(), F.col(url_col).asc()
+        F.col("fetch_ts").asc(), F.col("url").asc()
     )
     fetched = log.select(
         extract_domain(F.col(url_col)).alias("domain"),

@@ -1276,3 +1276,27 @@ def test_audit_fetch_log_violations(spark):
     assert audit_fetch_log(log, delays, default_delay_s=0.5).filter(
         F.col("domain") != "slow.example"
     ).count() == 0
+
+
+def test_audit_fetch_log_custom_column_names(spark):
+    """Regression (round-11 review): the lag window must order by the
+    post-rename canonical names — custom url_col/ts_col inputs were
+    unresolvable before the fix."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.web import (
+        audit_fetch_log,
+    )
+
+    log = spark.createDataFrame(
+        [
+            ("https://h.example/a", "2026-01-01 00:00:00"),
+            ("https://h.example/b", "2026-01-01 00:00:01"),
+        ],
+        "u string, ts string",
+    )
+    delays = spark.createDataFrame(
+        [("h.example", 5.0)], "domain string, crawl_delay_s double"
+    )
+    out = audit_fetch_log(log, delays, url_col="u", ts_col="ts").collect()
+    assert [(r["url"], r["gap_s"]) for r in out] == [
+        ("https://h.example/b", 1.0)
+    ]
