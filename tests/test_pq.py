@@ -686,3 +686,47 @@ def test_ann_index_compact_folds_tombstones(spark, emb, tmp_path):
         remove_from_ann_index(spark, idx, removed)
     with _pytest.raises(ValueError, match="_INDEX_OK"):
         compact_ann_index(spark, idx)
+
+
+def test_ann_index_tombstone_suppresses_reappend_until_compacted(
+    spark, emb, tmp_path
+):
+    """The documented lifecycle contract: a tombstone wins over a later
+    APPEND of the same id (compaction folds the re-append away too);
+    re-adding a removed id works only after a compaction has cleared
+    its tombstone."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.pq import (
+        append_ann_index,
+        build_ann_index,
+        compact_ann_index,
+        remove_from_ann_index,
+        search_ann_index,
+    )
+
+    target = emb.orderBy("vec_id").limit(1)
+    [tid] = [r["vec_id"] for r in target.select("vec_id").collect()]
+    build_ann_index(emb, str(tmp_path / "ann"), n_clusters=4, m=8,
+                    n_codes=16, iters=1)
+    idx = str(tmp_path / "ann")
+    q = target.select(F.col("vec_id").alias("query_id"), "embedding")
+
+    def serves_target():
+        return (
+            search_ann_index(spark, idx, q, k=3, nprobe=4)
+            .filter(F.col("vec_id") == tid)
+            .count()
+            > 0
+        )
+
+    assert serves_target()
+    remove_from_ann_index(spark, idx, target.select("vec_id"))
+    assert not serves_target()
+    # re-append the same id: the tombstone still suppresses it
+    append_ann_index(spark, idx, target)
+    assert not serves_target()
+    # compaction folds the re-append away too (documented), clearing
+    # the tombstone — an append AFTER compaction serves again
+    compact_ann_index(spark, idx, force=True)
+    assert not serves_target()
+    append_ann_index(spark, idx, target)
+    assert serves_target()
