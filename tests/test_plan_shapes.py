@@ -972,3 +972,48 @@ def test_lake_vacuum_guards_and_stale_marker(spark, tmp_path):
     assert t.vacuum(before="2026-01-01", dry_run=True) == {}
     assert os.path.exists(marker)
     os.remove(marker)
+
+
+def _plan_tree(spark, sf_dir, name: str) -> str:
+    """The numbered operator tree of a formatted explain (first
+    section only — the per-node detail section repeats every operator
+    name, which would double node counts)."""
+    return plan_of(spark, sf_dir, name).split("\n\n")[0]
+
+
+def test_fetch_schedule_broadcasts_delays_and_single_window(spark, sf_dir):
+    """The round-11 crawl catalog entry: the delays side (domains-
+    sized) reaches the frontier via a broadcast join — never a
+    sort-merge — and wave assignment is exactly one domain-keyed
+    window (no second frontier shuffle for the compose)."""
+    tree = _plan_tree(spark, sf_dir, "fetch_schedule")
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+    assert tree.count("Window") == 1
+
+
+def test_sample_stratified_one_stratum_exchange(spark, sf_dir):
+    """The round-11 sampling entry: one hash exchange on the stratum
+    feeds the ranked window (no extra repartition rides along), and
+    Spark's WindowGroupLimit kicks in BEFORE the exchange — each task
+    pre-limits its partition to the per-stratum top-k, so the shuffle
+    carries candidates, not the whole corpus."""
+    plan = plan_of(spark, sf_dir, "sample_stratified")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window (") == 1
+    # partial top-k on the map side: WindowGroupLimit below the Exchange
+    assert tree.index("WindowGroupLimit", tree.index("Exchange")) > 0
+    # exactly one exchange, keyed on the stratum column
+    assert tree.count("Exchange") == 1
+    assert "hashpartitioning(source" in plan
+
+
+def test_filter_funnel_is_one_scan_conditional_agg(spark, sf_dir):
+    """The round-11 funnel entry: all four cumulative stages compute in
+    ONE corpus scan (conditional aggregation) — N filter→count passes
+    would show N scans."""
+    tree = _plan_tree(spark, sf_dir, "filter_funnel")
+    assert tree.count("Scan parquet") == 1
+    assert "HashAggregate" in tree
+    # no join, no window — pure single-pass aggregation
+    assert "Join" not in tree and "Window" not in tree
