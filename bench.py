@@ -80,12 +80,13 @@ HEADLINE = [
 # a single warm sample can't distinguish a regression from noise.
 # The two slowest Arrow/pandas-UDF queries (dup_clusters,
 # dedup_jaccard_topk) swung >1.3x between same-day runs even at n=3,
-# so they keep n=5. The stdout line's `queries` map carries the
-# MEDIANS (queries_kind marks it); `queries_median` on stdout is
-# restricted to the historically-noisy subset below to keep the line
-# well under the driver's ~2 KB capture tail (the round-5 failure
-# mode was an overlong line) — the full 37-query median map lands in
-# BENCH_LOCAL.json.
+# so they keep n=5 (NOISY_UDF_FAMILY documents which queries have
+# historically diverged — informational since round 11; the per-query
+# spread now rides stdout as the q_min/q_max arrays instead of a
+# noisy-subset median map). The stdout line's `queries` map carries
+# the MEDIANS (queries_kind marks it) and must stay well under the
+# driver's ~2 KB capture tail (the round-5 failure mode was an
+# overlong line) — full named maps land in BENCH_LOCAL.json.
 NOISY_UDF_FAMILY = {
     # Arrow/pandas-UDF family (3-4x variance: worker reuse, GC)
     "dedup_simhash",

@@ -464,7 +464,13 @@ def save_dedup_index(
     ``dedup_pairs_against_corpus``); the SHINGLE size ``k`` was not —
     shingles are hashed away in the signatures, so a k=3 index probed
     with k=5 silently estimates garbage Jaccard. Recording both closes
-    the gap. NULL-signature rows drop (they can never band); a NULL-id
+    the gap. The id column NAME rides along too (``_mh_id_col``) so
+    the loader can locate the sentinel without the caller re-supplying
+    it, and the declared ``num_hashes`` is cross-checked against the
+    actual signature length being persisted (one cheap ``take(1)``) —
+    recording a wrong value would otherwise surface much later as a
+    misleading "rebuild the index" probe error on a perfectly good
+    index. NULL-signature rows drop (they can never band); a NULL-id
     sentinel row rides along so an empty index round-trips with its
     parameters (the loader drops it)."""
     if num_hashes < 1 or k < 1:
@@ -480,6 +486,14 @@ def save_dedup_index(
     slim = index.select(id_col, "sig").filter(
         F.col("sig").isNotNull() & F.col(id_col).isNotNull()
     )
+    probe = slim.select(F.size("sig").alias("n")).take(1)
+    if probe and probe[0]["n"] != num_hashes:
+        raise ValueError(
+            f"index signatures have {probe[0]['n']} hashes but "
+            f"num_hashes={num_hashes} was declared — recording the "
+            "wrong value would poison every later probe; pass the "
+            "num_hashes the index was built with"
+        )
     sentinel = index.sparkSession.range(1).select(
         F.lit(None).cast(index.schema[id_col].dataType).alias(id_col),
         F.lit(None).cast("array<long>").alias("sig"),
@@ -488,26 +502,33 @@ def save_dedup_index(
         slim.unionByName(sentinel)
         .withColumn("_mh_num_hashes", F.lit(num_hashes))
         .withColumn("_mh_k", F.lit(k))
+        .withColumn("_mh_id_col", F.lit(id_col))
         .write.mode("overwrite")
         .parquet(path)
     )
 
 
-def load_dedup_index(spark, path: str, id_col: str = "doc_id"):
+def load_dedup_index(spark, path: str):
     """Inverse of ``save_dedup_index``: returns ``(index, num_hashes,
     k)`` ready for ``dedup_against_corpus`` /
     ``dedup_pairs_against_corpus`` (feed the returned params into the
-    probe so index and probe cannot disagree). Fails loudly on a
-    parameterless parquet or an artifact mixing parameter sets."""
+    probe so index and probe cannot disagree). The id column comes
+    from the artifact's recorded ``_mh_id_col`` — the caller never
+    re-supplies it. Fails loudly on a parameterless parquet or an
+    artifact mixing parameter sets."""
     df = spark.read.parquet(path)
-    needed = {"_mh_num_hashes", "_mh_k"}
+    needed = {"_mh_num_hashes", "_mh_k", "_mh_id_col"}
     if not needed.issubset(df.columns):
         raise ValueError(
-            f"{path} has no _mh_num_hashes/_mh_k columns — not a "
-            "save_dedup_index artifact (legacy plain-parquet indexes "
-            "carry no k: rebuild with save_dedup_index)"
+            f"{path} has no _mh_num_hashes/_mh_k/_mh_id_col columns — "
+            "not a save_dedup_index artifact (legacy plain-parquet "
+            "indexes carry no k: rebuild with save_dedup_index)"
         )
-    metas = df.select("_mh_num_hashes", "_mh_k").distinct().collect()
+    metas = (
+        df.select("_mh_num_hashes", "_mh_k", "_mh_id_col")
+        .distinct()
+        .collect()
+    )
     if len(metas) != 1:
         raise ValueError(
             f"{path} mixes {len(metas)} parameter sets — corrupt "
@@ -515,12 +536,13 @@ def load_dedup_index(spark, path: str, id_col: str = "doc_id"):
         )
     num_hashes = int(metas[0]["_mh_num_hashes"])
     k = int(metas[0]["_mh_k"])
-    if num_hashes < 1 or k < 1:
+    id_col = metas[0]["_mh_id_col"]
+    if num_hashes < 1 or k < 1 or id_col not in df.columns:
         raise ValueError(
-            f"{path} records num_hashes={num_hashes} k={k} — corrupt "
-            "artifact"
+            f"{path} records num_hashes={num_hashes} k={k} "
+            f"id_col={id_col!r} — corrupt artifact"
         )
-    index = df.drop("_mh_num_hashes", "_mh_k").filter(
+    index = df.drop("_mh_num_hashes", "_mh_k", "_mh_id_col").filter(
         F.col(id_col).isNotNull()  # drop the empty-safety sentinel
     )
     return index, num_hashes, k

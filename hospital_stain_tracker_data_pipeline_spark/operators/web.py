@@ -25,6 +25,8 @@ cheap count + filter is the scale-correct order of operations —
 
 from __future__ import annotations
 
+import functools
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -620,22 +622,21 @@ def robots_rules(
     )
 
 
+@functools.lru_cache(maxsize=65536)
 def _robots_regex_cached(regex: str):
-    """Process-wide compiled-pattern cache for the robots match. The
-    rules table is tiny (tens of patterns per domain), so every pattern
-    a crawl selects fits here; per frontier row the match is one dict
-    hit + one compiled search instead of a recompile. Module-level (not
-    a closure) so the cache survives across Arrow batches and across
-    ``robots_filter`` calls within an executor process."""
+    """Process-wide BOUNDED compiled-pattern cache for the robots
+    match: per frontier row the match is one cache hit + one compiled
+    search instead of a recompile. Module-level (not a closure) so the
+    cache survives across Arrow batches and across ``robots_filter``
+    calls within an executor process. LRU-bounded because an executor
+    at frontier scale streams batches spanning millions of domains —
+    an unbounded dict would grow one compiled pattern per distinct
+    rule forever (patterns repeat heavily within and across batches,
+    so a 64k working set keeps the hit rate high while capping worker
+    memory)."""
     import re as _re
 
-    pat = _ROBOTS_REGEX_CACHE.get(regex)
-    if pat is None:
-        pat = _ROBOTS_REGEX_CACHE[regex] = _re.compile(regex)
-    return pat
-
-
-_ROBOTS_REGEX_CACHE: dict = {}
+    return _re.compile(regex)
 
 
 def _robots_match_batch(paths: pd.Series, regexes: pd.Series) -> pd.Series:
@@ -888,6 +889,16 @@ def fetch_timeline(
             f"frontier lacks column(s) {missing} — run schedule_fetch "
             "first (fetch_timeline composes waves x delays)"
         )
+    taken = {"crawl_delay_s", "earliest_fetch_offset_s"} & set(
+        frontier.columns
+    )
+    if taken:
+        raise ValueError(
+            f"frontier already carries column(s) {sorted(taken)} — "
+            "fetch_timeline was already applied (re-applying would "
+            "produce duplicate column names); drop them first to "
+            "re-schedule"
+        )
     if default_delay_s < 0:
         raise ValueError(
             f"default_delay_s must be >= 0, got {default_delay_s}"
@@ -955,26 +966,38 @@ def audit_fetch_log(
     default_delay_s: float = 0.0,
     url_col: str = "url",
     ts_col: str = "fetch_ts",
+    per_domain_per_wave: int = 1,
 ) -> DataFrame:
     """Politeness COMPLIANCE audit over an executed fetch log — the
     closing half of the schedule loop (``fetch_timeline`` plans, this
-    verifies): for every consecutive same-host fetch pair, the gap must
-    be >= the host's ``crawl_delay_s`` (``robots_crawl_delays`` output;
+    verifies): each same-host fetch is compared against the fetch
+    ``per_domain_per_wave`` positions earlier, and that gap must be
+    >= the host's ``crawl_delay_s`` (``robots_crawl_delays`` output;
     hosts without a declared delay audit against ``default_delay_s``,
-    0 = only ordering is checked). Returns the VIOLATIONS —
-    ``(domain, url, fetch_ts, prev_fetch_ts, gap_s, required_s)`` —
-    empty means the crawler behaved; a scheduled-but-rowdy fetcher
-    (clock skew, retry storms, a worker ignoring the plan) shows up
-    here before the host's ops team notices.
+    0 = only ordering is checked). ``per_domain_per_wave`` MUST match
+    the planner's setting (``schedule_fetch`` allows N same-host
+    fetches per wave — a wave's burst shares one offset, so
+    within-burst gaps are legal by design; the DELAY constraint binds
+    between bursts, i.e. between fetch i and fetch i-N). Returns the
+    VIOLATIONS — ``(domain, url, fetch_ts, prev_fetch_ts, gap_s,
+    required_s)`` — empty means the crawler behaved; a
+    scheduled-but-rowdy fetcher (clock skew, retry storms, a worker
+    ignoring the plan) shows up here before the host's ops team
+    notices.
 
     One window shuffle on domain (lag over fetch order) + one broadcast
     join for the delays — audit cost is a linear pass over the log,
-    independent of frontier size. Ties (two fetches at the identical
-    timestamp against a positive required delay) are violations by
-    construction: gap 0 < required."""
+    independent of frontier size. Ties at the burst boundary (fetch i
+    and fetch i-N at the identical timestamp against a positive
+    required delay) are violations by construction: gap 0 <
+    required."""
     if default_delay_s < 0:
         raise ValueError(
             f"default_delay_s must be >= 0, got {default_delay_s}"
+        )
+    if per_domain_per_wave < 1:
+        raise ValueError(
+            f"per_domain_per_wave must be >= 1, got {per_domain_per_wave}"
         )
     d = delays.select(
         F.col("domain").alias("_au_domain"),
@@ -990,7 +1013,10 @@ def audit_fetch_log(
         extract_domain(F.col(url_col)).alias("domain"),
         F.col(url_col).alias("url"),
         F.col(ts_col).cast("timestamp").alias("fetch_ts"),
-    ).withColumn("prev_fetch_ts", F.lag("fetch_ts").over(w))
+    ).withColumn(
+        "prev_fetch_ts",
+        F.lag("fetch_ts", per_domain_per_wave).over(w),
+    )
     joined = fetched.join(
         F.broadcast(d), fetched["domain"] == d["_au_domain"], "left"
     )

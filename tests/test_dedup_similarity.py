@@ -2323,12 +2323,28 @@ def test_dedup_index_artifact_roundtrip_and_guards(spark, tmp_path):
         save_dedup_index(idx, 0, 3, str(tmp_path / "x1"))
     with _pytest.raises(ValueError, match="lacks column"):
         save_dedup_index(idx.drop("sig"), 16, 2, str(tmp_path / "x2"))
-    save_dedup_index(idx, 8, 4, str(tmp_path / "mix"))
+    # declared num_hashes must match the signatures actually persisted
+    # (recording a wrong value would poison every later probe)
+    with _pytest.raises(ValueError, match="was declared"):
+        save_dedup_index(idx, 8, 2, str(tmp_path / "x3"))
+    save_dedup_index(idx, 16, 4, str(tmp_path / "mix"))  # k differs
     spark.read.parquet(path).write.mode("append").parquet(
         str(tmp_path / "mix")
     )
     with _pytest.raises(ValueError, match="mixes"):
         load_dedup_index(spark, str(tmp_path / "mix"))
+
+    # the id column name rides the artifact: a url-keyed index loads
+    # without the caller re-supplying id_col
+    urls = minhash_signature_index(
+        corpus.select(F.col("doc_id").cast("string").alias("url"), "text"),
+        id_col="url", num_hashes=16, k=2,
+    )
+    upath = str(tmp_path / "urlidx")
+    save_dedup_index(urls, 16, 2, upath, id_col="url")
+    u, unh, uk = load_dedup_index(spark, upath)
+    assert ("url" in u.columns) and (unh, uk) == (16, 2)
+    assert u.count() == 2
 
     # NULL id / NULL sig rows drop at save
     dirty = idx.unionByName(

@@ -1271,11 +1271,80 @@ def test_audit_fetch_log_violations(spark):
 
     with _pytest.raises(ValueError, match=">= 0"):
         audit_fetch_log(log, delays, default_delay_s=-1.0)
+    with _pytest.raises(ValueError, match=">= 1"):
+        audit_fetch_log(log, delays, per_domain_per_wave=0)
 
     # a compliant log audits clean
     assert audit_fetch_log(log, delays, default_delay_s=0.5).filter(
         F.col("domain") != "slow.example"
     ).count() == 0
+
+
+def test_audit_fetch_log_burst_aware_matches_planner(spark):
+    """The audit must share the planner's politeness model: with
+    per_domain_per_wave=2 a wave's two same-host fetches legally share
+    one offset (within-burst gap 0 is fine); the DELAY constraint
+    binds between fetch i and fetch i-2. A plan executed exactly as
+    fetch_timeline emits it audits CLEAN at the planner's settings —
+    and the same log flags under the stricter serial default."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.web import (
+        audit_fetch_log,
+        fetch_timeline,
+        schedule_fetch,
+    )
+
+    frontier = spark.createDataFrame(
+        [(f"https://h.example/p{i}",) for i in range(6)], "url string"
+    )
+    delays = spark.createDataFrame(
+        [("h.example", 10.0)], "domain string, crawl_delay_s double"
+    )
+    timed = fetch_timeline(
+        schedule_fetch(frontier, per_domain_per_wave=2), delays
+    )
+    # execute the plan EXACTLY: fetch_ts = epoch + offset
+    log = timed.select(
+        "url",
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + F.col("earliest_fetch_offset_s")
+        ).alias("fetch_ts"),
+    )
+    assert (
+        audit_fetch_log(log, delays, per_domain_per_wave=2).count() == 0
+    )
+    # the serial auditor (default) correctly flags the in-wave ties
+    assert audit_fetch_log(log, delays).count() == 3  # one per wave
+    # squeezing a wave boundary under the delay still flags burst-aware
+    rushed = log.withColumn(
+        "fetch_ts",
+        F.when(
+            F.col("url") == "https://h.example/p2",
+            F.timestamp_seconds(F.lit(1_700_000_001)),
+        ).otherwise(F.col("fetch_ts")),
+    )
+    v = audit_fetch_log(rushed, delays, per_domain_per_wave=2)
+    assert [r["url"] for r in v.collect()] == ["https://h.example/p2"]
+
+
+def test_fetch_timeline_refuses_reapplication(spark):
+    """Re-applying fetch_timeline to an already-scheduled frame would
+    produce duplicate column names downstream — fail fast instead."""
+    import pytest as _pytest
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.web import (
+        fetch_timeline,
+        schedule_fetch,
+    )
+
+    frontier = spark.createDataFrame(
+        [("https://h.example/a",)], "url string"
+    )
+    delays = spark.createDataFrame(
+        [("h.example", 1.0)], "domain string, crawl_delay_s double"
+    )
+    timed = fetch_timeline(schedule_fetch(frontier), delays)
+    with _pytest.raises(ValueError, match="already carries"):
+        fetch_timeline(timed, delays)
 
 
 def test_audit_fetch_log_custom_column_names(spark):
