@@ -765,6 +765,25 @@ def _extras_registry():
             [lex, dense], score_cols=["score", "cosine_sim"], k=20
         )
 
+    def repetition_profile(spark, sf_dir):
+        """The Gopher repetition battery at corpus scale (driver-graded
+        since round 11): in-row line stats + three n-gram explode →
+        partial-count → per-doc aggregates (n = 2, 3, 5) and the
+        doc_id-keyed joins combining them — the heaviest of the
+        round-11 promotions, timed so its cost is visible."""
+        from hospital_stain_tracker_data_pipeline_spark.plans import CATALOG
+
+        return CATALOG["repetition_profile"].fn(spark, sf_dir)
+
+    def fetch_schedule(spark, sf_dir):
+        """The crawl politeness composition (driver-graded since round
+        11): synthetic 40-domain frontier → schedule_fetch wave window
+        → robots_crawl_delays parse → fetch_timeline broadcast
+        compose."""
+        from hospital_stain_tracker_data_pipeline_spark.plans import CATALOG
+
+        return CATALOG["fetch_schedule"].fn(spark, sf_dir)
+
     def sample_stratified_draw(spark, sf_dir):
         """Exact per-stratum eval draw: 25 docs from every source via
         the md5 keyed-permutation window — one partial-agg exchange on
@@ -889,6 +908,8 @@ def _extras_registry():
         "quantize_embeddings": quantize_lake,
         "cms_frequencies": cms_frequencies,
         "rrf_fuse": rrf_fuse,
+        "repetition_profile": repetition_profile,
+        "fetch_schedule": fetch_schedule,
         "sample_stratified": sample_stratified_draw,
         "tokenizer_efficiency": tokenizer_eff,
         "bloom_gate": bloom_gate,
