@@ -467,6 +467,52 @@ def _extras_registry():
         media = to_media_table(rendered, "doc_id", "payload", source="bench")
         return image_dup_pairs(media, max_hamming=3)
 
+    def audio_near_dup(spark, sf_dir):
+        """Audio near-dup dedup at bench scale: synthesize a
+        deterministic half-second 8 kHz WAV per document (three sine
+        tones seeded by doc_id mod 401, so ~12-doc families share a
+        base mixture; small per-doc additive noise makes family members
+        NEAR dups, not exact), fingerprint the payloads (real WAV PCM
+        decode + integer lag-energy bits, Arrow-batched), and generate
+        Hamming-banded pairs. Times the full audio-dedup path: decode +
+        fingerprint in mapInPandas, then the fingerprint-only banding
+        join — PCM never crosses a shuffle."""
+        import numpy as np2
+        import pandas as pd2
+
+        from hospital_stain_tracker_data_pipeline_spark.operators.audio_fp import (  # noqa: E501
+            audio_dup_pairs,
+        )
+        from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (  # noqa: E501
+            encode_wav,
+            to_media_table,
+        )
+
+        docs = load_fixture_table(spark, sf_dir, "documents").select("doc_id")
+        t = np2.arange(4000) / 8000.0
+
+        def render(batches):
+            for pdf in batches:
+                ids = pdf["doc_id"].astype("int64")
+                payloads = []
+                for i in ids:
+                    rng = np2.random.RandomState(int(i) % 401)
+                    x = sum(
+                        amp * np2.sin(2 * np2.pi * rng.randint(250, 3200) * t)
+                        for amp in (4000, 2500, 1000)
+                    )
+                    # RandomState seeds cap at 2**32-1; doc_ids may not
+                    tweak = np2.random.RandomState(int(i) & 0xFFFFFFFF)
+                    x = np2.round(x) + tweak.randint(-25, 26, size=t.shape)
+                    payloads.append(encode_wav(
+                        x.astype("int16").reshape(-1, 1), 8000
+                    ))
+                yield pd2.DataFrame({"doc_id": ids, "payload": payloads})
+
+        rendered = docs.mapInPandas(render, "doc_id long, payload binary")
+        media = to_media_table(rendered, "doc_id", "payload", source="bench")
+        return audio_dup_pairs(media, max_hamming=4)
+
     def ann_append(spark, sf_dir):
         """The full incremental-ANN lifecycle, phase-timed: build the
         persistent IVF-PQ artifact over 90% of the embedding lake
@@ -898,6 +944,7 @@ def _extras_registry():
         "pack_manifest": pack_manifest,
         "pq_search": pq_search,
         "image_near_dup": image_near_dup,
+        "audio_near_dup": audio_near_dup,
         "ann_append": ann_append,
         "corpus_refresh_diff": corpus_refresh_diff,
         "hll_distinct_words": hll_distinct_words,

@@ -142,6 +142,14 @@ from .similarity import (  # noqa: F401
     semantic_dedup,
     semantic_dedup_pairs,
 )
+from .audio_fp import (  # noqa: F401
+    append_afp_index,
+    audio_dup_pairs,
+    audio_fingerprint,
+    dedup_audio_against_corpus,
+    load_afp_index,
+    save_afp_index,
+)
 from .multimodal import (  # noqa: F401
     append_phash_index,
     dedup_images_against_corpus,

@@ -1013,3 +1013,95 @@ def stream_image_dedup_ingest(
             "decoded boolean",
         ),
     )
+
+
+def stream_audio_dedup_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    corpus_index: DataFrame,
+    out_dir: str,
+    path_glob: str = "*",
+    max_hamming: int = 4,
+    fake_decode: bool = False,
+) -> DataFrame:
+    """Incremental AUDIO ingest: clips land continuously in
+    ``source_dir``; each new file is decoded + fingerprinted exactly
+    once and dropped when it near-dups anything in the EXISTING
+    corpus's afp index (corpus wins — the streaming twin of
+    ``operators.audio_fp.dedup_audio_against_corpus``, same gate per
+    micro-batch). Sink rows are the SURVIVORS' ``(media_id, path,
+    mime, afp, decoded)`` — fingerprint included so the operator
+    appends survivors straight onto the index after the run
+    (``append_afp_index``); PCM never reaches the sink.
+
+    Spark shape is the image twin's verbatim (one clip = one
+    ``binaryFile`` record, no within-file structure to re-scan; decode
+    runs executor-side where the bytes are; each batch fingerprinted
+    ONCE via the materialized slim frame; ``media_id =
+    xxhash64(path)`` with the in-batch collision assertion; the WARC
+    atomic-landing contract applies)."""
+    from ..operators.audio_fp import audio_fingerprint
+    from ..operators.dedup import hamming_pairs_against_corpus, materialize
+
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", path_glob)
+        .load(source_dir)
+        .select("path", "content")
+    )
+
+    def _gate(batch_df: DataFrame) -> DataFrame | None:
+        media = batch_df.select(
+            F.xxhash64("path").alias("media_id"),
+            "path",
+            F.col("content").alias("payload"),
+        )
+        # materialize the slim fingerprint frame HERE: it feeds both
+        # the gate join and the sink write — the audio_fingerprint
+        # mapInPandas plan (full PCM decode of the batch) would
+        # re-execute for the sink otherwise
+        fps = materialize(audio_fingerprint(media, fake_decode))
+        # media_id is xxhash64(path): surface a collision instead of
+        # silently aliasing two files through the gate
+        collided = (
+            fps.groupBy("media_id").count().filter(F.col("count") > 1).first()
+        )
+        if collided is not None:
+            raise ValueError(
+                "xxhash64(path) collision within batch on media_id="
+                f"{collided['media_id']} — distinct files would alias in "
+                "the dedup gate; rename one or switch the id scheme"
+            )
+        matched = (
+            hamming_pairs_against_corpus(
+                fps,
+                corpus_index,
+                hash_col="afp",
+                id_col="media_id",
+                nbits=64,
+                max_hamming=max_hamming,
+            )
+            .select(F.col("new_id").alias("media_id"))
+            .distinct()
+        )
+        return (
+            fps.join(matched, "media_id", "left_anti")
+            .join(media.select("media_id", "path"), "media_id")
+            .select("media_id", "path", "mime", "afp", "decoded")
+        )
+
+    return _run_batch_sink_stream(
+        spark,
+        files,
+        _gate,
+        out_dir,
+        empty=lambda: spark.createDataFrame(
+            [],
+            "media_id long, path string, mime string, afp long, "
+            "decoded boolean",
+        ),
+    )

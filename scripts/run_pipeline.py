@@ -655,6 +655,75 @@ def cmd_image_filter(args) -> None:
     print(f"kept {n_out}/{n_in} images -> {args.output}")
 
 
+def cmd_audio_index(args) -> None:
+    """Build (or refresh) the acoustic-fingerprint index for an audio
+    corpus — the audio analog of `image_index`: decode + fingerprint
+    every payload once, persist (media_id, afp) with the fingerprint
+    revision riding the artifact (`save_afp_index`), 8 B + an id per
+    clip. `audio_filter` probes it without re-reading old PCM."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.audio_fp import (
+        audio_fingerprint,
+        load_afp_index,
+        save_afp_index,
+    )
+
+    spark = get_spark(app_name="audio_index")
+    media = spark.read.parquet(args.input)
+    fps = audio_fingerprint(media, fake_decode=args.fake_decode)
+    save_afp_index(fps, args.output)
+    n = load_afp_index(spark, args.output).count()
+    print(f"indexed {n} clips -> {args.output}")
+
+
+def cmd_audio_filter(args) -> None:
+    """Drop new clips whose fingerprint near-dups anything in an
+    existing afp index (corpus wins), writing the survivors — the
+    audio incremental-ingest gate, mirroring `image_filter`. The
+    fingerprint revision is validated FROM the artifact (cross-revision
+    probes impossible); the batch is fingerprinted exactly once.
+    --append-survivors appends the survivors' fingerprints to the
+    index so the next batch dedups against them too."""
+    from pyspark.sql import functions as F
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.audio_fp import (
+        AFP_NBITS,
+        append_afp_index,
+        audio_fingerprint,
+        load_afp_index,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+        hamming_pairs_against_corpus,
+        materialize,
+    )
+
+    spark = get_spark(app_name="audio_filter")
+    media = spark.read.parquet(args.input)
+    index = load_afp_index(spark, args.index)
+    # materialize the slim fingerprint frame: it feeds the gate join,
+    # the survivor anti-join, and (optionally) the index append —
+    # without this the mapInPandas decode would re-run per consumer
+    fps = materialize(audio_fingerprint(media, fake_decode=args.fake_decode))
+    matched = (
+        hamming_pairs_against_corpus(
+            fps, index,
+            hash_col="afp", id_col="media_id",
+            nbits=AFP_NBITS, max_hamming=args.max_hamming,
+        )
+        .select(F.col("new_id").alias("media_id"))
+        .distinct()
+    )
+    survivors = media.join(matched, "media_id", "left_anti")
+    survivors.write.mode("overwrite").parquet(args.output)
+    n_in = media.count()
+    n_out = spark.read.parquet(args.output).count()
+    if args.append_survivors:
+        n_app = append_afp_index(
+            spark, args.index, fps.join(matched, "media_id", "left_anti")
+        )
+        print(f"appended {n_app} survivor fingerprints -> {args.index}")
+    print(f"kept {n_out}/{n_in} clips -> {args.output}")
+
+
 def cmd_corpus_diff(args) -> None:
     """Reconcile two corpus snapshots — the promotion / takedown gate.
     Prints the one-row summary as JSON; --ledger-out lands the per-doc
@@ -965,6 +1034,31 @@ def main() -> None:
                       help="append the survivors' hashes to --index so "
                       "the next batch dedups against them too")
     pif_.set_defaults(fn=cmd_image_filter)
+
+    pax = sub.add_parser("audio_index")
+    pax.add_argument("--input", required=True,
+                     help="media parquet (media_id, payload binary)")
+    pax.add_argument("--output", required=True,
+                     help="afp index artifact dir")
+    pax.add_argument("--fake-decode", action="store_true",
+                     help="deterministic payload-hash stand-in bits for "
+                     "codecs the native WAV/FLAC decoders cannot handle")
+    pax.set_defaults(fn=cmd_audio_index)
+
+    paf = sub.add_parser("audio_filter")
+    paf.add_argument("--input", required=True,
+                     help="NEW media parquet (media_id, payload)")
+    paf.add_argument("--index", required=True,
+                     help="afp index dir from audio_index (the fingerprint "
+                     "revision is validated from the artifact)")
+    paf.add_argument("--output", required=True,
+                     help="survivors parquet out")
+    paf.add_argument("--max-hamming", type=int, default=4)
+    paf.add_argument("--fake-decode", action="store_true")
+    paf.add_argument("--append-survivors", action="store_true",
+                     help="append the survivors' fingerprints to --index "
+                     "so the next batch dedups against them too")
+    paf.set_defaults(fn=cmd_audio_filter)
 
     pdf_ = sub.add_parser("dedup_filter")
     pdf_.add_argument("--input", required=True, help="NEW documents parquet")

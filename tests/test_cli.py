@@ -876,3 +876,74 @@ def test_cli_image_index_and_filter(tmp_path):
         "--output", kept2,
     )
     assert "kept 0/1 images" in out
+
+
+def test_cli_audio_index_and_filter(tmp_path):
+    """Audio incremental-dedup deployment flow, mirroring the
+    image_index/image_filter pair: build the afp index over an audio
+    corpus, gate a new batch (one FLAC re-encode of an indexed clip +
+    one fresh clip) against it — the re-encode drops, the fresh clip
+    survives and its fingerprint appends to the index, so a SECOND
+    batch containing the same fresh clip now drops too."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.flac import (
+        encode_flac,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+        encode_wav,
+    )
+
+    def tone(seed):
+        rng = np.random.RandomState(seed)
+        f1, f2 = 300 + rng.randint(2000), 2200 + rng.randint(1500)
+        t = np.arange(6000) / 8000
+        x = 4000 * np.sin(2 * np.pi * f1 * t) + 2500 * np.sin(2 * np.pi * f2 * t)
+        return np.round(x).astype(np.int16).reshape(-1, 1)
+
+    corpus = tmp_path / "corpus.parquet"
+    pq.write_table(
+        pa.table({
+            "media_id": [1, 2, 3],
+            "payload": [encode_wav(tone(s), 8000) for s in range(3)],
+        }),
+        corpus,
+    )
+    idx = str(tmp_path / "afpidx")
+    out = _run("audio_index", "--input", str(corpus), "--output", idx)
+    assert "indexed 3 clips" in out
+
+    new = tmp_path / "new.parquet"
+    pq.write_table(
+        pa.table({
+            "media_id": [10, 11],
+            "payload": [encode_flac(tone(1), 8000), encode_wav(tone(99), 8000)],
+        }),
+        new,
+    )
+    kept_dir = str(tmp_path / "kept")
+    out = _run(
+        "audio_filter", "--input", str(new), "--index", idx,
+        "--output", kept_dir, "--append-survivors",
+    )
+    assert "kept 1/2 clips" in out
+    assert "appended 1 survivor fingerprints" in out
+    kept = pq.read_table(glob.glob(os.path.join(kept_dir, "*.parquet"))[0])
+    assert kept.column("media_id").to_pylist() == [11]
+
+    # the appended survivor now gates a re-submission of itself
+    again = tmp_path / "again.parquet"
+    pq.write_table(
+        pa.table(
+            {"media_id": [20], "payload": [encode_flac(tone(99), 8000)]}
+        ),
+        again,
+    )
+    kept2 = str(tmp_path / "kept2")
+    out = _run(
+        "audio_filter", "--input", str(again), "--index", idx,
+        "--output", kept2,
+    )
+    assert "kept 0/1 clips" in out

@@ -45,5 +45,8 @@ def test_operator_surface_exports():
         "tokenizer_efficiency", "tune_lsh_bands",
         "extract_image_features", "extract_audio_features",
         "extract_video_features", "sample_video_frames",
+        "audio_fingerprint", "audio_dup_pairs",
+        "dedup_audio_against_corpus", "save_afp_index",
+        "load_afp_index", "append_afp_index",
     ):
         assert callable(getattr(o, name)), name
