@@ -513,6 +513,75 @@ def _extras_registry():
         media = to_media_table(rendered, "doc_id", "payload", source="bench")
         return audio_dup_pairs(media, max_hamming=4)
 
+    def video_near_dup(spark, sf_dir):
+        """Video near-dup dedup at bench scale: assemble a
+        deterministic 3-frame MJPEG/AVI clip per document (frame
+        pixels seeded by doc_id mod 401, so ~12-doc families share
+        base frames; a per-doc pixel tweak on every frame makes family
+        members NEAR dups), fingerprint the clips (real container
+        parse + JPEG decode + majority vote, Arrow-batched), and
+        generate Hamming-banded pairs. Times the full video-dedup
+        path: frames and pixels never cross a shuffle — pairing runs
+        on (id, 8 B). JPEG frames for the 401 family bases are encoded
+        once per partition (cached), one tweaked-frame re-encode per
+        document."""
+        import numpy as np2
+        import pandas as pd2
+
+        from hospital_stain_tracker_data_pipeline_spark.operators.jpeg import (
+            encode_jpeg,
+        )
+        from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (  # noqa: E501
+            build_mjpeg_avi,
+            to_media_table,
+        )
+        from hospital_stain_tracker_data_pipeline_spark.operators.video_fp import (  # noqa: E501
+            video_dup_pairs,
+        )
+
+        # synthesis is ~20 ms of pure-python JPEG codec per clip; the
+        # small-SF documents table is a single parquet partition, so
+        # without this repartition the whole render runs on one core
+        docs = (
+            load_fixture_table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+
+        def render(batches):
+            base_cache = {}
+            for pdf in batches:
+                ids = pdf["doc_id"].astype("int64")
+                payloads = []
+                for i in ids:
+                    fam = int(i) % 401
+                    if fam not in base_cache:
+                        rng = np2.random.RandomState(fam)
+                        pxs = [
+                            rng.randint(0, 256, size=(24, 24, 3)).astype(
+                                "uint8"
+                            )
+                            for _ in range(3)
+                        ]
+                        base_cache[fam] = (pxs, [encode_jpeg(p) for p in pxs])
+                    pxs, jpegs = base_cache[fam]
+                    # RandomState seeds cap at 2**32-1; doc_ids may not
+                    tweak = np2.random.RandomState(int(i) & 0xFFFFFFFF)
+                    mut = pxs[0].copy()
+                    mut[tweak.randint(24), tweak.randint(24)] = (
+                        tweak.randint(0, 256, size=3)
+                    )
+                    frames = [encode_jpeg(mut)] + jpegs[1:]
+                    payloads.append(
+                        build_mjpeg_avi(frames, 24, 24, fps=10.0)
+                    )
+                yield pd2.DataFrame({"doc_id": ids, "payload": payloads})
+
+        rendered = docs.mapInPandas(render, "doc_id long, payload binary")
+        media = to_media_table(rendered, "doc_id", "payload", source="bench")
+        # n_samples=3 over 3 frames: each frame decodes exactly once
+        return video_dup_pairs(media, n_samples=3, max_hamming=4)
+
     def ann_append(spark, sf_dir):
         """The full incremental-ANN lifecycle, phase-timed: build the
         persistent IVF-PQ artifact over 90% of the embedding lake
@@ -945,6 +1014,7 @@ def _extras_registry():
         "pq_search": pq_search,
         "image_near_dup": image_near_dup,
         "audio_near_dup": audio_near_dup,
+        "video_near_dup": video_near_dup,
         "ann_append": ann_append,
         "corpus_refresh_diff": corpus_refresh_diff,
         "hll_distinct_words": hll_distinct_words,

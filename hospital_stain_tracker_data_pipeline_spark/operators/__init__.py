@@ -121,12 +121,15 @@ from .retrieval import (  # noqa: F401
     reciprocal_rank_fusion,
 )
 from .dedup import (  # noqa: F401
+    append_fp_index,
     dedup_against_corpus,
     dedup_pairs_against_corpus,
     dedup_substrings,
     hamming_pairs,
     hamming_pairs_against_corpus,
     load_dedup_index,
+    load_fp_index,
+    save_fp_index,
     minhash_signature_index,
     ngram_contamination,
     save_dedup_index,
@@ -149,6 +152,14 @@ from .audio_fp import (  # noqa: F401
     dedup_audio_against_corpus,
     load_afp_index,
     save_afp_index,
+)
+from .video_fp import (  # noqa: F401
+    append_vhash_index,
+    dedup_videos_against_corpus,
+    load_vhash_index,
+    save_vhash_index,
+    video_dup_pairs,
+    video_phash,
 )
 from .multimodal import (  # noqa: F401
     append_phash_index,

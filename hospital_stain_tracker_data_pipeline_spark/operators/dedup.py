@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint64_hex, normalized_text, word_shingles
@@ -1471,3 +1471,118 @@ def tune_lsh_bands(
             best = cand
     _, b, r, s50 = best
     return {"bands": b, "rows_per_band": r, "s50": round(s50, 6)}
+
+
+def save_fp_index(
+    index: DataFrame,
+    path: str,
+    tag: str,
+    id_col: str = "media_id",
+    hash_col: str = "fp",
+) -> None:
+    """Persist ANY 64-bit-fingerprint index WITH a family/revision tag
+    — the generic form of the phash/afp artifact discipline (those two
+    predate this helper and keep their own APIs): a constant
+    ``_fp_tag`` column rides the parquet, and ``load_fp_index``
+    validates it, so fingerprints from a different family, parameter
+    set, or algorithm revision can never be probed silently (they
+    would match nothing meaningful). Only ``(id_col, hash_col)``
+    persist — 8 B + an id per item, payloads never stored. NULL-hash
+    and NULL-id rows drop (the former can never pair; the latter is
+    the empty-index sentinel and would be lost on load); a NULL-id
+    sentinel row rides along so a legitimately EMPTY index still
+    round-trips with its tag."""
+    if not tag:
+        raise ValueError("tag must be a non-empty fingerprint family tag")
+    missing = [c for c in (id_col, hash_col) if c not in index.columns]
+    if missing:
+        raise ValueError(
+            f"index frame lacks column(s) {missing} — pass a "
+            f"fingerprint output ({id_col}, {hash_col})"
+        )
+    slim = index.select(id_col, hash_col).filter(
+        F.col(hash_col).isNotNull() & F.col(id_col).isNotNull()
+    )
+    sentinel = index.sparkSession.range(1).select(
+        F.lit(None).cast("long").alias(id_col),
+        F.lit(None).cast("long").alias(hash_col),
+    )
+    (
+        slim.unionByName(sentinel)
+        .withColumn("_fp_tag", F.lit(tag))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def append_fp_index(
+    spark: SparkSession,
+    path: str,
+    fps: DataFrame,
+    tag: str,
+    id_col: str = "media_id",
+    hash_col: str = "fp",
+) -> int:
+    """Append survivor fingerprints to an EXISTING ``save_fp_index``
+    artifact — validated against the caller's ``tag`` first, so a
+    probe computed under one family/revision can never append onto an
+    index of another. NULL id/hash rows drop exactly as in
+    ``save_fp_index``. Returns the number of rows appended."""
+    load_fp_index(spark, path, tag, id_col=id_col, hash_col=hash_col)
+    missing = [c for c in (id_col, hash_col) if c not in fps.columns]
+    if missing:
+        raise ValueError(
+            f"fingerprint frame lacks column(s) {missing} — pass a "
+            f"fingerprint output ({id_col}, {hash_col})"
+        )
+    slim = (
+        fps.select(id_col, hash_col)
+        .filter(F.col(hash_col).isNotNull() & F.col(id_col).isNotNull())
+        .localCheckpoint(eager=True)  # count and write read one snapshot
+    )
+    n = slim.count()
+    if n:
+        slim.withColumn("_fp_tag", F.lit(tag)).write.mode("append").parquet(
+            path
+        )
+    return n
+
+
+def load_fp_index(
+    spark: SparkSession,
+    path: str,
+    expected_tag: str,
+    id_col: str = "media_id",
+    hash_col: str = "fp",
+) -> DataFrame:
+    """Inverse of ``save_fp_index``: the ``(id_col, hash_col)`` index
+    frame ready for ``hamming_pairs_against_corpus``. Fails loudly on
+    a tagless parquet, a corrupt artifact mixing tags, a tag other
+    than ``expected_tag`` (wrong family / parameter set / revision),
+    or an artifact whose columns do not match the caller's."""
+    df = spark.read.parquet(path)
+    if "_fp_tag" not in df.columns:
+        raise ValueError(
+            f"{path} has no _fp_tag column — not a save_fp_index artifact"
+        )
+    missing = [c for c in (id_col, hash_col) if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"{path} lacks column(s) {missing} — written under different "
+            "column names than this probe expects"
+        )
+    tags = [r["_fp_tag"] for r in df.select("_fp_tag").distinct().collect()]
+    if len(tags) != 1:
+        raise ValueError(
+            f"{path} mixes {len(tags)} fingerprint tags — corrupt "
+            "artifact (append through append_fp_index, never mix files)"
+        )
+    if tags[0] != expected_tag:
+        raise ValueError(
+            f"{path} records fingerprint tag {tags[0]!r}; this probe "
+            f"computes {expected_tag!r} — rebuild the index "
+            "(cross-family/revision probes would miss every near-dup)"
+        )
+    return df.drop("_fp_tag").filter(
+        F.col(id_col).isNotNull()  # drop the empty-safety sentinel
+    )

@@ -1105,3 +1105,90 @@ def stream_audio_dedup_ingest(
             "decoded boolean",
         ),
     )
+
+
+def stream_video_dedup_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    corpus_index: DataFrame,
+    out_dir: str,
+    path_glob: str = "*",
+    algo: str = "dhash",
+    hash_size: int = 8,
+    n_samples: int = 8,
+    max_hamming: int = 4,
+    fake_decode: bool = False,
+) -> DataFrame:
+    """Incremental VIDEO ingest: clips land continuously in
+    ``source_dir``; each new file is frame-sampled + fingerprinted
+    exactly once and dropped when it near-dups anything in the
+    EXISTING corpus's vhash index (corpus wins — the streaming twin of
+    ``operators.video_fp.dedup_videos_against_corpus``). Sink rows are
+    the SURVIVORS' ``(media_id, path, mime, vhash, decoded)`` —
+    fingerprint included so the operator appends survivors straight
+    onto the index after the run (``append_vhash_index``); frame bytes
+    never reach the sink. Spark shape is the image/audio twins'
+    verbatim (one clip = one ``binaryFile`` record; batch fingerprinted
+    ONCE via the materialized slim frame; ``media_id = xxhash64(path)``
+    with the in-batch collision assertion)."""
+    from ..operators.dedup import hamming_pairs_against_corpus, materialize
+    from ..operators.video_fp import video_phash
+
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", path_glob)
+        .load(source_dir)
+        .select("path", "content")
+    )
+
+    def _gate(batch_df: DataFrame) -> DataFrame | None:
+        media = batch_df.select(
+            F.xxhash64("path").alias("media_id"),
+            "path",
+            F.col("content").alias("payload"),
+        )
+        hashes = materialize(
+            video_phash(media, algo, hash_size, n_samples, fake_decode)
+        )
+        collided = (
+            hashes.groupBy("media_id").count().filter(F.col("count") > 1).first()
+        )
+        if collided is not None:
+            raise ValueError(
+                "xxhash64(path) collision within batch on media_id="
+                f"{collided['media_id']} — distinct files would alias in "
+                "the dedup gate; rename one or switch the id scheme"
+            )
+        matched = (
+            hamming_pairs_against_corpus(
+                hashes,
+                corpus_index,
+                hash_col="vhash",
+                id_col="media_id",
+                nbits=hash_size * hash_size,
+                max_hamming=max_hamming,
+            )
+            .select(F.col("new_id").alias("media_id"))
+            .distinct()
+        )
+        return (
+            hashes.join(matched, "media_id", "left_anti")
+            .join(media.select("media_id", "path"), "media_id")
+            .select("media_id", "path", "mime", "vhash", "decoded")
+        )
+
+    return _run_batch_sink_stream(
+        spark,
+        files,
+        _gate,
+        out_dir,
+        empty=lambda: spark.createDataFrame(
+            [],
+            "media_id long, path string, mime string, vhash long, "
+            "decoded boolean",
+        ),
+    )

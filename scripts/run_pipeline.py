@@ -724,6 +724,79 @@ def cmd_audio_filter(args) -> None:
     print(f"kept {n_out}/{n_in} clips -> {args.output}")
 
 
+def cmd_video_index(args) -> None:
+    """Build (or refresh) the clip-fingerprint index for a video
+    corpus — the video analog of `image_index`: frame-sample +
+    majority-vote-hash every payload once, persist (media_id, vhash)
+    with the full parameter tag riding the artifact
+    (`save_vhash_index`), 8 B + an id per clip."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.video_fp import (
+        load_vhash_index,
+        save_vhash_index,
+        video_phash,
+    )
+
+    spark = get_spark(app_name="video_index")
+    media = spark.read.parquet(args.input)
+    hashes = video_phash(
+        media, args.algo, args.hash_size, args.n_samples,
+        fake_decode=args.fake_decode,
+    )
+    save_vhash_index(
+        hashes, args.output, args.algo, args.hash_size, args.n_samples
+    )
+    n = load_vhash_index(spark, args.output)[0].count()
+    print(f"indexed {n} videos -> {args.output}")
+
+
+def cmd_video_filter(args) -> None:
+    """Drop new clips whose fingerprint near-dups anything in an
+    existing vhash index (corpus wins), writing the survivors — the
+    video incremental-ingest gate. algo/hash_size/n_samples come FROM
+    the artifact (mismatch impossible); the batch is fingerprinted
+    exactly once. --append-survivors appends the survivors'
+    fingerprints to the index so the next batch dedups against them."""
+    from pyspark.sql import functions as F
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+        hamming_pairs_against_corpus,
+        materialize,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.operators.video_fp import (
+        append_vhash_index,
+        load_vhash_index,
+        video_phash,
+    )
+
+    spark = get_spark(app_name="video_filter")
+    media = spark.read.parquet(args.input)
+    index, algo, hash_size, n_samples = load_vhash_index(spark, args.index)
+    hashes = materialize(
+        video_phash(
+            media, algo, hash_size, n_samples, fake_decode=args.fake_decode
+        )
+    )
+    matched = (
+        hamming_pairs_against_corpus(
+            hashes, index,
+            hash_col="vhash", id_col="media_id",
+            nbits=hash_size * hash_size, max_hamming=args.max_hamming,
+        )
+        .select(F.col("new_id").alias("media_id"))
+        .distinct()
+    )
+    survivors = media.join(matched, "media_id", "left_anti")
+    survivors.write.mode("overwrite").parquet(args.output)
+    n_in = media.count()
+    n_out = spark.read.parquet(args.output).count()
+    if args.append_survivors:
+        n_app = append_vhash_index(
+            spark, args.index, hashes.join(matched, "media_id", "left_anti")
+        )
+        print(f"appended {n_app} survivor fingerprints -> {args.index}")
+    print(f"kept {n_out}/{n_in} videos -> {args.output}")
+
+
 def cmd_corpus_diff(args) -> None:
     """Reconcile two corpus snapshots — the promotion / takedown gate.
     Prints the one-row summary as JSON; --ledger-out lands the per-doc
@@ -1059,6 +1132,35 @@ def main() -> None:
                      help="append the survivors' fingerprints to --index "
                      "so the next batch dedups against them too")
     paf.set_defaults(fn=cmd_audio_filter)
+
+    pvx = sub.add_parser("video_index")
+    pvx.add_argument("--input", required=True,
+                     help="media parquet (media_id, payload binary)")
+    pvx.add_argument("--output", required=True,
+                     help="vhash index artifact dir")
+    pvx.add_argument("--algo", default="dhash", choices=["dhash", "ahash"])
+    pvx.add_argument("--hash-size", type=int, default=8)
+    pvx.add_argument("--n-samples", type=int, default=8,
+                     help="frames sampled per clip for the majority vote")
+    pvx.add_argument("--fake-decode", action="store_true",
+                     help="deterministic payload-hash stand-in bits for "
+                     "containers the native extractors cannot handle")
+    pvx.set_defaults(fn=cmd_video_index)
+
+    pvf = sub.add_parser("video_filter")
+    pvf.add_argument("--input", required=True,
+                     help="NEW media parquet (media_id, payload)")
+    pvf.add_argument("--index", required=True,
+                     help="vhash index dir from video_index (parameters "
+                     "come from the artifact tag)")
+    pvf.add_argument("--output", required=True,
+                     help="survivors parquet out")
+    pvf.add_argument("--max-hamming", type=int, default=4)
+    pvf.add_argument("--fake-decode", action="store_true")
+    pvf.add_argument("--append-survivors", action="store_true",
+                     help="append the survivors' fingerprints to --index "
+                     "so the next batch dedups against them too")
+    pvf.set_defaults(fn=cmd_video_filter)
 
     pdf_ = sub.add_parser("dedup_filter")
     pdf_.add_argument("--input", required=True, help="NEW documents parquet")

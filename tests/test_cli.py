@@ -947,3 +947,84 @@ def test_cli_audio_index_and_filter(tmp_path):
         "--output", kept2,
     )
     assert "kept 0/1 clips" in out
+
+
+def test_cli_video_index_and_filter(tmp_path):
+    """Video incremental-dedup deployment flow, mirroring the image
+    and audio pairs: build the vhash index over a clip corpus, gate a
+    new batch (one MP4 re-container of an indexed AVI + one fresh
+    clip) against it — the re-container drops, the fresh clip survives
+    and its fingerprint appends, so a SECOND batch containing the same
+    fresh clip now drops too."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.jpeg import (
+        encode_jpeg,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+        build_mjpeg_avi,
+        build_mjpeg_mp4,
+    )
+
+    def frames(seed):
+        rng = np.random.RandomState(seed)
+        return [
+            encode_jpeg(rng.randint(0, 256, size=(24, 24, 3)).astype("uint8"))
+            for _ in range(5)
+        ]
+
+    clip_frames = {s: frames(s) for s in (1, 2, 3, 99)}
+    corpus = tmp_path / "corpus.parquet"
+    pq.write_table(
+        pa.table({
+            "media_id": [1, 2, 3],
+            "payload": [
+                build_mjpeg_avi(clip_frames[s], 24, 24, fps=10.0)
+                for s in (1, 2, 3)
+            ],
+        }),
+        corpus,
+    )
+    idx = str(tmp_path / "vhidx")
+    out = _run("video_index", "--input", str(corpus), "--output", idx)
+    assert "indexed 3 videos" in out
+
+    new = tmp_path / "new.parquet"
+    pq.write_table(
+        pa.table({
+            "media_id": [10, 11],
+            "payload": [
+                build_mjpeg_mp4(clip_frames[1], 24, 24, fps=10.0),
+                build_mjpeg_avi(clip_frames[99], 24, 24, fps=10.0),
+            ],
+        }),
+        new,
+    )
+    kept_dir = str(tmp_path / "kept")
+    out = _run(
+        "video_filter", "--input", str(new), "--index", idx,
+        "--output", kept_dir, "--append-survivors",
+    )
+    assert "kept 1/2 videos" in out
+    assert "appended 1 survivor fingerprints" in out
+    kept = pq.read_table(glob.glob(os.path.join(kept_dir, "*.parquet"))[0])
+    assert kept.column("media_id").to_pylist() == [11]
+
+    # the appended survivor now gates a re-submission of itself (at a
+    # different frame rate, even)
+    again = tmp_path / "again.parquet"
+    pq.write_table(
+        pa.table({
+            "media_id": [20],
+            "payload": [build_mjpeg_avi(clip_frames[99], 24, 24, fps=30.0)],
+        }),
+        again,
+    )
+    kept2 = str(tmp_path / "kept2")
+    out = _run(
+        "video_filter", "--input", str(again), "--index", idx,
+        "--output", kept2,
+    )
+    assert "kept 0/1 videos" in out

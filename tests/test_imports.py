@@ -48,5 +48,8 @@ def test_operator_surface_exports():
         "audio_fingerprint", "audio_dup_pairs",
         "dedup_audio_against_corpus", "save_afp_index",
         "load_afp_index", "append_afp_index",
+        "video_phash", "video_dup_pairs", "dedup_videos_against_corpus",
+        "save_vhash_index", "load_vhash_index", "append_vhash_index",
+        "save_fp_index", "load_fp_index", "append_fp_index",
     ):
         assert callable(getattr(o, name)), name
