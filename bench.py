@@ -513,6 +513,36 @@ def _extras_registry():
         media = to_media_table(rendered, "doc_id", "payload", source="bench")
         return audio_dup_pairs(media, max_hamming=4)
 
+    def zorder_layout(spark, sf_dir):
+        """Z-order layout rewrite + the pruning it buys, phase-timed:
+        rewrite lineitem Z-ORDERED on (l_partkey, l_suppkey) — the one
+        full shuffle a layout job pays — then compute the footer-stats
+        file-skipping report for a range predicate on l_suppkey (the
+        NON-leading column a single-key sort cannot prune). write_sec
+        and the report land in extras_info; the returned frame is the
+        read-back row count sanity (the rewrite is layout-only)."""
+        import tempfile
+        import time as _t
+
+        from hospital_stain_tracker_data_pipeline_spark.pipeline.lake import (
+            file_skipping_report,
+            zorder_write,
+        )
+
+        li = load_fixture_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+        )
+        out = tempfile.mkdtemp(prefix="bench_zorder_") + "/li"
+        t0 = _t.time()
+        zorder_write(li, out, ["l_partkey", "l_suppkey"], n_files=32)
+        write_sec = round(_t.time() - t0, 3)
+        hi = li.agg({"l_suppkey": "max"}).first()[0] or 1
+        rep = file_skipping_report(
+            out, {"l_suppkey": (1, max(1, hi // 10))}
+        )
+        EXTRAS_INFO["zorder_layout"] = {"write_sec": write_sec, **rep}
+        return spark.read.parquet(out).groupBy().count()
+
     def video_near_dup(spark, sf_dir):
         """Video near-dup dedup at bench scale: assemble a
         deterministic 3-frame MJPEG/AVI clip per document (frame
@@ -1015,6 +1045,7 @@ def _extras_registry():
         "image_near_dup": image_near_dup,
         "audio_near_dup": audio_near_dup,
         "video_near_dup": video_near_dup,
+        "zorder_layout": zorder_layout,
         "ann_append": ann_append,
         "corpus_refresh_diff": corpus_refresh_diff,
         "hll_distinct_words": hll_distinct_words,

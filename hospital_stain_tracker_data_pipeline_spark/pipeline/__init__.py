@@ -9,7 +9,12 @@
 - ``api_queries``     — the 7 REST endpoints as DataFrame functions
 """
 
-from .lake import LakeTable  # noqa: F401
+from .lake import (  # noqa: F401
+    LakeTable,
+    file_skipping_report,
+    write_bucketed_table,
+    zorder_write,
+)
 from .ingest_capacity import ingest_capacity_csv  # noqa: F401
 from .compute_metrics import compute_metrics, metrics_from_capacity  # noqa: F401
 from . import api_queries  # noqa: F401

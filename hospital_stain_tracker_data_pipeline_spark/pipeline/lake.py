@@ -328,3 +328,166 @@ def write_bucketed_table(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+def _zorder_double(df: DataFrame, col: str):
+    """A double-valued projection of a Z-order column, or raise: Z-order
+    needs a total order with meaningful min/max file stats, so numeric,
+    date, and timestamp qualify; strings (and binary) do not — their
+    parquet stats prune poorly under interleaving and hashing them
+    would destroy range locality. Dates map to epoch days, timestamps
+    to epoch seconds."""
+    dt = dict(df.dtypes).get(col)
+    if dt is None:
+        raise ValueError(f"column {col!r} not in frame")
+    if dt in ("date",):
+        return F.datediff(F.col(col), F.to_date(F.lit("1970-01-01"))).cast(
+            "double"
+        )
+    if dt.startswith("timestamp"):
+        return F.col(col).cast("long").cast("double")
+    if dt in ("tinyint", "smallint", "int", "bigint", "float", "double") or (
+        dt.startswith("decimal")
+    ):
+        return F.col(col).cast("double")
+    raise ValueError(
+        f"Z-order column {col!r} has type {dt} — only numeric, date, "
+        "and timestamp columns carry range-prunable parquet stats"
+    )
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    n_files: int = 32,
+    bits: int = 4,
+) -> dict:
+    """Rewrite a table Z-ORDERED on ``cols`` — multi-column data
+    skipping for the 100 TB scan path. A single sort key gives perfect
+    file pruning on its leading column and none on the others;
+    interleaving the bits of each column's quantile-bucket rank (the
+    Morton / Z-order curve — public technique, the layout behind
+    Delta's OPTIMIZE ZORDER and the classic UB-tree) makes every file
+    cover a small hyper-rectangle of the key space, so parquet
+    min/max footer stats prune files for range predicates on ANY
+    subset of the columns.
+
+    Mechanics: per column, ``2^bits - 1`` approxQuantile boundaries
+    (driver-side, model-sized) map each value to a ``bits``-bit
+    equi-depth rank (quantile bucketing, not raw-value scaling, so
+    skewed distributions still split evenly; NULLs rank 0); ranks
+    interleave bit-by-bit into a single integer Column; one
+    ``repartitionByRange`` shuffle on it + a within-file sort, and the
+    curve column is dropped before the write (it is derivable, not
+    data). Cost: ONE full shuffle at write time — the same price
+    ``write_bucketed_table`` pays — amortized over every pruned scan
+    after. Returns the layout recipe (cols, bits, per-column
+    boundaries, file count) so a maintenance job can re-apply it to
+    new partitions. Verify pruning with ``file_skipping_report``."""
+    cols = list(cols)
+    if not cols:
+        raise ValueError("need at least one Z-order column")
+    if bits < 1 or bits * len(cols) > 32:
+        raise ValueError(
+            f"bits={bits} x {len(cols)} cols exceeds the 32-bit curve "
+            "budget (lower bits or fewer columns)"
+        )
+    proj = df.select(
+        *[_zorder_double(df, c).alias(f"_zc_{i}") for i, c in enumerate(cols)]
+    )
+    qs = [k / (1 << bits) for k in range(1, 1 << bits)]
+    bounds = {
+        c: proj.stat.approxQuantile(f"_zc_{i}", qs, 0.001)
+        for i, c in enumerate(cols)
+    }
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        v = _zorder_double(df, c)
+        rank = F.lit(0)
+        # strictly-greater comparisons against the sorted boundaries
+        # sum to the equi-depth bucket id; NULL comparisons fall to 0
+        for b in bounds[c]:
+            rank = rank + F.when(v > F.lit(float(b)), 1).otherwise(0)
+        for j in range(bits):
+            # bit j of this column's rank lands at curve position
+            # j * n_cols + i — distinct positions, so + is bitwise OR
+            z = z + F.shiftleft(
+                F.shiftright(rank, j).bitwiseAND(F.lit(1)).cast("long"),
+                j * len(cols) + i,
+            )
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return {
+        "cols": cols,
+        "bits": bits,
+        "n_files": n_files,
+        "boundaries": bounds,
+    }
+
+
+def file_skipping_report(path: str, predicates: dict) -> dict:
+    """How much of a parquet table a range scan must READ, from footer
+    stats alone — the observable a layout decision (``zorder_write``
+    vs a single-column sort) is judged by, computed exactly the way an
+    engine's scan planner does it: a file (or row group) can be
+    SKIPPED iff for some predicate column its [min, max] stats are
+    disjoint from the predicate's [lo, hi] (either bound may be None
+    for half-open ranges); a file with a matching row can therefore
+    never be skipped (stats bound the data). Footer-only and
+    driver-side by design — this reads metadata, not data, exactly
+    like the planner it models. ``predicates`` maps column name ->
+    (lo, hi) inclusive; values must be comparable with the column's
+    parquet stats type (int/float for numerics, ``datetime.date`` for
+    date columns). Missing stats on any predicate column makes a file
+    unskippable (the planner's conservative default)."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    files = sorted(
+        _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    if not files:
+        raise ValueError(f"no parquet files under {path}")
+    files_read = rg_total = rg_read = 0
+    for f in files:
+        md = _pq.ParquetFile(f).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        missing = [c for c in predicates if c not in names]
+        if missing:
+            raise ValueError(f"column(s) {missing} not in {f}")
+        file_needed = False
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            rg_total += 1
+            needed = True
+            for c, (lo, hi) in predicates.items():
+                st = rg.column(names[c]).statistics
+                if st is None or not st.has_min_max:
+                    continue  # conservative: cannot skip on this column
+                if (hi is not None and st.min > hi) or (
+                    lo is not None and st.max < lo
+                ):
+                    needed = False
+                    break
+            if needed:
+                rg_read += 1
+                file_needed = True
+        if file_needed:
+            files_read += 1
+    return {
+        "files_total": len(files),
+        "files_read": files_read,
+        "files_skipped": len(files) - files_read,
+        "row_groups_total": rg_total,
+        "row_groups_read": rg_read,
+        "row_groups_skipped": rg_total - rg_read,
+    }

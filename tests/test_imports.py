@@ -53,3 +53,13 @@ def test_operator_surface_exports():
         "save_fp_index", "load_fp_index", "append_fp_index",
     ):
         assert callable(getattr(o, name)), name
+
+
+def test_pipeline_surface_exports():
+    from hospital_stain_tracker_data_pipeline_spark import pipeline as p
+
+    for name in (
+        "LakeTable", "write_bucketed_table", "zorder_write",
+        "file_skipping_report",
+    ):
+        assert callable(getattr(p, name)) or name == "LakeTable", name
