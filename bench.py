@@ -857,6 +857,35 @@ def _extras_registry():
         emb = load_fixture_table(spark, sf_dir, "embeddings")
         return dequantize_embeddings(quantize_embeddings(emb))
 
+    def rank_quantiles(spark, sf_dir):
+        """Mergeable-quantile shape at corpus scale: dyadic rank-sketch
+        the doc-length distribution in two shards, cell-sum merge,
+        then answer the p10/p50/p90/p99 rank queries driver-side from
+        the KB-sized cell table — no sort, no full-distribution
+        shuffle, the 100 TB percentile-dashboard path. The quantile
+        answers land in extras_info."""
+        from hospital_stain_tracker_data_pipeline_spark.operators.sketch import (  # noqa: E501
+            dyadic_rank_merge,
+            dyadic_rank_sketch,
+            quantiles_from_sketch,
+        )
+
+        docs = load_fixture_table(spark, sf_dir, "documents").select(
+            "doc_id", F.length("text").alias("len")
+        )
+        a = dyadic_rank_sketch(
+            docs.filter(F.col("doc_id") % 2 == 0), "len", levels=20
+        )
+        b = dyadic_rank_sketch(
+            docs.filter(F.col("doc_id") % 2 == 1), "len", levels=20
+        )
+        merged = dyadic_rank_merge(a, b)
+        qs = quantiles_from_sketch(
+            merged, [0.1, 0.5, 0.9, 0.99], 20, 2048, 5
+        )
+        EXTRAS_INFO["rank_quantiles"] = {f"p{int(q*100)}": v for q, v in qs.items()}
+        return merged.groupBy().count()
+
     def cms_frequencies(spark, sf_dir):
         """Mergeable-sketch frequency shape at corpus scale: sketch two
         halves of the word stream separately (two shards), cell-sum
@@ -1055,6 +1084,7 @@ def _extras_registry():
         "incremental_dedup": incremental_dedup,
         "quantize_embeddings": quantize_lake,
         "cms_frequencies": cms_frequencies,
+        "rank_quantiles": rank_quantiles,
         "rrf_fuse": rrf_fuse,
         "repetition_profile": repetition_profile,
         "fetch_schedule": fetch_schedule,

@@ -55,7 +55,13 @@ from .sketch import (  # noqa: F401
     cms_merge,
     cms_query,
     cms_sketch,
+    dyadic_rank_merge,
+    dyadic_rank_sketch,
     heavy_hitters,
+    load_quantile_sketch,
+    quantiles_from_sketch,
+    rank_from_cells,
+    save_quantile_sketch,
     hll_estimate,
     hll_merge,
     filter_unseen,

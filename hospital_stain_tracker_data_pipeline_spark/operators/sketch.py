@@ -57,6 +57,7 @@ genuinely new item at rate ~``(1 - e^(-k*n/m))^k`` (``bloom_fpp``).
 from __future__ import annotations
 
 import math
+from collections.abc import Sequence
 from fractions import Fraction
 from typing import Iterator
 
@@ -1085,3 +1086,272 @@ def load_bloom_sketch(spark, path: str):
         F.col("word").isNotNull()  # drop the empty-safety sentinel row
     )
     return words, m_bits, k, by
+
+
+def _dyadic_check(levels: int, width: int, depth: int) -> None:
+    if not 1 <= levels <= 62:
+        raise ValueError(f"levels must be in [1, 62], got {levels}")
+    _cms_check(width, depth)
+
+
+def dyadic_rank_sketch(
+    df: DataFrame,
+    value_col: str,
+    levels: int = 20,
+    width: int = 2048,
+    depth: int = 5,
+    by: str | list[str] | None = None,
+) -> DataFrame:
+    """Mergeable RANK/QUANTILE sketch: a count-min sketch per DYADIC
+    LEVEL (Cormode & Muthukrishnan 2005 §4.2 — the range-sum
+    construction; public algorithm), completing the mergeable-
+    summaries family (Misra-Gries / HLL / CMS / Bloom / quantiles).
+    Values must be integers in ``[0, 2^levels)`` (map your domain
+    first: token counts and doc lengths already are; dates map to
+    epoch days). Each value inserts its enclosing block ``v >> lvl``
+    at every level ``0..levels``, so any prefix ``[0, x]`` is the sum
+    of at most ``levels + 1`` CMS point queries and rank(x) is
+    estimable WITHOUT sorting anything, ever.
+
+    Why this and not a KLL/GK sampler: the cells are exact counts of
+    deterministic md5 buckets — a pure function of the input MULTISET.
+    Merge is cell-wise sum (associative, commutative, replay-proof),
+    so shard sketches combine bit-identically under any partitioning,
+    arrival order, or engine — the property every sketch in this
+    family pins, and what sampling-based quantile sketches cannot
+    give. Cost: rank estimates carry CMS overcount (NEVER undercount)
+    of at most ``2 * (levels+1) * N / width`` w.h.p. — size ``width``
+    to the rank resolution you need.
+
+    ``(lvl, row, col, cnt)`` out, at most ``(levels+1) * width *
+    depth`` cells regardless of input size; ``by`` keeps one sketch
+    per group. NULL values are ignored; out-of-range values fail fast
+    in-row (a silently clamped value would corrupt every rank).
+    Plan: value-guard + level explode + one md5 per (value, level) +
+    depth explode, collapsed by one partial-aggregated groupBy —
+    items never shuffle, cells do."""
+    keys = _by_cols(by)
+    _dyadic_check(levels, width, depth)
+    clash = {value_col, *keys} & {"lvl", "row", "col", "cnt"}
+    if clash:
+        raise ValueError(
+            f"column name(s) {sorted(clash)} collide with the sketch's "
+            "internal lvl/row/col/cnt columns — rename (alias) them first"
+        )
+    v = F.col(value_col).cast("long")
+    guarded = F.when(v.isNull() | ((v >= 0) & (v < F.lit(1 << levels))), v).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("value "),
+                v.cast("string"),
+                F.lit(
+                    f" outside [0, 2^{levels}) — dyadic_rank_sketch "
+                    "cannot clamp silently; widen levels or map the "
+                    "domain first"
+                ),
+            )
+        )
+    )
+    blocks = (
+        df.select(*keys, guarded.alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .select(
+            *keys,
+            F.explode(F.sequence(F.lit(0), F.lit(levels))).alias("lvl"),
+            F.col("_v"),
+        )
+        .select(
+            *keys,
+            F.col("lvl").cast("int").alias("lvl"),
+            # python shiftright() only takes a literal shift; the SQL
+            # form shifts by a column
+            F.expr("shiftright(_v, lvl)").alias("_blk"),
+        )
+    )
+    h1, h2 = _cms_cells(F.col("_blk"), width, depth)
+    hashed = blocks.select(*keys, "lvl", h1.alias("_h1"), h2.alias("_h2"))
+    return (
+        hashed.select(
+            *keys,
+            "lvl",
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+            "_h1",
+            "_h2",
+        )
+        .select(
+            *keys,
+            "lvl",
+            F.col("row").cast("int").alias("row"),
+            ((F.col("_h1") + F.col("row") * F.col("_h2")) % F.lit(width))
+            .cast("int")
+            .alias("col"),
+        )
+        .groupBy(*keys, "lvl", "row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dyadic_rank_merge(
+    *sketches: DataFrame, by: str | list[str] | None = None
+) -> DataFrame:
+    """Cell-wise sum of dyadic rank sketches built with the SAME
+    (levels, width, depth) (and group keys): exact, associative,
+    commutative — sketch(A ⊎ B) == merge(sketch(A), sketch(B))
+    bit-for-bit, the family contract."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*_by_cols(by), "lvl", "row", "col").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def _cms_point_py(cells: dict, lvl: int, block: int, width: int, depth: int) -> int:
+    """Pure-python replay of the ``_cms_cells`` point query for one
+    dyadic block — bit-identical to the Spark hashing (md5 of the
+    value's decimal string, 15-hex-digit slices), so driver-side rank
+    queries read exactly the cells the cluster wrote."""
+    import hashlib as _hashlib
+
+    hx = _hashlib.md5(str(block).encode()).hexdigest()
+    h1 = int(hx[0:15], 16) % width
+    h2 = (int(hx[15:30], 16) % width) | 1
+    return min(
+        cells.get((lvl, r, (h1 + r * h2) % width), 0) for r in range(depth)
+    )
+
+
+def rank_from_cells(
+    cells: dict, x: int, levels: int, width: int, depth: int
+) -> int:
+    """Estimated count of values <= ``x`` from a collected cell dict
+    ``{(lvl, row, col): cnt}``: the canonical dyadic decomposition of
+    ``[0, x]`` — for every set bit ``l`` of ``y = x + 1``, the block
+    ``(y >> l) - 1`` at level ``l`` — at most ``levels + 1`` point
+    queries. NEVER underestimates (CMS never does); overestimates by
+    <= 2 * (levels+1) * N / width w.h.p. ``x = -1`` is rank 0."""
+    y = x + 1
+    if y < 0 or y > (1 << levels):
+        raise ValueError(f"x={x} outside [-1, 2^{levels} - 1]")
+    total = 0
+    for lvl in range(levels + 1):
+        if (y >> lvl) & 1:
+            total += _cms_point_py(cells, lvl, (y >> lvl) - 1, width, depth)
+    return total
+
+
+def quantiles_from_sketch(
+    sketch: DataFrame, qs: Sequence[float], levels: int, width: int, depth: int
+) -> dict:
+    """Quantile estimates from an UNGROUPED dyadic rank sketch: collect
+    the cell table (model-sized by construction — <= (levels+1) *
+    width * depth rows, the same driver-side-artifact rule every
+    sketch query in this family follows; filter a grouped sketch to
+    one group first), then per ``q`` binary-search the smallest value
+    whose estimated rank reaches ``ceil(q * N)``. ``N`` is the exact
+    total (the level-``levels`` sketch holds the single whole-domain
+    block). Rank never underestimates, so the returned value's TRUE
+    rank sits within the CMS overcount bound of ``q * N`` — pinned
+    empirically in ``tests/test_quantile_sketch.py``."""
+    import math as _math
+
+    _dyadic_check(levels, width, depth)
+    rows = sketch.select("lvl", "row", "col", "cnt").collect()
+    cells = {(r["lvl"], r["row"], r["col"]): r["cnt"] for r in rows}
+    n = rank_from_cells(cells, (1 << levels) - 1, levels, width, depth)
+    out = {}
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+        if n == 0:
+            out[q] = None
+            continue
+        target = max(1, _math.ceil(q * n))
+        lo, hi = 0, (1 << levels) - 1
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if rank_from_cells(cells, mid, levels, width, depth) >= target:
+                hi = mid
+            else:
+                lo = mid + 1
+        out[q] = lo
+    return out
+
+
+def save_quantile_sketch(
+    sketch: DataFrame,
+    levels: int,
+    width: int,
+    depth: int,
+    path: str,
+    by: str | list[str] | None = None,
+) -> None:
+    """Persist a dyadic rank sketch WITH its parameters — the
+    ``save_cms_sketch`` convention with ``_dq_levels`` riding along:
+    querying with mismatched geometry would silently misrank, so the
+    loader returns the artifact's own (levels, width, depth, by). A
+    NULL-``row`` sentinel keeps an EMPTY sketch round-trippable."""
+    import json
+
+    _dyadic_check(levels, width, depth)
+    keys = _by_cols(by)
+    expected = {"lvl", "row", "col", "cnt"} | set(keys)
+    if set(sketch.columns) != expected:
+        raise ValueError(
+            f"sketch columns {sorted(sketch.columns)} do not match "
+            f"by={keys}: expected exactly {sorted(expected)} — was the "
+            "sketch built with different group keys?"
+        )
+    sentinel = sketch.sparkSession.range(1).select(
+        *[
+            F.lit(None).cast(sketch.schema[c].dataType).alias(c)
+            for c in sketch.columns
+        ]
+    )
+    (
+        sketch.unionByName(sentinel)
+        .withColumn("_dq_levels", F.lit(levels))
+        .withColumn("_cms_width", F.lit(width))
+        .withColumn("_cms_depth", F.lit(depth))
+        .withColumn("_cms_by", F.lit(json.dumps(keys)))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def load_quantile_sketch(spark, path: str):
+    """Inverse of ``save_quantile_sketch``: ``(sketch, levels, width,
+    depth, by)`` ready for ``dyadic_rank_merge`` /
+    ``quantiles_from_sketch``. Fails loudly on a parameterless parquet
+    or a corrupt artifact mixing parameter sets."""
+    import json
+
+    df = spark.read.parquet(path)
+    needed = {"_dq_levels", "_cms_width", "_cms_depth", "_cms_by"}
+    if not needed.issubset(df.columns):
+        raise ValueError(
+            f"{path} has no _dq_levels/_cms_width/_cms_depth/_cms_by "
+            "columns — not a save_quantile_sketch artifact"
+        )
+    metas = (
+        df.select("_dq_levels", "_cms_width", "_cms_depth", "_cms_by")
+        .distinct()
+        .collect()
+    )
+    if len(metas) != 1:
+        raise ValueError(
+            f"{path} mixes {len(metas)} parameter sets — corrupt "
+            "artifact (merge sketches via dyadic_rank_merge, not file "
+            "unions)"
+        )
+    levels = int(metas[0]["_dq_levels"])
+    width, depth = int(metas[0]["_cms_width"]), int(metas[0]["_cms_depth"])
+    _dyadic_check(levels, width, depth)
+    by = json.loads(metas[0]["_cms_by"]) or None
+    cells = df.drop(
+        "_dq_levels", "_cms_width", "_cms_depth", "_cms_by"
+    ).filter(F.col("row").isNotNull())
+    return cells, levels, width, depth, by

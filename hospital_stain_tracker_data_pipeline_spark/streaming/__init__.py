@@ -8,6 +8,7 @@ from .ingest_stream import (  # noqa: F401
     stream_image_dedup_ingest,
     stream_ingest_events,
     stream_quality_gate,
+    stream_rank_quantiles,
     stream_video_dedup_ingest,
     stream_warc_ingest,
 )

@@ -1192,3 +1192,46 @@ def stream_video_dedup_ingest(
             "decoded boolean",
         ),
     )
+
+
+def stream_rank_quantiles(
+    spark: SparkSession,
+    source_path: str,
+    out_dir: str,
+    value_expr: str = "length(text)",
+    schema: str = "doc_id long, text string",
+    levels: int = 20,
+    width: int = 2048,
+    depth: int = 5,
+) -> DataFrame:
+    """Incremental rank/quantile tracking over a document stream: each
+    micro-batch builds its dyadic rank sketch
+    (``operators.sketch.dyadic_rank_sketch`` reused verbatim — stream
+    and batch cells are identical by construction) and lands its cell
+    table in its own ``_batch_id`` partition; the read-back union is
+    sum-merged into ONE sketch, returned ready for
+    ``quantiles_from_sketch``. The same merge-algebra argument as the
+    HLL/CMS twins: cell-wise sum over dynamically-overwritten batch
+    partitions is replay-safe, so quantiles over the whole stream cost
+    no state store and no sort, and the sink stays KB-sized —
+    ``n_batches * (levels+1) * width * depth`` cells worst case, never
+    values. ``value_expr`` must produce integers in ``[0, 2^levels)``
+    (the batch operator's fail-fast guard applies per micro-batch)."""
+    from ..operators.sketch import dyadic_rank_merge, dyadic_rank_sketch
+
+    docs = spark.readStream.schema(schema).parquet(source_path)
+
+    def _sketch(batch_df: DataFrame) -> DataFrame:
+        values = batch_df.selectExpr(f"{value_expr} AS v")
+        return dyadic_rank_sketch(values, "v", levels, width, depth)
+
+    batches = _run_batch_sink_stream(
+        spark,
+        docs,
+        _sketch,
+        out_dir,
+        empty=lambda: spark.createDataFrame(
+            [], "lvl int, row int, col int, cnt long"
+        ),
+    )
+    return dyadic_rank_merge(batches)
