@@ -268,65 +268,29 @@ def dedup_audio_against_corpus(
 
 
 def save_afp_index(index: DataFrame, path: str) -> None:
-    """Persist an audio-fingerprint index WITH its algorithm tag — the
-    ``save_phash_index`` artifact discipline for the audio tier: a
-    constant ``_afp_algo`` column rides the parquet so a fingerprint
-    revision can never be probed against an old index silently.
-    ``index`` is any frame carrying ``media_id`` + ``afp`` (an
-    ``audio_fingerprint`` output or its survivors projection); only
-    those two columns persist. NULL-fingerprint rows (undecodable
-    payloads) and NULL-id rows drop — the former can never pair, the
-    latter would be lost on load (NULL id is the empty-index
-    sentinel). A NULL-id sentinel row rides along so a legitimately
-    EMPTY index still round-trips with its tag."""
-    missing = [c for c in ("media_id", "afp") if c not in index.columns]
-    if missing:
-        raise ValueError(
-            f"index frame lacks column(s) {missing} — pass an "
-            "audio_fingerprint output (media_id, afp)"
-        )
-    slim = index.select("media_id", "afp").filter(
-        F.col("afp").isNotNull() & F.col("media_id").isNotNull()
-    )
-    sentinel = index.sparkSession.range(1).select(
-        F.lit(None).cast("long").alias("media_id"),
-        F.lit(None).cast("long").alias("afp"),
-    )
-    (
-        slim.unionByName(sentinel)
-        .withColumn("_afp_algo", F.lit(AFP_ALGO))
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    """Persist an audio-fingerprint index under this module's revision
+    tag — the generic tagged artifact (``dedup.save_fp_index``, one
+    ``_fp_tag`` column), so a fingerprint revision can never be probed
+    against an old index silently. ``index`` is any frame carrying
+    ``media_id`` + ``afp``; only those two columns persist, NULL
+    id/fingerprint rows drop, and a sentinel keeps an EMPTY index
+    round-trippable."""
+    from .dedup import save_fp_index
+
+    save_fp_index(index, path, AFP_ALGO, id_col="media_id", hash_col="afp")
 
 
 def append_afp_index(spark: SparkSession, path: str, fps: DataFrame) -> int:
     """Append survivor fingerprints to an EXISTING ``save_afp_index``
     artifact — the incremental half of the audio index (the next batch
-    then dedups against these survivors too). Loading validates the
-    artifact first (tag present, single set, current version); NULL
-    id/fingerprint rows drop exactly as in ``save_afp_index``. Returns
-    the number of rows appended."""
-    load_afp_index(spark, path)
-    missing = [c for c in ("media_id", "afp") if c not in fps.columns]
-    if missing:
-        raise ValueError(
-            f"fingerprint frame lacks column(s) {missing} — pass an "
-            "audio_fingerprint output (media_id, afp)"
-        )
-    slim = (
-        fps.select("media_id", "afp")
-        .filter(F.col("afp").isNotNull() & F.col("media_id").isNotNull())
-        .localCheckpoint(eager=True)  # count and write read one snapshot
+    then dedups against these survivors too). The artifact is
+    validated against this module's revision tag first; NULL
+    id/fingerprint rows drop as at save. Returns rows appended."""
+    from .dedup import append_fp_index
+
+    return append_fp_index(
+        spark, path, fps, AFP_ALGO, id_col="media_id", hash_col="afp"
     )
-    n = slim.count()
-    if n:
-        (
-            slim.withColumn("_afp_algo", F.lit(AFP_ALGO))
-            .write.mode("append")
-            .parquet(path)
-        )
-    return n
 
 
 def load_afp_index(spark: SparkSession, path: str) -> DataFrame:
@@ -336,25 +300,9 @@ def load_afp_index(spark: SparkSession, path: str) -> DataFrame:
     by a DIFFERENT fingerprint revision than this module computes —
     probing across revisions would silently match nothing
     meaningful."""
-    df = spark.read.parquet(path)
-    if "_afp_algo" not in df.columns:
-        raise ValueError(
-            f"{path} has no _afp_algo column — not a save_afp_index "
-            "artifact"
-        )
-    tags = [r["_afp_algo"] for r in df.select("_afp_algo").distinct().collect()]
-    if len(tags) != 1:
-        raise ValueError(
-            f"{path} mixes {len(tags)} algorithm tags — corrupt "
-            "artifact (append survivors through append_afp_index, "
-            "never mix files)"
-        )
-    if tags[0] != AFP_ALGO:
-        raise ValueError(
-            f"{path} was built by fingerprint revision {tags[0]!r}; "
-            f"this module computes {AFP_ALGO!r} — rebuild the index "
-            "(cross-revision probes would miss every near-dup)"
-        )
-    return df.drop("_afp_algo").filter(
-        F.col("media_id").isNotNull()  # drop the empty-safety sentinel
+    from .dedup import load_fp_index
+
+    index, _ = load_fp_index(
+        spark, path, AFP_ALGO, id_col="media_id", hash_col="afp"
     )
+    return index

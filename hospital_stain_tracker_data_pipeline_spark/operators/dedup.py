@@ -1481,8 +1481,9 @@ def save_fp_index(
     hash_col: str = "fp",
 ) -> None:
     """Persist ANY 64-bit-fingerprint index WITH a family/revision tag
-    — the generic form of the phash/afp artifact discipline (those two
-    predate this helper and keep their own APIs): a constant
+    — the generic form of the phash artifact discipline (the image
+    tier predates this helper and keeps its own two-parameter format;
+    the audio and video tiers delegate here): a constant
     ``_fp_tag`` column rides the parquet, and ``load_fp_index``
     validates it, so fingerprints from a different family, parameter
     set, or algorithm revision can never be probed silently (they
@@ -1524,10 +1525,11 @@ def append_fp_index(
     hash_col: str = "fp",
 ) -> int:
     """Append survivor fingerprints to an EXISTING ``save_fp_index``
-    artifact — validated against the caller's ``tag`` first, so a
-    probe computed under one family/revision can never append onto an
-    index of another. NULL id/hash rows drop exactly as in
-    ``save_fp_index``. Returns the number of rows appended."""
+    artifact — validated against the caller's ``tag`` first (one
+    artifact read), so a probe computed under one family/revision can
+    never append onto an index of another. NULL id/hash rows drop
+    exactly as in ``save_fp_index``. Returns the number of rows
+    appended."""
     load_fp_index(spark, path, tag, id_col=id_col, hash_col=hash_col)
     missing = [c for c in (id_col, hash_col) if c not in fps.columns]
     if missing:
@@ -1551,15 +1553,19 @@ def append_fp_index(
 def load_fp_index(
     spark: SparkSession,
     path: str,
-    expected_tag: str,
+    expected_tag: str | None,
     id_col: str = "media_id",
     hash_col: str = "fp",
-) -> DataFrame:
-    """Inverse of ``save_fp_index``: the ``(id_col, hash_col)`` index
-    frame ready for ``hamming_pairs_against_corpus``. Fails loudly on
-    a tagless parquet, a corrupt artifact mixing tags, a tag other
-    than ``expected_tag`` (wrong family / parameter set / revision),
-    or an artifact whose columns do not match the caller's."""
+) -> tuple[DataFrame, str]:
+    """Inverse of ``save_fp_index``: ``(index, tag)`` with the index
+    frame ready for ``hamming_pairs_against_corpus``. One artifact
+    read. Fails loudly on a tagless parquet, a corrupt artifact mixing
+    tags, an artifact whose columns do not match the caller's, or —
+    when ``expected_tag`` is given — a tag other than it (wrong
+    family / parameter set / revision). Pass ``expected_tag=None``
+    when the caller derives its parameters FROM the artifact (it must
+    then validate the returned tag's family itself, the way
+    ``video_fp.load_vhash_index`` does)."""
     df = spark.read.parquet(path)
     if "_fp_tag" not in df.columns:
         raise ValueError(
@@ -1577,12 +1583,13 @@ def load_fp_index(
             f"{path} mixes {len(tags)} fingerprint tags — corrupt "
             "artifact (append through append_fp_index, never mix files)"
         )
-    if tags[0] != expected_tag:
+    if expected_tag is not None and tags[0] != expected_tag:
         raise ValueError(
             f"{path} records fingerprint tag {tags[0]!r}; this probe "
             f"computes {expected_tag!r} — rebuild the index "
             "(cross-family/revision probes would miss every near-dup)"
         )
-    return df.drop("_fp_tag").filter(
+    index = df.drop("_fp_tag").filter(
         F.col(id_col).isNotNull()  # drop the empty-safety sentinel
     )
+    return index, tags[0]

@@ -280,7 +280,15 @@ def decode_wav_samples(raw: bytes) -> tuple[int, np.ndarray] | None:
     if layout is None:
         return None
     fmt, data_off, data_size = layout
-    if fmt["format_tag"] != 1 or fmt["bits"] != 16 or fmt["channels"] < 1:
+    # rate <= 0 guard matches the FLAC decoder: a corrupt header
+    # declaring rate 0 must read as "not decodable", not divide a
+    # downstream resample/fingerprint by zero
+    if (
+        fmt["format_tag"] != 1
+        or fmt["bits"] != 16
+        or fmt["channels"] < 1
+        or fmt["rate"] <= 0
+    ):
         return None
     ch = fmt["channels"]
     n = min(data_size, len(raw) - data_off) // (2 * ch)

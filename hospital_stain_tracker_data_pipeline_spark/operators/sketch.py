@@ -1258,6 +1258,15 @@ def quantiles_from_sketch(
     import math as _math
 
     _dyadic_check(levels, width, depth)
+    extra = set(sketch.columns) - {"lvl", "row", "col", "cnt"}
+    if extra:
+        # a grouped sketch's cells share (lvl,row,col) keys ACROSS
+        # groups — collapsing them into one dict would mix groups and
+        # silently break the never-underestimate guarantee
+        raise ValueError(
+            f"sketch carries group column(s) {sorted(extra)} — filter "
+            "to ONE group and drop the keys before querying quantiles"
+        )
     rows = sketch.select("lvl", "row", "col", "cnt").collect()
     cells = {(r["lvl"], r["row"], r["col"]): r["cnt"] for r in rows}
     n = rank_from_cells(cells, (1 << levels) - 1, levels, width, depth)
@@ -1268,7 +1277,9 @@ def quantiles_from_sketch(
         if n == 0:
             out[q] = None
             continue
-        target = max(1, _math.ceil(q * n))
+        # exact-rational ceil (the heavy_hitters discipline):
+        # 0.07 * 100 floats to 7.000000000000001 and would ceil to 8
+        target = max(1, _math.ceil(Fraction(str(q)) * n))
         lo, hi = 0, (1 << levels) - 1
         while lo < hi:
             mid = (lo + hi) // 2

@@ -310,24 +310,17 @@ def load_vhash_index(spark: SparkSession, path: str):
     """Inverse of ``save_vhash_index``: ``(index, algo, hash_size,
     n_samples)`` with the parameters parsed FROM the artifact's tag —
     the ``load_phash_index`` shape, so artifact-mediated flows hash
-    their probes with exactly the index's configuration. Fails loudly
-    on a tagless/mixed artifact, a tag from a different fingerprint
-    family or revision, or an unparseable tag."""
+    their probes with exactly the index's configuration. One artifact
+    read (``dedup.load_fp_index`` with ``expected_tag=None`` — tag
+    presence, uniqueness, and columns validated there; the family
+    parse here). Fails loudly on a tagless/mixed artifact, a tag from
+    a different fingerprint family or revision, or an unparseable
+    tag."""
     from .dedup import load_fp_index
 
-    df = spark.read.parquet(path)
-    if "_fp_tag" not in df.columns:
-        raise ValueError(
-            f"{path} has no _fp_tag column — not a save_vhash_index "
-            "artifact"
-        )
-    tags = [r["_fp_tag"] for r in df.select("_fp_tag").distinct().collect()]
-    if len(tags) != 1:
-        raise ValueError(
-            f"{path} mixes {len(tags)} fingerprint tags — corrupt "
-            "artifact (append through append_vhash_index, never mix files)"
-        )
-    tag = tags[0]
+    index, tag = load_fp_index(
+        spark, path, None, id_col="media_id", hash_col="vhash"
+    )
     try:
         family, algo, hs, ns = tag.split(":")
         hash_size = int(hs)
@@ -346,7 +339,4 @@ def load_vhash_index(spark: SparkSession, path: str):
             f"{path} records fingerprint tag {tag!r} — not a vphash-v1 "
             "artifact this module can probe (rebuild the index)"
         )
-    index = load_fp_index(
-        spark, path, tag, id_col="media_id", hash_col="vhash"
-    )
     return index, algo, hash_size, n_samples

@@ -397,10 +397,12 @@ def zorder_write(
         *[_zorder_double(df, c).alias(f"_zc_{i}") for i, c in enumerate(cols)]
     )
     qs = [k / (1 << bits) for k in range(1, 1 << bits)]
-    bounds = {
-        c: proj.stat.approxQuantile(f"_zc_{i}", qs, 0.001)
-        for i, c in enumerate(cols)
-    }
+    # one multi-column approxQuantile pass — k separate calls would
+    # each rescan the table
+    all_bounds = proj.stat.approxQuantile(
+        [f"_zc_{i}" for i in range(len(cols))], qs, 0.001
+    )
+    bounds = {c: all_bounds[i] for i, c in enumerate(cols)}
     z = F.lit(0).cast("long")
     for i, c in enumerate(cols):
         v = _zorder_double(df, c)
@@ -421,6 +423,11 @@ def zorder_write(
         .repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
         .drop("_z")
+        # the natural call rewrites a table over ITS OWN path; pin the
+        # shuffled+sorted layout before the overwrite truncates the
+        # input files (the LakeTable.upsert read-write-same-path
+        # discipline). Partition order survives localCheckpoint.
+        .localCheckpoint(eager=True)
         .write.mode("overwrite")
         .parquet(path)
     )

@@ -1040,7 +1040,7 @@ def stream_audio_dedup_ingest(
     ONCE via the materialized slim frame; ``media_id =
     xxhash64(path)`` with the in-batch collision assertion; the WARC
     atomic-landing contract applies)."""
-    from ..operators.audio_fp import audio_fingerprint
+    from ..operators.audio_fp import AFP_NBITS, audio_fingerprint
     from ..operators.dedup import hamming_pairs_against_corpus, materialize
 
     files = (
@@ -1082,7 +1082,7 @@ def stream_audio_dedup_ingest(
                 corpus_index,
                 hash_col="afp",
                 id_col="media_id",
-                nbits=64,
+                nbits=AFP_NBITS,
                 max_hamming=max_hamming,
             )
             .select(F.col("new_id").alias("media_id"))

@@ -364,20 +364,20 @@ def test_afp_index_save_load_roundtrip_and_guards(spark, tmp_path):
         save_afp_index(fps.drop("afp"), str(tmp_path / "x1"))
     plain = str(tmp_path / "plain")
     fps.select("media_id", "afp").write.parquet(plain)
-    with pytest.raises(ValueError, match="_afp_algo"):
+    with pytest.raises(ValueError, match="_fp_tag"):
         load_afp_index(spark, plain)
     foreign = str(tmp_path / "foreign")
     fps.select("media_id", "afp").withColumn(
-        "_afp_algo", F.lit("hk-lag-v0:4000:8:1,2")
+        "_fp_tag", F.lit("hk-lag-v0:4000:8:1,2")
     ).write.parquet(foreign)
     with pytest.raises(ValueError, match="revision"):
         load_afp_index(spark, foreign)
     mixed = str(tmp_path / "mixed")
     fps.select("media_id", "afp").withColumn(
-        "_afp_algo", F.lit(AFP_ALGO)
+        "_fp_tag", F.lit(AFP_ALGO)
     ).write.parquet(mixed)
     fps.select("media_id", "afp").withColumn(
-        "_afp_algo", F.lit("hk-lag-v0:4000:8:1,2")
+        "_fp_tag", F.lit("hk-lag-v0:4000:8:1,2")
     ).write.mode("append").parquet(mixed)
     with pytest.raises(ValueError, match="mixes"):
         load_afp_index(spark, mixed)

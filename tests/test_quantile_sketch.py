@@ -99,6 +99,16 @@ def test_quantiles_rank_accuracy(spark):
         assert prev_rank <= q * N, (q, xhat, prev_rank)
     with pytest.raises(ValueError, match="outside"):
         quantiles_from_sketch(sketch, [1.5], LEVELS, WIDTH, DEPTH)
+    # a grouped sketch must be filtered to one group first — collapsing
+    # groups would silently mix their cells
+    grouped = dyadic_rank_sketch(
+        spark.createDataFrame(
+            pd.DataFrame({"v": vals, "grp": ["a"] * N})
+        ),
+        "v", levels=LEVELS, width=WIDTH, depth=DEPTH, by="grp",
+    )
+    with pytest.raises(ValueError, match="group column"):
+        quantiles_from_sketch(grouped, [0.5], LEVELS, WIDTH, DEPTH)
     # empty sketch -> None quantiles
     empty = dyadic_rank_sketch(
         spark.createDataFrame([], "v long"),

@@ -354,13 +354,22 @@ def test_vhash_index_roundtrip_and_guards(spark, tmp_path):
     fps.select("media_id", "vhash").write.parquet(plain)
     with pytest.raises(ValueError, match="_fp_tag"):
         load_vhash_index(spark, plain)
-    # foreign family: an audio afp artifact is NOT probe-able as vhash
+    # foreign family tag: NOT probe-able as vhash even when the
+    # columns happen to line up
     foreign = str(tmp_path / "foreign")
-    fps.select("media_id", F.col("vhash").alias("afp")).withColumn(
+    fps.select("media_id", "vhash").withColumn(
         "_fp_tag", F.lit("afp-other-family")
     ).write.parquet(foreign)
     with pytest.raises(ValueError, match="not a vphash-v1"):
         load_vhash_index(spark, foreign)
+    # an artifact written under different column names is rejected
+    # before any tag parse (the generic loader's column guard)
+    wrongcols = str(tmp_path / "wrongcols")
+    fps.select("media_id", F.col("vhash").alias("afp")).withColumn(
+        "_fp_tag", F.lit("vphash-v1:dhash:8:n_samples=4")
+    ).write.parquet(wrongcols)
+    with pytest.raises(ValueError, match="lacks column"):
+        load_vhash_index(spark, wrongcols)
     mixed = str(tmp_path / "mixed")
     fps.select("media_id", "vhash").withColumn(
         "_fp_tag", F.lit("vphash-v1:dhash:8:n_samples=4")

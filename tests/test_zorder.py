@@ -69,6 +69,20 @@ def test_zorder_roundtrip_is_layout_only(spark, tmp_path):
     )
 
 
+def test_zorder_rewrites_a_table_over_its_own_path(spark, tmp_path):
+    """The natural maintenance call — read a table, Z-order it back
+    onto the SAME path — must work (the frame is pinned before the
+    overwrite truncates the input files, the LakeTable.upsert
+    read-write-same-path discipline)."""
+    df = _xy(spark, n=5000)
+    p = str(tmp_path / "t")
+    df.write.parquet(p)
+    before = _multiset_digest(spark.read.parquet(p))
+    zorder_write(spark.read.parquet(p), p, ["x", "y"], n_files=8)
+    assert _multiset_digest(spark.read.parquet(p)) == before
+    assert file_skipping_report(p, {"y": (100, 160)})["files_skipped"] > 0
+
+
 def test_zorder_prunes_on_both_columns(spark, tmp_path):
     """THE trade: sort-by-x prunes x-ranges perfectly and y-ranges not
     at all; Z-order prunes both. The y-range is where a 100 TB scan
