@@ -1017,3 +1017,84 @@ def test_filter_funnel_is_one_scan_conditional_agg(spark, sf_dir):
     assert "HashAggregate" in tree
     # no join, no window — pure single-pass aggregation
     assert "Join" not in tree and "Window" not in tree
+
+
+def test_media_fingerprint_pairs_never_shuffle_payloads(spark):
+    """The 100 TB media-dedup contract, plan-pinned for BOTH new
+    fingerprint tiers: by the time pair generation plans, the payload
+    decode has already happened inside the materialize() checkpoint —
+    the banding self-join's ENTIRE plan reads the (id, 8-byte hash)
+    ExistingRDD, so neither payload bytes nor the Arrow decode stage
+    can possibly sit under an Exchange."""
+    import numpy as np
+    import pandas as pd
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.audio_fp import (
+        audio_dup_pairs,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.operators.jpeg import (
+        encode_jpeg,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+        build_mjpeg_avi,
+        encode_wav,
+        to_media_table,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.operators.video_fp import (
+        video_dup_pairs,
+    )
+
+    tone = np.round(
+        4000 * np.sin(2 * np.pi * 440 * np.arange(2000) / 8000)
+    ).astype(np.int16).reshape(-1, 1)
+    rng = np.random.RandomState(0)
+    frames = [
+        encode_jpeg(rng.randint(0, 256, size=(16, 16, 3)).astype("uint8"))
+        for _ in range(3)
+    ]
+    audio = to_media_table(
+        spark.createDataFrame(
+            pd.DataFrame({"media_id": [0, 1], "payload": [
+                encode_wav(tone, 8000), encode_wav(tone * 2, 8000)
+            ]})
+        ),
+        "media_id", "payload", source="t",
+    )
+    video = to_media_table(
+        spark.createDataFrame(
+            pd.DataFrame({"media_id": [0, 1], "payload": [
+                build_mjpeg_avi(frames, 16, 16, fps=10.0),
+                build_mjpeg_avi(frames, 16, 16, fps=30.0),
+            ]})
+        ),
+        "media_id", "payload", source="t",
+    )
+    for pairs in (audio_dup_pairs(audio), video_dup_pairs(video)):
+        plan = _explain(pairs)
+        assert "payload" not in plan  # lineage truncated at (id, hash)
+        assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+        # pigeonhole bucket equi-join on (band, val) — shuffled at
+        # scale, broadcast for this tiny fixture; either way the keys
+        # are the band slices, never payload bytes
+        assert "hashpartitioning(band" in plan or "[band" in plan
+        assert "ExistingRDD" in plan  # the materialize() checkpoint
+
+
+def test_dyadic_rank_sketch_partial_agg_never_ships_values(spark, sf_dir):
+    """The quantile sketch's exchange must carry partially-aggregated
+    cells (<= (levels+1)*width*depth rows per map task), not the
+    exploded (value, level) stream — the hll_registers/cms_sketch
+    family contract."""
+    from pyspark.sql import functions as F
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.sketch import (
+        dyadic_rank_sketch,
+    )
+
+    lens = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.length("text").alias("len")
+    )
+    plan = _explain(dyadic_rank_sketch(lens, "len", levels=12))
+    assert "partial_count" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "hashpartitioning(lvl" in plan  # cells shuffle, values never
