@@ -169,6 +169,7 @@ from .video_fp import (  # noqa: F401
 )
 from .multimodal import (  # noqa: F401
     append_phash_index,
+    classify_media,
     dedup_images_against_corpus,
     load_phash_index,
     save_phash_index,

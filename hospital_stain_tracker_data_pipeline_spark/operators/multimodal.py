@@ -2050,3 +2050,97 @@ def extract_video_features(
     return media.select("media_id", "payload").mapInPandas(
         run, schema=VIDEO_FEATURES_SCHEMA
     )
+
+
+CLASSIFY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("native", T.BooleanType(), False),
+    ]
+)
+
+
+def classify_media(media: DataFrame) -> DataFrame:
+    """Modality classification from container headers ONLY — the cheap
+    pre-decode routing pass a mixed media lake runs before any
+    expensive tier: ``(media_id, modality, mime, native)`` where
+    ``modality`` ∈ image/audio/video/unknown and ``native`` says
+    whether this library's own decoders can produce pixels/PCM/frames
+    for it (so a curation recipe can route native payloads into the
+    fingerprint tiers and pass the rest through instead of tripping
+    their loud env-ceiling errors):
+
+    - image: ``sniff_image`` mime; native for BMP/PNG/JPEG/GIF (the
+      ``_decode_any_pixels`` chain), not WebP;
+    - audio: WAV/FLAC/MP3/Ogg header sniffs; native for 16-bit PCM WAV
+      (the exact ``decode_wav_samples`` gate, probed on the header
+      fields alone) and 16-bit FLAC;
+    - video: AVI/MP4 sniffs; native when frame BYTES are extractable —
+      AVI with MJPEG chunks, MP4 with a JPEG-coded track;
+    - NULL / unrecognized payloads are ``unknown`` (never native).
+
+    Header walks only — no pixel/sample/frame decode happens here, so
+    the pass is IO-bound and safe to run on every payload."""
+    from .flac import sniff_flac
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                modality, mime, native = "unknown", None, False
+                img = sniff_image(raw) if raw else None
+                if img is not None:
+                    modality, mime = "image", img[0]
+                    native = mime in (
+                        "image/bmp", "image/png", "image/jpeg", "image/gif"
+                    )
+                elif raw:
+                    wav = sniff_wav(raw)
+                    au = wav or sniff_flac(raw) or sniff_mp3(raw) or (
+                        sniff_ogg_vorbis(raw)
+                    )
+                    if au is not None:
+                        modality, mime = "audio", au["mime"]
+                        if wav is not None:
+                            layout = _wav_layout(raw)
+                            fmt = layout[0] if layout else {}
+                            native = (
+                                fmt.get("format_tag") == 1
+                                and fmt.get("bits") == 16
+                                and fmt.get("channels", 0) >= 1
+                                and fmt.get("rate", 0) > 0
+                            )
+                        else:
+                            native = (
+                                mime == "audio/flac"
+                                and au.get("bits_per_sample") == 16
+                            )
+                    else:
+                        avi = sniff_avi(raw)
+                        vid = avi or sniff_mp4(raw)
+                        if vid is not None:
+                            modality, mime = "video", vid["mime"]
+                            if avi is not None:
+                                native = bool(avi.get("frames")) and bool(
+                                    avi.get("fps")
+                                )
+                            else:
+                                native = mp4_jpeg_track(raw) is not None
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "modality": modality,
+                        "mime": mime,
+                        "native": native,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in CLASSIFY_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=CLASSIFY_SCHEMA
+    )

@@ -18,4 +18,8 @@ from .lake import (  # noqa: F401
 from .ingest_capacity import ingest_capacity_csv  # noqa: F401
 from .compute_metrics import compute_metrics, metrics_from_capacity  # noqa: F401
 from . import api_queries  # noqa: F401
-from .curate import curate_documents, unpersist_curated  # noqa: F401
+from .curate import (  # noqa: F401
+    curate_documents,
+    curate_media,
+    unpersist_curated,
+)

@@ -781,3 +781,120 @@ def curation_funnel_report(
     ``curate_documents``)."""
     stages = stages if stages is not None else default_quality_stages()
     return filter_funnel(ensure_quality_signals(docs, stages), stages)
+
+
+@dataclass
+class MediaCurationReport:
+    """Per-stage attrition of ``curate_media`` — the multimodal
+    counterpart of ``CurationReport``."""
+
+    total: int
+    after_exact_dedup: int
+    by_modality: dict
+    non_native: int
+    image_near_dropped: int
+    audio_near_dropped: int
+    video_near_dropped: int
+    kept: int
+
+
+def curate_media(
+    media: DataFrame,
+    image_max_hamming: int = 3,
+    audio_max_hamming: int = 4,
+    video_max_hamming: int = 4,
+    video_n_samples: int = 8,
+    fake_decode: bool = False,
+) -> tuple[DataFrame, MediaCurationReport]:
+    """End-to-end MEDIA curation recipe — the multimodal counterpart
+    of ``curate_documents``, wiring the library's media-dedup tiers
+    into the pass a mixed image/audio/video lake actually runs:
+
+        exact payload dedup (sha256, any modality) →
+        header-only modality routing (``classify_media``) →
+        per-modality near-dup drop (image dHash / audio
+        lag-energy fingerprint / video frame-vote hash)
+
+    Semantics: exact dedup keeps the smallest ``media_id`` per
+    byte-identical payload; each near-dup tier then drops every id
+    that pairs with a smaller id (keep-first), matching the
+    ``lowest_id`` policy of the text recipe. Payloads the native
+    decoders cannot handle (WebP, MP3/Ogg, H.264 — env ceilings) PASS
+    THROUGH untouched and are counted in ``non_native`` — a curation
+    recipe must not trip the tiers' loud decode errors on a mixed
+    lake; route them to a decode-capable cluster separately.
+    ``unknown``-modality payloads likewise pass through.
+
+    Scale shape: the exact stage shuffles (id, 32-byte digest), the
+    routing pass reads headers only, and each tier dedups only ITS
+    OWN modality's native subset with the payload-free banded pair
+    join — the input payload column never crosses a shuffle anywhere.
+    Returns ``(survivors, MediaCurationReport)``; survivors keep the
+    input schema unchanged."""
+    from ..operators.audio_fp import audio_dup_pairs
+    from ..operators.dedup import materialize
+    from ..operators.multimodal import classify_media, image_dup_pairs
+    from ..operators.video_fp import video_dup_pairs
+
+    total = media.count()
+    digests = media.select(
+        "media_id", F.sha2(F.col("payload").cast("binary"), 256).alias("_d")
+    )
+    winners = (
+        digests.groupBy("_d").agg(F.min("media_id").alias("media_id"))
+        .select("media_id")
+    )
+    kept = media.join(winners, "media_id", "left_semi")
+    after_exact = kept.count()
+
+    cls = materialize(classify_media(kept))
+    by_modality = {
+        r["modality"]: r["n"]
+        for r in cls.groupBy("modality").agg(F.count("*").alias("n")).collect()
+    }
+    non_native = cls.filter(
+        (F.col("modality") != "unknown") & ~F.col("native")
+    ).count()
+
+    tiers = {
+        "image": lambda m: image_dup_pairs(
+            m, max_hamming=image_max_hamming, fake_decode=fake_decode
+        ),
+        "audio": lambda m: audio_dup_pairs(
+            m, max_hamming=audio_max_hamming, fake_decode=fake_decode
+        ),
+        "video": lambda m: video_dup_pairs(
+            m,
+            n_samples=video_n_samples,
+            max_hamming=video_max_hamming,
+            fake_decode=fake_decode,
+        ),
+    }
+    dropped = {}
+    for modality, pair_fn in tiers.items():
+        ids = cls.filter(
+            (F.col("modality") == modality) & F.col("native")
+        ).select("media_id")
+        subset = kept.join(ids, "media_id", "left_semi")
+        losers = (
+            pair_fn(subset)
+            .select(F.col("id_b").alias("media_id"))
+            .distinct()
+            # slim id set, derived from the corpus — truncate lineage
+            # before it joins back (the plan-growth discipline)
+            .localCheckpoint(eager=True)
+        )
+        dropped[modality] = losers.count()
+        kept = kept.join(losers, "media_id", "left_anti")
+
+    report = MediaCurationReport(
+        total=total,
+        after_exact_dedup=after_exact,
+        by_modality=by_modality,
+        non_native=non_native,
+        image_near_dropped=dropped["image"],
+        audio_near_dropped=dropped["audio"],
+        video_near_dropped=dropped["video"],
+        kept=kept.count(),
+    )
+    return kept, report

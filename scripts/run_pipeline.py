@@ -655,6 +655,30 @@ def cmd_image_filter(args) -> None:
     print(f"kept {n_out}/{n_in} images -> {args.output}")
 
 
+def cmd_curate_media(args) -> None:
+    """Run the mixed-lake media curation recipe (exact payload dedup →
+    modality routing → per-modality near-dup tiers) and land the
+    survivors; the per-stage attrition report prints as JSON."""
+    import dataclasses
+    import json
+
+    from hospital_stain_tracker_data_pipeline_spark.pipeline.curate import (
+        curate_media,
+    )
+
+    spark = get_spark(app_name="curate_media")
+    media = spark.read.parquet(args.input)
+    survivors, rep = curate_media(
+        media,
+        image_max_hamming=args.image_max_hamming,
+        audio_max_hamming=args.audio_max_hamming,
+        video_max_hamming=args.video_max_hamming,
+        fake_decode=args.fake_decode,
+    )
+    survivors.write.mode("overwrite").parquet(args.output)
+    print(json.dumps(dataclasses.asdict(rep)))
+
+
 def cmd_audio_index(args) -> None:
     """Build (or refresh) the acoustic-fingerprint index for an audio
     corpus — the audio analog of `image_index`: decode + fingerprint
@@ -1107,6 +1131,17 @@ def main() -> None:
                       help="append the survivors' hashes to --index so "
                       "the next batch dedups against them too")
     pif_.set_defaults(fn=cmd_image_filter)
+
+    pcm_ = sub.add_parser("curate_media")
+    pcm_.add_argument("--input", required=True,
+                      help="media parquet (media_id, payload binary)")
+    pcm_.add_argument("--output", required=True,
+                      help="survivors parquet out")
+    pcm_.add_argument("--image-max-hamming", type=int, default=3)
+    pcm_.add_argument("--audio-max-hamming", type=int, default=4)
+    pcm_.add_argument("--video-max-hamming", type=int, default=4)
+    pcm_.add_argument("--fake-decode", action="store_true")
+    pcm_.set_defaults(fn=cmd_curate_media)
 
     pax = sub.add_parser("audio_index")
     pax.add_argument("--input", required=True,

@@ -1028,3 +1028,47 @@ def test_cli_video_index_and_filter(tmp_path):
         "--output", kept2,
     )
     assert "kept 0/1 videos" in out
+
+
+def test_cli_curate_media(tmp_path):
+    """Mixed-lake curation in one command: exact dup + a cross-codec
+    image re-encode drop, a non-native payload passes through, the
+    attrition report prints as JSON."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+    )
+
+    px = np.random.RandomState(3).randint(0, 256, size=(16, 18, 3)).astype(
+        "uint8"
+    )
+    other = np.random.RandomState(4).randint(0, 256, size=(16, 18, 3)).astype(
+        "uint8"
+    )
+    lake = tmp_path / "lake.parquet"
+    pq.write_table(
+        pa.table({
+            "media_id": [1, 2, 3, 4, 5],
+            "payload": [
+                encode_bmp(px),       # base
+                encode_bmp(px),       # exact dup -> exact stage
+                encode_png(px),       # re-encode -> image tier
+                encode_bmp(other),    # kept
+                b"opaque bytes",      # unknown -> passes through
+            ],
+        }),
+        lake,
+    )
+    out_dir = str(tmp_path / "kept")
+    out = _run("curate_media", "--input", str(lake), "--output", out_dir)
+    rep = json.loads([ln for ln in out.splitlines() if ln.startswith("{")][-1])
+    assert rep["total"] == 5 and rep["after_exact_dedup"] == 4
+    assert rep["image_near_dropped"] == 1 and rep["kept"] == 3
+    kept = pq.read_table(glob.glob(os.path.join(out_dir, "*.parquet"))[0])
+    assert sorted(kept.column("media_id").to_pylist()) == [1, 4, 5]
