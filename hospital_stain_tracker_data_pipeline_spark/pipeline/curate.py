@@ -837,8 +837,15 @@ def curate_media(
     from ..operators.video_fp import video_dup_pairs
 
     total = media.count()
+    # a NULL payload is ABSENT, not byte-identical to other NULL
+    # payloads — give each its own digest group so the exact stage
+    # never collapses two distinct id-only rows
     digests = media.select(
-        "media_id", F.sha2(F.col("payload").cast("binary"), 256).alias("_d")
+        "media_id",
+        F.coalesce(
+            F.sha2(F.col("payload").cast("binary"), 256),
+            F.concat(F.lit("null:"), F.col("media_id").cast("string")),
+        ).alias("_d"),
     )
     winners = (
         digests.groupBy("_d").agg(F.min("media_id").alias("media_id"))

@@ -143,26 +143,29 @@ def test_curate_media_end_to_end(spark):
         20: build_mjpeg_avi(frames, 24, 24, fps=10.0),
         21: build_mjpeg_mp4(frames, 24, 24, fps=10.0),
         22: build_mjpeg_avi(_frames(9), 24, 24, fps=10.0),
-        # pass-throughs
+        # pass-throughs — including TWO NULL payloads: absent is not
+        # byte-identical, so neither may collapse into the other
         30: _webp(),
         31: _wav8bit(),
         40: b"garbage bytes",
+        41: None,
+        42: None,
     }
     media = _media(spark, rows)
     survivors, rep = curate_media(media)
 
     kept_ids = sorted(r["media_id"] for r in survivors.collect())
-    assert kept_ids == [1, 4, 10, 12, 20, 22, 30, 31, 40]
+    assert kept_ids == [1, 4, 10, 12, 20, 22, 30, 31, 40, 41, 42]
 
-    assert rep.total == 14
-    assert rep.after_exact_dedup == 13  # id 3 collapsed into 1
+    assert rep.total == 16
+    assert rep.after_exact_dedup == 15  # id 3 collapsed into 1
     assert rep.by_modality == {
-        "image": 4, "audio": 5, "video": 3, "unknown": 1
+        "image": 4, "audio": 5, "video": 3, "unknown": 3
     }
     assert rep.non_native == 2  # webp + 8-bit wav
     assert rep.image_near_dropped == 1  # id 2
     assert rep.audio_near_dropped == 2  # ids 11, 13
     assert rep.video_near_dropped == 1  # id 21
-    assert rep.kept == 9
+    assert rep.kept == 11
     # survivors keep the input schema
     assert survivors.columns == media.columns
