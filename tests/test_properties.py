@@ -566,3 +566,89 @@ def test_pagerank_is_a_proper_distribution(spark, edges):
     assert set(got) == nodes
     assert all(v > 0 for v in got.values())
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(-8000, 8000), min_size=1, max_size=400),
+    st.integers(1, 4),
+    st.sampled_from([4000, 8000, 11025, 16000, 44100]),
+)
+def test_audio_fingerprint_gain_invariance_property(samples, gain, rate):
+    """For ANY integer PCM signal, ANY integer gain (no clipping by
+    construction), and ANY source rate: the fingerprint is EXACTLY
+    invariant — every bit is the sign of a difference of lag-energy
+    differences, and uniform scaling multiplies all energies by
+    gain^2."""
+    import numpy as np
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.audio_fp import (
+        _afp_bits,
+    )
+
+    x = np.asarray(samples, dtype=np.int64).reshape(-1, 1)
+    assert _afp_bits(x * gain, rate) == _afp_bits(x, rate)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(-30000, 30000), min_size=4, max_size=300),
+    st.lists(st.integers(-30000, 30000), min_size=4, max_size=300),
+)
+def test_audio_fingerprint_exact_downsample_property(samples, odd_filler):
+    """A 2x-rate recording whose EVEN samples are the base signal
+    fingerprints identically to the base, whatever the odd samples
+    hold — the internal nearest-resample's exact integer index map
+    picks index (i * 2n) // n = 2i."""
+    import numpy as np
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.audio_fp import (
+        AFP_RATE,
+        _afp_bits,
+    )
+
+    base = np.asarray(samples, dtype=np.int64)
+    n = base.shape[0]
+    filler = np.resize(np.asarray(odd_filler, dtype=np.int64), n)
+    doubled = np.empty(2 * n, dtype=np.int64)
+    doubled[0::2] = base
+    doubled[1::2] = filler
+    assert _afp_bits(doubled.reshape(-1, 1), 2 * AFP_RATE) == _afp_bits(
+        base.reshape(-1, 1), AFP_RATE
+    )
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(0, 255), min_size=0, max_size=200),
+    st.lists(st.integers(-1, 255), min_size=1, max_size=20),
+)
+def test_dyadic_rank_never_underestimates_property(values, probes):
+    """For ANY multiset and ANY probe: the estimated rank from cells
+    built with the operator's exact hashing scheme is >= the true
+    rank (CMS never undercounts), and the whole-domain rank is
+    EXACTLY N (the top-level block shares its level with nothing)."""
+    import hashlib
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.sketch import (
+        rank_from_cells,
+    )
+
+    levels, width, depth = 8, 64, 3
+    cells: dict = {}
+    for v in values:
+        for lvl in range(levels + 1):
+            block = v >> lvl
+            hx = hashlib.md5(str(block).encode()).hexdigest()
+            h1 = int(hx[0:15], 16) % width
+            h2 = (int(hx[15:30], 16) % width) | 1
+            for r in range(depth):
+                key = (lvl, r, (h1 + r * h2) % width)
+                cells[key] = cells.get(key, 0) + 1
+    for x in probes:
+        true_rank = sum(1 for v in values if v <= x)
+        assert rank_from_cells(cells, x, levels, width, depth) >= true_rank
+    assert (
+        rank_from_cells(cells, (1 << levels) - 1, levels, width, depth)
+        == len(values)
+    )
