@@ -513,6 +513,47 @@ def _extras_registry():
         media = to_media_table(rendered, "doc_id", "payload", source="bench")
         return audio_dup_pairs(media, max_hamming=4)
 
+    def pdf_extract(spark, sf_dir):
+        """PDF ingestion at bench scale: wrap every document's text as
+        a real 2-page FlateDecode PDF (the module's spec-conformant
+        writer, built per row in mapInPandas), then run the full
+        extraction path — object scan, page-tree walk, zlib inflate,
+        content-stream tokenizer — and count pages. Times the PDF leg
+        of the crawl-ingestion surface; payload bytes never cross a
+        shuffle."""
+        import pandas as pd2
+
+        from hospital_stain_tracker_data_pipeline_spark.operators.pdf import (
+            build_simple_pdf,
+            extract_pdf_text,
+        )
+
+        docs = (
+            load_fixture_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+
+        def render(batches):
+            for pdf in batches:
+                payloads = [
+                    build_simple_pdf(
+                        [
+                            [ln[:80] for ln in (t or "")[:400].split(". ")],
+                            ["tail page", str(i)],
+                        ]
+                    )
+                    for i, t in zip(pdf["doc_id"], pdf["text"])
+                ]
+                yield pd2.DataFrame(
+                    {"doc_id": pdf["doc_id"], "payload": payloads}
+                )
+
+        media = docs.mapInPandas(
+            render, "doc_id long, payload binary"
+        ).withColumnRenamed("doc_id", "media_id")
+        return extract_pdf_text(media).filter("extracted").groupBy().count()
+
     def zorder_layout(spark, sf_dir):
         """Z-order layout rewrite + the pruning it buys, phase-timed:
         rewrite lineitem Z-ORDERED on (l_partkey, l_suppkey) — the one
@@ -1075,6 +1116,7 @@ def _extras_registry():
         "audio_near_dup": audio_near_dup,
         "video_near_dup": video_near_dup,
         "zorder_layout": zorder_layout,
+        "pdf_extract": pdf_extract,
         "ann_append": ann_append,
         "corpus_refresh_diff": corpus_refresh_diff,
         "hll_distinct_words": hll_distinct_words,

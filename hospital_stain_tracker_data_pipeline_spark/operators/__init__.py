@@ -167,6 +167,11 @@ from .video_fp import (  # noqa: F401
     video_dup_pairs,
     video_phash,
 )
+from .pdf import (  # noqa: F401
+    build_simple_pdf,
+    extract_pdf_text,
+    sniff_pdf,
+)
 from .multimodal import (  # noqa: F401
     append_phash_index,
     classify_media,

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import bisect
 import hashlib
+import re
 import struct
 import zlib
 from collections.abc import Iterator
@@ -2079,6 +2080,9 @@ def classify_media(media: DataFrame) -> DataFrame:
       fields alone) and 16-bit FLAC;
     - video: AVI/MP4 sniffs; native when frame BYTES are extractable —
       AVI with MJPEG chunks, MP4 with a JPEG-coded track;
+    - document: PDF header; native unless encrypted (the
+      ``extract_pdf_text`` gate — exotic content filters still fail
+      loudly at extraction time, the flag is the cheap pre-filter);
     - NULL / unrecognized payloads are ``unknown`` (never native).
 
     Header walks only — no pixel/sample/frame decode happens here, so
@@ -2129,6 +2133,14 @@ def classify_media(media: DataFrame) -> DataFrame:
                                 )
                             else:
                                 native = mp4_jpeg_track(raw) is not None
+                        elif raw[:5] == b"%PDF-":
+                            modality, mime = "document", "application/pdf"
+                            native = (
+                                re.search(
+                                    rb"/Encrypt\s+\d+\s+\d+\s+R", raw
+                                )
+                                is None
+                            )
                 rows.append(
                     {
                         "media_id": media_id,

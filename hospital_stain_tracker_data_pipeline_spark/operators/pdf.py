@@ -1,0 +1,412 @@
+"""PDF text extraction — REAL parsing for the dominant real-world
+case, stdlib-only (the ingestion surface a pretraining corpus needs
+beside HTML and WARC: academic and document corpora arrive as PDF).
+
+What is real here (PDF 1.4+, ISO 32000 subset):
+- object scan (``N G obj ... endobj``) with direct-/Length stream
+  extraction and a lazy ``endstream`` fallback;
+- the Catalog → Pages → Kids page-tree walk (nested Pages nodes,
+  Contents as one ref or an array of refs) so pages come out in
+  DOCUMENT order, not file order;
+- FlateDecode content streams (stdlib zlib — by far the most common
+  filter for text content);
+- the text-showing operators: ``Tj``, ``'``, ``"``, and ``TJ`` arrays,
+  with full literal-string unescaping (nested parens, ``\\(``-style
+  escapes, octal codes, line continuations) and ``<hex>`` strings;
+  text-positioning operators (``Td``/``TD``/``T*``/``Tm``) break
+  lines, ``ET`` breaks blocks.
+
+Loud ceilings (the multimodal module's decode policy): encrypted
+documents (``/Encrypt``), non-Flate filters (DCT/LZW/ASCII85), and
+CID/Type0 composite fonts whose strings are not byte-per-glyph come
+out wrong or not at all — extraction raises unless ``fake_decode``
+(deterministic stand-in, ``extracted=False``). Strings decode as
+Latin-1 (PDFDocEncoding agrees with it over the printable range; a
+full encoding map needs the font program this environment lacks).
+
+Scale shape: one Arrow-batched ``mapInPandas`` pass; PDF bytes never
+cross a shuffle; downstream the extracted text joins the ordinary
+document pipeline (quality/dedup/packing).
+
+Reference parity note: the reference pipeline has no PDF surface;
+this module is part of the prompt-mandated training-data extension
+set (source connectors).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.DOTALL)
+_STREAM_RE = re.compile(rb"stream\r?\n")
+
+
+def _find_objects(raw: bytes) -> dict[int, bytes]:
+    """Object number -> body bytes (dict + optional stream), last
+    definition wins (incremental updates append re-definitions)."""
+    objs: dict[int, bytes] = {}
+    for m in _OBJ_RE.finditer(raw):
+        objs[int(m.group(1))] = m.group(3)
+    return objs
+
+
+def _stream_bytes(body: bytes) -> bytes | None:
+    """The (still encoded) stream payload of an object body, honoring
+    a direct integer /Length when present, else scanning to the final
+    ``endstream``. None for stream-less objects."""
+    m = _STREAM_RE.search(body)
+    if m is None:
+        return None
+    start = m.end()
+    lm = re.search(rb"/Length\s+(\d+)(?![\s]*0\s+R)", body[: m.start()])
+    if lm is not None:
+        return body[start:start + int(lm.group(1))]
+    end = body.rfind(b"endstream")
+    if end < 0:
+        return None
+    chunk = body[start:end]
+    # the spec puts an EOL before endstream; strip exactly one
+    if chunk.endswith(b"\r\n"):
+        return chunk[:-2]
+    if chunk.endswith(b"\n") or chunk.endswith(b"\r"):
+        return chunk[:-1]
+    return chunk
+
+
+def _decode_stream(body: bytes) -> bytes | None:
+    """Decoded stream payload: raw (no /Filter) and FlateDecode are
+    real; any other filter returns None (unsupported ceiling)."""
+    data = _stream_bytes(body)
+    if data is None:
+        return None
+    fm = re.search(rb"/Filter\s*(?:\[\s*)?/(\w+)", body)
+    if fm is None:
+        return data
+    if fm.group(1) == b"FlateDecode":
+        try:
+            return zlib.decompress(data)
+        except zlib.error:
+            return None
+    return None
+
+
+def _ref(body: bytes, name: bytes) -> int | None:
+    m = re.search(rb"/" + name + rb"\s+(\d+)\s+\d+\s+R", body)
+    return int(m.group(1)) if m else None
+
+
+def _refs_array(body: bytes, name: bytes) -> list[int]:
+    """Object numbers in ``/Name [a 0 R b 0 R ...]`` (or the single
+    ``/Name a 0 R`` form)."""
+    m = re.search(rb"/" + name + rb"\s*\[(.*?)\]", body, re.DOTALL)
+    if m is not None:
+        return [int(x) for x in re.findall(rb"(\d+)\s+\d+\s+R", m.group(1))]
+    one = _ref(body, name)
+    return [one] if one is not None else []
+
+
+def _page_objects(objs: dict[int, bytes]) -> list[int]:
+    """Page object numbers in DOCUMENT order via the Catalog →
+    Pages → Kids walk; falls back to file order of /Type /Page
+    objects when the tree is unwalkable (damaged files)."""
+    root = None
+    for num, body in objs.items():
+        if re.search(rb"/Type\s*/Catalog\b", body):
+            root = _ref(body, b"Pages")
+    pages: list[int] = []
+
+    def walk(num: int, depth: int = 0) -> None:
+        if depth > 64 or num not in objs:
+            return  # cycle/overflow guard
+        body = objs[num]
+        if re.search(rb"/Type\s*/Pages\b", body):
+            for kid in _refs_array(body, b"Kids"):
+                walk(kid, depth + 1)
+        elif re.search(rb"/Type\s*/Page\b", body):
+            pages.append(num)
+
+    if root is not None:
+        walk(root)
+    if not pages:
+        pages = [
+            n for n, b in objs.items()
+            if re.search(rb"/Type\s*/Page(?!s)\b", b)
+        ]
+    return pages
+
+
+def _unescape_literal(s: bytes) -> str:
+    out = bytearray()
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c != 0x5C:  # backslash
+            out.append(c)
+            i += 1
+            continue
+        i += 1
+        if i >= len(s):
+            break
+        e = s[i]
+        mapped = {
+            0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08, 0x66: 0x0C,
+            0x28: 0x28, 0x29: 0x29, 0x5C: 0x5C,
+        }.get(e)
+        if mapped is not None:
+            out.append(mapped)
+            i += 1
+        elif 0x30 <= e <= 0x37:  # octal, up to 3 digits
+            j = i
+            while j < len(s) and j < i + 3 and 0x30 <= s[j] <= 0x37:
+                j += 1
+            out.append(int(s[i:j], 8) & 0xFF)
+            i = j
+        elif e in (0x0A, 0x0D):  # line continuation
+            i += 1
+            if e == 0x0D and i < len(s) and s[i] == 0x0A:
+                i += 1
+        else:
+            out.append(e)
+            i += 1
+    return out.decode("latin-1")
+
+
+_CONTENT_TOKEN = re.compile(
+    rb"\((?:[^()\\]|\\.|\((?:[^()\\]|\\.)*\))*\)"  # literal string (1 nest)
+    rb"|<[0-9A-Fa-f\s]*>"                            # hex string
+    rb"|\[|\]"
+    rb"|[A-Za-z'\"*]+"                               # operator-ish
+)
+
+
+def _extract_content_text(content: bytes) -> str:
+    """Text from one decoded content stream: strings buffer until a
+    show operator consumes them (Tj / ' / " / TJ-array), positioning
+    operators emit line breaks."""
+    parts: list[str] = []
+    pending: list[str] = []
+    in_array = False
+
+    def show() -> None:
+        if pending:
+            parts.append("".join(pending))
+            pending.clear()
+
+    for m in _CONTENT_TOKEN.finditer(content):
+        tok = m.group(0)
+        if tok.startswith(b"("):
+            pending.append(_unescape_literal(tok[1:-1]))
+        elif tok.startswith(b"<"):
+            hx = re.sub(rb"\s", b"", tok[1:-1])
+            if len(hx) % 2:
+                hx += b"0"
+            pending.append(bytes.fromhex(hx.decode("ascii")).decode("latin-1"))
+        elif tok == b"[":
+            in_array = True
+        elif tok == b"]":
+            in_array = False
+        elif tok in (b"Tj", b"TJ", b"'", b'"'):
+            if tok in (b"'", b'"') and parts and not (
+                parts and parts[-1].endswith("\n")
+            ):
+                parts.append("\n")  # ' and " imply T* first
+            show()
+        elif tok in (b"Td", b"TD", b"T*", b"Tm", b"ET") and not in_array:
+            if pending:
+                show()
+            if parts and not parts[-1].endswith("\n"):
+                parts.append("\n")
+    show()
+    return "".join(parts)
+
+
+def sniff_pdf(raw: bytes) -> dict | None:
+    """Header + object-scan metadata, no stream decode: ``(mime,
+    version, n_pages, encrypted, n_bytes)``. None when the payload is
+    not a PDF."""
+    m = re.match(rb"%PDF-(\d+\.\d+)", raw[:16])
+    if m is None:
+        return None
+    objs = _find_objects(raw)
+    return {
+        "mime": "application/pdf",
+        "version": m.group(1).decode("ascii"),
+        "n_pages": len(_page_objects(objs)),
+        "encrypted": re.search(rb"/Encrypt\s+\d+\s+\d+\s+R", raw) is not None,
+        "n_bytes": len(raw),
+    }
+
+
+def extract_pdf_text_bytes(raw: bytes) -> tuple[int, str] | None:
+    """(n_pages, text) for a parseable, unencrypted PDF whose content
+    streams are raw or FlateDecode; None otherwise (the mapInPandas
+    wrapper applies the module decode policy). Pages join with form
+    feeds, in page-tree order."""
+    if re.match(rb"%PDF-", raw[:8]) is None:
+        return None
+    if re.search(rb"/Encrypt\s+\d+\s+\d+\s+R", raw) is not None:
+        return None
+    objs = _find_objects(raw)
+    pages = _page_objects(objs)
+    if not pages:
+        return None
+    page_texts: list[str] = []
+    for p in pages:
+        chunks: list[bytes] = []
+        for c in _refs_array(objs[p], b"Contents"):
+            if c not in objs:
+                return None
+            dec = _decode_stream(objs[c])
+            if dec is None:
+                return None  # unsupported filter / torn stream
+            chunks.append(dec)
+        page_texts.append(_extract_content_text(b"\n".join(chunks)))
+    return len(pages), "\f".join(page_texts)
+
+
+PDF_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("n_pages", T.IntegerType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("extracted", T.BooleanType(), False),
+    ]
+)
+
+
+def extract_pdf_text(media: DataFrame, fake_decode: bool = False) -> DataFrame:
+    """PDF → text over the media table — ``(media_id, n_pages, text,
+    extracted)``, one row per document, the HTML-extraction analog for
+    the PDF slice of a crawl. Decode policy is the module standard:
+    real extraction for unencrypted raw/Flate PDFs, deterministic
+    payload-hash stand-in text with ``extracted=False`` under
+    ``fake_decode=True``, loud NotImplementedError otherwise
+    (encrypted / exotic filters need a PDF library this environment
+    lacks). NULL payloads and non-PDFs yield NULL text (they are not
+    PDFs to fail on — filter by ``classify`` upstream or let them
+    pass). Output joins the ordinary document pipeline
+    (quality/dedup/packing) directly."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            rows = []
+            for media_id, payload in zip(
+                pdf_batch["media_id"], pdf_batch["payload"]
+            ):
+                raw = bytes(payload) if payload is not None else b""
+                if re.match(rb"%PDF-", raw[:8]) is None:
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "n_pages": None,
+                            "text": None,
+                            "extracted": False,
+                        }
+                    )
+                    continue
+                got = extract_pdf_text_bytes(raw)
+                if got is not None:
+                    n_pages, text = got
+                    extracted = True
+                elif fake_decode:
+                    seed = hashlib.sha256(raw).hexdigest()
+                    n_pages, text, extracted = 1, f"pdf:{seed[:16]}", False
+                else:
+                    raise NotImplementedError(
+                        "extract_pdf_text handles unencrypted PDFs with "
+                        "raw/FlateDecode content streams natively; this "
+                        "payload (encrypted, exotic filters, or damaged) "
+                        "needs a PDF library, not available in this "
+                        "environment — pass fake_decode=True for the "
+                        "deterministic stand-in"
+                    )
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "n_pages": n_pages,
+                        "text": text,
+                        "extracted": extracted,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PDF_TEXT_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=PDF_TEXT_SCHEMA
+    )
+
+
+def build_simple_pdf(
+    pages: list[list[str]], compress: bool = True, encrypted: bool = False
+) -> bytes:
+    """Spec-conformant minimal PDF writer — the test rig that lets the
+    extractor be pinned without a PDF library (the ``build_mjpeg_avi``
+    pattern): Catalog → Pages → one Page + one content stream per
+    page, Helvetica, one ``Td``+``Tj`` per line, correct xref table
+    and startxref. ``pages`` is a list of pages, each a list of text
+    lines. ``compress`` Flate-encodes the content streams;
+    ``encrypted`` plants a (non-functional) /Encrypt trailer entry to
+    exercise the extractor's refusal path."""
+
+    def esc(s: str) -> bytes:
+        return (
+            s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+        ).encode("latin-1")
+
+    objs: list[bytes] = []  # bodies; object number = index + 1
+    n_pages = len(pages)
+    page_nums = [4 + 2 * i for i in range(n_pages)]
+    kids = b" ".join(b"%d 0 R" % n for n in page_nums)
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")  # 1
+    objs.append(
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
+    )  # 2
+    objs.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )  # 3
+    for i, lines in enumerate(pages):
+        body = [b"BT /F1 11 Tf 72 720 Td"]
+        for j, line in enumerate(lines):
+            if j:
+                body.append(b"0 -14 Td")
+            body.append(b"(" + esc(line) + b") Tj")
+        body.append(b"ET")
+        content = b"\n".join(body)
+        filt = b""
+        if compress:
+            content = zlib.compress(content)
+            filt = b" /Filter /FlateDecode"
+        objs.append(
+            b"<< /Type /Page /Parent 2 0 R /Resources << /Font "
+            b"<< /F1 3 0 R >> >> /MediaBox [0 0 612 792] /Contents "
+            b"%d 0 R >>" % (page_nums[i] + 1)
+        )
+        objs.append(
+            b"<< /Length %d%s >>\nstream\n" % (len(content), filt)
+            + content
+            + b"\nendstream"
+        )
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for n, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % n + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    enc = b" /Encrypt 99 0 R" if encrypted else b""
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, enc, xref_at)
+    )
+    return bytes(out)

@@ -655,6 +655,24 @@ def cmd_image_filter(args) -> None:
     print(f"kept {n_out}/{n_in} images -> {args.output}")
 
 
+def cmd_pdf_extract(args) -> None:
+    """Extract text from a PDF media lake into an ordinary documents
+    parquet (media_id, n_pages, text, extracted) — the PDF leg of the
+    crawl-ingestion surface beside warc_ingest's HTML path."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.pdf import (
+        extract_pdf_text,
+    )
+
+    spark = get_spark(app_name="pdf_extract")
+    media = spark.read.parquet(args.input)
+    docs = extract_pdf_text(media, fake_decode=args.fake_decode)
+    docs.write.mode("overwrite").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    n = out.count()
+    n_ok = out.filter("extracted").count()
+    print(f"extracted {n_ok}/{n} pdfs -> {args.output}")
+
+
 def cmd_curate_media(args) -> None:
     """Run the mixed-lake media curation recipe (exact payload dedup →
     modality routing → per-modality near-dup tiers) and land the
@@ -1131,6 +1149,16 @@ def main() -> None:
                       help="append the survivors' hashes to --index so "
                       "the next batch dedups against them too")
     pif_.set_defaults(fn=cmd_image_filter)
+
+    ppd = sub.add_parser("pdf_extract")
+    ppd.add_argument("--input", required=True,
+                     help="media parquet (media_id, payload binary)")
+    ppd.add_argument("--output", required=True,
+                     help="documents parquet out")
+    ppd.add_argument("--fake-decode", action="store_true",
+                     help="deterministic stand-in for encrypted / "
+                     "exotic-filter PDFs instead of the loud error")
+    ppd.set_defaults(fn=cmd_pdf_extract)
 
     pcm_ = sub.add_parser("curate_media")
     pcm_.add_argument("--input", required=True,

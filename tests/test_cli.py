@@ -1072,3 +1072,38 @@ def test_cli_curate_media(tmp_path):
     assert rep["image_near_dropped"] == 1 and rep["kept"] == 3
     kept = pq.read_table(glob.glob(os.path.join(out_dir, "*.parquet"))[0])
     assert sorted(kept.column("media_id").to_pylist()) == [1, 4, 5]
+
+
+def test_cli_pdf_extract(tmp_path):
+    """PDF lake -> documents parquet in one command; the encrypted
+    payload takes the stand-in under --fake-decode and is counted."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.pdf import (
+        build_simple_pdf,
+    )
+
+    lake = tmp_path / "pdfs.parquet"
+    pq.write_table(
+        pa.table({
+            "media_id": [1, 2],
+            "payload": [
+                build_simple_pdf([["alpha"], ["beta gamma"]]),
+                build_simple_pdf([["locked"]], encrypted=True),
+            ],
+        }),
+        lake,
+    )
+    out_dir = str(tmp_path / "docs")
+    out = _run(
+        "pdf_extract", "--input", str(lake), "--output", out_dir,
+        "--fake-decode",
+    )
+    assert "extracted 1/2 pdfs" in out
+    docs = pq.read_table(glob.glob(os.path.join(out_dir, "*.parquet"))[0])
+    by_id = dict(zip(
+        docs.column("media_id").to_pylist(), docs.column("text").to_pylist()
+    ))
+    assert "alpha" in by_id[1] and "beta gamma" in by_id[1]
+    assert by_id[2].startswith("pdf:")

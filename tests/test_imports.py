@@ -51,6 +51,8 @@ def test_operator_surface_exports():
         "video_phash", "video_dup_pairs", "dedup_videos_against_corpus",
         "save_vhash_index", "load_vhash_index", "append_vhash_index",
         "save_fp_index", "load_fp_index", "append_fp_index",
+        "classify_media", "sniff_pdf", "extract_pdf_text",
+        "build_simple_pdf",
     ):
         assert callable(getattr(o, name)), name
 

@@ -1,0 +1,171 @@
+"""PDF text extraction: real object-scan + page-tree walk +
+FlateDecode + content-stream text operators, pinned against the
+module's own spec-conformant writer (the build_mjpeg_avi rig pattern).
+
+Pins:
+- round-trip: text written through the rig comes back exactly (lines,
+  page order via the Kids walk, form-feed page joins), Flate and raw
+  streams alike;
+- string machinery: parenthesis escapes, backslash escapes, octal
+  codes, hex strings, and TJ arrays all decode;
+- policy: encrypted PDFs refuse extraction (sniff flags them),
+  non-PDFs yield NULL rows, fake_decode gives the deterministic
+  stand-in, no-fake raises loudly;
+- classify_media routes PDFs as document modality with
+  native == not encrypted;
+- the extracted frame joins the ordinary document pipeline (a
+  quality-signal pass runs on it unchanged).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pandas as pd
+import pytest
+
+from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+    classify_media,
+    to_media_table,
+)
+from hospital_stain_tracker_data_pipeline_spark.operators.pdf import (
+    build_simple_pdf,
+    extract_pdf_text,
+    extract_pdf_text_bytes,
+    sniff_pdf,
+)
+
+
+def _media(spark, payloads, ids=None):
+    ids = list(range(len(payloads))) if ids is None else ids
+    pdf = pd.DataFrame({"media_id": ids, "payload": payloads})
+    return to_media_table(
+        spark.createDataFrame(pdf), "media_id", "payload", source="test"
+    )
+
+
+def test_pdf_roundtrip_and_sniff():
+    pages = [
+        ["Hello, world!", "Second line (with parens)"],
+        ["Page two \\ backslash", "and more"],
+        ["Page three"],
+    ]
+    for compress in (True, False):
+        raw = build_simple_pdf(pages, compress=compress)
+        sn = sniff_pdf(raw)
+        assert sn["mime"] == "application/pdf"
+        assert sn["version"] == "1.4"
+        assert sn["n_pages"] == 3 and sn["encrypted"] is False
+        n_pages, text = extract_pdf_text_bytes(raw)
+        assert n_pages == 3
+        got_pages = [p.strip().split("\n") for p in text.split("\f")]
+        assert got_pages == pages, compress
+    assert sniff_pdf(b"not a pdf") is None
+    assert extract_pdf_text_bytes(b"not a pdf") is None
+
+
+def test_pdf_string_machinery():
+    """Octal escapes, hex strings, and TJ arrays — hand-built content
+    stream (the rig only emits literal Tj), raw (uncompressed) so the
+    bytes are exactly what the tokenizer sees."""
+    content = (
+        b"BT /F1 11 Tf 72 720 Td "
+        b"(octal: \\101\\102\\103) Tj "
+        b"0 -14 Td "
+        b"<48 65 6C 6C 6F> Tj "
+        b"0 -14 Td "
+        b"[(kern) -120 (ed)] TJ "
+        b"ET"
+    )
+    raw = build_simple_pdf([["placeholder"]], compress=False)
+    # splice our content in place of the rig's page-1 stream
+    old = raw[raw.index(b"stream\n") + 7:raw.index(b"\nendstream")]
+    assert b"placeholder" in old
+    raw2 = raw.replace(old, content).replace(
+        b"/Length %d" % len(old), b"/Length %d" % len(content)
+    )
+    _, text = extract_pdf_text_bytes(raw2)
+    assert text.split("\n")[:3] == ["octal: ABC", "Hello", "kerned"]
+
+
+def test_pdf_page_tree_order_not_file_order():
+    """Kids order wins: reversing /Kids reverses the output pages even
+    though the objects sit in the same file positions."""
+    raw = build_simple_pdf([["first"], ["second"]], compress=False)
+    # the rig emits /Kids [4 0 R 6 0 R]; reverse it
+    swapped = raw.replace(b"/Kids [4 0 R 6 0 R]", b"/Kids [6 0 R 4 0 R]")
+    _, text = extract_pdf_text_bytes(swapped)
+    assert [p.strip() for p in text.split("\f")] == ["second", "first"]
+
+
+def test_extract_pdf_text_dataframe_policy(spark):
+    good = build_simple_pdf([["alpha"], ["beta"]])
+    enc = build_simple_pdf([["secret"]], encrypted=True)
+    media = _media(spark, [good, enc, b"just bytes", None])
+
+    rows = {
+        r["media_id"]: r
+        for r in extract_pdf_text(media, fake_decode=True).collect()
+    }
+    assert rows[0]["extracted"] is True and rows[0]["n_pages"] == 2
+    assert [p.strip() for p in rows[0]["text"].split("\f")] == [
+        "alpha", "beta"
+    ]
+    assert rows[1]["extracted"] is False  # encrypted -> stand-in
+    assert rows[1]["text"].startswith("pdf:")
+    assert rows[2]["text"] is None and rows[3]["text"] is None
+
+    with pytest.raises(Exception, match="NotImplementedError|PDF library"):
+        extract_pdf_text(media).collect()
+
+    # deterministic stand-in
+    again = {
+        r["media_id"]: r["text"]
+        for r in extract_pdf_text(media, fake_decode=True).collect()
+    }
+    assert again == {k: v["text"] for k, v in rows.items()}
+
+
+def test_pdf_unsupported_filter_refuses():
+    raw = build_simple_pdf([["plain"]], compress=False)
+    old = raw[raw.index(b"stream\n") + 7:raw.index(b"\nendstream")]
+    lzw = zlib.compress(old)  # bytes are irrelevant; the filter name is
+    raw2 = raw.replace(
+        b"/Length %d" % len(old),
+        b"/Length %d /Filter /LZWDecode" % len(lzw),
+    ).replace(old, lzw)
+    assert extract_pdf_text_bytes(raw2) is None
+
+
+def test_classify_media_routes_pdfs(spark):
+    media = _media(
+        spark,
+        [
+            build_simple_pdf([["x"]]),
+            build_simple_pdf([["y"]], encrypted=True),
+        ],
+    )
+    got = {
+        r["media_id"]: (r["modality"], r["mime"], r["native"])
+        for r in classify_media(media).collect()
+    }
+    assert got[0] == ("document", "application/pdf", True)
+    assert got[1] == ("document", "application/pdf", False)
+
+
+def test_pdf_text_joins_document_pipeline(spark):
+    """The extracted frame is an ordinary documents frame: the quality
+    signal pass runs on it unchanged (the whole point of extraction)."""
+    from hospital_stain_tracker_data_pipeline_spark.functions.text import (
+        quality_score,
+    )
+
+    media = _media(
+        spark,
+        [build_simple_pdf([["The quick brown fox jumps over the lazy dog."]])],
+    )
+    docs = extract_pdf_text(media).select(
+        "media_id", "text"
+    ).withColumn("q", quality_score("text"))
+    [row] = docs.collect()
+    assert row["q"] is not None
