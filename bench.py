@@ -535,11 +535,17 @@ def _extras_registry():
         )
 
         def render(batches):
+            def latin1(s):
+                # the rig's esc() is strict latin-1 (a test rig must
+                # not silently mangle); the bench fixture text could
+                # carry anything, so sanitize here
+                return s.encode("latin-1", "replace").decode("latin-1")
+
             for pdf in batches:
                 payloads = [
                     build_simple_pdf(
                         [
-                            [ln[:80] for ln in (t or "")[:400].split(". ")],
+                            [latin1(ln[:80]) for ln in (t or "")[:400].split(". ")],
                             ["tail page", str(i)],
                         ]
                     )

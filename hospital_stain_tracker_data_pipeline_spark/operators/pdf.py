@@ -65,7 +65,13 @@ def _stream_bytes(body: bytes) -> bytes | None:
     if m is None:
         return None
     start = m.end()
-    lm = re.search(rb"/Length\s+(\d+)(?![\s]*0\s+R)", body[: m.start()])
+    # (?!\d) blocks the backtrack that would split an INDIRECT length
+    # ("/Length 50 0 R" must not parse as direct length 5 — verified
+    # failure mode of a plain negative lookahead); indirect lengths
+    # fall through to the endstream scan below
+    lm = re.search(
+        rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)", body[: m.start()]
+    )
     if lm is not None:
         return body[start:start + int(lm.group(1))]
     end = body.rfind(b"endstream")
@@ -82,11 +88,17 @@ def _stream_bytes(body: bytes) -> bytes | None:
 
 def _decode_stream(body: bytes) -> bytes | None:
     """Decoded stream payload: raw (no /Filter) and FlateDecode are
-    real; any other filter returns None (unsupported ceiling)."""
+    real; any other filter returns None (unsupported ceiling). The
+    /Filter lookup scans the DICT PREFIX only — a raw stream whose
+    payload happens to contain the bytes "/Filter /FlateDecode"
+    (e.g. text about PDF internals) must not be inflated."""
+    sm = _STREAM_RE.search(body)
+    if sm is None:
+        return None
     data = _stream_bytes(body)
     if data is None:
         return None
-    fm = re.search(rb"/Filter\s*(?:\[\s*)?/(\w+)", body)
+    fm = re.search(rb"/Filter\s*(?:\[\s*)?/(\w+)", body[: sm.start()])
     if fm is None:
         return data
     if fm.group(1) == b"FlateDecode":
@@ -178,12 +190,65 @@ def _unescape_literal(s: bytes) -> str:
     return out.decode("latin-1")
 
 
-_CONTENT_TOKEN = re.compile(
-    rb"\((?:[^()\\]|\\.|\((?:[^()\\]|\\.)*\))*\)"  # literal string (1 nest)
-    rb"|<[0-9A-Fa-f\s]*>"                            # hex string
-    rb"|\[|\]"
-    rb"|[A-Za-z'\"*]+"                               # operator-ish
-)
+_OPERATOR_RE = re.compile(rb"[A-Za-z'\"*]+")
+
+
+def _tokenize_content(content: bytes):
+    """Sequential content-stream tokenizer: ``("str", decoded)`` for
+    literal strings (ARBITRARY balanced-paren nesting, escape-aware —
+    a regex caps nesting depth and silently garbles deeper strings),
+    hex strings, ``("[", None)`` / ``("]", None)`` array delimiters,
+    and ``("op", name)`` operator-ish runs. Dict delimiters (``<<``
+    ``>>``) and numbers are skipped — the text extractor doesn't need
+    them."""
+    i, n = 0, len(content)
+    while i < n:
+        c = content[i]
+        if c == 0x28:  # (
+            depth, j = 1, i + 1
+            while j < n and depth:
+                ch = content[j]
+                if ch == 0x5C:  # escape: skip next byte blindly
+                    j += 2
+                    continue
+                if ch == 0x28:
+                    depth += 1
+                elif ch == 0x29:
+                    depth -= 1
+                j += 1
+            yield ("str", _unescape_literal(content[i + 1:j - 1]))
+            i = j
+        elif c == 0x3C:  # < — hex string, or << dict open (skip)
+            if i + 1 < n and content[i + 1] == 0x3C:
+                i += 2
+                continue
+            j = content.find(b">", i + 1)
+            if j < 0:
+                break
+            hx = re.sub(rb"\s", b"", content[i + 1:j])
+            if len(hx) % 2:
+                hx += b"0"
+            try:
+                yield (
+                    "str",
+                    bytes.fromhex(hx.decode("ascii")).decode("latin-1"),
+                )
+            except ValueError:
+                pass  # not a hex string (e.g. inside binary data)
+            i = j + 1
+        elif c == 0x5B:  # [
+            yield ("[", None)
+            i += 1
+        elif c == 0x5D:  # ]
+            yield ("]", None)
+            i += 1
+        else:
+            m = _OPERATOR_RE.match(content, i)
+            if m is not None:
+                yield ("op", m.group(0))
+                i = m.end()
+            else:
+                i += 1
 
 
 def _extract_content_text(content: bytes) -> str:
@@ -199,26 +264,20 @@ def _extract_content_text(content: bytes) -> str:
             parts.append("".join(pending))
             pending.clear()
 
-    for m in _CONTENT_TOKEN.finditer(content):
-        tok = m.group(0)
-        if tok.startswith(b"("):
-            pending.append(_unescape_literal(tok[1:-1]))
-        elif tok.startswith(b"<"):
-            hx = re.sub(rb"\s", b"", tok[1:-1])
-            if len(hx) % 2:
-                hx += b"0"
-            pending.append(bytes.fromhex(hx.decode("ascii")).decode("latin-1"))
-        elif tok == b"[":
+    for kind, val in _tokenize_content(content):
+        if kind == "str":
+            pending.append(val)
+        elif kind == "[":
             in_array = True
-        elif tok == b"]":
+        elif kind == "]":
             in_array = False
-        elif tok in (b"Tj", b"TJ", b"'", b'"'):
-            if tok in (b"'", b'"') and parts and not (
+        elif val in (b"Tj", b"TJ", b"'", b'"'):
+            if val in (b"'", b'"') and parts and not (
                 parts and parts[-1].endswith("\n")
             ):
                 parts.append("\n")  # ' and " imply T* first
             show()
-        elif tok in (b"Td", b"TD", b"T*", b"Tm", b"ET") and not in_array:
+        elif val in (b"Td", b"TD", b"T*", b"Tm", b"ET") and not in_array:
             if pending:
                 show()
             if parts and not parts[-1].endswith("\n"):

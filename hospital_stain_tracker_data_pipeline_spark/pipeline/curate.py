@@ -810,56 +810,72 @@ def curate_media(
     of ``curate_documents``, wiring the library's media-dedup tiers
     into the pass a mixed image/audio/video lake actually runs:
 
+        header-only modality routing carried AS COLUMNS
+        (``tag_media_modality`` — one Arrow pass, no join) →
         exact payload dedup (sha256, any modality) →
-        header-only modality routing (``classify_media``) →
         per-modality near-dup drop (image dHash / audio
         lag-energy fingerprint / video frame-vote hash)
 
     Semantics: exact dedup keeps the smallest ``media_id`` per
-    byte-identical payload; each near-dup tier then drops every id
-    that pairs with a smaller id (keep-first), matching the
-    ``lowest_id`` policy of the text recipe. Payloads the native
-    decoders cannot handle (WebP, MP3/Ogg, H.264 — env ceilings) PASS
-    THROUGH untouched and are counted in ``non_native`` — a curation
-    recipe must not trip the tiers' loud decode errors on a mixed
-    lake; route them to a decode-capable cluster separately.
-    ``unknown``-modality payloads likewise pass through.
+    byte-identical payload (NULL payloads are ABSENT, not equal — each
+    keeps its own group); each near-dup tier then drops every id that
+    pairs with a smaller id (keep-first), matching the ``lowest_id``
+    policy of the text recipe. Payloads the native decoders cannot
+    handle (WebP, MP3/Ogg, non-MJPEG video, encrypted PDFs — env
+    ceilings, flagged by the header-only ``native`` gate) PASS THROUGH
+    untouched and are counted in ``non_native``; ``unknown``/
+    ``document`` modalities likewise pass through.
 
-    Scale shape: the exact stage shuffles (id, 32-byte digest), the
-    routing pass reads headers only, and each tier dedups only ITS
-    OWN modality's native subset with the payload-free banded pair
-    join — the input payload column never crosses a shuffle anywhere.
-    Returns ``(survivors, MediaCurationReport)``; survivors keep the
-    input schema unchanged."""
+    Scale shape (the pinned contract): the tagged frame is persisted
+    and every stage reads it ONCE — modality subsets are pure FILTERS
+    on the routing columns (never a join against a corpus-sized id
+    set, which would drag payload bytes through a shuffle); the exact
+    stage shuffles only (id, digest) projections; every drop-set is a
+    LOSER-sized id frame, lineage-truncated (localCheckpoint) and
+    anti-joined (AQE broadcasts it). The input payload column never
+    crosses a shuffle anywhere. Returns ``(survivors, report)`` with
+    the input schema unchanged; the survivors frame carries the
+    persisted routing pass — call ``unpersist_curated(survivors)``
+    after materializing it."""
+    from pyspark.sql import functions as F
+
     from ..operators.audio_fp import audio_dup_pairs
-    from ..operators.dedup import materialize
-    from ..operators.multimodal import classify_media, image_dup_pairs
+    from ..operators.multimodal import image_dup_pairs, tag_media_modality
     from ..operators.video_fp import video_dup_pairs
 
-    total = media.count()
-    # a NULL payload is ABSENT, not byte-identical to other NULL
-    # payloads — give each its own digest group so the exact stage
-    # never collapses two distinct id-only rows
-    digests = media.select(
+    tagged = tag_media_modality(media).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    total = tagged.count()
+
+    # exact stage: slim (id, digest) frames only; losers = non-min ids
+    # of multi-member digest groups (duplicate-sized, not corpus-sized)
+    digests = tagged.select(
         "media_id",
         F.coalesce(
             F.sha2(F.col("payload").cast("binary"), 256),
             F.concat(F.lit("null:"), F.col("media_id").cast("string")),
         ).alias("_d"),
     )
-    winners = (
-        digests.groupBy("_d").agg(F.min("media_id").alias("media_id"))
-        .select("media_id")
+    groups = digests.groupBy("_d").agg(
+        F.min("media_id").alias("_keep"), F.count(F.lit(1)).alias("_n")
     )
-    kept = media.join(winners, "media_id", "left_semi")
-    after_exact = kept.count()
+    exact_losers = (
+        digests.join(groups, "_d")
+        .filter((F.col("_n") > 1) & (F.col("media_id") != F.col("_keep")))
+        .select("media_id")
+        .localCheckpoint(eager=True)
+    )
+    exact_dropped = exact_losers.count()
 
-    cls = materialize(classify_media(kept))
+    slim = tagged.select("media_id", "modality", "native").join(
+        exact_losers, "media_id", "left_anti"
+    )
     by_modality = {
         r["modality"]: r["n"]
-        for r in cls.groupBy("modality").agg(F.count("*").alias("n")).collect()
+        for r in slim.groupBy("modality").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    non_native = cls.filter(
+    non_native = slim.filter(
         (F.col("modality") != "unknown") & ~F.col("native")
     ).count()
 
@@ -878,11 +894,11 @@ def curate_media(
         ),
     }
     dropped = {}
+    all_losers = exact_losers
     for modality, pair_fn in tiers.items():
-        ids = cls.filter(
+        subset = tagged.filter(
             (F.col("modality") == modality) & F.col("native")
-        ).select("media_id")
-        subset = kept.join(ids, "media_id", "left_semi")
+        ).join(exact_losers, "media_id", "left_anti")
         losers = (
             pair_fn(subset)
             .select(F.col("id_b").alias("media_id"))
@@ -892,16 +908,22 @@ def curate_media(
             .localCheckpoint(eager=True)
         )
         dropped[modality] = losers.count()
-        kept = kept.join(losers, "media_id", "left_anti")
+        all_losers = all_losers.unionByName(losers)
 
+    survivors = tagged.join(all_losers, "media_id", "left_anti").drop(
+        "modality", "native"
+    )
     report = MediaCurationReport(
         total=total,
-        after_exact_dedup=after_exact,
+        after_exact_dedup=total - exact_dropped,
         by_modality=by_modality,
         non_native=non_native,
         image_near_dropped=dropped["image"],
         audio_near_dropped=dropped["audio"],
         video_near_dropped=dropped["video"],
-        kept=kept.count(),
+        kept=total - exact_dropped - sum(dropped.values()),
     )
-    return kept, report
+    # the unpersist_curated handshake: the survivors frame reads the
+    # persisted routing pass until the caller materializes it
+    survivors._curate_persisted = tagged
+    return survivors, report

@@ -97,6 +97,23 @@ def test_classify_media_truth_table(spark):
         40: b"definitely nothing",
         41: None,
     }
+    # sniffable-but-not-natively-decodable variants: the native flag
+    # must mirror what the decoders ACCEPT, not what the sniffers
+    # recognize (a mixed lake routed on sniffability alone would crash
+    # the tiers on these)
+    bmp8 = bytearray(encode_bmp(base_px))
+    struct.pack_into("<H", bmp8, 28, 8)  # declare 8-bit palette BMP
+    jpeg_lossless = bytearray(encode_jpeg(base_px))
+    sof_at = bytes(jpeg_lossless).index(b"\xff\xc0")
+    jpeg_lossless[sof_at + 1] = 0xC3  # SOF3 = lossless, not decodable
+    wav_empty = encode_wav(np.zeros((0, 1), dtype=np.int16), 8000)
+    xvid_avi = build_mjpeg_avi([b"\x00\x00divx-ish frame"], 24, 24, fps=10.0)
+    rows.update({
+        5: bytes(bmp8),
+        6: bytes(jpeg_lossless),
+        13: wav_empty,
+        22: xvid_avi,
+    })
     got = {
         r["media_id"]: (r["modality"], r["mime"], r["native"])
         for r in classify_media(_media(spark, rows)).collect()
@@ -105,11 +122,15 @@ def test_classify_media_truth_table(spark):
     assert got[1] == ("image", "image/png", True)
     assert got[2] == ("image", "image/jpeg", True)
     assert got[3] == ("image", "image/webp", False)
+    assert got[5] == ("image", "image/bmp", False)
+    assert got[6] == ("image", "image/jpeg", False)
     assert got[10] == ("audio", "audio/wav", True)
     assert got[11] == ("audio", "audio/flac", True)
     assert got[12] == ("audio", "audio/wav", False)
+    assert got[13] == ("audio", "audio/wav", False)  # zero-length data
     assert got[20] == ("video", "video/x-msvideo", True)
     assert got[21] == ("video", "video/mp4", True)
+    assert got[22] == ("video", "video/x-msvideo", False)  # non-MJPEG
     assert got[40] == ("unknown", None, False)
     assert got[41] == ("unknown", None, False)
 
