@@ -7,6 +7,7 @@ from .ingest_stream import (  # noqa: F401
     stream_hll_cardinality,
     stream_image_dedup_ingest,
     stream_ingest_events,
+    stream_pdf_ingest,
     stream_quality_gate,
     stream_rank_quantiles,
     stream_video_dedup_ingest,

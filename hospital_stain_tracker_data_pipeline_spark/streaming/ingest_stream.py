@@ -1235,3 +1235,69 @@ def stream_rank_quantiles(
         ),
     )
     return dyadic_rank_merge(batches)
+
+
+def stream_pdf_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    path_glob: str = "*",
+    fake_decode: bool = False,
+) -> DataFrame:
+    """Incremental PDF ingest: documents land continuously as PDF
+    files in ``source_dir``; each new file is parsed + text-extracted
+    exactly once (the streaming twin of
+    ``operators.pdf.extract_pdf_text`` — same extraction per
+    micro-batch) and the sink rows are ordinary documents ``(media_id,
+    path, n_pages, text, extracted)`` ready for the quality/dedup/
+    packing pipeline. Spark shape is the image/audio/video twins'
+    verbatim: one file = one ``binaryFile`` record, parse runs
+    executor-side where the bytes are, ``media_id = xxhash64(path)``
+    with the in-batch collision assertion, checkpointed
+    effectively-exactly-once sink. The WARC atomic-landing contract
+    applies (temp-then-rename; dot-prefixed names are invisible)."""
+    from ..operators.dedup import materialize
+    from ..operators.pdf import extract_pdf_text
+
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", path_glob)
+        .load(source_dir)
+        .select("path", "content")
+    )
+
+    def _extract(batch_df: DataFrame) -> DataFrame | None:
+        media = batch_df.select(
+            F.xxhash64("path").alias("media_id"),
+            "path",
+            F.col("content").alias("payload"),
+        )
+        docs = materialize(extract_pdf_text(media, fake_decode=fake_decode))
+        collided = (
+            docs.groupBy("media_id").count().filter(F.col("count") > 1).first()
+        )
+        if collided is not None:
+            raise ValueError(
+                "xxhash64(path) collision within batch on media_id="
+                f"{collided['media_id']} — distinct files would alias in "
+                "the sink; rename one or switch the id scheme"
+            )
+        return docs.join(media.select("media_id", "path"), "media_id").select(
+            "media_id", "path", "n_pages", "text", "extracted"
+        )
+
+    return _run_batch_sink_stream(
+        spark,
+        files,
+        _extract,
+        out_dir,
+        empty=lambda: spark.createDataFrame(
+            [],
+            "media_id long, path string, n_pages int, text string, "
+            "extracted boolean",
+        ),
+    )

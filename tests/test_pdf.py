@@ -205,3 +205,44 @@ def test_pdf_deeply_nested_literal_strings():
     )
     _, text = extract_pdf_text_bytes(raw2)
     assert text.strip() == "a(b(c(d)e)f)g"
+
+
+def test_stream_pdf_ingest(spark, tmp_path):
+    """Streaming twin == batch extraction: PDFs land as files, each is
+    parsed once, documents rows land in the sink; a second wave
+    processes ONLY the new files (checkpointed exactly-once)."""
+    import os
+
+    from hospital_stain_tracker_data_pipeline_spark.streaming.ingest_stream import (
+        stream_pdf_ingest,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    sink = str(tmp_path / "sink")
+    (land / "a.pdf").write_bytes(build_simple_pdf([["alpha one"], ["alpha two"]]))
+    (land / "b.pdf").write_bytes(build_simple_pdf([["bravo"]], compress=False))
+
+    out1 = stream_pdf_ingest(spark, str(land), sink)
+    rows1 = {os.path.basename(r["path"]): r for r in out1.collect()}
+    assert set(rows1) == {"a.pdf", "b.pdf"}
+    assert rows1["a.pdf"]["n_pages"] == 2 and "alpha two" in rows1["a.pdf"]["text"]
+    assert rows1["b.pdf"]["text"].strip() == "bravo" and rows1["b.pdf"]["extracted"]
+
+    # wave 2: only the new file processes; earlier sink rows survive
+    (land / "c.pdf").write_bytes(build_simple_pdf([["charlie"]]))
+    out2 = stream_pdf_ingest(spark, str(land), sink)
+    rows2 = {os.path.basename(r["path"]) for r in out2.collect()}
+    assert rows2 == {"a.pdf", "b.pdf", "c.pdf"}
+
+    # stream text == batch operator text over the same payloads
+    batch = extract_pdf_text(
+        _media(spark, [
+            build_simple_pdf([["alpha one"], ["alpha two"]]),
+            build_simple_pdf([["bravo"]], compress=False),
+            build_simple_pdf([["charlie"]]),
+        ])
+    )
+    assert {r["text"] for r in out2.collect()} == {
+        r["text"] for r in batch.collect()
+    }

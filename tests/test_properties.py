@@ -652,3 +652,41 @@ def test_dyadic_rank_never_underestimates_property(values, probes):
         rank_from_cells(cells, (1 << levels) - 1, levels, width, depth)
         == len(values)
     )
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    min_codepoint=32, max_codepoint=126
+                ),
+                min_size=0,
+                max_size=60,
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    st.booleans(),
+)
+def test_pdf_writer_extractor_roundtrip_property(pages, compress):
+    """For ANY printable-ASCII page content (parens, backslashes, PDF
+    delimiters included) and either stream encoding, text written
+    through the rig extracts back exactly — the writer's escaping and
+    the extractor's tokenizer are true inverses."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.pdf import (
+        build_simple_pdf,
+        extract_pdf_text_bytes,
+    )
+
+    raw = build_simple_pdf(pages, compress=compress)
+    n_pages, text = extract_pdf_text_bytes(raw)
+    assert n_pages == len(pages)
+    got = [p.split("\n") for p in text.split("\f")]
+    # the extractor emits one line per Td + a trailing break per page
+    want = [[ln for ln in page] + [""] for page in pages]
+    assert got == want
