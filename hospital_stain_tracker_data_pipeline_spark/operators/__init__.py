@@ -168,8 +168,10 @@ from .video_fp import (  # noqa: F401
     video_phash,
 )
 from .pdf import (  # noqa: F401
+    build_objstm_pdf,
     build_simple_pdf,
     extract_pdf_text,
+    pdf_is_encrypted,
     sniff_pdf,
 )
 from .multimodal import (  # noqa: F401

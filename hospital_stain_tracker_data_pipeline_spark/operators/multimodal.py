@@ -2172,10 +2172,12 @@ def _classify_bytes(raw: bytes) -> tuple[str, str | None, bool]:
                         for off, _ln in track["samples"]
                     )
             elif raw[:5] == b"%PDF-":
+                from .pdf import pdf_is_encrypted
+
                 modality, mime = "document", "application/pdf"
-                native = (
-                    re.search(rb"/Encrypt\s+\d+\s+\d+\s+R", raw) is None
-                )
+                # trailer/xref-dict scoped — page text mentioning
+                # "/Encrypt 5 0 R" must not flag the file non-native
+                native = not pdf_is_encrypted(raw)
     return modality, mime, native
 
 
@@ -2259,755 +2261,3 @@ def tag_media_modality(media: DataFrame) -> DataFrame:
             yield pdf
 
     return media.mapInPandas(run, schema=out_schema)
-
-
-def _gif_lzw_decode(data: bytes, mcs: int, n_pixels: int) -> bytes | None:
-    """GIF-variant LZW: LSB-first bit packing, dynamic code size from
-    ``mcs+1`` to 12 bits, clear/EOI control codes. Decoder grows the
-    code size when the next free slot hits ``1 << code_size`` (the
-    giflib rule); the KwKwK case handles a code equal to the next free
-    slot. Returns the index stream, or None on a corrupt stream."""
-    clear, eoi = 1 << mcs, (1 << mcs) + 1
-    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
-    code_size = mcs + 1
-    out = bytearray()
-    prev: int | None = None
-    buf = n = pos = 0
-    while len(out) < n_pixels:
-        while n < code_size:
-            if pos >= len(data):
-                return None
-            buf |= data[pos] << n
-            pos += 1
-            n += 8
-        code = buf & ((1 << code_size) - 1)
-        buf >>= code_size
-        n -= code_size
-        if code == clear:
-            table = [bytes([i]) for i in range(clear)] + [b"", b""]
-            code_size = mcs + 1
-            prev = None
-            continue
-        if code == eoi:
-            break
-        if prev is None:
-            if code >= len(table):
-                return None
-            out += table[code]
-            prev = code
-            continue
-        if code < len(table):
-            entry = table[code]
-        elif code == len(table):
-            entry = table[prev] + table[prev][:1]  # KwKwK
-        else:
-            return None
-        out += entry
-        table.append(table[prev] + entry[:1])
-        if len(table) == (1 << code_size) and code_size < 12:
-            code_size += 1
-        prev = code
-    return bytes(out[:n_pixels])
-
-
-def decode_gif_pixels(raw: bytes) -> np.ndarray | None:
-    """GIF87a/89a FIRST frame → ``(height, width, 3)`` uint8 RGB
-    ndarray, stdlib + numpy only — GIF's entropy layer is LZW, fully
-    implementable from the public spec. Global and local color tables,
-    interlaced row order and extension blocks are handled; later
-    frames and transparency are ignored (the first-frame pixels are
-    what a thumbnail/quality filter wants). Returns None outside the
-    envelope or on a corrupt stream."""
-    try:
-        if len(raw) < 13 or raw[:6] not in (b"GIF87a", b"GIF89a"):
-            return None
-        sw, sh = struct.unpack("<HH", raw[6:10])
-        flags = raw[10]
-        pos = 13
-        gct = None
-        if flags & 0x80:
-            n = 2 << (flags & 0x07)
-            gct = np.frombuffer(raw[pos : pos + 3 * n], np.uint8).reshape(-1, 3)
-            pos += 3 * n
-        while pos < len(raw):
-            b = raw[pos]
-            if b == 0x21:  # extension: label + sub-blocks
-                pos += 2
-                while pos < len(raw) and raw[pos] != 0:
-                    pos += 1 + raw[pos]
-                pos += 1
-            elif b == 0x2C:  # image descriptor
-                _x, _y, w, h = struct.unpack("<HHHH", raw[pos + 1 : pos + 9])
-                iflags = raw[pos + 9]
-                pos += 10
-                pal = gct
-                if iflags & 0x80:  # local color table
-                    n = 2 << (iflags & 0x07)
-                    pal = np.frombuffer(
-                        raw[pos : pos + 3 * n], np.uint8
-                    ).reshape(-1, 3)
-                    pos += 3 * n
-                if pal is None or w == 0 or h == 0:
-                    return None
-                mcs = raw[pos]
-                pos += 1
-                if not 2 <= mcs <= 11:
-                    return None
-                data = bytearray()
-                while pos < len(raw) and raw[pos] != 0:
-                    ln = raw[pos]
-                    data += raw[pos + 1 : pos + 1 + ln]
-                    pos += 1 + ln
-                idx_bytes = _gif_lzw_decode(bytes(data), mcs, w * h)
-                if idx_bytes is None or len(idx_bytes) < w * h:
-                    return None
-                idx = np.frombuffer(idx_bytes, np.uint8).reshape(h, w)
-                if int(idx.max()) >= pal.shape[0]:
-                    return None
-                if iflags & 0x40:  # interlaced: 4-pass row order
-                    order = np.concatenate(
-                        [
-                            np.arange(0, h, 8),
-                            np.arange(4, h, 8),
-                            np.arange(2, h, 4),
-                            np.arange(1, h, 2),
-                        ]
-                    )
-                    deinter = np.empty_like(idx)
-                    deinter[order] = idx
-                    idx = deinter
-                return np.ascontiguousarray(pal[idx])
-            elif b == 0x3B:  # trailer
-                return None
-            else:
-                return None
-        return None
-    except Exception:
-        return None
-
-
-# ---------------------------------------------------------------------------
-# AVI / MJPEG — the container whose frames our own JPEG codec can decode,
-# making video frame extraction REAL end-to-end (no ffmpeg in env).
-# ---------------------------------------------------------------------------
-
-
-def build_mjpeg_avi(
-    frames: list[bytes], width: int, height: int, fps: float = 10.0
-) -> bytes:
-    """Assemble JPEG-encoded frames into a minimal RIFF/AVI (MJPEG)
-    container: hdrl (avih + one 'vids'/'MJPG' strl) + movi with one
-    '00dc' chunk per frame (word-aligned) + an idx1 index. The
-    write-side of the real video path — and the test rig that lets the
-    extractor be pinned without any media library."""
-    if not frames:
-        raise ValueError("at least one frame required")
-    usec = int(round(1_000_000 / fps))
-
-    def chunk(cid: bytes, payload: bytes) -> bytes:
-        pad = b"\x00" if len(payload) % 2 else b""
-        return cid + struct.pack("<I", len(payload)) + payload + pad
-
-    def lst(kind: bytes, payload: bytes) -> bytes:
-        return chunk(b"LIST", kind + payload)
-
-    avih = struct.pack(
-        "<10I4I",
-        usec, 0, 0, 0x10, len(frames), 0, 1, 0, width, height, 0, 0, 0, 0,
-    )
-    strh = (
-        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1,
-                                        int(round(fps)), 0, len(frames),
-                                        0, 0, 0)
-        + struct.pack("<4H", 0, 0, width, height)
-    )
-    strf = struct.pack(
-        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
-        width * height * 3, 0, 0, 0, 0,
-    )
-    hdrl = lst(
-        b"hdrl",
-        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
-    )
-    movi_payload = b"".join(chunk(b"00dc", f) for f in frames)
-    movi = lst(b"movi", movi_payload)
-    # idx1: one entry per frame, offsets relative to the 'movi' fourcc
-    idx_entries = []
-    off = 4
-    for f in frames:
-        idx_entries.append(b"00dc" + struct.pack("<III", 0x10, off, len(f)))
-        off += 8 + len(f) + (len(f) & 1)
-    idx1 = chunk(b"idx1", b"".join(idx_entries))
-    body = b"AVI " + hdrl + movi + idx1
-    return b"RIFF" + struct.pack("<I", len(body)) + body
-
-
-def sniff_avi(raw: bytes) -> dict | None:
-    """RIFF/AVI metadata + MJPEG frame chunk locations, stdlib-only:
-    walks hdrl for avih (frame period, count, dims) and movi for
-    '00dc'/'00db' chunks. Returns None unless the payload is RIFF/AVI
-    with an avih header; ``frames`` is the list of (offset, length)
-    of each video chunk's payload (empty for a non-MJPEG stream — the
-    caller then has metadata but no decodable frames)."""
-    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
-        return None
-    meta: dict | None = None
-    frames: list[tuple[int, int]] = []
-
-    def walk(start: int, end: int) -> None:
-        nonlocal meta
-        i = start
-        while i + 8 <= end:
-            cid = raw[i:i + 4]
-            size = struct.unpack("<I", raw[i + 4:i + 8])[0]
-            body_start = i + 8
-            body_end = min(body_start + size, end)
-            if cid == b"LIST" and body_start + 4 <= end:
-                walk(body_start + 4, body_end)
-            elif cid == b"avih" and meta is None and size >= 40:
-                vals = struct.unpack("<10I", raw[body_start:body_start + 40])
-                usec, total, width, height = vals[0], vals[4], vals[8], vals[9]
-                fps = 1_000_000 / usec if usec else 0.0
-                meta = {
-                    "mime": "video/x-msvideo",
-                    "width": width,
-                    "height": height,
-                    "fps": fps,
-                    "n_frames": total,
-                    "duration_s": total / fps if fps else 0.0,
-                }
-            elif cid[2:4] in (b"dc", b"db"):
-                frames.append((body_start, size))
-            i = body_start + size + (size & 1)
-
-    walk(12, len(raw))
-    if meta is None:
-        return None
-    meta["frames"] = frames
-    return meta
-
-
-def sniff_ogg_vorbis(raw: bytes) -> dict | None:
-    """Ogg/Vorbis stream metadata by page walk, stdlib-only: the first
-    page's first packet must be the Vorbis identification header
-    (channels, sample rate); the LAST page's granule position is the
-    total PCM sample count, so duration is exact — the same trick every
-    tag reader uses, no codec decode involved. Page CRCs are not
-    verified (a corrupt-but-well-framed stream mis-measures rather than
-    rejects — the entropy layer is out of scope here anyway). Returns
-    None for non-Ogg payloads or a first packet that is not Vorbis."""
-    if len(raw) < 58 or raw[:4] != b"OggS":
-        return None
-    # first page: header is 27 bytes + segment table
-    nseg = raw[26]
-    body = 27 + nseg
-    if len(raw) < body + 30:
-        return None
-    pkt = raw[body:body + 30]
-    if pkt[:7] != b"\x01vorbis":
-        return None
-    channels = pkt[11]
-    rate = struct.unpack("<I", pkt[12:16])[0]
-    if channels == 0 or rate == 0:
-        return None
-    # walk pages to the last granule position
-    i, last_granule = 0, 0
-    while i + 27 <= len(raw):
-        if raw[i:i + 4] != b"OggS":
-            break
-        granule = struct.unpack("<q", raw[i + 6:i + 14])[0]
-        if granule > 0:
-            last_granule = granule
-        ns = raw[i + 26]
-        if i + 27 + ns > len(raw):
-            break
-        seg_total = sum(raw[i + 27:i + 27 + ns])
-        i += 27 + ns + seg_total
-    return {
-        "mime": "audio/ogg",
-        "sample_rate": rate,
-        "channels": channels,
-        "bits_per_sample": None,
-        "n_frames": last_granule,
-        "duration_s": last_granule / rate,
-    }
-
-
-# ---------------------------------------------------------------------------
-# MP4 sample tables — real frame extraction for JPEG-coded tracks.
-# ---------------------------------------------------------------------------
-
-_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
-_MP4_JPEG_FORMATS = {b"jpeg", b"mjpa", b"mjpb"}
-
-
-def mp4_jpeg_track(raw: bytes) -> dict | None:
-    """Locate the first JPEG-coded video track in an ISO-BMFF file and
-    resolve its full sample table, stdlib-only: stsd (sample-entry
-    format), stsz (sizes), stco/co64 (chunk offsets), stsc
-    (sample→chunk runs, expanded per ISO 14496-12 §8.7.4), stts
-    (decode timestamps), mdhd (track timescale). Returns
-    ``{"samples": [(offset, size)...], "times_s": [...], "timescale"}``
-    or None when no track's sample entry is a JPEG family format —
-    H.264/H.265 tracks are real video but need an entropy decoder this
-    environment doesn't have; JPEG-coded samples our own codec decodes.
-    """
-    if len(raw) < 12 or raw[4:8] != b"ftyp":
-        return None
-    be32 = lambda i: struct.unpack(">I", raw[i:i + 4])[0]
-    be64 = lambda i: struct.unpack(">Q", raw[i:i + 8])[0]
-    tracks: list[dict] = []
-    cur: dict | None = None
-
-    def walk(lo: int, hi: int) -> None:
-        nonlocal cur
-        i = lo
-        while i + 8 <= hi:
-            size, typ, header = be32(i), raw[i + 4:i + 8], 8
-            if size == 1:
-                if i + 16 > hi:
-                    return
-                size, header = be64(i + 8), 16
-                if size < 16:
-                    return
-            elif size == 0:
-                size = hi - i
-            elif size < 8:
-                return
-            base, end = i + header, min(i + size, hi)
-            if typ == b"trak":
-                cur = {}
-                walk(base, end)
-                if cur.get("is_jpeg"):
-                    tracks.append(cur)
-                cur = None
-            elif typ in _MP4_CONTAINERS:
-                walk(base, end)
-            elif cur is not None and typ == b"mdhd" and base + 4 <= hi:
-                ver = raw[base]
-                ts_off = base + (20 if ver == 1 else 12)
-                if ts_off + 4 <= hi:
-                    cur["timescale"] = be32(ts_off)
-            elif cur is not None and typ == b"stsd" and base + 16 <= hi:
-                fmt = raw[base + 12:base + 16]
-                cur["is_jpeg"] = fmt in _MP4_JPEG_FORMATS
-            elif cur is not None and typ == b"stsz" and base + 12 <= hi:
-                fixed, n = be32(base + 4), be32(base + 8)
-                # clamp table counts by what the payload can actually
-                # hold: a corrupt 0xFFFFFFFF count would otherwise
-                # allocate a multi-GB list and OOM the worker on one
-                # bad payload. Fixed-size samples can't outnumber
-                # len(raw)/fixed bytes; a sizes TABLE can't have more
-                # entries than fit between here and the box end.
-                if fixed:
-                    n = min(n, len(raw) // max(fixed, 1))
-                    cur["sizes"] = [fixed] * n
-                else:
-                    n = min(n, max(0, (hi - base - 12) // 4))
-                    cur["sizes"] = [
-                        be32(base + 12 + 4 * j)
-                        for j in range(n)
-                        if base + 16 + 4 * j <= hi
-                    ]
-            elif cur is not None and typ in (b"stco", b"co64") and base + 8 <= hi:
-                n = be32(base + 4)
-                step = 4 if typ == b"stco" else 8
-                rd = be32 if typ == b"stco" else be64
-                cur["chunk_offsets"] = [
-                    rd(base + 8 + step * j)
-                    for j in range(n)
-                    if base + 8 + step * (j + 1) <= hi
-                ]
-            elif cur is not None and typ == b"stsc" and base + 8 <= hi:
-                n = be32(base + 4)
-                cur["stsc"] = [
-                    (be32(base + 8 + 12 * j), be32(base + 12 + 12 * j))
-                    for j in range(n)
-                    if base + 20 + 12 * j <= hi
-                ]
-            elif cur is not None and typ == b"stts" and base + 8 <= hi:
-                n = be32(base + 4)
-                cur["stts"] = [
-                    (be32(base + 8 + 8 * j), be32(base + 12 + 8 * j))
-                    for j in range(n)
-                    if base + 16 + 8 * j <= hi
-                ]
-            i += size
-
-    walk(0, len(raw))
-    for t in tracks:
-        sizes = t.get("sizes") or []
-        offsets = t.get("chunk_offsets") or []
-        stsc = t.get("stsc") or []
-        scale = t.get("timescale") or 0
-        if not (sizes and offsets and stsc and scale):
-            continue
-        # expand stsc runs: entry (first_chunk, samples_per_chunk)
-        # applies from its first_chunk until the next entry's
-        samples: list[tuple[int, int]] = []
-        si = 0
-        for e_idx, (first, per) in enumerate(stsc):
-            last = (
-                stsc[e_idx + 1][0] - 1
-                if e_idx + 1 < len(stsc)
-                else len(offsets)
-            )
-            if first < 1:  # chunks are 1-based; 0 would wrap to [-1]
-                continue
-            for c in range(first, last + 1):
-                if c - 1 >= len(offsets) or si >= len(sizes):
-                    break
-                off = offsets[c - 1]
-                for _ in range(per):
-                    if si >= len(sizes):
-                        break
-                    samples.append((off, sizes[si]))
-                    off += sizes[si]
-                    si += 1
-        if not samples:
-            continue
-        times, acc = [], 0
-        for count, delta in t.get("stts") or [(len(samples), scale)]:
-            # per-entry counts are 32-bit and unvalidated; never expand
-            # past the samples we actually have
-            for _ in range(min(count, len(samples) - len(times))):
-                times.append(acc / scale)
-                acc += delta
-            if len(times) >= len(samples):
-                break
-        times = times[: len(samples)]
-        while len(times) < len(samples):
-            times.append(times[-1] if times else 0.0)
-        return {"samples": samples, "times_s": times, "timescale": scale}
-    return None
-
-
-def build_mjpeg_mp4(
-    frames: list[bytes], width: int, height: int, fps: float = 10.0
-) -> bytes:
-    """Assemble JPEG frames into a minimal ISO-BMFF file with a
-    'jpeg'-coded video track (ftyp + mdat + moov with the full stbl:
-    stsd/stts/stsc/stsz/stco) — the write-side of the real MP4 frame
-    path and its test rig. One sample per chunk; absolute stco offsets
-    point into the mdat that precedes moov."""
-    if not frames:
-        raise ValueError("at least one frame required")
-    scale = 1000
-    delta = int(round(scale / fps))
-
-    def box(typ: bytes, payload: bytes) -> bytes:
-        return struct.pack(">I", len(payload) + 8) + typ + payload
-
-    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
-    mdat_payload = b"".join(frames)
-    offsets = []
-    off = len(ftyp) + 8
-    for f in frames:
-        offsets.append(off)
-        off += len(f)
-    mdat = box(b"mdat", mdat_payload)
-    n = len(frames)
-    dur = n * delta
-    full = b"\x00\x00\x00\x00"  # version+flags
-    mvhd = box(
-        b"mvhd", full + bytes(8) + struct.pack(">II", scale, dur) + bytes(80)
-    )
-    tkhd = box(b"tkhd", full + bytes(92))
-    mdhd = box(
-        b"mdhd", full + bytes(8) + struct.pack(">II", scale, dur) + bytes(4)
-    )
-    hdlr = box(b"hdlr", full + bytes(4) + b"vide" + bytes(12) + b"\x00")
-    entry = (
-        struct.pack(">I", 86) + b"jpeg" + bytes(6) + struct.pack(">H", 1)
-        + bytes(16) + struct.pack(">HH", width, height) + bytes(50)
-    )
-    stsd = box(b"stsd", full + struct.pack(">I", 1) + entry)
-    stts = box(b"stts", full + struct.pack(">III", 1, n, delta))
-    stsc = box(b"stsc", full + struct.pack(">IIII", 1, 1, 1, 1))
-    stsz = box(
-        b"stsz",
-        full + struct.pack(">II", 0, n)
-        + b"".join(struct.pack(">I", len(f)) for f in frames),
-    )
-    stco = box(
-        b"stco",
-        full + struct.pack(">I", n)
-        + b"".join(struct.pack(">I", o) for o in offsets),
-    )
-    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
-    minf = box(b"minf", stbl)
-    mdia = box(b"mdia", mdhd + hdlr + minf)
-    trak = box(b"trak", tkhd + mdia)
-    moov = box(b"moov", mvhd + trak)
-    return ftyp + mdat + moov
-
-
-VIDEO_FEATURES_SCHEMA = T.StructType(
-    [
-        T.StructField("media_id", T.LongType(), False),
-        T.StructField("mime", T.StringType(), True),
-        T.StructField("width", T.IntegerType(), True),
-        T.StructField("height", T.IntegerType(), True),
-        T.StructField("fps", T.DoubleType(), True),
-        T.StructField("n_frames", T.LongType(), True),
-        T.StructField("duration_s", T.DoubleType(), True),
-        T.StructField("n_bytes", T.LongType(), True),
-        T.StructField("sha256", T.StringType(), True),
-    ]
-)
-
-
-def extract_video_features(
-    media: DataFrame, fake_decode: bool = False
-) -> DataFrame:
-    """Video metadata extraction — the third leg of the feature trio
-    (image/audio/video), same Arrow ``mapInPandas`` shape: AVI decodes
-    fully for real (avih dims/fps/frame count + movi chunk count);
-    ISO-BMFF decodes duration for real (mvhd) plus, when a JPEG-coded
-    track exists, exact frame count/fps from its sample tables (dims
-    stay NULL for MP4 — they live in codec-specific sample-entry
-    extensions a header walk shouldn't guess at). Unrecognized
-    payloads raise unless ``fake_decode=True``."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                raw = bytes(payload) if payload is not None else b""
-                digest = hashlib.sha256(raw).hexdigest()
-                avi = sniff_avi(raw)
-                row = None
-                if avi is not None:
-                    n = len(avi["frames"]) or avi["n_frames"]
-                    row = {
-                        "mime": avi["mime"],
-                        "width": avi["width"],
-                        "height": avi["height"],
-                        "fps": avi["fps"],
-                        "n_frames": n,
-                        "duration_s": avi["duration_s"],
-                    }
-                else:
-                    mp4 = sniff_mp4(raw)
-                    if mp4 is not None:
-                        track = mp4_jpeg_track(raw)
-                        n_frames = fps = None
-                        if track is not None:
-                            n_frames = len(track["samples"])
-                            ts = track["times_s"]
-                            if len(ts) > 1 and ts[1] > ts[0]:
-                                fps = 1.0 / (ts[1] - ts[0])
-                        row = {
-                            "mime": mp4["mime"],
-                            "width": None,
-                            "height": None,
-                            "fps": fps,
-                            "n_frames": n_frames,
-                            "duration_s": mp4["duration_s"],
-                        }
-                if row is None:
-                    if not fake_decode:
-                        raise NotImplementedError(
-                            "payload is not an AVI or ISO-BMFF container — "
-                            "pass fake_decode=True for the deterministic fake"
-                        )
-                    seed = int(digest[:8], 16)
-                    row = {
-                        "mime": "video/unknown",
-                        "width": 160 + seed % 640,
-                        "height": 120 + (seed >> 8) % 480,
-                        "fps": float(10 + seed % 20),
-                        "n_frames": 10 + seed % 100,
-                        "duration_s": 2.0,
-                    }
-                out.append(
-                    {
-                        "media_id": media_id,
-                        **row,
-                        "n_bytes": len(raw),
-                        "sha256": digest,
-                    }
-                )
-            yield pd.DataFrame(
-                out, columns=[f.name for f in VIDEO_FEATURES_SCHEMA.fields]
-            )
-
-    return media.select("media_id", "payload").mapInPandas(
-        run, schema=VIDEO_FEATURES_SCHEMA
-    )
-
-
-def _first_jpeg_sof(raw: bytes) -> tuple[int | None, int | None]:
-    """(SOF marker byte, sample precision) from a real marker walk —
-    the header-only probe of what ``decode_jpeg_pixels`` will accept
-    (it covers SOF0/1/2 at 8-bit precision; arithmetic/lossless/12-bit
-    return None there)."""
-    i = 2
-    while i + 4 <= len(raw) and raw[i] == 0xFF:
-        marker = raw[i + 1]
-        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
-            i += 2
-            continue
-        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-            return marker, (raw[i + 4] if i + 5 <= len(raw) else None)
-        seglen = int.from_bytes(raw[i + 2:i + 4], "big")
-        if seglen < 2:
-            return None, None
-        i += 2 + seglen
-    return None, None
-
-
-def _native_image(raw: bytes, mime: str) -> bool:
-    """Header-only mirror of the ``_decode_any_pixels`` acceptance
-    gates: PNG/GIF decoders are full-coverage; BMP requires
-    uncompressed 24-bit with in-bounds pixel data; JPEG requires an
-    8-bit SOF0/1/2 frame. WebP has no native decoder."""
-    if mime in ("image/png", "image/gif"):
-        return True
-    if mime == "image/bmp":
-        if len(raw) < 54:
-            return False
-        data_off = struct.unpack("<I", raw[10:14])[0]
-        hdr_size = struct.unpack("<I", raw[14:18])[0]
-        w, h = struct.unpack("<ii", raw[18:26])
-        bpp = struct.unpack("<H", raw[28:30])[0]
-        comp = struct.unpack("<I", raw[30:34])[0]
-        stride = (w * 3 + 3) & ~3
-        return (
-            hdr_size >= 40
-            and w > 0
-            and h != 0
-            and bpp == 24
-            and comp == 0
-            and data_off >= 14 + hdr_size
-            and data_off + stride * abs(h) <= len(raw)
-        )
-    if mime == "image/jpeg":
-        marker, precision = _first_jpeg_sof(raw)
-        return marker in (0xC0, 0xC1, 0xC2) and precision == 8
-    return False
-
-
-CLASSIFY_SCHEMA = T.StructType(
-    [
-        T.StructField("media_id", T.LongType(), True),
-        T.StructField("modality", T.StringType(), False),
-        T.StructField("mime", T.StringType(), True),
-        T.StructField("native", T.BooleanType(), False),
-    ]
-)
-
-
-def classify_media(media: DataFrame) -> DataFrame:
-    """Modality classification from container headers ONLY — the cheap
-    pre-decode routing pass a mixed media lake runs before any
-    expensive tier: ``(media_id, modality, mime, native)`` where
-    ``modality`` ∈ image/audio/video/unknown and ``native`` says
-    whether this library's own decoders can produce pixels/PCM/frames
-    for it (so a curation recipe can route native payloads into the
-    fingerprint tiers and pass the rest through instead of tripping
-    their loud env-ceiling errors):
-
-    - image: ``sniff_image`` mime; native for BMP/PNG/JPEG/GIF (the
-      ``_decode_any_pixels`` chain), not WebP;
-    - audio: WAV/FLAC/MP3/Ogg header sniffs; native for 16-bit PCM WAV
-      (the exact ``decode_wav_samples`` gate, probed on the header
-      fields alone) and 16-bit FLAC;
-    - video: AVI/MP4 sniffs; native when frame BYTES are extractable —
-      AVI with MJPEG chunks, MP4 with a JPEG-coded track;
-    - document: PDF header; native unless encrypted (the
-      ``extract_pdf_text`` gate — exotic content filters still fail
-      loudly at extraction time, the flag is the cheap pre-filter);
-    - NULL / unrecognized payloads are ``unknown`` (never native).
-
-    Header walks only — no pixel/sample/frame decode happens here, so
-    the pass is IO-bound and safe to run on every payload."""
-    from .flac import sniff_flac
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                raw = bytes(payload) if payload is not None else b""
-                modality, mime, native = "unknown", None, False
-                img = sniff_image(raw) if raw else None
-                if img is not None:
-                    modality, mime = "image", img[0]
-                    native = _native_image(raw, mime)
-                elif raw:
-                    wav = sniff_wav(raw)
-                    au = wav or sniff_flac(raw) or sniff_mp3(raw) or (
-                        sniff_ogg_vorbis(raw)
-                    )
-                    if au is not None:
-                        modality, mime = "audio", au["mime"]
-                        if wav is not None:
-                            # the decode_wav_samples gate, replicated
-                            # header-only (no PCM copy), INCLUDING the
-                            # non-empty-data check
-                            layout = _wav_layout(raw)
-                            native = False
-                            if layout is not None:
-                                fmt, data_off, data_size = layout
-                                ch = fmt["channels"]
-                                native = (
-                                    fmt["format_tag"] == 1
-                                    and fmt["bits"] == 16
-                                    and ch >= 1
-                                    and fmt["rate"] > 0
-                                    and min(data_size, len(raw) - data_off)
-                                    // (2 * ch) > 0
-                                )
-                        else:
-                            native = (
-                                mime == "audio/flac"
-                                and au.get("bits_per_sample") == 16
-                                and au.get("channels") in (1, 2)
-                                and (au.get("sample_rate") or 0) > 0
-                            )
-                    else:
-                        avi = sniff_avi(raw)
-                        vid = avi or sniff_mp4(raw)
-                        if vid is not None:
-                            modality, mime = "video", vid["mime"]
-                            if avi is not None:
-                                chunks = avi.get("frames") or []
-                                # MJPEG only: every video chunk must be
-                                # a JPEG (SOI) — Xvid/H.264-in-AVI also
-                                # lists '00dc' chunks but no frame
-                                # would decode
-                                native = bool(chunks) and bool(
-                                    avi.get("fps")
-                                ) and all(
-                                    raw[off:off + 2] == b"\xff\xd8"
-                                    for off, _ln in chunks
-                                )
-                            else:
-                                track = mp4_jpeg_track(raw)
-                                native = track is not None and all(
-                                    raw[off:off + 2] == b"\xff\xd8"
-                                    for off, _ln in track["samples"]
-                                )
-                        elif raw[:5] == b"%PDF-":
-                            modality, mime = "document", "application/pdf"
-                            native = (
-                                re.search(
-                                    rb"/Encrypt\s+\d+\s+\d+\s+R", raw
-                                )
-                                is None
-                            )
-                rows.append(
-                    {
-                        "media_id": media_id,
-                        "modality": modality,
-                        "mime": mime,
-                        "native": native,
-                    }
-                )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in CLASSIFY_SCHEMA.fields]
-            )
-
-    return media.select("media_id", "payload").mapInPandas(
-        run, schema=CLASSIFY_SCHEMA
-    )

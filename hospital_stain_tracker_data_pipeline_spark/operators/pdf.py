@@ -8,6 +8,11 @@ What is real here (PDF 1.4+, ISO 32000 subset):
 - the Catalog → Pages → Kids page-tree walk (nested Pages nodes,
   Contents as one ref or an array of refs) so pages come out in
   DOCUMENT order, not file order;
+- object streams (``/Type /ObjStm``, PDF 1.5+): Flate-compressed
+  containers whose member objects (typically the Catalog, Pages and
+  Page dicts of every modern writer) are unpacked and merged into the
+  object map before the page-tree walk — native extraction covers
+  xref-stream PDFs, not just classic-xref 1.4 files;
 - FlateDecode content streams (stdlib zlib — by far the most common
   filter for text content);
 - the text-showing operators: ``Tj``, ``'``, ``"``, and ``TJ`` arrays,
@@ -17,12 +22,15 @@ What is real here (PDF 1.4+, ISO 32000 subset):
   lines, ``ET`` breaks blocks.
 
 Loud ceilings (the multimodal module's decode policy): encrypted
-documents (``/Encrypt``), non-Flate filters (DCT/LZW/ASCII85), and
-CID/Type0 composite fonts whose strings are not byte-per-glyph come
-out wrong or not at all — extraction raises unless ``fake_decode``
-(deterministic stand-in, ``extracted=False``). Strings decode as
-Latin-1 (PDFDocEncoding agrees with it over the printable range; a
-full encoding map needs the font program this environment lacks).
+documents (``/Encrypt`` in a trailer or xref-stream dict — page TEXT
+merely mentioning ``/Encrypt 5 0 R`` is not refused), non-Flate
+filters and multi-stage filter CHAINS (DCT/LZW/ASCII85,
+``[/FlateDecode /ASCII85Decode]``), and CID/Type0 composite fonts
+whose strings are not byte-per-glyph come out wrong or not at all —
+extraction raises unless ``fake_decode`` (deterministic stand-in,
+``extracted=False``). Strings decode as Latin-1 (PDFDocEncoding
+agrees with it over the printable range; a full encoding map needs
+the font program this environment lacks).
 
 Scale shape: one Arrow-batched ``mapInPandas`` pass; PDF bytes never
 cross a shuffle; downstream the extracted text joins the ordinary
@@ -50,11 +58,78 @@ _STREAM_RE = re.compile(rb"stream\r?\n")
 
 def _find_objects(raw: bytes) -> dict[int, bytes]:
     """Object number -> body bytes (dict + optional stream), last
-    definition wins (incremental updates append re-definitions)."""
+    definition wins (incremental updates append re-definitions).
+    ``/Type /ObjStm`` containers are then unpacked and their member
+    objects merged in — members only FILL IN missing numbers
+    (``setdefault``), so a top-level redefinition appended by an
+    incremental update still wins over a stale packed copy."""
     objs: dict[int, bytes] = {}
     for m in _OBJ_RE.finditer(raw):
         objs[int(m.group(1))] = m.group(3)
+    for body in list(objs.values()):
+        for num, member in _objstm_members(body).items():
+            objs.setdefault(num, member)
     return objs
+
+
+def _objstm_members(body: bytes) -> dict[int, bytes]:
+    """Member objects of one ``/Type /ObjStm`` object body (PDF 1.5+):
+    the decoded stream opens with ``/N`` pairs of integers
+    ``objnum offset`` (offsets relative to ``/First``), followed by
+    the concatenated member bodies. Returns {} for non-ObjStm objects
+    and for torn/undecodable containers (the caller treats that as
+    "no members", so damage degrades to the classic object scan)."""
+    sm = _STREAM_RE.search(body)
+    if sm is None:
+        return {}
+    prefix = body[: sm.start()]
+    if re.search(rb"/Type\s*/ObjStm\b", prefix) is None:
+        return {}
+    nm = re.search(rb"/N\s+(\d+)", prefix)
+    fm = re.search(rb"/First\s+(\d+)", prefix)
+    data = _decode_stream(body)
+    if nm is None or fm is None or data is None:
+        return {}
+    n, first = int(nm.group(1)), int(fm.group(1))
+    header = data[:first].split()
+    if len(header) < 2 * n:
+        return {}
+    try:
+        nums = [int(x) for x in header[: 2 * n]]
+    except ValueError:
+        return {}
+    out: dict[int, bytes] = {}
+    for i in range(n):
+        objnum, off = nums[2 * i], nums[2 * i + 1]
+        end = first + nums[2 * i + 3] if i + 1 < n else len(data)
+        if not 0 <= first + off <= end <= len(data):
+            return {}  # torn offsets: refuse the whole container
+        out[objnum] = data[first + off : end]
+    return out
+
+
+_TRAILER_DICT_RE = re.compile(rb"trailer\s*<<(.*?)>>", re.DOTALL)
+_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+\d+\s+\d+\s+R")
+
+
+def pdf_is_encrypted(raw: bytes) -> bool:
+    """True when a trailer dictionary or an xref-stream
+    (``/Type /XRef``) object dict carries ``/Encrypt`` — the two
+    places the spec puts it. Deliberately NOT a whole-file scan: page
+    text (or a superseded incremental-update body) that merely
+    mentions ``/Encrypt 5 0 R`` must not flag the document."""
+    for m in _TRAILER_DICT_RE.finditer(raw):
+        if _ENCRYPT_REF_RE.search(m.group(1)):
+            return True
+    for m in _OBJ_RE.finditer(raw):
+        body = m.group(3)
+        sm = _STREAM_RE.search(body)
+        prefix = body[: sm.start()] if sm else body
+        if re.search(rb"/Type\s*/XRef\b", prefix) and _ENCRYPT_REF_RE.search(
+            prefix
+        ):
+            return True
+    return False
 
 
 def _stream_bytes(body: bytes) -> bytes | None:
@@ -98,10 +173,19 @@ def _decode_stream(body: bytes) -> bytes | None:
     data = _stream_bytes(body)
     if data is None:
         return None
-    fm = re.search(rb"/Filter\s*(?:\[\s*)?/(\w+)", body[: sm.start()])
+    fm = re.search(rb"/Filter\s*(\[[^\]]*\]|/\w+)", body[: sm.start()])
     if fm is None:
         return data
-    if fm.group(1) == b"FlateDecode":
+    names = re.findall(rb"/(\w+)", fm.group(1))
+    if not names:
+        return data  # "/Filter []" — the spec's explicit no-filter form
+    if len(names) > 1:
+        # multi-stage chain ([/FlateDecode /ASCII85Decode] etc.):
+        # inflating one stage and returning still-encoded bytes would
+        # emit garbled text with extracted=True — refuse instead so
+        # the caller hits the loud-ceiling path
+        return None
+    if names[0] == b"FlateDecode":
         try:
             return zlib.decompress(data)
         except zlib.error:
@@ -298,7 +382,7 @@ def sniff_pdf(raw: bytes) -> dict | None:
         "mime": "application/pdf",
         "version": m.group(1).decode("ascii"),
         "n_pages": len(_page_objects(objs)),
-        "encrypted": re.search(rb"/Encrypt\s+\d+\s+\d+\s+R", raw) is not None,
+        "encrypted": pdf_is_encrypted(raw),
         "n_bytes": len(raw),
     }
 
@@ -310,7 +394,7 @@ def extract_pdf_text_bytes(raw: bytes) -> tuple[int, str] | None:
     feeds, in page-tree order."""
     if re.match(rb"%PDF-", raw[:8]) is None:
         return None
-    if re.search(rb"/Encrypt\s+\d+\s+\d+\s+R", raw) is not None:
+    if pdf_is_encrypted(raw):
         return None
     objs = _find_objects(raw)
     pages = _page_objects(objs)
@@ -380,11 +464,12 @@ def extract_pdf_text(media: DataFrame, fake_decode: bool = False) -> DataFrame:
                 else:
                     raise NotImplementedError(
                         "extract_pdf_text handles unencrypted PDFs with "
-                        "raw/FlateDecode content streams natively; this "
-                        "payload (encrypted, exotic filters, or damaged) "
-                        "needs a PDF library, not available in this "
-                        "environment — pass fake_decode=True for the "
-                        "deterministic stand-in"
+                        "raw/FlateDecode content streams natively, "
+                        "including ObjStm/xref-stream (PDF 1.5+) files; "
+                        "this payload (encrypted, non-Flate filter "
+                        "chains, or damaged) needs a PDF library, not "
+                        "available in this environment — pass "
+                        "fake_decode=True for the deterministic stand-in"
                     )
                 rows.append(
                     {
@@ -468,4 +553,128 @@ def build_simple_pdf(
         b"trailer\n<< /Size %d /Root 1 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
         % (len(objs) + 1, enc, xref_at)
     )
+    return bytes(out)
+
+
+def build_objstm_pdf(
+    pages: list[list[str]], compress: bool = True, encrypted: bool = False
+) -> bytes:
+    """``build_simple_pdf``'s PDF-1.5 twin — the writer rig for the
+    ObjStm path: the Catalog, Pages tree, Font, and every Page dict
+    are packed into ONE Flate-compressed ``/Type /ObjStm`` container
+    (what every modern writer emits), content streams stay top-level
+    (the spec forbids streams inside ObjStm), and the cross-reference
+    is an xref STREAM (``/Type /XRef``, ``/W [1 4 2]``, type-2
+    entries pointing members at their container) — no ``trailer``
+    keyword anywhere. Same text in ⇒ the 1.4 and 1.5 serializations
+    must extract identical text. ``encrypted`` plants a
+    (non-functional) ``/Encrypt`` in the xref-stream dict, the only
+    trailer-equivalent such a file has, to exercise the refusal
+    path."""
+
+    def esc(s: str) -> bytes:
+        return (
+            s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+        ).encode("latin-1")
+
+    n_pages = len(pages)
+    page_nums = list(range(4, 4 + n_pages))
+    content_nums = list(range(4 + n_pages, 4 + 2 * n_pages))
+    objstm_num = 4 + 2 * n_pages
+    xref_num = objstm_num + 1
+
+    kids = b" ".join(b"%d 0 R" % n for n in page_nums)
+    members: list[tuple[int, bytes]] = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages),
+        (3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+    ]
+    contents: list[bytes] = []
+    for i, lines in enumerate(pages):
+        members.append(
+            (
+                page_nums[i],
+                b"<< /Type /Page /Parent 2 0 R /Resources << /Font "
+                b"<< /F1 3 0 R >> >> /MediaBox [0 0 612 792] /Contents "
+                b"%d 0 R >>" % content_nums[i],
+            )
+        )
+        body = [b"BT /F1 11 Tf 72 720 Td"]
+        for j, line in enumerate(lines):
+            if j:
+                body.append(b"0 -14 Td")
+            body.append(b"(" + esc(line) + b") Tj")
+        body.append(b"ET")
+        contents.append(b"\n".join(body))
+
+    # ObjStm payload: "num off num off ..." header, then member bodies
+    offsets_in_stm: list[tuple[int, int]] = []
+    packed = bytearray()
+    for num, body in members:
+        offsets_in_stm.append((num, len(packed)))
+        packed += body + b"\n"
+    header = b" ".join(
+        b"%d %d" % pair for pair in offsets_in_stm
+    ) + b"\n"
+    stm_payload = zlib.compress(bytes(header + packed))
+
+    out = bytearray(b"%PDF-1.5\n")
+    byte_offsets: dict[int, int] = {}
+
+    def emit(num: int, dict_bytes: bytes, stream: bytes | None = None) -> None:
+        byte_offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num + dict_bytes)
+        if stream is not None:
+            out.extend(b"\nstream\n" + stream + b"\nendstream")
+        out.extend(b"\nendobj\n")
+
+    for i, content in enumerate(contents):
+        filt = b""
+        if compress:
+            content = zlib.compress(content)
+            filt = b" /Filter /FlateDecode"
+        emit(
+            content_nums[i],
+            b"<< /Length %d%s >>" % (len(content), filt),
+            content,
+        )
+    emit(
+        objstm_num,
+        b"<< /Type /ObjStm /N %d /First %d /Length %d "
+        b"/Filter /FlateDecode >>"
+        % (len(members), len(header), len(stm_payload)),
+        stm_payload,
+    )
+
+    # xref stream: /W [1 4 2] — type, offset-or-container, gen-or-index
+    size = xref_num + 1
+    entries = bytearray()
+
+    def entry(t: int, f2: int, f3: int) -> None:
+        entries.append(t)
+        entries.extend(f2.to_bytes(4, "big"))
+        entries.extend(f3.to_bytes(2, "big"))
+
+    xref_at = len(out)
+    byte_offsets[xref_num] = xref_at
+    entry(0, 0, 65535)  # object 0: free
+    for num in range(1, xref_num + 1):
+        in_stm = next(
+            (i for i, (m, _o) in enumerate(offsets_in_stm) if m == num), None
+        )
+        if in_stm is not None:
+            entry(2, objstm_num, in_stm)
+        elif num == xref_num:
+            entry(1, xref_at, 0)
+        else:
+            entry(1, byte_offsets[num], 0)
+    xref_payload = zlib.compress(bytes(entries))
+    enc = b" /Encrypt 99 0 R" if encrypted else b""
+    emit(
+        xref_num,
+        b"<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R%s /Length %d "
+        b"/Filter /FlateDecode >>" % (size, enc, len(xref_payload)),
+        xref_payload,
+    )
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_at
     return bytes(out)

@@ -97,9 +97,14 @@ def heavy_hitters(
     candidate union provably contains every phi-heavy item; pass 2
     re-counts candidates exactly. Items below the threshold never
     appear. Memory is O(capacity) per task; the default capacity
-    ``2*ceil(1/phi)`` doubles the pigeonhole requirement for slack,
-    and an explicit capacity below ``ceil(1/phi)`` is rejected —
-    it would silently break completeness. The threshold
+    ``2*ceil(1/phi)`` roughly doubles the pigeonhole requirement for
+    slack, and an explicit capacity at or below ``ceil(1/phi)`` is
+    rejected — Misra-Gries only guarantees retention for items with
+    local count STRICTLY greater than ``n_p/(capacity)``, so at
+    ``capacity == ceil(1/phi)`` an item with global count exactly
+    ``ceil(phi*N)`` could be dropped from every partition summary;
+    the floor is ``ceil(1/phi) + 1`` so the pigeonhole bound is
+    strict at the boundary. The threshold
     ``ceil(phi*N)`` is computed in exact rational arithmetic on the
     decimal value of ``phi`` (never float products).
 
@@ -117,12 +122,16 @@ def heavy_hitters(
     # make ceil(0.07 * 100) = 8 and silently exclude an exactly-
     # phi-heavy item
     phi_frac = Fraction(str(phi))
-    min_capacity = math.ceil(1 / phi_frac)
-    m = int(capacity) if capacity is not None else 2 * min_capacity
+    # strict pigeonhole: ceil(1/phi) counters only retain items whose
+    # local count EXCEEDS n_p/m, so an exactly-phi-heavy item could be
+    # dropped from every partition at the minimum — require one more
+    min_capacity = math.ceil(1 / phi_frac) + 1
+    m = int(capacity) if capacity is not None else 2 * (min_capacity - 1)
     if m < min_capacity:
         raise ValueError(
             f"capacity {capacity} breaks the completeness guarantee: "
-            f"phi={phi} needs capacity >= ceil(1/phi) = {min_capacity}"
+            f"phi={phi} needs capacity > ceil(1/phi), i.e. "
+            f">= {min_capacity}"
         )
 
     items = df.select(F.col(item_col).cast("string").alias("item"))
@@ -178,7 +187,10 @@ def skew_report(
     percentiles of the per-key count distribution — same definition as
     DuckDB's ``quantile_cont``, so the report is cross-engine
     replayable), ``top_keys`` (the ``top`` hottest keys as
-    ``key:count`` strings, count-desc then key-asc), and
+    ``key:count`` strings, count-desc then non-NULL keys asc then the
+    NULL group last; the NULL group displays as ``\\x00NULL`` — a
+    NUL-prefixed marker no CAST-to-string key can collide with, so a
+    genuine ``'NULL'`` string key stays distinguishable), and
     ``skew_ratio`` = max_count / mean_count — the factor by which the
     hottest task outweighs the average if this key becomes a shuffle
     key. A ratio ≫ the executor-count suggests salting
@@ -196,30 +208,32 @@ def skew_report(
     )
     # collect_list order is not guaranteed even after orderBy+limit, so
     # the struct carries a negated count and array_sort imposes the
-    # (count desc, key asc) order deterministically post-collection
-    # the limit orders by the same COALESCED key the display strings
-    # use (plus a NULL-last tiebreak), so a NULL key tying with a real
-    # key at the boundary picks the same row as the DuckDB replay
+    # (count desc, non-NULL keys asc, NULL group last) order
+    # deterministically post-collection. NULL ordering/display uses an
+    # explicit is-null field plus a NUL-prefixed display marker — a
+    # genuine string key 'NULL' must neither collide in top_keys nor
+    # make the boundary pick ambiguous
     topk = (
         counts.orderBy(
             F.col("cnt").desc(),
-            F.coalesce(F.col("key"), F.lit("NULL")),
             F.col("key").isNull(),
+            F.col("key"),
         )
         .limit(top)
         .select(
             F.struct(
                 (-F.col("cnt")).alias("_neg"),
-                F.coalesce(F.col("key"), F.lit("NULL")).alias("key"),
-                F.col("cnt").alias("cnt"),
+                F.col("key").isNull().alias("_is_null"),
+                F.coalesce(F.col("key"), F.lit("")).alias("_k"),
+                F.concat_ws(
+                    ":",
+                    F.coalesce(F.col("key"), F.lit("\u0000NULL")),
+                    F.col("cnt"),
+                ).alias("disp"),
             ).alias("s")
         )
         .agg(F.array_sort(F.collect_list("s")).alias("_ss"))
-        .select(
-            F.transform(
-                "_ss", lambda s: F.concat_ws(":", s["key"], s["cnt"])
-            ).alias("top_keys")
-        )
+        .select(F.transform("_ss", lambda s: s["disp"]).alias("top_keys"))
     )
     summary = counts.agg(
         F.sum("cnt").alias("n_rows"),

@@ -29,9 +29,11 @@ from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
     to_media_table,
 )
 from hospital_stain_tracker_data_pipeline_spark.operators.pdf import (
+    build_objstm_pdf,
     build_simple_pdf,
     extract_pdf_text,
     extract_pdf_text_bytes,
+    pdf_is_encrypted,
     sniff_pdf,
 )
 
@@ -135,6 +137,99 @@ def test_pdf_unsupported_filter_refuses():
         b"/Length %d /Filter /LZWDecode" % len(lzw),
     ).replace(old, lzw)
     assert extract_pdf_text_bytes(raw2) is None
+
+
+def test_pdf_filter_chain_refuses():
+    """A MULTI-stage /Filter array ([/FlateDecode /ASCII85Decode])
+    must refuse, not inflate one stage and emit still-encoded bytes
+    as 'extracted' text; the spec's explicit no-filter form
+    ('/Filter []') stays raw and extracts."""
+    raw = build_simple_pdf([["chain victim"]], compress=False)
+    old = raw[raw.index(b"stream\n") + 7:raw.index(b"\nendstream")]
+    flated = zlib.compress(old)
+    chained = raw.replace(
+        b"/Length %d" % len(old),
+        b"/Length %d /Filter [/FlateDecode /ASCII85Decode]" % len(flated),
+    ).replace(old, flated)
+    assert extract_pdf_text_bytes(chained) is None
+
+    # single-name ARRAY form still decodes
+    single = raw.replace(
+        b"/Length %d" % len(old),
+        b"/Length %d /Filter [/FlateDecode]" % len(flated),
+    ).replace(old, flated)
+    assert extract_pdf_text_bytes(single)[1].strip() == "chain victim"
+
+    empty = raw.replace(
+        b"/Length %d" % len(old), b"/Length %d /Filter []" % len(old)
+    )
+    assert extract_pdf_text_bytes(empty)[1].strip() == "chain victim"
+
+
+def test_pdf_encrypt_scan_is_trailer_scoped():
+    """Page TEXT mentioning '/Encrypt 5 0 R' must not refuse the
+    document (the lookup is trailer/xref-dict scoped, not a whole-file
+    grep); a real trailer /Encrypt still refuses."""
+    tricky = build_simple_pdf([["see /Encrypt 5 0 R for details"]])
+    assert pdf_is_encrypted(tricky) is False
+    assert sniff_pdf(tricky)["encrypted"] is False
+    _, text = extract_pdf_text_bytes(tricky)
+    assert "/Encrypt 5 0 R" in text
+
+    enc = build_simple_pdf([["x"]], encrypted=True)
+    assert pdf_is_encrypted(enc) is True
+    assert extract_pdf_text_bytes(enc) is None
+
+
+def test_pdf_objstm_roundtrip_matches_classic_twin():
+    """PDF 1.5 writer rig: the Catalog/Pages/Page dicts live inside a
+    Flate-compressed /Type /ObjStm container and the xref is a stream
+    (no 'trailer' keyword) — extraction must produce EXACTLY the text
+    of the same pages serialized through the classic 1.4 writer."""
+    pages = [
+        ["ObjStm page one", "line (two)"],
+        ["packed \\ objects"],
+        ["third page"],
+    ]
+    for compress in (True, False):
+        raw15 = build_objstm_pdf(pages, compress=compress)
+        raw14 = build_simple_pdf(pages, compress=compress)
+        assert raw15.startswith(b"%PDF-1.5")
+        assert b"trailer" not in raw15  # genuinely xref-stream-only
+        assert b"/ObjStm" in raw15
+        assert extract_pdf_text_bytes(raw15) == extract_pdf_text_bytes(raw14)
+    sn = sniff_pdf(build_objstm_pdf(pages))
+    assert sn["n_pages"] == 3 and sn["encrypted"] is False
+
+
+def test_pdf_objstm_encrypted_refuses():
+    """An xref-STREAM document has no trailer keyword; /Encrypt sits
+    in the /Type /XRef dict and must still refuse extraction and
+    route native=False."""
+    enc = build_objstm_pdf([["secret"]], encrypted=True)
+    assert pdf_is_encrypted(enc) is True
+    assert sniff_pdf(enc)["encrypted"] is True
+    assert extract_pdf_text_bytes(enc) is None
+
+
+def test_pdf_objstm_incremental_update_wins():
+    """A top-level redefinition APPENDED to an ObjStm document
+    (incremental update) wins over the stale packed copy: replace
+    page 4's packed dict with a top-level one whose /Contents points
+    at a new stream."""
+    raw = build_objstm_pdf([["original"]])
+    new_content = b"BT /F1 11 Tf 72 720 Td (updated) Tj ET"
+    body = raw.rstrip()
+    assert body.endswith(b"%%EOF")
+    appended = raw + (
+        b"8 0 obj\n<< /Length %d >>\nstream\n" % len(new_content)
+        + new_content
+        + b"\nendstream\nendobj\n"
+        b"4 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 8 0 R >>\nendobj\n"
+    )
+    _, text = extract_pdf_text_bytes(appended)
+    assert text.strip() == "updated"
 
 
 def test_classify_media_routes_pdfs(spark):

@@ -102,9 +102,13 @@ def test_heavy_hitters_empty_and_bad_phi(spark):
         heavy_hitters(df, "w", phi=0.0)
     with pytest.raises(ValueError):
         heavy_hitters(df, "w", phi=1.5)
-    # a capacity below ceil(1/phi) would silently break completeness
+    # a capacity at or below ceil(1/phi) would silently break
+    # completeness — Misra-Gries retention is strict (> n_p/m), so an
+    # exactly-phi-heavy item can vanish at the old ceil(1/phi) floor
     with pytest.raises(ValueError, match="completeness"):
         heavy_hitters(df, "w", phi=0.5, capacity=1)
+    with pytest.raises(ValueError, match="completeness"):
+        heavy_hitters(df, "w", phi=0.5, capacity=2)  # == ceil(1/phi)
 
 
 def test_heavy_hitters_exact_rational_threshold(spark):
@@ -167,9 +171,12 @@ def test_skew_report_matches_duckdb(spark, sf_dir):
                  round(max(cnt) / (sum(cnt) / count(*)), 2) AS skew_ratio
           FROM counts
         ), topk AS (
-          SELECT list(key || ':' || cnt ORDER BY cnt DESC, key) AS top_keys
-          FROM (SELECT coalesce(key, 'NULL') AS key, cnt FROM counts
-                ORDER BY cnt DESC, coalesce(key, 'NULL'), (key IS NULL)
+          SELECT list(disp ORDER BY neg, is_null, k) AS top_keys
+          FROM (SELECT -cnt AS neg, (key IS NULL) AS is_null,
+                       coalesce(key, '') AS k,
+                       coalesce(key, chr(0) || 'NULL') || ':' || cnt AS disp
+                FROM counts
+                ORDER BY cnt DESC, (key IS NULL), key
                 LIMIT 3)
         )
         SELECT * FROM summary, topk
@@ -192,15 +199,36 @@ def test_skew_report_null_keys_are_a_group(spark):
     assert row["n_rows"] == 9
     assert row["n_keys"] == 3
     assert row["max_count"] == 5
-    assert list(row["top_keys"]) == ["a:5", "NULL:3"]
+    assert list(row["top_keys"]) == ["a:5", "\x00NULL:3"]
 
 
 def test_skew_report_null_tie_at_limit_matches_replay(spark):
     """Regression: a NULL key tying a real key at the limit boundary
-    must pick the same row as the documented DuckDB replay — the limit
-    orders by the COALESCED key ('AAA' < 'NULL'), not raw NULLS FIRST."""
+    must pick the same row as the documented DuckDB replay — real keys
+    sort before the NULL group at equal counts (explicit is-null
+    field, NOT a coalesced string sentinel)."""
     df = spark.createDataFrame(
         [("AAA",)] * 3 + [(None,)] * 3 + [("b",)], "k string"
     )
     row = skew_report(df, "k", top=1).collect()[0]
     assert list(row["top_keys"]) == ["AAA:3"]
+    # real keys win the boundary even when they sort AFTER the display
+    # marker's old coalesced position ('ZZZ' > 'NULL' as strings)
+    df2 = spark.createDataFrame(
+        [("ZZZ",)] * 3 + [(None,)] * 3 + [("b",)], "k string"
+    )
+    row2 = skew_report(df2, "k", top=1).collect()[0]
+    assert list(row2["top_keys"]) == ["ZZZ:3"]
+
+
+def test_skew_report_null_string_key_does_not_collide(spark):
+    """A genuine string key 'NULL' and the NULL group stay
+    distinguishable: the NULL group renders as \\x00NULL (a marker a
+    CAST-to-string key cannot produce), so both rows appear and order
+    deterministically (real 'NULL' first at equal counts)."""
+    df = spark.createDataFrame(
+        [("NULL",)] * 3 + [(None,)] * 3 + [("b",)], "k string"
+    )
+    row = skew_report(df, "k", top=3).collect()[0]
+    assert list(row["top_keys"]) == ["NULL:3", "\x00NULL:3", "b:1"]
+    assert row["n_keys"] == 3
