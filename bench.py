@@ -11,6 +11,7 @@ so the wall time covers scan → shuffle → agg, not just plan building.
 from __future__ import annotations
 
 import json
+import math
 import os
 import statistics
 import sys
@@ -76,17 +77,25 @@ HEADLINE = [
 
 # Round 8 showed ~10-30% shared-VM noise spread across nearly every
 # sub-second query (r8-vs-r6 drifts up to 1.8x with zero hot-path
-# changes), so EVERY headline query now gets median-of-3 warm reps —
-# a single warm sample can't distinguish a regression from noise.
-# The two slowest Arrow/pandas-UDF queries (dup_clusters,
-# dedup_jaccard_topk) swung >1.3x between same-day runs even at n=3,
-# so they keep n=5 (NOISY_UDF_FAMILY documents which queries have
-# historically diverged — informational since round 11; the per-query
-# spread now rides stdout as the q_min/q_max arrays instead of a
-# noisy-subset median map). The stdout line's `queries` map carries
-# the MEDIANS (queries_kind marks it) and must stay well under the
-# driver's ~2 KB capture tail (the round-5 failure mode was an
-# overlong line) — full named maps land in BENCH_LOCAL.json.
+# changes); round 11 additionally showed MONOTONIC within-session
+# drift — per-query r10→r11 ratios correlated with position in the
+# headline list (Pearson 0.607: the vectors family that runs last
+# "regressed" 1.6-2.0x with zero code diff), because ~37 queries + 37
+# extras share one SparkSession whose JVM heap/GC state degrades over
+# the run. The round-12 fix: the warm loop runs TWICE, forward then
+# REVERSE order, and the reported median combines both directions —
+# a query late in pass 1 is early in pass 2, so session drift cancels
+# instead of masquerading as a code regression. Per-query
+# forward-vs-reverse deltas ride the graded line as the compact
+# ``order_delta_max`` / ``order_delta_p90`` scalars (named map in
+# BENCH_LOCAL.json) so order-invariance is demonstrable from the
+# driver artifact alone. The two slowest Arrow/pandas-UDF queries
+# keep an extra rep per direction (NOISY_UDF_FAMILY documents which
+# queries have historically diverged — informational). The stdout
+# line's `queries` map carries the combined MEDIANS (queries_kind
+# marks it) and must stay well under the driver's ~2 KB capture tail
+# (the round-5 failure mode was an overlong line) — full named maps
+# land in BENCH_LOCAL.json.
 NOISY_UDF_FAMILY = {
     # Arrow/pandas-UDF family (3-4x variance: worker reuse, GC)
     "dedup_simhash",
@@ -105,12 +114,62 @@ NOISY_UDF_FAMILY = {
     "rank_topn_per_group",
     "dim_join",
 }
-WARM_REPS_DEFAULT = 3
-NOISY_REPS = {"dup_clusters": 5, "dedup_jaccard_topk": 5}
+WARM_REPS_DEFAULT = 3  # per direction (6 warm samples per query)
+NOISY_REPS = {"dup_clusters": 4, "dedup_jaccard_topk": 4}  # per direction
 
 # Side-channel for extras that carry structured results (e.g. the
 # curate_full per-stage attrition report) into BENCH_LOCAL.json.
 EXTRAS_INFO: dict[str, dict] = {}
+
+# Extra names, import-time visible (no Spark imports) so the stdout
+# contract test can project the FULL graded-line length from a smoke
+# run; main() asserts this stays in sync with _extras_registry().
+EXTRA_NAMES = [
+    "lm_train_score",
+    "text_probe",
+    "mixture_tokens",
+    "domain_cap",
+    "no_split_pack",
+    "sem_dedup_pairs",
+    "safe_split",
+    "bm25_query",
+    "dedup_substrings",
+    "heavy_hitter_words",
+    "url_dedup",
+    "robots_gate",
+    "gopher_pii_pass",
+    "pack_manifest",
+    "pq_search",
+    "image_near_dup",
+    "audio_near_dup",
+    "video_near_dup",
+    "zorder_layout",
+    "pdf_extract",
+    "ann_append",
+    "corpus_diff",
+    "hll_distinct",
+    "corpus_card",
+    "warc_scan",
+    "html_extract",
+    "incremental_dedup",
+    "quantize_embeddings",
+    "cms_frequencies",
+    "rank_quantiles",
+    "rrf_fuse",
+    "repetition_profile",
+    "fetch_schedule",
+    "sample_stratified",
+    "tokenizer_eff",
+    "bloom_gate",
+    "curate_full",
+]
+
+
+def _sig3(x: float) -> float:
+    """3-significant-figure rounding for the graded stdout line: the
+    driver keeps a ~2 KB tail, so every digit beyond measurement
+    resolution is budget stolen from the extras map."""
+    return float(f"{x:.3g}")
 
 CALIBRATION_REPS = 3
 
@@ -1029,7 +1088,7 @@ def _extras_registry():
         docs = load_fixture_table(spark, sf_dir, "documents")
         t0 = time.perf_counter()
         merges = train_bpe(docs, n_merges=64, merges_per_round=8)
-        EXTRAS_INFO["tokenizer_efficiency"] = {
+        EXTRAS_INFO["tokenizer_eff"] = {
             "fit_sec": round(time.perf_counter() - t0, 3)
         }
         return tokenizer_efficiency(docs, merges)
@@ -1105,12 +1164,12 @@ def _extras_registry():
     return {
         "lm_train_score": lm_train_score,
         "text_probe": text_probe,
-        "mixture_sample_tokens": mixture,
+        "mixture_tokens": mixture,
         "domain_cap": domain_cap,
         "no_split_pack": no_split_pack,
-        "semantic_dedup_pairs": sem_dedup,
-        "leakage_safe_split": safe_split,
-        "bm25_index_and_query": bm25,
+        "sem_dedup_pairs": sem_dedup,
+        "safe_split": safe_split,
+        "bm25_query": bm25,
         "dedup_substrings": substr_dedup,
         "heavy_hitter_words": heavy_ngrams,
         "url_dedup": url_dedup,
@@ -1124,8 +1183,8 @@ def _extras_registry():
         "zorder_layout": zorder_layout,
         "pdf_extract": pdf_extract,
         "ann_append": ann_append,
-        "corpus_refresh_diff": corpus_refresh_diff,
-        "hll_distinct_words": hll_distinct_words,
+        "corpus_diff": corpus_refresh_diff,
+        "hll_distinct": hll_distinct_words,
         "corpus_card": corpus_card,
         "warc_scan": warc_scan,
         "html_extract": html_extract,
@@ -1137,7 +1196,7 @@ def _extras_registry():
         "repetition_profile": repetition_profile,
         "fetch_schedule": fetch_schedule,
         "sample_stratified": sample_stratified_draw,
-        "tokenizer_efficiency": tokenizer_eff,
+        "tokenizer_eff": tokenizer_eff,
         "bloom_gate": bloom_gate,
         # keep last: it persists its outputs; main() clears the cache
         # after the extras loop
@@ -1189,69 +1248,91 @@ def main() -> None:
     # lets the judge normalize warm_total against shared-VM drift.
     calibration = calibration_probe(spark)
 
-    # Each query runs twice in-process: the COLD number carries
-    # first-touch overhead (codegen compile, parquet footers — ~60% of
-    # a sub-second query at sf0.1), the WARM number is the steady-state
-    # cost a long-lived cluster session pays. Reporting both keeps
-    # round-over-round regression detection meaningful.
+    # Each query's COLD number carries first-touch overhead (codegen
+    # compile, parquet footers — ~60% of a sub-second query at sf0.1);
+    # the warm samples are the steady-state cost a long-lived cluster
+    # session pays. The warm loop runs in BOTH orders (forward then
+    # reverse) so within-session JVM drift — round 11's fake "vectors
+    # family regression" — cancels out of the reported medians instead
+    # of loading onto whichever queries run last.
+    def timed_run(name: str) -> float:
+        t0 = time.perf_counter()
+        BENCH_QUERIES[name].fn(spark, sf_dir).count()
+        return time.perf_counter() - t0
+
     timings: dict[str, float] = {}
     warm_first: dict[str, float] = {}
+    fwd_samples: dict[str, list[float]] = {}
+    rev_samples: dict[str, list[float]] = {}
+    for name in headline:  # pass 1, forward: cold + warm reps
+        timings[name] = round(timed_run(name), 3)
+        reps = NOISY_REPS.get(name, WARM_REPS_DEFAULT)
+        fwd_samples[name] = [timed_run(name) for _ in range(reps)]
+        warm_first[name] = round(fwd_samples[name][0], 3)
+    for name in reversed(headline):  # pass 2, reverse: warm reps only
+        reps = NOISY_REPS.get(name, WARM_REPS_DEFAULT)
+        rev_samples[name] = [timed_run(name) for _ in range(reps)]
+
     medians: dict[str, float] = {}
+    medians_fwd: dict[str, float] = {}
+    medians_rev: dict[str, float] = {}
+    order_delta: dict[str, float] = {}
     mins: dict[str, float] = {}
     maxs: dict[str, float] = {}
     for name in headline:
-        fn = BENCH_QUERIES[name].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        reps = NOISY_REPS.get(name, WARM_REPS_DEFAULT)
-        rep_times = []
-        for _ in range(reps):
-            t1 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            rep_times.append(time.perf_counter() - t1)
-        warm_first[name] = round(rep_times[0], 3)
-        medians[name] = round(statistics.median(rep_times), 3)
-        mins[name] = round(min(rep_times), 3)
-        maxs[name] = round(max(rep_times), 3)
+        both = fwd_samples[name] + rev_samples[name]
+        med = statistics.median(both)
+        mf = statistics.median(fwd_samples[name])
+        mr = statistics.median(rev_samples[name])
+        medians[name] = round(med, 3)
+        medians_fwd[name] = round(mf, 3)
+        medians_rev[name] = round(mr, 3)
+        # relative forward-vs-reverse disagreement: ~0 when the session
+        # is order-stable, large when position (not code) drives time
+        order_delta[name] = round(abs(mf - mr) / max(med, 1e-9), 3)
+        mins[name] = round(min(both), 3)
+        maxs[name] = round(max(both), 3)
+    deltas = sorted(order_delta.values())
+    order_delta_max = round(deltas[-1], 3) if deltas else 0.0
+    order_delta_p90 = (
+        round(deltas[max(0, math.ceil(0.9 * len(deltas)) - 1)], 3)
+        if deltas
+        else 0.0
+    )
 
     total = round(sum(timings.values()), 3)
-    # the round-over-round number: sum of per-query MEDIANS (less
-    # shared-VM noise than the first-warm-rep sum used through r8)
+    # the round-over-round number: sum of per-query MEDIANS across
+    # both directions (order-invariant by construction)
     warm_total = round(sum(medians.values()), 3)
 
     # The graded stdout line prints IMMEDIATELY after the headline
     # loop — round 7 lost a complete set of headline timings because
-    # an extra crashed before the (then end-of-main) print — and is
-    # RE-printed as the final stdout act after the extras loop, so the
-    # driver parses it whether it takes the first JSON line or the
-    # last line of the capture (rounds 7+8 both recorded parsed:null;
-    # r8's cause — console progress bars after the line — is also
-    # killed at the session level via spark.ui.showConsoleProgress).
-    # stdout carries ONLY the driver-needed fields and must stay well
-    # under the driver's ~2 KB capture tail (round-5 regression):
-    # `queries` = per-query median-of-N warm reps (the steady-state
-    # numbers round-over-round comparisons use); per-query SPREAD rides
-    # as the compact parallel arrays `q_min`/`q_max` (same key order as
-    # `queries` — full named maps land in BENCH_LOCAL.json) so a noisy
-    # median is visibly noisy in the driver record; `calibration_sec`
-    # (constant-work probe) is the machine-speed normalizer. The old
-    # `queries_median` noisy-subset duplicate was dropped to fund the
-    # spread bytes — `queries` IS the median map.
+    # an extra crashed before the (then end-of-main) print — and the
+    # FINAL stdout act after the extras loop re-prints it WITH the
+    # extras timings folded in, so the driver's ~2 KB tail (which in a
+    # full run truncates everything before the last line) captures the
+    # complete record: per-query medians AND per-extra seconds
+    # (round 11's extras were unrecoverable from the driver artifact).
+    # Line budget: compact separators + 3-sig-fig times keep the full
+    # 37-query + 37-extra line under ~1.9 KB; the q_min/q_max spread
+    # arrays that used to spend that budget now live only in
+    # BENCH_LOCAL.json. `order_delta_max`/`order_delta_p90` are the
+    # forward-vs-reverse disagreement scalars (order-invariance
+    # evidence; named map in BENCH_LOCAL.json); `calibration_sec`
+    # (constant-work probe) is the machine-speed normalizer.
     line = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": medians,
-        "queries_kind": "median_warm",
-        "q_min": [mins[k] for k in medians],
-        "q_max": [maxs[k] for k in medians],
-        "q_spread_kind": "minmax_parallel_to_queries",
+        "queries": {k: _sig3(v) for k, v in medians.items()},
+        "queries_kind": "med_warm_2way",
+        "order_dmax": order_delta_max,
+        "order_dp90": order_delta_p90,
         "calibration_sec": calibration["jvm_shuffle_sec"],
         "warm_total": warm_total,
         "sf": sf,
     }
-    line_text = json.dumps(line)
+    line_text = json.dumps(line, separators=(",", ":"))
     print(line_text, flush=True)
 
     # Full record (cold + warm + median maps) goes to BENCH_LOCAL.json —
@@ -1264,6 +1345,11 @@ def main() -> None:
         "queries_cold": timings,
         "queries_warm_first": warm_first,
         "queries_median": medians,
+        "queries_median_fwd": medians_fwd,
+        "queries_median_rev": medians_rev,
+        "order_delta": order_delta,
+        "order_delta_max": order_delta_max,
+        "order_delta_p90": order_delta_p90,
         "queries_min": mins,
         "queries_max": maxs,
         "calibration": calibration,
@@ -1307,6 +1393,10 @@ def main() -> None:
     extras_warm: dict[str, float] = {}
     extras_errors: dict[str, str] = {}
     registry = _extras_registry()
+    assert sorted(registry) == sorted(EXTRA_NAMES), (
+        "EXTRA_NAMES out of sync with _extras_registry() — the stdout "
+        "contract test projects line length from it"
+    )
     if smoke:
         first = next(iter(registry))
         registry = {first: registry[first]}
@@ -1338,10 +1428,27 @@ def main() -> None:
     full["extras_info"] = EXTRAS_INFO
     _write_local()
     spark.stop()
-    # belt-and-suspenders re-print: the graded JSON line is ALSO the
-    # very last stdout line (after spark.stop(), so no JVM output can
-    # land after it) — tests/test_bench_stdout_contract.py pins this
-    print(line_text, flush=True)
+    # Final stdout (after spark.stop(), so no JVM output can land
+    # after it): a penultimate "EXTRAS {...}" line with per-extra warm
+    # seconds, then the graded JSON line re-printed with the
+    # extras_ok/extras_err counts folded in. The driver keeps a ~2 KB
+    # stdout tail and parses the last JSON line out of it — the two
+    # lines together stay under that budget, so the per-extra timings
+    # survive in the driver artifact (round 11 lost them to the tail
+    # truncation) while the prefix keeps the extras line from ever
+    # being mistaken for the graded record (it does not json.loads).
+    # tests/test_bench_stdout_contract.py pins both lines + the budget.
+    line["extras_ok"] = len(extras_warm)
+    line["extras_err"] = len(extras_errors)
+    print(
+        "EXTRAS "
+        + json.dumps(
+            {k: _sig3(v) for k, v in extras_warm.items()},
+            separators=(",", ":"),
+        ),
+        flush=True,
+    )
+    print(json.dumps(line, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

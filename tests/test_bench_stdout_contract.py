@@ -26,6 +26,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BENCH = os.path.join(REPO, "bench.py")
 SF_DIR = os.environ.get("SPARK_GRAFT_SMOKE_SF", "/root/testdata/sf0.001")
@@ -55,7 +57,9 @@ def test_bench_last_stdout_line_is_the_graded_json(tmp_path):
     stdout_lines = [l for l in proc.stdout.splitlines() if l.strip()]
     assert stdout_lines, "bench printed nothing to stdout"
 
-    # (1) the last line IS the graded record
+    # (1) the last line IS the graded record — medians, order-drift
+    # evidence, calibration, AND the per-extra warm seconds (round 11
+    # lost the extras to the tail truncation)
     last = stdout_lines[-1]
     rec = json.loads(last)
     assert rec["metric"] == "headline_queries_total"
@@ -63,35 +67,56 @@ def test_bench_last_stdout_line_is_the_graded_json(tmp_path):
     assert rec["warm_total"] > 0
     assert rec["queries"] and all(v >= 0 for v in rec["queries"].values())
     assert rec["sf"] == 0.001
+    assert rec["queries_kind"] == "med_warm_2way"
 
-    # the machine-speed normalizer + per-query spread (round-11): the
+    # machine-speed normalizer + order-invariance evidence: the
     # calibration probe is constant work so it must be positive, and
-    # q_min/q_max are parallel to the queries map with min <= median
-    # <= max pointwise
+    # the forward-vs-reverse disagreement scalars must be present
+    # (p90 <= max by construction)
     assert rec["calibration_sec"] > 0
-    meds = list(rec["queries"].values())
-    assert len(rec["q_min"]) == len(meds) == len(rec["q_max"])
-    for lo, mid, hi in zip(rec["q_min"], meds, rec["q_max"]):
-        assert lo <= mid <= hi
+    assert 0 <= rec["order_dp90"] <= rec["order_dmax"]
 
-    # belt-and-suspenders: the early print emitted the SAME line, so a
-    # driver that takes the FIRST parseable line agrees with one that
-    # takes the last
-    assert stdout_lines[0] == last
+    # extras evidence in the graded line (counts) + the penultimate
+    # "EXTRAS {...}" line (per-extra seconds — prefixed so it can
+    # NEVER be mistaken for the graded record: json.loads must fail)
+    assert rec["extras_ok"] == 1 and rec["extras_err"] == 0
+    assert "extras" not in rec
+    extras_line = stdout_lines[-2]
+    assert extras_line.startswith("EXTRAS ")
+    with pytest.raises(json.JSONDecodeError):
+        json.loads(extras_line)
+    extras = json.loads(extras_line[len("EXTRAS "):])
+    assert len(extras) == 1 and all(v >= 0 for v in extras.values())
 
-    # (2) tail-safety: the line fits a 2 KB capture tail with margin.
-    # The smoke line is shorter than the full 37-query one, so project
-    # the full-run length entry-by-entry: each `queries` map entry
-    # costs len(name) + ~12 chars of quotes/colon/number/comma, and
-    # each headline query adds ~7 chars to EACH of the q_min/q_max
-    # parallel arrays ("0.123,").
+    # the EARLY crash-safety print is the same record minus the extras
+    # counts (it fires before the extras loop) — a driver that takes
+    # the first parseable line still gets every headline field
+    early = json.loads(stdout_lines[0])
+    assert early["queries"] == rec["queries"]
+    assert early["warm_total"] == rec["warm_total"]
+    assert "extras_ok" not in early
+
+    # (2) tail-safety: the graded line AND the extras line together
+    # fit a 2 KB capture tail with margin. The smoke run carries 4
+    # queries + 1 extra, so rebuild both with the FULL rosters at
+    # worst-case 3-sig-fig value widths ("0.0123" / "0.123") and
+    # measure the compact serializations exactly.
     import bench
 
-    base = len(last)  # scaffolding + the smoke entries (overcounts base: fine)
-    projected_full = base + sum(len(n) + 12 + 14 for n in bench.HEADLINE)
-    assert projected_full < 1900, (
-        f"projected full-run stdout line ~{projected_full} chars — "
-        "the driver tail keeps 2000; shrink the line"
+    proj = dict(rec)
+    proj["queries"] = {n: 0.0123 for n in bench.HEADLINE}
+    proj["extras_ok"] = len(bench.EXTRA_NAMES)
+    proj_extras = "EXTRAS " + json.dumps(
+        {n: 0.123 for n in bench.EXTRA_NAMES}, separators=(",", ":")
+    )
+    projected = (
+        len(json.dumps(proj, separators=(",", ":")))
+        + len(proj_extras)
+        + 2  # newlines
+    )
+    assert projected < 1980, (
+        f"projected full-run stdout tail ~{projected} chars — "
+        "the driver keeps 2000; shrink the lines"
     )
 
     # (3) no console progress bars anywhere in the captured streams
