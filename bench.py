@@ -161,6 +161,7 @@ EXTRA_NAMES = [
     "sample_stratified",
     "tokenizer_eff",
     "bloom_gate",
+    "e2e_crawl_to_pack",
     "curate_full",
 ]
 
@@ -223,6 +224,63 @@ def calibration_probe(spark) -> dict[str, float]:
             reps.append(time.perf_counter() - t0)
         out[name] = round(statistics.median(reps), 3)
     return out
+
+
+def _ensure_bench_warc(spark, sf_dir: str, n_files: int = 8) -> list[str]:
+    """Build (once per sf, cached) the CommonCrawl-layout .warc.gz rig
+    the crawl-shaped extras read — one gzip member per response
+    record, the documents fixture as page bodies. Cache validity = a
+    marker written AFTER all files complete, stamped with the source
+    fixture's identity: a crash mid-write or a regenerated fixture
+    must rebuild, not silently bench truncated/stale data. The scale
+    unit is the FILE (real fan-out for the distributed parse)."""
+    import tempfile
+
+    from hospital_stain_tracker_data_pipeline_spark.sources.tables import (
+        load_fixture_table,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.sources.warc import (
+        http_response_block,
+        write_warc,
+    )
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    base = os.path.join(tempfile.gettempdir(), f"bench_warc_{tag}")
+    paths = [os.path.join(base, f"crawl-{i}.warc.gz") for i in range(n_files)]
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    stamp = f"{st.st_mtime_ns}:{st.st_size}:{n_files}"
+    marker = os.path.join(base, "_SUCCESS")
+    fresh = os.path.exists(marker) and open(marker).read() == stamp
+    if not fresh:
+        os.makedirs(base, exist_ok=True)
+        if os.path.exists(marker):
+            os.remove(marker)
+        docs = (
+            load_fixture_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .collect()
+        )
+        for i, p in enumerate(paths):
+            write_warc(
+                p,
+                (
+                    {
+                        "warc_type": "response",
+                        "target_uri": f"http://bench.example/{r['doc_id']}",
+                        "warc_date": "2026-01-01T00:00:00Z",
+                        "content_type": "application/http; msgtype=response",
+                        "block": http_response_block(
+                            (r["text"] or "").encode("utf-8")
+                        ),
+                    }
+                    for r in docs
+                    if r["doc_id"] % n_files == i
+                ),
+            )
+        with open(marker, "w") as f:
+            f.write(stamp)
+    return paths
 
 
 def _extras_registry():
@@ -858,56 +916,12 @@ def _extras_registry():
         is the distributed parse, not the rig), then
         warc_to_documents — stream gunzip + WARC/HTTP envelope parse
         + charset decode in mapInPandas tasks."""
-        import tempfile
-
         from hospital_stain_tracker_data_pipeline_spark.sources.warc import (
-            http_response_block,
             warc_to_documents,
-            write_warc,
         )
 
-        n_files = 8  # the scale unit is the FILE — give the scan real fan-out
-        tag = sf_dir.strip("/").replace("/", "_")
-        base = os.path.join(tempfile.gettempdir(), f"bench_warc_{tag}")
-        paths = [os.path.join(base, f"crawl-{i}.warc.gz") for i in range(n_files)]
-        # cache validity = a marker written AFTER all files complete,
-        # stamped with the source fixture's identity: a crash mid-write
-        # or a regenerated fixture must rebuild, not silently bench
-        # truncated/stale data
-        src = os.path.join(sf_dir, "documents.parquet")
-        st = os.stat(src)
-        stamp = f"{st.st_mtime_ns}:{st.st_size}:{n_files}"
-        marker = os.path.join(base, "_SUCCESS")
-        fresh = os.path.exists(marker) and open(marker).read() == stamp
-        if not fresh:
-            os.makedirs(base, exist_ok=True)
-            if os.path.exists(marker):
-                os.remove(marker)
-            docs = (
-                load_fixture_table(spark, sf_dir, "documents")
-                .select("doc_id", "text")
-                .collect()
-            )
-            for i, p in enumerate(paths):
-                write_warc(
-                    p,
-                    (
-                        {
-                            "warc_type": "response",
-                            "target_uri": f"http://bench.example/{r['doc_id']}",
-                            "warc_date": "2026-01-01T00:00:00Z",
-                            "content_type": "application/http; msgtype=response",
-                            "block": http_response_block(
-                                (r["text"] or "").encode("utf-8")
-                            ),
-                        }
-                        for r in docs
-                        if r["doc_id"] % n_files == i
-                    ),
-                )
-            with open(marker, "w") as f:
-                f.write(stamp)
-        return warc_to_documents(spark, paths, parallelism=n_files)
+        paths = _ensure_bench_warc(spark, sf_dir)
+        return warc_to_documents(spark, paths, parallelism=len(paths))
 
     def html_extract(spark, sf_dir):
         """HTML -> text extraction over the documents fixture wrapped
@@ -1119,6 +1133,109 @@ def _extras_registry():
         )
         return filter_unseen(batch, sk, "fp", m_bits, k)
 
+    def e2e_crawl_to_pack(spark, sf_dir):
+        """The number a real adopter asks for first, as ONE timed
+        pipeline (round 12): crawl WARCs → WARC/HTTP parse →
+        HTML→text + URL-dedup curation (quality funnel → exact →
+        MinHash near-dup → epoch shuffle → pack) → shard manifest on
+        the text leg, PLUS the media leg — rendered image payloads →
+        header-only classify routing → curate_media. Per-stage wall
+        times and row accounting land in extras_info
+        (warc_parse / curate_pack / manifest / media_curate); the
+        returned frame is the shard manifest. The WARC rig is the
+        cached one warc_scan uses, so the timing is the pipeline, not
+        the fixture writer."""
+        import time as _t
+
+        import numpy as np2
+        import pandas as pd2
+
+        from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+            materialize,
+        )
+        from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (  # noqa: E501
+            encode_bmp,
+            to_media_table,
+        )
+        from hospital_stain_tracker_data_pipeline_spark.operators.packing import (
+            shard_manifest,
+        )
+        from hospital_stain_tracker_data_pipeline_spark.pipeline.curate import (
+            curate_documents,
+            curate_media,
+            unpersist_curated,
+        )
+        from hospital_stain_tracker_data_pipeline_spark.sources.warc import (
+            warc_to_documents,
+        )
+
+        phases: dict = {}
+        t0 = _t.perf_counter()
+        paths = _ensure_bench_warc(spark, sf_dir)
+        docs = materialize(
+            warc_to_documents(spark, paths, parallelism=len(paths))
+        )
+        phases["docs_in"] = docs.count()
+        phases["warc_parse_sec"] = round(_t.perf_counter() - t0, 3)
+
+        t1 = _t.perf_counter()
+        chunks, rep = curate_documents(
+            docs,
+            budget=2048,
+            n_shards=8,
+            seed=1,
+            near_dup_threshold=0.9,
+            html_col="html",
+            url_col="url",
+        )
+        phases["chunks"] = chunks.count()
+        phases["docs_kept"] = rep.after_near_dedup
+        phases["packed_tokens"] = rep.packed_tokens
+        phases["curate_pack_sec"] = round(_t.perf_counter() - t1, 3)
+
+        t2 = _t.perf_counter()
+        manifest = materialize(shard_manifest(chunks))
+        phases["shards"] = manifest.count()
+        phases["manifest_sec"] = round(_t.perf_counter() - t2, 3)
+        unpersist_curated(chunks)
+
+        # media leg: one deterministic 32x32 BMP per document (the
+        # image_near_dup rig shape: ~12-doc families share a base,
+        # two per-doc pixel tweaks make members NEAR dups) → classify
+        # routing → curate_media
+        t3 = _t.perf_counter()
+        ids = load_fixture_table(spark, sf_dir, "documents").select("doc_id")
+
+        def render(batches):
+            for pdf in batches:
+                out_ids = pdf["doc_id"].astype("int64")
+                payloads = []
+                for i in out_ids:
+                    rng = np2.random.RandomState(int(i) % 401)
+                    px = rng.randint(0, 256, size=(32, 32, 3)).astype(
+                        "uint8"
+                    )
+                    tweak = np2.random.RandomState(int(i) & 0xFFFFFFFF)
+                    for _ in range(2):
+                        px[tweak.randint(32), tweak.randint(32)] = (
+                            tweak.randint(0, 256, size=3)
+                        )
+                    payloads.append(encode_bmp(px))
+                yield pd2.DataFrame({"doc_id": out_ids, "payload": payloads})
+
+        media = to_media_table(
+            ids.mapInPandas(render, "doc_id long, payload binary"),
+            "doc_id",
+            "payload",
+            source="bench",
+        )
+        survivors, mrep = curate_media(media, image_max_hamming=3)
+        phases["media_kept"] = survivors.count()
+        unpersist_curated(survivors)
+        phases["media_curate_sec"] = round(_t.perf_counter() - t3, 3)
+        EXTRAS_INFO["e2e_crawl_to_pack"] = phases
+        return manifest
+
     def curate_full(spark, sf_dir):
         """The flagship composition end-to-end with EVERY optional
         stage on (cap → funnel → exact → MinHash → SemDeDup → BM25
@@ -1198,6 +1315,7 @@ def _extras_registry():
         "sample_stratified": sample_stratified_draw,
         "tokenizer_eff": tokenizer_eff,
         "bloom_gate": bloom_gate,
+        "e2e_crawl_to_pack": e2e_crawl_to_pack,
         # keep last: it persists its outputs; main() clears the cache
         # after the extras loop
         "curate_full": curate_full,

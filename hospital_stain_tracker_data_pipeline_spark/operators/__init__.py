@@ -128,6 +128,10 @@ from .retrieval import (  # noqa: F401
 )
 from .dedup import (  # noqa: F401
     append_fp_index,
+    compact_dedup_index,
+    compact_fp_index,
+    remove_from_dedup_index,
+    remove_from_fp_index,
     dedup_against_corpus,
     dedup_pairs_against_corpus,
     dedup_substrings,
@@ -153,6 +157,8 @@ from .similarity import (  # noqa: F401
 )
 from .audio_fp import (  # noqa: F401
     append_afp_index,
+    compact_afp_index,
+    remove_from_afp_index,
     audio_dup_pairs,
     audio_fingerprint,
     dedup_audio_against_corpus,
@@ -161,6 +167,8 @@ from .audio_fp import (  # noqa: F401
 )
 from .video_fp import (  # noqa: F401
     append_vhash_index,
+    compact_vhash_index,
+    remove_from_vhash_index,
     dedup_videos_against_corpus,
     load_vhash_index,
     save_vhash_index,
@@ -177,8 +185,10 @@ from .pdf import (  # noqa: F401
 from .multimodal import (  # noqa: F401
     append_phash_index,
     classify_media,
+    compact_phash_index,
     dedup_images_against_corpus,
     load_phash_index,
+    remove_from_phash_index,
     save_phash_index,
     extract_audio_features,
     extract_image_features,

@@ -306,3 +306,28 @@ def load_afp_index(spark: SparkSession, path: str) -> DataFrame:
         spark, path, AFP_ALGO, id_col="media_id", hash_col="afp"
     )
     return index
+
+
+def remove_from_afp_index(
+    spark: SparkSession, path: str, ids: DataFrame
+) -> dict:
+    """Takedowns for the audio index: tombstone ``media_id``s so they
+    stop seeding audio near-dup verdicts in minutes (the generic
+    tagged-artifact lifecycle — ``dedup.remove_from_fp_index`` under
+    this module's revision tag; same tombstone-vs-reappend contract
+    as the ANN tier)."""
+    from .dedup import _artifact_remove
+
+    load_afp_index(spark, path)  # one validating read (tag + columns)
+    return _artifact_remove(spark, path, ids, "media_id")
+
+
+def compact_afp_index(
+    spark: SparkSession, path: str, min_ratio: float = 0.1,
+    force: bool = False,
+) -> dict:
+    """Vacuum for ``remove_from_afp_index`` tombstones."""
+    from .dedup import _artifact_compact
+
+    load_afp_index(spark, path)  # one validating read (tag + columns)
+    return _artifact_compact(spark, path, "media_id", min_ratio, force)

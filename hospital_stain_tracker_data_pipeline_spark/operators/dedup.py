@@ -506,6 +506,7 @@ def save_dedup_index(
         .write.mode("overwrite")
         .parquet(path)
     )
+    clear_index_lifecycle_state(path)  # a REBUILD starts takedown-free
 
 
 def load_dedup_index(spark, path: str):
@@ -545,6 +546,7 @@ def load_dedup_index(spark, path: str):
     index = df.drop("_mh_num_hashes", "_mh_k", "_mh_id_col").filter(
         F.col(id_col).isNotNull()  # drop the empty-safety sentinel
     )
+    index = suppress_index_tombstones(spark, path, index, id_col)
     return index, num_hashes, k
 
 
@@ -1514,6 +1516,7 @@ def save_fp_index(
         .write.mode("overwrite")
         .parquet(path)
     )
+    clear_index_lifecycle_state(path)  # a REBUILD starts takedown-free
 
 
 def append_fp_index(
@@ -1592,4 +1595,257 @@ def load_fp_index(
     index = df.drop("_fp_tag").filter(
         F.col(id_col).isNotNull()  # drop the empty-safety sentinel
     )
+    index = suppress_index_tombstones(spark, path, index, id_col)
     return index, tags[0]
+
+
+# ---------------------------------------------------------------------------
+# Index deletion lifecycle (round 12): tombstones + deferred compaction
+# for every parquet fingerprint artifact (the ANN index got this in
+# round 11 via pq.remove_from_ann_index; the fingerprint tiers get the
+# same takedown semantics here). One generic engine serves the three
+# artifact formats — generic tagged fp (audio/video), MinHash
+# signature, and image phash — because they share the same shape:
+# a parquet dir of (id, payload-free hash[es]) + constant meta columns
+# + a NULL-id empty-safety sentinel row.
+# ---------------------------------------------------------------------------
+
+
+def _artifact_tombstone_dir(path: str) -> str:
+    return path.rstrip("/") + "_tombstones"
+
+
+def clear_index_lifecycle_state(path: str) -> None:
+    """Drop the sibling tombstone / in-flight-compaction dirs for an
+    index artifact — called by every ``save_*_index`` REBUILD: the ANN
+    tier keeps its tombstones INSIDE the index dir so a rebuild clears
+    them implicitly; the fp tiers' sibling dirs would otherwise
+    survive the overwrite and silently suppress legitimately-present
+    ids in the brand-new index (and a later compact would physically
+    delete them)."""
+    import shutil
+
+    p = path.rstrip("/")
+    for d in (p + "_tombstones", p + "_compacting", p + "_old"):
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def suppress_index_tombstones(
+    spark: SparkSession, path: str, index: DataFrame, id_col: str
+) -> DataFrame:
+    """Anti-join an index frame against its artifact's tombstone set
+    (a sibling ``<path>_tombstones`` parquet of bare ids) — called by
+    every index LOADER, so a tombstoned id stops matching probes the
+    moment the tombstone lands, without touching the index files.
+    Same contract as the ANN tier: a tombstone suppresses its id even
+    if the same id is APPENDED again later (compaction folds the
+    re-append away too) — re-adding a removed id requires compacting
+    first. No tombstone dir ⇒ identity."""
+    import os
+
+    td = _artifact_tombstone_dir(path)
+    if not os.path.isdir(td):
+        return index
+    tomb = spark.read.parquet(td).select(id_col).distinct()
+    return index.join(F.broadcast(tomb), id_col, "left_anti")
+
+
+def _artifact_remove(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    id_col: str,
+    compact_ratio_threshold: float = 0.1,
+) -> dict:
+    """Tombstone ``ids`` against an ALREADY-VALIDATED index artifact
+    (the public wrappers run their tier's loader first, so a torn or
+    wrong-family artifact rejects before anything is written). The
+    ids are distinct-ed and snapshot-pinned (localCheckpoint) before
+    the append — a broken producer fails here with the artifact
+    untouched. Unknown ids tombstone harmlessly (the anti-join
+    ignores them) but inflate the reported ratio. Returns the
+    ANN-shaped report: requested / tombstones_total / index_rows
+    (physical, pre-suppression) / tombstone_ratio /
+    compact_recommended. Single-writer per artifact, like
+    append/compact."""
+    import os
+
+    if id_col not in ids.columns:
+        raise ValueError(
+            f"ids frame lacks column {id_col!r} (has {ids.columns}) — "
+            f"the index at {path} keys on {id_col!r}"
+        )
+    # cast to the INDEX's id type before anything is written: two
+    # removes carrying different physical id types (int32 vs int64
+    # parquet from different tools) would otherwise mix schemas in the
+    # tombstone dir and make every subsequent index load unreadable
+    id_type = spark.read.parquet(path).schema[id_col].dataType
+    tomb = (
+        ids.select(F.col(id_col).cast(id_type).alias(id_col))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_req = tomb.count()
+    td = _artifact_tombstone_dir(path)
+    if n_req:
+        tomb.write.mode("append").parquet(td)
+    n_tomb = (
+        spark.read.parquet(td).select(id_col).distinct().count()
+        if os.path.isdir(td)
+        else 0
+    )
+    n_rows = (
+        spark.read.parquet(path).filter(F.col(id_col).isNotNull()).count()
+    )
+    ratio = round(n_tomb / n_rows, 6) if n_rows else 0.0
+    return {
+        "requested": n_req,
+        "tombstones_total": n_tomb,
+        "index_rows": n_rows,
+        "tombstone_ratio": ratio,
+        "compact_recommended": ratio >= compact_ratio_threshold,
+    }
+
+
+def _artifact_compact(
+    spark: SparkSession,
+    path: str,
+    id_col: str,
+    min_ratio: float,
+    force: bool,
+) -> dict:
+    """Fold tombstones into the index files — the artifact's vacuum,
+    deferred by default (below ``min_ratio`` the per-load anti-join is
+    cheaper than the rewrite). The rewritten files land in a sibling
+    ``<path>_compacting`` dir and are COUNT-VALIDATED against an
+    independently-derived survivor count before any swap — a rewrite
+    that loses or duplicates rows raises with the original artifact
+    intact. The swap then renames through ``<path>_old`` so every
+    crash window leaves either a valid artifact or a loudly-missing
+    path, never a silently-partial one. Meta columns and the NULL-id
+    sentinel ride the rewrite untouched (NULL join keys never match
+    the tombstone semi/anti joins). Probe results are identical
+    before and after — compaction changes storage, never semantics."""
+    import os
+    import shutil
+
+    p = path.rstrip("/")
+    td = _artifact_tombstone_dir(p)
+    raw = spark.read.parquet(p)
+    n_rows = raw.filter(F.col(id_col).isNotNull()).count()
+    if not os.path.isdir(td):
+        return {
+            "compacted": False,
+            "reason": "no tombstones",
+            "index_rows": n_rows,
+        }
+    tomb = spark.read.parquet(td).select(id_col).distinct()
+    n_tomb = tomb.count()
+    ratio = round(n_tomb / n_rows, 6) if n_rows else 0.0
+    if not force and ratio < min_ratio:
+        return {
+            "compacted": False,
+            "reason": f"tombstone_ratio {ratio} < min_ratio {min_ratio}",
+            "index_rows": n_rows,
+            "tombstones_total": n_tomb,
+            "tombstone_ratio": ratio,
+        }
+    compacting = p + "_compacting"
+    if os.path.isdir(compacting):
+        shutil.rmtree(compacting)  # leftover from a pre-swap crash
+    n_before = raw.count()  # incl. sentinel
+    n_dead = raw.join(tomb, id_col, "left_semi").count()
+    raw.join(tomb, id_col, "left_anti").write.mode("overwrite").parquet(
+        compacting
+    )
+    n_after = spark.read.parquet(compacting).count()
+    if n_after != n_before - n_dead:
+        raise ValueError(
+            f"compaction rewrite produced {n_after} rows, expected "
+            f"{n_before} - {n_dead} = {n_before - n_dead} — aborting "
+            f"with the original artifact intact (stale files under "
+            f"{compacting}?)"
+        )
+    old = p + "_old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    os.rename(p, old)
+    os.rename(compacting, p)
+    shutil.rmtree(old)
+    shutil.rmtree(td)
+    return {
+        "compacted": True,
+        "index_rows_before": n_rows,
+        "index_rows_after": n_rows - n_dead,
+        "folded_tombstones": n_tomb,
+        "tombstone_ratio": ratio,
+    }
+
+
+def remove_from_fp_index(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    tag: str,
+    id_col: str = "media_id",
+    hash_col: str = "fp",
+    compact_ratio_threshold: float = 0.1,
+) -> dict:
+    """Takedowns for the generic tagged fingerprint artifact (the
+    audio/video tiers): tombstone ``ids`` so they stop matching
+    probes in minutes, deferring the file rewrite to
+    ``compact_fp_index``. The caller's ``tag`` is validated against
+    the artifact first — removing under the wrong family/revision is
+    rejected, same as probing under it."""
+    load_fp_index(spark, path, tag, id_col=id_col, hash_col=hash_col)
+    return _artifact_remove(
+        spark, path, ids, id_col,
+        compact_ratio_threshold=compact_ratio_threshold,
+    )
+
+
+def compact_fp_index(
+    spark: SparkSession,
+    path: str,
+    tag: str | None = None,
+    min_ratio: float = 0.1,
+    force: bool = False,
+    id_col: str = "media_id",
+    hash_col: str = "fp",
+) -> dict:
+    """Vacuum for ``remove_from_fp_index`` tombstones — threshold-
+    gated rewrite of the artifact minus the tombstoned ids."""
+    load_fp_index(spark, path, tag, id_col=id_col, hash_col=hash_col)
+    return _artifact_compact(spark, path, id_col, min_ratio, force)
+
+
+def remove_from_dedup_index(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    compact_ratio_threshold: float = 0.1,
+) -> dict:
+    """Takedowns for the MinHash signature artifact
+    (``save_dedup_index``): tombstone ``ids`` under the artifact's
+    OWN recorded id column — the text tier's equivalent of
+    ``pq.remove_from_ann_index``. A removed document stops seeding
+    near-dup verdicts immediately; ``compact_dedup_index`` folds the
+    tombstones into the files later."""
+    load_dedup_index(spark, path)  # validates (params, single set)
+    id_col = spark.read.parquet(path).select("_mh_id_col").first()[0]
+    return _artifact_remove(
+        spark, path, ids, id_col,
+        compact_ratio_threshold=compact_ratio_threshold,
+    )
+
+
+def compact_dedup_index(
+    spark: SparkSession,
+    path: str,
+    min_ratio: float = 0.1,
+    force: bool = False,
+) -> dict:
+    """Vacuum for ``remove_from_dedup_index`` tombstones."""
+    load_dedup_index(spark, path)  # validates (params, single set)
+    id_col = spark.read.parquet(path).select("_mh_id_col").first()[0]
+    return _artifact_compact(spark, path, id_col, min_ratio, force)

@@ -1407,6 +1407,9 @@ def save_phash_index(
         .write.mode("overwrite")
         .parquet(path)
     )
+    from .dedup import clear_index_lifecycle_state
+
+    clear_index_lifecycle_state(path)  # a REBUILD starts takedown-free
 
 
 def append_phash_index(spark, path: str, hashes: DataFrame) -> int:
@@ -1474,7 +1477,33 @@ def load_phash_index(spark, path: str):
     index = df.drop("_phash_algo", "_phash_size").filter(
         F.col("media_id").isNotNull()  # drop the empty-safety sentinel
     )
+    from .dedup import suppress_index_tombstones
+
+    index = suppress_index_tombstones(spark, path, index, "media_id")
     return index, algo, hash_size
+
+
+def remove_from_phash_index(spark, path: str, ids: DataFrame) -> dict:
+    """Takedowns for the visual index — tombstone ``media_id``s so
+    they stop seeding image near-dup verdicts in minutes (the pixels
+    were never stored; the hash rows stay until
+    ``compact_phash_index`` folds them). Artifact validated first;
+    same tombstone-vs-reappend contract as the ANN tier."""
+    from .dedup import _artifact_remove
+
+    load_phash_index(spark, path)  # rejects torn/parameterless artifacts
+    return _artifact_remove(spark, path, ids, "media_id")
+
+
+def compact_phash_index(
+    spark, path: str, min_ratio: float = 0.1, force: bool = False
+) -> dict:
+    """Vacuum for ``remove_from_phash_index`` tombstones — threshold-
+    gated rewrite of the artifact minus the tombstoned ids."""
+    from .dedup import _artifact_compact
+
+    load_phash_index(spark, path)
+    return _artifact_compact(spark, path, "media_id", min_ratio, force)
 
 
 def _gif_lzw_decode(data: bytes, mcs: int, n_pixels: int) -> bytes | None:

@@ -340,3 +340,27 @@ def load_vhash_index(spark: SparkSession, path: str):
             "artifact this module can probe (rebuild the index)"
         )
     return index, algo, hash_size, n_samples
+
+
+def remove_from_vhash_index(
+    spark: SparkSession, path: str, ids: DataFrame
+) -> dict:
+    """Takedowns for the video index: tombstone ``media_id``s so they
+    stop seeding video near-dup verdicts in minutes (the generic
+    tagged-artifact lifecycle under the artifact's OWN recorded tag;
+    same tombstone-vs-reappend contract as the ANN tier)."""
+    from .dedup import _artifact_remove
+
+    load_vhash_index(spark, path)  # one validating read (tag family)
+    return _artifact_remove(spark, path, ids, "media_id")
+
+
+def compact_vhash_index(
+    spark: SparkSession, path: str, min_ratio: float = 0.1,
+    force: bool = False,
+) -> dict:
+    """Vacuum for ``remove_from_vhash_index`` tombstones."""
+    from .dedup import _artifact_compact
+
+    load_vhash_index(spark, path)  # one validating read (tag family)
+    return _artifact_compact(spark, path, "media_id", min_ratio, force)

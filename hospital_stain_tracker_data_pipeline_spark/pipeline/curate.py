@@ -796,6 +796,9 @@ class MediaCurationReport:
     audio_near_dropped: int
     video_near_dropped: int
     kept: int
+    # round 12: the cross-modal PDF→text near-dup stage (0 when the
+    # stage is off)
+    pdf_text_dropped: int = 0
 
 
 def curate_media(
@@ -805,6 +808,8 @@ def curate_media(
     video_max_hamming: int = 4,
     video_n_samples: int = 8,
     fake_decode: bool = False,
+    pdf_text_stage: bool = False,
+    pdf_near_dup_threshold: float = 0.9,
 ) -> tuple[DataFrame, MediaCurationReport]:
     """End-to-end MEDIA curation recipe — the multimodal counterpart
     of ``curate_documents``, wiring the library's media-dedup tiers
@@ -823,8 +828,18 @@ def curate_media(
     policy of the text recipe. Payloads the native decoders cannot
     handle (WebP, MP3/Ogg, non-MJPEG video, encrypted PDFs — env
     ceilings, flagged by the header-only ``native`` gate) PASS THROUGH
-    untouched and are counted in ``non_native``; ``unknown``/
-    ``document`` modalities likewise pass through.
+    untouched and are counted in ``non_native``; ``unknown``
+    modality likewise passes through. ``document`` payloads pass
+    through the media tiers, but with ``pdf_text_stage=True`` the
+    native PDFs additionally route through the TEXT near-dup gate
+    (round 12's cross-modal link): ``extract_pdf_text`` → MinHash-LSH
+    pairs at ``pdf_near_dup_threshold`` in the SAME id space,
+    keep-lowest-id — so a re-serialized PDF with identical text dedups
+    even though its bytes differ. Extraction inside the stage runs
+    with the deterministic stand-in fallback and FILTERS to
+    ``extracted`` rows, so PDFs beyond the parser's ceiling (damaged,
+    exotic filters) pass through rather than aborting the recipe —
+    stand-ins never pair (each is a distinct payload hash).
 
     Scale shape (the pinned contract): the tagged frame is persisted
     and every stage reads it ONCE — modality subsets are pure FILTERS
@@ -910,6 +925,35 @@ def curate_media(
         dropped[modality] = losers.count()
         all_losers = all_losers.unionByName(losers)
 
+    pdf_text_dropped = 0
+    if pdf_text_stage:
+        from ..operators.dedup import minhash_lsh_dedup_pairs
+        from ..operators.pdf import extract_pdf_text
+
+        pdf_subset = tagged.filter(
+            (F.col("modality") == "document") & F.col("native")
+        ).join(exact_losers, "media_id", "left_anti")
+        # stand-in fallback keeps the recipe total on ceiling PDFs;
+        # the extracted filter keeps stand-ins out of the pair gate
+        texts = (
+            extract_pdf_text(pdf_subset, fake_decode=True)
+            .filter(F.col("extracted"))
+            .select("media_id", "text")
+        )
+        pdf_losers = (
+            minhash_lsh_dedup_pairs(
+                texts,
+                text_col="text",
+                id_col="media_id",
+                threshold=pdf_near_dup_threshold,
+            )
+            .select(F.col("id_b").alias("media_id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        pdf_text_dropped = pdf_losers.count()
+        all_losers = all_losers.unionByName(pdf_losers)
+
     survivors = tagged.join(all_losers, "media_id", "left_anti").drop(
         "modality", "native"
     )
@@ -921,7 +965,9 @@ def curate_media(
         image_near_dropped=dropped["image"],
         audio_near_dropped=dropped["audio"],
         video_near_dropped=dropped["video"],
-        kept=total - exact_dropped - sum(dropped.values()),
+        kept=total - exact_dropped - sum(dropped.values())
+        - pdf_text_dropped,
+        pdf_text_dropped=pdf_text_dropped,
     )
     # the unpersist_curated handshake: the survivors frame reads the
     # persisted routing pass until the caller materializes it

@@ -276,6 +276,56 @@ def cmd_curate(args) -> None:
     print(f"wrote {args.output}")
 
 
+def _add_index_lifecycle_args(parser) -> None:
+    """The shared --remove/--compact flag set for the four fingerprint
+    index commands (one definition: the command bodies already share
+    _fp_index_lifecycle)."""
+    parser.add_argument("--remove",
+                        help="parquet of ids to TOMBSTONE from --output "
+                        "(takedown path: suppressed at every probe "
+                        "immediately, files untouched until --compact); "
+                        "prints the report JSON")
+    parser.add_argument("--compact", action="store_true",
+                        help="fold tombstones into the index files "
+                        "(threshold-gated rewrite); prints the report JSON")
+    parser.add_argument("--compact-min-ratio", type=float, default=0.1)
+    parser.add_argument("--compact-force", action="store_true")
+
+
+def _fp_index_lifecycle(spark, args, remove_fn, compact_fn) -> bool:
+    """Shared --remove/--compact handling for the four fingerprint
+    index commands (the ann_index lifecycle shape): tombstone ids from
+    a parquet of ids, or fold tombstones into the files. Returns True
+    when a lifecycle action ran (the build path is skipped)."""
+    import json as _json
+
+    if args.remove and args.compact:
+        raise SystemExit(
+            "--remove and --compact are mutually exclusive — one "
+            "lifecycle action per invocation"
+        )
+    if args.remove:
+        report = remove_fn(
+            spark, args.output, spark.read.parquet(args.remove)
+        )
+        print(_json.dumps(report))
+        return True
+    if args.compact:
+        report = compact_fn(
+            spark, args.output,
+            min_ratio=args.compact_min_ratio,
+            force=args.compact_force,
+        )
+        print(_json.dumps(report))
+        return True
+    if not args.input:
+        raise SystemExit(
+            "--input is required (only --remove/--compact operate "
+            "without a corpus batch)"
+        )
+    return False
+
+
 def cmd_dedup_index(args) -> None:
     """Build (or refresh) the text-free MinHash signature index for a
     corpus — the artifact `dedup_filter` probes. Run nightly / per
@@ -290,7 +340,16 @@ def cmd_dedup_index(args) -> None:
         save_dedup_index,
     )
 
+    from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+        compact_dedup_index,
+        remove_from_dedup_index,
+    )
+
     spark = get_spark(app_name="dedup_index")
+    if _fp_index_lifecycle(
+        spark, args, remove_from_dedup_index, compact_dedup_index
+    ):
+        return
     docs = spark.read.parquet(args.input)
     idx = minhash_signature_index(
         docs, num_hashes=args.num_hashes, k=args.shingle_k
@@ -588,7 +647,16 @@ def cmd_image_index(args) -> None:
         save_phash_index,
     )
 
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (  # noqa: E501
+        compact_phash_index,
+        remove_from_phash_index,
+    )
+
     spark = get_spark(app_name="image_index")
+    if _fp_index_lifecycle(
+        spark, args, remove_from_phash_index, compact_phash_index
+    ):
+        return
     media = spark.read.parquet(args.input)
     hashes = image_phash(
         media, args.algo, args.hash_size, fake_decode=args.fake_decode
@@ -692,6 +760,8 @@ def cmd_curate_media(args) -> None:
         audio_max_hamming=args.audio_max_hamming,
         video_max_hamming=args.video_max_hamming,
         fake_decode=args.fake_decode,
+        pdf_text_stage=args.pdf_text_stage,
+        pdf_near_dup_threshold=args.pdf_near_dup_threshold,
     )
     survivors.write.mode("overwrite").parquet(args.output)
     print(json.dumps(dataclasses.asdict(rep)))
@@ -709,7 +779,16 @@ def cmd_audio_index(args) -> None:
         save_afp_index,
     )
 
+    from hospital_stain_tracker_data_pipeline_spark.operators.audio_fp import (
+        compact_afp_index,
+        remove_from_afp_index,
+    )
+
     spark = get_spark(app_name="audio_index")
+    if _fp_index_lifecycle(
+        spark, args, remove_from_afp_index, compact_afp_index
+    ):
+        return
     media = spark.read.parquet(args.input)
     fps = audio_fingerprint(media, fake_decode=args.fake_decode)
     save_afp_index(fps, args.output)
@@ -778,7 +857,16 @@ def cmd_video_index(args) -> None:
         video_phash,
     )
 
+    from hospital_stain_tracker_data_pipeline_spark.operators.video_fp import (
+        compact_vhash_index,
+        remove_from_vhash_index,
+    )
+
     spark = get_spark(app_name="video_index")
+    if _fp_index_lifecycle(
+        spark, args, remove_from_vhash_index, compact_vhash_index
+    ):
+        return
     media = spark.read.parquet(args.input)
     hashes = video_phash(
         media, args.algo, args.hash_size, args.n_samples,
@@ -1115,16 +1203,17 @@ def main() -> None:
     pw.set_defaults(fn=cmd_warc_ingest)
 
     pdi = sub.add_parser("dedup_index")
-    pdi.add_argument("--input", required=True, help="documents parquet path")
+    pdi.add_argument("--input", help="documents parquet path")
     pdi.add_argument("--output", required=True, help="signature index out")
     pdi.add_argument("--num-hashes", type=int, default=32)
     pdi.add_argument("--shingle-k", type=int, default=3,
                      help="word-shingle size; recorded on the artifact "
                      "so dedup_filter probes with the same k")
+    _add_index_lifecycle_args(pdi)
     pdi.set_defaults(fn=cmd_dedup_index)
 
     pii_ = sub.add_parser("image_index")
-    pii_.add_argument("--input", required=True,
+    pii_.add_argument("--input",
                       help="media parquet (media_id, payload binary)")
     pii_.add_argument("--output", required=True,
                       help="phash index artifact dir")
@@ -1133,6 +1222,7 @@ def main() -> None:
     pii_.add_argument("--fake-decode", action="store_true",
                       help="deterministic payload-hash stand-in bits for "
                       "formats the stdlib codecs cannot decode")
+    _add_index_lifecycle_args(pii_)
     pii_.set_defaults(fn=cmd_image_index)
 
     pif_ = sub.add_parser("image_filter")
@@ -1169,16 +1259,23 @@ def main() -> None:
     pcm_.add_argument("--audio-max-hamming", type=int, default=4)
     pcm_.add_argument("--video-max-hamming", type=int, default=4)
     pcm_.add_argument("--fake-decode", action="store_true")
+    pcm_.add_argument("--pdf-text-stage", action="store_true",
+                      help="route native PDFs through the TEXT near-dup "
+                      "gate (extract_pdf_text -> MinHash-LSH, same id "
+                      "space) so a re-serialized PDF with identical text "
+                      "dedups even though its bytes differ")
+    pcm_.add_argument("--pdf-near-dup-threshold", type=float, default=0.9)
     pcm_.set_defaults(fn=cmd_curate_media)
 
     pax = sub.add_parser("audio_index")
-    pax.add_argument("--input", required=True,
+    pax.add_argument("--input",
                      help="media parquet (media_id, payload binary)")
     pax.add_argument("--output", required=True,
                      help="afp index artifact dir")
     pax.add_argument("--fake-decode", action="store_true",
                      help="deterministic payload-hash stand-in bits for "
                      "codecs the native WAV/FLAC decoders cannot handle")
+    _add_index_lifecycle_args(pax)
     pax.set_defaults(fn=cmd_audio_index)
 
     paf = sub.add_parser("audio_filter")
@@ -1197,7 +1294,7 @@ def main() -> None:
     paf.set_defaults(fn=cmd_audio_filter)
 
     pvx = sub.add_parser("video_index")
-    pvx.add_argument("--input", required=True,
+    pvx.add_argument("--input",
                      help="media parquet (media_id, payload binary)")
     pvx.add_argument("--output", required=True,
                      help="vhash index artifact dir")
@@ -1208,6 +1305,7 @@ def main() -> None:
     pvx.add_argument("--fake-decode", action="store_true",
                      help="deterministic payload-hash stand-in bits for "
                      "containers the native extractors cannot handle")
+    _add_index_lifecycle_args(pvx)
     pvx.set_defaults(fn=cmd_video_index)
 
     pvf = sub.add_parser("video_filter")

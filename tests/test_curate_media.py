@@ -190,3 +190,47 @@ def test_curate_media_end_to_end(spark):
     assert rep.kept == 11
     # survivors keep the input schema
     assert survivors.columns == media.columns
+
+
+def test_curate_media_pdf_text_stage_drops_reserialized_pdf(spark):
+    """Round 12's cross-modal link: with pdf_text_stage=True, a PDF
+    RE-SERIALIZED through a different writer (classic-xref 1.4 vs
+    ObjStm 1.5 — different bytes, so the exact stage keeps both)
+    dedups on its TEXT through the MinHash gate, keep-lowest-id; a
+    distinct PDF and an encrypted (non-native) one pass through, and
+    the attrition report carries the pdf_text_dropped row."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.pdf import (
+        build_objstm_pdf,
+        build_simple_pdf,
+    )
+
+    pages = [
+        ["the quick brown fox jumps over the lazy dog tonight",
+         "pack my box with five dozen liquor jugs right now"],
+        ["how vexingly quick daft zebras jump over fences"],
+    ]
+    other = [["completely different subject matter entirely",
+              "nothing shared with the fox document at all here"]]
+    rows = {
+        50: build_simple_pdf(pages),           # keeper (lowest id)
+        51: build_objstm_pdf(pages),           # re-serialization: drops
+        52: build_simple_pdf(other),           # distinct text: survives
+        53: build_simple_pdf(pages, encrypted=True),  # non-native: passes
+    }
+    media = _media(spark, rows)
+
+    # stage off: documents pass through untouched (both serializations)
+    survivors, rep = curate_media(media)
+    assert sorted(r["media_id"] for r in survivors.collect()) == [50, 51, 52, 53]
+    assert rep.pdf_text_dropped == 0
+
+    survivors, rep = curate_media(media, pdf_text_stage=True)
+    kept_ids = sorted(r["media_id"] for r in survivors.collect())
+    assert kept_ids == [50, 52, 53]
+    assert rep.pdf_text_dropped == 1
+    assert rep.by_modality == {"document": 4}
+    assert rep.non_native == 1  # the encrypted PDF
+    assert rep.kept == 3
+    assert rep.total - rep.pdf_text_dropped == rep.kept + (
+        rep.total - rep.after_exact_dedup
+    ) + rep.image_near_dropped + rep.audio_near_dropped + rep.video_near_dropped
