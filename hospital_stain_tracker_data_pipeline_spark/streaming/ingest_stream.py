@@ -1301,3 +1301,81 @@ def stream_pdf_ingest(
             "extracted boolean",
         ),
     )
+
+
+def stream_ann_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    index_path: str,
+    out_dir: str,
+    schema: str = "vec_id long, embedding array<float>",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental ANN serving-index maintenance as a STREAM (round
+    12): embedding batches land continuously as parquet files in
+    ``source_dir``; each new FILE is encoded exactly once under the
+    index's frozen fits and appended to the persistent artifact
+    (``operators.pq.append_ann_index`` per micro-batch — O(delta),
+    the embedding lake is never re-read), so the serving index stays
+    fresh between nightly refits. Sink rows are the per-batch DRIFT
+    LEDGER — ``(appended, occupancy_shift_tv, err_ratio,
+    refit_recommended)`` — the artifact an operator's cron reads to
+    schedule the full ``build_ann_index`` when frozen-fit quality
+    decays.
+
+    Exactly-once nuance: the shared sink runner's dynamic-overwrite
+    makes the LEDGER replay-safe, but ``append_ann_index`` MUTATES the
+    artifact, which foreachBatch's at-least-once delivery would
+    double-append on a replay. The batch is therefore anti-joined
+    against the ids already in ``codes`` first — a replayed
+    micro-batch becomes an explicit appended=0 ledger row instead of
+    a silent duplicate. This rides the lifecycle's existing
+    id-immutability contract (updating a vector means remove →
+    compact → re-append, never append-over); genuinely new ids are
+    unaffected. The anti-join reads the codes table's ID COLUMN only
+    (parquet column pruning) — not the byte codes."""
+    import json as _json
+
+    marker = os.path.join(index_path, "_INDEX_OK")
+    if not os.path.exists(marker):
+        raise ValueError(
+            f"{index_path} has no _INDEX_OK marker — build the index "
+            "with build_ann_index before streaming appends into it"
+        )
+    with open(marker) as f:
+        id_col = _json.load(f)["id_col"]
+
+    ledger_schema = (
+        "appended long, occupancy_shift_tv double, err_ratio double, "
+        "refit_recommended boolean"
+    )
+    vecs = spark.readStream.schema(schema).parquet(source_dir)
+
+    def _append(batch_df: DataFrame) -> DataFrame | None:
+        existing = spark.read.parquet(
+            os.path.join(index_path, "codes")
+        ).select(id_col)
+        fresh = batch_df.join(
+            existing, id_col, "left_anti"
+        ).localCheckpoint(eager=True)
+        if fresh.count() == 0:
+            row = (0, None, None, False)
+        else:
+            from ..operators.pq import append_ann_index
+
+            rep = append_ann_index(spark, index_path, fresh, vec_col=vec_col)
+            row = (
+                int(rep.get("appended", 0)),
+                rep.get("occupancy_shift_tv"),
+                rep.get("err_ratio"),
+                bool(rep.get("refit_recommended", False)),
+            )
+        return spark.createDataFrame([row], ledger_schema)
+
+    return _run_batch_sink_stream(
+        spark,
+        vecs,
+        _append,
+        out_dir,
+        empty=lambda: spark.createDataFrame([], ledger_schema),
+    )

@@ -438,6 +438,25 @@ def cmd_ann_index(args) -> None:
     print(f"indexed {n} vectors -> {args.output}")
 
 
+def cmd_ann_stream(args) -> None:
+    """Streaming twin of `ann_index --append`: embedding parquet files
+    land continuously in --landing; each new file appends O(delta)
+    under the index's frozen fits (replayed files append 0 — the
+    id-immutability guard), and the per-batch drift ledger lands at
+    --ledger and prints as JSON lines."""
+    from hospital_stain_tracker_data_pipeline_spark.streaming.ingest_stream import (  # noqa: E501
+        stream_ann_ingest,
+    )
+
+    spark = get_spark(app_name="ann_stream")
+    ledger = stream_ann_ingest(
+        spark, args.landing, args.index, args.ledger,
+        schema=args.schema, vec_col=args.vec_col,
+    )
+    for line in ledger.toJSON().collect():
+        print(line)
+
+
 def cmd_ann_search(args) -> None:
     """ADC top-k search against a persisted `ann_index` artifact:
     queries parquet (query_id, embedding) in, (query_id, id, adc_dist)
@@ -1371,6 +1390,18 @@ def main() -> None:
     pai.add_argument("--compact-force", action="store_true",
                      help="compact regardless of ratio")
     pai.set_defaults(fn=cmd_ann_index)
+
+    pst = sub.add_parser("ann_stream")
+    pst.add_argument("--landing", required=True,
+                     help="directory where embedding parquet files land")
+    pst.add_argument("--index", required=True,
+                     help="ann_index artifact dir (must be built)")
+    pst.add_argument("--ledger", required=True,
+                     help="drift-ledger sink dir (checkpoint inside)")
+    pst.add_argument("--schema",
+                     default="vec_id long, embedding array<float>")
+    pst.add_argument("--vec-col", default="embedding")
+    pst.set_defaults(fn=cmd_ann_stream)
 
     pas = sub.add_parser("ann_search")
     pas.add_argument("--index", required=True, help="ann_index artifact dir")
