@@ -1,6 +1,7 @@
 """Structured Streaming ingest (SURVEY.md §2.9)."""
 
 from .ingest_stream import (  # noqa: F401
+    stream_ann_ingest,
     stream_audio_dedup_ingest,
     stream_bloom_membership,
     stream_cms_frequencies,

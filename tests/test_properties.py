@@ -690,3 +690,42 @@ def test_pdf_writer_extractor_roundtrip_property(pages, compress):
     # the extractor emits one line per Td + a trailing break per page
     want = [[ln for ln in page] + [""] for page in pages]
     assert got == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    min_codepoint=32, max_codepoint=126
+                ),
+                min_size=0,
+                max_size=60,
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    st.booleans(),
+)
+def test_pdf_objstm_writer_matches_classic_property(pages, compress):
+    """For ANY printable-ASCII page content, the ObjStm/xref-stream
+    (PDF 1.5) serialization extracts EXACTLY the same text as the
+    classic-xref 1.4 serialization of the same pages — the two writers
+    and the one extractor agree over the whole input space, not just
+    the fixtures."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.pdf import (
+        build_objstm_pdf,
+        build_simple_pdf,
+        extract_pdf_text_bytes,
+    )
+
+    raw15 = build_objstm_pdf(pages, compress=compress)
+    raw14 = build_simple_pdf(pages, compress=compress)
+    got15 = extract_pdf_text_bytes(raw15)
+    assert got15 is not None
+    assert got15 == extract_pdf_text_bytes(raw14)
+    assert got15[0] == len(pages)
