@@ -137,6 +137,7 @@ from .dedup import (  # noqa: F401
     dedup_substrings,
     hamming_pairs,
     hamming_pairs_against_corpus,
+    index_fsck,
     load_dedup_index,
     load_fp_index,
     save_fp_index,

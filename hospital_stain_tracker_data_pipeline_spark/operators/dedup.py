@@ -1849,3 +1849,126 @@ def compact_dedup_index(
     load_dedup_index(spark, path)  # validates (params, single set)
     id_col = spark.read.parquet(path).select("_mh_id_col").first()[0]
     return _artifact_compact(spark, path, id_col, min_ratio, force)
+
+
+def index_fsck(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "media_id",
+) -> dict:
+    """Read-only artifact health check ("fsck") for every index format
+    this library persists — the command an operator runs before
+    trusting an index after a crash, a migration, or an unknown
+    provenance. Detects the artifact KIND from its own metadata
+    (marker-protocol ANN dir / generic ``_fp_tag`` fingerprint /
+    MinHash ``_mh_*`` / image-phash ``_phash_*``), re-runs that kind's
+    loader validation (tag/params present, single set, columns match,
+    marker intact), and reports the lifecycle state: live rows
+    (post-tombstone-suppression), physical rows, tombstone count and
+    ratio, and stale ``_compacting``/``_old`` leftovers from an
+    interrupted swap. Nothing is mutated; a failed validation comes
+    back as ``ok=False`` + the loader's error text instead of a raise,
+    so a fleet sweep over many artifacts reports per-artifact instead
+    of stopping at the first bad one. ``id_col`` only matters for the
+    generic fingerprint kind (whose artifact doesn't record the id
+    column name — the MinHash and phash kinds carry theirs)."""
+    import json as _json
+    import os as _os
+
+    p = path.rstrip("/")
+    report: dict = {"path": p, "ok": False}
+    report["stale_dirs"] = [
+        d
+        for d in (p + "_compacting", p + "_old")
+        if _os.path.isdir(d)
+    ]
+    try:
+        if _os.path.exists(_os.path.join(p, "_INDEX_OK")) or _os.path.isdir(
+            _os.path.join(p, "codes")
+        ):
+            report["kind"] = "ann_ivf_pq"
+            marker = _os.path.join(p, "_INDEX_OK")
+            if not _os.path.exists(marker):
+                raise ValueError(
+                    "codes/ present but _INDEX_OK missing — torn ANN "
+                    "artifact (interrupted build/append/remove/compact); "
+                    "rebuild with build_ann_index"
+                )
+            with open(marker) as f:
+                meta = _json.load(f)
+            report["meta"] = {
+                k: meta[k]
+                for k in ("id_col", "vec_col", "appends", "removes")
+                if k in meta
+            }
+            n_phys = spark.read.parquet(_os.path.join(p, "codes")).count()
+            tomb_dir = _os.path.join(p, "tombstones")
+            n_tomb = (
+                spark.read.parquet(tomb_dir).distinct().count()
+                if _os.path.isdir(tomb_dir)
+                else 0
+            )
+            report["rows"] = n_phys
+            # unknown ids tombstone harmlessly, so live_rows is a
+            # LOWER bound for the ANN kind (exact for the fp kinds)
+            report["live_rows"] = n_phys - n_tomb
+            report["tombstones"] = n_tomb
+            report["tombstone_ratio"] = (
+                round(n_tomb / n_phys, 6) if n_phys else 0.0
+            )
+        else:
+            df = spark.read.parquet(p)
+            cols = set(df.columns)
+            if "_mh_num_hashes" in cols:
+                report["kind"] = "minhash"
+                index, nh, k = load_dedup_index(spark, p)
+                report["meta"] = {"num_hashes": nh, "k": k}
+                mh_id = spark.read.parquet(p).select("_mh_id_col").first()[0]
+                id_col = mh_id
+            elif "_phash_algo" in cols:
+                report["kind"] = "phash"
+                from .multimodal import load_phash_index
+
+                index, algo, hs = load_phash_index(spark, p)
+                report["meta"] = {"algo": algo, "hash_size": hs}
+                id_col = "media_id"
+            elif "_fp_tag" in cols:
+                report["kind"] = "fp_tagged"
+                rest = cols - {"_fp_tag", id_col}
+                if id_col not in cols or len(rest) != 1:
+                    raise ValueError(
+                        f"fp artifact columns {sorted(cols)} don't match "
+                        f"(id_col={id_col!r} + one hash column + _fp_tag)"
+                    )
+                index, tag = load_fp_index(
+                    spark, p, None, id_col=id_col, hash_col=rest.pop()
+                )
+                report["meta"] = {"tag": tag}
+            else:
+                raise ValueError(
+                    "no recognizable index metadata "
+                    f"(columns {sorted(cols)}) — not a persisted index"
+                )
+            report["live_rows"] = index.count()
+            report["rows"] = df.filter(F.col(id_col).isNotNull()).count()
+            td = _artifact_tombstone_dir(p)
+            report["tombstones"] = (
+                spark.read.parquet(td).select(id_col).distinct().count()
+                if _os.path.isdir(td)
+                else 0
+            )
+            report["tombstone_ratio"] = (
+                round(report["tombstones"] / report["rows"], 6)
+                if report["rows"]
+                else 0.0
+            )
+        report["ok"] = not report["stale_dirs"]
+        if report["stale_dirs"]:
+            report["error"] = (
+                "stale lifecycle dirs from an interrupted swap: "
+                f"{report['stale_dirs']} — inspect, then delete them or "
+                "re-run compact"
+            )
+    except Exception as exc:  # noqa: BLE001 — fleet-sweep contract
+        report["error"] = f"{type(exc).__name__}: {exc}"
+    return report

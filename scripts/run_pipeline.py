@@ -438,6 +438,23 @@ def cmd_ann_index(args) -> None:
     print(f"indexed {n} vectors -> {args.output}")
 
 
+def cmd_index_fsck(args) -> None:
+    """Read-only health check for ANY persisted index artifact (ANN /
+    MinHash / phash / generic fingerprint): kind detection, loader
+    validation, lifecycle state (tombstones, stale swap dirs) — one
+    JSON report per --path, ok=false + error text instead of a crash,
+    so a fleet sweep reports per-artifact."""
+    import json as _json
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+        index_fsck,
+    )
+
+    spark = get_spark(app_name="index_fsck")
+    for p in args.path:
+        print(_json.dumps(index_fsck(spark, p, id_col=args.id_col)))
+
+
 def cmd_ann_stream(args) -> None:
     """Streaming twin of `ann_index --append`: embedding parquet files
     land continuously in --landing; each new file appends O(delta)
@@ -1390,6 +1407,14 @@ def main() -> None:
     pai.add_argument("--compact-force", action="store_true",
                      help="compact regardless of ratio")
     pai.set_defaults(fn=cmd_ann_index)
+
+    pfk = sub.add_parser("index_fsck")
+    pfk.add_argument("--path", required=True, nargs="+",
+                     help="one or more index artifact dirs to check")
+    pfk.add_argument("--id-col", default="media_id",
+                     help="id column for GENERIC fingerprint artifacts "
+                     "(the other kinds record theirs)")
+    pfk.set_defaults(fn=cmd_index_fsck)
 
     pst = sub.add_parser("ann_stream")
     pst.add_argument("--landing", required=True,

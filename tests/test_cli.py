@@ -1107,3 +1107,27 @@ def test_cli_pdf_extract(tmp_path):
     ))
     assert "alpha" in by_id[1] and "beta gamma" in by_id[1]
     assert by_id[2].startswith("pdf:")
+
+
+def test_cli_index_fsck(tmp_path):
+    """index_fsck CLI: one JSON report per --path; a broken artifact
+    reports ok=false instead of failing the sweep."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = tmp_path / "docs.parquet"
+    pq.write_table(
+        pa.table({"doc_id": [1, 2], "text": ["alpha beta", "gamma delta"]}),
+        docs,
+    )
+    idx = str(tmp_path / "mhidx")
+    _run("dedup_index", "--input", str(docs), "--output", idx)
+    plain = str(tmp_path / "plain")
+    pq.write_table(pa.table({"x": [1]}), tmp_path / "plain")
+
+    out = _run("index_fsck", "--path", idx, plain)
+    reports = [json.loads(line) for line in out.strip().splitlines()[-2:]]
+    assert reports[0]["ok"] is True and reports[0]["kind"] == "minhash"
+    assert reports[1]["ok"] is False and "error" in reports[1]

@@ -401,3 +401,80 @@ def test_remove_casts_ids_to_index_type(spark, tmp_path):
     assert sorted(r["media_id"] for r in idx.collect()) == [3]
     rep = compact_fp_index(spark, path, TAG, force=True)
     assert rep["compacted"] is True and rep["index_rows_after"] == 1
+
+
+def test_index_fsck_all_kinds(spark, tmp_path):
+    """index_fsck detects every artifact kind from its own metadata,
+    reports lifecycle state read-only, and reports (never raises) on
+    broken artifacts — the fleet-sweep contract."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+        index_fsck,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.operators.multimodal import (
+        save_phash_index,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.operators.pq import (
+        build_ann_index,
+        remove_from_ann_index,
+    )
+
+    # generic fp artifact, one tombstone
+    fp = str(tmp_path / "fp")
+    save_fp_index(_fp_frame(spark, [(1, 16), (2, 32)]), fp, TAG)
+    remove_from_fp_index(spark, fp, _ids(spark, [2]), TAG)
+    rep = index_fsck(spark, fp)
+    assert rep["ok"] and rep["kind"] == "fp_tagged"
+    assert rep["meta"]["tag"] == TAG
+    assert (rep["rows"], rep["live_rows"], rep["tombstones"]) == (2, 1, 1)
+
+    # minhash artifact (records its own id column)
+    mh = str(tmp_path / "mh")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two three four")],
+        "doc_id long, text string",
+    )
+    save_dedup_index(minhash_signature_index(docs), 32, 3, mh)
+    rep = index_fsck(spark, mh)
+    assert rep["ok"] and rep["kind"] == "minhash"
+    assert rep["meta"] == {"num_hashes": 32, "k": 3}
+    assert rep["rows"] == 2 and rep["tombstones"] == 0
+
+    # phash artifact
+    ph = str(tmp_path / "ph")
+    save_phash_index(
+        spark.createDataFrame([(1, 11)], "media_id long, phash long"),
+        "dhash", 8, ph,
+    )
+    rep = index_fsck(spark, ph)
+    assert rep["ok"] and rep["kind"] == "phash"
+    assert rep["meta"] == {"algo": "dhash", "hash_size": 8}
+
+    # ANN artifact with a tombstone
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i % 3), 1.0, 0.0]) for i in range(24)],
+        "vec_id long, embedding array<float>",
+    )
+    ann = str(tmp_path / "ann")
+    build_ann_index(emb, ann, n_clusters=2, m=2, n_codes=4, iters=1)
+    remove_from_ann_index(spark, ann, spark.createDataFrame([(3,)], "vec_id long"))
+    rep = index_fsck(spark, ann)
+    assert rep["ok"] and rep["kind"] == "ann_ivf_pq"
+    assert rep["meta"]["id_col"] == "vec_id"
+    assert rep["rows"] == 24 and rep["tombstones"] == 1
+
+    # broken artifacts REPORT, never raise
+    plain = str(tmp_path / "plain")
+    _fp_frame(spark, [(1, 16)]).write.parquet(plain)
+    rep = index_fsck(spark, plain)
+    assert rep["ok"] is False and "not a persisted index" in rep["error"]
+
+    # stale swap dir flips ok to False with an actionable error
+    os.makedirs(fp + "_compacting", exist_ok=True)
+    rep = index_fsck(spark, fp)
+    assert rep["ok"] is False and "_compacting" in rep["error"]
+    os.rmdir(fp + "_compacting")
+
+    # torn ANN (marker gone) reports too
+    os.remove(os.path.join(ann, "_INDEX_OK"))
+    rep = index_fsck(spark, ann)
+    assert rep["ok"] is False and "_INDEX_OK missing" in rep["error"]
