@@ -1231,6 +1231,9 @@ def _extras_registry():
         )
         survivors, mrep = curate_media(media, image_max_hamming=3)
         phases["media_kept"] = survivors.count()
+        import dataclasses as _dc
+
+        phases["media_report"] = _dc.asdict(mrep)
         unpersist_curated(survivors)
         phases["media_curate_sec"] = round(_t.perf_counter() - t3, 3)
         EXTRAS_INFO["e2e_crawl_to_pack"] = phases

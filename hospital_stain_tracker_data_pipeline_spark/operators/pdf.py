@@ -57,19 +57,30 @@ _STREAM_RE = re.compile(rb"stream\r?\n")
 
 
 def _find_objects(raw: bytes) -> dict[int, bytes]:
-    """Object number -> body bytes (dict + optional stream), last
-    definition wins (incremental updates append re-definitions).
-    ``/Type /ObjStm`` containers are then unpacked and their member
-    objects merged in — members only FILL IN missing numbers
-    (``setdefault``), so a top-level redefinition appended by an
-    incremental update still wins over a stale packed copy."""
-    objs: dict[int, bytes] = {}
+    """Object number -> body bytes (dict + optional stream), LAST
+    definition BY FILE OFFSET wins — incremental updates append
+    re-definitions, so later-in-file is newer in either direction:
+    a top-level redefinition appended after an ObjStm supersedes the
+    stale packed copy, AND a newer copy packed into an appended
+    ``/Type /ObjStm`` supersedes a stale top-level object from the
+    base revision (members rank by their CONTAINER's offset). This is
+    the offset generalization of the classic last-def-wins heuristic;
+    exact resolution would walk the xref chain, but appended-later ==
+    newer holds for every conforming incremental writer."""
+    best: dict[int, tuple[int, bytes]] = {}
+
+    def put(num: int, offset: int, body: bytes) -> None:
+        if num not in best or offset >= best[num][0]:
+            best[num] = (offset, body)
+
+    containers: list[tuple[int, bytes]] = []
     for m in _OBJ_RE.finditer(raw):
-        objs[int(m.group(1))] = m.group(3)
-    for body in list(objs.values()):
+        put(int(m.group(1)), m.start(), m.group(3))
+        containers.append((m.start(), m.group(3)))
+    for offset, body in containers:
         for num, member in _objstm_members(body).items():
-            objs.setdefault(num, member)
-    return objs
+            put(num, offset, member)
+    return {num: body for num, (_off, body) in best.items()}
 
 
 def _objstm_members(body: bytes) -> dict[int, bytes]:
@@ -112,16 +123,42 @@ _TRAILER_DICT_RE = re.compile(rb"trailer\s*<<(.*?)>>", re.DOTALL)
 _ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+\d+\s+\d+\s+R")
 
 
+def _mask_stream_payloads(raw: bytes) -> bytes:
+    """``raw`` with every ``stream ... endstream`` PAYLOAD blanked to
+    spaces — structural scans (trailer dicts, object dict prefixes)
+    must never match bytes that are really page content. An
+    UNCOMPRESSED content stream containing the literal text
+    'trailer << /Encrypt 5 0 R >>' (a PDF about PDF internals) is the
+    confirmed false-positive this guards; a genuine trailer is outside
+    every stream by construction, so masking can't hide one."""
+    out = bytearray(raw)
+    pos = 0
+    while True:
+        m = _STREAM_RE.search(raw, pos)
+        if m is None:
+            return bytes(out)
+        end = raw.find(b"endstream", m.end())
+        if end < 0:
+            end = len(raw)
+        out[m.end():end] = b" " * (end - m.end())
+        # advance PAST the keyword: "endstream\n" itself contains
+        # "stream\n", which would otherwise re-match and blank the
+        # rest of the file (trailer included)
+        pos = end + len(b"endstream")
+
+
 def pdf_is_encrypted(raw: bytes) -> bool:
     """True when a trailer dictionary or an xref-stream
     (``/Type /XRef``) object dict carries ``/Encrypt`` — the two
-    places the spec puts it. Deliberately NOT a whole-file scan: page
-    text (or a superseded incremental-update body) that merely
-    mentions ``/Encrypt 5 0 R`` must not flag the document."""
-    for m in _TRAILER_DICT_RE.finditer(raw):
+    places the spec puts it. Deliberately NOT a whole-file scan, and
+    stream PAYLOADS are masked out first: page text (compressed OR
+    raw) and superseded incremental-update bodies that merely mention
+    ``/Encrypt 5 0 R`` must not flag the document."""
+    masked = _mask_stream_payloads(raw)
+    for m in _TRAILER_DICT_RE.finditer(masked):
         if _ENCRYPT_REF_RE.search(m.group(1)):
             return True
-    for m in _OBJ_RE.finditer(raw):
+    for m in _OBJ_RE.finditer(masked):
         body = m.group(3)
         sm = _STREAM_RE.search(body)
         prefix = body[: sm.start()] if sm else body
@@ -656,7 +693,6 @@ def build_objstm_pdf(
         entries.extend(f3.to_bytes(2, "big"))
 
     xref_at = len(out)
-    byte_offsets[xref_num] = xref_at
     entry(0, 0, 65535)  # object 0: free
     for num in range(1, xref_num + 1):
         in_stm = next(

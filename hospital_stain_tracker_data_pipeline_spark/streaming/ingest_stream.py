@@ -1355,9 +1355,14 @@ def stream_ann_ingest(
         existing = spark.read.parquet(
             os.path.join(index_path, "codes")
         ).select(id_col)
-        fresh = batch_df.join(
-            existing, id_col, "left_anti"
-        ).localCheckpoint(eager=True)
+        # dropDuplicates first: a producer retry can land the SAME ids
+        # twice within one micro-batch (two files, one trigger) — the
+        # anti-join alone only guards against ids already in codes
+        fresh = (
+            batch_df.dropDuplicates([id_col])
+            .join(existing, id_col, "left_anti")
+            .localCheckpoint(eager=True)
+        )
         if fresh.count() == 0:
             row = (0, None, None, False)
         else:

@@ -341,3 +341,49 @@ def test_stream_pdf_ingest(spark, tmp_path):
     assert {r["text"] for r in out2.collect()} == {
         r["text"] for r in batch.collect()
     }
+
+
+def test_pdf_encrypt_scan_masks_stream_payloads():
+    """Regression (round-12 review, confirmed repro): an UNCOMPRESSED
+    content stream whose page text contains a trailer-like phrase
+    ('trailer << /Encrypt 5 0 R >>' — a PDF about PDF internals) must
+    not flag the document; stream payloads are masked before the
+    structural scan, and a genuine trailer (outside every stream by
+    construction) still detects."""
+    tricky = build_simple_pdf(
+        [["trailer << /Encrypt 5 0 R >>"]], compress=False
+    )
+    assert pdf_is_encrypted(tricky) is False
+    assert extract_pdf_text_bytes(tricky)[1].startswith("trailer <<")
+    assert pdf_is_encrypted(build_simple_pdf([["x"]], encrypted=True))
+    assert pdf_is_encrypted(build_objstm_pdf([["x"]], encrypted=True))
+
+
+def test_pdf_appended_objstm_supersedes_stale_toplevel():
+    """Regression (round-12 review): the OTHER incremental-update
+    direction — a 1.4 base whose page object is superseded by a copy
+    packed into an APPENDED ObjStm (what a 1.5 writer produces when
+    updating a classic file) must extract the NEW text, not silently
+    return the stale base revision. Definitions rank by file offset,
+    members by their container's offset."""
+    base = build_simple_pdf([["original text"]])
+    new_content = b"BT /F1 11 Tf 72 720 Td (updated) Tj ET"
+    content_obj = (
+        b"8 0 obj\n<< /Length %d >>\nstream\n" % len(new_content)
+        + new_content
+        + b"\nendstream\nendobj\n"
+    )
+    member = (
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 8 0 R >>"
+    )
+    header = b"4 0\n"
+    payload = zlib.compress(header + member)
+    objstm = (
+        b"9 0 obj\n<< /Type /ObjStm /N 1 /First %d /Length %d "
+        b"/Filter /FlateDecode >>\nstream\n" % (len(header), len(payload))
+        + payload
+        + b"\nendstream\nendobj\n"
+    )
+    _, text = extract_pdf_text_bytes(base + content_obj + objstm)
+    assert text.strip() == "updated"
