@@ -1385,12 +1385,18 @@ def main() -> None:
     warm_first: dict[str, float] = {}
     fwd_samples: dict[str, list[float]] = {}
     rev_samples: dict[str, list[float]] = {}
-    for name in headline:  # pass 1, forward: cold + warm reps
+    # pass 0: COLD over the whole set first — beyond measuring
+    # first-touch cost, this finishes the session's JIT ramp before
+    # any warm rep is timed (the first sf0.1 two-way run showed the
+    # LARGEST fwd/rev disagreement on the first-listed queries, whose
+    # forward reps had been running right after session start)
+    for name in headline:
         timings[name] = round(timed_run(name), 3)
+    for name in headline:  # pass 1, forward warm reps
         reps = NOISY_REPS.get(name, WARM_REPS_DEFAULT)
         fwd_samples[name] = [timed_run(name) for _ in range(reps)]
         warm_first[name] = round(fwd_samples[name][0], 3)
-    for name in reversed(headline):  # pass 2, reverse: warm reps only
+    for name in reversed(headline):  # pass 2, reverse warm reps
         reps = NOISY_REPS.get(name, WARM_REPS_DEFAULT)
         rev_samples[name] = [timed_run(name) for _ in range(reps)]
 
