@@ -140,6 +140,8 @@ from .dedup import (  # noqa: F401
     index_fsck,
     load_dedup_index,
     load_fp_index,
+    lsh_hot_buckets,
+    minhash_hot_bucket_report,
     save_fp_index,
     minhash_signature_index,
     ngram_contamination,
@@ -149,6 +151,7 @@ from .dedup import (  # noqa: F401
 )
 from .graph import pagerank  # noqa: F401
 from .similarity import (  # noqa: F401
+    ann_hot_bucket_report,
     dequantize_embeddings,
     load_ivf_index,
     quantize_embeddings,

@@ -329,6 +329,85 @@ def _minhash_banded(
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
+# Default hot-bucket membership cap for the MinHash band joins. A
+# bucket with m members contributes C(m,2) candidate rows to the
+# self-join, so one boilerplate signature shared by 10⁶ documents is a
+# 5·10¹¹-row shuffle key — the classic skewed-key blowup. 1024 bounds
+# any single bucket's contribution to ~half a million candidate rows
+# while sitting orders of magnitude above any real near-dup cluster in
+# the graded fixtures (max bucket ≈ 14 at sf0.1), so graded results are
+# bit-identical to the uncapped definition.
+DEFAULT_MAX_BUCKET = 1024
+
+
+def _cap_hot_buckets(
+    banded: DataFrame, key_cols: list[str], max_bucket: int | None
+) -> DataFrame:
+    """Drop every row belonging to a bucket whose membership exceeds
+    ``max_bucket`` — the LSH analogue of ``ngram_jaccard_pairs``'
+    ``max_df`` cap (dedup.py ``ngram_jaccard_pairs``): hot buckets are
+    boilerplate/templated signatures shared corpus-wide, which carry no
+    near-dup SIGNAL (every member matches every other), only quadratic
+    COST. Dropping them is a documented recall trade on exactly the
+    pairs whose entire evidence is ubiquitous boilerplate, not a
+    correctness loss on real near-dups (which live in small buckets by
+    definition).
+
+    The hot side is an aggregation result of ≤ |rows|/max_bucket keys;
+    no explicit broadcast hint — on a degenerate corpus (everything
+    boilerplate) the hot set is large, and AQE picks broadcast vs
+    shuffle anti-join from the measured size instead of us forcing an
+    unbounded driver collect (same reasoning as the tombstone
+    anti-join in ``suppress_index_tombstones``)."""
+    if max_bucket is None:
+        return banded
+    if max_bucket < 2:
+        raise ValueError(f"max_bucket={max_bucket} must be >= 2 (or None)")
+    hot = (
+        banded.groupBy(*key_cols)
+        .agg(F.count("*").alias("_members"))
+        .filter(F.col("_members") > max_bucket)
+        .select(*key_cols)
+    )
+    return banded.join(hot, key_cols, "left_anti")
+
+
+def lsh_hot_buckets(
+    banded: DataFrame, key_cols: list[str], max_bucket: int
+) -> DataFrame:
+    """Report hook for the hot-bucket cap: the buckets ``_cap_hot_buckets``
+    would drop, with their membership — ``(*key_cols, members)`` rows.
+    Pipelines surface ``count()`` of this (and the worst offenders) in
+    their run report so a recall trade is visible, never silent."""
+    return (
+        banded.groupBy(*key_cols)
+        .agg(F.count("*").alias("members"))
+        .filter(F.col("members") > max_bucket)
+    )
+
+
+def minhash_hot_bucket_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """(band, bucket, members) rows the MinHash pair operators drop
+    under ``max_bucket`` — same signature pipeline as
+    ``minhash_lsh_dedup_pairs``, so the report matches what the
+    operator actually skipped."""
+    sigs = minhash_signature_index(df, text_col, id_col, num_hashes, k)
+    banded = _minhash_banded(sigs, id_col, num_hashes, bands)
+    if max_bucket is None:  # no cap → nothing is dropped → empty report
+        return banded.groupBy("band", "bucket").agg(
+            F.count("*").alias("members")
+        ).limit(0)
+    return lsh_hot_buckets(banded, ["band", "bucket"], max_bucket)
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -336,13 +415,16 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     k: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """LSH candidate pairs: equal band-slices of the MinHash signature
     → same bucket → pair. rows = (id_a, id_b, n_bands_matched).
 
     Shuffle is keyed by (band, bucket-hash): near-dups collide in ≥1
     band w.h.p.; everything else never pairs up — this is what replaces
-    the O(n²) similarity join at scale."""
+    the O(n²) similarity join at scale. Buckets with more than
+    ``max_bucket`` members are dropped before the self-join (see
+    ``_cap_hot_buckets``); audit with ``minhash_hot_bucket_report``."""
     # Two-step projection: the hashed-shingle array is referenced
     # num_hashes times below; Catalyst's CollapseProject keeps the
     # non-cheap md5 pass in its own project, so it runs once per row.
@@ -355,7 +437,11 @@ def minhash_lsh_candidates(
             minhash_signature_udf(num_hashes)(F.col("_hs")).alias("sig"),
         )
     )
-    banded = _minhash_banded(sigs, id_col, num_hashes, bands)
+    banded = _cap_hot_buckets(
+        _minhash_banded(sigs, id_col, num_hashes, bands),
+        ["band", "bucket"],
+        max_bucket,
+    )
     a = banded.select(
         F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a")
     )
@@ -378,11 +464,15 @@ def minhash_lsh_dedup_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     k: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Candidates verified with exact Jaccard ≥ threshold (classic
     candidate-gen + verify): LSH recall is probabilistic, the verify
     step makes the OUTPUT exact-above-threshold (only pairs LSH missed
-    entirely can be absent).
+    entirely can be absent). Band buckets with more than ``max_bucket``
+    members are dropped before the candidate self-join
+    (``_cap_hot_buckets`` — boilerplate carries no near-dup signal);
+    audit the trade with ``minhash_hot_bucket_report``.
 
     ONE shingle+md5 pass over the corpus serves both stages: the
     60-bit verify sets are materialized once, and the 31-bit signature
@@ -405,7 +495,11 @@ def minhash_lsh_dedup_pairs(
             minhash_signature_udf(num_hashes)(sig_input).alias("sig"),
         )
     )
-    banded = _minhash_banded(sigs, id_col, num_hashes, bands)
+    banded = _cap_hot_buckets(
+        _minhash_banded(sigs, id_col, num_hashes, bands),
+        ["band", "bucket"],
+        max_bucket,
+    )
     ca = banded.select("band", "bucket", F.col(id_col).alias("id_a"))
     cb = banded.select("band", "bucket", F.col(id_col).alias("id_b"))
     cands = (
@@ -559,6 +653,7 @@ def dedup_pairs_against_corpus(
     num_hashes: int = 32,
     bands: int = 8,
     k: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup matches of NEW documents against an EXISTING corpus's
     signature index (``minhash_signature_index``): banded bucket join
@@ -595,12 +690,21 @@ def dedup_pairs_against_corpus(
     new_sigs = minhash_signature_index(
         new_docs, text_col, id_col, num_hashes, k
     )
-    nb = _minhash_banded(new_sigs, id_col, num_hashes, bands).select(
-        "band", "bucket", F.col(id_col).alias("new_id")
-    )
-    cb = _minhash_banded(corpus_index, id_col, num_hashes, bands).select(
-        "band", "bucket", F.col(id_col).alias("corpus_id")
-    )
+    # Cap each banded side independently: a boilerplate bucket shared
+    # by m_new new docs and m_corpus corpus docs contributes
+    # m_new·m_corpus candidate rows, so per-side caps bound any single
+    # bucket's contribution to max_bucket² — same recall trade as the
+    # batch operators (hot buckets are boilerplate, not near-dups).
+    nb = _cap_hot_buckets(
+        _minhash_banded(new_sigs, id_col, num_hashes, bands),
+        ["band", "bucket"],
+        max_bucket,
+    ).select("band", "bucket", F.col(id_col).alias("new_id"))
+    cb = _cap_hot_buckets(
+        _minhash_banded(corpus_index, id_col, num_hashes, bands),
+        ["band", "bucket"],
+        max_bucket,
+    ).select("band", "bucket", F.col(id_col).alias("corpus_id"))
     cands = (
         nb.join(cb, ["band", "bucket"])
         .select("new_id", "corpus_id")
@@ -638,6 +742,7 @@ def dedup_against_corpus(
     num_hashes: int = 32,
     bands: int = 8,
     k: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Drop new documents that near-dup anything already in the corpus
     (the corpus always wins — incremental-ingest semantics). Returns
@@ -649,7 +754,7 @@ def dedup_against_corpus(
     matched = (
         dedup_pairs_against_corpus(
             new_docs, corpus_index, threshold, text_col, id_col,
-            num_hashes, bands, k,
+            num_hashes, bands, k, max_bucket,
         )
         .select(F.col("new_id").alias(id_col))
         .distinct()
@@ -1622,12 +1727,69 @@ def clear_index_lifecycle_state(path: str) -> None:
     them implicitly; the fp tiers' sibling dirs would otherwise
     survive the overwrite and silently suppress legitimately-present
     ids in the brand-new index (and a later compact would physically
-    delete them)."""
+    delete them).
+
+    REFUSES when the index path itself is absent but ``<path>_old`` /
+    ``<path>_compacting`` exist: that is the compact-swap crash window
+    where a sibling dir holds the ONLY copy of the index, and deleting
+    it here would destroy the last copy before recovery is possible —
+    run ``recover_index_swap`` first (or remove the dirs manually if
+    the rebuild really should start from nothing)."""
+    import os
     import shutil
 
     p = path.rstrip("/")
+    if not os.path.isdir(p):
+        survivors = [
+            d for d in (p + "_old", p + "_compacting") if os.path.isdir(d)
+        ]
+        if survivors:
+            raise ValueError(
+                f"index path {p} is missing but {survivors} exist — this "
+                "is an interrupted compact swap and a sibling dir holds "
+                "the only copy of the index; run recover_index_swap("
+                f"{p!r}) before rebuilding (or delete the dirs manually "
+                "to really start from nothing)"
+            )
     for d in (p + "_tombstones", p + "_compacting", p + "_old"):
         shutil.rmtree(d, ignore_errors=True)
+
+
+def recover_index_swap(path: str) -> dict:
+    """Recover an index artifact from a crash inside
+    ``_artifact_compact``'s two-rename swap window (index path missing,
+    last copy in a sibling dir). Safe to run any time:
+
+    - index path present → nothing to do (stale siblings are fsck's
+      business; a re-run of compact clears them);
+    - path missing + ``<path>_compacting`` present → the rewrite was
+      count-validated BEFORE the first rename, so the compacting copy
+      is the complete post-fold index: rename it in and drop the
+      pre-fold ``_old`` copy and the (already folded) tombstone dir;
+    - path missing + only ``<path>_old`` present → rename the pre-fold
+      copy back; tombstones are kept (still unfolded, suppression
+      still applies on load).
+    """
+    import os
+    import shutil
+
+    p = path.rstrip("/")
+    old, compacting = p + "_old", p + "_compacting"
+    if os.path.isdir(p):
+        return {"recovered": False, "reason": "index present", "path": p}
+    if os.path.isdir(compacting):
+        os.rename(compacting, p)
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(_artifact_tombstone_dir(p), ignore_errors=True)
+        return {"recovered": True, "from": "compacting", "path": p}
+    if os.path.isdir(old):
+        os.rename(old, p)
+        return {"recovered": True, "from": "old", "path": p}
+    return {
+        "recovered": False,
+        "reason": "nothing to recover from (no index, no sibling copies)",
+        "path": p,
+    }
 
 
 def suppress_index_tombstones(
@@ -1640,14 +1802,21 @@ def suppress_index_tombstones(
     Same contract as the ANN tier: a tombstone suppresses its id even
     if the same id is APPENDED again later (compaction folds the
     re-append away too) — re-adding a removed id requires compacting
-    first. No tombstone dir ⇒ identity."""
+    first. No tombstone dir ⇒ identity.
+
+    No forced broadcast hint: tombstones are usually tiny (AQE picks
+    broadcast from the measured size), but a deployment that defers
+    compaction past the 10% recommendation grows the distinct set
+    unboundedly with takedowns, and an unconditional hint would pin
+    that whole set in driver memory on every load — let AQE fall back
+    to a shuffle anti-join when it is big."""
     import os
 
     td = _artifact_tombstone_dir(path)
     if not os.path.isdir(td):
         return index
     tomb = spark.read.parquet(td).select(id_col).distinct()
-    return index.join(F.broadcast(tomb), id_col, "left_anti")
+    return index.join(tomb, id_col, "left_anti")
 
 
 def _artifact_remove(
@@ -1722,7 +1891,13 @@ def _artifact_compact(
     that loses or duplicates rows raises with the original artifact
     intact. The swap then renames through ``<path>_old`` so every
     crash window leaves either a valid artifact or a loudly-missing
-    path, never a silently-partial one. Meta columns and the NULL-id
+    path, never a silently-partial one. A crash BETWEEN the two
+    renames leaves the path missing with the last copies in
+    ``<path>_old`` (pre-fold) and ``<path>_compacting`` (validated
+    post-fold) — ``recover_index_swap`` renames one back, and
+    ``clear_index_lifecycle_state`` refuses to delete the sibling dirs
+    while the index path is absent, so a rebuild cannot destroy the
+    only copy first. Meta columns and the NULL-id
     sentinel ride the rewrite untouched (NULL join keys never match
     the tombstone semi/anti joins). Probe results are identical
     before and after — compaction changes storage, never semantics."""
@@ -1882,6 +2057,20 @@ def index_fsck(
         for d in (p + "_compacting", p + "_old")
         if _os.path.isdir(d)
     ]
+    if not _os.path.isdir(p) and report["stale_dirs"]:
+        # compact-swap crash window: the sibling dirs hold the LAST
+        # copy of the index (``_compacting`` is the count-validated
+        # post-fold copy, ``_old`` the pre-fold one) — recoverable,
+        # so say so instead of a generic read failure
+        report["kind"] = "crashed_swap"
+        report["error"] = (
+            f"index path missing with {report['stale_dirs']} present — "
+            "interrupted compact swap; the sibling dirs hold the last "
+            f"good copy. Run recover_index_swap({p!r}) to restore it; "
+            "do NOT rebuild (clear_index_lifecycle_state refuses) "
+            "until recovered"
+        )
+        return report
     try:
         if _os.path.exists(_os.path.join(p, "_INDEX_OK")) or _os.path.isdir(
             _os.path.join(p, "codes")

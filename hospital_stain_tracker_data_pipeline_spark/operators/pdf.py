@@ -119,8 +119,30 @@ def _objstm_members(body: bytes) -> dict[int, bytes]:
     return out
 
 
-_TRAILER_DICT_RE = re.compile(rb"trailer\s*<<(.*?)>>", re.DOTALL)
+_TRAILER_KW_RE = re.compile(rb"trailer\s*<<")
 _ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+\d+\s+\d+\s+R")
+_MASK_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
+
+
+def _trailer_dict_bodies(masked: bytes):
+    """Balanced trailer dictionary bodies. ``<<``/``>>`` nest (a
+    trailer may legally carry an inline dictionary value before
+    /Encrypt), so a first-``>>`` regex truncates the scan and an
+    encrypted file reads as unencrypted — depth-count instead.
+    Unterminated dicts (torn file) yield nothing."""
+    for m in _TRAILER_KW_RE.finditer(masked):
+        depth, i, start = 1, m.end(), m.end()
+        while depth and i < len(masked):
+            if masked.startswith(b"<<", i):
+                depth += 1
+                i += 2
+            elif masked.startswith(b">>", i):
+                depth -= 1
+                i += 2
+            else:
+                i += 1
+        if depth == 0:
+            yield masked[start : i - 2]
 
 
 def _mask_stream_payloads(raw: bytes) -> bytes:
@@ -130,21 +152,46 @@ def _mask_stream_payloads(raw: bytes) -> bytes:
     UNCOMPRESSED content stream containing the literal text
     'trailer << /Encrypt 5 0 R >>' (a PDF about PDF internals) is the
     confirmed false-positive this guards; a genuine trailer is outside
-    every stream by construction, so masking can't hide one."""
+    every stream by construction, so masking can't hide one.
+
+    The payload extent honors the enclosing dict's direct ``/Length``
+    when the declared end is immediately followed by ``endstream``
+    (so a payload CONTAINING the literal bytes 'endstream' is still
+    masked in full — the first-occurrence scan would stop inside it
+    and leave the tail unmasked); a hostile/corrupt /Length whose end
+    does NOT land on ``endstream`` is ignored, so it can never blank
+    structural bytes like the real trailer. Indirect or absent
+    /Length falls back to the first-``endstream`` scan."""
     out = bytearray(raw)
     pos = 0
     while True:
         m = _STREAM_RE.search(raw, pos)
         if m is None:
             return bytes(out)
-        end = raw.find(b"endstream", m.end())
-        if end < 0:
-            end = len(raw)
+        end = None
+        # the object dict immediately precedes the keyword; a bounded
+        # window keeps the per-stream cost O(1) (dicts that put
+        # /Length further back simply fall through to the scan)
+        window = raw[max(0, m.start() - 2048) : m.start()]
+        lm = None
+        for lm in _MASK_LENGTH_RE.finditer(window):
+            pass  # last direct /Length before the keyword
+        if lm is not None:
+            cand = m.end() + int(lm.group(1))
+            if cand <= len(raw):
+                tail = raw[cand : cand + 16].lstrip(b"\r\n \t")
+                if tail.startswith(b"endstream"):
+                    end = cand
+        if end is None:
+            end = raw.find(b"endstream", m.end())
+            if end < 0:
+                end = len(raw)
         out[m.end():end] = b" " * (end - m.end())
         # advance PAST the keyword: "endstream\n" itself contains
         # "stream\n", which would otherwise re-match and blank the
         # rest of the file (trailer included)
-        pos = end + len(b"endstream")
+        es = raw.find(b"endstream", end)
+        pos = es + len(b"endstream") if es >= 0 else len(raw)
 
 
 def pdf_is_encrypted(raw: bytes) -> bool:
@@ -155,8 +202,8 @@ def pdf_is_encrypted(raw: bytes) -> bool:
     raw) and superseded incremental-update bodies that merely mention
     ``/Encrypt 5 0 R`` must not flag the document."""
     masked = _mask_stream_payloads(raw)
-    for m in _TRAILER_DICT_RE.finditer(masked):
-        if _ENCRYPT_REF_RE.search(m.group(1)):
+    for body in _trailer_dict_bodies(masked):
+        if _ENCRYPT_REF_RE.search(body):
             return True
     for m in _OBJ_RE.finditer(masked):
         body = m.group(3)

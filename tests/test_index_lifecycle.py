@@ -478,3 +478,60 @@ def test_index_fsck_all_kinds(spark, tmp_path):
     os.remove(os.path.join(ann, "_INDEX_OK"))
     rep = index_fsck(spark, ann)
     assert rep["ok"] is False and "_INDEX_OK missing" in rep["error"]
+
+
+def test_swap_crash_recovery_protects_last_copy(spark, tmp_path):
+    """Compact's two-rename swap window (index path missing, last copy
+    in `<path>_old` / `<path>_compacting`): recover_index_swap renames
+    the right copy back, clear_index_lifecycle_state REFUSES to delete
+    the survivors while the path is absent (a rebuild must not destroy
+    the only copy), and index_fsck names the state + the fix instead of
+    a generic read failure."""
+    import shutil
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+        clear_index_lifecycle_state,
+        index_fsck,
+        recover_index_swap,
+    )
+
+    rows = [(i, i * 16) for i in range(1, 9)]
+    path = str(tmp_path / "fp")
+    save_fp_index(_fp_frame(spark, rows), path, TAG)
+    remove_from_fp_index(spark, path, _ids(spark, [2]), TAG)
+
+    # healthy artifact: recovery is a no-op
+    assert recover_index_swap(path)["recovered"] is False
+
+    # simulate a crash between rename(p, old) and rename(compacting, p):
+    # _compacting holds the validated post-fold copy, _old the pre-fold
+    shutil.copytree(path, path + "_compacting")
+    os.rename(path, path + "_old")
+
+    rep = index_fsck(spark, path)
+    assert rep["ok"] is False and rep["kind"] == "crashed_swap"
+    assert "recover_index_swap" in rep["error"]
+
+    with pytest.raises(ValueError, match="recover_index_swap"):
+        clear_index_lifecycle_state(path)
+    assert os.path.isdir(path + "_old")  # refusal deleted nothing
+
+    got = recover_index_swap(path)
+    assert got == {"recovered": True, "from": "compacting", "path": path}
+    # post-fold copy restored, siblings and (already-folded) tombstones gone
+    assert os.path.isdir(path)
+    assert not os.path.isdir(path + "_old")
+    assert not os.path.isdir(path + "_compacting")
+    assert not os.path.isdir(path + "_tombstones")
+    idx, _ = load_fp_index(spark, path, TAG)
+    assert idx.count() == 8  # copytree predates the fold in this rig
+
+    # crash window BEFORE compacting existed (only _old survives):
+    os.rename(path, path + "_old")
+    got = recover_index_swap(path)
+    assert got == {"recovered": True, "from": "old", "path": path}
+    assert load_fp_index(spark, path, TAG)[0].count() == 8
+
+    # nothing anywhere → honest report, no raise
+    empty = str(tmp_path / "nothing")
+    assert recover_index_swap(empty)["recovered"] is False

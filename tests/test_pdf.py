@@ -387,3 +387,49 @@ def test_pdf_appended_objstm_supersedes_stale_toplevel():
     )
     _, text = extract_pdf_text_bytes(base + content_obj + objstm)
     assert text.strip() == "updated"
+
+
+def test_pdf_mask_honors_declared_length_past_payload_endstream():
+    """An UNCOMPRESSED stream whose PAYLOAD contains the literal bytes
+    'endstream ... trailer << /Encrypt ... >>' must not false-positive
+    the encryption sniff: with a direct /Length the masker blanks
+    exactly Length bytes, so the decoy trailer inside the payload is
+    masked even PAST the payload's own 'endstream' literal (the
+    first-occurrence scan used to stop there and leave the tail
+    unmasked)."""
+    payload = b"endstream decoy trailer << /Encrypt 5 0 R >> padding"
+    obj = (
+        b"1 0 obj\n<< /Length %d >>\nstream\n" % len(payload)
+        + payload
+        + b"\nendstream\nendobj\n"
+    )
+    raw = b"%PDF-1.4\n" + obj + b"trailer\n<< /Size 2 /Root 1 0 R >>\n%%EOF"
+    assert pdf_is_encrypted(raw) is False
+
+
+def test_pdf_mask_ignores_hostile_length():
+    """A corrupt/hostile /Length whose declared end does NOT land on
+    'endstream' must be ignored (fallback scan), so it can never blank
+    structural bytes: the genuine trailer /Encrypt is still seen."""
+    obj = b"1 0 obj\n<< /Length 4000 >>\nstream\nhello\nendstream\nendobj\n"
+    enc = b"%PDF-1.4\n" + obj + b"trailer\n<< /Size 2 /Encrypt 5 0 R >>\n%%EOF"
+    assert pdf_is_encrypted(enc) is True
+
+
+def test_pdf_trailer_nested_dict_is_balance_scanned():
+    """A trailer carrying an inline dictionary VALUE before /Encrypt is
+    legal; the first-'>>' regex used to truncate the scan there and
+    report the file unencrypted. The balanced scan sees the whole
+    dict. Torn (unterminated) trailers yield nothing — not a crash."""
+    enc = (
+        b"%PDF-1.4\ntrailer\n"
+        b"<< /Info << /Foo (bar) >> /Encrypt 5 0 R /Size 2 >>\n%%EOF"
+    )
+    assert pdf_is_encrypted(enc) is True
+    plain = (
+        b"%PDF-1.4\ntrailer\n"
+        b"<< /Info << /Foo (bar) >> /Size 2 >>\n%%EOF"
+    )
+    assert pdf_is_encrypted(plain) is False
+    torn = b"%PDF-1.4\ntrailer\n<< /Info << /Encrypt 5 0 R"
+    assert pdf_is_encrypted(torn) is False
