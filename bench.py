@@ -1236,6 +1236,58 @@ def _extras_registry():
         phases["media_report"] = _dc.asdict(mrep)
         unpersist_curated(survivors)
         phases["media_curate_sec"] = round(_t.perf_counter() - t3, 3)
+
+        # ops leg (round 13): the operational surface an adopter runs
+        # AROUND the pipeline — build the ANN serving index, stream a
+        # delta append through stream_ann_ingest, read the drift
+        # ledger it writes (the refit-scheduling artifact), and fsck
+        # the mutated index — so the flagship number includes index
+        # maintenance, not just the one-shot transform.
+        t4 = _t.perf_counter()
+        import shutil as _sh
+        import tempfile as _tf
+
+        from pyspark.sql import functions as F2
+
+        from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+            index_fsck,
+        )
+        from hospital_stain_tracker_data_pipeline_spark.operators.pq import (
+            build_ann_index,
+        )
+        from hospital_stain_tracker_data_pipeline_spark.streaming.ingest_stream import (  # noqa: E501
+            stream_ann_ingest,
+        )
+
+        work = _tf.mkdtemp(prefix="bench_e2e_ops_")
+        try:
+            idx = os.path.join(work, "ann")
+            emb = load_fixture_table(spark, sf_dir, "embeddings")
+            base = emb.filter(F2.col("vec_id") % 10 != 0)
+            delta = emb.filter(F2.col("vec_id") % 10 == 0).select(
+                F2.col("vec_id").cast("long").alias("vec_id"),
+                F2.col("embedding").cast("array<float>").alias("embedding"),
+            )
+            build_ann_index(base, idx, n_clusters=8, m=8, n_codes=16,
+                            iters=2)
+            landing = os.path.join(work, "landing")
+            delta.coalesce(1).write.parquet(landing)
+            stream_ann_ingest(
+                spark, landing, idx, os.path.join(work, "ledger")
+            )
+            ledger = spark.read.parquet(os.path.join(work, "ledger"))
+            agg = ledger.agg(
+                F2.sum("appended").alias("n"),
+                F2.max("refit_recommended").alias("refit"),
+            ).collect()[0]
+            phases["ann_appended"] = int(agg["n"] or 0)
+            phases["ann_refit_recommended"] = bool(agg["refit"])
+            fsck = index_fsck(spark, idx)
+            phases["fsck_ok"] = bool(fsck["ok"])
+            phases["fsck_kind"] = fsck.get("kind")
+        finally:
+            _sh.rmtree(work, ignore_errors=True)
+        phases["ops_sec"] = round(_t.perf_counter() - t4, 3)
         EXTRAS_INFO["e2e_crawl_to_pack"] = phases
         return manifest
 

@@ -1154,6 +1154,7 @@ def connected_components_min_label(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 20,
+    telemetry: dict | None = None,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation: every
     node ends with cluster_id = min node id in its component. The
@@ -1165,6 +1166,17 @@ def connected_components_min_label(
     state is truncated with localCheckpoint per iteration so lineage
     doesn't grow linearly with iterations. Iterations needed = graph
     diameter (near-dup clusters are shallow; ``max_iter`` is a guard).
+
+    Exhausting ``max_iter`` without converging RAISES: unconverged
+    labels are silently-wrong clusters (a component's min label only
+    travels one hop per iteration, so a pathological chain longer than
+    ``max_iter`` would split into arbitrary sub-clusters) — a
+    degenerate component shape must surface as a loud error with a
+    knob to turn, not as corrupt output or a hung job. Pass a
+    ``telemetry`` dict to receive ``iterations`` (label-update rounds
+    run, including the final no-change round that proves the fixpoint)
+    and ``converged`` — pipelines put it in their run reports so
+    diameter creep is visible before it hits the guard.
 
     ``nodes=None`` (the right default for dedup) label-propagates over
     the EDGE-INCIDENT node set, derived from the already-materialized
@@ -1206,6 +1218,8 @@ def connected_components_min_label(
     prev_sum = (
         labels.agg(F.sum("label")).collect()[0][0] if numeric_ids else None
     )
+    converged = False
+    iterations = 0
     for _ in range(max_iter):
         prev = labels
         neighbor = (
@@ -1218,9 +1232,11 @@ def connected_components_min_label(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
+        iterations += 1
         if numeric_ids:
             new_sum = labels.agg(F.sum("label")).collect()[0][0]
             if new_sum == prev_sum:
+                converged = True
                 break
             prev_sum = new_sum
         else:
@@ -1234,7 +1250,21 @@ def connected_components_min_label(
                 .count()
             )
             if changed == 0:
+                converged = True
                 break
+    if telemetry is not None:
+        telemetry["iterations"] = iterations
+        telemetry["converged"] = converged
+    if not converged:
+        raise ValueError(
+            f"min-label propagation did not converge in max_iter="
+            f"{max_iter} rounds — the duplicate graph has a component "
+            "with diameter >= max_iter (labels travel one hop per "
+            "round, so stopping here would return silently-wrong "
+            "clusters). Raise max_iter, or break the degenerate "
+            "component up (it is almost certainly a boilerplate chain "
+            "the hot-bucket caps should have pruned upstream)"
+        )
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 
@@ -2034,19 +2064,34 @@ def index_fsck(
     """Read-only artifact health check ("fsck") for every index format
     this library persists — the command an operator runs before
     trusting an index after a crash, a migration, or an unknown
-    provenance. Detects the artifact KIND from its own metadata
-    (marker-protocol ANN dir / generic ``_fp_tag`` fingerprint /
-    MinHash ``_mh_*`` / image-phash ``_phash_*``), re-runs that kind's
-    loader validation (tag/params present, single set, columns match,
-    marker intact), and reports the lifecycle state: live rows
-    (post-tombstone-suppression), physical rows, tombstone count and
-    ratio, and stale ``_compacting``/``_old`` leftovers from an
-    interrupted swap. Nothing is mutated; a failed validation comes
-    back as ``ok=False`` + the loader's error text instead of a raise,
-    so a fleet sweep over many artifacts reports per-artifact instead
-    of stopping at the first bad one. ``id_col`` only matters for the
-    generic fingerprint kind (whose artifact doesn't record the id
-    column name — the MinHash and phash kinds carry theirs)."""
+    provenance. Detects the artifact KIND from its own metadata and
+    re-runs that kind's loader validation (tag/params present, single
+    set, columns match, marker intact). Covered kinds — one per
+    ``save_*`` writer in the package (pinned by
+    ``tests/test_index_lifecycle.py::test_index_fsck_covers_every_save_writer``):
+
+    - lifecycle-bearing indexes (live rows post-tombstone-suppression,
+      physical rows, tombstone count/ratio, stale
+      ``_compacting``/``_old`` swap leftovers): marker-protocol ANN dir
+      (``ann_ivf_pq``), generic ``_fp_tag`` fingerprint (the audio-afp
+      and video-vhash writers wrap it), MinHash ``_mh_*``, image-phash
+      ``_phash_*``;
+    - parameterized summary/model artifacts (loader-validated +
+      row-counted; replaced wholesale, never row-deleted, so no
+      tombstone state): ``quantile_sketch`` (``_dq_*`` — the dyadic
+      rank sketch), ``cms_sketch``, ``hll_sketch``, ``bloom_sketch``,
+      ``ivf_centroids``, ``pq_codebooks``, ``ngram_lm`` (three nested
+      tables), ``text_probe`` (the one JSON-file artifact).
+
+    The Z-order lake layout is deliberately NOT a kind: it is a row
+    ORDERING of a data table (``pipeline.zorder``), not a derived
+    artifact with a loader contract — there is nothing to validate
+    beyond the table itself. Nothing is mutated; a failed validation
+    comes back as ``ok=False`` + the loader's error text instead of a
+    raise, so a fleet sweep over many artifacts reports per-artifact
+    instead of stopping at the first bad one. ``id_col`` only matters
+    for the generic fingerprint kind (whose artifact doesn't record
+    the id column name — the MinHash and phash kinds carry theirs)."""
     import json as _json
     import os as _os
 
@@ -2072,7 +2117,26 @@ def index_fsck(
         )
         return report
     try:
-        if _os.path.exists(_os.path.join(p, "_INDEX_OK")) or _os.path.isdir(
+        if _os.path.isfile(p):
+            # the one non-parquet artifact: the text-probe JSON file
+            report["kind"] = "text_probe"
+            from .features import load_text_probe
+
+            w, _bias, dim = load_text_probe(p)
+            report["meta"] = {"dim": dim}
+            report["rows"] = int(len(w))
+        elif all(
+            _os.path.isdir(_os.path.join(p, d))
+            for d in ("grams", "contexts", "meta")
+        ):
+            # ngram LM: three nested parquet tables + validated meta
+            report["kind"] = "ngram_lm"
+            from .lm import load_ngram_lm
+
+            lm = load_ngram_lm(spark, p)
+            report["meta"] = {"n": lm.n}
+            report["rows"] = lm.grams.count()
+        elif _os.path.exists(_os.path.join(p, "_INDEX_OK")) or _os.path.isdir(
             _os.path.join(p, "codes")
         ):
             report["kind"] = "ann_ivf_pq"
@@ -2133,24 +2197,89 @@ def index_fsck(
                     spark, p, None, id_col=id_col, hash_col=rest.pop()
                 )
                 report["meta"] = {"tag": tag}
+            # ---- parameterized summary/model artifacts: loader-
+            # validated + row-counted, but no id/tombstone lifecycle
+            # (a sketch or codebook is replaced wholesale, never
+            # row-deleted — takedown = rebuild)
+            elif "_dq_levels" in cols:  # BEFORE _cms_: shares columns
+                report["kind"] = "quantile_sketch"
+                from .sketch import load_quantile_sketch
+
+                sk, levels, width, depth, by = load_quantile_sketch(
+                    spark, p
+                )
+                report["meta"] = {
+                    "levels": levels, "width": width, "depth": depth,
+                    "by": by,
+                }
+                report["rows"] = sk.count()
+                index = None
+            elif "_cms_width" in cols:
+                report["kind"] = "cms_sketch"
+                from .sketch import load_cms_sketch
+
+                sk, width, depth, by = load_cms_sketch(spark, p)
+                report["meta"] = {"width": width, "depth": depth, "by": by}
+                report["rows"] = sk.count()
+                index = None
+            elif "_hll_p" in cols:
+                report["kind"] = "hll_sketch"
+                from .sketch import load_hll_sketch
+
+                sk, hp, by = load_hll_sketch(spark, p)
+                report["meta"] = {"p": hp, "by": by}
+                report["rows"] = sk.count()
+                index = None
+            elif "_bloom_m" in cols:
+                report["kind"] = "bloom_sketch"
+                from .sketch import load_bloom_sketch
+
+                sk, m_bits, bk, by = load_bloom_sketch(spark, p)
+                report["meta"] = {"m_bits": m_bits, "k": bk, "by": by}
+                report["rows"] = sk.count()
+                index = None
+            elif cols == {"cluster", "pos", "val", "k", "dim"}:
+                report["kind"] = "ivf_centroids"
+                from .similarity import load_ivf_index
+
+                cent = load_ivf_index(spark, p)
+                report["meta"] = {"k": int(cent.shape[0]),
+                                  "dim": int(cent.shape[1])}
+                report["rows"] = df.count()
+                index = None
+            elif cols == {"sub", "code", "pos", "val", "m", "n_codes",
+                          "dsub"}:
+                report["kind"] = "pq_codebooks"
+                from .pq import load_pq_index
+
+                cb = load_pq_index(spark, p)
+                report["meta"] = {
+                    "m": int(cb.shape[0]), "n_codes": int(cb.shape[1]),
+                    "dsub": int(cb.shape[2]),
+                }
+                report["rows"] = df.count()
+                index = None
             else:
                 raise ValueError(
                     "no recognizable index metadata "
                     f"(columns {sorted(cols)}) — not a persisted index"
                 )
-            report["live_rows"] = index.count()
-            report["rows"] = df.filter(F.col(id_col).isNotNull()).count()
-            td = _artifact_tombstone_dir(p)
-            report["tombstones"] = (
-                spark.read.parquet(td).select(id_col).distinct().count()
-                if _os.path.isdir(td)
-                else 0
-            )
-            report["tombstone_ratio"] = (
-                round(report["tombstones"] / report["rows"], 6)
-                if report["rows"]
-                else 0.0
-            )
+            if index is not None:
+                report["live_rows"] = index.count()
+                report["rows"] = df.filter(
+                    F.col(id_col).isNotNull()
+                ).count()
+                td = _artifact_tombstone_dir(p)
+                report["tombstones"] = (
+                    spark.read.parquet(td).select(id_col).distinct().count()
+                    if _os.path.isdir(td)
+                    else 0
+                )
+                report["tombstone_ratio"] = (
+                    round(report["tombstones"] / report["rows"], 6)
+                    if report["rows"]
+                    else 0.0
+                )
         report["ok"] = not report["stale_dirs"]
         if report["stale_dirs"]:
             report["error"] = (

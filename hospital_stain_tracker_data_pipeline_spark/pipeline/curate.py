@@ -107,6 +107,11 @@ class CurationReport:
     after_url_dedup: int | None = None
     # docs surviving the optional model-based quality probe; None when off
     after_quality_probe: int | None = None
+    # min-label rounds the best_quality CC pass ran (diameter
+    # telemetry — creep toward the max_iter guard should be visible in
+    # run reports, not discovered as a raise); None under lowest_id or
+    # when the clusters came back from a resumable run_dir checkpoint
+    cc_iterations: int | None = None
 
 
 def _predicate_sig(c: Column) -> str:
@@ -506,6 +511,7 @@ def curate_documents(
     # minimum without a components pass because each pair
     # independently names a smaller survivor. The LSH candidate join
     # executes during this materialize — once.
+    n_cc_iter: int | None = None
     if near_dup_policy == "lowest_id":
         drop = _ids(
             "near_drop",
@@ -528,6 +534,8 @@ def curate_documents(
         # pairs materializes FIRST: CC's edge checkpoint and node set
         # both consume it, and a lazy producer would re-execute the
         # LSH candidate join once per consumer (round-8 review).
+        cc_tel: dict = {}
+
         def _cc_clusters() -> DataFrame:
             pairs = materialize(
                 minhash_lsh_dedup_pairs(exact, threshold=near_dup_threshold)
@@ -535,13 +543,14 @@ def curate_documents(
             edges = pairs.select(
                 F.col("id_a").alias("src"), F.col("id_b").alias("dst")
             )
-            return connected_components_min_label(edges)
+            return connected_components_min_label(edges, telemetry=cc_tel)
 
         clusters = _ids(
             "near_clusters",
             {"threshold": near_dup_threshold, "policy": near_dup_policy},
             _cc_clusters,
         )
+        n_cc_iter = cc_tel.get("iterations")  # None on checkpoint reuse
         deduped = select_cluster_representatives(exact, clusters).persist(
             StorageLevel.MEMORY_AND_DISK
         )
@@ -749,6 +758,7 @@ def curate_documents(
         after_decontamination=n_decon,
         after_substring_dedup=n_substr,
         after_url_dedup=n_url,
+        cc_iterations=n_cc_iter,
     )
     # handle for unpersist_curated — the chunks frame's lineage reads
     # from this persisted corpus

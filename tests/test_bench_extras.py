@@ -38,3 +38,33 @@ def test_bench_extra_runs(spark, sf_dir, name):
     finally:
         if name == "curate_full":
             spark.catalog.clearCache()
+
+
+def test_e2e_phase_map_covers_the_total(spark, sf_dir):
+    """Stage-level regression contract for the flagship extra: the
+    per-stage wall times in EXTRAS_INFO must (a) exist with every
+    expected stage key, (b) sum to (nearly) the whole extra — a new
+    untimed stage, or a stage whose timer was disconnected, shows up
+    here as uncovered wall time long before a single-stage 5×
+    regression hides inside a stable-looking total."""
+    import time
+
+    registry = bench._extras_registry()
+    t0 = time.perf_counter()
+    n = registry["e2e_crawl_to_pack"](spark, sf_dir).count()
+    total = time.perf_counter() - t0
+    assert n >= 0
+    phases = bench.EXTRAS_INFO["e2e_crawl_to_pack"]
+    stage_keys = [
+        "warc_parse_sec", "curate_pack_sec", "manifest_sec",
+        "media_curate_sec", "ops_sec",
+    ]
+    assert all(k in phases for k in stage_keys), sorted(phases)
+    covered = sum(phases[k] for k in stage_keys)
+    # the stage timers are contiguous from the first line of the extra
+    # to the last, so they must cover ~all the wall time (the final
+    # .count() above re-reads a materialized frame — cheap)
+    assert 0.6 * total <= covered <= 1.05 * total, (covered, total)
+    # the ops leg really ran its operational surface
+    assert phases["fsck_ok"] is True and phases["fsck_kind"] == "ann_ivf_pq"
+    assert phases["ann_appended"] > 0

@@ -634,6 +634,39 @@ def test_connected_components_min_label(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
 
 
+def test_connected_components_chain_telemetry_and_guard(spark):
+    """Convergence telemetry + the loud max_iter guard on the planted
+    worst case: a 2^6-node chain has diameter 63, so min-label needs
+    63 propagation rounds + 1 fixpoint-proof round. With max_iter
+    exhausted the operator must RAISE (unconverged labels are
+    silently-wrong clusters), never return."""
+    import pytest as _pytest
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+        connected_components_min_label,
+    )
+
+    n = 64  # 2^6 chain: the degenerate component shape
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    tel: dict = {}
+    out = connected_components_min_label(
+        edges, max_iter=80, telemetry=tel
+    ).collect()
+    assert all(r.cluster_id == 0 for r in out) and len(out) == n
+    assert tel["converged"] is True
+    # rounds = diameter + the no-change proof round; pin the bound so a
+    # propagation-speed regression (e.g. a broken neighbor join) fails
+    # here instead of silently tripling cluster cost
+    assert tel["iterations"] == n
+
+    tel2: dict = {}
+    with _pytest.raises(ValueError, match="did not converge"):
+        connected_components_min_label(edges, max_iter=10, telemetry=tel2)
+    assert tel2 == {"iterations": 10, "converged": False}
+
+
 def test_png_codec_roundtrip_and_all_filters():
     """decode_png_pixels must invert encode_png AND handle scanlines
     filtered with every PNG filter type (Sub/Up/Average/Paeth are the

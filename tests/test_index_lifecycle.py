@@ -535,3 +535,132 @@ def test_swap_crash_recovery_protects_last_copy(spark, tmp_path):
     # nothing anywhere → honest report, no raise
     empty = str(tmp_path / "nothing")
     assert recover_index_swap(empty)["recovered"] is False
+
+
+def test_index_fsck_covers_every_save_writer(spark, tmp_path):
+    """Kind-coverage contract: every `save_*` artifact writer in the
+    package (plus the marker-protocol ANN builder) maps to an
+    index_fsck kind, enumerated from the SOURCE so a new writer without
+    fsck coverage fails here. The Z-order lake layout is deliberately
+    absent: it is a row ordering of a data table, not a loadable
+    artifact (documented in the fsck docstring). For each
+    non-lifecycle kind, build the artifact and assert fsck identifies
+    and validates it."""
+    import glob
+    import re
+
+    import numpy as np
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (
+        index_fsck,
+    )
+
+    pkg = os.path.join(REPO, "hospital_stain_tracker_data_pipeline_spark")
+    writers = set()
+    for f in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        writers |= set(re.findall(r"^def (save_\w+)", open(f).read(), re.M))
+    expected_kind = {
+        "save_dedup_index": "minhash",
+        "save_fp_index": "fp_tagged",
+        "save_afp_index": "fp_tagged",     # wraps save_fp_index
+        "save_vhash_index": "fp_tagged",   # wraps save_fp_index
+        "save_phash_index": "phash",
+        "save_ivf_index": "ivf_centroids",
+        "save_pq_index": "pq_codebooks",
+        "save_cms_sketch": "cms_sketch",
+        "save_hll_sketch": "hll_sketch",
+        "save_bloom_sketch": "bloom_sketch",
+        "save_quantile_sketch": "quantile_sketch",
+        "save_ngram_lm": "ngram_lm",
+        "save_text_probe": "text_probe",
+    }
+    # the enumeration IS the assertion: a new save_* writer must be
+    # added to this map (and to fsck) or this test fails
+    assert writers == set(expected_kind), (
+        sorted(writers ^ set(expected_kind))
+    )
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.features import (
+        save_text_probe,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.operators.lm import (
+        save_ngram_lm,
+        train_ngram_lm,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.operators.pq import (
+        save_pq_index,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.operators.similarity import (
+        save_ivf_index,
+    )
+    from hospital_stain_tracker_data_pipeline_spark.operators.sketch import (
+        bloom_sketch,
+        cms_sketch,
+        dyadic_rank_sketch,
+        hll_registers,
+        save_bloom_sketch,
+        save_cms_sketch,
+        save_hll_sketch,
+        save_quantile_sketch,
+    )
+
+    events = spark.createDataFrame(
+        [(i, f"u{i % 5}", float(i)) for i in range(40)],
+        "event_id long, user string, amount double",
+    )
+
+    p = str(tmp_path / "cms")
+    save_cms_sketch(cms_sketch(events, "user", width=64, depth=3), 64, 3, p)
+    rep = index_fsck(spark, p)
+    assert rep["ok"] and rep["kind"] == "cms_sketch"
+    assert rep["meta"]["width"] == 64 and rep["rows"] > 0
+
+    p = str(tmp_path / "hll")
+    save_hll_sketch(hll_registers(events, "user", p=8), 8, p)
+    rep = index_fsck(spark, p)
+    assert rep["ok"] and rep["kind"] == "hll_sketch"
+    assert rep["meta"]["p"] == 8
+
+    p = str(tmp_path / "bloom")
+    save_bloom_sketch(
+        bloom_sketch(events, "user", m_bits=1 << 10, k=3), 1 << 10, 3, p
+    )
+    rep = index_fsck(spark, p)
+    assert rep["ok"] and rep["kind"] == "bloom_sketch"
+    assert rep["meta"]["k"] == 3
+
+    p = str(tmp_path / "dq")
+    save_quantile_sketch(
+        dyadic_rank_sketch(events, "amount", levels=8, width=64, depth=3),
+        8, 64, 3, p,
+    )
+    rep = index_fsck(spark, p)
+    assert rep["ok"] and rep["kind"] == "quantile_sketch"
+    assert rep["meta"]["levels"] == 8
+
+    p = str(tmp_path / "ivf")
+    save_ivf_index(spark, np.arange(8, dtype=np.int64).reshape(2, 4), p)
+    rep = index_fsck(spark, p)
+    assert rep["ok"] and rep["kind"] == "ivf_centroids"
+    assert rep["meta"] == {"k": 2, "dim": 4}
+
+    p = str(tmp_path / "pq")
+    save_pq_index(spark, np.arange(16, dtype=np.int64).reshape(2, 4, 2), p)
+    rep = index_fsck(spark, p)
+    assert rep["ok"] and rep["kind"] == "pq_codebooks"
+    assert rep["meta"] == {"m": 2, "n_codes": 4, "dsub": 2}
+
+    p = str(tmp_path / "lm")
+    docs = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "b c d")], "doc_id long, text string"
+    )
+    save_ngram_lm(train_ngram_lm(docs, n=2), p)
+    rep = index_fsck(spark, p)
+    assert rep["ok"] and rep["kind"] == "ngram_lm"
+    assert rep["meta"]["n"] == 2 and rep["rows"] > 0
+
+    p = str(tmp_path / "probe.json")
+    save_text_probe(p, [0.5, -0.25, 0.125], 0.1, 3)
+    rep = index_fsck(spark, p)
+    assert rep["ok"] and rep["kind"] == "text_probe"
+    assert rep["meta"] == {"dim": 3} and rep["rows"] == 3
