@@ -1435,8 +1435,6 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     warm_first: dict[str, float] = {}
-    fwd_samples: dict[str, list[float]] = {}
-    rev_samples: dict[str, list[float]] = {}
     # pass 0: COLD over the whole set first — beyond measuring
     # first-touch cost, this finishes the session's JIT ramp before
     # any warm rep is timed (the first sf0.1 two-way run showed the
@@ -1444,13 +1442,32 @@ def main() -> None:
     # forward reps had been running right after session start)
     for name in headline:
         timings[name] = round(timed_run(name), 3)
-    for name in headline:  # pass 1, forward warm reps
-        reps = NOISY_REPS.get(name, WARM_REPS_DEFAULT)
-        fwd_samples[name] = [timed_run(name) for _ in range(reps)]
+    # Warm reps run as INTERLEAVED round-robin cycles (round 13):
+    # forward-cycle 1, reverse-cycle 1, forward-cycle 2, ... instead of
+    # all forward reps then all reverse reps. The round-12 two-pass
+    # form made TOTALS order-invariant but left per-query fwd/rev
+    # medians ~30% apart (order_dmax 0.318): all of a query's forward
+    # samples came from the session's first half and all reverse
+    # samples from its second, so slow JVM/GC drift loaded directly
+    # onto the fwd-vs-rev split. Cycling spreads both directions'
+    # samples uniformly across the session timeline — drift now hits
+    # fwd and rev equally and cancels out of order_delta — and each
+    # F+R cycle pair is a palindrome, so within-pair position effects
+    # cancel per query too. Same total rep count; wall time unchanged.
+    reps_max = max(
+        [NOISY_REPS.get(n, WARM_REPS_DEFAULT) for n in headline] or [0]
+    )
+    fwd_samples = {name: [] for name in headline}
+    rev_samples = {name: [] for name in headline}
+    for cycle in range(reps_max):
+        for name in headline:  # forward cycle
+            if cycle < NOISY_REPS.get(name, WARM_REPS_DEFAULT):
+                fwd_samples[name].append(timed_run(name))
+        for name in reversed(headline):  # reverse cycle
+            if cycle < NOISY_REPS.get(name, WARM_REPS_DEFAULT):
+                rev_samples[name].append(timed_run(name))
+    for name in headline:
         warm_first[name] = round(fwd_samples[name][0], 3)
-    for name in reversed(headline):  # pass 2, reverse warm reps
-        reps = NOISY_REPS.get(name, WARM_REPS_DEFAULT)
-        rev_samples[name] = [timed_run(name) for _ in range(reps)]
 
     medians: dict[str, float] = {}
     medians_fwd: dict[str, float] = {}
@@ -1504,7 +1521,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": {k: _sig3(v) for k, v in medians.items()},
-        "queries_kind": "med_warm_2way",
+        "queries_kind": "med_warm_2way_rr",
         "order_dmax": order_delta_max,
         "order_dp90": order_delta_p90,
         "calibration_sec": calibration["jvm_shuffle_sec"],

@@ -42,7 +42,6 @@ CATALOG: dict[str, QuerySpec] = {
     "asof_join": QuerySpec(R.q_asof_join, R.SQL_ASOF_JOIN),
     # --- §2.4 aggregations (merged families) ---
     "scalar_summary": QuerySpec(R.q_scalar_summary, R.SQL_SCALAR_SUMMARY),
-    "dates_coverage": QuerySpec(R.q_dates_coverage, R.SQL_DATES_COVERAGE),
     "event_type_metrics": QuerySpec(
         R.q_event_type_metrics, R.SQL_EVENT_TYPE_METRICS
     ),
@@ -68,13 +67,18 @@ CATALOG: dict[str, QuerySpec] = {
     "doc_profile": QuerySpec(X.q_doc_profile, X.SQL_DOC_PROFILE),
     "tfidf_topterms": QuerySpec(X.q_tfidf_topterms, X.SQL_TFIDF_TOPTERMS),
     # --- dedup family (Phase 4) ---
-    "dedup_exact": QuerySpec(X.q_dedup_exact, X.SQL_DEDUP_EXACT),
     "dedup_jaccard_topk": QuerySpec(X.q_dedup_jaccard_topk, X.SQL_DEDUP_JACCARD_TOPK),
     "dedup_simhash": QuerySpec(X.q_dedup_simhash, X.SQL_DEDUP_SIMHASH),
     "dedup_minhash_lsh": QuerySpec(X.q_dedup_minhash_lsh, X.SQL_DEDUP_MINHASH_LSH),
     "dup_clusters": QuerySpec(X.q_dup_clusters, X.SQL_DUP_CLUSTERS),
     # --- training-data pipeline ops (Phase 4) ---
     "train_test_split": QuerySpec(X.q_train_test_split, X.SQL_TRAIN_TEST_SPLIT),
+    # --- round-13 rotation: PDF round-trip extraction (classic 1.4 +
+    # ObjStm/xref-stream 1.5 twins, hash-graded against the fixture
+    # text) and exact-URL crawl dedup (real canonicalizer + lowest-id
+    # winners, canonical strings value-compared) ---
+    "pdf_roundtrip": QuerySpec(X.q_pdf_roundtrip, X.SQL_PDF_ROUNDTRIP),
+    "url_dedup": QuerySpec(W.q_url_dedup, W.SQL_URL_DEDUP),
     # --- round-12 rotation: the approximate-sketch family's error
     # CONTRACTS hash-graded (internals stay engine-private), the md5
     # epoch permutation replayed key-exact, and the zlib signal's
@@ -156,6 +160,13 @@ CATALOG: dict[str, QuerySpec] = {
 # HEADLINE names against CATALOG | DEMOTED so the benchmark set (and
 # warm_total's round-over-round comparability) is unchanged by rotation.
 DEMOTED: dict[str, QuerySpec] = {
+    # --- round 13: demoted for the pdf_roundtrip / url_dedup tranche.
+    # dates_coverage's distinct-sorted / groupby-having / sort-asc
+    # shapes all ride scalar_summary + grouping_multi (and the replay
+    # below); dedup_exact's fingerprint groupBy is subsumed by
+    # dup_clusters' exact stage and the corpus_report attrition row ---
+    "dates_coverage": QuerySpec(R.q_dates_coverage, R.SQL_DATES_COVERAGE),
+    "dedup_exact": QuerySpec(X.q_dedup_exact, X.SQL_DEDUP_EXACT),
     # --- round 12: demoted for the approx-sketch / epoch-shuffle /
     # compression tranche. redact_text's regex battery rides the
     # quality family (gopher_quality_kept + corpus_report + the

@@ -92,3 +92,72 @@ SELECT url, priority, domain, wave,
        wave * coalesce(delay, 1.5) AS earliest_fetch_offset_s
 FROM w LEFT JOIN d USING (dnum)
 """
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-URL crawl dedup hash-graded (round-13 rotation): a
+    synthetic re-crawl frontier — page id ``doc_id*2 div 3`` maps every
+    3 consecutive docs onto 2 pages, under scheme-case / default-port /
+    trailing-slash / tracking-param / param-order / fragment noise —
+    goes through the REAL canonicalizer (`operators/web.py::
+    canonicalize_url`, pure Column expressions) and the lowest-id
+    winner selection (`dedup_exact_urls` — the groupBy shuffles only
+    (canon, id), never the payload).
+
+    The returned frame carries the CANONICAL string alongside each
+    surviving raw URL, so the DuckDB oracle (which re-derives both
+    arithmetically from doc_id) value-grades the canonicalization
+    output itself — wrong port-stripping, param sorting, or slash
+    collapsing hash-mismatches, not just wrong winner counts."""
+    from ..operators.web import canonicalize_url, dedup_exact_urls
+
+    docs = load_fixture_table(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("https://www.example.com:443/p/"),
+            )
+            .when(
+                F.col("doc_id") % 4 == 1,
+                F.lit("HTTPS://WWW.Example.COM/p/"),
+            )
+            .otherwise(F.lit("https://www.example.com/p/")),
+            F.expr("doc_id * 2 div 3").cast("string"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("/?utm_source=feed&b=2&a=1"),
+            )
+            .when(F.col("doc_id") % 3 == 1, F.lit("?b=2&a=1"))
+            .otherwise(F.lit("?a=1&b=2#frag")),
+        ).alias("url"),
+    )
+    return (
+        dedup_exact_urls(urls)
+        .withColumn("canon", canonicalize_url(F.col("url")))
+        .orderBy("doc_id")
+    )
+
+
+SQL_URL_DEDUP = """
+WITH u AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 4 = 0 THEN 'https://www.example.com:443/p/'
+               WHEN doc_id % 4 = 1 THEN 'HTTPS://WWW.Example.COM/p/'
+               ELSE 'https://www.example.com/p/' END)
+         || CAST(doc_id * 2 // 3 AS VARCHAR)
+         || (CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=feed&b=2&a=1'
+                  WHEN doc_id % 3 = 1 THEN '?b=2&a=1'
+                  ELSE '?a=1&b=2#frag' END) AS url,
+         doc_id * 2 // 3 AS pid
+  FROM documents
+), w AS (
+  SELECT pid, MIN(doc_id) AS doc_id FROM u GROUP BY pid
+)
+SELECT u.doc_id, u.url,
+       'https://www.example.com/p/' || CAST(u.pid AS VARCHAR)
+         || '?a=1&b=2' AS canon
+FROM u JOIN w ON u.doc_id = w.doc_id
+ORDER BY u.doc_id
+"""

@@ -325,6 +325,89 @@ FROM h ORDER BY media_id
 """
 
 
+def q_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text extraction hash-graded end-to-end (round-13 rotation):
+    every fixture document is serialized TWICE by the deterministic
+    writer rigs — the classic PDF 1.4 form (`operators/pdf.py::
+    build_simple_pdf`: per-page Flate content streams, xref table,
+    `trailer` keyword) and its PDF 1.5 twin (`build_objstm_pdf`: all
+    dicts packed in a `/Type /ObjStm` container, xref STREAM, no
+    trailer keyword — the majority shape of real-world PDFs) — then
+    the REAL Arrow-batched operator (`extract_pdf_text`) parses both
+    back. Two pages per doc exercise the page-tree walk + form-feed
+    join, and page 2's parenthesized id + md5 prefix exercise string
+    escaping and multi-line Td breaks.
+
+    The DuckDB oracle recomputes the EXPECTED extraction straight from
+    the fixture text (text ‖ page-2 lines with the same md5), so the
+    whole round trip — writer, ObjStm packing, Flate, tokenizer,
+    escape handling — is value-compared, not rows-only. ``media_id =
+    doc_id*2 + variant`` keeps the generator a single pass."""
+    from ..operators.pdf import (
+        build_objstm_pdf,
+        build_simple_pdf,
+        extract_pdf_text,
+    )
+
+    docs = load_fixture_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+
+    def render(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                sha = hashlib.md5(text.encode("utf-8")).hexdigest()[:8]
+                pages = [[text], [f"doc ({did})", f"sha {sha}"]]
+                rows.append(
+                    {"media_id": did * 2, "payload": build_simple_pdf(pages)}
+                )
+                rows.append(
+                    {
+                        "media_id": did * 2 + 1,
+                        "payload": build_objstm_pdf(pages),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(render, "media_id long, payload binary")
+    out = extract_pdf_text(media)
+    return (
+        out.select(
+            F.expr("media_id div 2").alias("doc_id"),
+            F.when(F.col("media_id") % 2 == 0, F.lit("classic"))
+            .otherwise(F.lit("objstm"))
+            .alias("variant"),
+            "n_pages",
+            "extracted",
+            "text",
+        )
+        .orderBy("doc_id", "variant")
+    )
+
+
+SQL_PDF_ROUNDTRIP = """
+WITH exp AS (
+  SELECT doc_id,
+         text || chr(10) || chr(12) ||
+         'doc (' || CAST(doc_id AS VARCHAR) || ')' || chr(10) ||
+         'sha ' || substr(md5(text), 1, 8) || chr(10) AS text
+  FROM documents
+), v(variant) AS (SELECT 'classic' UNION ALL SELECT 'objstm')
+SELECT exp.doc_id, v.variant,
+       CAST(2 AS INTEGER) AS n_pages,
+       TRUE AS extracted,
+       exp.text
+FROM exp CROSS JOIN v
+ORDER BY doc_id, variant
+"""
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document chunking for training pipelines: fixed-size token
     windows with overlap (stride < size), exploded to one row per

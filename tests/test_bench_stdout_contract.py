@@ -67,7 +67,11 @@ def test_bench_last_stdout_line_is_the_graded_json(tmp_path):
     assert rec["warm_total"] > 0
     assert rec["queries"] and all(v >= 0 for v in rec["queries"].values())
     assert rec["sf"] == 0.001
-    assert rec["queries_kind"] == "med_warm_2way"
+    # _rr since round 13: warm reps run as interleaved forward/reverse
+    # ROUND-ROBIN cycles, so per-query fwd/rev medians sample the same
+    # session-drift timeline (the two-separated-passes form loaded
+    # drift onto the split — order_dmax 0.318 at r12)
+    assert rec["queries_kind"] == "med_warm_2way_rr"
 
     # machine-speed normalizer + order-invariance evidence: the
     # calibration probe is constant work so it must be positive, and

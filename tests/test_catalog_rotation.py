@@ -43,6 +43,10 @@ PROMOTED = [
     "approx_distinct_check",
     "epoch_shuffle",
     "compression_signals",
+    # round 13 — PDF round-trip extraction (classic + ObjStm twins)
+    # and exact-URL crawl dedup (canonical strings value-compared)
+    "pdf_roundtrip",
+    "url_dedup",
 ]
 
 _TABLES = [
