@@ -145,6 +145,7 @@ from .dedup import (  # noqa: F401
     save_fp_index,
     minhash_signature_index,
     ngram_contamination,
+    recover_index_swap,
     save_dedup_index,
     select_cluster_representatives,
     tune_lsh_bands,

@@ -363,12 +363,9 @@ def _cap_hot_buckets(
         return banded
     if max_bucket < 2:
         raise ValueError(f"max_bucket={max_bucket} must be >= 2 (or None)")
-    hot = (
-        banded.groupBy(*key_cols)
-        .agg(F.count("*").alias("_members"))
-        .filter(F.col("_members") > max_bucket)
-        .select(*key_cols)
-    )
+    # the hot set IS the audit report's rows — one derivation, so the
+    # report can never diverge from what the cap actually drops
+    hot = lsh_hot_buckets(banded, key_cols, max_bucket).select(*key_cols)
     return banded.join(hot, key_cols, "left_anti")
 
 
@@ -1167,7 +1164,10 @@ def connected_components_min_label(
     doesn't grow linearly with iterations. Iterations needed = graph
     diameter (near-dup clusters are shallow; ``max_iter`` is a guard).
 
-    Exhausting ``max_iter`` without converging RAISES: unconverged
+    ``max_iter`` bounds label-PROPAGATION rounds (one hop each), so it
+    is a component-diameter capacity: diameter ≤ max_iter converges
+    (the fixpoint-proof round runs on top, not out of the budget).
+    Exhausting the budget without converging RAISES: unconverged
     labels are silently-wrong clusters (a component's min label only
     travels one hop per iteration, so a pathological chain longer than
     ``max_iter`` would split into arbitrary sub-clusters) — a
@@ -1220,7 +1220,11 @@ def connected_components_min_label(
     )
     converged = False
     iterations = 0
-    for _ in range(max_iter):
+    # max_iter bounds PROPAGATION rounds; the +1 leaves room for the
+    # no-change round that proves the fixpoint, so a component of
+    # diameter exactly max_iter converges instead of raising away a
+    # result that is already correct
+    for _ in range(max_iter + 1):
         prev = labels
         neighbor = (
             labels.join(sym, labels["node"] == sym["a"])

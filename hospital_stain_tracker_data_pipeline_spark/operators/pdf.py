@@ -158,10 +158,18 @@ def _mask_stream_payloads(raw: bytes) -> bytes:
     when the declared end is immediately followed by ``endstream``
     (so a payload CONTAINING the literal bytes 'endstream' is still
     masked in full — the first-occurrence scan would stop inside it
-    and leave the tail unmasked); a hostile/corrupt /Length whose end
-    does NOT land on ``endstream`` is ignored, so it can never blank
-    structural bytes like the real trailer. Indirect or absent
-    /Length falls back to the first-``endstream`` scan."""
+    and leave the tail unmasked); a corrupt /Length whose end does NOT
+    land on ``endstream`` is ignored and the scan takes over. The
+    /Length lookup reads the MASKED-so-far buffer, so '/Length N'
+    bytes inside a previous stream's payload can never be mistaken for
+    the current dict's entry — only structural bytes influence the
+    extent. (Trust boundary: this defends structural scans against
+    untrusted page CONTENT; a hostile structural layer — a forged
+    /Length in the object's own dict — is out of scope, exactly as it
+    is for every heuristic in this module: such a file can already
+    misdescribe itself in ways no scan can detect without a full
+    renderer.) Indirect or absent /Length falls back to the
+    first-``endstream`` scan."""
     out = bytearray(raw)
     pos = 0
     while True:
@@ -171,8 +179,10 @@ def _mask_stream_payloads(raw: bytes) -> bytes:
         end = None
         # the object dict immediately precedes the keyword; a bounded
         # window keeps the per-stream cost O(1) (dicts that put
-        # /Length further back simply fall through to the scan)
-        window = raw[max(0, m.start() - 2048) : m.start()]
+        # /Length further back simply fall through to the scan).
+        # Window reads `out`, not `raw`: earlier payloads are blanked
+        # there, so their content cannot supply a bogus /Length.
+        window = bytes(out[max(0, m.start() - 2048) : m.start()])
         lm = None
         for lm in _MASK_LENGTH_RE.finditer(window):
             pass  # last direct /Length before the keyword

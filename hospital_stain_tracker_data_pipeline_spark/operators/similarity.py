@@ -326,14 +326,17 @@ def ann_lsh_candidates(
     ``ann_hot_bucket_report``)."""
     from .dedup import _cap_hot_buckets
 
-    bucketed = materialize(
-        _cap_hot_buckets(
+    # materialize BEFORE the cap: the cap's hot-set aggregation and
+    # its anti-join probe side are two consumers, and an unmaterialized
+    # producer would run the heavy hyperplane gemm once per consumer
+    bucketed = _cap_hot_buckets(
+        materialize(
             random_hyperplane_buckets(
                 df, nbits, dim, id_col, vec_col, tables=tables
-            ).select(id_col, "table", "bucket"),
-            ["table", "bucket"],
-            max_bucket,
-        )
+            ).select(id_col, "table", "bucket")
+        ),
+        ["table", "bucket"],
+        max_bucket,
     )
     a = bucketed.select("table", "bucket", F.col(id_col).alias("id_a"))
     b = bucketed.select("table", "bucket", F.col(id_col).alias("id_b"))

@@ -64,6 +64,7 @@ def leakage_safe_split(
     pair_cols: tuple[str, str] = ("id_a", "id_b"),
     train_pct: int = 80,
     val_pct: int = 10,
+    cc_max_iter: int = 20,
 ) -> DataFrame:
     """Adds ``split_key`` (the near-dup component's minimum doc id;
     own id for docs in no pair) and ``split`` to ``docs``.
@@ -74,12 +75,14 @@ def leakage_safe_split(
     near-dup component receives the SAME split (key = component min
     id), so no ≥-threshold pair — nor any transitive chain of pairs —
     can straddle train/eval. Deterministic under any partitioning
-    (min-label CC + md5 buckets, no RNG)."""
+    (min-label CC + md5 buckets, no RNG). ``cc_max_iter`` is the CC
+    pass's component-diameter capacity — the knob the non-convergence
+    error tells the operator to raise."""
     a, b = pair_cols
     edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     # nodes=None → edge-incident universe derived from the operator's
     # own checkpointed edge list (a lazy pairs producer runs ONCE)
-    comp = connected_components_min_label(edges).select(
+    comp = connected_components_min_label(edges, max_iter=cc_max_iter).select(
         F.col("node").alias(id_col), F.col("cluster_id").alias("_comp")
     )
     keyed = docs.join(comp, id_col, "left").withColumn(

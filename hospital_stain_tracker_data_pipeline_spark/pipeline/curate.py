@@ -249,6 +249,7 @@ def curate_documents(
     url_col: str | None = None,
     html_col: str | None = None,
     run_dir: str | None = None,
+    cc_max_iter: int = 20,
 ) -> tuple[DataFrame, CurationReport]:
     """Run the full curation pipeline over a ``(doc_id, text)`` corpus;
     returns ``(packed_chunks, report)``.
@@ -543,7 +544,9 @@ def curate_documents(
             edges = pairs.select(
                 F.col("id_a").alias("src"), F.col("id_b").alias("dst")
             )
-            return connected_components_min_label(edges, telemetry=cc_tel)
+            return connected_components_min_label(
+                edges, max_iter=cc_max_iter, telemetry=cc_tel
+            )
 
         clusters = _ids(
             "near_clusters",

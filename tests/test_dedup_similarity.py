@@ -661,10 +661,18 @@ def test_connected_components_chain_telemetry_and_guard(spark):
     # here instead of silently tripling cluster cost
     assert tel["iterations"] == n
 
+    # diameter exactly max_iter converges (the fixpoint-proof round
+    # rides on top of the propagation budget, not out of it)
+    tel_exact: dict = {}
+    out2 = connected_components_min_label(
+        edges, max_iter=n - 1, telemetry=tel_exact
+    ).collect()
+    assert all(r.cluster_id == 0 for r in out2) and tel_exact["converged"]
+
     tel2: dict = {}
     with _pytest.raises(ValueError, match="did not converge"):
         connected_components_min_label(edges, max_iter=10, telemetry=tel2)
-    assert tel2 == {"iterations": 10, "converged": False}
+    assert tel2 == {"iterations": 11, "converged": False}
 
 
 def test_png_codec_roundtrip_and_all_filters():

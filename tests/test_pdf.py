@@ -433,3 +433,34 @@ def test_pdf_trailer_nested_dict_is_balance_scanned():
     assert pdf_is_encrypted(plain) is False
     torn = b"%PDF-1.4\ntrailer\n<< /Info << /Encrypt 5 0 R"
     assert pdf_is_encrypted(torn) is False
+
+
+def test_pdf_mask_length_lookup_ignores_previous_payload():
+    """The /Length lookup must read only STRUCTURAL bytes: a '/Length
+    N' planted inside a PREVIOUS stream's (already masked) payload
+    must not define the next stream's extent. Here the planted length
+    would stretch an indirect-length stream's mask across the genuine
+    trailer onto a later stream's 'endstream' — an encrypted file
+    reading as unencrypted — if the lookup scanned raw bytes."""
+    bogus = b"/Length 000"  # fixed width; digits patched below
+    obj_a = (
+        b"1 0 obj\n<< /Length %d >>\nstream\nx %s y\nendstream\nendobj\n"
+        % (len(bogus) + 4, bogus)
+    )
+    obj_b = (
+        b"2 0 obj\n<< /Length 9 0 R >>\nstream\nhi\nendstream\nendobj\n"
+    )
+    trailer = b"trailer\n<< /Size 4 /Encrypt 5 0 R >>\n"
+    obj_c = b"3 0 obj\n<< /Length 5 >>\nstream\nworld\nendstream\nendobj\n"
+    raw = b"%PDF-1.4\n" + obj_a + obj_b + trailer + obj_c + b"%%EOF"
+    # patch the planted length so (B's stream start + N) lands exactly
+    # on C's endstream — the hostile geometry
+    b_payload_start = raw.index(b"stream\n", raw.index(b"2 0 obj")) + len(
+        b"stream\n"
+    )
+    c_endstream = raw.index(b"endstream", raw.index(b"3 0 obj"))
+    n = c_endstream - b_payload_start
+    patched = raw.replace(b"/Length 000", b"/Length %03d" % n)
+    assert b"/Length %03d" % n in patched and len(patched) == len(raw)
+    # the file IS encrypted; the planted length must not hide that
+    assert pdf_is_encrypted(patched) is True
