@@ -54,9 +54,6 @@ CATALOG: dict[str, QuerySpec] = {
         R.q_rank_topn_per_group, R.SQL_RANK_TOPN_PER_GROUP
     ),
     # --- §2.7 set ops / grouping sets ---
-    "set_membership_ops": QuerySpec(
-        R.q_set_membership_ops, R.SQL_SET_MEMBERSHIP_OPS
-    ),
     "grouping_multi": QuerySpec(R.q_grouping_multi, R.SQL_GROUPING_MULTI),
     # --- §2.8 scalar functions ---
     "strain_formula": QuerySpec(R.q_strain_formula, R.SQL_STRAIN_FORMULA),
@@ -79,6 +76,7 @@ CATALOG: dict[str, QuerySpec] = {
     # winners, canonical strings value-compared) ---
     "pdf_roundtrip": QuerySpec(X.q_pdf_roundtrip, X.SQL_PDF_ROUNDTRIP),
     "url_dedup": QuerySpec(W.q_url_dedup, W.SQL_URL_DEDUP),
+    "robots_gate": QuerySpec(W.q_robots_gate, W.SQL_ROBOTS_GATE),
     # --- round-12 rotation: the approximate-sketch family's error
     # CONTRACTS hash-graded (internals stay engine-private), the md5
     # epoch permutation replayed key-exact, and the zlib signal's
@@ -167,6 +165,13 @@ DEMOTED: dict[str, QuerySpec] = {
     # dup_clusters' exact stage and the corpus_report attrition row ---
     "dates_coverage": QuerySpec(R.q_dates_coverage, R.SQL_DATES_COVERAGE),
     "dedup_exact": QuerySpec(X.q_dedup_exact, X.SQL_DEDUP_EXACT),
+    # set_membership_ops made room for robots_gate: a beyond-reference
+    # §2.7 extra whose semi/anti shapes also ride dim_get_or_create's
+    # left_anti and the index tombstone anti-joins; grouping sets stay
+    # graded via grouping_multi
+    "set_membership_ops": QuerySpec(
+        R.q_set_membership_ops, R.SQL_SET_MEMBERSHIP_OPS
+    ),
     # --- round 12: demoted for the approx-sketch / epoch-shuffle /
     # compression tranche. redact_text's regex battery rides the
     # quality family (gopher_quality_kept + corpus_report + the

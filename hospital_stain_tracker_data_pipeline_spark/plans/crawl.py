@@ -161,3 +161,140 @@ SELECT u.doc_id, u.url,
 FROM u JOIN w ON u.doc_id = w.doc_id
 ORDER BY u.doc_id
 """
+
+
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots gate hash-graded (round-13 rotation, second
+    crawl promotion): 50 synthetic domains publish REAL robots.txt
+    bodies — even domains a two-group file (an `examplebot` group plus
+    a `*` group with wildcard, `$`-anchored, and query-matching rules),
+    odd domains a star-only file — and a frontier of one URL per
+    document (8 path shapes hitting every rule class, including a
+    longest-match conflict `/pub/x.php` where `Disallow /*.php` (6)
+    must beat `Allow /pub/` (5)) runs the REAL parser + matcher
+    (`operators/web.py::robots_rules` group walker → `robots_filter`
+    broadcast join + cached-regex match + struct-max argmax) under TWO
+    product tokens: `examplebot` (selects the specific group where
+    defined) and `otherbot` (falls back to `*` everywhere) — group
+    selection itself is part of the graded value.
+
+    The DuckDB oracle re-states the authored rule tables as VALUES
+    (the same anchored regexes `_robots_pattern_regex` emits) and
+    replays longest-match with the exact tie order (pattern octet
+    length desc, allow desc, pattern desc), so a parser or matcher
+    drift hash-mismatches."""
+    from ..operators.web import robots_filter, robots_rules
+
+    bot_body = (
+        "User-agent: examplebot\nDisallow: /private/\n"
+        "Allow: /private/ok/\n\n"
+        "User-agent: *\nDisallow: /*.php\nAllow: /pub/\n"
+        "Disallow: /tmp/$\nDisallow: /search?\n"
+    )
+    star_body = (
+        "User-agent: *\nDisallow: /admin/\nAllow: /\n"
+        "Disallow: /*.cgi\nDisallow: /old/*archive$\n"
+    )
+    robots = spark.range(50).select(
+        F.concat(F.lit("crawl"), F.col("id"), F.lit(".example")).alias(
+            "domain"
+        ),
+        F.when(F.col("id") % 2 == 0, F.lit(bot_body))
+        .otherwise(F.lit(star_body))
+        .alias("robots_txt"),
+    )
+    rules = robots_rules(robots)
+
+    docs = load_fixture_table(spark, sf_dir, "documents")
+    c = F.col("doc_id") % 8
+    sid = F.col("doc_id").cast("string")
+    path = (
+        F.when(c == 0, F.concat(F.lit("/private/ok/a"), sid))
+        .when(c == 1, F.concat(F.lit("/private/a"), sid))
+        .when(c == 2, F.concat(F.lit("/a"), sid, F.lit(".php")))
+        .when(c == 3, F.concat(F.lit("/pub/a"), sid, F.lit(".php")))
+        .when(c == 4, F.lit("/tmp/"))
+        .when(c == 5, F.concat(F.lit("/search?q=a"), sid))
+        .when(c == 6, F.concat(F.lit("/admin/a"), sid))
+        .otherwise(F.concat(F.lit("/old/a"), sid, F.lit("archive")))
+    )
+    frontier = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://crawl"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example"),
+            path,
+        ).alias("url"),
+    )
+    parts = [
+        robots_filter(frontier, rules, user_agent=ua).withColumn(
+            "agent", F.lit(ua)
+        )
+        for ua in ("examplebot", "otherbot")
+    ]
+    return (
+        parts[0]
+        .unionByName(parts[1])
+        .select("doc_id", "agent", "url", "robots_allowed", "robots_rule")
+        .orderBy("doc_id", "agent")
+    )
+
+
+SQL_ROBOTS_GATE = r"""
+WITH u AS (
+  SELECT doc_id,
+         'https://crawl' || CAST(doc_id % 50 AS VARCHAR) || '.example'
+           || p.path AS url,
+         (doc_id % 50) % 2 AS dpar, p.path
+  FROM (
+    SELECT doc_id,
+           CASE doc_id % 8
+             WHEN 0 THEN '/private/ok/a' || CAST(doc_id AS VARCHAR)
+             WHEN 1 THEN '/private/a' || CAST(doc_id AS VARCHAR)
+             WHEN 2 THEN '/a' || CAST(doc_id AS VARCHAR) || '.php'
+             WHEN 3 THEN '/pub/a' || CAST(doc_id AS VARCHAR) || '.php'
+             WHEN 4 THEN '/tmp/'
+             WHEN 5 THEN '/search?q=a' || CAST(doc_id AS VARCHAR)
+             WHEN 6 THEN '/admin/a' || CAST(doc_id AS VARCHAR)
+             ELSE '/old/a' || CAST(doc_id AS VARCHAR) || 'archive'
+           END AS path
+    FROM documents
+  ) p
+), agents(agent) AS (SELECT 'examplebot' UNION ALL SELECT 'otherbot'),
+rules(dpar, agent, allow, pattern, plen, rx) AS (VALUES
+  (0, 'examplebot', FALSE, '/private/',      9, '^/private/'),
+  (0, 'examplebot', TRUE,  '/private/ok/',  12, '^/private/ok/'),
+  (0, 'otherbot',   FALSE, '/*.php',         6, '^/.*\.php'),
+  (0, 'otherbot',   TRUE,  '/pub/',          5, '^/pub/'),
+  (0, 'otherbot',   FALSE, '/tmp/$',         6, '^/tmp/$'),
+  (0, 'otherbot',   FALSE, '/search?',       8, '^/search\?'),
+  (1, 'examplebot', FALSE, '/admin/',        7, '^/admin/'),
+  (1, 'examplebot', TRUE,  '/',              1, '^/'),
+  (1, 'examplebot', FALSE, '/*.cgi',         6, '^/.*\.cgi'),
+  (1, 'examplebot', FALSE, '/old/*archive$',14, '^/old/.*archive$'),
+  (1, 'otherbot',   FALSE, '/admin/',        7, '^/admin/'),
+  (1, 'otherbot',   TRUE,  '/',              1, '^/'),
+  (1, 'otherbot',   FALSE, '/*.cgi',         6, '^/.*\.cgi'),
+  (1, 'otherbot',   FALSE, '/old/*archive$',14, '^/old/.*archive$')
+), cand AS (
+  SELECT u.doc_id, a.agent, u.url, r.allow, r.pattern,
+         ROW_NUMBER() OVER (
+           PARTITION BY u.doc_id, a.agent
+           ORDER BY r.plen DESC, r.allow DESC, r.pattern DESC
+         ) AS rn
+  FROM u CROSS JOIN agents a
+  JOIN rules r ON r.dpar = u.dpar AND r.agent = a.agent
+              AND regexp_matches(u.path, r.rx)
+)
+SELECT u.doc_id, a.agent, u.url,
+       COALESCE(w.allow, TRUE) AS robots_allowed,
+       CASE WHEN w.pattern IS NOT NULL THEN
+         (CASE WHEN w.allow THEN 'allow:' ELSE 'disallow:' END)
+           || w.pattern
+       END AS robots_rule
+FROM u CROSS JOIN agents a
+LEFT JOIN (SELECT doc_id, agent, allow, pattern FROM cand WHERE rn = 1) w
+  ON w.doc_id = u.doc_id AND w.agent = a.agent
+ORDER BY u.doc_id, a.agent
+"""

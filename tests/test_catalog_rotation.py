@@ -43,10 +43,13 @@ PROMOTED = [
     "approx_distinct_check",
     "epoch_shuffle",
     "compression_signals",
-    # round 13 — PDF round-trip extraction (classic + ObjStm twins)
-    # and exact-URL crawl dedup (canonical strings value-compared)
+    # round 13 — PDF round-trip extraction (classic + ObjStm twins),
+    # exact-URL crawl dedup (canonical strings value-compared), and
+    # the RFC 9309 robots gate (group selection + longest-match under
+    # two product tokens)
     "pdf_roundtrip",
     "url_dedup",
+    "robots_gate",
 ]
 
 _TABLES = [
