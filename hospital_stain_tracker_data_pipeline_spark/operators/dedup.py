@@ -353,28 +353,42 @@ def _cap_hot_buckets(
     correctness loss on real near-dups (which live in small buckets by
     definition).
 
-    Implementation is a PARTITIONED window count over the same keys
-    the downstream candidate self-join shuffles on — ONE exchange on
-    (band/table, bucket), no separate hot-set aggregation + anti-join
-    (the anti-join form measured +0.6-0.7 s/query at sf0.1: two extra
-    stages for the same filter). Filter semantics are identical: keep
-    rows whose bucket membership ≤ max_bucket. The window is
-    partitionBy-only (no orderBy ⇒ no sort, one count per partition
-    group — not the unpartitioned-window antipattern), and at 100 TB
-    it shuffles the slim (keys, id) banded rows exactly once, which the
-    self-join's own exchange requirement already pays. The audit hook
-    ``lsh_hot_buckets`` reports exactly the complement (buckets over
-    the cap)."""
+    Implementation: hot buckets are detected with a MAP-SIDE-COMBINED
+    count aggregation — the shuffle carries (key, partial_count) rows,
+    never raw members — and removed with a left-anti join that AQE
+    broadcasts when the hot set is small (on a healthy corpus it is
+    empty; no forced hint, same reasoning as the tombstone anti-join).
+    A windowed count over the bucket keys would be one stage cheaper
+    locally, but it hash-co-locates every hot bucket's RAW rows on a
+    single WindowExec task before filtering them away — reintroducing
+    at the cap the exact single-reducer skew hotspot the cap exists to
+    remove (one 10⁹-member boilerplate bucket = one task buffering the
+    whole thing). The two-stage form costs ~0.5 s of fixed stage
+    latency per query at sf0.1 and amortizes to noise at scale. The
+    hot set is derived from the ``lsh_hot_buckets`` audit hook, so the
+    report can never diverge from what the cap drops."""
     if max_bucket is None:
         return banded
     if max_bucket < 2:
         raise ValueError(f"max_bucket={max_bucket} must be >= 2 (or None)")
-    w = Window.partitionBy(*key_cols)
-    return (
-        banded.withColumn("_members", F.count("*").over(w))
-        .filter(F.col("_members") <= max_bucket)
-        .drop("_members")
-    )
+    hot = lsh_hot_buckets(banded, key_cols, max_bucket).select(*key_cols)
+    return banded.join(hot, key_cols, "left_anti")
+
+
+def _capped_banded(
+    banded: DataFrame, key_cols: list[str], max_bucket: int | None
+) -> DataFrame:
+    """Cap-then-checkpoint policy shared by every candidate SELF-join
+    caller (both MinHash operators and the ANN candidate join): when
+    capping, materialize the capped table so the hot-set aggregation
+    and anti-join run once, not once per join side (measured +0.6 s at
+    sf0.1 otherwise); uncapped, the input is cheaper to recompute than
+    to checkpoint. A capped output feeding ONE consumer (the
+    incremental probe's per-side cap) uses ``_cap_hot_buckets``
+    directly."""
+    if max_bucket is None:
+        return banded
+    return materialize(_cap_hot_buckets(banded, key_cols, max_bucket))
 
 
 def lsh_hot_buckets(
@@ -442,16 +456,11 @@ def minhash_lsh_candidates(
             minhash_signature_udf(num_hashes)(F.col("_hs")).alias("sig"),
         )
     )
-    # when capping, materialize the capped band table: the self-join
-    # consumes it twice, and a lazy subtree would re-run the explode +
-    # window cap per side (measured +0.6 s at sf0.1 on 40k slim rows);
-    # uncapped, the bare explode is cheaper to recompute than to
-    # checkpoint
-    banded = _minhash_banded(sigs, id_col, num_hashes, bands)
-    if max_bucket is not None:
-        banded = materialize(
-            _cap_hot_buckets(banded, ["band", "bucket"], max_bucket)
-        )
+    banded = _capped_banded(
+        _minhash_banded(sigs, id_col, num_hashes, bands),
+        ["band", "bucket"],
+        max_bucket,
+    )
     a = banded.select(
         F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a")
     )
@@ -505,11 +514,11 @@ def minhash_lsh_dedup_pairs(
             minhash_signature_udf(num_hashes)(sig_input).alias("sig"),
         )
     )
-    banded = _minhash_banded(sigs, id_col, num_hashes, bands)
-    if max_bucket is not None:
-        banded = materialize(
-            _cap_hot_buckets(banded, ["band", "bucket"], max_bucket)
-        )
+    banded = _capped_banded(
+        _minhash_banded(sigs, id_col, num_hashes, bands),
+        ["band", "bucket"],
+        max_bucket,
+    )
     ca = banded.select("band", "bucket", F.col(id_col).alias("id_a"))
     cb = banded.select("band", "bucket", F.col(id_col).alias("id_b"))
     cands = (

@@ -324,12 +324,14 @@ def ann_lsh_candidates(
     Buckets with more than ``max_bucket`` members are dropped before
     the self-join (skew backstop; audit with
     ``ann_hot_bucket_report``)."""
-    from .dedup import _cap_hot_buckets
+    from .dedup import _capped_banded
 
-    # materialize BEFORE the cap: the cap's hot-set aggregation and
-    # its anti-join probe side are two consumers, and an unmaterialized
-    # producer would run the heavy hyperplane gemm once per consumer
-    bucketed = _cap_hot_buckets(
+    # inner materialize: the cap's hot-set aggregation and anti-join
+    # are two consumers of the bucket table, and an unmaterialized
+    # producer would run the heavy hyperplane gemm once per consumer.
+    # _capped_banded then checkpoints the CAPPED table too, so the
+    # cap itself runs once, not once per self-join side.
+    bucketed = _capped_banded(
         materialize(
             random_hyperplane_buckets(
                 df, nbits, dim, id_col, vec_col, tables=tables
