@@ -1469,6 +1469,30 @@ def main() -> None:
     for name in headline:
         warm_first[name] = round(fwd_samples[name][0], 3)
 
+    # Adaptive top-up (round 13): after the base cycles, queries whose
+    # forward/reverse medians still disagree by > 12% get up to three
+    # extra interleaved F+R cycles. The residual drift after the
+    # round-robin fix lives almost entirely in SUB-second queries,
+    # where ~0.1 s of shared-VM jitter is a 30-40% relative delta at 3
+    # samples/direction — more samples tighten the medians directly
+    # (sequential sampling until stable; every sample is kept, nothing
+    # is discarded). Heavy queries rarely qualify, so the added wall
+    # time is small and bounded by the 3-round cap.
+    def _rel_disagreement(name: str) -> float:
+        mf = statistics.median(fwd_samples[name])
+        mr = statistics.median(rev_samples[name])
+        med = statistics.median(fwd_samples[name] + rev_samples[name])
+        return abs(mf - mr) / max(med, 1e-9)
+
+    for _ in range(3):
+        noisy_q = [n for n in headline if _rel_disagreement(n) > 0.12]
+        if not noisy_q:
+            break
+        for name in noisy_q:
+            fwd_samples[name].append(timed_run(name))
+        for name in reversed(noisy_q):
+            rev_samples[name].append(timed_run(name))
+
     medians: dict[str, float] = {}
     medians_fwd: dict[str, float] = {}
     medians_rev: dict[str, float] = {}
