@@ -1484,7 +1484,7 @@ def main() -> None:
         med = statistics.median(fwd_samples[name] + rev_samples[name])
         return abs(mf - mr) / max(med, 1e-9)
 
-    for _ in range(3):
+    for _ in range(6):
         noisy_q = [n for n in headline if _rel_disagreement(n) > 0.12]
         if not noisy_q:
             break
@@ -1519,6 +1519,16 @@ def main() -> None:
         if deltas
         else 0.0
     )
+    # drift among the >= 1 s queries only: on a shared VM a 0.2 s
+    # query carries ~0.05 s of irreducible jitter (25% relative, no
+    # amount of ordering discipline removes it), so the all-queries
+    # max is dominated by sub-second noise once the heavy family is
+    # stable. This scalar is the CODE-signal one: a heavy query whose
+    # fwd/rev medians disagree is a real order effect, not jitter.
+    heavy_deltas = [order_delta[n] for n in headline if medians[n] >= 1.0]
+    order_delta_max_1s = (
+        round(max(heavy_deltas), 3) if heavy_deltas else 0.0
+    )
 
     total = round(sum(timings.values()), 3)
     # the round-over-round number: sum of per-query MEDIANS across
@@ -1548,6 +1558,7 @@ def main() -> None:
         "queries_kind": "med_warm_2way_rr",
         "order_dmax": order_delta_max,
         "order_dp90": order_delta_p90,
+        "order_dmax_1s": order_delta_max_1s,
         "calibration_sec": calibration["jvm_shuffle_sec"],
         "warm_total": warm_total,
         "sf": sf,
@@ -1570,6 +1581,7 @@ def main() -> None:
         "order_delta": order_delta,
         "order_delta_max": order_delta_max,
         "order_delta_p90": order_delta_p90,
+        "order_delta_max_1s": order_delta_max_1s,
         "queries_min": mins,
         "queries_max": maxs,
         "calibration": calibration,
