@@ -1470,14 +1470,14 @@ def main() -> None:
         warm_first[name] = round(fwd_samples[name][0], 3)
 
     # Adaptive top-up (round 13): after the base cycles, queries whose
-    # forward/reverse medians still disagree by > 12% get up to three
+    # forward/reverse medians still disagree by > 12% get up to six
     # extra interleaved F+R cycles. The residual drift after the
     # round-robin fix lives almost entirely in SUB-second queries,
     # where ~0.1 s of shared-VM jitter is a 30-40% relative delta at 3
     # samples/direction — more samples tighten the medians directly
     # (sequential sampling until stable; every sample is kept, nothing
     # is discarded). Heavy queries rarely qualify, so the added wall
-    # time is small and bounded by the 3-round cap.
+    # time is small and bounded by the 6-round cap.
     def _rel_disagreement(name: str) -> float:
         mf = statistics.median(fwd_samples[name])
         mr = statistics.median(rev_samples[name])
@@ -1508,8 +1508,11 @@ def main() -> None:
         medians_fwd[name] = round(mf, 3)
         medians_rev[name] = round(mr, 3)
         # relative forward-vs-reverse disagreement: ~0 when the session
-        # is order-stable, large when position (not code) drives time
-        order_delta[name] = round(abs(mf - mr) / max(med, 1e-9), 3)
+        # is order-stable, large when position (not code) drives time.
+        # SAME formula as the top-up stopping rule — one definition,
+        # so the published scalar and the sampling criterion can never
+        # measure different quantities.
+        order_delta[name] = round(_rel_disagreement(name), 3)
         mins[name] = round(min(both), 3)
         maxs[name] = round(max(both), 3)
     deltas = sorted(order_delta.values())

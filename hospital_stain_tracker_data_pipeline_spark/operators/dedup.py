@@ -383,9 +383,10 @@ def _capped_banded(
     capping, materialize the capped table so the hot-set aggregation
     and anti-join run once, not once per join side (measured +0.6 s at
     sf0.1 otherwise); uncapped, the input is cheaper to recompute than
-    to checkpoint. A capped output feeding ONE consumer (the
-    incremental probe's per-side cap) uses ``_cap_hot_buckets``
-    directly."""
+    to checkpoint. Used by every capping call site — including the
+    incremental probe, whose corpus side would otherwise re-run the
+    index scan + tombstone suppression once per internal consumer of
+    the cap."""
     if max_bucket is None:
         return banded
     return materialize(_cap_hot_buckets(banded, key_cols, max_bucket))
@@ -714,12 +715,16 @@ def dedup_pairs_against_corpus(
     # m_new·m_corpus candidate rows, so per-side caps bound any single
     # bucket's contribution to max_bucket² — same recall trade as the
     # batch operators (hot buckets are boilerplate, not near-dups).
-    nb = _cap_hot_buckets(
+    # _capped_banded (not the bare cap): the cap's hot-count
+    # aggregation and anti-join are two consumers, and an
+    # unmaterialized corpus side would re-run the index parquet scan +
+    # tombstone suppression once per consumer.
+    nb = _capped_banded(
         _minhash_banded(new_sigs, id_col, num_hashes, bands),
         ["band", "bucket"],
         max_bucket,
     ).select("band", "bucket", F.col(id_col).alias("new_id"))
-    cb = _cap_hot_buckets(
+    cb = _capped_banded(
         _minhash_banded(corpus_index, id_col, num_hashes, bands),
         ["band", "bucket"],
         max_bucket,
