@@ -124,11 +124,38 @@ _ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+\d+\s+\d+\s+R")
 _MASK_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 
 
+def _skip_literal_string(buf: bytes, i: int) -> int:
+    """Index just past the PDF literal string opening at ``buf[i]``
+    (which must be ``(``): honors backslash escapes (``\\)`` does not
+    close) and nested balanced parens, per ISO 32000 §7.3.4.2. A
+    torn/unterminated string consumes to end-of-buffer — the caller's
+    depth scan then comes up unbalanced and refuses, which is the
+    right failure mode for a torn file."""
+    depth, i = 1, i + 1
+    while depth and i < len(buf):
+        c = buf[i]
+        if c == 0x5C:  # backslash: the next byte is never a delimiter
+            i += 2
+        elif c == 0x28:  # (
+            depth += 1
+            i += 1
+        elif c == 0x29:  # )
+            depth -= 1
+            i += 1
+        else:
+            i += 1
+    return i
+
+
 def _trailer_dict_bodies(masked: bytes):
     """Balanced trailer dictionary bodies. ``<<``/``>>`` nest (a
     trailer may legally carry an inline dictionary value before
     /Encrypt), so a first-``>>`` regex truncates the scan and an
     encrypted file reads as unencrypted — depth-count instead.
+    Literal-string values are skipped whole: ``>>`` or ``<<`` BYTES
+    inside ``/Producer (a>>b)`` are string content, not delimiters,
+    and counting them would truncate the scan before ``/Encrypt``
+    (the same residual class the old first-``>>`` regex had).
     Unterminated dicts (torn file) yield nothing."""
     for m in _TRAILER_KW_RE.finditer(masked):
         depth, i, start = 1, m.end(), m.end()
@@ -139,10 +166,48 @@ def _trailer_dict_bodies(masked: bytes):
             elif masked.startswith(b">>", i):
                 depth -= 1
                 i += 2
+            elif masked[i] == 0x28:  # ( — literal string value
+                i = _skip_literal_string(masked, i)
             else:
                 i += 1
         if depth == 0:
             yield masked[start : i - 2]
+
+
+def _dict_immediately_before(window: bytes) -> bytes | None:
+    """The balanced ``<< ... >>`` dictionary whose close is the LAST
+    token in ``window`` (modulo trailing whitespace) — i.e. the stream
+    object's own dict when ``window`` ends where the ``stream`` keyword
+    begins. None when the window does not end on a dict close or the
+    dict opens beyond the window (truncated — the caller falls back to
+    the ``endstream`` scan rather than trusting a /Length from an
+    EARLIER object's dict). Literal strings are skipped exactly as in
+    ``_trailer_dict_bodies`` so string content never unbalances the
+    scan."""
+    t = window.rstrip(b"\r\n \t\x00")
+    if not t.endswith(b">>"):
+        return None
+    i, depth, start = 0, 0, None
+    last_span = None
+    while i < len(t):
+        if t.startswith(b"<<", i):
+            if depth == 0:
+                start = i
+            depth += 1
+            i += 2
+        elif t.startswith(b">>", i):
+            if depth > 0:
+                depth -= 1
+                if depth == 0:
+                    last_span = (start, i + 2)
+            i += 2  # stray close (dict opened before the window): skip
+        elif t[i] == 0x28:  # ( — literal string value
+            i = _skip_literal_string(t, i)
+        else:
+            i += 1
+    if last_span is not None and last_span[1] == len(t):
+        return t[last_span[0] : last_span[1]]
+    return None
 
 
 def _mask_stream_payloads(raw: bytes) -> bytes:
@@ -163,7 +228,10 @@ def _mask_stream_payloads(raw: bytes) -> bytes:
     /Length lookup reads the MASKED-so-far buffer, so '/Length N'
     bytes inside a previous stream's payload can never be mistaken for
     the current dict's entry — only structural bytes influence the
-    extent. (Trust boundary: this defends structural scans against
+    extent — and it is confined to the balanced dict immediately
+    preceding the keyword (``_dict_immediately_before``), so an
+    EARLIER object's never-masked dict cannot supply the length when
+    the stream's own dict lacks a direct one. (Trust boundary: this defends structural scans against
     untrusted page CONTENT; a hostile structural layer — a forged
     /Length in the object's own dict — is out of scope, exactly as it
     is for every heuristic in this module: such a file can already
@@ -181,11 +249,20 @@ def _mask_stream_payloads(raw: bytes) -> bytes:
         # window keeps the per-stream cost O(1) (dicts that put
         # /Length further back simply fall through to the scan).
         # Window reads `out`, not `raw`: earlier payloads are blanked
-        # there, so their content cannot supply a bogus /Length.
+        # there, so their content cannot supply a bogus /Length. The
+        # /Length is honored ONLY when it sits inside the balanced
+        # dict whose close immediately precedes the keyword — a
+        # window-wide "last /Length" would pick up an EARLIER object's
+        # (never-masked) dict when the current stream's dict lacks a
+        # direct /Length, and a bogus end that coincidentally lands on
+        # an 'endstream' token would leave part of the payload
+        # unmasked.
         window = bytes(out[max(0, m.start() - 2048) : m.start()])
+        own_dict = _dict_immediately_before(window)
         lm = None
-        for lm in _MASK_LENGTH_RE.finditer(window):
-            pass  # last direct /Length before the keyword
+        if own_dict is not None:
+            for lm in _MASK_LENGTH_RE.finditer(own_dict):
+                pass  # last direct /Length inside the stream's own dict
         if lm is not None:
             cand = m.end() + int(lm.group(1))
             if cand <= len(raw):

@@ -464,3 +464,61 @@ def test_pdf_mask_length_lookup_ignores_previous_payload():
     assert b"/Length %03d" % n in patched and len(patched) == len(raw)
     # the file IS encrypted; the planted length must not hide that
     assert pdf_is_encrypted(patched) is True
+
+
+def test_pdf_mask_length_confined_to_streams_own_dict():
+    """A direct /Length in an EARLIER object's dict (structural bytes,
+    never masked) must not define the extent of a LATER stream whose
+    own dict carries only an indirect /Length: the lookup is confined
+    to the balanced dict immediately preceding the 'stream' keyword.
+    Hostile geometry: A's declared length, applied from B's payload
+    start, lands exactly on C's 'endstream' — the mask would swallow
+    the genuine trailer and an encrypted file would read unencrypted
+    if the window-wide last-/Length scan were still in effect."""
+    obj_a = b"1 0 obj\n<< /Length 000 >>\nstream\nalpha\nendstream\nendobj\n"
+    obj_b = b"2 0 obj\n<< /Length 9 0 R >>\nstream\nhi\nendstream\nendobj\n"
+    trailer = b"trailer\n<< /Size 4 /Encrypt 5 0 R >>\n"
+    obj_c = b"3 0 obj\n<< /Length 5 >>\nstream\nworld\nendstream\nendobj\n"
+    raw = b"%PDF-1.4\n" + obj_a + obj_b + trailer + obj_c + b"%%EOF"
+    b_payload_start = raw.index(b"stream\n", raw.index(b"2 0 obj")) + len(
+        b"stream\n"
+    )
+    c_endstream = raw.index(b"endstream", raw.index(b"3 0 obj"))
+    n = c_endstream - b_payload_start
+    # from A's own payload start the declared end must NOT land on an
+    # 'endstream' (A then falls back to its own scan and stays sane)
+    a_payload_start = raw.index(b"stream\n") + len(b"stream\n")
+    assert not raw[a_payload_start + n :].lstrip(b"\r\n \t").startswith(
+        b"endstream"
+    )
+    patched = raw.replace(b"/Length 000", b"/Length %03d" % n)
+    assert len(patched) == len(raw)
+    # B's own dict has no DIRECT length -> fallback scan; A's length
+    # must not leak across. The trailer stays visible: encrypted.
+    assert pdf_is_encrypted(patched) is True
+
+
+def test_pdf_trailer_literal_strings_do_not_unbalance_the_scan():
+    """'>>' / '<<' bytes inside a literal-string VALUE in the trailer
+    (e.g. /Producer (a>>b)) are string content, not dict delimiters:
+    counting them used to truncate the balance scan before /Encrypt so
+    an encrypted file read as unencrypted. Escaped ')' inside the
+    string must not end the skip early either."""
+    enc = (
+        b"%PDF-1.4\ntrailer\n"
+        b"<< /Producer (a>>b) /Encrypt 5 0 R /Size 2 >>\n%%EOF"
+    )
+    assert pdf_is_encrypted(enc) is True
+    enc2 = (
+        b"%PDF-1.4\ntrailer\n"
+        b"<< /Producer (x\\)>>y <<) /Encrypt 5 0 R /Size 2 >>\n%%EOF"
+    )
+    assert pdf_is_encrypted(enc2) is True
+    plain = (
+        b"%PDF-1.4\ntrailer\n"
+        b"<< /Producer (a>>b (nested) \\( done) /Size 2 >>\n%%EOF"
+    )
+    assert pdf_is_encrypted(plain) is False
+    # torn string -> unbalanced scan -> refuse (no crash, no match)
+    torn = b"%PDF-1.4\ntrailer\n<< /Producer (never closed /Encrypt 5 0 R"
+    assert pdf_is_encrypted(torn) is False
