@@ -135,9 +135,11 @@ from .dedup import (  # noqa: F401
     dedup_against_corpus,
     dedup_pairs_against_corpus,
     dedup_substrings,
+    hamming_hot_bucket_report,
     hamming_pairs,
     hamming_pairs_against_corpus,
     index_fsck,
+    simhash_hot_bucket_report,
     load_dedup_index,
     load_fp_index,
     lsh_hot_buckets,

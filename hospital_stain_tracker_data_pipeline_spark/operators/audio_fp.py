@@ -55,6 +55,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .dedup import DEFAULT_MAX_BUCKET as DEDUP_DEFAULT_MAX_BUCKET
 from .multimodal import decode_wav_samples, sniff_wav
 
 # v1 fingerprint parameters — baked into the algo tag so a persisted
@@ -209,7 +210,10 @@ def audio_fingerprint(media: DataFrame, fake_decode: bool = False) -> DataFrame:
 
 
 def audio_dup_pairs(
-    media: DataFrame, max_hamming: int = 4, fake_decode: bool = False
+    media: DataFrame,
+    max_hamming: int = 4,
+    fake_decode: bool = False,
+    max_bucket: int | None = DEDUP_DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Audio near-duplicate pairs: ``audio_fingerprint`` + the
     pigeonhole Hamming banding every fingerprint family rides
@@ -226,6 +230,7 @@ def audio_dup_pairs(
         id_col="media_id",
         nbits=AFP_NBITS,
         max_hamming=max_hamming,
+        max_bucket=max_bucket,
     )
 
 
@@ -234,6 +239,7 @@ def dedup_audio_against_corpus(
     corpus_index: DataFrame,
     max_hamming: int = 4,
     fake_decode: bool = False,
+    max_bucket: int | None = DEDUP_DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Incremental audio dedup: drop new clips whose fingerprint is
     within ``max_hamming`` bits of anything ALREADY INDEXED (corpus
@@ -260,6 +266,7 @@ def dedup_audio_against_corpus(
             id_col="media_id",
             nbits=AFP_NBITS,
             max_hamming=max_hamming,
+            max_bucket=max_bucket,
         )
         .select(F.col("new_id").alias("media_id"))
         .distinct()

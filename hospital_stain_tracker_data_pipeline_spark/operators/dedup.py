@@ -376,20 +376,41 @@ def _cap_hot_buckets(
 
 
 def _capped_banded(
-    banded: DataFrame, key_cols: list[str], max_bucket: int | None
+    banded: DataFrame,
+    key_cols: list[str],
+    max_bucket: int | None,
+    *,
+    persist_input: bool = False,
 ) -> DataFrame:
     """Cap-then-checkpoint policy shared by every candidate SELF-join
-    caller (both MinHash operators and the ANN candidate join): when
-    capping, materialize the capped table so the hot-set aggregation
-    and anti-join run once, not once per join side (measured +0.6 s at
-    sf0.1 otherwise); uncapped, the input is cheaper to recompute than
-    to checkpoint. Used by every capping call site — including the
-    incremental probe, whose corpus side would otherwise re-run the
-    index scan + tombstone suppression once per internal consumer of
-    the cap."""
+    caller (both MinHash operators, the Hamming-banded engine and the
+    ANN candidate join): when capping, materialize the capped table so
+    the hot-set aggregation and anti-join run once, not once per join
+    side (measured +0.6 s at sf0.1 otherwise); uncapped, the input is
+    cheaper to recompute than to checkpoint.
+
+    ``persist_input=True`` is for callers whose PRODUCER is itself
+    expensive and not already checkpointed (the ANN hyperplane gemm,
+    the incremental probe's corpus index scan + tombstone
+    suppression): the cap's two internal consumers (hot-count
+    aggregation and anti-join) would each re-run that producer
+    otherwise. A memory/disk persist + eager fill computes it exactly
+    once, the capped OUTPUT gets the one localCheckpoint, and the
+    cache is released immediately after — one checkpoint write per
+    call, not two (the pre-round-14 form checkpointed both). The
+    eager ``count()`` is deliberate: the agg and anti-join subtrees
+    are independent stages, and without a filled cache the scheduler
+    can run both concurrently, computing the producer twice anyway."""
     if max_bucket is None:
         return banded
-    return materialize(_cap_hot_buckets(banded, key_cols, max_bucket))
+    src = banded
+    if persist_input:
+        src = banded.persist()
+        src.count()  # fill the cache before the two cap consumers read
+    out = materialize(_cap_hot_buckets(src, key_cols, max_bucket))
+    if persist_input:
+        src.unpersist()
+    return out
 
 
 def lsh_hot_buckets(
@@ -715,10 +736,13 @@ def dedup_pairs_against_corpus(
     # m_new·m_corpus candidate rows, so per-side caps bound any single
     # bucket's contribution to max_bucket² — same recall trade as the
     # batch operators (hot buckets are boilerplate, not near-dups).
-    # _capped_banded (not the bare cap): the cap's hot-count
-    # aggregation and anti-join are two consumers, and an
-    # unmaterialized corpus side would re-run the index parquet scan +
-    # tombstone suppression once per consumer.
+    # The corpus side's producer (index parquet scan + tombstone
+    # suppression) is NOT already checkpointed, so it rides the cap's
+    # short-lived persist (``persist_input=True``) — the cap's
+    # hot-count aggregation and anti-join are two consumers that would
+    # each re-run the scan otherwise. The new side's signatures come
+    # out of ``minhash_signature_index`` already materialized, so its
+    # banding projection is cheap to recompute.
     nb = _capped_banded(
         _minhash_banded(new_sigs, id_col, num_hashes, bands),
         ["band", "bucket"],
@@ -728,6 +752,7 @@ def dedup_pairs_against_corpus(
         _minhash_banded(corpus_index, id_col, num_hashes, bands),
         ["band", "bucket"],
         max_bucket,
+        persist_input=True,
     ).select("band", "bucket", F.col(id_col).alias("corpus_id"))
     cands = (
         nb.join(cb, ["band", "bucket"])
@@ -905,6 +930,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     nbits: int = 32,
     max_hamming: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """All pairs with SimHash Hamming distance ≤ max_hamming, via
     pigeonhole prefix-band blocking — NOT within-block all-pairs.
@@ -922,8 +948,17 @@ def simhash_pairs(
     Caveat: if max_hamming ≥ nbits (degenerate "all pairs" use), bands
     cap at nbits 1-bit bands and a pair differing in EVERY bit would be
     missed — only exact-complement fingerprints, vanishing probability.
+
+    (band, val) buckets above ``max_bucket`` are dropped before the
+    self-join (identical simhashes from templated/boilerplate pages are
+    the classic hot key — see ``_banded_candidate_pairs``); pairs whose
+    ONLY shared band lives in a dropped bucket are the documented
+    recall trade. Audit with ``simhash_hot_bucket_report``;
+    ``max_bucket=None`` restores the exact brute-force-equal output.
     """
-    cand = _simhash_band_candidate_pairs(df, text_col, id_col, nbits, max_hamming)
+    cand = _simhash_band_candidate_pairs(
+        df, text_col, id_col, nbits, max_hamming, max_bucket
+    )
     return cand.select(
         "id_a",
         "id_b",
@@ -958,7 +993,12 @@ def _band_explode(
 
 
 def _banded_candidate_pairs(
-    h: DataFrame, id_col: str, hash_col: str, nbits: int, max_hamming: int
+    h: DataFrame,
+    id_col: str,
+    hash_col: str,
+    nbits: int,
+    max_hamming: int,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """(id_a, id_b, h_a, h_b) candidates sharing ≥ 1 band — the ONE
     pigeonhole banding implementation, shared by the simhash text
@@ -966,9 +1006,30 @@ def _banded_candidate_pairs(
     test/introspection hook so they cannot diverge. ``h`` must be a
     MATERIALIZED (id, hash) frame: both sides of the self-join
     re-execute the producing subplan otherwise (the ``materialize``
-    contract — for image hashes that subplan is a full pixel decode)."""
-    a = _band_explode(h, id_col, hash_col, nbits, max_hamming, "id_a", "h_a")
-    b = _band_explode(h, id_col, hash_col, nbits, max_hamming, "id_b", "h_b")
+    contract — for image hashes that subplan is a full pixel decode).
+
+    (band, val) buckets with more than ``max_bucket`` members are
+    dropped before the self-join (``_cap_hot_buckets``): identical
+    fingerprints are MORE common here than identical MinHash
+    signatures are in text — blank/solid images, black frames and
+    silent audio all collapse to one 64-bit value, and identical
+    fingerprints agree on EVERY band, multiplying the C(m,2) blowup by
+    the band count before the distinct (a 10⁶-blank-image corpus is a
+    ~2·10¹²-row shuffle key uncapped). Hot buckets carry no near-dup
+    SIGNAL (every member trivially matches every other), so the drop
+    is the same documented recall trade as the MinHash/ANN tiers;
+    audit with ``hamming_hot_bucket_report`` /
+    ``simhash_hot_bucket_report``. The explode feeding the cap is a
+    cheap projection of the already-materialized ``h``, so the cap's
+    two consumers recompute it rather than riding a persist."""
+    banded = _band_explode(h, id_col, hash_col, nbits, max_hamming, "_id", "_h")
+    banded = _capped_banded(banded, ["band", "val"], max_bucket)
+    a = banded.select(
+        "band", "val", F.col("_id").alias("id_a"), F.col("_h").alias("h_a")
+    )
+    b = banded.select(
+        "band", "val", F.col("_id").alias("id_b"), F.col("_h").alias("h_b")
+    )
     return (
         a.join(b, ["band", "val"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -978,8 +1039,69 @@ def _banded_candidate_pairs(
     )
 
 
+def hamming_hot_bucket_report(
+    hashes: DataFrame,
+    hash_col: str,
+    id_col: str,
+    nbits: int = 64,
+    max_hamming: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """(band, val, members) rows the Hamming pair engine drops under
+    ``max_bucket`` — same banding projection as
+    ``hamming_pairs``/``_banded_candidate_pairs``, so the report
+    matches what the operator actually skipped. Pipelines surface its
+    count (``curate_media``'s ``media_report``, the CLI media gates)
+    so the recall trade is visible, never silent."""
+    banded = _band_explode(
+        hashes.select(
+            F.col(id_col), F.col(hash_col).cast("long").alias("_fp")
+        ).filter(F.col("_fp").isNotNull()),
+        id_col,
+        "_fp",
+        nbits,
+        max_hamming,
+        "_id",
+        "_h",
+    )
+    if max_bucket is None:  # no cap → nothing is dropped → empty report
+        return (
+            banded.groupBy("band", "val")
+            .agg(F.count("*").alias("members"))
+            .limit(0)
+        )
+    return lsh_hot_buckets(banded, ["band", "val"], max_bucket)
+
+
+def simhash_hot_bucket_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    nbits: int = 32,
+    max_hamming: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """``hamming_hot_bucket_report`` for the simhash-from-text path:
+    computes the same fingerprints ``simhash_pairs`` does, so the
+    report matches what that operator actually skipped."""
+    hashed = fanout(df).select(
+        F.col(id_col), token_hashes(F.col(text_col)).alias("_th")
+    )
+    h = hashed.select(
+        F.col(id_col), simhash_udf(nbits)(F.col("_th")).alias("simhash")
+    )
+    return hamming_hot_bucket_report(
+        h, "simhash", id_col, nbits, max_hamming, max_bucket
+    )
+
+
 def _simhash_band_candidate_pairs(
-    df: DataFrame, text_col: str, id_col: str, nbits: int, max_hamming: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    nbits: int,
+    max_hamming: int,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Simhash-from-text front end of ``_banded_candidate_pairs``."""
     hashed = fanout(df).select(
@@ -990,7 +1112,9 @@ def _simhash_band_candidate_pairs(
             F.col(id_col), simhash_udf(nbits)(F.col("_th")).alias("simhash")
         )
     )
-    return _banded_candidate_pairs(h, id_col, "simhash", nbits, max_hamming)
+    return _banded_candidate_pairs(
+        h, id_col, "simhash", nbits, max_hamming, max_bucket
+    )
 
 
 def simhash_band_candidates(
@@ -999,12 +1123,13 @@ def simhash_band_candidates(
     id_col: str = "doc_id",
     nbits: int = 32,
     max_hamming: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Candidate pairs BEFORE the Hamming verify (test/introspection
     hook): everything that shares ≥ 1 band. |candidates| << C(n,2) is
     the whole point of banding. Same generator as ``simhash_pairs``."""
     return _simhash_band_candidate_pairs(
-        df, text_col, id_col, nbits, max_hamming
+        df, text_col, id_col, nbits, max_hamming, max_bucket
     ).select("id_a", "id_b")
 
 
@@ -1014,6 +1139,7 @@ def hamming_pairs(
     id_col: str,
     nbits: int = 64,
     max_hamming: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """All pairs whose PRECOMPUTED ``nbits``-bit fingerprints are within
     Hamming distance ``max_hamming`` — the ``simhash_pairs`` engine
@@ -1031,14 +1157,21 @@ def hamming_pairs(
     fingerprints never pair. The (id, hash) projection is materialized
     before the banding self-join — both join sides would otherwise
     re-execute the fingerprint producer (for ``image_dup_pairs`` that
-    is the full pixel decode of every payload)."""
+    is the full pixel decode of every payload).
+
+    (band, val) buckets above ``max_bucket`` are dropped before the
+    self-join — identical fingerprints (blank/solid images, black
+    frames, silence) are the most probable real-world hot key of the
+    whole dedup surface; see ``_banded_candidate_pairs``. Audit with
+    ``hamming_hot_bucket_report``; ``max_bucket=None`` restores the
+    exact brute-force-equal output."""
     h = materialize(
         df.select(
             F.col(id_col), F.col(hash_col).cast("long").alias("_fp")
         ).filter(F.col("_fp").isNotNull())
     )
     return (
-        _banded_candidate_pairs(h, id_col, "_fp", nbits, max_hamming)
+        _banded_candidate_pairs(h, id_col, "_fp", nbits, max_hamming, max_bucket)
         .select(
             "id_a",
             "id_b",
@@ -1057,6 +1190,7 @@ def hamming_pairs_against_corpus(
     id_col: str = "media_id",
     nbits: int = 64,
     max_hamming: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Cross-set Hamming matches of NEW fingerprints against an
     EXISTING fingerprint index — the ``dedup_pairs_against_corpus``
@@ -1079,7 +1213,18 @@ def hamming_pairs_against_corpus(
     materialized (its producer — the batch's decode+hash — feeds both
     the join and the caller's anti-join); the corpus index is
     typically a cheap parquet scan a localCheckpoint would pointlessly
-    copy — the ``dedup_pairs_against_corpus`` discipline."""
+    copy — the ``dedup_pairs_against_corpus`` discipline.
+
+    Each banded side independently drops (band, val) buckets above
+    ``max_bucket`` before the cross join — a blank-image bucket shared
+    by m_new new items and m_corpus corpus items contributes
+    m_new·m_corpus candidate rows, so per-side caps bound any single
+    bucket to max_bucket² (same recall trade as
+    ``dedup_pairs_against_corpus``; audit with
+    ``hamming_hot_bucket_report`` on either side). The corpus side's
+    cap rides a short-lived persist (the cap's hot-count aggregation
+    and anti-join would each re-run the index scan otherwise); the new
+    side is already materialized."""
     def prep(df: DataFrame, out_id: str, mat: bool):
         fp = F.col(hash_col).cast("long")
         if nbits < 64:
@@ -1105,8 +1250,13 @@ def hamming_pairs_against_corpus(
         )
         if mat:
             h = materialize(h)
-        return _band_explode(
-            h, id_col, "_fp", nbits, max_hamming, out_id, f"h_{out_id}"
+        return _capped_banded(
+            _band_explode(
+                h, id_col, "_fp", nbits, max_hamming, out_id, f"h_{out_id}"
+            ),
+            ["band", "val"],
+            max_bucket,
+            persist_input=not mat,
         )
 
     nb = prep(new_hashes, "new_id", mat=True)

@@ -43,6 +43,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .dedup import DEFAULT_MAX_BUCKET as DEDUP_DEFAULT_MAX_BUCKET
+
 
 def sniff_image(raw: bytes) -> tuple[str, int, int] | None:
     """(mime, width, height) from the container header, stdlib-only —
@@ -1295,6 +1297,7 @@ def image_dup_pairs(
     hash_size: int = 8,
     max_hamming: int = 3,
     fake_decode: bool = False,
+    max_bucket: int | None = DEDUP_DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Image near-duplicate pairs: ``image_phash`` + the pigeonhole
     Hamming banding ``simhash_pairs`` uses (``dedup.hamming_pairs``) —
@@ -1313,6 +1316,7 @@ def image_dup_pairs(
         id_col="media_id",
         nbits=hash_size * hash_size,
         max_hamming=max_hamming,
+        max_bucket=max_bucket,
     )
 
 
@@ -1323,6 +1327,7 @@ def dedup_images_against_corpus(
     hash_size: int = 8,
     max_hamming: int = 3,
     fake_decode: bool = False,
+    max_bucket: int | None = DEDUP_DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Incremental image dedup: drop new media whose perceptual hash is
     within ``max_hamming`` bits of anything ALREADY INDEXED (the corpus
@@ -1353,6 +1358,7 @@ def dedup_images_against_corpus(
             id_col="media_id",
             nbits=hash_size * hash_size,
             max_hamming=max_hamming,
+            max_bucket=max_bucket,
         )
         .select(F.col("new_id").alias("media_id"))
         .distinct()

@@ -326,20 +326,22 @@ def ann_lsh_candidates(
     ``ann_hot_bucket_report``)."""
     from .dedup import _capped_banded
 
-    # inner materialize: the cap's hot-set aggregation and anti-join
-    # are two consumers of the bucket table, and an unmaterialized
-    # producer would run the heavy hyperplane gemm once per consumer.
-    # _capped_banded then checkpoints the CAPPED table too, so the
-    # cap itself runs once, not once per self-join side.
-    bucketed = _capped_banded(
-        materialize(
-            random_hyperplane_buckets(
-                df, nbits, dim, id_col, vec_col, tables=tables
-            ).select(id_col, "table", "bucket")
-        ),
-        ["table", "bucket"],
-        max_bucket,
-    )
+    # One checkpoint per call: when capping, the bucket table rides a
+    # short-lived persist (``persist_input=True``) so the heavy
+    # hyperplane gemm runs once for the cap's two consumers (hot-set
+    # aggregation + anti-join) and only the CAPPED table — what both
+    # self-join sides actually read — gets the localCheckpoint.
+    # Uncapped, the gemm still needs protecting from the self-join's
+    # double execution, so the checkpoint moves to the bucket table.
+    raw_buckets = random_hyperplane_buckets(
+        df, nbits, dim, id_col, vec_col, tables=tables
+    ).select(id_col, "table", "bucket")
+    if max_bucket is None:
+        bucketed = materialize(raw_buckets)
+    else:
+        bucketed = _capped_banded(
+            raw_buckets, ["table", "bucket"], max_bucket, persist_input=True
+        )
     a = bucketed.select("table", "bucket", F.col(id_col).alias("id_a"))
     b = bucketed.select("table", "bucket", F.col(id_col).alias("id_b"))
     return (

@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .dedup import DEFAULT_MAX_BUCKET as DEDUP_DEFAULT_MAX_BUCKET
 from .multimodal import (
     _decode_any_pixels,
     _phash_bits,
@@ -213,6 +214,7 @@ def video_dup_pairs(
     n_samples: int = 8,
     max_hamming: int = 4,
     fake_decode: bool = False,
+    max_bucket: int | None = DEDUP_DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Video near-duplicate pairs: ``video_phash`` + the pigeonhole
     Hamming banding (``dedup.hamming_pairs``) — ``(id_a, id_b,
@@ -228,6 +230,7 @@ def video_dup_pairs(
         id_col="media_id",
         nbits=hash_size * hash_size,
         max_hamming=max_hamming,
+        max_bucket=max_bucket,
     )
 
 
@@ -239,6 +242,7 @@ def dedup_videos_against_corpus(
     n_samples: int = 8,
     max_hamming: int = 4,
     fake_decode: bool = False,
+    max_bucket: int | None = DEDUP_DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Incremental video dedup: drop new clips whose fingerprint is
     within ``max_hamming`` bits of anything ALREADY INDEXED (corpus
@@ -259,6 +263,7 @@ def dedup_videos_against_corpus(
             id_col="media_id",
             nbits=hash_size * hash_size,
             max_hamming=max_hamming,
+            max_bucket=max_bucket,
         )
         .select(F.col("new_id").alias("media_id"))
         .distinct()

@@ -51,7 +51,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -59,6 +59,7 @@ from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import quality_score, token_count
 from ..operators.dedup import (
+    DEFAULT_MAX_BUCKET,
     connected_components_min_label,
     dedup_spans,
     exact_dedup,
@@ -812,6 +813,11 @@ class MediaCurationReport:
     # round 12: the cross-modal PDF→text near-dup stage (0 when the
     # stage is off)
     pdf_text_dropped: int = 0
+    # round 14: per-modality count of (band, val) fingerprint buckets
+    # the hot-bucket cap dropped before the near-dup self-join (0 on a
+    # healthy corpus; >0 means blank/solid/silent boilerplate was
+    # skipped — the recall trade is visible here, never silent)
+    hot_buckets_dropped: dict = field(default_factory=dict)
 
 
 def curate_media(
@@ -823,6 +829,7 @@ def curate_media(
     fake_decode: bool = False,
     pdf_text_stage: bool = False,
     pdf_near_dup_threshold: float = 0.9,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> tuple[DataFrame, MediaCurationReport]:
     """End-to-end MEDIA curation recipe — the multimodal counterpart
     of ``curate_documents``, wiring the library's media-dedup tiers
@@ -867,9 +874,10 @@ def curate_media(
     after materializing it."""
     from pyspark.sql import functions as F
 
-    from ..operators.audio_fp import audio_dup_pairs
-    from ..operators.multimodal import image_dup_pairs, tag_media_modality
-    from ..operators.video_fp import video_dup_pairs
+    from ..operators.audio_fp import AFP_NBITS, audio_fingerprint
+    from ..operators.dedup import hamming_hot_bucket_report, hamming_pairs
+    from ..operators.multimodal import image_phash, tag_media_modality
+    from ..operators.video_fp import video_phash
 
     tagged = tag_media_modality(media).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -907,28 +915,51 @@ def curate_media(
         (F.col("modality") != "unknown") & ~F.col("native")
     ).count()
 
+    # each tier decodes + fingerprints ONCE into a materialized
+    # (id, hash) frame that serves BOTH the pair join and the
+    # hot-bucket audit — running the dup_pairs wrappers plus a
+    # separate report would decode every payload twice
     tiers = {
-        "image": lambda m: image_dup_pairs(
-            m, max_hamming=image_max_hamming, fake_decode=fake_decode
+        "image": (
+            lambda m: image_phash(m, fake_decode=fake_decode),
+            "phash",
+            64,
+            image_max_hamming,
         ),
-        "audio": lambda m: audio_dup_pairs(
-            m, max_hamming=audio_max_hamming, fake_decode=fake_decode
+        "audio": (
+            lambda m: audio_fingerprint(m, fake_decode),
+            "afp",
+            AFP_NBITS,
+            audio_max_hamming,
         ),
-        "video": lambda m: video_dup_pairs(
-            m,
-            n_samples=video_n_samples,
-            max_hamming=video_max_hamming,
-            fake_decode=fake_decode,
+        "video": (
+            lambda m: video_phash(
+                m, n_samples=video_n_samples, fake_decode=fake_decode
+            ),
+            "vhash",
+            64,
+            video_max_hamming,
         ),
     }
     dropped = {}
+    hot_buckets: dict[str, int] = {}
     all_losers = exact_losers
-    for modality, pair_fn in tiers.items():
+    for modality, (hash_fn, hash_col, nbits, max_hamming) in tiers.items():
         subset = tagged.filter(
             (F.col("modality") == modality) & F.col("native")
         ).join(exact_losers, "media_id", "left_anti")
+        hashes = materialize(
+            hash_fn(subset).select("media_id", hash_col)
+        )
         losers = (
-            pair_fn(subset)
+            hamming_pairs(
+                hashes,
+                hash_col=hash_col,
+                id_col="media_id",
+                nbits=nbits,
+                max_hamming=max_hamming,
+                max_bucket=max_bucket,
+            )
             .select(F.col("id_b").alias("media_id"))
             .distinct()
             # slim id set, derived from the corpus — truncate lineage
@@ -936,6 +967,16 @@ def curate_media(
             .localCheckpoint(eager=True)
         )
         dropped[modality] = losers.count()
+        # the recall trade must be visible in the report, never
+        # silent: buckets the cap dropped, from the SAME hash table
+        hot_buckets[modality] = hamming_hot_bucket_report(
+            hashes,
+            hash_col,
+            "media_id",
+            nbits=nbits,
+            max_hamming=max_hamming,
+            max_bucket=max_bucket,
+        ).count()
         all_losers = all_losers.unionByName(losers)
 
     pdf_text_dropped = 0
@@ -981,6 +1022,7 @@ def curate_media(
         kept=total - exact_dropped - sum(dropped.values())
         - pdf_text_dropped,
         pdf_text_dropped=pdf_text_dropped,
+        hot_buckets_dropped=hot_buckets,
     )
     # the unpersist_curated handshake: the survivors frame reads the
     # persisted routing pass until the caller materializes it

@@ -188,6 +188,8 @@ def test_curate_media_end_to_end(spark):
     assert rep.audio_near_dropped == 2  # ids 11, 13
     assert rep.video_near_dropped == 1  # id 21
     assert rep.kept == 11
+    # healthy corpus: the hamming hot-bucket cap dropped nothing
+    assert rep.hot_buckets_dropped == {"image": 0, "audio": 0, "video": 0}
     # survivors keep the input schema
     assert survivors.columns == media.columns
 
@@ -234,3 +236,31 @@ def test_curate_media_pdf_text_stage_drops_reserialized_pdf(spark):
     assert rep.total - rep.pdf_text_dropped == rep.kept + (
         rep.total - rep.after_exact_dedup
     ) + rep.image_near_dropped + rep.audio_near_dropped + rep.video_near_dropped
+
+
+def test_curate_media_surfaces_hamming_hot_bucket_drops(spark):
+    """Distinct payloads with IDENTICAL fingerprints (solid-black
+    images of different sizes all dHash to 0 — the blank-image hot
+    key) survive the exact stage, get their bucket dropped by the cap,
+    and the report says so; a genuine near-dup pair outside the hot
+    bucket still collapses."""
+    base_px = _px(1)
+    rows = {}
+    for i in range(6):  # distinct bytes, identical (zero) fingerprints
+        rows[i + 1] = encode_bmp(
+            np.zeros((8 + i, 9 + i, 3), dtype=np.uint8)
+        )
+    rows[7] = encode_bmp(base_px)
+    rows[8] = encode_png(base_px)  # cross-codec near-dup of 7
+    media = _media(spark, rows)
+    survivors, rep = curate_media(media, max_bucket=4)
+
+    kept_ids = sorted(r["media_id"] for r in survivors.collect())
+    # all six solids keep (their only pairing evidence was the dropped
+    # hot bucket — the documented recall trade); 8 collapses into 7
+    assert kept_ids == [1, 2, 3, 4, 5, 6, 7]
+    assert rep.image_near_dropped == 1
+    # 4 bands (max_hamming=3), each holding the 6-member zero bucket
+    assert rep.hot_buckets_dropped["image"] == 4
+    assert rep.hot_buckets_dropped["audio"] == 0
+    assert rep.hot_buckets_dropped["video"] == 0

@@ -175,3 +175,133 @@ def test_ann_hot_bucket_report_and_inert_below_cap(spark):
     ).count()
     assert capped == uncapped
     assert ANN_MAX_BUCKET == 4096
+
+
+def test_ann_candidates_single_checkpoint_per_call(spark, monkeypatch):
+    """One localCheckpoint per ann_lsh_candidates call — capped, it is
+    the CAPPED bucket table (the gemm rides a short-lived persist for
+    the cap's two consumers); uncapped, it is the raw bucket table
+    (gemm protection for the self-join). The pre-round-14 form wrote
+    both — two full checkpoint copies of the biggest intermediate."""
+    rows = [(i, _vec(i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cls = type(df)  # the concrete (classic) DataFrame class, not the ABC
+    calls = []
+    orig = cls.localCheckpoint
+
+    def counting(self, *a, **k):
+        calls.append(1)
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(cls, "localCheckpoint", counting)
+    ann_lsh_candidates(df, nbits=4, tables=2).count()
+    assert len(calls) == 1
+    calls.clear()
+    ann_lsh_candidates(df, nbits=4, tables=2, max_bucket=None).count()
+    assert len(calls) == 1
+
+
+# ---------------------------------------------------------------------------
+# Round 14: the shared Hamming-banded pair engine (simhash text +
+# image/audio/video fingerprints). Identical fingerprints are MORE
+# common here than identical MinHash signatures in text — blank
+# images, black frames and silence all collapse to one 64-bit value —
+# and they agree on EVERY band, multiplying the C(m,2) blowup by the
+# band count. These are the planted-hot-key siblings of the MinHash
+# tests above.
+# ---------------------------------------------------------------------------
+
+from hospital_stain_tracker_data_pipeline_spark.operators.dedup import (  # noqa: E402
+    hamming_hot_bucket_report,
+    hamming_pairs,
+    hamming_pairs_against_corpus,
+    simhash_hot_bucket_report,
+    simhash_pairs,
+)
+
+FOX_A = "the quick brown fox jumps over the lazy dog again and again"
+FOX_B = FOX_A  # identical text → Hamming 0 → always a true near-dup
+
+
+def test_simhash_cap_bounds_planted_10k_identical_fingerprints(spark):
+    rows = [(i, BOILERPLATE) for i in range(10_000)]
+    rows += [(10_000, FOX_A), (10_001, FOX_B)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = simhash_pairs(docs, max_hamming=3).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    # the 10k identical-simhash docs collide in EVERY band (4 bands ×
+    # C(10k,2) ≈ 2·10⁸ join rows uncapped) — dropped whole; the
+    # planted pair outside the hot bucket still pairs at Hamming 0
+    assert (10_000, 10_001) in got
+    assert all(a >= 10_000 and b >= 10_000 for a, b in got)
+
+
+def test_simhash_hot_bucket_report_surfaces_the_drop(spark):
+    rows = [(i, BOILERPLATE) for i in range(2_000)] + [(9_999, FOX_A)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    rep = simhash_hot_bucket_report(docs, max_bucket=1_000).collect()
+    # identical fingerprints agree on every band: max_hamming+1 = 4
+    # hot buckets, each holding all 2 000 boilerplate docs
+    assert len(rep) == 4
+    assert all(r.members == 2_000 for r in rep)
+    assert simhash_hot_bucket_report(docs, max_bucket=None).count() == 0
+
+
+def test_simhash_cap_is_inert_below_threshold(spark):
+    rows = [(i, f"document number {i} talks about topic {i % 7}")
+            for i in range(60)]
+    rows += [(100, FOX_A), (101, FOX_B)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = simhash_pairs(docs).collect()
+    uncapped = simhash_pairs(docs, max_bucket=None).collect()
+    assert sorted(map(tuple, capped)) == sorted(map(tuple, uncapped))
+    assert (100, 101, 0) in {(r.id_a, r.id_b, r.hamming) for r in capped}
+
+
+def test_hamming_cap_bounds_planted_10k_identical_fingerprints(spark):
+    n = 10_000
+    blank = 0  # the all-black-frame / blank-image fingerprint
+    rows = [(i, blank) for i in range(n)]
+    rows += [(n, 0x0F0F0F0F0F0F0F0F), (n + 1, 0x0F0F0F0F0F0F0F0E)]
+    df = spark.createDataFrame(rows, "media_id long, fp long")
+    pairs = hamming_pairs(df, "fp", "media_id", nbits=64, max_hamming=3)
+    got = {(r.id_a, r.id_b, r.hamming) for r in pairs.collect()}
+    assert got == {(n, n + 1, 1)}
+    # report names the dropped buckets: 4 bands × the one blank value
+    rep = hamming_hot_bucket_report(df, "fp", "media_id").collect()
+    assert len(rep) == 4 and all(r.members == n for r in rep)
+
+
+def test_hamming_cap_is_inert_below_threshold(spark):
+    rows = [(i, (i * 2654435761) % (1 << 63)) for i in range(200)]
+    rows += [(1_000, 77), (1_001, 76)]
+    df = spark.createDataFrame(rows, "media_id long, fp long")
+    capped = hamming_pairs(df, "fp", "media_id").collect()
+    uncapped = hamming_pairs(df, "fp", "media_id", max_bucket=None).collect()
+    assert sorted(map(tuple, capped)) == sorted(map(tuple, uncapped))
+    assert hamming_hot_bucket_report(df, "fp", "media_id").count() == 0
+
+
+def test_hamming_corpus_probe_caps_both_sides(spark):
+    # blanks are fp=0 (every band val 0); the planted pair's SHARED
+    # bands carry non-zero values so the hot blank bucket can't be its
+    # only meeting point
+    pair_fp = 0x00FF00FF00FF00FF
+    corpus_rows = [(i, 0) for i in range(60)] + [(1_000, pair_fp)]
+    corpus = spark.createDataFrame(corpus_rows, "media_id long, phash long")
+    new = spark.createDataFrame(
+        [(2_000, 0), (2_001, pair_fp ^ 1)], "media_id long, phash long"
+    )
+    matches = hamming_pairs_against_corpus(
+        new, corpus, max_hamming=3, max_bucket=50
+    ).collect()
+    # the blank bucket (60 corpus + 1 new member) is dropped on the
+    # corpus side (>50); the planted pair outside it still matches
+    assert {(r.new_id, r.corpus_id, r.hamming) for r in matches} == {
+        (2_001, 1_000, 1)
+    }
+    # uncapped, the blank probe matches all 60 corpus blanks
+    n_uncapped = hamming_pairs_against_corpus(
+        new, corpus, max_hamming=3, max_bucket=None
+    ).count()
+    assert n_uncapped == 61
