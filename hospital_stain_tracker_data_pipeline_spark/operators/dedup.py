@@ -341,7 +341,10 @@ DEFAULT_MAX_BUCKET = 1024
 
 
 def _cap_hot_buckets(
-    banded: DataFrame, key_cols: list[str], max_bucket: int | None
+    banded: DataFrame,
+    key_cols: list[str],
+    max_bucket: int | None,
+    telemetry: dict | None = None,
 ) -> DataFrame:
     """Drop every row belonging to a bucket whose membership exceeds
     ``max_bucket`` — the LSH analogue of ``ngram_jaccard_pairs``'
@@ -368,10 +371,20 @@ def _cap_hot_buckets(
     hot set is derived from the ``lsh_hot_buckets`` audit hook, so the
     report can never diverge from what the cap drops."""
     if max_bucket is None:
+        if telemetry is not None:
+            telemetry["hot_buckets_dropped"] = 0
         return banded
     if max_bucket < 2:
         raise ValueError(f"max_bucket={max_bucket} must be >= 2 (or None)")
     hot = lsh_hot_buckets(banded, key_cols, max_bucket).select(*key_cols)
+    if telemetry is not None:
+        # pipelines surface the drop count in their run reports; the
+        # materialize moves the hot-set aggregation into its own job
+        # (it would run inside the checkpoint job anyway) so the count
+        # is an O(hot-set) action, and the anti-join reads the tiny
+        # materialized frame instead of re-aggregating
+        hot = materialize(hot)
+        telemetry["hot_buckets_dropped"] = hot.count()
     return banded.join(hot, key_cols, "left_anti")
 
 
@@ -381,6 +394,7 @@ def _capped_banded(
     max_bucket: int | None,
     *,
     persist_input: bool = False,
+    telemetry: dict | None = None,
 ) -> DataFrame:
     """Cap-then-checkpoint policy shared by every candidate SELF-join
     caller (both MinHash operators, the Hamming-banded engine and the
@@ -402,12 +416,14 @@ def _capped_banded(
     are independent stages, and without a filled cache the scheduler
     can run both concurrently, computing the producer twice anyway."""
     if max_bucket is None:
+        if telemetry is not None:
+            telemetry["hot_buckets_dropped"] = 0
         return banded
     src = banded
     if persist_input:
         src = banded.persist()
         src.count()  # fill the cache before the two cap consumers read
-    out = materialize(_cap_hot_buckets(src, key_cols, max_bucket))
+    out = materialize(_cap_hot_buckets(src, key_cols, max_bucket, telemetry))
     if persist_input:
         src.unpersist()
     return out
@@ -506,6 +522,7 @@ def minhash_lsh_dedup_pairs(
     bands: int = 8,
     k: int = 3,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    telemetry: dict | None = None,
 ) -> DataFrame:
     """Candidates verified with exact Jaccard ≥ threshold (classic
     candidate-gen + verify): LSH recall is probabilistic, the verify
@@ -540,6 +557,7 @@ def minhash_lsh_dedup_pairs(
         _minhash_banded(sigs, id_col, num_hashes, bands),
         ["band", "bucket"],
         max_bucket,
+        telemetry=telemetry,
     )
     ca = banded.select("band", "bucket", F.col(id_col).alias("id_a"))
     cb = banded.select("band", "bucket", F.col(id_col).alias("id_b"))

@@ -113,6 +113,12 @@ class CurationReport:
     # run reports, not discovered as a raise); None under lowest_id or
     # when the clusters came back from a resumable run_dir checkpoint
     cc_iterations: int | None = None
+    # round 14: MinHash band buckets the near-dup stage's hot-bucket
+    # cap dropped (0 on a healthy corpus; >0 means boilerplate
+    # signatures were skipped — the recall trade visible in the run
+    # report, never silent); None when the drop/cluster set came back
+    # from a resumable run_dir checkpoint (the stage didn't execute)
+    hot_buckets_dropped: int | None = None
 
 
 def _predicate_sig(c: Column) -> str:
@@ -514,12 +520,13 @@ def curate_documents(
     # independently names a smaller survivor. The LSH candidate join
     # executes during this materialize — once.
     n_cc_iter: int | None = None
+    dedup_tel: dict = {}
     if near_dup_policy == "lowest_id":
         drop = _ids(
             "near_drop",
             {"threshold": near_dup_threshold, "policy": near_dup_policy},
             lambda: minhash_lsh_dedup_pairs(
-                exact, threshold=near_dup_threshold
+                exact, threshold=near_dup_threshold, telemetry=dedup_tel
             )
             .select(F.col("id_b").alias("doc_id"))
             .distinct(),
@@ -540,7 +547,9 @@ def curate_documents(
 
         def _cc_clusters() -> DataFrame:
             pairs = materialize(
-                minhash_lsh_dedup_pairs(exact, threshold=near_dup_threshold)
+                minhash_lsh_dedup_pairs(
+                    exact, threshold=near_dup_threshold, telemetry=dedup_tel
+                )
             )
             edges = pairs.select(
                 F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -763,6 +772,7 @@ def curate_documents(
         after_substring_dedup=n_substr,
         after_url_dedup=n_url,
         cc_iterations=n_cc_iter,
+        hot_buckets_dropped=dedup_tel.get("hot_buckets_dropped"),
     )
     # handle for unpersist_curated — the chunks frame's lineage reads
     # from this persisted corpus

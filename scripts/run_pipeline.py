@@ -273,6 +273,13 @@ def cmd_curate(args) -> None:
     unpersist_curated(chunks)
     for k, v in dataclasses.asdict(report).items():
         print(f"{k}={v}")
+    # machine-readable twin of the k=v lines: the full report —
+    # including the operational telemetry (cc_iterations, the
+    # near-dup stage's hot_buckets_dropped) — as ONE JSON line an
+    # adopter's monitoring can parse without scraping
+    import json as _json
+
+    print(_json.dumps(dataclasses.asdict(report)))
     print(f"wrote {args.output}")
 
 

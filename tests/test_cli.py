@@ -97,6 +97,17 @@ def test_cli_curate_writes_packed_corpus(tmp_path):
     assert int(report["total"]) == 500
     assert int(report["after_source_cap"]) <= 500
     assert int(report["chunks"]) > 0
+    # the machine-readable JSON twin carries the operational
+    # telemetry: CC rounds (None under lowest_id) and the near-dup
+    # hot-bucket drop count (0 on this healthy corpus)
+    import json as _json
+
+    jrep = _json.loads(
+        [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert "cc_iterations" in jrep
+    assert jrep["hot_buckets_dropped"] == 0
+    assert jrep["packed_tokens"] == int(report["packed_tokens"])
     n = duckdb.sql(f"SELECT count(*) FROM '{out}/*.parquet'").fetchone()[0]
     assert n > 0
     # the manifest sidecar reconciles against the written corpus AND
@@ -546,6 +557,12 @@ def test_cli_curate_run_dir_resume(tmp_path):
     mtime = os.path.getmtime(marker)
 
     rep2 = _report(_run(*args))
+    # execution telemetry is None on resume BY DESIGN (the stage
+    # loaded from its artifact instead of running, so there is no
+    # drop count to report) — compare the data fields exactly and the
+    # telemetry field by its resume contract
+    assert rep1.pop("hot_buckets_dropped") == "0"
+    assert rep2.pop("hot_buckets_dropped") == "None"
     assert rep2 == rep1
     assert os.path.getmtime(marker) == mtime, (
         "exact_keep recomputed on resume — artifact should have loaded"

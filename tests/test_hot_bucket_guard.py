@@ -305,3 +305,23 @@ def test_hamming_corpus_probe_caps_both_sides(spark):
         new, corpus, max_hamming=3, max_bucket=None
     ).count()
     assert n_uncapped == 61
+
+
+def test_minhash_telemetry_reports_drop_count(spark):
+    """The telemetry out-param surfaces how many band buckets the cap
+    dropped (what CurationReport.hot_buckets_dropped publishes):
+    8 bands × one boilerplate bucket here, 0 on a healthy corpus."""
+    docs = _boilerplate_corpus(spark, 2_000)
+    tel: dict = {}
+    minhash_lsh_dedup_pairs(docs, threshold=0.3, telemetry=tel).count()
+    assert tel["hot_buckets_dropped"] == 8
+    clean = spark.createDataFrame(
+        [(1, "one text"), (2, "another text entirely")],
+        "doc_id long, text string",
+    )
+    tel2: dict = {}
+    minhash_lsh_dedup_pairs(clean, telemetry=tel2).count()
+    assert tel2["hot_buckets_dropped"] == 0
+    tel3: dict = {}
+    minhash_lsh_dedup_pairs(clean, max_bucket=None, telemetry=tel3).count()
+    assert tel3["hot_buckets_dropped"] == 0
