@@ -172,6 +172,15 @@ def _sig3(x: float) -> float:
     resolution is budget stolen from the extras map."""
     return float(f"{x:.3g}")
 
+
+def _sig2(x: float) -> float:
+    """2-significant-figure rounding for the stdout EXTRAS line
+    (round 14): the graded line took on ``warm_total_norm`` + the e2e
+    stage map, and 2 s.f. (±5% quantization, far inside the shared
+    VM's 20-40% run-to-run swing) buys the budget back. Full
+    3-decimal per-extra seconds stay in BENCH_LOCAL.json."""
+    return float(f"{x:.2g}")
+
 CALIBRATION_REPS = 3
 
 
@@ -1553,17 +1562,31 @@ def main() -> None:
     # forward-vs-reverse disagreement scalars (order-invariance
     # evidence; named map in BENCH_LOCAL.json); `calibration_sec`
     # (constant-work probe) is the machine-speed normalizer.
+    # round 14 budget re-cut: the graded line carries the two scalars
+    # a reader of BENCH_r{N}.json alone needs to decompose machine
+    # speed from code speed — ``warm_total_norm`` (warm_total divided
+    # by the constant-work calibration probe; r13's 22% raw swing was
+    # exactly the probe's 22%) and, post-extras, the flagship e2e
+    # extra's per-stage map. To stay inside the driver's 2000-char
+    # tail, ``queries_kind`` and ``order_dp90`` moved to
+    # BENCH_LOCAL.json (committed): the drift CONTRACT scalar is
+    # ``order_dmax_1s`` (the <0.15 target applies to the >=1 s query
+    # family — sub-second queries carry ~0.1 s irreducible shared-VM
+    # jitter that is 20-40% relative no matter the ordering
+    # discipline), with the all-queries ``order_dmax`` kept for
+    # context.
+    cal_sec = calibration["jvm_shuffle_sec"]
+    warm_total_norm = _sig3(warm_total / cal_sec) if cal_sec else None
     line = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": {k: _sig3(v) for k, v in medians.items()},
-        "queries_kind": "med_warm_2way_rr",
         "order_dmax": order_delta_max,
-        "order_dp90": order_delta_p90,
         "order_dmax_1s": order_delta_max_1s,
-        "calibration_sec": calibration["jvm_shuffle_sec"],
+        "calibration_sec": cal_sec,
         "warm_total": warm_total,
+        "warm_total_norm": warm_total_norm,
         "sf": sf,
     }
     line_text = json.dumps(line, separators=(",", ":"))
@@ -1585,6 +1608,8 @@ def main() -> None:
         "order_delta_max": order_delta_max,
         "order_delta_p90": order_delta_p90,
         "order_delta_max_1s": order_delta_max_1s,
+        "queries_kind": "med_warm_2way_rr",
+        "warm_total_norm": warm_total_norm,
         "queries_min": mins,
         "queries_max": maxs,
         "calibration": calibration,
@@ -1675,10 +1700,27 @@ def main() -> None:
     # tests/test_bench_stdout_contract.py pins both lines + the budget.
     line["extras_ok"] = len(extras_warm)
     line["extras_err"] = len(extras_errors)
+    # the flagship extra's per-stage wall times ride the graded tail
+    # (short keys; full names + attrition counts in BENCH_LOCAL.json's
+    # extras_info) so stage-level round-over-round regressions are
+    # decomposable from the committed artifact alone:
+    # warc=warc_parse, cur=curate_pack, man=manifest,
+    # med=media_curate, ops=ops leg.
+    e2e = EXTRAS_INFO.get("e2e_crawl_to_pack", {})
+    stage_short = {
+        "warc": "warc_parse_sec",
+        "cur": "curate_pack_sec",
+        "man": "manifest_sec",
+        "med": "media_curate_sec",
+        "ops": "ops_sec",
+    }
+    line["e2e"] = {
+        short: _sig3(e2e[k]) for short, k in stage_short.items() if k in e2e
+    }
     print(
         "EXTRAS "
         + json.dumps(
-            {k: _sig3(v) for k, v in extras_warm.items()},
+            {k: _sig2(v) for k, v in extras_warm.items()},
             separators=(",", ":"),
         ),
         flush=True,

