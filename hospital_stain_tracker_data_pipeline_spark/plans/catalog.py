@@ -118,9 +118,13 @@ CATALOG: dict[str, QuerySpec] = {
         C.q_gopher_quality_kept, C.SQL_GOPHER_QUALITY_KEPT
     ),
     "rrf_fuse": QuerySpec(C.q_rrf_fuse, C.SQL_RRF_FUSE),
-    # --- multimodal plumbing (Phase 4) ---
-    "multimodal_profile": QuerySpec(
-        X.q_multimodal_profile, X.SQL_MULTIMODAL_PROFILE
+    # --- multimodal plumbing (Phase 4; round 14 rotation #5: the
+    # image near-dup round trip — deterministic BMP/PNG writer rigs →
+    # real sniff/decode → integer dHash → the capped Hamming-banded
+    # pair engine, with the oracle re-deriving every hash
+    # arithmetically and brute-forcing the Hamming ball) ---
+    "image_near_dup_pairs": QuerySpec(
+        X.q_image_near_dup_pairs, X.SQL_IMAGE_NEAR_DUP_PAIRS
     ),
     # --- similarity search (Phase 4) ---
     "knn_cosine": QuerySpec(V.q_knn_cosine, V.SQL_KNN_COSINE),
@@ -158,6 +162,17 @@ CATALOG: dict[str, QuerySpec] = {
 # HEADLINE names against CATALOG | DEMOTED so the benchmark set (and
 # warm_total's round-over-round comparability) is unchanged by rotation.
 DEMOTED: dict[str, QuerySpec] = {
+    # --- round 14: multimodal_profile made room for
+    # image_near_dup_pairs. Its payload surface was TEXT bytes profiled
+    # as opaque media (sha256/byte-length/seeded dims); the promoted
+    # entry drives the strictly stronger path — real BMP and PNG
+    # containers through the same sniff_image front end the profile
+    # uses, plus the pixel decoders, the dHash and the banded pair
+    # engine — and the header-stat shapes stay pinned by the rotation
+    # replay below and the pdf_roundtrip classify/roundtrip row ---
+    "multimodal_profile": QuerySpec(
+        X.q_multimodal_profile, X.SQL_MULTIMODAL_PROFILE
+    ),
     # --- round 13: demoted for the pdf_roundtrip / url_dedup tranche.
     # dates_coverage's distinct-sorted / groupby-having / sort-asc
     # shapes all ride scalar_summary + grouping_multi (and the replay

@@ -408,6 +408,113 @@ ORDER BY doc_id, variant
 """
 
 
+def q_image_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection hash-graded END TO END (round-14
+    rotation #5, the media tier's ``pdf_roundtrip``): every 5th
+    fixture document plants TWO deterministic 9×8 grayscale images —
+    a BMP base whose pixel (r, c) is the first md5 byte of
+    ``"{doc_id}:{r}:{c}"``, and a PNG twin with pixel (3, 4) shifted
+    by +128 mod 256 (flips at most the two dHash bits that gradient
+    touches, so every twin pair lands within Hamming ≤ 2) — then the
+    REAL pipeline runs: container sniff → native BMP/PNG pixel decode
+    → integer dHash (``image_phash``: BT.601 luma votes, identity
+    nearest-resample at 9×8, row-major LSB packing) → the
+    hot-bucket-capped Hamming-banded pair engine
+    (``dedup.hamming_pairs``) → exact-Hamming verify.
+
+    The DuckDB oracle re-derives every dHash ARITHMETICALLY from the
+    same md5 pixel formula (no image code at all) and brute-forces the
+    full Hamming-≤3 ball, so decode, luma, bit packing, banding recall
+    and the verify are all value-compared — banding's pigeonhole
+    recall is exact, so Spark's banded output must equal the oracle's
+    brute force bit-for-bit. Cross-codec by construction: the base is
+    BMP, the twin PNG, and they may only pair because the HASH sees
+    pixels, not bytes. ``media_id = doc_id*2 + variant``."""
+    from ..operators.multimodal import (
+        encode_bmp,
+        encode_png,
+        image_dup_pairs,
+    )
+
+    ids = load_fixture_table(spark, sf_dir, "documents").select(
+        "doc_id"
+    ).filter(F.col("doc_id") % 5 == 0)
+
+    def render(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        def val(d: int, r: int, c: int) -> int:
+            return int(
+                hashlib.md5(f"{d}:{r}:{c}".encode()).hexdigest()[:2], 16
+            )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                px = np.zeros((8, 9, 3), dtype=np.uint8)
+                for r in range(8):
+                    for c in range(9):
+                        px[r, c, :] = val(did, r, c)
+                rows.append(
+                    {"media_id": did * 2, "payload": encode_bmp(px)}
+                )
+                twin = px.copy()
+                twin[3, 4, :] = (int(px[3, 4, 0]) + 128) % 256
+                rows.append(
+                    {"media_id": did * 2 + 1, "payload": encode_png(twin)}
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = ids.mapInPandas(render, "media_id long, payload binary")
+    return image_dup_pairs(media, max_hamming=3).orderBy("id_a", "id_b")
+
+
+SQL_IMAGE_NEAR_DUP_PAIRS = """
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+imgs AS (
+  SELECT doc_id * 2 AS media_id, doc_id, 0 AS variant FROM ids
+  UNION ALL
+  SELECT doc_id * 2 + 1, doc_id, 1 FROM ids
+),
+px AS (
+  SELECT i.media_id, t1.r, t2.c,
+         CASE WHEN i.variant = 1 AND t1.r = 3 AND t2.c = 4
+              THEN (CAST(CONCAT('0x', substr(md5(CONCAT(i.doc_id, ':', t1.r, ':', t2.c)), 1, 2)) AS INT) + 128) % 256
+              ELSE CAST(CONCAT('0x', substr(md5(CONCAT(i.doc_id, ':', t1.r, ':', t2.c)), 1, 2)) AS INT)
+         END AS v
+  FROM imgs i, range(8) t1(r), range(9) t2(c)
+),
+-- dhash bit (r, c) = 1 iff v(r, c+1) > v(r, c); grayscale pixels make
+-- the 1000x BT.601 luma compare identical to the raw pixel compare
+bits AS (
+  SELECT a.media_id, a.r * 8 + a.c AS bit
+  FROM px a JOIN px b ON b.media_id = a.media_id AND b.r = a.r AND b.c = a.c + 1
+  WHERE a.c < 8 AND b.v > a.v
+),
+hashes AS (
+  SELECT i.media_id,
+         COALESCE(SUM(CAST(1 AS HUGEINT) << CAST(b.bit AS INT)), 0) AS h
+  FROM imgs i LEFT JOIN bits b ON b.media_id = i.media_id
+  GROUP BY i.media_id
+),
+signed AS (  -- two's complement, matching the operator's LONG phash
+  SELECT media_id,
+         CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616
+                   ELSE h END AS BIGINT) AS hs
+  FROM hashes
+)
+SELECT x.media_id AS id_a, y.media_id AS id_b,
+       CAST(bit_count(xor(x.hs, y.hs)) AS INTEGER) AS hamming
+FROM signed x JOIN signed y ON x.media_id < y.media_id
+WHERE bit_count(xor(x.hs, y.hs)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document chunking for training pipelines: fixed-size token
     windows with overlap (stride < size), exploded to one row per

@@ -50,6 +50,10 @@ PROMOTED = [
     "pdf_roundtrip",
     "url_dedup",
     "robots_gate",
+    # round 14 — the image near-dup round trip (deterministic BMP/PNG
+    # rigs -> real decode -> dHash -> capped Hamming banding, oracle
+    # brute-forces the Hamming ball from the same md5 pixel formula)
+    "image_near_dup_pairs",
 ]
 
 _TABLES = [
