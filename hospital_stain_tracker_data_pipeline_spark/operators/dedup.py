@@ -1017,6 +1017,7 @@ def _banded_candidate_pairs(
     nbits: int,
     max_hamming: int,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    telemetry: dict | None = None,
 ) -> DataFrame:
     """(id_a, id_b, h_a, h_b) candidates sharing ≥ 1 band — the ONE
     pigeonhole banding implementation, shared by the simhash text
@@ -1041,7 +1042,7 @@ def _banded_candidate_pairs(
     cheap projection of the already-materialized ``h``, so the cap's
     two consumers recompute it rather than riding a persist."""
     banded = _band_explode(h, id_col, hash_col, nbits, max_hamming, "_id", "_h")
-    banded = _capped_banded(banded, ["band", "val"], max_bucket)
+    banded = _capped_banded(banded, ["band", "val"], max_bucket, telemetry=telemetry)
     a = banded.select(
         "band", "val", F.col("_id").alias("id_a"), F.col("_h").alias("h_a")
     )
@@ -1158,6 +1159,7 @@ def hamming_pairs(
     nbits: int = 64,
     max_hamming: int = 3,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    telemetry: dict | None = None,
 ) -> DataFrame:
     """All pairs whose PRECOMPUTED ``nbits``-bit fingerprints are within
     Hamming distance ``max_hamming`` — the ``simhash_pairs`` engine
@@ -1189,7 +1191,9 @@ def hamming_pairs(
         ).filter(F.col("_fp").isNotNull())
     )
     return (
-        _banded_candidate_pairs(h, id_col, "_fp", nbits, max_hamming, max_bucket)
+        _banded_candidate_pairs(
+            h, id_col, "_fp", nbits, max_hamming, max_bucket, telemetry
+        )
         .select(
             "id_a",
             "id_b",
@@ -1209,6 +1213,7 @@ def hamming_pairs_against_corpus(
     nbits: int = 64,
     max_hamming: int = 3,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    telemetry: dict | None = None,
 ) -> DataFrame:
     """Cross-set Hamming matches of NEW fingerprints against an
     EXISTING fingerprint index — the ``dedup_pairs_against_corpus``
@@ -1268,14 +1273,22 @@ def hamming_pairs_against_corpus(
         )
         if mat:
             h = materialize(h)
-        return _capped_banded(
+        side_tel: dict | None = {} if telemetry is not None else None
+        capped = _capped_banded(
             _band_explode(
                 h, id_col, "_fp", nbits, max_hamming, out_id, f"h_{out_id}"
             ),
             ["band", "val"],
             max_bucket,
             persist_input=not mat,
+            telemetry=side_tel,
         )
+        if telemetry is not None:
+            # per-side caps: the reported count sums both sides
+            telemetry["hot_buckets_dropped"] = telemetry.get(
+                "hot_buckets_dropped", 0
+            ) + side_tel.get("hot_buckets_dropped", 0)
+        return capped
 
     nb = prep(new_hashes, "new_id", mat=True)
     cb = prep(corpus_index, "corpus_id", mat=False)

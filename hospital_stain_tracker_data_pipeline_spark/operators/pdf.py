@@ -147,6 +147,18 @@ def _skip_literal_string(buf: bytes, i: int) -> int:
     return i
 
 
+def _skip_comment(buf: bytes, i: int) -> int:
+    """Index just past the PDF comment opening at ``buf[i]`` (which
+    must be ``%``): comments run to end-of-line (ISO 32000 §7.2.4) and
+    their bytes — including unmatched ``(`` or stray ``>>`` — are
+    content, not tokens. Skipping them keeps a paren inside a comment
+    from being taken for a literal-string opener (which would swallow
+    the rest of the dict and read an encrypted file as unencrypted)."""
+    while i < len(buf) and buf[i] not in (0x0A, 0x0D):
+        i += 1
+    return i
+
+
 def _trailer_dict_bodies(masked: bytes):
     """Balanced trailer dictionary bodies. ``<<``/``>>`` nest (a
     trailer may legally carry an inline dictionary value before
@@ -168,6 +180,8 @@ def _trailer_dict_bodies(masked: bytes):
                 i += 2
             elif masked[i] == 0x28:  # ( — literal string value
                 i = _skip_literal_string(masked, i)
+            elif masked[i] == 0x25:  # % — comment runs to end-of-line
+                i = _skip_comment(masked, i)
             else:
                 i += 1
         if depth == 0:
@@ -203,6 +217,8 @@ def _dict_immediately_before(window: bytes) -> bytes | None:
             i += 2  # stray close (dict opened before the window): skip
         elif t[i] == 0x28:  # ( — literal string value
             i = _skip_literal_string(t, i)
+        elif t[i] == 0x25:  # % — comment runs to end-of-line
+            i = _skip_comment(t, i)
         else:
             i += 1
     if last_span is not None and last_span[1] == len(t):
@@ -257,8 +273,21 @@ def _mask_stream_payloads(raw: bytes) -> bytes:
         # direct /Length, and a bogus end that coincidentally lands on
         # an 'endstream' token would leave part of the payload
         # unmasked.
-        window = bytes(out[max(0, m.start() - 2048) : m.start()])
-        own_dict = _dict_immediately_before(window)
+        # the window widens geometrically when the balanced scan can't
+        # see the dict's own ``<<`` (long /DecodeParms arrays, big
+        # inline metadata push it past 2 KB): a truncated window must
+        # fall back to the endstream scan only when the dict REALLY
+        # is absent, not merely large — otherwise a payload containing
+        # the literal bytes 'endstream' goes partially unmasked, the
+        # false-positive class this masking exists to kill. 128 KB
+        # caps the per-stream cost; dicts beyond that are not real.
+        own_dict = None
+        for win in (2048, 8192, 32768, 131072):
+            lo = max(0, m.start() - win)
+            window = bytes(out[lo : m.start()])
+            own_dict = _dict_immediately_before(window)
+            if own_dict is not None or lo == 0:
+                break
         lm = None
         if own_dict is not None:
             for lm in _MASK_LENGTH_RE.finditer(own_dict):

@@ -885,7 +885,7 @@ def curate_media(
     from pyspark.sql import functions as F
 
     from ..operators.audio_fp import AFP_NBITS, audio_fingerprint
-    from ..operators.dedup import hamming_hot_bucket_report, hamming_pairs
+    from ..operators.dedup import hamming_pairs
     from ..operators.multimodal import image_phash, tag_media_modality
     from ..operators.video_fp import video_phash
 
@@ -925,10 +925,10 @@ def curate_media(
         (F.col("modality") != "unknown") & ~F.col("native")
     ).count()
 
-    # each tier decodes + fingerprints ONCE into a materialized
-    # (id, hash) frame that serves BOTH the pair join and the
-    # hot-bucket audit — running the dup_pairs wrappers plus a
-    # separate report would decode every payload twice
+    # each tier decodes + fingerprints ONCE (hamming_pairs
+    # materializes its hash input); the hot-bucket drop count comes
+    # from the cap's own telemetry out-param — the same hook the
+    # minhash tier uses — so no stage runs a second banding pass
     tiers = {
         "image": (
             lambda m: image_phash(m, fake_decode=fake_decode),
@@ -958,17 +958,16 @@ def curate_media(
         subset = tagged.filter(
             (F.col("modality") == modality) & F.col("native")
         ).join(exact_losers, "media_id", "left_anti")
-        hashes = materialize(
-            hash_fn(subset).select("media_id", hash_col)
-        )
+        tier_tel: dict = {}
         losers = (
             hamming_pairs(
-                hashes,
+                hash_fn(subset).select("media_id", hash_col),
                 hash_col=hash_col,
                 id_col="media_id",
                 nbits=nbits,
                 max_hamming=max_hamming,
                 max_bucket=max_bucket,
+                telemetry=tier_tel,
             )
             .select(F.col("id_b").alias("media_id"))
             .distinct()
@@ -977,16 +976,8 @@ def curate_media(
             .localCheckpoint(eager=True)
         )
         dropped[modality] = losers.count()
-        # the recall trade must be visible in the report, never
-        # silent: buckets the cap dropped, from the SAME hash table
-        hot_buckets[modality] = hamming_hot_bucket_report(
-            hashes,
-            hash_col,
-            "media_id",
-            nbits=nbits,
-            max_hamming=max_hamming,
-            max_bucket=max_bucket,
-        ).count()
+        # the recall trade must be visible in the report, never silent
+        hot_buckets[modality] = tier_tel.get("hot_buckets_dropped", 0)
         all_losers = all_losers.unionByName(losers)
 
     pdf_text_dropped = 0

@@ -167,9 +167,21 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     column blocking) with Hamming distance ≤ 3, generated via pigeonhole
     prefix-band blocking (4 bands of 8 bits — a pair within distance 3
     must agree exactly on ≥ 1 band, so banded recall is exact and the
-    oracle below can be the brute-force definition)."""
+    oracle below can be the brute-force definition).
+
+    ``max_bucket=None`` is PINNED: this entry's contract is equality
+    with the uncapped brute-force oracle, and at 8-bit band values the
+    fixture corpus already concentrates ~15% of sf0.1 docs in one
+    (band, val) bucket — 73% of the default cap, one fixture
+    regeneration away from the cap silently dropping graded pairs the
+    oracle keeps. The capped engine is graded where its buckets are
+    provably cold (``image_near_dup_pairs``: 16-bit bands, expected
+    bucket size ≪ 1) and scale-pinned by ``test_hot_bucket_guard``'s
+    planted corpora."""
     docs = load_fixture_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, nbits=32, max_hamming=3).orderBy("id_a", "id_b")
+    return simhash_pairs(
+        docs, nbits=32, max_hamming=3, max_bucket=None
+    ).orderBy("id_a", "id_b")
 
 
 # Mirrors operators.dedup.simhash64: per token h = first 15 md5 hex

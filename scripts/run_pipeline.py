@@ -741,11 +741,13 @@ def cmd_image_filter(args) -> None:
     hashes = materialize(
         image_phash(media, algo, hash_size, fake_decode=args.fake_decode)
     )
+    gate_tel: dict = {}
     matched = (
         hamming_pairs_against_corpus(
             hashes, index,
             hash_col="phash", id_col="media_id",
             nbits=hash_size * hash_size, max_hamming=args.max_hamming,
+            max_bucket=args.max_bucket or None, telemetry=gate_tel,
         )
         .select(F.col("new_id").alias("media_id"))
         .distinct()
@@ -763,7 +765,11 @@ def cmd_image_filter(args) -> None:
             spark, args.index, hashes.join(matched, "media_id", "left_anti")
         )
         print(f"appended {n_app} survivor hashes -> {args.index}")
-    print(f"kept {n_out}/{n_in} images -> {args.output}")
+    print(
+        f"kept {n_out}/{n_in} images "
+        f"(hot_buckets_dropped={gate_tel.get('hot_buckets_dropped', 0)}) "
+        f"-> {args.output}"
+    )
 
 
 def cmd_pdf_extract(args) -> None:
@@ -867,11 +873,13 @@ def cmd_audio_filter(args) -> None:
     # the survivor anti-join, and (optionally) the index append —
     # without this the mapInPandas decode would re-run per consumer
     fps = materialize(audio_fingerprint(media, fake_decode=args.fake_decode))
+    gate_tel: dict = {}
     matched = (
         hamming_pairs_against_corpus(
             fps, index,
             hash_col="afp", id_col="media_id",
             nbits=AFP_NBITS, max_hamming=args.max_hamming,
+            max_bucket=args.max_bucket or None, telemetry=gate_tel,
         )
         .select(F.col("new_id").alias("media_id"))
         .distinct()
@@ -885,7 +893,11 @@ def cmd_audio_filter(args) -> None:
             spark, args.index, fps.join(matched, "media_id", "left_anti")
         )
         print(f"appended {n_app} survivor fingerprints -> {args.index}")
-    print(f"kept {n_out}/{n_in} clips -> {args.output}")
+    print(
+        f"kept {n_out}/{n_in} clips "
+        f"(hot_buckets_dropped={gate_tel.get('hot_buckets_dropped', 0)}) "
+        f"-> {args.output}"
+    )
 
 
 def cmd_video_index(args) -> None:
@@ -949,11 +961,13 @@ def cmd_video_filter(args) -> None:
             media, algo, hash_size, n_samples, fake_decode=args.fake_decode
         )
     )
+    gate_tel: dict = {}
     matched = (
         hamming_pairs_against_corpus(
             hashes, index,
             hash_col="vhash", id_col="media_id",
             nbits=hash_size * hash_size, max_hamming=args.max_hamming,
+            max_bucket=args.max_bucket or None, telemetry=gate_tel,
         )
         .select(F.col("new_id").alias("media_id"))
         .distinct()
@@ -967,7 +981,11 @@ def cmd_video_filter(args) -> None:
             spark, args.index, hashes.join(matched, "media_id", "left_anti")
         )
         print(f"appended {n_app} survivor fingerprints -> {args.index}")
-    print(f"kept {n_out}/{n_in} videos -> {args.output}")
+    print(
+        f"kept {n_out}/{n_in} videos "
+        f"(hot_buckets_dropped={gate_tel.get('hot_buckets_dropped', 0)}) "
+        f"-> {args.output}"
+    )
 
 
 def cmd_corpus_diff(args) -> None:
@@ -1277,6 +1295,11 @@ def main() -> None:
     pif_.add_argument("--output", required=True,
                       help="survivors parquet out")
     pif_.add_argument("--max-hamming", type=int, default=3)
+    pif_.add_argument("--max-bucket", type=int, default=1024,
+                       help="hot-bucket membership cap for the banded "
+                       "gate join (0 disables the cap and restores "
+                       "the exact uncapped definition); dropped-bucket"
+                       " counts print with the kept line")
     pif_.add_argument("--fake-decode", action="store_true")
     pif_.add_argument("--append-survivors", action="store_true",
                       help="append the survivors' hashes to --index so "
@@ -1330,6 +1353,11 @@ def main() -> None:
     paf.add_argument("--output", required=True,
                      help="survivors parquet out")
     paf.add_argument("--max-hamming", type=int, default=4)
+    paf.add_argument("--max-bucket", type=int, default=1024,
+                       help="hot-bucket membership cap for the banded "
+                       "gate join (0 disables the cap and restores "
+                       "the exact uncapped definition); dropped-bucket"
+                       " counts print with the kept line")
     paf.add_argument("--fake-decode", action="store_true")
     paf.add_argument("--append-survivors", action="store_true",
                      help="append the survivors' fingerprints to --index "
@@ -1360,6 +1388,11 @@ def main() -> None:
     pvf.add_argument("--output", required=True,
                      help="survivors parquet out")
     pvf.add_argument("--max-hamming", type=int, default=4)
+    pvf.add_argument("--max-bucket", type=int, default=1024,
+                       help="hot-bucket membership cap for the banded "
+                       "gate join (0 disables the cap and restores "
+                       "the exact uncapped definition); dropped-bucket"
+                       " counts print with the kept line")
     pvf.add_argument("--fake-decode", action="store_true")
     pvf.add_argument("--append-survivors", action="store_true",
                      help="append the survivors' fingerprints to --index "

@@ -877,6 +877,9 @@ def test_cli_image_index_and_filter(tmp_path):
         "--output", kept_dir, "--append-survivors",
     )
     assert "kept 1/2 images" in out
+    # the hot-bucket cap's drop count is visible, never silent (0 on
+    # this healthy corpus); --max-bucket 0 restores the uncapped gate
+    assert "hot_buckets_dropped=0" in out
     assert "appended 1 survivor hashes" in out
     kept = pq.read_table(glob.glob(os.path.join(kept_dir, "*.parquet"))[0])
     assert kept.column("media_id").to_pylist() == [11]
@@ -890,7 +893,7 @@ def test_cli_image_index_and_filter(tmp_path):
     kept2 = str(tmp_path / "kept2")
     out = _run(
         "image_filter", "--input", str(again), "--index", idx,
-        "--output", kept2,
+        "--output", kept2, "--max-bucket", "0",
     )
     assert "kept 0/1 images" in out
 

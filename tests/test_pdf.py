@@ -522,3 +522,48 @@ def test_pdf_trailer_literal_strings_do_not_unbalance_the_scan():
     # torn string -> unbalanced scan -> refuse (no crash, no match)
     torn = b"%PDF-1.4\ntrailer\n<< /Producer (never closed /Encrypt 5 0 R"
     assert pdf_is_encrypted(torn) is False
+
+
+def test_pdf_trailer_comment_parens_do_not_swallow_the_dict():
+    """An unmatched '(' inside a %-comment in the trailer dict is
+    comment CONTENT (ISO 32000 7.2.4), not a literal-string opener:
+    taking it for one swallows the rest of the dict (including
+    /Encrypt and the close) and an encrypted file reads unencrypted."""
+    enc = (
+        b"%PDF-1.4\ntrailer\n"
+        b"<< % note ( \n/Encrypt 5 0 R /Size 2 >>\n%%EOF"
+    )
+    assert pdf_is_encrypted(enc) is True
+    plain = (
+        b"%PDF-1.4\ntrailer\n"
+        b"<< % odd ) and ( bytes\n/Size 2 >>\n%%EOF"
+    )
+    assert pdf_is_encrypted(plain) is False
+    # a '%' INSIDE a literal string is string content, not a comment:
+    # the value after it must still be scanned (dict stays balanced)
+    enc2 = (
+        b"%PDF-1.4\ntrailer\n"
+        b"<< /Producer (100% pure) /Encrypt 5 0 R /Size 2 >>\n%%EOF"
+    )
+    assert pdf_is_encrypted(enc2) is True
+
+
+def test_pdf_mask_widens_window_for_oversized_stream_dict():
+    """A stream object whose dict exceeds the 2 KB lookback (long
+    /DecodeParms-style padding) with a direct /Length and a payload
+    containing the literal bytes 'endstream ... /Encrypt ...': the
+    window must widen until the dict's own '<<' is visible so the
+    declared length masks the full payload — a truncated window that
+    silently fell back to the first-'endstream' scan would leave the
+    decoy trailer unmasked and flag the document encrypted."""
+    pad = b"/P" + b"a" * 3000 + b" 1 "
+    payload = b"endstream decoy trailer << /Encrypt 5 0 R >> padding"
+    obj = (
+        b"1 0 obj\n<< "
+        + pad
+        + b"/Length %d >>\nstream\n" % len(payload)
+        + payload
+        + b"\nendstream\nendobj\n"
+    )
+    raw = b"%PDF-1.4\n" + obj + b"trailer\n<< /Size 2 /Root 1 0 R >>\n%%EOF"
+    assert pdf_is_encrypted(raw) is False
