@@ -13,8 +13,12 @@ What is real here (PDF 1.4+, ISO 32000 subset):
   Page dicts of every modern writer) are unpacked and merged into the
   object map before the page-tree walk — native extraction covers
   xref-stream PDFs, not just classic-xref 1.4 files;
-- FlateDecode content streams (stdlib zlib — by far the most common
-  filter for text content);
+- the full non-image filter suite for content streams (round 14):
+  FlateDecode (stdlib zlib — by far the most common), LZWDecode
+  (spec-verified variable-width codes, /EarlyChange honored),
+  ASCIIHexDecode, ASCII85Decode, RunLengthDecode, multi-stage
+  /Filter chains applied in array order, and the /DecodeParms
+  Predictor pre-transform (TIFF 2 + PNG 10-15) for Flate/LZW;
 - the text-showing operators: ``Tj``, ``'``, ``"``, and ``TJ`` arrays,
   with full literal-string unescaping (nested parens, ``\\(``-style
   escapes, octal codes, line continuations) and ``<hex>`` strings;
@@ -23,9 +27,9 @@ What is real here (PDF 1.4+, ISO 32000 subset):
 
 Loud ceilings (the multimodal module's decode policy): encrypted
 documents (``/Encrypt`` in a trailer or xref-stream dict — page TEXT
-merely mentioning ``/Encrypt 5 0 R`` is not refused), non-Flate
-filters and multi-stage filter CHAINS (DCT/LZW/ASCII85,
-``[/FlateDecode /ASCII85Decode]``), and CID/Type0 composite fonts
+merely mentioning ``/Encrypt 5 0 R`` is not refused), the image/crypt
+codecs (DCTDecode/JPXDecode/CCITTFax/JBIG2/Crypt — pixels or
+key-dependent, never text), and CID/Type0 composite fonts
 whose strings are not byte-per-glyph come out wrong or not at all —
 extraction raises unless ``fake_decode`` (deterministic stand-in,
 ``extracted=False``). Strings decode as Latin-1 (PDFDocEncoding
@@ -361,10 +365,318 @@ def _stream_bytes(body: bytes) -> bytes | None:
     return chunk
 
 
+def _ascii_hex_decode(data: bytes) -> bytes | None:
+    """ASCIIHexDecode (ISO 32000 §7.4.2): hex pairs, whitespace
+    ignored, ``>`` is EOD, an odd trailing digit is padded with 0."""
+    end = data.find(b">")
+    if end >= 0:
+        data = data[:end]
+    digits = bytes(c for c in data if not chr(c).isspace())
+    try:
+        if len(digits) % 2:
+            digits += b"0"
+        return bytes.fromhex(digits.decode("ascii"))
+    except (ValueError, UnicodeDecodeError):
+        return None
+
+
+def _ascii85_decode(data: bytes) -> bytes | None:
+    """ASCII85Decode (ISO 32000 §7.4.3): base-85 groups, ``z`` for a
+    zero group, ``~>`` EOD, optional legacy ``<~`` opener, whitespace
+    ignored. Partial final groups decode per the spec's padding rule."""
+    data = data.strip()
+    if data.startswith(b"<~"):
+        data = data[2:]
+    end = data.find(b"~>")
+    if end >= 0:
+        data = data[:end]
+    out = bytearray()
+    group: list[int] = []
+    for c in data:
+        if chr(c).isspace():
+            continue
+        if c == 0x7A:  # z — only legal between groups
+            if group:
+                return None
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= c <= 0x75:  # ! .. u
+            return None
+        group.append(c - 0x21)
+        if len(group) == 5:
+            n = 0
+            for d in group:
+                n = n * 85 + d
+            if n > 0xFFFFFFFF:
+                return None
+            out += n.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            return None  # a single leftover digit is not decodable
+        k = len(group)
+        n = 0
+        for d in group + [84] * (5 - k):  # pad with 'u'
+            n = n * 85 + d
+        if n > 0xFFFFFFFF:
+            return None
+        out += n.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+def _run_length_decode(data: bytes) -> bytes | None:
+    """RunLengthDecode (ISO 32000 §7.4.5): length byte L — L ≤ 127
+    copies the next L+1 bytes, L ≥ 129 repeats the next byte 257−L
+    times, 128 is EOD."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        length = data[i]
+        if length == 128:
+            return bytes(out)
+        if length < 128:
+            chunk = data[i + 1 : i + 2 + length]
+            if len(chunk) != length + 1:
+                return None
+            out += chunk
+            i += 2 + length
+        else:
+            if i + 1 >= len(data):
+                return None
+            out += bytes([data[i + 1]]) * (257 - length)
+            i += 2
+    return bytes(out)  # spec requires EOD, but a torn tail decodes fine
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes | None:
+    """LZWDecode (ISO 32000 §7.4.4): MSB-first variable-width codes
+    (9→12 bits), 256 = clear table, 257 = EOD; ``early`` is the
+    /EarlyChange parameter (default 1: the code width bumps one code
+    before the table actually fills, matching every mainstream
+    encoder). Verified against the spec's own worked example."""
+    out = bytearray()
+    table: dict[int, bytes] = {}
+    next_code, width = 258, 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                table.clear()
+                next_code, width, prev = 258, 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code > 255:
+                    return None
+                entry = bytes([code])
+            elif code < 256:
+                entry = bytes([code])
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                return None  # corrupt: code beyond the table
+            if prev is not None:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            out += entry
+            prev = entry
+            # the decoder's table lags the encoder's by one entry (the
+            # first code after a clear adds nothing), so its bump test
+            # reads one higher than the encoder's `next_code + early`:
+            # TIFF/PDF EarlyChange=1 switches to w+1 bits as soon as
+            # the encoder ASSIGNS code (1<<w)-1
+            if width < 12 and next_code + early + 1 >= (1 << width):
+                width += 1
+    return bytes(out)  # torn tail (no EOD): emit what decoded
+
+
+def _apply_predictor(
+    data: bytes, predictor: int, colors: int, bpc: int, columns: int
+) -> bytes | None:
+    """Undo the /Predictor pre-transform (ISO 32000 Table 10) applied
+    before Flate/LZW: 2 = TIFF horizontal differencing (8-bit
+    components only here), 10-15 = the PNG per-row filters (None/Sub/
+    Up/Average/Paeth — the row's filter byte decides, so all five are
+    implemented regardless of the declared variant)."""
+    if predictor <= 1:
+        return data
+    if bpc != 8 and predictor == 2:
+        return None  # sub-byte TIFF differencing: not worth the risk
+    rowlen = (colors * bpc * columns + 7) // 8
+    bpp = max(1, (colors * bpc + 7) // 8)
+    if predictor == 2:
+        out = bytearray(data)
+        for r in range(0, len(out), rowlen):
+            row = out[r : r + rowlen]
+            for i in range(bpp, len(row)):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+            out[r : r + rowlen] = row
+        return bytes(out)
+    if not 10 <= predictor <= 15:
+        return None
+    # PNG predictors: each encoded row is 1 filter byte + rowlen data
+    out = bytearray()
+    prior = bytearray(rowlen)
+    i = 0
+    while i < len(data):
+        ftype = data[i]
+        row = bytearray(data[i + 1 : i + 1 + rowlen])
+        if len(row) != rowlen:
+            return None
+        i += 1 + rowlen
+        if ftype == 1:  # Sub
+            for j in range(bpp, rowlen):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for j in range(rowlen):
+                row[j] = (row[j] + prior[j]) & 0xFF
+        elif ftype == 3:  # Average
+            for j in range(rowlen):
+                left = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + (left + prior[j]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for j in range(rowlen):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prior[j]
+                c = prior[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                row[j] = (row[j] + pred) & 0xFF
+        elif ftype != 0:
+            return None
+        out += row
+        prior = row
+    return bytes(out)
+
+
+def _int_param(parm: bytes, name: bytes, default: int) -> int:
+    m = re.search(rb"/" + name + rb"\s+(-?\d+)(?!\d)(?!\s+\d+\s+R)", parm)
+    return int(m.group(1)) if m else default
+
+
+def _parse_decode_parms(prefix: bytes, n: int) -> list[bytes]:
+    """Per-filter /DecodeParms (or legacy /DP) dict bytes, b"" when
+    absent/null — array elements align with the /Filter array. Only
+    direct inline dicts are honored; an indirect parms object yields
+    b"" and the affected filter falls back to its defaults (predictor
+    1), which matches the overwhelmingly common case (parms are only
+    meaningful for Flate/LZW predictors)."""
+    m = re.search(rb"/(?:DecodeParms|DP)\s*(\[|<<|null)", prefix)
+    if m is None:
+        return [b""] * n
+    if m.group(1) == b"null":
+        return [b""] * n
+    i = m.start(1)
+    if m.group(1) == b"<<":
+        body = _balanced_dict_at(prefix, i)
+        return [body if body is not None else b""] + [b""] * (n - 1)
+    # array form: null / << ... >> elements in filter order
+    out: list[bytes] = []
+    i += 1
+    while i < len(prefix) and len(out) < n:
+        if prefix.startswith(b"<<", i):
+            body = _balanced_dict_at(prefix, i)
+            if body is None:
+                break
+            out.append(body)
+            i += len(body)
+        elif prefix.startswith(b"null", i):
+            out.append(b"")
+            i += 4
+        elif prefix[i] == 0x5D:  # ]
+            break
+        else:
+            i += 1
+    while len(out) < n:
+        out.append(b"")
+    return out
+
+
+def _balanced_dict_at(buf: bytes, i: int) -> bytes | None:
+    """The balanced ``<< ... >>`` bytes opening at ``buf[i]``
+    (inclusive of the delimiters), or None if unterminated."""
+    depth, j = 0, i
+    while j < len(buf):
+        if buf.startswith(b"<<", j):
+            depth += 1
+            j += 2
+        elif buf.startswith(b">>", j):
+            depth -= 1
+            j += 2
+            if depth == 0:
+                return buf[i:j]
+        elif buf[j] == 0x28:
+            j = _skip_literal_string(buf, j)
+        else:
+            j += 1
+    return None
+
+
+# image/crypt codecs: not text-bearing (DCT/JPX are pixel streams) or
+# key-dependent — always the loud-ceiling path, never silent garbage
+_UNSUPPORTED_FILTERS = {
+    b"DCTDecode", b"JPXDecode", b"CCITTFaxDecode", b"JBIG2Decode",
+    b"Crypt",
+}
+
+
+def _apply_filter(name: bytes, data: bytes, parm: bytes) -> bytes | None:
+    if name == b"FlateDecode":
+        try:
+            data = zlib.decompress(data)
+        except zlib.error:
+            return None
+    elif name == b"LZWDecode":
+        data = _lzw_decode(data, _int_param(parm, b"EarlyChange", 1))
+        if data is None:
+            return None
+    elif name == b"ASCIIHexDecode":
+        return _ascii_hex_decode(data)  # predictors never apply
+    elif name == b"ASCII85Decode":
+        return _ascii85_decode(data)
+    elif name == b"RunLengthDecode":
+        return _run_length_decode(data)
+    else:
+        return None  # _UNSUPPORTED_FILTERS and anything unknown
+    # Flate/LZW honor the predictor pre-transform
+    predictor = _int_param(parm, b"Predictor", 1)
+    if predictor > 1:
+        return _apply_predictor(
+            data,
+            predictor,
+            _int_param(parm, b"Colors", 1),
+            _int_param(parm, b"BitsPerComponent", 8),
+            _int_param(parm, b"Columns", 1),
+        )
+    return data
+
+
 def _decode_stream(body: bytes) -> bytes | None:
-    """Decoded stream payload: raw (no /Filter) and FlateDecode are
-    real; any other filter returns None (unsupported ceiling). The
-    /Filter lookup scans the DICT PREFIX only — a raw stream whose
+    """Decoded stream payload. Real decoders (round 14 widened the
+    set from Flate-only): FlateDecode, LZWDecode (spec-verified
+    variable-width codes + EarlyChange), ASCIIHexDecode,
+    ASCII85Decode, RunLengthDecode, multi-stage chains applied in
+    /Filter array order (``[/ASCII85Decode /FlateDecode]`` — the
+    classic mail-safe wrapping), and the /DecodeParms Predictor
+    pre-transform for Flate/LZW (TIFF 2 + PNG 10-15). Image/crypt
+    codecs (DCT/JPX/CCITTFax/JBIG2/Crypt) return None — they carry
+    pixels or need keys, so the caller's loud ceiling is correct.
+
+    The /Filter lookup scans the DICT PREFIX only — a raw stream whose
     payload happens to contain the bytes "/Filter /FlateDecode"
     (e.g. text about PDF internals) must not be inflated."""
     sm = _STREAM_RE.search(body)
@@ -373,24 +685,19 @@ def _decode_stream(body: bytes) -> bytes | None:
     data = _stream_bytes(body)
     if data is None:
         return None
-    fm = re.search(rb"/Filter\s*(\[[^\]]*\]|/\w+)", body[: sm.start()])
+    prefix = body[: sm.start()]
+    fm = re.search(rb"/Filter\s*(\[[^\]]*\]|/\w+)", prefix)
     if fm is None:
         return data
     names = re.findall(rb"/(\w+)", fm.group(1))
     if not names:
         return data  # "/Filter []" — the spec's explicit no-filter form
-    if len(names) > 1:
-        # multi-stage chain ([/FlateDecode /ASCII85Decode] etc.):
-        # inflating one stage and returning still-encoded bytes would
-        # emit garbled text with extracted=True — refuse instead so
-        # the caller hits the loud-ceiling path
-        return None
-    if names[0] == b"FlateDecode":
-        try:
-            return zlib.decompress(data)
-        except zlib.error:
+    parms = _parse_decode_parms(prefix, len(names))
+    for name, parm in zip(names, parms):
+        data = _apply_filter(name, data, parm)
+        if data is None:
             return None
-    return None
+    return data
 
 
 def _ref(body: bytes, name: bytes) -> int | None:
@@ -664,9 +971,10 @@ def extract_pdf_text(media: DataFrame, fake_decode: bool = False) -> DataFrame:
                 else:
                     raise NotImplementedError(
                         "extract_pdf_text handles unencrypted PDFs with "
-                        "raw/FlateDecode content streams natively, "
-                        "including ObjStm/xref-stream (PDF 1.5+) files; "
-                        "this payload (encrypted, non-Flate filter "
+                        "raw/Flate/LZW/ASCIIHex/ASCII85/RunLength "
+                        "content streams (chains + predictors included) "
+                        "natively, plus ObjStm/xref-stream (PDF 1.5+); "
+                        "this payload (encrypted, image-codec filter "
                         "chains, or damaged) needs a PDF library, not "
                         "available in this environment — pass "
                         "fake_decode=True for the deterministic stand-in"

@@ -567,3 +567,221 @@ def test_pdf_mask_widens_window_for_oversized_stream_dict():
     )
     raw = b"%PDF-1.4\n" + obj + b"trailer\n<< /Size 2 /Root 1 0 R >>\n%%EOF"
     assert pdf_is_encrypted(raw) is False
+
+
+# ---------------------------------------------------------------------------
+# Round 14: the non-image filter suite (LZW/ASCIIHex/ASCII85/RunLength,
+# chains, predictors) — each decoder pinned against an independent
+# encoder (stdlib base64.a85encode, hand-written RLE/LZW/PNG-filter
+# encoders) or the spec's own worked example, then end-to-end through
+# extract_pdf_text on handcrafted files.
+# ---------------------------------------------------------------------------
+
+from hospital_stain_tracker_data_pipeline_spark.operators.pdf import (  # noqa: E402
+    _apply_predictor,
+    _ascii85_decode,
+    _ascii_hex_decode,
+    _lzw_decode,
+    _run_length_decode,
+)
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Independent PDF-LZW encoder (test rig): MSB-first variable
+    width, clear code first, EOD last, EarlyChange semantics."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(256, width)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        if width < 12 and next_code + early >= (1 << width):
+            width += 1
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(257, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_pdf_lzw_decode_spec_vector_and_roundtrip():
+    # the worked example from ISO 32000 §7.4.4.2
+    enc = bytes([0x80, 0x0B, 0x60, 0x50, 0x22, 0x0C, 0x0C, 0x85, 0x01])
+    assert _lzw_decode(enc) == bytes([45, 45, 45, 45, 45, 65, 45, 45, 45, 66])
+    # independent-encoder round trips, including a table big enough to
+    # cross the 9->10->11-bit width bumps
+    for payload in (
+        b"",
+        b"a",
+        b"TOBEORNOTTOBEORTOBEORNOT" * 3,
+        bytes(range(256)) * 8,
+        b"the same sentence repeated " * 200,
+    ):
+        assert _lzw_decode(_lzw_encode(payload)) == payload
+    # EarlyChange=0 encodes with the late width bump; the decoder must
+    # honor the declared parameter to stay in sync
+    payload = bytes(range(256)) * 4
+    assert _lzw_decode(_lzw_encode(payload, early=0), early=0) == payload
+    # corrupt: a code beyond the table refuses instead of garbling
+    assert _lzw_decode(bytes([0xFF, 0xFF, 0xFF])) is None
+
+
+def test_pdf_ascii85_and_hex_decode():
+    import base64
+
+    for payload in (b"", b"x", b"hello world", bytes(range(256)) * 3):
+        assert _ascii85_decode(base64.a85encode(payload) + b"~>") == payload
+    assert _ascii85_decode(b"z~>") == b"\x00\x00\x00\x00"  # zero group
+    assert _ascii85_decode(b"<~87cUR~>") == b"Hell"  # legacy opener
+    assert _ascii85_decode(b"\xff~>") is None  # out-of-alphabet byte
+    assert _ascii_hex_decode(b"48 65 6C\n6c 6F>") == b"Hello"
+    assert _ascii_hex_decode(b"48656C6C6F7>") == b"Hello\x70"  # odd pad
+    assert _ascii_hex_decode(b"zz>") is None
+
+
+def test_pdf_run_length_decode():
+    def rle(b: bytes) -> bytes:
+        out, i = bytearray(), 0
+        while i < len(b):
+            run = 1
+            while i + run < len(b) and b[i + run] == b[i] and run < 127:
+                run += 1
+            if run >= 2:
+                out += bytes([257 - run, b[i]])
+                i += run
+            else:
+                j = i + 1
+                while (
+                    j < len(b)
+                    and (j + 1 >= len(b) or b[j + 1] != b[j])
+                    and j - i < 128
+                ):
+                    j += 1
+                out += bytes([j - i - 1]) + b[i:j]
+                i = j
+        out.append(128)
+        return bytes(out)
+
+    for payload in (b"", b"aaaaabbbccdefg", bytes(range(200)), b"x" * 999):
+        assert _run_length_decode(rle(payload)) == payload
+    assert _run_length_decode(bytes([5, 1, 2])) is None  # torn literal
+
+
+def test_pdf_predictors_roundtrip():
+    rows = [bytes(range(12)), bytes((x * 7) % 256 for x in range(12))]
+    flat = b"".join(rows)
+
+    def png_encode(rows, ftype, bpp=1):
+        out, prior = bytearray(), bytes(len(rows[0]))
+        for r in rows:
+            out.append(ftype)
+            enc = bytearray(r)
+            if ftype == 1:
+                for j in range(len(r) - 1, bpp - 1, -1):
+                    enc[j] = (r[j] - r[j - bpp]) & 0xFF
+            elif ftype == 2:
+                for j in range(len(r)):
+                    enc[j] = (r[j] - prior[j]) & 0xFF
+            elif ftype == 3:
+                for j in range(len(r)):
+                    left = r[j - bpp] if j >= bpp else 0
+                    enc[j] = (r[j] - (left + prior[j]) // 2) & 0xFF
+            elif ftype == 4:
+                for j in range(len(r)):
+                    a = r[j - bpp] if j >= bpp else 0
+                    b = prior[j]
+                    c = prior[j - bpp] if j >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    enc[j] = (r[j] - pred) & 0xFF
+            out += enc
+            prior = r
+        return bytes(out)
+
+    for ftype in (0, 1, 2, 3, 4):  # None/Sub/Up/Average/Paeth
+        enc = png_encode(rows, ftype)
+        assert _apply_predictor(enc, 12, 1, 8, 12) == flat, ftype
+    # TIFF horizontal differencing, colors=2
+    raw = bytes([10, 20, 15, 25, 5, 30])
+    enc = bytes([10, 20, (15 - 10) & 0xFF, (25 - 20) & 0xFF,
+                 (5 - 15) & 0xFF, (30 - 25) & 0xFF])
+    assert _apply_predictor(enc, 2, 2, 8, 3) == raw
+
+
+def _one_page_pdf(content_obj: bytes) -> bytes:
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n"
+        + content_obj
+        + b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF"
+    )
+
+
+def test_pdf_filter_chain_and_predictor_extract_end_to_end():
+    """A content stream wrapped [/ASCII85Decode /FlateDecode] (the
+    classic mail-safe chain, decode applied in array order), an LZW
+    stream with EarlyChange, and a Flate stream under a PNG Up
+    predictor all extract real text; a DCTDecode stream still hits
+    the loud ceiling."""
+    import base64
+    import zlib
+
+    content = b"BT (chained hello) Tj ET"
+    chained = base64.a85encode(zlib.compress(content)) + b"~>"
+    obj = (
+        b"4 0 obj\n<< /Filter [/ASCII85Decode /FlateDecode] /Length %d "
+        b">>\nstream\n" % len(chained) + chained + b"\nendstream\nendobj\n"
+    )
+    got = extract_pdf_text_bytes(_one_page_pdf(obj))
+    assert got is not None and "chained hello" in got[1]
+
+    lzw = _lzw_encode(b"BT (lzw hello) Tj ET")
+    obj = (
+        b"4 0 obj\n<< /Filter /LZWDecode /Length %d >>\nstream\n"
+        % len(lzw) + lzw + b"\nendstream\nendobj\n"
+    )
+    got = extract_pdf_text_bytes(_one_page_pdf(obj))
+    assert got is not None and "lzw hello" in got[1]
+
+    # PNG Up predictor over a Flate stream: columns = row width
+    content = b"BT (predicted hello) Tj ET"
+    cols = len(content)
+    pred_rows = bytes([2]) + content  # one row, Up against zero prior
+    flated = zlib.compress(pred_rows)
+    obj = (
+        b"4 0 obj\n<< /Filter /FlateDecode "
+        b"/DecodeParms << /Predictor 12 /Columns %d >> /Length %d "
+        b">>\nstream\n" % (cols, len(flated))
+        + flated + b"\nendstream\nendobj\n"
+    )
+    got = extract_pdf_text_bytes(_one_page_pdf(obj))
+    assert got is not None and "predicted hello" in got[1]
+
+    # image codec: still the loud-ceiling path (None from bytes-level)
+    obj = (
+        b"4 0 obj\n<< /Filter /DCTDecode /Length 4 >>\nstream\n"
+        b"\xff\xd8\xff\xd9\nendstream\nendobj\n"
+    )
+    assert extract_pdf_text_bytes(_one_page_pdf(obj)) is None
