@@ -340,54 +340,6 @@ def _minhash_banded(
 DEFAULT_MAX_BUCKET = 1024
 
 
-def _cap_hot_buckets(
-    banded: DataFrame,
-    key_cols: list[str],
-    max_bucket: int | None,
-    telemetry: dict | None = None,
-) -> DataFrame:
-    """Drop every row belonging to a bucket whose membership exceeds
-    ``max_bucket`` — the LSH analogue of ``ngram_jaccard_pairs``'
-    ``max_df`` cap (dedup.py ``ngram_jaccard_pairs``): hot buckets are
-    boilerplate/templated signatures shared corpus-wide, which carry no
-    near-dup SIGNAL (every member matches every other), only quadratic
-    COST. Dropping them is a documented recall trade on exactly the
-    pairs whose entire evidence is ubiquitous boilerplate, not a
-    correctness loss on real near-dups (which live in small buckets by
-    definition).
-
-    Implementation: hot buckets are detected with a MAP-SIDE-COMBINED
-    count aggregation — the shuffle carries (key, partial_count) rows,
-    never raw members — and removed with a left-anti join that AQE
-    broadcasts when the hot set is small (on a healthy corpus it is
-    empty; no forced hint, same reasoning as the tombstone anti-join).
-    A windowed count over the bucket keys would be one stage cheaper
-    locally, but it hash-co-locates every hot bucket's RAW rows on a
-    single WindowExec task before filtering them away — reintroducing
-    at the cap the exact single-reducer skew hotspot the cap exists to
-    remove (one 10⁹-member boilerplate bucket = one task buffering the
-    whole thing). The two-stage form costs ~0.5 s of fixed stage
-    latency per query at sf0.1 and amortizes to noise at scale. The
-    hot set is derived from the ``lsh_hot_buckets`` audit hook, so the
-    report can never diverge from what the cap drops."""
-    if max_bucket is None:
-        if telemetry is not None:
-            telemetry["hot_buckets_dropped"] = 0
-        return banded
-    if max_bucket < 2:
-        raise ValueError(f"max_bucket={max_bucket} must be >= 2 (or None)")
-    hot = lsh_hot_buckets(banded, key_cols, max_bucket).select(*key_cols)
-    if telemetry is not None:
-        # pipelines surface the drop count in their run reports; the
-        # materialize moves the hot-set aggregation into its own job
-        # (it would run inside the checkpoint job anyway) so the count
-        # is an O(hot-set) action, and the anti-join reads the tiny
-        # materialized frame instead of re-aggregating
-        hot = materialize(hot)
-        telemetry["hot_buckets_dropped"] = hot.count()
-    return banded.join(hot, key_cols, "left_anti")
-
-
 def _capped_banded(
     banded: DataFrame,
     key_cols: list[str],
@@ -396,34 +348,68 @@ def _capped_banded(
     persist_input: bool = False,
     telemetry: dict | None = None,
 ) -> DataFrame:
-    """Cap-then-checkpoint policy shared by every candidate SELF-join
+    """Hot-bucket cap shared by every banded candidate SELF-join
     caller (both MinHash operators, the Hamming-banded engine and the
-    ANN candidate join): when capping, materialize the capped table so
-    the hot-set aggregation and anti-join run once, not once per join
-    side (measured +0.6 s at sf0.1 otherwise); uncapped, the input is
-    cheaper to recompute than to checkpoint.
+    ANN candidate join): drop every row belonging to a bucket whose
+    membership exceeds ``max_bucket`` — the LSH analogue of
+    ``ngram_jaccard_pairs``' ``max_df`` cap. Hot buckets are
+    boilerplate/templated signatures shared corpus-wide, which carry
+    no near-dup SIGNAL (every member matches every other), only
+    quadratic COST; dropping them is a documented recall trade on
+    exactly the pairs whose entire evidence is ubiquitous boilerplate.
+
+    Execution (round-14 count-first fast path): hot buckets are
+    detected with a MAP-SIDE-COMBINED count aggregation — the shuffle
+    carries (key, partial_count) rows, never raw members — run as its
+    own cheap ACTION first. On a healthy corpus the hot set is EMPTY,
+    and the fast path then skips both the anti-join and the
+    checkpoint of the capped table entirely (the r13 form always
+    materialized it: a full write of the O(corpus × bands) table per
+    call bought nothing when nothing was dropped — at cluster scale
+    that write is the dominant cap cost). The count doubles as free
+    drop telemetry for every capped call. When hot buckets EXIST, the
+    anti-join (AQE broadcasts the small hot set; no forced hint, same
+    reasoning as the tombstone anti-join) runs under one
+    localCheckpoint so the cap executes once, not once per self-join
+    side — the aggregation re-runs inside that job, acceptable on the
+    rare hot path. A windowed count would be one stage cheaper but
+    hash-co-locates every hot bucket's RAW rows on a single WindowExec
+    task — reintroducing at the cap the exact single-reducer skew the
+    cap exists to remove (round-13 review finding; do not revisit).
 
     ``persist_input=True`` is for callers whose PRODUCER is itself
     expensive and not already checkpointed (the ANN hyperplane gemm,
     the incremental probe's corpus index scan + tombstone
-    suppression): the cap's two internal consumers (hot-count
-    aggregation and anti-join) would each re-run that producer
-    otherwise. A memory/disk persist + eager fill computes it exactly
-    once, the capped OUTPUT gets the one localCheckpoint, and the
-    cache is released immediately after — one checkpoint write per
-    call, not two (the pre-round-14 form checkpointed both). The
-    eager ``count()`` is deliberate: the agg and anti-join subtrees
-    are independent stages, and without a filled cache the scheduler
-    can run both concurrently, computing the producer twice anyway."""
+    suppression): a memory/disk persist + eager fill computes it
+    exactly once for the hot-count action and whichever consumer
+    follows, the OUTPUT gets the one localCheckpoint (capped or not —
+    the producer must not re-run per self-join side), and the cache
+    is released after. The eager ``count()`` is deliberate: without a
+    filled cache the scheduler can run independent consumer stages
+    concurrently, computing the producer twice anyway. With
+    ``persist_input=False`` the producer is a cheap projection of an
+    already-materialized parent, so the healthy path returns the
+    input UNTOUCHED and the self-join sides just recompute it."""
     if max_bucket is None:
         if telemetry is not None:
             telemetry["hot_buckets_dropped"] = 0
         return banded
+    if max_bucket < 2:
+        raise ValueError(f"max_bucket={max_bucket} must be >= 2 (or None)")
     src = banded
     if persist_input:
         src = banded.persist()
-        src.count()  # fill the cache before the two cap consumers read
-    out = materialize(_cap_hot_buckets(src, key_cols, max_bucket, telemetry))
+        src.count()  # fill the cache before the cap's consumers read
+    # the hot set is derived from the ``lsh_hot_buckets`` audit hook,
+    # so reports can never diverge from what the cap drops
+    n_hot = lsh_hot_buckets(src, key_cols, max_bucket).count()
+    if telemetry is not None:
+        telemetry["hot_buckets_dropped"] = n_hot
+    if n_hot == 0:
+        out = materialize(src) if persist_input else src
+    else:
+        hot = lsh_hot_buckets(src, key_cols, max_bucket).select(*key_cols)
+        out = materialize(src.join(hot, key_cols, "left_anti"))
     if persist_input:
         src.unpersist()
     return out
@@ -432,7 +418,7 @@ def _capped_banded(
 def lsh_hot_buckets(
     banded: DataFrame, key_cols: list[str], max_bucket: int
 ) -> DataFrame:
-    """Report hook for the hot-bucket cap: the buckets ``_cap_hot_buckets``
+    """Report hook for the hot-bucket cap: the buckets ``_capped_banded``
     would drop, with their membership — ``(*key_cols, members)`` rows.
     Pipelines surface ``count()`` of this (and the worst offenders) in
     their run report so a recall trade is visible, never silent."""
@@ -481,7 +467,7 @@ def minhash_lsh_candidates(
     band w.h.p.; everything else never pairs up — this is what replaces
     the O(n²) similarity join at scale. Buckets with more than
     ``max_bucket`` members are dropped before the self-join (see
-    ``_cap_hot_buckets``); audit with ``minhash_hot_bucket_report``."""
+    ``_capped_banded``); audit with ``minhash_hot_bucket_report``."""
     # Two-step projection: the hashed-shingle array is referenced
     # num_hashes times below; Catalyst's CollapseProject keeps the
     # non-cheap md5 pass in its own project, so it runs once per row.
@@ -529,7 +515,7 @@ def minhash_lsh_dedup_pairs(
     step makes the OUTPUT exact-above-threshold (only pairs LSH missed
     entirely can be absent). Band buckets with more than ``max_bucket``
     members are dropped before the candidate self-join
-    (``_cap_hot_buckets`` — boilerplate carries no near-dup signal);
+    (``_capped_banded`` — boilerplate carries no near-dup signal);
     audit the trade with ``minhash_hot_bucket_report``.
 
     ONE shingle+md5 pass over the corpus serves both stages: the
@@ -1028,7 +1014,7 @@ def _banded_candidate_pairs(
     contract — for image hashes that subplan is a full pixel decode).
 
     (band, val) buckets with more than ``max_bucket`` members are
-    dropped before the self-join (``_cap_hot_buckets``): identical
+    dropped before the self-join (``_capped_banded``): identical
     fingerprints are MORE common here than identical MinHash
     signatures are in text — blank/solid images, black frames and
     silent audio all collapse to one 64-bit value, and identical

@@ -275,7 +275,7 @@ def dot_batch_udf():
 # corpus has mass points (zero vectors from failed encodes, cluster
 # collapse, duplicated shards): a bucket with m members is C(m,2)
 # candidate rows before the distinct, the same skewed-key blowup the
-# MinHash tier guards against (``dedup._cap_hot_buckets``). 4096 —
+# MinHash tier guards against (``dedup._capped_banded``). 4096 —
 # higher than the text tier's 1024 because legitimate ANN buckets are
 # corpus/2^nbits sized (raise nbits as the corpus grows; the cap is the
 # SKEW backstop, not the fan-out sizing knob) — bounds one bucket to
