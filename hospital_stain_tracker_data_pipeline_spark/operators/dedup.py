@@ -402,14 +402,16 @@ def _capped_banded(
         src.count()  # fill the cache before the cap's consumers read
     # the hot set is derived from the ``lsh_hot_buckets`` audit hook,
     # so reports can never diverge from what the cap drops
-    n_hot = lsh_hot_buckets(src, key_cols, max_bucket).count()
+    hot = lsh_hot_buckets(src, key_cols, max_bucket)
+    n_hot = hot.count()
     if telemetry is not None:
         telemetry["hot_buckets_dropped"] = n_hot
     if n_hot == 0:
         out = materialize(src) if persist_input else src
     else:
-        hot = lsh_hot_buckets(src, key_cols, max_bucket).select(*key_cols)
-        out = materialize(src.join(hot, key_cols, "left_anti"))
+        out = materialize(
+            src.join(hot.select(*key_cols), key_cols, "left_anti")
+        )
     if persist_input:
         src.unpersist()
     return out

@@ -381,47 +381,23 @@ def _ascii_hex_decode(data: bytes) -> bytes | None:
 
 
 def _ascii85_decode(data: bytes) -> bytes | None:
-    """ASCII85Decode (ISO 32000 §7.4.3): base-85 groups, ``z`` for a
-    zero group, ``~>`` EOD, optional legacy ``<~`` opener, whitespace
-    ignored. Partial final groups decode per the spec's padding rule."""
+    """ASCII85Decode (ISO 32000 §7.4.3): stdlib ``base64.a85decode``
+    does the group math (``z`` zero-groups, partial-group padding);
+    this wrapper handles the PDF framing — optional legacy ``<~``
+    opener, ``~>`` EOD, whitespace — and maps every malformed-input
+    ValueError to the module's None ceiling."""
+    import base64
+
     data = data.strip()
     if data.startswith(b"<~"):
         data = data[2:]
     end = data.find(b"~>")
     if end >= 0:
         data = data[:end]
-    out = bytearray()
-    group: list[int] = []
-    for c in data:
-        if chr(c).isspace():
-            continue
-        if c == 0x7A:  # z — only legal between groups
-            if group:
-                return None
-            out += b"\x00\x00\x00\x00"
-            continue
-        if not 0x21 <= c <= 0x75:  # ! .. u
-            return None
-        group.append(c - 0x21)
-        if len(group) == 5:
-            n = 0
-            for d in group:
-                n = n * 85 + d
-            if n > 0xFFFFFFFF:
-                return None
-            out += n.to_bytes(4, "big")
-            group = []
-    if group:
-        if len(group) == 1:
-            return None  # a single leftover digit is not decodable
-        k = len(group)
-        n = 0
-        for d in group + [84] * (5 - k):  # pad with 'u'
-            n = n * 85 + d
-        if n > 0xFFFFFFFF:
-            return None
-        out += n.to_bytes(4, "big")[: k - 1]
-    return bytes(out)
+    try:
+        return base64.a85decode(data, ignorechars=b" \t\n\r\x0b\x0c")
+    except ValueError:
+        return None
 
 
 def _run_length_decode(data: bytes) -> bytes | None:
@@ -508,6 +484,8 @@ def _apply_predictor(
     implemented regardless of the declared variant)."""
     if predictor <= 1:
         return data
+    if colors < 1 or bpc < 1 or columns < 1:
+        return None  # malformed parms: the loud ceiling, never a crash
     if bpc != 8 and predictor == 2:
         return None  # sub-byte TIFF differencing: not worth the risk
     rowlen = (colors * bpc * columns + 7) // 8
@@ -584,7 +562,10 @@ def _parse_decode_parms(prefix: bytes, n: int) -> list[bytes]:
     if m.group(1) == b"<<":
         body = _balanced_dict_at(prefix, i)
         return [body if body is not None else b""] + [b""] * (n - 1)
-    # array form: null / << ... >> elements in filter order
+    # array form: null / << ... >> / indirect-ref elements in filter
+    # order — every element consumes exactly one slot, so a skipped
+    # (indirect or malformed) element yields b"" IN PLACE and later
+    # dicts stay aligned with their filters
     out: list[bytes] = []
     i += 1
     while i < len(prefix) and len(out) < n:
@@ -599,8 +580,17 @@ def _parse_decode_parms(prefix: bytes, n: int) -> list[bytes]:
             i += 4
         elif prefix[i] == 0x5D:  # ]
             break
-        else:
+        elif prefix[i : i + 1].isspace():
             i += 1
+        else:
+            m2 = re.match(rb"\d+\s+\d+\s+R", prefix[i:])
+            if m2 is not None:  # indirect parms object: defaults apply
+                out.append(b"")
+                i += m2.end()
+            else:  # any other stray token: one placeholder, move on
+                m2 = re.match(rb"\S+", prefix[i:])
+                out.append(b"")
+                i += m2.end() if m2 else 1
     while len(out) < n:
         out.append(b"")
     return out
@@ -896,9 +886,10 @@ def sniff_pdf(raw: bytes) -> dict | None:
 
 def extract_pdf_text_bytes(raw: bytes) -> tuple[int, str] | None:
     """(n_pages, text) for a parseable, unencrypted PDF whose content
-    streams are raw or FlateDecode; None otherwise (the mapInPandas
-    wrapper applies the module decode policy). Pages join with form
-    feeds, in page-tree order."""
+    streams use the non-image filter suite (raw, Flate, LZW, ASCIIHex,
+    ASCII85, RunLength — chains and predictors included); None
+    otherwise (the mapInPandas wrapper applies the module decode
+    policy). Pages join with form feeds, in page-tree order."""
     if re.match(rb"%PDF-", raw[:8]) is None:
         return None
     if pdf_is_encrypted(raw):

@@ -617,6 +617,15 @@ def _lzw_encode(data: bytes, early: int = 1) -> bytes:
         w = bytes([b])
     if w:
         emit(table[w], width)
+        # the phantom post-emit increment (libtiff's LZWPostEncode
+        # free_ent++): the DECODER adds a table entry for every code
+        # after the first and may bump its width before reading EOD,
+        # so the encoder must mirror that bump or the two desync at
+        # every 2^w boundary (the ~1/256 payload-length class the
+        # boundary sweep below walks through)
+        next_code += 1
+        if width < 12 and next_code + early >= (1 << width):
+            width += 1
     emit(257, width)
     if nbits:
         out.append((acc << (8 - nbits)) & 0xFF)
@@ -643,6 +652,20 @@ def test_pdf_lzw_decode_spec_vector_and_roundtrip():
     assert _lzw_decode(_lzw_encode(payload, early=0), early=0) == payload
     # corrupt: a code beyond the table refuses instead of garbling
     assert _lzw_decode(bytes([0xFF, 0xFF, 0xFF])) is None
+
+
+def test_pdf_lzw_roundtrip_across_width_bump_boundaries():
+    """Incompressible payloads whose code count walks through the
+    9→10-bit bump boundary (and, longer, 10→11): the encoder's
+    phantom post-final-code increment must keep the EOD width in sync
+    with the decoder's post-entry bump — without it every payload
+    landing exactly ON a boundary decoded to None (round-14 review
+    repro: 253 data codes)."""
+    for early in (1, 0):
+        for n in list(range(245, 262)) + list(range(505, 522)):
+            payload = bytes(i % 256 for i in range(n))
+            got = _lzw_decode(_lzw_encode(payload, early), early)
+            assert got == payload, (early, n)
 
 
 def test_pdf_ascii85_and_hex_decode():
@@ -785,3 +808,42 @@ def test_pdf_filter_chain_and_predictor_extract_end_to_end():
         b"\xff\xd8\xff\xd9\nendstream\nendobj\n"
     )
     assert extract_pdf_text_bytes(_one_page_pdf(obj)) is None
+
+
+def test_pdf_malformed_predictor_parms_hit_the_ceiling_not_a_crash():
+    """/Columns 0 (or negative Colors/BitsPerComponent) must land on
+    the None->loud-ceiling/fake_decode path, never raise through the
+    decode — a crafted PDF must not fail the whole extraction job."""
+    import zlib
+
+    content = zlib.compress(b"BT (x) Tj ET")
+    for parms in (b"/Predictor 2 /Columns 0", b"/Predictor 12 /Columns 0",
+                  b"/Predictor 2 /Colors 0", b"/Predictor 12 /Colors -1"):
+        obj = (
+            b"4 0 obj\n<< /Filter /FlateDecode /DecodeParms << "
+            + parms
+            + b" >> /Length %d >>\nstream\n" % len(content)
+            + content + b"\nendstream\nendobj\n"
+        )
+        assert extract_pdf_text_bytes(_one_page_pdf(obj)) is None, parms
+
+
+def test_pdf_decode_parms_array_aligns_past_indirect_elements():
+    """An indirect ref element in the /DecodeParms array consumes its
+    slot (defaults for that filter) instead of shifting the NEXT
+    filter's predictor dict one position left — which would leave the
+    predictor un-undone and emit garbled text with extracted=True."""
+    import base64
+    import zlib
+
+    content = b"BT (aligned hello) Tj ET"
+    pred_rows = bytes([2]) + content  # PNG Up against zero prior
+    wrapped = base64.a85encode(zlib.compress(pred_rows)) + b"~>"
+    obj = (
+        b"4 0 obj\n<< /Filter [/ASCII85Decode /FlateDecode] "
+        b"/DecodeParms [5 0 R << /Predictor 12 /Columns %d >>] "
+        b"/Length %d >>\nstream\n" % (len(content), len(wrapped))
+        + wrapped + b"\nendstream\nendobj\n"
+    )
+    got = extract_pdf_text_bytes(_one_page_pdf(obj))
+    assert got is not None and "aligned hello" in got[1]
