@@ -847,3 +847,22 @@ def test_pdf_decode_parms_array_aligns_past_indirect_elements():
     )
     got = extract_pdf_text_bytes(_one_page_pdf(obj))
     assert got is not None and "aligned hello" in got[1]
+
+
+def test_pdf_lzw_roundtrip_property():
+    """Hypothesis property: decode(encode(x)) == x for arbitrary byte
+    payloads under both EarlyChange settings — the generative sibling
+    of the boundary sweep (which pins the known 2^w failure class
+    deterministically)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        payload=st.binary(min_size=0, max_size=2048),
+        early=st.sampled_from([1, 0]),
+    )
+    def check(payload, early):
+        assert _lzw_decode(_lzw_encode(payload, early), early) == payload
+
+    check()
