@@ -17,8 +17,11 @@ Algorithm (Sennrich et al. 2016, the public BPE formulation):
    absorbs within-partition repeats), take the global argmax pair
    (deterministic tie-break: highest count, then lexicographically
    smallest pair — partition-order-invariant), broadcast it, and fold
-   it into every symbol sequence left-to-right greedily (a JVM-side
-   ``aggregate`` over the array — no Python in the loop).
+   it into every symbol sequence left-to-right greedily (one
+   Arrow-batched UDF applying the round's merges in order — the
+   histogram is vocabulary-sized, and a plain O(len) Python fold per
+   word beats the interpreted O(len²) expression fold it replaced;
+   guide §4.2).
 
 Scale shape per round: one aggregation over the histogram + one scalar
 collect (the argmax row) + one narrow map. The histogram frame is
@@ -75,7 +78,11 @@ def _initial_symbols(hist: DataFrame) -> DataFrame:
 
 def _merge_pair_expr(a: str, b: str) -> Column:
     """Left-to-right greedy fold merging adjacent (a, b) → a+b inside a
-    symbol array — pure JVM expressions, runs inside codegen."""
+    symbol array — pure expression form, kept as the executable
+    specification ``_apply_merges_udf`` is pinned against. Not used in
+    the training loop: ``F.aggregate``'s fold copies the accumulator
+    array per element (interpreted, outside codegen), making one merge
+    O(len²) per word."""
     return F.aggregate(
         "syms",
         F.expr("cast(array() as array<string>)"),
@@ -89,6 +96,41 @@ def _merge_pair_expr(a: str, b: str) -> Column:
             ),
         ).otherwise(F.concat(acc, F.array(x))),
     )
+
+
+def _apply_merges_udf(chosen: list[tuple[str, str]]):
+    """Arrow-batched application of one round's chosen merges, in
+    order: for each (a, b) one left-to-right greedy fold over the
+    symbol sequence — value-identical to folding the
+    ``_merge_pair_expr`` expression per pair (the pure-Python-reference
+    tests pin both). The expression chain ran interpreted higher-order
+    aggregates that copy the accumulator array per element — O(len²)
+    per word PER MERGE outside codegen; here the whole round is one
+    Arrow batch crossing and a plain O(len · merges) loop (guide
+    §4.2: hand batches to native/Python bulk code instead of
+    per-element interpreted expressions)."""
+
+    @F.pandas_udf("array<string>")
+    def _apply(syms: pd.Series) -> pd.Series:
+        out = []
+        for s in syms:
+            if s is None:
+                out.append(None)
+                continue
+            cur = list(s)
+            for a, b in chosen:
+                ab = a + b
+                merged: list[str] = []
+                for x in cur:
+                    if merged and merged[-1] == a and x == b:
+                        merged[-1] = ab
+                    else:
+                        merged.append(x)
+                cur = merged
+            out.append(cur)
+        return pd.Series(out)
+
+    return _apply
 
 
 def train_bpe(
@@ -165,9 +207,9 @@ def train_bpe(
         if not chosen:
             break
         merges.extend(chosen)
-        new = seqs
-        for a, b in chosen:
-            new = new.select(_merge_pair_expr(a, b).alias("syms"), "count")
+        new = seqs.select(
+            _apply_merges_udf(chosen)(F.col("syms")).alias("syms"), "count"
+        )
         rounds += 1
         if rounds % checkpoint_every == 0:
             # truncate the per-round select lineage before it deepens

@@ -185,7 +185,21 @@ def ngram_jaccard_pairs(
     ubiquitous boilerplate, which by definition carries no near-dup
     signal. The default (64) is far above this fixture's max df (14 at
     sf0.1), so graded results are bit-identical to the uncapped
-    definition."""
+    definition.
+
+    Count-first fast path (round 14, mirrors ``_capped_banded``): the
+    hot-shingle detection runs as its own cheap ACTION first. On a
+    healthy corpus the hot set is EMPTY, and then (a) the anti-join
+    and the localCheckpoint of the full exploded token stream — a
+    write of O(total shingle occurrences) rows per call that bought
+    nothing when nothing was dropped — are skipped entirely (both
+    self-join sides recompute the explode as a cheap projection of
+    the already-checkpointed ``sets``), and (b) the per-doc set sizes
+    come straight off the materialized arrays as ``F.size`` (the
+    arrays are per-doc distinct, so size == the exploded row count),
+    removing the ``sizes`` groupBy shuffle outright. When hot shingles
+    EXIST, the previous shape runs unchanged: anti-join under one
+    checkpoint, sizes counted over the post-drop stream."""
     sets = materialize(
         fanout(df).select(
             F.col(id_col),
@@ -196,6 +210,7 @@ def ngram_jaccard_pairs(
     tokens = sets.select(
         F.col(id_col), F.col("_block"), F.explode("shingles").alias("h")
     )
+    dropped_any = False
     if max_df is not None:
         # shingle arrays are per-doc distinct, so count(*) = document
         # frequency; only the (rare) hot side materializes
@@ -205,11 +220,22 @@ def ngram_jaccard_pairs(
             .filter(F.col("_df") > max_df)
             .select("_block", "h")
         )
-        tokens = materialize(
-            tokens.join(F.broadcast(hot), ["_block", "h"], "left_anti")
-        )
+        if hot.count() > 0:
+            dropped_any = True
+            tokens = materialize(
+                tokens.join(F.broadcast(hot), ["_block", "h"], "left_anti")
+            )
     # set sizes over the SAME (post-cap) shingle universe as |∩|
-    sizes = tokens.groupBy(id_col, "_block").agg(F.count("*").alias("n_sh"))
+    if dropped_any:
+        sizes = tokens.groupBy(id_col, "_block").agg(
+            F.count("*").alias("n_sh")
+        )
+    else:
+        sizes = sets.select(
+            F.col(id_col),
+            F.col("_block"),
+            F.size("shingles").alias("n_sh"),
+        )
     ta = tokens.select("_block", "h", F.col(id_col).alias("id_a"))
     tb = tokens.select("_block", "h", F.col(id_col).alias("id_b"))
     inter = (
@@ -380,26 +406,24 @@ def _capped_banded(
     ``persist_input=True`` is for callers whose PRODUCER is itself
     expensive and not already checkpointed (the ANN hyperplane gemm,
     the incremental probe's corpus index scan + tombstone
-    suppression): a memory/disk persist + eager fill computes it
-    exactly once for the hot-count action and whichever consumer
-    follows, the OUTPUT gets the one localCheckpoint (capped or not —
-    the producer must not re-run per self-join side), and the cache
-    is released after. The eager ``count()`` is deliberate: without a
-    filled cache the scheduler can run independent consumer stages
-    concurrently, computing the producer twice anyway. With
-    ``persist_input=False`` the producer is a cheap projection of an
-    already-materialized parent, so the healthy path returns the
-    input UNTOUCHED and the self-join sides just recompute it."""
+    suppression): the producer is localCheckpoint'd ONCE — computing
+    it exactly once and fusing that single execution with the write —
+    and every cap consumer (the hot-count aggregation, the anti-join,
+    and both self-join sides on the healthy path) reads the flat
+    checkpoint. The round-13 form persisted + eagerly counted the
+    producer and then, hot set or not, checkpointed it AGAIN — two
+    full writes of the biggest intermediate where one suffices (guide
+    §2.4: remove the pass outright). With ``persist_input=False`` the
+    producer is a cheap projection of an already-materialized parent,
+    so the healthy path returns the input UNTOUCHED and the self-join
+    sides just recompute it."""
     if max_bucket is None:
         if telemetry is not None:
             telemetry["hot_buckets_dropped"] = 0
         return banded
     if max_bucket < 2:
         raise ValueError(f"max_bucket={max_bucket} must be >= 2 (or None)")
-    src = banded
-    if persist_input:
-        src = banded.persist()
-        src.count()  # fill the cache before the cap's consumers read
+    src = materialize(banded) if persist_input else banded
     # the hot set is derived from the ``lsh_hot_buckets`` audit hook,
     # so reports can never diverge from what the cap drops
     hot = lsh_hot_buckets(src, key_cols, max_bucket)
@@ -407,14 +431,10 @@ def _capped_banded(
     if telemetry is not None:
         telemetry["hot_buckets_dropped"] = n_hot
     if n_hot == 0:
-        out = materialize(src) if persist_input else src
-    else:
-        out = materialize(
-            src.join(hot.select(*key_cols), key_cols, "left_anti")
-        )
-    if persist_input:
-        src.unpersist()
-    return out
+        return src
+    return materialize(
+        src.join(hot.select(*key_cols), key_cols, "left_anti")
+    )
 
 
 def lsh_hot_buckets(
@@ -526,23 +546,38 @@ def minhash_lsh_dedup_pairs(
     ``array_distinct(hashed_shingles64 & MASK31)`` — same md5 prefix,
     so the signatures are bit-identical to the two-pass form). The md5
     expression work is the dominant scan-stage cost, so this halves it.
+
+    Round 14: the signature UDF rides the SAME checkpoint as the
+    shingle sets — one ``(id, shingles, sig)`` pass instead of
+    checkpointing the sets and then re-reading them through a second
+    checkpointed UDF pass. The signature values are unchanged (same
+    masked input, same UDF); the banding below projects (id, sig) off
+    the combined checkpoint and the verify projects (id, shingles).
     """
-    sets = materialize(
-        fanout(df).select(
-            F.col(id_col), hashed_shingles64(F.col(text_col), k).alias("shingles")
+    sig_input = F.array_distinct(
+        F.transform(
+            F.col("shingles"), lambda h: h.bitwiseAND(F.lit(_MASK31))
         )
     )
-    sig_input = F.array_distinct(
-        F.transform(F.col("shingles"), lambda h: h.bitwiseAND(F.lit(_MASK31)))
-    )
-    sigs = materialize(
-        sets.select(
+    sets = materialize(
+        fanout(df)
+        .select(
             F.col(id_col),
+            hashed_shingles64(F.col(text_col), k).alias("shingles"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("shingles"),
             minhash_signature_udf(num_hashes)(sig_input).alias("sig"),
         )
     )
     banded = _capped_banded(
-        _minhash_banded(sigs, id_col, num_hashes, bands),
+        _minhash_banded(
+            sets.select(F.col(id_col), F.col("sig")),
+            id_col,
+            num_hashes,
+            bands,
+        ),
         ["band", "bucket"],
         max_bucket,
         telemetry=telemetry,
@@ -743,10 +778,10 @@ def dedup_pairs_against_corpus(
     # bucket's contribution to max_bucket² — same recall trade as the
     # batch operators (hot buckets are boilerplate, not near-dups).
     # The corpus side's producer (index parquet scan + tombstone
-    # suppression) is NOT already checkpointed, so it rides the cap's
-    # short-lived persist (``persist_input=True``) — the cap's
-    # hot-count aggregation and anti-join are two consumers that would
-    # each re-run the scan otherwise. The new side's signatures come
+    # suppression) is NOT already checkpointed, so the cap checkpoints
+    # it once (``persist_input=True``) — the cap's hot-count
+    # aggregation, its anti-join, and the candidate join would each
+    # re-run the scan otherwise. The new side's signatures come
     # out of ``minhash_signature_index`` already materialized, so its
     # banding projection is cheap to recompute.
     nb = _capped_banded(
@@ -963,7 +998,13 @@ def simhash_pairs(
     ``max_bucket=None`` restores the exact brute-force-equal output.
     """
     cand = _simhash_band_candidate_pairs(
-        df, text_col, id_col, nbits, max_hamming, max_bucket
+        df,
+        text_col,
+        id_col,
+        nbits,
+        max_hamming,
+        max_bucket,
+        prefilter_max_hamming=max_hamming,
     )
     return cand.select(
         "id_a",
@@ -1006,6 +1047,7 @@ def _banded_candidate_pairs(
     max_hamming: int,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     telemetry: dict | None = None,
+    prefilter_max_hamming: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, h_a, h_b) candidates sharing ≥ 1 band — the ONE
     pigeonhole banding implementation, shared by the simhash text
@@ -1028,7 +1070,19 @@ def _banded_candidate_pairs(
     audit with ``hamming_hot_bucket_report`` /
     ``simhash_hot_bucket_report``. The explode feeding the cap is a
     cheap projection of the already-materialized ``h``, so the cap's
-    two consumers recompute it rather than riding a persist."""
+    two consumers recompute it rather than riding a persist.
+
+    ``prefilter_max_hamming`` (round 14): verifying callers — every
+    production consumer ends with ``bit_count(h_a ^ h_b) <=
+    max_hamming`` — pass it so the Hamming verify runs on the JOINED
+    rows, BEFORE the distinct. bit_count is a per-row codegen op that
+    costs nothing next to a shuffle, and filtering first shrinks the
+    distinct's exchange from every banded co-occurrence (each
+    same-bucket pair once PER agreeing band) to verified pairs only —
+    guide §2.3, shuffle fewer bytes. Filter-then-distinct equals
+    distinct-then-filter bit-for-bit (the predicate depends only on
+    the distinct key columns). ``None`` keeps the raw candidate
+    semantics for the introspection hooks."""
     banded = _band_explode(h, id_col, hash_col, nbits, max_hamming, "_id", "_h")
     banded = _capped_banded(banded, ["band", "val"], max_bucket, telemetry=telemetry)
     a = banded.select(
@@ -1037,13 +1091,14 @@ def _banded_candidate_pairs(
     b = banded.select(
         "band", "val", F.col("_id").alias("id_b"), F.col("_h").alias("h_b")
     )
-    return (
-        a.join(b, ["band", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        # a pair agreeing on several bands appears once per band
-        .select("id_a", "id_b", "h_a", "h_b")
-        .distinct()
-    )
+    joined = a.join(b, ["band", "val"]).filter(F.col("id_a") < F.col("id_b"))
+    if prefilter_max_hamming is not None:
+        joined = joined.filter(
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+            <= prefilter_max_hamming
+        )
+    # a pair agreeing on several bands appears once per band
+    return joined.select("id_a", "id_b", "h_a", "h_b").distinct()
 
 
 def hamming_hot_bucket_report(
@@ -1109,6 +1164,7 @@ def _simhash_band_candidate_pairs(
     nbits: int,
     max_hamming: int,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    prefilter_max_hamming: int | None = None,
 ) -> DataFrame:
     """Simhash-from-text front end of ``_banded_candidate_pairs``."""
     hashed = fanout(df).select(
@@ -1120,7 +1176,13 @@ def _simhash_band_candidate_pairs(
         )
     )
     return _banded_candidate_pairs(
-        h, id_col, "simhash", nbits, max_hamming, max_bucket
+        h,
+        id_col,
+        "simhash",
+        nbits,
+        max_hamming,
+        max_bucket,
+        prefilter_max_hamming=prefilter_max_hamming,
     )
 
 
@@ -1180,7 +1242,14 @@ def hamming_pairs(
     )
     return (
         _banded_candidate_pairs(
-            h, id_col, "_fp", nbits, max_hamming, max_bucket, telemetry
+            h,
+            id_col,
+            "_fp",
+            nbits,
+            max_hamming,
+            max_bucket,
+            telemetry,
+            prefilter_max_hamming=max_hamming,
         )
         .select(
             "id_a",
@@ -1282,6 +1351,15 @@ def hamming_pairs_against_corpus(
     cb = prep(corpus_index, "corpus_id", mat=False)
     return (
         nb.join(cb, ["band", "val"])
+        # Hamming verify BEFORE the distinct (filter commutes with
+        # distinct over its key columns): shrinks the distinct's
+        # exchange from every banded co-occurrence to verified pairs
+        .filter(
+            F.bit_count(
+                F.col("h_new_id").bitwiseXOR(F.col("h_corpus_id"))
+            )
+            <= max_hamming
+        )
         .select("new_id", "corpus_id", "h_new_id", "h_corpus_id")
         .distinct()
         .select(
@@ -1393,11 +1471,32 @@ def connected_components_min_label(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    if nodes is None:
-        nodes = sym.select(F.col("a").alias(node_col)).distinct()
-    labels = nodes.select(
-        F.col(node_col).alias("node"), F.col(node_col).alias("label")
-    ).localCheckpoint(eager=True)
+    fused_first_round = nodes is None
+    if fused_first_round:
+        # Fused first propagation round (round 14): over the
+        # edge-incident node set, round 1 of the loop below computes
+        # label(node) = min(node, min of its neighbors) from the
+        # identity initialization — exactly one groupBy over ``sym``
+        # (each sym row (a, b) is node a receiving neighbor b's
+        # identity label). Initializing WITH that round fused saves a
+        # full join + union + groupBy + checkpoint + convergence-agg
+        # cycle per call, and the node-set distinct the old identity
+        # init paid is absorbed into the same aggregation. Counted in
+        # ``iterations`` as round 1 — the telemetry semantics are
+        # unchanged.
+        labels = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("_minb"))
+            .select(
+                F.col("a").alias("node"),
+                F.least(F.col("a"), F.col("_minb")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        labels = nodes.select(
+            F.col(node_col).alias("node"), F.col(node_col).alias("label")
+        ).localCheckpoint(eager=True)
 
     # convergence check, exact for ANY orderable id type: numeric ids
     # keep the cheap label-sum invariant (labels only ever decrease,
@@ -1415,12 +1514,15 @@ def connected_components_min_label(
         labels.agg(F.sum("label")).collect()[0][0] if numeric_ids else None
     )
     converged = False
-    iterations = 0
-    # max_iter bounds PROPAGATION rounds; the +1 leaves room for the
-    # no-change round that proves the fixpoint, so a component of
-    # diameter exactly max_iter converges instead of raising away a
-    # result that is already correct
-    for _ in range(max_iter + 1):
+    # the fused init above IS propagation round 1; the loop then has
+    # max_iter more rounds available — the total round capacity
+    # (max_iter + 1, the +1 being the no-change round that proves the
+    # fixpoint) is unchanged, so a component of diameter exactly
+    # max_iter still converges instead of raising away a result that
+    # is already correct
+    iterations = 1 if fused_first_round else 0
+    rounds_left = max_iter if fused_first_round else max_iter + 1
+    for _ in range(rounds_left):
         prev = labels
         neighbor = (
             labels.join(sym, labels["node"] == sym["a"])

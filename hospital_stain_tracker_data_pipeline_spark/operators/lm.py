@@ -404,11 +404,14 @@ def save_ngram_lm(lm: NgramLM, path: str) -> None:
     parquet, like the IVF index artifact."""
     lm.grams.write.mode("overwrite").parquet(f"{path}/grams")
     lm.contexts.write.mode("overwrite").parquet(f"{path}/contexts")
+    from ..session import local_rows_df
+
     spark = lm.grams.sparkSession
-    spark.createDataFrame(
+    local_rows_df(
+        spark,
         [(int(lm.n), int(lm.vocab_size), float(lm.k))],
         "n int, vocab_size long, k double",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def load_ngram_lm(spark, path: str) -> NgramLM:

@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from .dedup import fanout, materialize
 from .similarity import (
     QUANT_SCALE,
+    _quantized_ids,
     as_double_array,
     ivf_assign_udf,
     ivf_fit_centroids,
@@ -115,6 +116,7 @@ def pq_fit_codebooks(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    prepared: DataFrame | None = None,
 ) -> np.ndarray:
     """Fit the ``m`` per-subspace codebooks (Lloyd k-means on squared
     L2 within each subspace) fully distributed, ALL subspaces per
@@ -128,14 +130,14 @@ def pq_fit_codebooks(
     ties to the lowest id; the update is a LONG sum + floor division
     on the 1e-6 grid, associative under any partitioning
     (``test_pq_fit_partitioning_determinism``). Empty codewords keep
-    their previous value. Returns int64 (m, n_codes, dsub)."""
-    src = materialize(
-        fanout(df)
-        .select(
-            F.col(id_col).alias("_id"),
-            quantize_vec_long(F.col(vec_col)).alias("_qv"),
-        )
-        .filter(F.col("_qv").isNotNull())
+    their previous value. Returns int64 (m, n_codes, dsub).
+    ``prepared`` (round 14): a caller that already holds the
+    ``_quantized_ids`` projection passes it here so the corpus is not
+    re-read and re-quantized per fit."""
+    src = (
+        prepared
+        if prepared is not None
+        else _quantized_ids(df, id_col, vec_col)
     )
     first = src.select(F.size("_qv").alias("d")).first()
     if first is None:
@@ -410,6 +412,8 @@ def save_pq_index(spark, codebooks: np.ndarray, path: str) -> None:
     the same nightly-fit / load-everywhere artifact convention as
     ``save_ivf_index``: exact 1e-6-grid integers, engine-portable,
     versioned by path."""
+    from ..session import local_rows_df
+
     m, k, dsub = codebooks.shape
     rows = [
         (int(s), int(c), int(p), int(v), int(m), int(k), int(dsub))
@@ -417,11 +421,12 @@ def save_pq_index(spark, codebooks: np.ndarray, path: str) -> None:
         for c in range(k)
         for p, v in enumerate(codebooks[s, c])
     ]
-    spark.createDataFrame(
+    local_rows_df(
+        spark,
         rows,
         "sub int, code int, pos int, val long, m int, n_codes int, "
         "dsub int",
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    ).write.mode("overwrite").parquet(path)
 
 
 def load_pq_index(spark, path: str) -> np.ndarray:
@@ -587,18 +592,41 @@ def build_ann_index(
     marker = os.path.join(path, "_INDEX_OK")
     if os.path.exists(marker):
         os.remove(marker)
-    cents = ivf_fit_centroids(corpus, n_clusters, iters, id_col, vec_col)
-    cb = pq_fit_codebooks(corpus, m, n_codes, iters, id_col, vec_col)
+    # ONE quantized pass over the raw corpus serves both fits, the
+    # encode AND the stats baseline (round 14; guide §2.4) — the
+    # pre-round-14 build re-read and re-quantized the corpus four
+    # times (ivf fit, pq fit, encode, stats). The assign/error UDFs
+    # likewise run once here instead of once for the codes pass and
+    # again for the stats pass; the codes and stats tables are
+    # projections/aggregations of the same checkpointed frame, with
+    # values identical to the separate-pass form (same UDFs, same
+    # exact-integer inputs).
+    src = _quantized_ids(corpus, id_col, vec_col)
+    cents = ivf_fit_centroids(
+        corpus, n_clusters, iters, id_col, vec_col, prepared=src
+    )
+    cb = pq_fit_codebooks(
+        corpus, m, n_codes, iters, id_col, vec_col, prepared=src
+    )
     save_ivf_index(spark, cents, f"{path}/ivf")
     save_pq_index(spark, cb, f"{path}/pq")
-    _encode_cells(corpus, cents, cb, id_col, vec_col).write.mode(
+    encoded = materialize(
+        src.select(
+            F.col("_id").alias(id_col),
+            ivf_assign_udf(cents)(F.col("_qv")).alias("cell"),
+            _pq_assign_udf(cb)(F.col("_qv")).alias("pq_code"),
+            _pq_error_udf(cb)(F.col("_qv")).alias("_err"),
+        )
+    )
+    encoded.select(id_col, "cell", "pq_code").write.mode(
         "overwrite"
     ).parquet(f"{path}/codes")
     # fit-time per-cell occupancy + quantization error — the drift
     # baseline every later append_ann_index compares its batch against
-    _cell_stats(corpus, cents, cb, vec_col).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/stats")
+    encoded.groupBy("cell").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("_err").cast("decimal(38,0)")).alias("err_sum"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
     os.makedirs(path, exist_ok=True)
     with open(marker, "w") as f:
         json.dump(
@@ -1111,10 +1139,23 @@ def knn_ivf_pq(
     import time as _time
 
     t0 = _time.perf_counter()
-    cents = ivf_fit_centroids(corpus, n_clusters, iters, id_col, vec_col)
-    cb = pq_fit_codebooks(corpus, m, n_codes, iters, id_col, vec_col)
+    # one quantized pass shared by both fits and the encode (round 14,
+    # same reasoning as build_ann_index)
+    src = _quantized_ids(corpus, id_col, vec_col)
+    cents = ivf_fit_centroids(
+        corpus, n_clusters, iters, id_col, vec_col, prepared=src
+    )
+    cb = pq_fit_codebooks(
+        corpus, m, n_codes, iters, id_col, vec_col, prepared=src
+    )
     t1 = _time.perf_counter()
-    encoded = materialize(_encode_cells(corpus, cents, cb, id_col, vec_col))
+    encoded = materialize(
+        src.select(
+            F.col("_id").alias(id_col),
+            ivf_assign_udf(cents)(F.col("_qv")).alias("cell"),
+            _pq_assign_udf(cb)(F.col("_qv")).alias("pq_code"),
+        )
+    )
     if timings is not None:
         timings["fit_sec"] = round(t1 - t0, 3)
         timings["encode_sec"] = round(_time.perf_counter() - t1, 3)

@@ -247,7 +247,15 @@ def dot_batch_udf():
     higher-order-function evaluation on large pair sets. einsum's
     summation order differs from a sequential loop in the last ulp, so
     oracle-compared paths must feed it integer-valued (quantized)
-    inputs, where every order gives the same exact sum."""
+    inputs, where every order gives the same exact sum.
+
+    Accumulation is pinned to float64 (``dtype=np.float64``) so
+    callers may ship the pair legs as ``array<float>``: the 1e-6
+    quantized components are integers below 2²⁴, which float32
+    represents EXACTLY, and upcast-then-accumulate in float64 yields
+    the same exact integer sums as float64 end-to-end — at half the
+    Arrow bytes per candidate pair, which is the verify's dominant
+    cost (guide §2.3, narrower types across the Python boundary)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -263,7 +271,7 @@ def dot_batch_udf():
         if mask.any():
             x = np.stack(aa[mask])
             y = np.stack(bb[mask])
-            out[mask] = np.einsum("ij,ij->i", x, y)
+            out[mask] = np.einsum("ij,ij->i", x, y, dtype=np.float64)
         res = pd.Series(out)
         return res.where(mask, None)
 
@@ -326,13 +334,16 @@ def ann_lsh_candidates(
     ``ann_hot_bucket_report``)."""
     from .dedup import _capped_banded
 
-    # One checkpoint per call: when capping, the bucket table rides a
-    # short-lived persist (``persist_input=True``) so the heavy
-    # hyperplane gemm runs once for the cap's two consumers (hot-set
-    # aggregation + anti-join) and only the CAPPED table — what both
-    # self-join sides actually read — gets the localCheckpoint.
-    # Uncapped, the gemm still needs protecting from the self-join's
-    # double execution, so the checkpoint moves to the bucket table.
+    # One checkpoint per call on the healthy path: when capping, the
+    # bucket table itself is checkpointed once (``persist_input=True``)
+    # so the heavy hyperplane gemm runs exactly once and the cap's
+    # consumers (hot-set aggregation, anti-join when hot buckets exist,
+    # both self-join sides otherwise) all read the flat checkpoint —
+    # the round-13 form persisted + counted the gemm output and then
+    # checkpointed it AGAIN, a second full write of the biggest
+    # intermediate. Uncapped, the gemm still needs protecting from the
+    # self-join's double execution, so the checkpoint stays on the raw
+    # bucket table.
     raw_buckets = random_hyperplane_buckets(
         df, nbits, dim, id_col, vec_col, tables=tables
     ).select(id_col, "table", "bucket")
@@ -386,19 +397,30 @@ def ann_lsh_pairs(
     # squared norm ONCE into its own column behind a materialize
     # boundary, so CollapseProject cannot re-inline the aggregate into
     # downstream expressions (no CSE inside higher-order functions).
+    # The pair legs carry the quantized vector as array<float>: every
+    # component is an integer below 2²⁴ (exactly representable in
+    # float32), and ``dot_batch_udf`` accumulates in float64, so the
+    # cosine values are bit-identical to the float64-transfer form at
+    # half the bytes per candidate pair — the verify join ships two
+    # vectors per CANDIDATE, orders of magnitude more rows than the
+    # vector set itself (guide §2.3).
     qv = materialize(
         df.select(F.col(id_col), quantize_vec(F.col(vec_col)).alias("_q"))
         .filter(F.col("_q").isNotNull())
-        .select(F.col(id_col), "_q", dot(F.col("_q"), F.col("_q")).alias("_n2"))
+        .select(
+            F.col(id_col),
+            F.col("_q").cast("array<float>").alias("_qf"),
+            dot(F.col("_q"), F.col("_q")).alias("_n2"),
+        )
     )
     va = qv.select(
         F.col(id_col).alias("id_a"),
-        F.col("_q").alias("q_a"),
+        F.col("_qf").alias("q_a"),
         F.col("_n2").alias("n2_a"),
     )
     vb = qv.select(
         F.col(id_col).alias("id_b"),
-        F.col("_q").alias("q_b"),
+        F.col("_qf").alias("q_b"),
         F.col("_n2").alias("n2_b"),
     )
     dot_udf = dot_batch_udf()
@@ -431,12 +453,32 @@ def quantize_vec_long(col: Column) -> Column:
     )
 
 
+def _quantized_ids(
+    df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """The materialized ``(_id, _qv)`` exact-integer projection every
+    IVF/PQ fit and encode pass runs on. Composite builders
+    (``build_ann_index``, ``knn_ivf_pq``) compute it ONCE and hand it
+    to each consumer via their ``prepared`` parameter — the corpus is
+    read and quantized a single time instead of once per fit/encode
+    (guide §2.4: remove repeated passes outright)."""
+    return materialize(
+        fanout(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            quantize_vec_long(F.col(vec_col)).alias("_qv"),
+        )
+        .filter(F.col("_qv").isNotNull())
+    )
+
+
 def ivf_fit_centroids(
     df: DataFrame,
     n_clusters: int = 16,
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    prepared: DataFrame | None = None,
 ) -> np.ndarray:
     """Fit the IVF coarse quantizer (Lloyd k-means on the cosine
     objective) fully distributed; the driver only ever holds the k×dim
@@ -469,12 +511,13 @@ def ivf_fit_centroids(
     Returns the int64 (k, dim) quantized centroid matrix.
     Iteration gotcha handled: the source is localCheckpoint'd once so
     the per-iteration jobs re-scan a materialized compact frame, not
-    the original lineage."""
-    src = materialize(
-        fanout(df).select(
-            F.col(id_col).alias("_id"),
-            quantize_vec_long(F.col(vec_col)).alias("_qv"),
-        ).filter(F.col("_qv").isNotNull())
+    the original lineage. ``prepared`` (round 14): a caller that
+    already holds the ``_quantized_ids`` projection passes it here so
+    the corpus is not re-read and re-quantized per fit."""
+    src = (
+        prepared
+        if prepared is not None
+        else _quantized_ids(df, id_col, vec_col)
     )
     seed_rows = (
         src.withColumn("_h", F.md5(F.col("_id").cast("string")))
@@ -701,15 +744,17 @@ def save_ivf_index(
     fit produced, so the artifact round-trips bit-exactly on any
     engine. Plain parquet: engine-portable, diffable, and versioned
     by path like any other lake artifact."""
+    from ..session import local_rows_df
+
     k, dim = centroids.shape
     rows = [
         (int(c), int(p), int(v), int(k), int(dim))
         for c, row in enumerate(centroids)
         for p, v in enumerate(row)
     ]
-    spark.createDataFrame(
-        rows, "cluster int, pos int, val long, k int, dim int"
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    local_rows_df(
+        spark, rows, "cluster int, pos int, val long, k int, dim int"
+    ).write.mode("overwrite").parquet(path)
 
 
 def load_ivf_index(spark, path: str) -> np.ndarray:

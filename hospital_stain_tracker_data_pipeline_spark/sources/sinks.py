@@ -73,7 +73,9 @@ def append_run_log(spark: SparkSession, path: str, row: Row) -> None:
     """Append one lineage row per job start/end — the reference's
     ``pipeline_runs`` insert/update (ingest_capacity.py:85-96,195-201).
     Append-only on a lake; readers take the latest status per run_id."""
-    spark.createDataFrame([row], schema=PIPELINE_RUNS_SCHEMA).coalesce(1).write.mode(
+    from ..session import local_rows_df
+
+    local_rows_df(spark, [row], PIPELINE_RUNS_SCHEMA).write.mode(
         "append"
     ).parquet(path)
 
