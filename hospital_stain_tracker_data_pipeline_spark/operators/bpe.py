@@ -23,11 +23,12 @@ Algorithm (Sennrich et al. 2016, the public BPE formulation):
    word beats the interpreted O(len²) expression fold it replaced;
    guide §4.2).
 
-Scale shape per round: one aggregation over the histogram + one scalar
-collect (the argmax row) + one narrow map. The histogram frame is
-persisted and re-persisted every round (each round's sequences feed
-the next), with ``localCheckpoint`` every few rounds to truncate the
-growing lineage — the same discipline as the k-means/connected-
+Scale shape per round: ONE job — an aggregation over the checkpointed
+histogram (with the rounds' not-yet-folded merges applied lazily in
+the same scan) + one scalar collect (the argmax rows). Accumulated
+merges fold into a fresh checkpointed symbol table every
+``checkpoint_every`` rounds, bounding both the lazy re-application and
+the plan depth — the same lineage discipline as the k-means/connected-
 components loops elsewhere in this repo. Production BPE trainers
 batch many merges per pass; ``merges_per_round > 1`` does the same
 here by taking the top-k pairwise-disjoint pairs per round (exact
@@ -46,7 +47,6 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import tokens
 
@@ -157,15 +157,36 @@ def train_bpe(
         raise ValueError("n_merges must be >= 0")
     if merges_per_round < 1:
         raise ValueError("merges_per_round must be >= 1")
-    seqs = _initial_symbols(word_histogram(docs, text_col, lowercase)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # ONE job per merge round (round 14): the counting pass applies the
+    # not-yet-folded merges lazily inside the same scan that counts
+    # pairs — the pre-round-14 loop materialized a new persisted symbol
+    # table per round (apply-UDF pass + count() job + unpersist) and
+    # then ran the counting pass on top of it, two jobs and a full
+    # Arrow round trip of the vocabulary per round. ``pending`` merges
+    # fold into a fresh checkpointed base every ``checkpoint_every``
+    # rounds, so the per-scan re-application stays bounded at
+    # ``checkpoint_every × merges_per_round`` folds (and the plan stays
+    # flat — the fold IS the old code's lineage-truncation point).
+    base = _initial_symbols(
+        word_histogram(docs, text_col, lowercase)
+    ).localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
+    pending: list[tuple[str, str]] = []
     rounds = 0
     while len(merges) < n_merges:
         want = min(merges_per_round, n_merges - len(merges))
+        cur = (
+            base
+            if not pending
+            else base.select(
+                _apply_merges_udf(list(pending))(F.col("syms")).alias(
+                    "syms"
+                ),
+                "count",
+            )
+        )
         pairs = (
-            seqs.select(
+            cur.select(
                 F.explode(
                     F.when(
                         F.size("syms") >= 2,
@@ -207,18 +228,16 @@ def train_bpe(
         if not chosen:
             break
         merges.extend(chosen)
-        new = seqs.select(
-            _apply_merges_udf(chosen)(F.col("syms")).alias("syms"), "count"
-        )
+        pending.extend(chosen)
         rounds += 1
-        if rounds % checkpoint_every == 0:
-            # truncate the per-round select lineage before it deepens
-            new = new.localCheckpoint(eager=True)
-        new = new.persist(StorageLevel.MEMORY_AND_DISK)
-        new.count()  # materialize before dropping the parent
-        seqs.unpersist()
-        seqs = new
-    seqs.unpersist()
+        if rounds % checkpoint_every == 0 and len(merges) < n_merges:
+            base = base.select(
+                _apply_merges_udf(list(pending))(F.col("syms")).alias(
+                    "syms"
+                ),
+                "count",
+            ).localCheckpoint(eager=True)
+            pending = []
     return merges
 
 

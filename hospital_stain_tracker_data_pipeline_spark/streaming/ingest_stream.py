@@ -1375,7 +1375,11 @@ def stream_ann_ingest(
                 rep.get("err_ratio"),
                 bool(rep.get("refit_recommended", False)),
             )
-        return spark.createDataFrame([row], ledger_schema)
+        from ..session import local_rows_df
+
+        # one driver-local row → ONE slice (not defaultParallelism
+        # pickled slices, i.e. 32 Python-worker tasks for one row)
+        return local_rows_df(spark, [row], ledger_schema)
 
     return _run_batch_sink_stream(
         spark,
