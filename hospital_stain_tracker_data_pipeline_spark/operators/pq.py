@@ -707,18 +707,35 @@ def append_ann_index(
         )
     cents = load_ivf_index(spark, f"{path}/ivf")
     cb = load_pq_index(spark, f"{path}/pq")
-    # pin the delta to one snapshot: stats and the later encode pass must
-    # read the SAME rows, or a non-deterministic / concurrently-mutated
-    # source could append codes that differ from what was validated
-    new_vectors = new_vectors.select(id_col, vec_col).localCheckpoint(
-        eager=True
+    # ONE eager pass over the delta serves validation, stats AND the
+    # codes append (round 14 — was a checkpoint of the raw delta plus
+    # two separate UDF passes): the materialize pins the snapshot and
+    # forces the whole batch through the assign/error UDFs, so
+    # wrong-dim or corrupt vectors still fail HERE — before the marker
+    # comes off — and the stats collect / codes write below are a
+    # model-sized aggregation and a flat projection of the same frame.
+    encoded = materialize(
+        fanout(new_vectors.select(id_col, vec_col))
+        .select(
+            F.col(id_col),
+            quantize_vec_long(F.col(vec_col)).alias("_qv"),
+        )
+        .filter(F.col("_qv").isNotNull())
+        .select(
+            id_col,
+            ivf_assign_udf(cents)(F.col("_qv")).alias("cell"),
+            _pq_assign_udf(cb)(F.col("_qv")).alias("pq_code"),
+            _pq_error_udf(cb)(F.col("_qv")).alias("_err"),
+        )
     )
-    # stats of the delta FIRST: this forces the whole batch through the
-    # assign/error UDFs, so wrong-dim or corrupt vectors fail here —
-    # before the marker comes off (model-sized collect: <= n_clusters rows)
     new_stats = {
         int(r["cell"]): (int(r["n"]), int(r["err_sum"]))
-        for r in _cell_stats(new_vectors, cents, cb, vec_col).collect()
+        for r in encoded.groupBy("cell")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("_err").cast("decimal(38,0)")).alias("err_sum"),
+        )
+        .collect()
     }
     fit_stats = {
         int(r["cell"]): (int(r["n"]), int(r["err_sum"]))
@@ -727,7 +744,7 @@ def append_ann_index(
     n_new = sum(n for n, _ in new_stats.values())
     if n_new:
         os.remove(marker)
-        _encode_cells(new_vectors, cents, cb, id_col, vec_col).write.mode(
+        encoded.select(id_col, "cell", "pq_code").write.mode(
             "append"
         ).parquet(f"{path}/codes")
         meta["appends"] = int(meta.get("appends", 0)) + 1

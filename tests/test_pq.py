@@ -493,19 +493,27 @@ def test_ann_index_append_guards(spark, emb, tmp_path):
     with _pytest.raises(ValueError, match="stats"):
         pq.append_ann_index(spark, old, delta)
 
-    # crash INSIDE the codes append (after validation) => torn, rejected
+    # crash INSIDE the codes append (after validation) => torn, rejected.
+    # Since round 14 the delta is validated/encoded in ONE materialized
+    # pass (so a bad batch still fails before the marker comes off) and
+    # the only post-marker-removal step is the codes parquet write —
+    # inject the crash there.
     torn = str(tmp_path / "torn")
     pq.build_ann_index(base, torn, n_clusters=4, m=8, n_codes=16, iters=1)
-    real = pq._encode_cells
-    try:
-        def _boom(*a, **k):
-            raise RuntimeError("simulated executor loss")
+    from pyspark.sql.readwriter import DataFrameWriter
 
-        pq._encode_cells = _boom
+    real = DataFrameWriter.parquet
+    try:
+        def _boom(self, p, *a, **k):
+            if p.rstrip("/").endswith("/codes"):
+                raise RuntimeError("simulated executor loss")
+            return real(self, p, *a, **k)
+
+        DataFrameWriter.parquet = _boom
         with _pytest.raises(RuntimeError, match="simulated"):
             pq.append_ann_index(spark, torn, delta)
     finally:
-        pq._encode_cells = real
+        DataFrameWriter.parquet = real
     assert not os.path.exists(os.path.join(torn, "_INDEX_OK"))
     with _pytest.raises(ValueError, match="_INDEX_OK"):
         pq.search_ann_index(spark, torn, q)
