@@ -1006,11 +1006,13 @@ def simhash_pairs(
         max_bucket,
         prefilter_max_hamming=max_hamming,
     )
+    # the Hamming verify already ran pre-distinct (prefilter above);
+    # this select only surfaces the distance column
     return cand.select(
         "id_a",
         "id_b",
         F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"),
-    ).filter(F.col("hamming") <= max_hamming)
+    )
 
 
 def _band_explode(
@@ -1240,6 +1242,8 @@ def hamming_pairs(
             F.col(id_col), F.col(hash_col).cast("long").alias("_fp")
         ).filter(F.col("_fp").isNotNull())
     )
+    # the Hamming verify already ran pre-distinct (prefilter); the
+    # select only surfaces the distance column
     return (
         _banded_candidate_pairs(
             h,
@@ -1258,7 +1262,6 @@ def hamming_pairs(
                 "hamming"
             ),
         )
-        .filter(F.col("hamming") <= max_hamming)
     )
 
 
@@ -1369,7 +1372,6 @@ def hamming_pairs_against_corpus(
                 F.col("h_new_id").bitwiseXOR(F.col("h_corpus_id"))
             ).alias("hamming"),
         )
-        .filter(F.col("hamming") <= max_hamming)
     )
 
 
@@ -1471,7 +1473,12 @@ def connected_components_min_label(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    fused_first_round = nodes is None
+    # max_iter=0 keeps the identity-init path: its single loop round is
+    # the PROOF round, and only a graph already at the identity
+    # fixpoint (empty / self-loop-only edges) may converge — fusing a
+    # propagation round there would both widen the accepted diameter
+    # and raise on degenerate inputs the old form accepted.
+    fused_first_round = nodes is None and max_iter >= 1
     if fused_first_round:
         # Fused first propagation round (round 14): over the
         # edge-incident node set, round 1 of the loop below computes
@@ -1494,6 +1501,8 @@ def connected_components_min_label(
             .localCheckpoint(eager=True)
         )
     else:
+        if nodes is None:  # identity init over edge-incident nodes
+            nodes = sym.select(F.col("a").alias(node_col)).distinct()
         labels = nodes.select(
             F.col(node_col).alias("node"), F.col(node_col).alias("label")
         ).localCheckpoint(eager=True)

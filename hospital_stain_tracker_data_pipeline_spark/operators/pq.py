@@ -280,9 +280,15 @@ def _adc_table(
     1e-12 grid. q x m x n_codes rows — broadcast-sized by
     construction."""
     cb = np.ascontiguousarray(codebooks, dtype=np.int64)
+    from ..session import local_rows_df
+
     m, k, dsub = cb.shape
     spark = query.sparkSession
-    cw = spark.createDataFrame(
+    # model-sized driver-local rows → one slice (the broadcast build
+    # below re-evaluates this frame; 32 pickled slices would be 32
+    # Python-worker round trips per build)
+    cw = local_rows_df(
+        spark,
         [
             (s, c, [int(v) for v in cb[s, c, :]])
             for s in range(m)
@@ -539,9 +545,14 @@ def _encode_cells(
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
-    """(id, cell, pq_code) for every corpus vector — the IVF-PQ
-    encoded form both the in-process search and the persisted index
-    build share. NULL embeddings are dropped (nothing to search)."""
+    """(id, cell, pq_code) for every corpus vector — the REFERENCE
+    implementation of the IVF-PQ encode projection. Since round 14 the
+    production builders (``build_ann_index``, ``append_ann_index``,
+    ``knn_ivf_pq``) inline this projection over their shared quantized
+    pass (plus an ``_err`` column where stats ride along) instead of
+    calling it; tests pin the inlined copies against this form, so a
+    change here must be mirrored there (and vice versa). NULL
+    embeddings are dropped (nothing to search)."""
     return (
         fanout(corpus)
         .select(

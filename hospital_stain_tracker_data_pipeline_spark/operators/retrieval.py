@@ -102,7 +102,12 @@ def bm25_topk(
     terms = sorted({t for t in query.lower().split() if t})
     if not terms:
         raise ValueError("query has no tokens")
-    qdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    from ..session import local_rows_df
+
+    # one slice: this tiny frame is re-evaluated inside two broadcast
+    # builds per action; defaultParallelism pickled slices would spawn
+    # ~32 Python-worker round trips each time
+    qdf = local_rows_df(spark, [(t,) for t in terms], "term string")
     n = float(index.n_docs)
     # prune dfs to the query's terms BEFORE broadcasting: the full dfs
     # table is one row per distinct corpus term (web-scale: 10^8+) and

@@ -404,12 +404,36 @@ def ann_lsh_pairs(
     # half the bytes per candidate pair — the verify join ships two
     # vectors per CANDIDATE, orders of magnitude more rows than the
     # vector set itself (guide §2.3).
+    # loud guard, not a comment-only invariant: a component at or above
+    # 2²⁴ would round under the float32 cast and silently perturb the
+    # verify. The operator's pre-existing exactness contract (Σq² <
+    # 2⁵³) already bounds components tighter than this for dim ≥ 32,
+    # but nothing ENFORCED it — now an out-of-contract embedding fails
+    # fast instead of flipping a 6-decimal cosine.
+    _f32_exact = F.lit(float(1 << 24))
+    _amax = F.array_max(F.transform(F.col("_q"), lambda x: F.abs(x)))
+    _q_checked = F.when(_amax < _f32_exact, F.col("_q")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "ann_lsh_pairs: quantized component magnitude "
+                ),
+                _amax.cast("string"),
+                F.lit(
+                    " >= 2^24 breaks the exact float32 verify — "
+                    "embedding magnitudes must stay below ~16.7 "
+                    "(the quantized-exactness contract; normalize "
+                    "or rescale the vectors)"
+                ),
+            )
+        )
+    )
     qv = materialize(
         df.select(F.col(id_col), quantize_vec(F.col(vec_col)).alias("_q"))
         .filter(F.col("_q").isNotNull())
         .select(
             F.col(id_col),
-            F.col("_q").cast("array<float>").alias("_qf"),
+            _q_checked.cast("array<float>").alias("_qf"),
             dot(F.col("_q"), F.col("_q")).alias("_n2"),
         )
     )

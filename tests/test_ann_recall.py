@@ -386,3 +386,38 @@ def test_ivf_index_rejects_legacy_float_artifact(spark, tmp_path):
     ).write.parquet(path)
     with pytest.raises(ValueError, match="non-integer val"):
         load_ivf_index(spark, path)
+
+
+def test_ann_verify_guards_float32_exactness(spark):
+    """Round-14 narrowing: ann_lsh_pairs ships the quantized pair legs
+    as array<float>, exact only while every component is below 2^24
+    (|x| < ~16.78). The guard must fail LOUDLY on an out-of-contract
+    embedding instead of silently rounding a cosine, and in-contract
+    magnitudes (well beyond unit norm) must still verify exactly."""
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    from hospital_stain_tracker_data_pipeline_spark.operators.similarity import (
+        ann_lsh_pairs,
+    )
+
+    dim = 64
+    ok_rows = [
+        (0, [1.0] * dim),
+        (1, [1.0] * dim),
+        (2, [16.0] * dim),  # in contract: floor(16e6) < 2^24
+    ]
+    got = ann_lsh_pairs(
+        spark.createDataFrame(ok_rows, "vec_id long, embedding array<double>"),
+        threshold=0.9,
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(0, 1), (0, 2), (1, 2)}
+    assert all(r["cosine_sim"] == 1.0 for r in got)
+
+    bad_rows = [(0, [1.0] * dim), (1, [17.0] * dim)]  # 17e6 > 2^24
+    with pytest.raises(Exception, match="2\\^24|16\\.7"):
+        ann_lsh_pairs(
+            spark.createDataFrame(
+                bad_rows, "vec_id long, embedding array<double>"
+            ),
+            threshold=0.9,
+        ).collect()
