@@ -58,16 +58,29 @@ def knn_brute_force(
     id tiebreak so the k-boundary is deterministic."""
     from pyspark.sql import Window
 
+    # squared norms ONCE per vector on each side — the per-pair cosine
+    # then runs one dot instead of three interpreted array aggregates;
+    # sqrt(dot(x,x)) is the same deterministic expression whether
+    # evaluated per pair or per row, so values are bit-identical
     c = fanout(corpus).select(
         F.col(id_col), as_double_array(F.col(vec_col)).alias("_v")
+    ).select(
+        id_col, "_v", dot(F.col("_v"), F.col("_v")).alias("_n2")
     )
     q = query.select(
         F.col(query_id_col), as_double_array(F.col(vec_col)).alias("_q")
+    ).select(
+        query_id_col, "_q", dot(F.col("_q"), F.col("_q")).alias("_qn2")
+    )
+    sim = F.round(
+        dot(F.col("_q"), F.col("_v"))
+        / (F.sqrt(F.col("_qn2")) * F.sqrt(F.col("_n2"))),
+        6,
     )
     sims = c.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col)).select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col("_q"), F.col("_v")), 6).alias("cosine_sim"),
+        sim.alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine_sim"), F.asc(id_col)
@@ -97,6 +110,14 @@ def blocked_similar_pairs(
     for days at 100 TB. The check is a 1-row aggregate over the
     already-materialized slim (block, id) frame — O(rows), not O(rows²).
     Pass ``max_block_rows=None`` to opt out explicitly."""
+    # squared norm ONCE per vector (round 14): the per-pair cosine
+    # below divides by sqrt(n2_a)·sqrt(n2_b) instead of re-running the
+    # norm's interpreted higher-order aggregate for EVERY pair a vector
+    # participates in — dot(x,x) is the same deterministic expression
+    # either way, so the cosine values are bit-identical to the
+    # per-pair-norm form (norm(a) ≡ sqrt(dot(a,a)); same ops, same
+    # order), and per-pair work drops from three array aggregates to
+    # one. The same trick ann_lsh_pairs uses.
     v = materialize(
         fanout(df)
         # NULL block keys can never equi-join into a pair; dropping
@@ -107,6 +128,12 @@ def blocked_similar_pairs(
             F.col(block_col).alias("_block"),
             F.col(id_col),
             as_double_array(F.col(vec_col)).alias("_v"),
+        )
+        .select(
+            "_block",
+            id_col,
+            "_v",
+            dot(F.col("_v"), F.col("_v")).alias("_n2"),
         )
     )
     if max_block_rows is not None:
@@ -126,16 +153,27 @@ def blocked_similar_pairs(
                 " or knn_ivf for this scale, or pass a larger "
                 "max_block_rows / None to force."
             )
-    a = v.select("_block", F.col(id_col).alias("id_a"), F.col("_v").alias("v_a"))
-    b = v.select("_block", F.col(id_col).alias("id_b"), F.col("_v").alias("v_b"))
+    a = v.select(
+        "_block",
+        F.col(id_col).alias("id_a"),
+        F.col("_v").alias("v_a"),
+        F.col("_n2").alias("n2_a"),
+    )
+    b = v.select(
+        "_block",
+        F.col(id_col).alias("id_b"),
+        F.col("_v").alias("v_b"),
+        F.col("_n2").alias("n2_b"),
+    )
+    sim = F.round(
+        dot(F.col("v_a"), F.col("v_b"))
+        / (F.sqrt(F.col("n2_a")) * F.sqrt(F.col("n2_b"))),
+        6,
+    )
     return (
         a.join(b, "_block")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cosine_sim"),
-        )
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
 
@@ -646,13 +684,16 @@ def knn_ivf(
     from pyspark.sql import Window
 
     cents = ivf_fit_centroids(corpus, n_clusters, iters, id_col, vec_col)
+    # squared norms once per row on both sides (the blocked_similar_pairs
+    # trick): the probed-cell join's per-pair cosine is one dot, not
+    # three interpreted array aggregates; values are bit-identical
     assigned = materialize(
         fanout(corpus).select(
             F.col(id_col),
             as_double_array(F.col(vec_col)).alias("_cv"),
         ).withColumn(
             "cell", ivf_assign_udf(cents)(quantize_vec_long(F.col("_cv")))
-        )
+        ).withColumn("_cn2", dot(F.col("_cv"), F.col("_cv")))
     )
     probes = query.select(
         F.col(query_id_col),
@@ -664,8 +705,12 @@ def knn_ivf(
                 quantize_vec_long(F.col("_qv"))
             )
         ),
+    ).withColumn("_qn2", dot(F.col("_qv"), F.col("_qv")))
+    sim = F.round(
+        dot(F.col("_qv"), F.col("_cv"))
+        / (F.sqrt(F.col("_qn2")) * F.sqrt(F.col("_cn2"))),
+        6,
     )
-    sim = F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine_sim"), F.asc(id_col)
     )
