@@ -410,13 +410,36 @@ def _capped_banded(
     it exactly once and fusing that single execution with the write —
     and every cap consumer (the hot-count aggregation, the anti-join,
     and both self-join sides on the healthy path) reads the flat
-    checkpoint. The round-13 form persisted + eagerly counted the
-    producer and then, hot set or not, checkpointed it AGAIN — two
-    full writes of the biggest intermediate where one suffices (guide
-    §2.4: remove the pass outright). With ``persist_input=False`` the
-    producer is a cheap projection of an already-materialized parent,
-    so the healthy path returns the input UNTOUCHED and the self-join
-    sides just recompute it."""
+    checkpoint. That checkpoint's blocks are released by the
+    ContextCleaner once the returned frame is garbage collected (a
+    GC-bound lifetime — long-running per-micro-batch callers
+    accumulate bounded id+hash residue between GCs, the documented
+    ``materialize`` trade). The round-13 form persisted + eagerly
+    counted the producer and then, hot set or not, checkpointed it
+    AGAIN — two full writes of the biggest intermediate where one
+    suffices (guide §2.4: remove the pass outright). With
+    ``persist_input=False`` the producer is a cheap projection of an
+    already-materialized parent, so the self-join sides just recompute
+    it.
+
+    Round 15 (lazy cap): callers that do NOT ask for drop telemetry
+    get the cap as a PLAN NODE, not an action — a plain left_anti join
+    against the hot set, no driver-side count, no checkpoint of the
+    capped table. On a healthy corpus (empty hot set) AQE's
+    empty-relation propagation collapses the anti-join to the input at
+    runtime, so the only residual cost is the hot aggregation stage
+    riding INSIDE the consumer's job instead of a separate per-call
+    Spark job (guide §1/§2.4 — the count-first form charged every
+    capped call one full job of scheduling + scan even when nothing
+    was ever dropped; at the bench that job was the whole regression
+    the driver measured on the audio/video near-dup extras). The agg
+    and anti-join subtrees appear once per self-join side, but their
+    exchanges canonicalize identically and are reused, so the hot
+    detection still executes once. ``telemetry`` callers (the curation
+    pipelines, which PUBLISH the drop count in run reports) keep the
+    eager count-first path: the report is worth one job, and when hot
+    buckets exist the capped table is still checkpointed so the cap
+    executes once, not once per join side."""
     if max_bucket is None:
         if telemetry is not None:
             telemetry["hot_buckets_dropped"] = 0
@@ -427,9 +450,12 @@ def _capped_banded(
     # the hot set is derived from the ``lsh_hot_buckets`` audit hook,
     # so reports can never diverge from what the cap drops
     hot = lsh_hot_buckets(src, key_cols, max_bucket)
+    if telemetry is None:
+        # lazy in-plan cap — no action, no checkpoint; AQE prunes the
+        # anti-join entirely when the hot set comes back empty
+        return src.join(hot.select(*key_cols), key_cols, "left_anti")
     n_hot = hot.count()
-    if telemetry is not None:
-        telemetry["hot_buckets_dropped"] = n_hot
+    telemetry["hot_buckets_dropped"] = n_hot
     if n_hot == 0:
         return src
     return materialize(

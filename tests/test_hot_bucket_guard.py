@@ -325,3 +325,41 @@ def test_minhash_telemetry_reports_drop_count(spark):
     tel3: dict = {}
     minhash_lsh_dedup_pairs(clean, max_bucket=None, telemetry=tel3).count()
     assert tel3["hot_buckets_dropped"] == 0
+
+
+def test_capped_lazy_cap_adds_no_action_without_telemetry(spark):
+    """Round 15: callers that don't request drop telemetry get the cap
+    as a PLAN NODE (lazy anti-join), not a per-call count() action —
+    building a capped operator fires exactly the ONE job the
+    ``materialize`` of the (id, hash) frame always cost, same as the
+    uncapped form (the count-first form paid one extra whole job per
+    call, which the driver measured as a 25-47% regression on the
+    audio/video near-dup extras). Telemetry callers keep the eager
+    count (the report is the point there), so they fire one more."""
+    import uuid
+
+    sc = spark.sparkContext
+
+    def build_jobs(fn) -> int:
+        gid = f"lazycap_{uuid.uuid4().hex[:8]}"
+        sc.setJobGroup(gid, "lazy-cap construction job count")
+        fn()  # only BUILD the operator - no action on the result
+        sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(gid))
+
+    rows = [(i, (i * 2654435761) % (1 << 63)) for i in range(200)]
+    df = spark.createDataFrame(rows, "media_id long, fp long")
+    capped = build_jobs(lambda: hamming_pairs(df, "fp", "media_id"))
+    uncapped = build_jobs(
+        lambda: hamming_pairs(df, "fp", "media_id", max_bucket=None)
+    )
+    assert capped == uncapped == 1  # the materialize of h, nothing else
+    tel: dict = {}
+    with_tel = build_jobs(
+        lambda: hamming_pairs(df, "fp", "media_id", telemetry=tel)
+    )
+    # materialize + the eager hot count (AQE may split the count into
+    # several stage-jobs; the pin is "strictly more than lazy", not an
+    # AQE-internal job tally)
+    assert with_tel > capped
+    assert tel["hot_buckets_dropped"] == 0
