@@ -25,13 +25,14 @@ never shuffles; near-dup: banded MinHash-LSH candidates, no all-pairs;
 shuffle: keyed permutation consumed by packing's shard window; packing:
 per-shard cumsum window).
 
-Action discipline (the 100 TB property): the recipe fires multiple
-actions (attrition counts + the final chunk aggregate) but each
-pipeline stage EXECUTES once — the quality-funnel counts come from one
-conditional-agg scan (``filter_funnel``), every corpus-sized stage
-product is persisted before anything counts it (and unpersisted as
-soon as the next stage materializes), so the MinHash-LSH candidate
-join runs exactly once per call. Pinned by
+Action discipline (the 100 TB property): each pipeline stage EXECUTES
+once — the quality-funnel counts come from one conditional-agg scan
+(``filter_funnel``), every corpus-sized stage product is persisted
+exactly once, and (round 15) no stage pays a dedicated count()
+materialization pass: the next stage's own checkpoint action computes
+the pending frame (filling its cache as a side effect), the attrition
+counts are settled afterwards from the cache, and each frame is
+released as soon as its successor is materialized. Pinned by
 ``test_curate_executes_lineage_once`` with a source-scan counter.
 
 Plan-growth discipline (round-7 finding): every dedup/filter stage
@@ -509,10 +510,49 @@ def curate_documents(
         },
         lambda: exact_dedup(clean).select(F.col("keep_id").alias("doc_id")),
     )
-    exact = clean.join(keep, "doc_id", "left_semi").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    n_exact = exact.count()
+
+    # Round-15 fold discipline (guide §1.2/§2.4): every corpus-sized
+    # stage product is still persisted exactly once — the stage joins
+    # and their scale shape are unchanged — but no stage pays a
+    # dedicated count() materialization pass any more. Stage
+    # consumption is strictly sequential and every stage reads its
+    # input in full, so the NEXT stage's own checkpoint action computes
+    # the pending frame and fills its cache as a side effect; the
+    # attrition counts then read straight from the cache (a cheap
+    # in-memory scan, settled after each eager action) and each frame
+    # is released as soon as its successor is materialized. Net: ONE
+    # corpus-sized pass per stage instead of two, identical stage
+    # products, identical counts (the same frames, counted later).
+    # When several LAZY stages stack between eager actions (span +
+    # substring), their products compute in one fused pass and up to
+    # that many frames are cache-resident together — MEMORY_AND_DISK
+    # spills the overflow, the documented trade for the removed passes.
+    pending: list[tuple[str, DataFrame]] = []
+    stage_counts: dict[str, int] = {}
+
+    def _push(label: str, frame: DataFrame) -> DataFrame:
+        f = frame.persist(StorageLevel.MEMORY_AND_DISK)
+        pending.append((label, f))
+        return f
+
+    def _settle() -> None:
+        """After an eager action: every pending frame is in the newest
+        frame's lineage and is now materialized — count each from
+        cache, release all but the newest (downstream still reads it).
+        On a run_dir RESUME a skipped stage fires no action, so a
+        count here may be the computation itself — exactly the pass
+        the pre-round-15 shape always paid."""
+        while len(pending) > 1:
+            label, f = pending.pop(0)
+            if label not in stage_counts:
+                stage_counts[label] = f.count()
+            f.unpersist()
+        if pending:
+            label, f = pending[0]
+            if label not in stage_counts:
+                stage_counts[label] = f.count()
+
+    exact = _push("exact", clean.join(keep, "doc_id", "left_semi"))
 
     # near-dup stage. Default policy: every higher id of a >=
     # threshold pair goes — transitive chains collapse to their
@@ -531,9 +571,8 @@ def curate_documents(
             .select(F.col("id_b").alias("doc_id"))
             .distinct(),
         )
-        deduped = exact.join(drop, "doc_id", "left_anti").persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        _settle()
+        deduped = _push("near", exact.join(drop, "doc_id", "left_anti"))
     else:
         # quality-aware survivor: resolve pair edges into clusters
         # (iterative min-label CC — pairs only, not the corpus) and
@@ -563,14 +602,12 @@ def curate_documents(
             {"threshold": near_dup_threshold, "policy": near_dup_policy},
             _cc_clusters,
         )
+        _settle()
         n_cc_iter = cc_tel.get("iterations")  # None on checkpoint reuse
-        deduped = select_cluster_representatives(exact, clusters).persist(
-            StorageLevel.MEMORY_AND_DISK
+        deduped = _push(
+            "near", select_cluster_representatives(exact, clusters)
         )
-    n_near = deduped.count()  # materializes deduped; exact can go
-    exact.unpersist()
 
-    n_sem: int | None = None
     if embeddings is not None:
         # SemDeDup over the SURVIVORS' embeddings only (semi-join
         # restricts the k-means fit + pair join to docs still alive);
@@ -593,14 +630,9 @@ def curate_documents(
             .select(F.col("id_b").alias("doc_id"))
             .distinct(),
         )
-        sem = deduped.join(sem_drop, "doc_id", "left_anti").persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        n_sem = sem.count()
-        deduped.unpersist()
-        deduped = sem
+        _settle()
+        deduped = _push("sem", deduped.join(sem_drop, "doc_id", "left_anti"))
 
-    n_decon: int | None = None
     if decon_eval_docs is not None:
         # retrieval-based decontamination: any surviving doc whose BM25
         # similarity to ANY eval doc crosses the bound goes. Index is
@@ -619,32 +651,26 @@ def curate_documents(
             .select("doc_id")
             .distinct(),
         )
-        decon = deduped.join(hits, "doc_id", "left_anti").persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        n_decon = decon.count()
-        deduped.unpersist()
-        deduped = decon
+        _settle()
+        deduped = _push("decon", deduped.join(hits, "doc_id", "left_anti"))
 
-    n_span: int | None = None
     if span_dedup_delim is not None:
         # single reference to `deduped` (no self-join) — plan growth
         # is linear here without any truncation
         span_src = deduped
-        spanned = _text(
-            "span_dedup",
-            {"delim": span_dedup_delim, "min_chars": span_min_chars},
-            lambda: dedup_spans(
-                span_src, delim=span_dedup_delim, min_chars=span_min_chars
-            )
-            .filter(F.trim(F.col("text_deduped")) != "")
-            .select("doc_id", F.col("text_deduped").alias("text")),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        n_span = spanned.count()
-        deduped.unpersist()
-        deduped = spanned
+        deduped = _push(
+            "span",
+            _text(
+                "span_dedup",
+                {"delim": span_dedup_delim, "min_chars": span_min_chars},
+                lambda: dedup_spans(
+                    span_src, delim=span_dedup_delim, min_chars=span_min_chars
+                )
+                .filter(F.trim(F.col("text_deduped")) != "")
+                .select("doc_id", F.col("text_deduped").alias("text")),
+            ),
+        )
 
-    n_substr: int | None = None
     if substring_min_tokens is not None:
         # Lee-et-al exact substring dedup: corpus-global duplicated
         # passages >= the threshold survive only at their first
@@ -663,14 +689,13 @@ def curate_documents(
         # (materialize's never-payloads rule); this one stage accepts
         # a single 2x plan reference to `deduped` — a constant factor,
         # not the per-stage doubling the id-set truncation prevents
-        sub = deduped.drop("text").join(sub, "doc_id", "inner").persist(
-            StorageLevel.MEMORY_AND_DISK
+        # (the 2x reference is computed once even when the input frame
+        # is persisted-but-unfilled: cache partition locks serialize
+        # the two subtrees' first touch)
+        deduped = _push(
+            "substr", deduped.drop("text").join(sub, "doc_id", "inner")
         )
-        n_substr = sub.count()
-        deduped.unpersist()
-        deduped = sub
 
-    n_ppl: int | None = None
     if ppl_lm is not None:
         # the n-gram explode + model joins execute during this
         # checkpoint — once; ids only, flat join side
@@ -685,12 +710,10 @@ def curate_documents(
             )
             .select("doc_id"),
         )
-        filtered = deduped.join(keep_ppl, "doc_id", "left_semi").persist(
-            StorageLevel.MEMORY_AND_DISK
+        _settle()
+        deduped = _push(
+            "ppl", deduped.join(keep_ppl, "doc_id", "left_semi")
         )
-        n_ppl = filtered.count()
-        deduped.unpersist()
-        deduped = filtered
 
     # model-based quality gate (the FineWeb-Edu / CCNet-classifier
     # recipe): a trained logistic probe over hashed text features
@@ -699,7 +722,6 @@ def curate_documents(
     # PAIR; probe_dim must match the training featurization (the only
     # train/score coupling — there is no vocabulary artifact). Blank
     # docs score NULL and drop (no usable signal clears no threshold).
-    n_probe: int | None = None
     if quality_probe is not None:
         from ..operators.features import score_text_probe
         from ..operators.inference import linear_probe_scorer
@@ -729,12 +751,10 @@ def curate_documents(
             )
             .select("doc_id"),
         )
-        filtered = deduped.join(keep_probe, "doc_id", "left_semi").persist(
-            StorageLevel.MEMORY_AND_DISK
+        _settle()
+        deduped = _push(
+            "probe", deduped.join(keep_probe, "doc_id", "left_semi")
         )
-        n_probe = filtered.count()
-        deduped.unpersist()
-        deduped = filtered
 
     # no_split switches the packer: greedy whole-document chunks
     # (T5-style) instead of concat-and-chunk splitting
@@ -755,6 +775,19 @@ def curate_documents(
         F.count_distinct("shard", "chunk_id").alias("n_chunks"),
         F.sum(tok_col).alias("tok"),
     ).collect()[0]
+
+    # the pack aggregate materialized every still-pending stage frame;
+    # settle the remaining attrition counts from cache and release all
+    # but the final corpus (the chunks frame's lineage reads it)
+    _settle()
+    n_exact = stage_counts["exact"]
+    n_near = stage_counts["near"]
+    n_sem = stage_counts.get("sem")
+    n_decon = stage_counts.get("decon")
+    n_span = stage_counts.get("span")
+    n_substr = stage_counts.get("substr")
+    n_ppl = stage_counts.get("ppl")
+    n_probe = stage_counts.get("probe")
 
     report = CurationReport(
         total=total,
