@@ -71,14 +71,29 @@ __all__ = [
 ]
 
 
+def _pq_codes_batch(
+    x: np.ndarray, cb: np.ndarray, cnorm2: np.ndarray
+) -> np.ndarray:
+    """THE PQ assignment rule, shared by the encode UDF and the fit
+    loop so they cannot diverge: per subspace the argmin of
+    exact-integer ``|c|^2 - 2 x.c`` (the x-norm term is constant per
+    row); numpy ``argmin`` takes the FIRST minimum, i.e. ties break to
+    the lowest codeword id. ``x`` is (rows, m, dsub) int64; returns
+    (rows, m) int64 codeword ids."""
+    m = cb.shape[0]
+    codes = np.empty((x.shape[0], m), dtype=np.int64)
+    for s in range(m):
+        score = cnorm2[s][None, :] - 2 * (x[:, s, :] @ cb[s].T)
+        codes[:, s] = np.argmin(score, axis=1)
+    return codes
+
+
 def _pq_assign_udf(codebooks: np.ndarray):
     """Arrow-batched PQ assignment: QUANTIZED vectors (array<long>,
     ``quantize_vec_long``) -> ``array<smallint>`` of m per-subspace
-    codeword ids. Per subspace the argmin of exact-integer
-    ``|c|^2 - 2 x.c`` (the x-norm term is constant per row); numpy
-    ``argmin`` takes the FIRST minimum, i.e. ties break to the lowest
-    codeword id — the same rule as the IVF assign. All products stay
-    below 2^53, so the gemm is exact and engine-independent."""
+    codeword ids (``_pq_codes_batch`` is the assignment rule — the
+    same one the fit loop uses). All products stay below 2^53, so the
+    gemm is exact and engine-independent."""
     from pyspark.sql.functions import pandas_udf
 
     cb = np.ascontiguousarray(codebooks, dtype=np.int64)
@@ -95,13 +110,7 @@ def _pq_assign_udf(codebooks: np.ndarray):
         out[~mask] = None
         if mask.any():
             x = np.stack(arrs[mask]).astype(np.int64).reshape(-1, m, dsub)
-            for s in range(m):
-                # score = |c|^2 - 2 x.c  (exact int64); argmin first-hit
-                score = cnorm2[s][None, :] - 2 * (x[:, s, :] @ cb[s].T)
-                codes_s = np.argmin(score, axis=1).astype("int16")
-                if s == 0:
-                    codes = np.empty((x.shape[0], m), dtype="int16")
-                codes[:, s] = codes_s
+            codes = _pq_codes_batch(x, cb, cnorm2).astype("int16")
             for j, i in enumerate(np.nonzero(mask)[0]):
                 out[i] = codes[j]
         return pd.Series(out)
@@ -159,37 +168,74 @@ def pq_fit_codebooks(
     cb = np.array([r["_qv"] for r in seed_rows], dtype=np.int64).reshape(
         n_codes, m, dsub
     ).transpose(1, 0, 2).copy()  # (m, k, dsub)
+    # Round 15 (guide §2.3/§2.4): the update step used to posexplode
+    # every vector into dim rows and shuffle a groupBy(sub, code,
+    # possub) aggregation per iteration. Codeword sums are plain
+    # integer reductions, so each task now computes its
+    # (m, n_codes, dsub) partial-sum tensor and per-(sub, code) counts
+    # INSIDE the same Arrow pass that assigns the batch (the
+    # assignment rule is the shared ``_pq_codes_batch``, so fit and
+    # encode cannot diverge), and the driver merges the per-task rows
+    # in exact Python integers. One single-stage job per iteration, no
+    # explode, no exchange; integer += is associative, so the
+    # codebooks are BIT-IDENTICAL under any partitioning — the
+    # ``test_pq_fit_partitioning_determinism`` contract is untouched.
+    k = n_codes
     for _ in range(iters):
-        assigned = src.select(
-            "_qv", _pq_assign_udf(cb)(F.col("_qv")).alias("_codes")
-        )
-        # one job for all subspaces: pos -> (sub, pos-in-sub), code
-        # looked up from the row's code array; LONG sums are exact and
-        # associative, so the fit is partitioning-deterministic
-        sums = (
-            assigned.select(
-                F.posexplode("_qv").alias("pos", "x"),
-                F.col("_codes"),
+        cbl = np.ascontiguousarray(cb, dtype=np.int64)
+        cnorm2 = (cbl * cbl).sum(axis=2)  # (m, k) int64, exact
+
+        def _partials(batches):
+            sums = np.zeros((m, k, dsub), dtype=np.int64)
+            counts = np.zeros((m, k), dtype=np.int64)
+            for pdf in batches:
+                arrs = [a for a in pdf["_qv"].to_numpy() if a is not None]
+                if not arrs:
+                    continue
+                x = np.stack(arrs).astype(np.int64).reshape(-1, m, dsub)
+                codes = _pq_codes_batch(x, cbl, cnorm2)
+                for s in range(m):
+                    np.add.at(sums[s], codes[:, s], x[:, s, :])
+                    counts[s] += np.bincount(codes[:, s], minlength=k)
+            sub_idx, code_idx = np.nonzero(counts)
+            if not len(sub_idx):
+                return  # empty partition — yield no batch at all
+            yield pd.DataFrame(
+                {
+                    "sub": sub_idx.astype("int32"),
+                    "code": code_idx.astype("int32"),
+                    "n": counts[sub_idx, code_idx],
+                    "s": pd.Series(
+                        [
+                            sums[s_, c_].tolist()
+                            for s_, c_ in zip(sub_idx, code_idx)
+                        ],
+                        dtype=object,
+                    ),
+                }
             )
-            .select(
-                (F.col("pos") / dsub).cast("int").alias("sub"),
-                F.element_at(
-                    "_codes", (F.col("pos") / dsub).cast("int") + 1
-                ).alias("code"),
-                (F.col("pos") % dsub).alias("possub"),
-                "x",
-            )
-            .groupBy("sub", "code", "possub")
-            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+
+        rows = (
+            src.select("_qv")
+            .mapInPandas(_partials, "sub int, code int, n long, s array<long>")
             .collect()
         )
-        # copy-then-overwrite: a (sub, code) with any assigned row
-        # contributes every possub, so non-empty codewords are fully
-        # rewritten; empty codewords keep their previous value
+        agg: dict[tuple[int, int], tuple[int, list[int]]] = {}
+        for r in rows:
+            key = (r["sub"], r["code"])
+            if key in agg:
+                n0, s0 = agg[key]
+                agg[key] = (n0 + r["n"], [a + b for a, b in zip(s0, r["s"])])
+            else:
+                agg[key] = (r["n"], list(r["s"]))
+        # copy-then-overwrite: a (sub, code) with any assigned row is
+        # fully rewritten; empty codewords keep their previous value
         new_cb = cb.copy()
-        for r in sums:
+        for (s_, c_), (n, svec) in agg.items():
             # Python // floor division — exact on the integer grid
-            new_cb[r["sub"], r["code"], r["possub"]] = r["s"] // r["n"]
+            new_cb[s_, c_] = np.array(
+                [v // n for v in svec], dtype=np.int64
+            )
         cb = new_cb
     return cb
 

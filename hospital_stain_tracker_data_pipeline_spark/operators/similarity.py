@@ -575,7 +575,22 @@ def ivf_fit_centroids(
     the per-iteration jobs re-scan a materialized compact frame, not
     the original lineage. ``prepared`` (round 14): a caller that
     already holds the ``_quantized_ids`` projection passes it here so
-    the corpus is not re-read and re-quantized per fit."""
+    the corpus is not re-read and re-quantized per fit.
+
+    Round 15 (guide §2.3/§2.4 — aggregate before you shuffle, then
+    remove the shuffle outright): the update step used to posexplode
+    every vector into dim rows and shuffle a groupBy(cluster, pos)
+    aggregation per iteration. Cluster sums are plain integer
+    reductions, so each task now computes its k×dim partial-sum matrix
+    and per-cluster counts INSIDE the same Arrow pass that assigns the
+    batch (``np.add.at`` over the gemm's argmax — the assignment rule
+    is the shared ``_ivf_topn_batch``, so fit and serving assignments
+    cannot diverge), and the driver merges ~k rows per task in exact
+    Python integers. One single-stage job per iteration, no explode,
+    no exchange; integer += is associative, so the centroids are
+    BIT-IDENTICAL under any partitioning — the
+    ``test_ivf_partitioning_determinism`` / oracle-replay contract is
+    untouched."""
     src = (
         prepared
         if prepared is not None
@@ -589,35 +604,77 @@ def ivf_fit_centroids(
     )
     centroids = np.array([r["_qv"] for r in seed_rows], dtype=np.int64)
     for _ in range(iters):
-        assigned = src.select(
-            "_qv", ivf_assign_udf(centroids)(F.col("_qv")).alias("cluster")
-        )
-        sums = (
-            assigned.select("cluster", F.posexplode("_qv").alias("pos", "x"))
-            .groupBy("cluster", "pos")
-            # exact-integer sum: quantized components are ≤1e6-scaled
-            # LONGs, so the shuffle-order of the partial aggregates
-            # cannot perturb the result (float += is not associative;
-            # integer += is) — this is what makes the fit
-            # partitioning-deterministic AND oracle-replayable
-            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+        c = np.ascontiguousarray(centroids, dtype=np.int64)
+        cnorm = _ivf_centroid_norms(c)
+        k, dim = c.shape
+
+        def _partials(batches):
+            sums = np.zeros((k, dim), dtype=np.int64)
+            counts = np.zeros(k, dtype=np.int64)
+            for pdf in batches:
+                arrs = [a for a in pdf["_qv"].to_numpy() if a is not None]
+                if not arrs:
+                    continue
+                x = np.stack(arrs).astype(np.int64)
+                assign = _ivf_topn_batch(x, c, cnorm, 1)[:, 0]
+                np.add.at(sums, assign, x)
+                counts += np.bincount(assign, minlength=k)
+            hit = np.nonzero(counts)[0]
+            if not len(hit):
+                return  # empty partition — yield no batch at all
+            yield pd.DataFrame(
+                {
+                    "cluster": hit.astype("int32"),
+                    "n": counts[hit],
+                    "s": pd.Series(
+                        [sums[i].tolist() for i in hit], dtype=object
+                    ),
+                }
+            )
+
+        rows = (
+            src.select("_qv")
+            .mapInPandas(_partials, "cluster int, n long, s array<long>")
             .collect()
         )
+        agg: dict[int, tuple[int, list[int]]] = {}
+        for r in rows:
+            if r["cluster"] in agg:
+                n0, s0 = agg[r["cluster"]]
+                agg[r["cluster"]] = (
+                    n0 + r["n"],
+                    [a + b for a, b in zip(s0, r["s"])],
+                )
+            else:
+                agg[r["cluster"]] = (r["n"], list(r["s"]))
         new_c = centroids.copy()
-        by_cluster: dict[int, list] = {}
-        for r in sums:
-            by_cluster.setdefault(r["cluster"], []).append(r)
-        for c, rows in by_cluster.items():
-            vec = np.zeros(centroids.shape[1], dtype=np.int64)
-            for r in rows:
-                # Python // is floor division — identical to the
-                # oracle's floor(CAST(s AS DOUBLE)/n): |s| < 2^53 and
-                # n ≤ corpus rows keep the float quotient > 1 ulp away
-                # from any unattained integer
-                vec[r["pos"]] = r["s"] // r["n"]
-            new_c[c] = vec
+        for cl, (n, svec) in agg.items():
+            # Python // is floor division — identical to the oracle's
+            # floor(CAST(s AS DOUBLE)/n); driver merge in Python ints
+            # can never overflow (per-task int64 partials are bounded
+            # by partition rows × 1e6-scaled components)
+            new_c[cl] = np.array([s // n for s in svec], dtype=np.int64)
         centroids = new_c
     return centroids
+
+
+def _ivf_centroid_norms(c: np.ndarray) -> np.ndarray:
+    """float64 L2 norms of the int64 centroid matrix; a zero centroid
+    gets norm 1 so its score is 0 (not NaN)."""
+    cnorm = np.sqrt((c.astype(np.float64) ** 2).sum(axis=1))
+    cnorm[cnorm == 0.0] = 1.0
+    return cnorm
+
+
+def _ivf_topn_batch(
+    x: np.ndarray, c: np.ndarray, cnorm: np.ndarray, nprobe: int
+) -> np.ndarray:
+    """THE IVF assignment rule, shared by the serving UDF and the fit
+    loop so they cannot diverge: score = intdot(x, c_j) / |c_j| (exact
+    int64 gemm, correctly-rounded IEEE divide), top-``nprobe`` via
+    stable argsort — ties to the lowest cluster id."""
+    sims = (x @ c.T).astype(np.float64) / cnorm  # exact int dot
+    return np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
 
 
 def ivf_assign_udf(centroids: np.ndarray, nprobe: int = 1):
@@ -631,8 +688,7 @@ def ivf_assign_udf(centroids: np.ndarray, nprobe: int = 1):
     from pyspark.sql.functions import pandas_udf
 
     c = np.ascontiguousarray(centroids, dtype=np.int64)
-    cnorm = np.sqrt((c.astype(np.float64) ** 2).sum(axis=1))
-    cnorm[cnorm == 0.0] = 1.0  # zero centroid ⇒ score 0 (not NaN)
+    cnorm = _ivf_centroid_norms(c)
 
     @pandas_udf("array<int>")
     def _assign(emb: pd.Series) -> pd.Series:
@@ -644,8 +700,7 @@ def ivf_assign_udf(centroids: np.ndarray, nprobe: int = 1):
         out[~mask] = None
         if mask.any():
             x = np.stack(arrs[mask]).astype(np.int64)
-            sims = (x @ c.T).astype(np.float64) / cnorm  # exact int dot
-            top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            top = _ivf_topn_batch(x, c, cnorm, nprobe)
             for j, i in enumerate(np.nonzero(mask)[0]):
                 out[i] = top[j].astype("int32")
         return pd.Series(out)
