@@ -23,11 +23,12 @@ Spark-first shapes, exact-integer arithmetic end-to-end:
   dictionary+RLE encodes them near the 1-byte ideal; ``pack_codes``/
   ``unpack_codes`` give the literal m-byte ``binary`` for byte-budget
   sinks;
-- ADC is DataFrame-native: the per-query distance table is a
-  ``q x m x n_codes``-row frame (tiny -> broadcast), the corpus codes
-  explode to ``(vec_id, sub, code)`` and equi-join the table with NO
-  shuffle on the corpus side; one partial-aggregated groupBy sums the
-  ``m`` lookups. Distances are exact int64 on the 1e-12 grid (squared
+- ADC scoring stays on the corpus partitions: the per-query distance
+  table is a driver-side ``q x m x n_codes`` int64 tensor (tiny — the
+  same bytes the pre-round-15 broadcast-joined table frame shipped)
+  and each candidate is scored with ``m`` numpy lookups inside one
+  Arrow pass — no posexplode, no join, no (query, id) re-aggregation
+  shuffle. Distances are exact int64 on the 1e-12 grid (squared
   L2 of 1e-6-quantized values), so results are bit-replayable by any
   engine and partitioning-invariant.
 
@@ -314,92 +315,146 @@ def unpack_codes(col: Column, m: int) -> Column:
     )
 
 
-def _adc_table(
+def _adc_table_np(
     query: DataFrame,
     codebooks: np.ndarray,
     query_id_col: str,
     vec_col: str,
-) -> DataFrame:
-    """The per-query ADC lookup table as a FRAME: one row per
-    (query, sub, code) with the exact-integer partial squared-L2
-    between the query's quantized subvector and the codeword, on the
-    1e-12 grid. q x m x n_codes rows — broadcast-sized by
-    construction."""
-    cb = np.ascontiguousarray(codebooks, dtype=np.int64)
-    from ..session import local_rows_df
+):
+    """The per-query ADC lookup table as a DRIVER-SIDE numpy tensor:
+    ``(qids, tbl, qid_type)`` with ``tbl[qi, sub, code]`` the
+    exact-integer partial squared-L2 between query qi's quantized
+    subvector and the codeword, on the 1e-12 grid. The table was
+    ALWAYS broadcast-sized by construction (q × m × n_codes); before
+    round 15 it was a driver-local FRAME whose broadcast build
+    collected the same bytes to the driver anyway, re-evaluating the
+    frame per build — computing it directly in numpy removes that
+    frame plus the per-(sub, code) join that produced it. Queries with
+    a NULL embedding are excluded (same as the old explode dropping
+    them): their candidates score NULL and are filtered out.
 
-    m, k, dsub = cb.shape
-    spark = query.sparkSession
-    # model-sized driver-local rows → one slice (the broadcast build
-    # below re-evaluates this frame; 32 pickled slices would be 32
-    # Python-worker round trips per build)
-    cw = local_rows_df(
-        spark,
-        [
-            (s, c, [int(v) for v in cb[s, c, :]])
-            for s in range(m)
-            for c in range(k)
-        ],
-        "sub int, code smallint, cw array<long>",
-    )
-    qsubs = query.select(
-        F.col(query_id_col),
+    Exactness: |q-c| <= 2e6, so each partial is below dsub·4e12 —
+    far below 2^53; the int64 arithmetic here is identical to the old
+    zip_with/aggregate expression."""
+    cb = np.ascontiguousarray(codebooks, dtype=np.int64)
+    m, kk, dsub = cb.shape
+    rows = query.select(
+        F.col(query_id_col).alias("_qid"),
         quantize_vec_long(F.col(vec_col)).alias("_qv"),
-    ).select(
-        query_id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda s: F.struct(
-                    s.cast("int").alias("sub"),
-                    F.slice("_qv", s * dsub + 1, dsub).alias("qsub"),
-                ),
-            )
-        ).alias("e"),
-    ).select(query_id_col, "e.sub", "e.qsub")
-    # exact int64: (q_i - c_i)^2 summed over the subspace; |q-c| <=
-    # 2e6, dsub * 4e12 stays far below 2^63 (and each partial below
-    # 2^53, so any downstream double conversion is exact too)
-    pdist = F.aggregate(
-        F.zip_with(
-            "qsub", "cw", lambda q, c: (q - c) * (q - c)
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    ).collect()
+    qid_type = query.schema[query_id_col].dataType.simpleString()
+    qids = []
+    mats = []
+    for r in rows:
+        if r["_qv"] is None:
+            continue
+        qids.append(r["_qid"])
+        qv = np.asarray(r["_qv"], dtype=np.int64).reshape(m, dsub)
+        diff = qv[:, None, :] - cb  # (m, k, dsub)
+        mats.append((diff * diff).sum(axis=2))
+    tbl = (
+        np.stack(mats)
+        if mats
+        else np.zeros((0, m, kk), dtype=np.int64)
     )
-    return qsubs.join(cw, "sub").select(
-        query_id_col, "sub", "code", pdist.alias("pdist")
-    )
+    return qids, tbl, qid_type
 
 
 def _adc_topk(
     codes: DataFrame,
-    table: DataFrame,
+    qids: list,
+    tbl: np.ndarray,
+    qid_type: str,
     k: int,
     id_col: str,
     query_id_col: str,
     per_query: bool,
     exclude_self: bool = True,
 ) -> DataFrame:
-    """Shared ADC scoring tail: explode codes to (sub, code), broadcast
-    the table join, sum the m lookups, window top-k per query (distance
-    ascending, ties to the lowest id). ``per_query=False`` means the
-    code frame carries no query column — the (sub, code) join fans each
-    corpus row out to every query (the full-scan path);
-    ``per_query=True`` joins on query_id too (the IVF-probed path,
-    where candidates are already per-query)."""
+    """Shared ADC scoring tail: score each candidate with ``m`` numpy
+    table lookups inside one Arrow pass (the table rides the UDF
+    closure — model-sized, the same bytes the pre-round-15 broadcast
+    join shipped), then window top-k per query (distance ascending,
+    ties to the lowest id). The old shape posexploded every candidate
+    into m rows, broadcast-joined the table frame and re-aggregated
+    the partials — a cand×m explode plus a full (query, id) shuffle
+    that pure per-row arithmetic never needed (guide §2.4/§4.2).
+    Integer sums are exact, so the distances — and the top-k — are
+    bit-identical. ``per_query=False`` means the code frame carries no
+    query column: each corpus row fans out to every query inside the
+    scoring pass (the full-scan path); ``per_query=True`` scores the
+    already-per-query candidates row-wise."""
     from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
 
-    lead = [query_id_col] if per_query else []
-    exploded = codes.select(
-        *lead,
-        F.col(id_col),
-        F.posexplode("pq_code").alias("sub", "code"),
-    )
-    scored = exploded.join(F.broadcast(table), lead + ["sub", "code"])
-    agg = scored.groupBy(query_id_col, id_col).agg(
-        F.sum("pdist").alias("_adc")
-    )
+    m = tbl.shape[1]
+    sub_idx = np.arange(m)
+    if per_query:
+        qindex = {q: i for i, q in enumerate(qids)}
+
+        @pandas_udf("long")
+        def _score(qid: pd.Series, pcodes: pd.Series) -> pd.Series:
+            out = np.empty(len(qid), dtype=object)
+            if len(qid):
+                qi = qid.map(qindex)
+                cod = pcodes.to_numpy()
+                valid = qi.notna().to_numpy() & np.array(
+                    [c is not None for c in cod], dtype=bool
+                )
+                if valid.any():
+                    c = np.stack(cod[valid]).astype(np.int64)
+                    qiv = qi.to_numpy()[valid].astype(np.int64)
+                    vals = tbl[qiv[:, None], sub_idx[None, :], c].sum(
+                        axis=1
+                    )
+                    for j, i in enumerate(np.nonzero(valid)[0]):
+                        out[i] = int(vals[j])
+            return pd.Series(out)
+
+        scored = codes.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            _score(F.col(query_id_col), F.col("pq_code")).alias("_adc"),
+        ).filter(F.col("_adc").isNotNull())
+    else:
+        id_type = codes.schema[id_col].dataType.simpleString()
+        qid_list = list(qids)
+
+        def _score_all(batches):
+            for pdf in batches:
+                cod = pdf["pq_code"].to_numpy()
+                valid = np.array(
+                    [c is not None for c in cod], dtype=bool
+                )
+                if not valid.any():
+                    continue
+                c = np.stack(cod[valid]).astype(np.int64)  # (R, m)
+                ids = pdf[id_col].to_numpy()[valid]
+                frames = []
+                for q in range(tbl.shape[0]):
+                    s = tbl[q][sub_idx[None, :], c].sum(axis=1)
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "_q": [qid_list[q]] * len(ids),
+                                "_i": ids,
+                                "_adc": s,
+                            }
+                        )
+                    )
+                if frames:
+                    yield pd.concat(frames, ignore_index=True)
+
+        scored = (
+            codes.select(F.col(id_col), F.col("pq_code"))
+            .mapInPandas(
+                _score_all,
+                f"_q {qid_type}, _i {id_type}, _adc long",
+            )
+            .withColumnRenamed("_q", query_id_col)
+            .withColumnRenamed("_i", id_col)
+        )
+    agg = scored
     # self-exclusion BEFORE the window: a self-match must not consume
     # one of the k slots (same rule as knn_ivf). Disabled for
     # external-query callers whose query-id domain is disjoint from the
@@ -450,11 +505,13 @@ def knn_pq(
     pins the bit-exact numpy replay). For normalized embeddings
     squared L2 = 2 - 2 cos, so the ADC ranking approximates the cosine
     ranking the brute-force baseline uses."""
-    table = _adc_table(query, codebooks, query_id_col, vec_col)
+    qids, tbl, qid_type = _adc_table_np(
+        query, codebooks, query_id_col, vec_col
+    )
     codes = corpus_codes.filter(F.col("pq_code").isNotNull())
     return _adc_topk(
-        codes, table, k, id_col, query_id_col, per_query=False,
-        exclude_self=exclude_self,
+        codes, qids, tbl, qid_type, k, id_col, query_id_col,
+        per_query=False, exclude_self=exclude_self,
     )
 
 
@@ -1164,13 +1221,13 @@ def search_ann_index(
             )
         ).alias("cell"),
     )
-    table = _adc_table(query, cb, query_id_col, vec_col)
+    qids, tbl, qid_type = _adc_table_np(query, cb, query_id_col, vec_col)
     # self-exclusion happens once, inside _adc_topk (before its top-k
     # window) — no duplicate pre-filter on the candidate join
     cand = probes.join(codes, "cell").select(query_id_col, id_col, "pq_code")
     return _adc_topk(
-        cand, table, k, id_col, query_id_col, per_query=True,
-        exclude_self=exclude_self,
+        cand, qids, tbl, qid_type, k, id_col, query_id_col,
+        per_query=True, exclude_self=exclude_self,
     )
 
 
@@ -1244,10 +1301,10 @@ def knn_ivf_pq(
             )
         ).alias("cell"),
     )
-    table = _adc_table(query, cb, query_id_col, vec_col)
+    qids, tbl, qid_type = _adc_table_np(query, cb, query_id_col, vec_col)
     # self-exclusion happens once, inside _adc_topk (see search_ann_index)
     cand = probes.join(encoded, "cell").select(query_id_col, id_col, "pq_code")
     return _adc_topk(
-        cand, table, k, id_col, query_id_col, per_query=True,
-        exclude_self=exclude_self,
+        cand, qids, tbl, qid_type, k, id_col, query_id_col,
+        per_query=True, exclude_self=exclude_self,
     )
