@@ -79,7 +79,9 @@ def _initial_symbols(hist: DataFrame) -> DataFrame:
 def _merge_pair_expr(a: str, b: str) -> Column:
     """Left-to-right greedy fold merging adjacent (a, b) → a+b inside a
     symbol array — pure expression form, kept as the executable
-    specification ``_apply_merges_udf`` is pinned against. Not used in
+    specification ``_apply_merges_udf`` is pinned against
+    (``test_merge_pair_expr_matches_apply_merges_udf`` folds both over
+    the same fixtures, round 15). Not used in
     the training loop: ``F.aggregate``'s fold copies the accumulator
     array per element (interpreted, outside codegen), making one merge
     O(len²) per word."""
@@ -102,8 +104,10 @@ def _apply_merges_udf(chosen: list[tuple[str, str]]):
     """Arrow-batched application of one round's chosen merges, in
     order: for each (a, b) one left-to-right greedy fold over the
     symbol sequence — value-identical to folding the
-    ``_merge_pair_expr`` expression per pair (the pure-Python-reference
-    tests pin both). The expression chain ran interpreted higher-order
+    ``_merge_pair_expr`` expression per pair
+    (``test_merge_pair_expr_matches_apply_merges_udf`` pins the two
+    forms against each other; the pure-Python-reference tests pin the
+    training loop's output). The expression chain ran interpreted higher-order
     aggregates that copy the accumulator array per element — O(len²)
     per word PER MERGE outside codegen; here the whole round is one
     Arrow batch crossing and a plain O(len · merges) loop (guide

@@ -114,7 +114,18 @@ def hashed_shingles64(text: Column, k: int = 3) -> Column:
     post-hash distinct set (internally consistent by construction), and
     a 60-bit collision perturbing Jaccard needs ~2^30 distinct shingles
     in one corpus (birthday bound n²/2^61) vs ~10^5 for 31 bits.
-    Self-join shuffles carry longs, not shingle strings."""
+    Self-join shuffles carry longs, not shingle strings.
+
+    Round 15: the HOF-interpreted md5 chain here was A/B'd against two
+    whole-stage-codegen escapes at sf0.1 (an Arrow/hashlib UDF over
+    the JVM-normalized text, and an exploded flat-column md5 rebuilt
+    with collect_list) and WON both — noop-forced medians 0.28 s vs
+    0.48-0.6 s (UDF) vs ~0.5 s (exploded + rebuild shuffle; whose
+    collect_list order is shuffle-dependent besides). md5/conv are
+    JVM intrinsics, so only the per-element HOF dispatch is
+    interpreted — this pass is ~0.3 s of the ~2 s dedup queries, not
+    the dominant stage. Kept as-is deliberately; see
+    OPTIMIZATION_r15.md."""
     return F.array_distinct(
         F.transform(word_shingles(text, k), lambda s: _hex_to_long(F.md5(s)))
     )
@@ -1515,8 +1526,14 @@ def connected_components_min_label(
         # full join + union + groupBy + checkpoint + convergence-agg
         # cycle per call, and the node-set distinct the old identity
         # init paid is absorbed into the same aggregation. Counted in
-        # ``iterations`` as round 1 — the telemetry semantics are
-        # unchanged.
+        # ``iterations`` as round 1. Telemetry caveat (round-15 review
+        # finding): a graph ALREADY at the identity fixpoint (e.g.
+        # self-loop-only edges) now reports iterations=2 where the
+        # unfused form reported 1 — the fused init cannot observe
+        # "nothing changed" the way an explicit first round could, so
+        # one extra (cheap, converging) propagation round runs. Labels
+        # are identical; only the round count for that degenerate
+        # shape differs.
         labels = (
             sym.groupBy("a")
             .agg(F.min("b").alias("_minb"))

@@ -449,7 +449,16 @@ def ann_lsh_pairs(
     # but nothing ENFORCED it — now an out-of-contract embedding fails
     # fast instead of flipping a 6-decimal cosine.
     _f32_exact = F.lit(float(1 << 24))
-    _amax = F.array_max(F.transform(F.col("_q"), lambda x: F.abs(x)))
+    # coalesce(0): a zero-length (or all-NULL-component) quantized
+    # vector makes array_max NULL, which must PASS the guard — such
+    # rows produce a NULL/NaN cosine the threshold filter drops, the
+    # pre-float32 behavior — rather than fall through to a misleading
+    # ">= 2^24" raise (round-15 review finding). Only a genuine
+    # out-of-contract magnitude raises.
+    _amax = F.coalesce(
+        F.array_max(F.transform(F.col("_q"), lambda x: F.abs(x))),
+        F.lit(0.0),
+    )
     _q_checked = F.when(_amax < _f32_exact, F.col("_q")).otherwise(
         F.raise_error(
             F.concat(

@@ -795,19 +795,26 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     already grouped by doc. ln() applied to the same integer ratio on
     both engines is bit-identical; the score is rounded to 6 anyway."""
     docs = load_fixture_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar, driver-side (aggregated result)
+    # N stays IN the plan (round 15): the old driver-side docs.count()
+    # was a whole extra job + scan per invocation; a broadcast 1-row
+    # aggregate joins the same scalar in, and cast-to-double division
+    # feeds log() the identical float64 — values bit-equal (the oracle
+    # already computes N as a CTE).
+    n = docs.agg(F.count("*").alias("_n_docs"))
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token")
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df = tf.groupBy("token").agg(F.count("*").alias("df"))
-    scored = tf.join(F.broadcast(df), "token").select(
+    scored = tf.join(F.broadcast(df), "token").join(F.broadcast(n)).select(
         "doc_id",
         "token",
         "tf",
         "df",
         F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            F.col("tf")
+            * F.log(F.col("_n_docs").cast("double") / F.col("df")),
+            6,
         ).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))

@@ -215,3 +215,38 @@ def test_tokenizer_efficiency_empty_corpus_zero_row(spark):
     [row] = tokenizer_efficiency(empty, [("a", "b")]).collect()
     assert (row["n_words"], row["n_tokens"], row["n_word_bytes"]) == (0, 0, 0)
     assert row["bytes_per_token"] is None  # 0/0 -> NULL under try-less div
+
+
+def test_merge_pair_expr_matches_apply_merges_udf(spark):
+    """The pure-expression fold ``_merge_pair_expr`` is the executable
+    specification of ``_apply_merges_udf`` (round-15 review finding:
+    the docstring claimed a pin that no test actually exercised).
+    Folding the expression once per merge, in order, must produce the
+    same symbol arrays as the UDF applying the whole merge list —
+    including overlap edge cases (aa+aa on aaaa, chained merges whose
+    later pair consumes an earlier pair's output, NULL rows)."""
+    from hospital_stain_tracker_data_pipeline_spark.operators.bpe import (
+        _apply_merges_udf,
+        _merge_pair_expr,
+    )
+
+    rows = [
+        (["l", "o", "w", "</w>"],),
+        (["l", "o", "w", "e", "r", "</w>"],),
+        (["a", "a", "a", "a", "</w>"],),   # greedy overlap: aa aa
+        (["a", "a", "a", "</w>"],),        # odd run: aa a
+        (["lo", "w", "lo", "w", "</w>"],), # pre-merged symbols
+        ([],),                              # empty sequence
+        (None,),                            # NULL row
+    ]
+    df = spark.createDataFrame(rows, "syms array<string>")
+    merges = [("l", "o"), ("a", "a"), ("lo", "w"), ("low", "</w>")]
+
+    via_expr = df
+    for a, b in merges:
+        via_expr = via_expr.select(_merge_pair_expr(a, b).alias("syms"))
+    via_udf = df.select(_apply_merges_udf(merges)(F.col("syms")).alias("syms"))
+
+    got_expr = [r.syms for r in via_expr.collect()]
+    got_udf = [r.syms for r in via_udf.collect()]
+    assert got_expr == got_udf
