@@ -198,19 +198,16 @@ def ngram_jaccard_pairs(
     sf0.1), so graded results are bit-identical to the uncapped
     definition.
 
-    Count-first fast path (round 14, mirrors ``_capped_banded``): the
-    hot-shingle detection runs as its own cheap ACTION first. On a
-    healthy corpus the hot set is EMPTY, and then (a) the anti-join
-    and the localCheckpoint of the full exploded token stream — a
-    write of O(total shingle occurrences) rows per call that bought
-    nothing when nothing was dropped — are skipped entirely (both
-    self-join sides recompute the explode as a cheap projection of
-    the already-checkpointed ``sets``), and (b) the per-doc set sizes
-    come straight off the materialized arrays as ``F.size`` (the
-    arrays are per-doc distinct, so size == the exploded row count),
-    removing the ``sizes`` groupBy shuffle outright. When hot shingles
-    EXIST, the previous shape runs unchanged: anti-join under one
-    checkpoint, sizes counted over the post-drop stream."""
+    Lazy cap (round 15, mirrors ``_capped_banded``): the hot-shingle
+    detection is a PLAN NODE — no per-call count() action, no
+    checkpoint of the exploded token stream. The pair join reads the
+    anti-joined stream; per-doc set sizes come off the materialized
+    arrays as ``F.size`` minus an exact per-doc hot-shingle correction
+    (the arrays are per-doc distinct, so both terms count the
+    kept-shingle universe). On a healthy corpus the hot set is empty
+    and AQE's empty-relation propagation erases the anti/semi/left
+    join trio at runtime; when hot shingles exist the same plan drops
+    them with the aggregation's exchange shared across consumers."""
     sets = materialize(
         fanout(df).select(
             F.col(id_col),
@@ -221,26 +218,51 @@ def ngram_jaccard_pairs(
     tokens = sets.select(
         F.col(id_col), F.col("_block"), F.explode("shingles").alias("h")
     )
-    dropped_any = False
     if max_df is not None:
-        # shingle arrays are per-doc distinct, so count(*) = document
-        # frequency; only the (rare) hot side materializes
+        # Round 15 — the cap is a PLAN NODE, not an action (same move
+        # as ``_capped_banded``'s lazy cap): the round-14 form ran the
+        # hot detection as its own count() job per call even though on
+        # a healthy corpus (the steady state) nothing is ever dropped.
+        # The hot aggregation now rides INSIDE the consumer's job
+        # (shingle arrays are per-doc distinct, so count(*) = document
+        # frequency); the pair join reads the anti-joined stream, and
+        # the per-doc set sizes stay O(1) off the materialized arrays
+        # with an exact correction term: |post-drop set| =
+        # size(shingles) − (# of the doc's shingles that are hot) —
+        # the SpotSigs consistency (|∩|, |A|, |B| all over the
+        # kept-shingle universe) is preserved bit-for-bit. On the
+        # healthy path AQE's empty-relation propagation collapses the
+        # anti-join, the semi-join and the left-join correction to
+        # no-ops at runtime, and the hot aggregation's exchange is
+        # canonically shared across its consumers, so the detection
+        # still executes once.
         hot = (
             tokens.groupBy("_block", "h")
             .agg(F.count("*").alias("_df"))
             .filter(F.col("_df") > max_df)
             .select("_block", "h")
         )
-        if hot.count() > 0:
-            dropped_any = True
-            tokens = materialize(
-                tokens.join(F.broadcast(hot), ["_block", "h"], "left_anti")
-            )
-    # set sizes over the SAME (post-cap) shingle universe as |∩|
-    if dropped_any:
-        sizes = tokens.groupBy(id_col, "_block").agg(
-            F.count("*").alias("n_sh")
+        dropped = (
+            tokens.join(hot, ["_block", "h"], "left_semi")
+            .groupBy(id_col, "_block")
+            .agg(F.count("*").alias("_nd"))
         )
+        sizes = (
+            sets.select(
+                F.col(id_col),
+                F.col("_block"),
+                F.size("shingles").alias("_ns"),
+            )
+            .join(dropped, [id_col, "_block"], "left")
+            .select(
+                F.col(id_col),
+                F.col("_block"),
+                (
+                    F.col("_ns") - F.coalesce(F.col("_nd"), F.lit(0))
+                ).alias("n_sh"),
+            )
+        )
+        tokens = tokens.join(hot, ["_block", "h"], "left_anti")
     else:
         sizes = sets.select(
             F.col(id_col),
@@ -1541,30 +1563,44 @@ def connected_components_min_label(
                 F.col("a").alias("node"),
                 F.least(F.col("a"), F.col("_minb")).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
     else:
         if nodes is None:  # identity init over edge-incident nodes
             nodes = sym.select(F.col("a").alias(node_col)).distinct()
         labels = nodes.select(
             F.col(node_col).alias("node"), F.col(node_col).alias("label")
-        ).localCheckpoint(eager=True)
+        )
 
     # convergence check, exact for ANY orderable id type: numeric ids
     # keep the cheap label-sum invariant (labels only ever decrease,
-    # so the sum strictly decreases until the fixpoint — one agg per
-    # iteration); non-numeric ids (string doc_ids) use a
-    # join-and-compare over the two flat checkpointed id-frames —
-    # summing strings throws under ANSI, and a hashed-sum shortcut
-    # would trade exactness for it (round-8 review finding)
+    # so the sum strictly decreases until the fixpoint); non-numeric
+    # ids (string doc_ids) use a join-and-compare over the two flat
+    # checkpointed id-frames — summing strings throws under ANSI, and
+    # a hashed-sum shortcut would trade exactness for it (round-8
+    # review finding). Round 15: for numeric ids the sum RIDES the
+    # checkpoint action as an ``observe`` metric — the checkpoint
+    # already computes every row, so the convergence sum costs zero
+    # extra Spark jobs (it used to be its own agg+collect per round:
+    # one extra action per iteration plus one for the init).
+    from pyspark.sql import Observation
     from pyspark.sql.types import NumericType
 
     numeric_ids = isinstance(
         labels.schema["label"].dataType, NumericType
     )
-    prev_sum = (
-        labels.agg(F.sum("label")).collect()[0][0] if numeric_ids else None
-    )
+
+    def _ckpt_with_sum(frame):
+        """Eagerly checkpoint ``frame``; for numeric ids also return
+        sum(label), observed during the same checkpoint action."""
+        if not numeric_ids:
+            return frame.localCheckpoint(eager=True), None
+        ob = Observation()
+        ck = frame.observe(ob, F.sum("label").alias("s")).localCheckpoint(
+            eager=True
+        )
+        return ck, ob.get["s"]
+
+    labels, prev_sum = _ckpt_with_sum(labels)
     converged = False
     # the fused init above IS propagation round 1; the loop then has
     # max_iter more rounds available — the total round capacity
@@ -1580,15 +1616,13 @@ def connected_components_min_label(
             labels.join(sym, labels["node"] == sym["a"])
             .select(F.col("b").alias("node"), F.col("label"))
         )
-        labels = (
+        labels, new_sum = _ckpt_with_sum(
             labels.unionByName(neighbor)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
         )
         iterations += 1
         if numeric_ids:
-            new_sum = labels.agg(F.sum("label")).collect()[0][0]
             if new_sum == prev_sum:
                 converged = True
                 break

@@ -922,6 +922,19 @@ def curate_media(
     from ..operators.multimodal import image_phash, tag_media_modality
     from ..operators.video_fp import video_phash
 
+    from pyspark.sql import Observation
+
+    def _ckpt_with_count(frame: DataFrame) -> tuple[DataFrame, int]:
+        """Eagerly checkpoint an id-sized loser set and return its row
+        count OBSERVED during the same checkpoint action (round 15) —
+        the count used to be a second Spark job per stage over a frame
+        the checkpoint had just computed."""
+        ob = Observation()
+        ck = frame.observe(
+            ob, F.count(F.lit(1)).alias("n")
+        ).localCheckpoint(eager=True)
+        return ck, int(ob.get["n"])
+
     tagged = tag_media_modality(media).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -939,24 +952,31 @@ def curate_media(
     groups = digests.groupBy("_d").agg(
         F.min("media_id").alias("_keep"), F.count(F.lit(1)).alias("_n")
     )
-    exact_losers = (
+    exact_losers, exact_dropped = _ckpt_with_count(
         digests.join(groups, "_d")
         .filter((F.col("_n") > 1) & (F.col("media_id") != F.col("_keep")))
         .select("media_id")
-        .localCheckpoint(eager=True)
     )
-    exact_dropped = exact_losers.count()
 
     slim = tagged.select("media_id", "modality", "native").join(
         exact_losers, "media_id", "left_anti"
     )
-    by_modality = {
-        r["modality"]: r["n"]
-        for r in slim.groupBy("modality").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    non_native = slim.filter(
-        (F.col("modality") != "unknown") & ~F.col("native")
-    ).count()
+    # one aggregation serves both the per-modality histogram and the
+    # non-native tally (round 15 — it used to be a second full pass)
+    mod_rows = (
+        slim.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("modality") != "unknown") & ~F.col("native"), 1
+                ).otherwise(0)
+            ).alias("nn"),
+        )
+        .collect()
+    )
+    by_modality = {r["modality"]: r["n"] for r in mod_rows}
+    non_native = int(sum(r["nn"] for r in mod_rows))
 
     # each tier decodes + fingerprints ONCE (hamming_pairs
     # materializes its hash input); the hot-bucket drop count comes
@@ -992,7 +1012,10 @@ def curate_media(
             (F.col("modality") == modality) & F.col("native")
         ).join(exact_losers, "media_id", "left_anti")
         tier_tel: dict = {}
-        losers = (
+        # slim id set, derived from the corpus — truncate lineage
+        # before it joins back (the plan-growth discipline); the drop
+        # count rides the checkpoint action
+        losers, dropped[modality] = _ckpt_with_count(
             hamming_pairs(
                 hash_fn(subset).select("media_id", hash_col),
                 hash_col=hash_col,
@@ -1004,11 +1027,7 @@ def curate_media(
             )
             .select(F.col("id_b").alias("media_id"))
             .distinct()
-            # slim id set, derived from the corpus — truncate lineage
-            # before it joins back (the plan-growth discipline)
-            .localCheckpoint(eager=True)
         )
-        dropped[modality] = losers.count()
         # the recall trade must be visible in the report, never silent
         hot_buckets[modality] = tier_tel.get("hot_buckets_dropped", 0)
         all_losers = all_losers.unionByName(losers)
@@ -1028,7 +1047,7 @@ def curate_media(
             .filter(F.col("extracted"))
             .select("media_id", "text")
         )
-        pdf_losers = (
+        pdf_losers, pdf_text_dropped = _ckpt_with_count(
             minhash_lsh_dedup_pairs(
                 texts,
                 text_col="text",
@@ -1037,9 +1056,7 @@ def curate_media(
             )
             .select(F.col("id_b").alias("media_id"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
-        pdf_text_dropped = pdf_losers.count()
         all_losers = all_losers.unionByName(pdf_losers)
 
     survivors = tagged.join(all_losers, "media_id", "left_anti").drop(
