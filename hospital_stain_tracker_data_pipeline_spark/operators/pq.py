@@ -430,20 +430,20 @@ def _adc_topk(
                     continue
                 c = np.stack(cod[valid]).astype(np.int64)  # (R, m)
                 ids = pdf[id_col].to_numpy()[valid]
-                frames = []
+                # one yielded frame PER QUERY, not one concat of all Q
+                # fan-outs: bounds worker memory to a single query's
+                # rows (the removed explode+join shape streamed this
+                # fan-out through Spark's spillable machinery; a
+                # Q×batch concat would hold it all at once)
                 for q in range(tbl.shape[0]):
                     s = tbl[q][sub_idx[None, :], c].sum(axis=1)
-                    frames.append(
-                        pd.DataFrame(
-                            {
-                                "_q": [qid_list[q]] * len(ids),
-                                "_i": ids,
-                                "_adc": s,
-                            }
-                        )
+                    yield pd.DataFrame(
+                        {
+                            "_q": [qid_list[q]] * len(ids),
+                            "_i": ids,
+                            "_adc": s,
+                        }
                     )
-                if frames:
-                    yield pd.concat(frames, ignore_index=True)
 
         scored = (
             codes.select(F.col(id_col), F.col("pq_code"))
@@ -496,11 +496,12 @@ def knn_pq(
     False when the query-id domain is external/disjoint, where a
     numeric collision would silently discard a real neighbor.
 
-    Plan shape at scale: the corpus side is scan -> posexplode (m
-    narrow rows per vector) -> BROADCAST hash join against the
-    q x m x n_codes table frame -> partial-aggregated groupBy — the
-    only shuffle is (query_id, vec_id) partial sums, and the window
-    top-k. Exact-integer distances on the 1e-12 grid make the result
+    Plan shape at scale (round 15): the corpus side is one
+    mapInPandas pass — each task scores its code rows against the
+    driver-side q × m × n_codes int64 table with numpy lookups,
+    yielding the per-query fan-out one query at a time — and the only
+    shuffle is the window top-k. Exact-integer distances on the 1e-12
+    grid make the result
     partitioning-invariant and replayable (``test_pq_adc_exact_replay``
     pins the bit-exact numpy replay). For normalized embeddings
     squared L2 = 2 - 2 cos, so the ADC ranking approximates the cosine

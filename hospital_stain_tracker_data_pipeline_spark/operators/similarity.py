@@ -449,12 +449,17 @@ def ann_lsh_pairs(
     # but nothing ENFORCED it — now an out-of-contract embedding fails
     # fast instead of flipping a 6-decimal cosine.
     _f32_exact = F.lit(float(1 << 24))
-    # coalesce(0): a zero-length (or all-NULL-component) quantized
-    # vector makes array_max NULL, which must PASS the guard — such
-    # rows produce a NULL/NaN cosine the threshold filter drops, the
-    # pre-float32 behavior — rather than fall through to a misleading
-    # ">= 2^24" raise (round-15 review finding). Only a genuine
-    # out-of-contract magnitude raises.
+    # coalesce(0): an all-NULL-component quantized vector makes
+    # array_max NULL, which must PASS the guard — such rows produce a
+    # NULL cosine the threshold filter drops, the pre-float32 behavior
+    # — rather than fall through to a misleading ">= 2^24" raise
+    # (round-15 review finding). Only a genuine out-of-contract
+    # magnitude raises here. Precision of the claim: zero-LENGTH
+    # embeddings never reach this guard (the hyperplane gemm upstream
+    # fails fast on them, unchanged since the candidates tier exists),
+    # and an all-ZERO vector crashes later in the ANSI cosine division
+    # (norm 0) — degenerate inputs stay fail-loud; this guard only
+    # stops mislabeling them as exactness-contract violations.
     _amax = F.coalesce(
         F.array_max(F.transform(F.col("_q"), lambda x: F.abs(x))),
         F.lit(0.0),

@@ -539,18 +539,19 @@ def curate_documents(
         """After an eager action: every pending frame is in the newest
         frame's lineage and is now materialized — count each from
         cache, release all but the newest (downstream still reads it).
-        On a run_dir RESUME a skipped stage fires no action, so a
-        count here may be the computation itself — exactly the pass
-        the pre-round-15 shape always paid."""
+        Counts run OLDEST-FIRST and every unpersist happens only after
+        ALL counts: on a run_dir RESUME a skipped stage fires no
+        action, so a count here may be the computation itself — and
+        counting up the chain fills each cache before its successor
+        reads it, keeping resume at one pass per stage (releasing a
+        predecessor before counting its successor would recompute the
+        whole upstream lineage per settle)."""
+        for label, f in pending:
+            if label not in stage_counts:
+                stage_counts[label] = f.count()
         while len(pending) > 1:
-            label, f = pending.pop(0)
-            if label not in stage_counts:
-                stage_counts[label] = f.count()
+            _, f = pending.pop(0)
             f.unpersist()
-        if pending:
-            label, f = pending[0]
-            if label not in stage_counts:
-                stage_counts[label] = f.count()
 
     exact = _push("exact", clean.join(keep, "doc_id", "left_semi"))
 
